@@ -1,0 +1,275 @@
+package graft.relational
+
+import graft.Tables
+import graft.Tables.{davg, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator coverage (SURVEY §2.2–§2.6) expressed over the
+  * driver's TPC-H-ish tables: scan+filter+project, multi-way joins with
+  * broadcast dims, semi/anti joins, aggregation, window functions, set ops,
+  * sort/limit/offset pagination.
+  *
+  * Every query is paired with an ANSI-SQL oracle (DuckDB). Double-typed
+  * aggregates go through exact decimal arithmetic (see [[graft.Tables]]) so
+  * results are bit-identical regardless of partitioning/order — aggregation
+  * over doubles is otherwise non-associative and would flap at scale.
+  *
+  * Scale design notes (100 TB):
+  *  - dimension tables (region/nation/supplier/part/customer) are broadcast;
+  *    only fact-fact joins (lineitem ⋈ orders) shuffle, on their join key.
+  *  - all filters are plain column predicates → pushed to parquet scans.
+  *  - windows partition by a high-cardinality key (custkey), never global.
+  */
+object CoreQueries {
+
+  // Exact decimal per-row products: raw money columns carry <=4 decimal
+  // digits, so the double->decimal(.,4) casts below are unambiguous (no
+  // value sits near a rounding boundary); decimal multiplication is then
+  // exact with no scale reduction anywhere. The oracle routes its final
+  // decimal->double cast through VARCHAR so both engines use a correctly
+  // rounded conversion of the same exact decimal.
+  private def revenue = col("l_extendedprice").cast(DecimalType(14, 4)) *
+    (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4))
+  private def charge = revenue * (lit(1.0) + col("l_tax")).cast(DecimalType(8, 4))
+  private def psum(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scan + filter + full aggregation battery (TPC-H Q1 shape) -------
+    "q1_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          psum(revenue).as("sum_disc_price"),
+          psum(charge).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // --- fact⋈fact⋈broadcast-dim join + top-k (TPC-H Q3 shape) -----------
+    "q3_shipping_priority" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1999-03-15"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1999-03-15"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(psum(revenue).as("rev"))
+        .orderBy(col("rev").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // --- EXISTS via left-semi join (SPARQL Exists / TPC-H Q4 shape) ------
+    "q4_order_priority" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- multi-way join through broadcast dims (TPC-H Q5 shape) ----------
+    "q5_supplier_volume" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(psum(revenue).as("rev"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // --- pure filter + scalar aggregate (TPC-H Q6 shape) -----------------
+    "q6_revenue_delta" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01")
+          && col("l_discount") >= 0.02 && col("l_discount") <= 0.08
+          && col("l_quantity") < 24)
+        .agg(psum(col("l_extendedprice").cast(DecimalType(14, 4)) * col("l_discount").cast(DecimalType(8, 4))).as("rev"),
+          count(lit(1)).as("n"))
+    },
+
+    // --- window: latest-row-per-key (is_latest pattern, SURVEY §2.5) -----
+    "q7_latest_order" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+          col("o_orderdate").as("latest_orderdate"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // --- window: running total per key ----------------------------------
+    "q8_running_total" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // --- MINUS as anti join (SPARQL Minus semantics, SURVEY §2.6) --------
+    "q9_minus_anti" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")).distinct()
+      val open = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey"))
+      c.join(open, c("c_custkey") === open("o_custkey"), "left_anti")
+        .orderBy(col("c_custkey"))
+    },
+
+    // --- dedup-union merge (distributed SELECT merge, SURVEY §2.4) -------
+    "q10_union_dedup" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      val a = p.filter(col("p_size") < 15).select(col("p_brand"))
+      val b = p.filter(col("p_type").contains("STEEL")).select(col("p_brand"))
+      a.union(b).dropDuplicates().orderBy(col("p_brand"))
+    },
+
+    // --- GROUP_CONCAT analog (SPARQL aggregates, SURVEY §2.4) ------------
+    "q11_group_concat" -> { (s, d) =>
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy(col("n_name"))
+    },
+
+    // --- pagination: sort + offset + limit (listing pages, SURVEY §2.5) --
+    "q12_page_offset" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .offset(20).limit(10)
+    },
+
+    // --- gated count estimate (SURVEY §2.4) ------------------------------
+    "q13_status_counts" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        | CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-03-15'
+        |  AND l_shipdate > TIMESTAMP '1999-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_supplier_volume" ->
+      """SELECT r_name, n_name,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS rev
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS rev,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24""".stripMargin,
+
+    "q7_latest_order" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q8_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q9_minus_anti" ->
+      """SELECT DISTINCT c_custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_union_dedup" ->
+      """SELECT DISTINCT p_brand FROM (
+        |  SELECT p_brand FROM part WHERE p_size < 15
+        |  UNION ALL
+        |  SELECT p_brand FROM part WHERE p_type LIKE '%STEEL%'
+        |) t ORDER BY p_brand""".stripMargin,
+
+    "q11_group_concat" ->
+      """SELECT n_name,
+        | STRING_AGG(s_name, ',' ORDER BY s_name) AS suppliers,
+        | COUNT(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q12_page_offset" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders ORDER BY o_orderdate, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin,
+
+    "q13_status_counts" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}
