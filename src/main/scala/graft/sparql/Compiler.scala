@@ -1,0 +1,223 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles SPARQL algebra bottom-up to DataFrame operations over the
+  * `quads` table (SURVEY §3.1 "Spark shape"). Each solution variable is one
+  * struct column `(kind, value, lang, datatype)`; unbound = NULL.
+  *
+  * Semantics ported from the reference evaluator:
+  *  - BGP outside GRAPH evaluates against the default graph, which the
+  *    reference builds as a *set* union of all visible graphs
+  *    (`handle.rs:4999-5008` inserts each quad under its named graph and the
+  *    default graph; oxrdf Datasets dedup) → pattern scans dedup over their
+  *    variable columns. Inside GRAPH g {} no dedup happens.
+  *  - OPTIONAL's filter expression is evaluated in join scope
+  *    (`handle.rs:4851-4860`) → compiled into the join condition, never as a
+  *    post-filter.
+  *  - MINUS with disjoint variable domains removes nothing (SPARQL
+  *    compatibility semantics, `handle.rs:4848`).
+  *
+  * Scale: every step is a narrow DataFrame op (filter/join/agg) that Catalyst
+  * optimizes; constant positions of triple patterns are pushed into the
+  * parquet scan of `quads` (partitioned by graph at scale). The reference's
+  * per-query full materialization (`handle.rs:4948-5008`) is deliberately NOT
+  * ported — scans stay lazy and columnar.
+  */
+object Compiler {
+
+  val termType: StructType = StructType(Seq(
+    StructField("kind", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("datatype", StringType, nullable = false)))
+
+  private def termStruct(t: Term): Column =
+    struct(lit(t.kind).as("kind"), lit(t.value).as("value"),
+      lit(t.lang).as("lang"), lit(t.datatype).as("datatype"))
+
+  private def mkTerm(kind: Column, value: Column, lang: Column, dt: Column): Column =
+    struct(kind.cast(IntegerType).as("kind"), value.as("value"),
+      coalesce(lang, lit("")).as("lang"), coalesce(dt, lit("")).as("datatype"))
+
+  /** Variables of a pattern (the in-scope domain). */
+  def patternVars(p: Pattern): Seq[String] = p match {
+    case BGP(ts) => ts.flatMap(_.vars).distinct
+    case PFilter(_, q) => patternVars(q)
+    case PJoin(l, r) => (patternVars(l) ++ patternVars(r)).distinct
+    case PLeftJoin(l, r, _) => (patternVars(l) ++ patternVars(r)).distinct
+    case PUnion(l, r) => (patternVars(l) ++ patternVars(r)).distinct
+    case PMinus(l, _) => patternVars(l)
+    case PExtend(q, v, _) => (patternVars(q) :+ v).distinct
+    case PGraph(g, q) =>
+      (patternVars(q) ++ (g match { case TVar(n) => Seq(n); case _ => Nil })).distinct
+    case PValues(vars, _) => vars
+    case PGroup(_, keys, aggs) => keys ++ aggs.map(_.as)
+  }
+
+  // =====================================================================
+  // pattern compilation
+  // =====================================================================
+
+  def compile(quads: DataFrame, p: Pattern): DataFrame =
+    compileP(quads, p, None)
+
+  private def compileP(quads: DataFrame, p: Pattern, graph: Option[TermPattern]): DataFrame =
+    p match {
+      case BGP(Nil) =>
+        // the empty group: a single empty solution
+        quads.sparkSession.range(1).select(lit(1).as("__unit"))
+      case BGP(triples) =>
+        triples.map(scanTriple(quads, _, graph)).reduce(join)
+      case PFilter(EExists(sub, negated), q) =>
+        val left = compileP(quads, q, graph)
+        val right = compileP(quads, sub, graph)
+        semiJoin(left, right, anti = negated)
+      case PFilter(expr, q) =>
+        val df = compileP(quads, q, graph)
+        df.filter(ExprCompiler.toBool(expr, n => df(n)))
+      case PJoin(l, r) => join(compileP(quads, l, graph), compileP(quads, r, graph))
+      case PLeftJoin(l, r, expr) =>
+        leftJoin(compileP(quads, l, graph), compileP(quads, r, graph), expr)
+      case PUnion(l, r) => union(compileP(quads, l, graph), compileP(quads, r, graph))
+      case PMinus(l, r) =>
+        val left = compileP(quads, l, graph)
+        val right = compileP(quads, r, graph)
+        val shared = solutionVars(left).intersect(solutionVars(right))
+        if (shared.isEmpty) left // disjoint domains: MINUS removes nothing
+        else semiJoin(left, right, anti = true)
+      case PExtend(q, v, expr) =>
+        val df = compileP(quads, q, graph)
+        df.withColumn(v, ExprCompiler.toTerm(expr, n => df(n)))
+      case PGraph(g, q) => compileP(quads, q, Some(g))
+      case PValues(vars, rows) =>
+        val spark = quads.sparkSession
+        val schema = StructType(vars.map(v => StructField(v, termType, nullable = true)))
+        val data = rows.map { row =>
+          Row.fromSeq(row.map {
+            case Some(t) => Row(t.kind, t.value, t.lang, t.datatype)
+            case None => null
+          })
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+      case PGroup(q, keys, aggs) =>
+        val df = compileP(quads, q, graph)
+        val aggCols = aggs.map(a => AggCompiler.compile(a, n => df(n)))
+        if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(keys.map(df(_)): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+
+  /** Columns of a solution DataFrame that are variables (excludes __unit). */
+  private def solutionVars(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(_.startsWith("__"))
+
+  /** One triple-pattern scan over quads → solution DF of its variables. */
+  private def scanTriple(quads: DataFrame, t: TriplePattern,
+      graph: Option[TermPattern]): DataFrame = {
+    var df = quads
+    // constant-position filters (these reach the parquet scan)
+    t.s match {
+      case TConst(c) => df = df.filter(col("subject") === c.value && col("subject_kind") === c.kind)
+      case _ =>
+    }
+    t.p match {
+      case TConst(c) => df = df.filter(col("predicate") === c.value)
+      case _ =>
+    }
+    t.o match {
+      case TConst(c) =>
+        df = df.filter(col("obj_kind") === c.kind && col("obj_value") === c.value &&
+          coalesce(col("obj_lang"), lit("")) === c.lang &&
+          coalesce(col("obj_datatype"), lit("")) === c.datatype)
+      case _ =>
+    }
+    graph match {
+      case Some(TConst(c)) => df = df.filter(col("graph_iri") === c.value)
+      case _ =>
+    }
+    // bind variables
+    val sTerm = mkTerm(col("subject_kind"), col("subject"), lit(""), lit(""))
+    val pTerm = mkTerm(lit(Kind.Iri), col("predicate"), lit(""), lit(""))
+    val oTerm = mkTerm(col("obj_kind"), col("obj_value"), col("obj_lang"), col("obj_datatype"))
+    val bindings = scala.collection.mutable.LinkedHashMap[String, Column]()
+    def bind(tp: TermPattern, c: Column): Option[(String, Column)] = tp match {
+      case TVar(n) =>
+        if (bindings.contains(n)) Some(n -> c) // repeated var in one pattern
+        else { bindings(n) = c; None }
+      case _ => None
+    }
+    val extraEq = Seq(bind(t.s, sTerm), bind(t.p, pTerm), bind(t.o, oTerm)).flatten
+    extraEq.foreach { case (n, c) => df = df.filter(bindings(n) === c) }
+    graph.foreach {
+      case TVar(g) if !bindings.contains(g) =>
+        bindings(g) = mkTerm(lit(Kind.Iri), col("graph_iri"), lit(""), lit(""))
+      case _ =>
+    }
+    val out = df.select(bindings.map { case (n, c) => c.as(n) }.toSeq: _*)
+    // default-graph set semantics: dedup when not inside GRAPH
+    if (graph.isEmpty) out.dropDuplicates() else out
+  }
+
+  /** Inner join of two solution DFs on their shared variables. */
+  private def join(l: DataFrame, r: DataFrame): DataFrame = {
+    val lv = solutionVars(l)
+    val rv = solutionVars(r)
+    val shared = lv.intersect(rv)
+    if (lv.isEmpty || l.columns.contains("__unit")) return r
+    if (rv.isEmpty || r.columns.contains("__unit")) return l
+    if (shared.isEmpty) l.crossJoin(r)
+    else {
+      val rr = shared.foldLeft(r)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
+      val cond = shared.map(v => l(v) === rr(s"__r_$v")).reduce(_ && _)
+      l.join(rr, cond, "inner").drop(shared.map(v => s"__r_$v"): _*)
+    }
+  }
+
+  /** OPTIONAL: left outer join; the filter expression (if any) is evaluated
+    * in the scope of the join, referencing both sides. */
+  private def leftJoin(l: DataFrame, r: DataFrame, expr: Option[Expr]): DataFrame = {
+    val lv = solutionVars(l)
+    val rv = solutionVars(r)
+    val shared = lv.intersect(rv)
+    val rr0 = shared.foldLeft(r)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
+    // disambiguate plan lineage for self-referencing quads scans
+    val rr = rr0
+    val resolve: String => Column = n =>
+      if (shared.contains(n)) rr(s"__r_$n")
+      else if (rv.contains(n)) rr(n)
+      else l(n)
+    val eqCond = shared.map(v => l(v) === rr(s"__r_$v"))
+    val filterCond = expr.map(e => ExprCompiler.toBool(e, resolve))
+    val cond = (eqCond ++ filterCond).reduceOption(_ && _).getOrElse(lit(true))
+    l.join(rr, cond, "left_outer").drop(shared.map(v => s"__r_$v"): _*)
+  }
+
+  /** left-semi / left-anti join on shared vars (EXISTS / MINUS / NOT EXISTS). */
+  private def semiJoin(l: DataFrame, r: DataFrame, anti: Boolean): DataFrame = {
+    val shared = solutionVars(l).intersect(solutionVars(r))
+    val joinType = if (anti) "left_anti" else "left_semi"
+    if (shared.isEmpty) {
+      // EXISTS with no shared vars: keep all or none depending on emptiness
+      val nonEmpty = !r.isEmpty
+      if (nonEmpty != anti) l else l.limit(0)
+    } else {
+      val rr = shared.foldLeft(r.select(shared.map(r(_)): _*))(
+        (d, v) => d.withColumnRenamed(v, s"__r_$v"))
+      val cond = shared.map(v => l(v) === rr(s"__r_$v")).reduce(_ && _)
+      l.join(rr, cond, joinType)
+    }
+  }
+
+  /** SPARQL UNION: align variable domains, null-fill, bag union. */
+  private def union(l: DataFrame, r: DataFrame): DataFrame = {
+    val lv = solutionVars(l)
+    val rv = solutionVars(r)
+    val all = (lv ++ rv).distinct
+    def align(df: DataFrame, has: Seq[String]): DataFrame =
+      df.select(all.map(v =>
+        if (has.contains(v)) df(v).as(v) else lit(null).cast(termType).as(v)): _*)
+    align(l, lv).union(align(r, rv))
+  }
+}

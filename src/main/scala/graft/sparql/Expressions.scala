@@ -1,0 +1,212 @@
+package graft.sparql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles SPARQL expressions (the FILTER set at reference
+  * `handle.rs:4898-4975`) to Catalyst Columns over term-struct columns.
+  *
+  * Light static typing decides the comparison domain: numeric if either side
+  * is numeric, else string if either side is a string expression, else RDF
+  * term equality (struct compare). Variables resolve through `R`.
+  */
+object ExprCompiler {
+
+  sealed trait Ty
+  case object TyNum extends Ty
+  case object TyStr extends Ty
+  case object TyBool extends Ty
+  case object TyTerm extends Ty
+
+  private val NumFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND")
+  private val StrFns = Set("STR", "UCASE", "LCASE", "CONCAT", "LANG", "DATATYPE",
+    "SUBSTR", "REPLACE")
+
+  def infer(e: Expr): Ty = e match {
+    case EConst(t) if t.isLiteral && Term.isNumericDatatype(t.datatype) => TyNum
+    case EConst(t) if t.isLiteral && t.datatype == Term.XsdBoolean => TyBool
+    case EConst(t) if t.isLiteral => TyStr
+    case EConst(_) => TyTerm
+    case EVar(_) => TyTerm
+    case EArith(_, _, _) | ENeg(_) => TyNum
+    case EFunc(f, _) if NumFns.contains(f) => TyNum
+    case EFunc(f, _) if StrFns.contains(f) => TyStr
+    case EIf(_, t, _) => infer(t)
+    case ECoalesce(args) if args.nonEmpty => infer(args.head)
+    case _ => TyBool
+  }
+
+  def value(c: Column): Column = c.getField("value")
+
+  def num(e: Expr, R: String => Column): Column = e match {
+    case EVar(v) => value(R(v)).cast(DoubleType)
+    case EConst(t) => lit(t.value.toDouble)
+    case EArith("+", l, r) => num(l, R) + num(r, R)
+    case EArith("-", l, r) => num(l, R) - num(r, R)
+    case EArith("*", l, r) => num(l, R) * num(r, R)
+    case EArith("/", l, r) => num(l, R) / num(r, R)
+    case ENeg(x) => -num(x, R)
+    case EFunc("STRLEN", Seq(a)) => length(str(a, R)).cast(DoubleType)
+    case EFunc("ABS", Seq(a)) => abs(num(a, R))
+    case EFunc("CEIL", Seq(a)) => ceil(num(a, R)).cast(DoubleType)
+    case EFunc("FLOOR", Seq(a)) => floor(num(a, R)).cast(DoubleType)
+    case EFunc("ROUND", Seq(a)) => round(num(a, R), 0)
+    case EIf(c, t, f) => when(toBool(c, R), num(t, R)).otherwise(num(f, R))
+    case ECoalesce(args) => coalesce(args.map(num(_, R)): _*)
+    case other => throw new SparqlParseException(s"not numeric: $other")
+  }
+
+  def str(e: Expr, R: String => Column): Column = e match {
+    case EVar(v) => value(R(v))
+    case EConst(t) => lit(t.value)
+    case EFunc("STR", Seq(a)) => str(a, R)
+    case EFunc("UCASE", Seq(a)) => upper(str(a, R))
+    case EFunc("LCASE", Seq(a)) => lower(str(a, R))
+    case EFunc("CONCAT", args) => concat(args.map(str(_, R)): _*)
+    case EFunc("LANG", Seq(EVar(v))) => R(v).getField("lang")
+    case EFunc("DATATYPE", Seq(EVar(v))) => R(v).getField("datatype")
+    case EFunc("SUBSTR", args) if args.size >= 2 =>
+      val start = constNum(args(1)).toInt
+      val len = if (args.size >= 3) constNum(args(2)).toInt else Int.MaxValue
+      substring(str(args.head, R), start, len)
+    case EFunc("REPLACE", Seq(a, p, r)) =>
+      regexp_replace(str(a, R), constStr(p), constStr(r))
+    case EIf(c, t, f) => when(toBool(c, R), str(t, R)).otherwise(str(f, R))
+    case ECoalesce(args) => coalesce(args.map(str(_, R)): _*)
+    case other => throw new SparqlParseException(s"not a string expression: $other")
+  }
+
+  private def constStr(e: Expr): String = e match {
+    case EConst(t) => t.value
+    case other => throw new SparqlParseException(s"constant string required: $other")
+  }
+
+  private def constNum(e: Expr): Double = e match {
+    case EConst(t) => t.value.toDouble
+    case other => throw new SparqlParseException(s"constant number required: $other")
+  }
+
+  def toBool(e: Expr, R: String => Column): Column = e match {
+    case EOr(l, r) => toBool(l, R) || toBool(r, R)
+    case EAnd(l, r) => toBool(l, R) && toBool(r, R)
+    case ENot(x) => !toBool(x, R)
+    case EBound(v) => R(v).isNotNull
+    case ECmp(op, l, r) =>
+      val domain: Ty =
+        if (infer(l) == TyNum || infer(r) == TyNum) TyNum
+        else if (infer(l) == TyStr || infer(r) == TyStr) TyStr
+        else TyTerm
+      val (a, b): (Column, Column) = domain match {
+        case TyNum => (num(l, R), num(r, R))
+        case TyStr => (str(l, R), str(r, R))
+        case _ => (termOf(l, R), termOf(r, R))
+      }
+      op match {
+        case "=" => a === b
+        case "!=" => a =!= b
+        case "<" => cmpLess(domain, a, b)
+        case "<=" => !cmpLess(domain, b, a)
+        case ">" => cmpLess(domain, b, a)
+        case ">=" => !cmpLess(domain, a, b)
+      }
+    case EIn(x, list, neg) =>
+      val eqs = list.map(item => toBool(ECmp("=", x, item), R))
+      val anyEq = eqs.reduceOption(_ || _).getOrElse(lit(false))
+      if (neg) !anyEq else anyEq
+    case EIf(c, t, f) => when(toBool(c, R), toBool(t, R)).otherwise(toBool(f, R))
+    case ECoalesce(args) => coalesce(args.map(toBool(_, R)): _*)
+    case ESameTerm(l, r) => termOf(l, R) === termOf(r, R)
+    case EConst(t) if t.datatype == Term.XsdBoolean => lit(t.value == "true")
+    case EVar(v) => value(R(v)) === "true" // effective boolean value of xsd:boolean var
+    case EFunc("REGEX", args) =>
+      val flags = if (args.size >= 3) constStr(args(2)) else ""
+      val pat = (if (flags.contains("i")) "(?i)" else "") + constStr(args(1))
+      str(args.head, R).rlike(pat)
+    case EFunc("CONTAINS", Seq(a, b)) => str(a, R).contains(str(b, R))
+    case EFunc("STRSTARTS", Seq(a, b)) => str(a, R).startsWith(str(b, R))
+    case EFunc("STRENDS", Seq(a, b)) => str(a, R).endsWith(str(b, R))
+    case EFunc("LANGMATCHES", Seq(a, b)) =>
+      val pat = constStr(b)
+      if (pat == "*") str(a, R) =!= "" else lower(str(a, R)) === pat.toLowerCase
+    case EFunc("ISIRI", Seq(EVar(v))) => R(v).getField("kind") === Kind.Iri
+    case EFunc("ISURI", Seq(EVar(v))) => R(v).getField("kind") === Kind.Iri
+    case EFunc("ISBLANK", Seq(EVar(v))) => R(v).getField("kind") === Kind.BNode
+    case EFunc("ISLITERAL", Seq(EVar(v))) => R(v).getField("kind") === Kind.Literal
+    case EFunc("ISNUMERIC", Seq(EVar(v))) =>
+      R(v).getField("datatype").isin(Term.XsdInteger, Term.XsdDecimal, Term.XsdDouble)
+    case EExists(_, _) =>
+      throw new SparqlParseException("EXISTS only supported as a top-level FILTER")
+    case other => throw new SparqlParseException(s"not a boolean expression: $other")
+  }
+
+  /** term-domain inequality compares lexical values (subset semantics). */
+  private def cmpLess(ty: Ty, a: Column, b: Column): Column = ty match {
+    case TyTerm => a.getField("value") < b.getField("value")
+    case _ => a < b
+  }
+
+  private def termOf(e: Expr, R: String => Column): Column = e match {
+    case EVar(v) => R(v)
+    case EConst(t) => struct(lit(t.kind).as("kind"), lit(t.value).as("value"),
+      lit(t.lang).as("lang"), lit(t.datatype).as("datatype"))
+    case other => throw new SparqlParseException(s"not a term: $other")
+  }
+
+  /** BIND target: plain typed column for computed values, struct for terms. */
+  def toTerm(e: Expr, R: String => Column): Column = infer(e) match {
+    case TyNum => num(e, R)
+    case TyStr => str(e, R)
+    case TyBool => toBool(e, R)
+    case TyTerm => termOf(e, R)
+  }
+}
+
+/** SPARQL 1.1 aggregates (reference `api.rs:2042-2050`). SUM/AVG go through
+  * exact decimal so results are partition-order independent; SAMPLE is
+  * defined as MIN for determinism; GROUP_CONCAT sorts its inputs.
+  */
+object AggCompiler {
+  import ExprCompiler._
+
+  def compile(a: AggExpr, R: String => Column): Column = {
+    val c: Column = a.fn match {
+      case "COUNT" =>
+        a.arg match {
+          case None => count(lit(1))
+          case Some(EVar(v)) if a.distinct => countDistinct(R(v))
+          case Some(EVar(v)) => count(R(v))
+          case Some(e) if a.distinct => countDistinct(str(e, R))
+          case Some(e) => count(str(e, R))
+        }
+      case "SUM" =>
+        sum(num(a.arg.get, R).cast(DecimalType(18, 4))).cast(DoubleType)
+      case "AVG" =>
+        sum(num(a.arg.get, R).cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(num(a.arg.get, R))
+      case "MIN" => min(argCol(a, R))
+      case "MAX" => max(argCol(a, R))
+      case "SAMPLE" => min(strArg(a, R))
+      case "GROUP_CONCAT" =>
+        val in = if (a.distinct) collect_set(strArg(a, R)) else collect_list(strArg(a, R))
+        array_join(array_sort(in), a.separator)
+      case other => throw new SparqlParseException(s"unsupported aggregate $other")
+    }
+    c.as(a.as)
+  }
+
+  /** MIN/MAX: numeric when the argument is a numeric expression, else the
+    * lexical value (wrap with STR(...) to force string aggregation). */
+  private def argCol(a: AggExpr, R: String => Column): Column = a.arg.get match {
+    case e if infer(e) == TyNum => num(e, R)
+    case e if infer(e) == TyStr => str(e, R)
+    case EVar(v) => value(R(v)).cast(DoubleType)
+    case e => str(e, R)
+  }
+
+  private def strArg(a: AggExpr, R: String => Column): Column = a.arg.get match {
+    case e if infer(e) == TyNum => num(e, R).cast(StringType)
+    case EVar(v) => value(R(v))
+    case e => str(e, R)
+  }
+}

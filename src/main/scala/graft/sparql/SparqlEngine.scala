@@ -1,0 +1,87 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Public SPARQL entry point: text → guarded parse → compiled DataFrame.
+  *
+  * Mirrors the reference's query lifecycle (SURVEY §3.1) minus the transport:
+  * guards (`api.rs:1972-2006`), authorization scoping via a visible-graphs
+  * semi-join applied *before* evaluation (`handle.rs:4675-4698` — the
+  * dominant partition-pruning step), evaluation, then the distributed-merge
+  * result contract (`api.rs:2911-2959`): SELECT results are capped at
+  * min(LIMIT, 10_000) rows; ASK is any-true.
+  */
+object SparqlEngine {
+
+  val MaxResultRows = 10000L // handle.rs:95
+
+  /** Evaluate a SELECT query; returns flattened columns (one per projected
+    * variable: lexical value, or the plain value for BIND/aggregates). */
+  def select(quads: DataFrame, sparql: String, cap: Boolean = false): DataFrame = {
+    val q = SparqlParser.parse(sparql)
+    require(q.form == "select", s"expected SELECT, got ${q.form}")
+    val pattern =
+      if (q.aggregates.nonEmpty || q.groupKeys.nonEmpty)
+        PGroup(q.pattern, q.groupKeys, q.aggregates)
+      else q.pattern
+    var df = Compiler.compile(quads, pattern)
+    val projVars: Seq[String] =
+      if (q.projection.nonEmpty) q.projection
+      else df.columns.toSeq.filterNot(_.startsWith("__"))
+    // ORDER BY may reference non-projected vars, so sort before projecting
+    // (unless DISTINCT, which per SPARQL restricts ordering to projected vars)
+    if (q.distinct) {
+      df = df.select(projVars.map(df(_)): _*).dropDuplicates()
+      if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.map(sortCol(df, _)): _*)
+    } else {
+      if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.map(sortCol(df, _)): _*)
+      df = df.select(projVars.map(df(_)): _*)
+    }
+    q.offset.foreach(o => df = df.offset(o.toInt))
+    val effLimit: Option[Long] =
+      if (cap) Some(math.min(q.limit.getOrElse(MaxResultRows), MaxResultRows))
+      else q.limit
+    effLimit.foreach(l => df = df.limit(l.toInt))
+    flatten(df)
+  }
+
+  /** ASK: true iff the pattern has at least one solution. Distributed merge
+    * = any-true (`api.rs:2917-2921`). */
+  def ask(quads: DataFrame, sparql: String): DataFrame = {
+    val q = SparqlParser.parse(sparql)
+    require(q.form == "ask", s"expected ASK, got ${q.form}")
+    Compiler.compile(quads, q.pattern)
+      .limit(1)
+      .agg((count(lit(1)) > 0).as("ask"))
+  }
+
+  /** Restrict quads to the caller-visible graphs *before* evaluation — the
+    * reference's eager scope selection. `visible` must have a `graph_iri`
+    * column. */
+  def scoped(quads: DataFrame, visible: DataFrame): DataFrame =
+    quads.join(broadcast(visible.select("graph_iri").distinct()), Seq("graph_iri"), "left_semi")
+
+  private def sortCol(df: DataFrame, k: OrderKey): Column = {
+    val c: Column = k.expr match {
+      case EVar(v) if isStruct(df, v) => df(v).getField("value")
+      case EVar(v) => df(v)
+      case e if ExprCompiler.infer(e) == ExprCompiler.TyNum =>
+        ExprCompiler.num(e, df(_))
+      case e => ExprCompiler.str(e, df(_))
+    }
+    if (k.asc) c.asc else c.desc
+  }
+
+  private def isStruct(df: DataFrame, name: String): Boolean =
+    df.schema(name).dataType.isInstanceOf[StructType]
+
+  /** Struct term columns → lexical value strings; plain columns unchanged. */
+  private def flatten(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      if (df.schema(c).dataType.isInstanceOf[StructType])
+        df(c).getField("value").as(c)
+      else df(c)
+    }.toIndexedSeq: _*)
+}

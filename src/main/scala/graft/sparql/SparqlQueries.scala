@@ -1,0 +1,177 @@
+package graft.sparql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SPARQL operator coverage as driver-contract queries: each entry runs a
+  * SPARQL query through the full parse→compile→execute pipeline over the
+  * derived `quads` table; the oracle re-derives the same result in plain SQL
+  * over `documents` (independent of the compiler — this validates BGP joins,
+  * OPTIONAL scope, MINUS, UNION, GROUP BY, EXISTS, VALUES/BIND, GRAPH and
+  * visibility scoping end-to-end).
+  */
+object SparqlQueries {
+
+  private def run(sparql: String)(s: SparkSession, d: String): DataFrame =
+    SparqlEngine.select(RdfTables.quads(s, d), sparql)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // canonical reference query (metadata_query_concurrency.rs:177)
+    "sp1_bgp" -> run(
+      """SELECT ?s ?name WHERE { ?s a schema:Dataset . ?s schema:name ?name }
+        |ORDER BY ?s""".stripMargin) _,
+
+    "sp2_filter_numeric" -> run(
+      """SELECT ?s ?size WHERE { ?s schema:contentSize ?size . FILTER(?size > 300) }
+        |ORDER BY ?s""".stripMargin) _,
+
+    "sp3_optional" -> run(
+      """SELECT ?s ?name ?kw WHERE {
+        |  ?s a schema:Dataset ; schema:name ?name .
+        |  OPTIONAL { ?s schema:keywords ?kw }
+        |} ORDER BY ?s""".stripMargin) _,
+
+    // the OPTIONAL-FILTER scope trap: filter belongs to the join, not after it
+    "sp4_optional_filter" -> run(
+      """SELECT ?s ?size WHERE {
+        |  ?s a schema:File .
+        |  OPTIONAL { ?s schema:contentSize ?size . FILTER(?size > 300) }
+        |} ORDER BY ?s""".stripMargin) _,
+
+    "sp5_union" -> run(
+      """SELECT ?s WHERE {
+        |  { ?s a schema:Dataset } UNION { ?s schema:inLanguage "de" }
+        |} ORDER BY ?s""".stripMargin) _,
+
+    "sp6_minus" -> run(
+      """SELECT ?s WHERE { ?s a schema:Dataset . MINUS { ?s schema:keywords ?k } }
+        |ORDER BY ?s""".stripMargin) _,
+
+    "sp7_group_agg" -> run(
+      """SELECT ?lang (COUNT(*) AS ?n) (SUM(?size) AS ?total) WHERE {
+        |  ?s schema:inLanguage ?lang ; schema:contentSize ?size
+        |} GROUP BY ?lang ORDER BY ?lang""".stripMargin) _,
+
+    "sp8_order_slice" -> run(
+      """SELECT ?s ?size WHERE { ?s schema:contentSize ?size }
+        |ORDER BY DESC(?size * 1) ?s LIMIT 10""".stripMargin) _,
+
+    "sp9_ask" -> ((s: SparkSession, d: String) =>
+      SparqlEngine.ask(RdfTables.quads(s, d),
+        "ASK { ?s a schema:Dataset . ?s schema:name ?name }")),
+
+    "sp10_graph" -> run(
+      """SELECT ?p ?o WHERE { GRAPH <graph:42> { ?s ?p ?o } } ORDER BY ?p ?o""") _,
+
+    // cross-subject BGP join; exercises default-graph set semantics (the
+    // person triples repeat across graphs and must dedup)
+    "sp11_join_author" -> run(
+      """SELECT ?doc ?aname WHERE {
+        |  ?doc schema:author ?person . ?person schema:name ?aname
+        |} ORDER BY ?doc""".stripMargin) _,
+
+    "sp12_values_bind" -> run(
+      """SELECT ?s ?dbl WHERE {
+        |  ?s schema:contentSize ?size ; schema:inLanguage ?lang .
+        |  VALUES ?lang { "de" "en" }
+        |  BIND(?size * 2 AS ?dbl)
+        |} ORDER BY ?s""".stripMargin) _,
+
+    "sp13_exists" -> run(
+      """SELECT ?s WHERE { ?s a schema:File . FILTER EXISTS { ?s schema:keywords ?k } }
+        |ORDER BY ?s""".stripMargin) _,
+
+    "sp14_not_exists" -> run(
+      """SELECT ?s WHERE { ?s a schema:Dataset . FILTER NOT EXISTS { ?s dcterms:conformsTo ?c } }
+        |ORDER BY ?s""".stripMargin) _,
+
+    // authorization scoping: anonymous caller sees public, live graphs only
+    "sp15_visibility_anon" -> ((s: SparkSession, d: String) => {
+      val scoped = SparqlEngine.scoped(RdfTables.quads(s, d),
+        RdfTables.visibleGraphs(s, d, "anonymous"))
+      SparqlEngine.select(scoped,
+        "SELECT ?s ?name WHERE { ?s a schema:Dataset . ?s schema:name ?name } ORDER BY ?s")
+    }),
+
+    "sp16_visibility_member" -> ((s: SparkSession, d: String) => {
+      val scoped = SparqlEngine.scoped(RdfTables.quads(s, d),
+        RdfTables.visibleGraphs(s, d, "member:grp-3"))
+      SparqlEngine.select(scoped,
+        "SELECT ?s ?name WHERE { ?s a schema:Dataset . ?s schema:name ?name } ORDER BY ?s")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sp1_bgp" ->
+      """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name
+        |FROM documents WHERE doc_id%3=0 ORDER BY 1""".stripMargin,
+
+    "sp2_filter_numeric" ->
+      """SELECT 'doc:'||doc_id AS s, CAST(n_chars AS VARCHAR) AS size
+        |FROM documents WHERE n_chars > 300 ORDER BY 1""".stripMargin,
+
+    "sp3_optional" ->
+      """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name,
+        |  CASE WHEN doc_id%5=0 THEN 'kw-'||(doc_id%7) END AS kw
+        |FROM documents WHERE doc_id%3=0 ORDER BY 1""".stripMargin,
+
+    "sp4_optional_filter" ->
+      """SELECT 'doc:'||doc_id AS s,
+        |  CASE WHEN n_chars > 300 THEN CAST(n_chars AS VARCHAR) END AS size
+        |FROM documents WHERE doc_id%3<>0 ORDER BY 1""".stripMargin,
+
+    "sp5_union" ->
+      """SELECT s FROM (
+        |  SELECT 'doc:'||doc_id AS s FROM documents WHERE doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'doc:'||doc_id AS s FROM documents WHERE lang='de'
+        |) t ORDER BY s""".stripMargin,
+
+    "sp6_minus" ->
+      """SELECT 'doc:'||doc_id AS s FROM documents
+        |WHERE doc_id%3=0 AND doc_id%5<>0 ORDER BY 1""".stripMargin,
+
+    "sp7_group_agg" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sp8_order_slice" ->
+      """SELECT 'doc:'||doc_id AS s, CAST(n_chars AS VARCHAR) AS size
+        |FROM documents ORDER BY n_chars DESC, 'doc:'||doc_id LIMIT 10""".stripMargin,
+
+    "sp9_ask" ->
+      "SELECT COUNT(*) > 0 AS ask FROM documents WHERE doc_id%3=0",
+
+    "sp10_graph" ->
+      s"""WITH ${RdfTables.quadsCte}
+         |SELECT predicate AS p, obj_value AS o FROM quads
+         |WHERE graph_iri='graph:42' ORDER BY p, o""".stripMargin,
+
+    "sp11_join_author" ->
+      """SELECT 'doc:'||doc_id AS doc, 'author-'||(doc_id%20) AS aname
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "sp12_values_bind" ->
+      """SELECT 'doc:'||doc_id AS s, CAST(n_chars AS DOUBLE) * 2 AS dbl
+        |FROM documents WHERE lang IN ('de','en') ORDER BY 1""".stripMargin,
+
+    "sp13_exists" ->
+      """SELECT 'doc:'||doc_id AS s FROM documents
+        |WHERE doc_id%3<>0 AND doc_id%5=0 ORDER BY 1""".stripMargin,
+
+    "sp14_not_exists" ->
+      """SELECT 'doc:'||doc_id AS s FROM documents
+        |WHERE doc_id%3=0 AND doc_id%2<>0 ORDER BY 1""".stripMargin,
+
+    "sp15_visibility_anon" ->
+      """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name
+        |FROM documents
+        |WHERE doc_id%3=0 AND doc_id%2=0 AND doc_id%97<>0 ORDER BY 1""".stripMargin,
+
+    "sp16_visibility_member" ->
+      """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name
+        |FROM documents
+        |WHERE doc_id%3=0 AND (doc_id%2=0 OR doc_id%10=3) AND doc_id%97<>0
+        |ORDER BY 1""".stripMargin
+  )
+}

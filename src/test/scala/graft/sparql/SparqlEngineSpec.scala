@@ -1,0 +1,105 @@
+package graft.sparql
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class SparqlEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** tiny in-memory quad fixture: 2 graphs, typed entities, one shared
+    * person subject (as in the reference's canonical test shape). */
+  private lazy val quads: DataFrame = Seq(
+    // g1: a Dataset with name+size
+    ("g1", "d1", 0, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "http://schema.org/Dataset", "", ""),
+    ("g1", "d1", 0, "http://schema.org/name", 2, "alpha", "", ""),
+    ("g1", "d1", 0, "http://schema.org/contentSize", 2, "400", "", Term.XsdInteger),
+    ("g1", "d1", 0, "http://schema.org/author", 0, "p1", "", ""),
+    ("g1", "p1", 0, "http://schema.org/name", 2, "ada", "", ""),
+    // g2: a File with small size, same person p1 (duplicate name triple)
+    ("g2", "d2", 0, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0, "http://schema.org/File", "", ""),
+    ("g2", "d2", 0, "http://schema.org/name", 2, "beta", "", ""),
+    ("g2", "d2", 0, "http://schema.org/contentSize", 2, "100", "", Term.XsdInteger),
+    ("g2", "d2", 0, "http://schema.org/author", 0, "p1", "", ""),
+    ("g2", "p1", 0, "http://schema.org/name", 2, "ada", "", "")
+  ).toDF("graph_iri", "subject", "subject_kind", "predicate", "obj_kind",
+    "obj_value", "obj_lang", "obj_datatype")
+
+  private def sel(q: String): Seq[Seq[Any]] =
+    SparqlEngine.select(quads, q).collect().toSeq.map(_.toSeq)
+
+  test("BGP join + projection") {
+    assert(sel("SELECT ?s ?n WHERE { ?s a schema:Dataset . ?s schema:name ?n }") ==
+      Seq(Seq("d1", "alpha")))
+  }
+
+  test("default-graph set semantics dedup duplicated triples") {
+    assert(sel("SELECT ?p ?n WHERE { ?p schema:name ?n . ?d schema:author ?p }")
+      .toSet == Set(Seq("p1", "ada")))
+  }
+
+  test("OPTIONAL filter evaluates in join scope (row kept with unbound)") {
+    val rows = sel(
+      """SELECT ?s ?size WHERE { ?s schema:name ?n .
+        |OPTIONAL { ?s schema:contentSize ?size . FILTER(?size > 300) } } ORDER BY ?s""".stripMargin)
+    assert(rows == Seq(Seq("d1", "400"), Seq("d2", null), Seq("p1", null)))
+  }
+
+  test("MINUS removes compatible, keeps disjoint-domain") {
+    assert(sel("SELECT ?s WHERE { ?s schema:name ?n . MINUS { ?s a schema:File } } ORDER BY ?s")
+      == Seq(Seq("d1"), Seq("p1")))
+    // disjoint domains: MINUS removes nothing
+    assert(sel("SELECT ?s WHERE { ?s a schema:Dataset . MINUS { ?x schema:name ?y } }")
+      == Seq(Seq("d1")))
+  }
+
+  test("UNION null-fills disjoint vars; FILTER EXISTS / NOT EXISTS") {
+    val u = sel("SELECT ?a ?b WHERE { { ?a a schema:Dataset } UNION { ?b a schema:File } } ORDER BY ?a")
+    assert(u.toSet == Set(Seq("d1", null), Seq(null, "d2")))
+    assert(sel("SELECT ?s WHERE { ?s schema:name ?n . FILTER EXISTS { ?s a schema:Dataset } }")
+      == Seq(Seq("d1")))
+    assert(sel("SELECT ?s WHERE { ?s a schema:File . FILTER NOT EXISTS { ?s schema:contentSize ?c } }")
+      .isEmpty)
+  }
+
+  test("GROUP BY aggregates, GROUP_CONCAT deterministic") {
+    val rows = sel(
+      """SELECT ?p (COUNT(*) AS ?n) (GROUP_CONCAT(?name ; SEPARATOR=",") AS ?names)
+        |WHERE { ?d schema:author ?p . ?d schema:name ?name } GROUP BY ?p""".stripMargin)
+    assert(rows == Seq(Seq("p1", 2L, "alpha,beta")))
+  }
+
+  test("GRAPH pattern binds/filters the graph; no dedup inside GRAPH") {
+    assert(sel("SELECT ?g WHERE { GRAPH ?g { ?p schema:name \"ada\" } } ORDER BY ?g")
+      == Seq(Seq("g1"), Seq("g2")))
+    assert(sel("SELECT ?n WHERE { GRAPH <g2> { ?s schema:name ?n } } ORDER BY ?n")
+      == Seq(Seq("ada"), Seq("beta")))
+  }
+
+  test("VALUES restricts; BIND computes; ORDER/LIMIT slice") {
+    assert(sel(
+      """SELECT ?s ?twice WHERE { ?s schema:contentSize ?size .
+        |VALUES ?s { <d1> <d2> } BIND(?size * 2 AS ?twice) } ORDER BY DESC(?size * 1) LIMIT 1""".stripMargin)
+      == Seq(Seq("d1", 800.0)))
+  }
+
+  test("ASK true/false") {
+    def ask(q: String): Boolean =
+      SparqlEngine.ask(quads, q).collect()(0).getBoolean(0)
+    assert(ask("ASK { ?s a schema:Dataset }"))
+    assert(!ask("ASK { ?s a schema:DataCatalog }"))
+  }
+
+  test("guards: SERVICE, CONSTRUCT, oversized LIMIT, 64KiB rejected") {
+    def bad(q: String): Boolean =
+      try { SparqlParser.parse(q); false } catch { case _: SparqlParseException => true }
+    assert(bad("SELECT ?s WHERE { SERVICE <http://x> { ?s ?p ?o } }"))
+    assert(bad("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"))
+    assert(bad("SELECT ?s WHERE { ?s ?p ?o } LIMIT 20000"))
+    assert(bad("SELECT ?s WHERE { ?s schema:name \"" + ("x" * 70000) + "\" }"))
+  }
+
+  test("result cap: min(LIMIT, 10000) when capped") {
+    val df = SparqlEngine.select(quads, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", cap = true)
+    assert(df.count() <= 10000)
+  }
+}
