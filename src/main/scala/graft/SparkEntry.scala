@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.relational.CoreQueries.queries ++
-      graft.sparql.SparqlQueries.queries
+      graft.sparql.SparqlQueries.queries ++
+      graft.fts.FtsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.relational.CoreQueries.oracles ++
-      graft.sparql.SparqlQueries.oracles
+      graft.sparql.SparqlQueries.oracles ++
+      graft.fts.FtsQueries.oracles
 }
