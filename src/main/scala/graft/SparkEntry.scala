@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.relational.CoreQueries.queries ++
       graft.sparql.SparqlQueries.queries ++
-      graft.fts.FtsQueries.queries
+      graft.fts.FtsQueries.queries ++
+      graft.catalog.CatalogQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.relational.CoreQueries.oracles ++
       graft.sparql.SparqlQueries.oracles ++
-      graft.fts.FtsQueries.oracles
+      graft.fts.FtsQueries.oracles ++
+      graft.catalog.CatalogQueries.oracles
 }

@@ -1,0 +1,159 @@
+package graft.catalog
+
+import graft.index.IriIndex
+import graft.sparql.RdfTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog operators for the driver gate: ListObjectsV2 (delimiter grouping,
+  * start_after paging), ListObjectVersions (is_latest), bucket search,
+  * IRI backlinks + references join, usage rebuild + incremental delta apply.
+  */
+object CatalogQueries {
+
+  private val ConformsTo = RdfTables.ConformsTo
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cat1_list_v2_prefixes" -> { (s, d) =>
+      Listing.listObjectsV2(ObjectTables.objects(s, d), "bkt-1", "data/A/",
+        Some("/"), None)
+    },
+
+    "cat2_list_v2_page" -> { (s, d) =>
+      Listing.listObjectsV2(ObjectTables.objects(s, d), "bkt-1", "data/A/f1/",
+        Some("/"), Some("data/A/f1/o250.bin"), maxKeys = 10)
+    },
+
+    "cat3_list_versions" -> { (s, d) =>
+      Listing.listVersions(ObjectTables.objects(s, d), "bkt-2", "data/R/f3/",
+        maxKeys = 100)
+    },
+
+    "cat4_bucket_search" -> { (s, d) =>
+      Listing.searchBuckets(
+        ObjectTables.objects(s, d).select(col("bucket")).distinct(), "t")
+    },
+
+    "cat5_iri_backlinks" -> { (s, d) =>
+      IriIndex.build(RdfTables.quads(s, d))
+        .filter(col("predicate_iri") === ConformsTo)
+        .orderBy(col("object_iri"), col("graph_iri"))
+    },
+
+    "cat6_references" -> { (s, d) =>
+      val visible = RdfTables.registry(s, d)
+        .filter(col("public") && !col("deleted"))
+      IriIndex.references(IriIndex.build(RdfTables.quads(s, d)), visible,
+        ConformsTo, "https://w3id.org/ro/crate/2")
+    },
+
+    "cat7_usage_rebuild" -> { (s, d) =>
+      UsageStats.rebuild(ObjectTables.objects(s, d), ObjectTables.blobs(s, d),
+        ObjectTables.buckets(s, d))
+        .orderBy(col("scope"), col("key"))
+    },
+
+    "cat8_usage_delta" -> { (s, d) =>
+      val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
+      val obj = ObjectTables.objects(s, d)
+        .filter(!col("is_delete_marker"))
+        .join(broadcast(live.select(col("blake3").as("hash"))), Seq("hash"))
+        .join(broadcast(ObjectTables.buckets(s, d)), Seq("bucket"))
+      val base = obj.filter(col("version_ord") % 10 =!= 0)
+        .groupBy(col("group_id"))
+        .agg(count(lit(1)).as("stored_blobs"), sum(col("size")).as("stored_bytes"))
+      val deltas = obj.filter(col("version_ord") % 10 === 0)
+        .select(col("group_id"), lit(1L).as("d_blobs"), col("size").as("d_bytes"))
+      UsageStats.applyDeltas(base, deltas).orderBy(col("group_id"))
+    }
+  )
+
+  private val ctes =
+    s"${ObjectTables.objectsCte},\n${ObjectTables.blobsCte},\n${ObjectTables.bucketsCte},\n" +
+      s"heads AS (\n${ObjectTables.headsSql}\n)"
+
+  val oracles: Map[String, String] = Map(
+    "cat1_list_v2_prefixes" ->
+      s"""WITH $ctes,
+         |f AS (SELECT key, size FROM heads WHERE bucket='bkt-1' AND key LIKE 'data/A/%'),
+         |cp AS (SELECT CASE WHEN strpos(substr(key, 8), '/') > 0
+         |                   THEN 'data/A/'||substr(substr(key, 8), 1, strpos(substr(key, 8), '/')) END AS cp,
+         |              key, size FROM f)
+         |SELECT kind, name, size FROM (
+         |  SELECT DISTINCT 'CommonPrefix' AS kind, cp AS name, CAST(NULL AS BIGINT) AS size
+         |  FROM cp WHERE cp IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'Object' AS kind, key AS name, size FROM cp WHERE cp IS NULL
+         |) t ORDER BY name LIMIT 1000""".stripMargin,
+
+    "cat2_list_v2_page" ->
+      s"""WITH $ctes
+         |SELECT 'Object' AS kind, key AS name, size FROM heads
+         |WHERE bucket='bkt-1' AND key LIKE 'data/A/f1/%' AND key > 'data/A/f1/o250.bin'
+         |  AND strpos(substr(key, 11), '/') = 0
+         |ORDER BY name LIMIT 10""".stripMargin,
+
+    "cat3_list_versions" ->
+      s"""WITH ${ObjectTables.objectsCte}
+         |SELECT CASE WHEN is_delete_marker THEN 'DeleteMarker' ELSE 'Version' END AS kind,
+         |       key, version_ulid,
+         |       ROW_NUMBER() OVER (PARTITION BY bucket, key ORDER BY version_ord DESC, hash DESC) = 1 AS is_latest,
+         |       size
+         |FROM objects
+         |WHERE bucket='bkt-2' AND key LIKE 'data/R/f3/%'
+         |ORDER BY key, version_ulid DESC, size LIMIT 100""".stripMargin,
+
+    "cat4_bucket_search" ->
+      s"""WITH ${ObjectTables.objectsCte}
+         |SELECT DISTINCT bucket FROM objects
+         |WHERE contains(lower(bucket), 't') AND bucket NOT LIKE 'ws-%'
+         |ORDER BY bucket""".stripMargin,
+
+    "cat5_iri_backlinks" ->
+      s"""WITH ${RdfTables.quadsCte}
+         |SELECT predicate AS predicate_iri, obj_value AS object_iri, graph_iri,
+         |       string_agg(DISTINCT subject, ',') AS subjects
+         |FROM quads WHERE obj_kind = 0 AND predicate = '$ConformsTo'
+         |GROUP BY 1, 2, 3
+         |ORDER BY object_iri, graph_iri""".stripMargin,
+
+    "cat6_references" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS document_id, 'graph:'||doc_id AS graph_iri,
+        |       '/'||source||'/doc-'||doc_id AS document_path,
+        |       'doc:'||doc_id AS subjects
+        |FROM documents
+        |WHERE doc_id%4=2 AND doc_id%97<>0
+        |ORDER BY document_id""".stripMargin,
+
+    "cat7_usage_rebuild" ->
+      s"""WITH $ctes,
+         |live AS (
+         |  SELECT h.bucket, h.size, b.backend, bk.group_id
+         |  FROM heads h
+         |  JOIN blobs b ON h.hash = b.blake3 AND NOT b.staging AND NOT b.partial
+         |  JOIN buckets bk USING (bucket))
+         |SELECT scope, key, buckets, stored_blobs, stored_bytes FROM (
+         |  SELECT 'group' AS scope, group_id AS key, COUNT(DISTINCT bucket) AS buckets,
+         |         COUNT(*) AS stored_blobs, CAST(SUM(size) AS BIGINT) AS stored_bytes
+         |  FROM live GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'backend', backend, COUNT(DISTINCT bucket), COUNT(*), CAST(SUM(size) AS BIGINT)
+         |  FROM live GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'global', 'all', COUNT(DISTINCT bucket), COUNT(*), CAST(SUM(size) AS BIGINT)
+         |  FROM live
+         |) t ORDER BY scope, key""".stripMargin,
+
+    "cat8_usage_delta" ->
+      s"""WITH ${ObjectTables.objectsCte},
+         |${ObjectTables.blobsCte},
+         |${ObjectTables.bucketsCte},
+         |obj AS (
+         |  SELECT o.*, bk.group_id FROM objects o
+         |  JOIN blobs b ON o.hash = b.blake3 AND NOT b.staging AND NOT b.partial
+         |  JOIN buckets bk USING (bucket)
+         |  WHERE NOT o.is_delete_marker)
+         |SELECT group_id, COUNT(*) AS stored_blobs, CAST(SUM(size) AS BIGINT) AS stored_bytes
+         |FROM obj GROUP BY group_id ORDER BY group_id""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft.catalog
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived S3-surface tables (FIXTURES.md §1: objects/blobs/buckets) from the
+  * driver's `lineitem`, with exact DuckDB CTE equivalents.
+  *
+  * Shape choices mirror the reference structures (`core/src/structs/blob.rs`):
+  * content-addressed hashes shared by many object versions (here: md5 of a
+  * small partkey residue → real dedup), delete markers, `ws-` workspace
+  * buckets excluded from search (`search_buckets.rs:88,144`), ULID-like
+  * sortable version ids.
+  */
+object ObjectTables {
+
+  /** objects(bucket, key, version_ord, version_ulid, is_delete_marker,
+    * hash, size, created_at_ms) — one version per lineitem row. */
+  def objects(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val bucket = when(col("l_suppkey") % 5 === 4,
+      concat(lit("ws-tmp-"), (col("l_suppkey") % 4).cast("string")))
+      .otherwise(concat(lit("bkt-"), (col("l_suppkey") % 4).cast("string")))
+    val key = concat(lit("data/"), col("l_returnflag"),
+      lit("/f"), (col("l_partkey") % 40).cast("string"),
+      lit("/o"), (col("l_orderkey") % 500).cast("string"), lit(".bin"))
+    val versionOrd = col("l_orderkey") * 10 + col("l_linenumber")
+    l.select(
+      bucket.as("bucket"),
+      key.as("key"),
+      versionOrd.as("version_ord"),
+      lpad(versionOrd.cast("string"), 12, "0").as("version_ulid"),
+      ((col("l_orderkey") + col("l_linenumber")) % 53 === 0).as("is_delete_marker"),
+      md5((col("l_partkey") % 100).cast("string")).as("hash"),
+      ((col("l_partkey") % 100) * 1000 + 17).cast("long").as("size"),
+      (lit(1700000000000L) + versionOrd).as("created_at_ms"))
+  }
+
+  val objectsCte: String =
+    """objects AS (
+      |  SELECT
+      |    CASE WHEN l_suppkey%5=4 THEN 'ws-tmp-'||(l_suppkey%4)
+      |         ELSE 'bkt-'||(l_suppkey%4) END AS bucket,
+      |    'data/'||l_returnflag||'/f'||(l_partkey%40)||'/o'||(l_orderkey%500)||'.bin' AS key,
+      |    l_orderkey*10 + l_linenumber AS version_ord,
+      |    lpad(CAST(l_orderkey*10 + l_linenumber AS VARCHAR), 12, '0') AS version_ulid,
+      |    (l_orderkey + l_linenumber)%53 = 0 AS is_delete_marker,
+      |    md5(CAST(l_partkey%100 AS VARCHAR)) AS hash,
+      |    CAST((l_partkey%100)*1000 + 17 AS BIGINT) AS size,
+      |    1700000000000 + l_orderkey*10 + l_linenumber AS created_at_ms
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** blobs(blake3, backend, size, staging, partial) — one row per distinct
+    * content hash (content-addressed store, `blob.rs:253-366`). */
+  def blobs(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, 100).select(
+      md5(col("id").cast("string")).as("blake3"),
+      when(col("id") % 2 === 0, "fs").otherwise("s3").as("backend"),
+      (col("id") * 1000 + 17).as("size"),
+      (col("id") % 31 === 0).as("staging"),
+      (col("id") % 37 === 0).as("partial"))
+
+  val blobsCte: String =
+    """blobs AS (
+      |  SELECT md5(CAST(r AS VARCHAR)) AS blake3,
+      |         CASE WHEN r%2=0 THEN 'fs' ELSE 's3' END AS backend,
+      |         CAST(r*1000+17 AS BIGINT) AS size,
+      |         r%31=0 AS staging, r%37=0 AS partial
+      |  FROM range(0,100) t(r)
+      |)""".stripMargin
+
+  /** buckets(bucket, group_id) — catalog of non-workspace buckets. */
+  def buckets(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, 4).select(
+      concat(lit("bkt-"), col("id").cast("string")).as("bucket"),
+      concat(lit("grp-"), (col("id") % 3).cast("string")).as("group_id"))
+
+  val bucketsCte: String =
+    """buckets AS (
+      |  SELECT 'bkt-'||r AS bucket, 'grp-'||(r%3) AS group_id FROM range(0,4) t(r)
+      |)""".stripMargin
+
+  /** Current heads: latest version per (bucket, key); a delete-marker head
+    * hides the key (`list_objects_v2.rs:165-167`). */
+  def heads(objects: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // version_ord can tie (duplicate source rows) — hash desc tie-break
+    // keeps head selection deterministic
+    val w = Window.partitionBy(col("bucket"), col("key"))
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    objects
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("is_delete_marker"))
+      .drop("__rn")
+  }
+
+  /** DuckDB equivalent of [[heads]] (expects `objects` CTE in scope). */
+  val headsSql: String =
+    """SELECT * FROM objects
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket, key ORDER BY version_ord DESC, hash DESC) = 1
+      |  AND NOT is_delete_marker""".stripMargin
+}
