@@ -20,7 +20,8 @@ object SparkEntry {
     graft.relational.CoreQueries.queries ++
       graft.sparql.SparqlQueries.queries ++
       graft.fts.FtsQueries.queries ++
-      graft.catalog.CatalogQueries.queries
+      graft.catalog.CatalogQueries.queries ++
+      graft.pipeline.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.relational.CoreQueries.oracles ++
       graft.sparql.SparqlQueries.oracles ++
       graft.fts.FtsQueries.oracles ++
-      graft.catalog.CatalogQueries.oracles
+      graft.catalog.CatalogQueries.oracles ++
+      graft.pipeline.PipelineQueries.oracles
 }

@@ -1,0 +1,190 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for large-scale training-data pipelines:
+  * exact (content-hash), n-gram Jaccard (exact set similarity), MinHash+LSH
+  * (probabilistic candidate generation at scale), SimHash (hamming-distance
+  * near-dup). All operators are pure DataFrame pipelines — shuffles only on
+  * the natural keys (hash / shingle / band / bit-chunk), no driver loops.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup shuffles once on a 128-bit content hash.
+  *  - MinHash/LSH: signature build is one explode+groupBy per doc; candidate
+  *    generation shuffles on (band_idx, band_hash) — pairs never materialize
+  *    beyond colliding buckets. Increase bands/rows for recall/precision.
+  *  - n-gram Jaccard joins on shared shingles — exact but quadratic in the
+  *    worst case; use after LSH at scale (verify step), standalone for
+  *    small/medium corpora.
+  *  - SimHash: 64-bit fingerprints, candidates via 16-bit chunk collisions
+  *    (any pair within hamming distance 3 shares a chunk — pigeonhole).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------------
+  // tokenization / shingling
+  // ---------------------------------------------------------------------
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** word n-gram shingles as strings ("w1 w2 w3"). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(0, -1) would produce a DESCENDING sequence in Spark
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------------
+  // exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Groups of byte-identical documents by md5(text); emits groups with >1
+    * member: (text_hash, n_copies, canonical_id, member_ids). */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_id"),
+        array_join(array_sort(collect_list(col("doc_id").cast("string"))), ",").as("member_ids"))
+      .filter(col("n_copies") > 1)
+
+  // ---------------------------------------------------------------------
+  // exact n-gram Jaccard (shingle join — the verify step of LSH at scale)
+  // ---------------------------------------------------------------------
+
+  /** All pairs with Jaccard(shingles_n) >= threshold:
+    * (a, b, inter, union, jaccard), a < b. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("un"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  /** MinHash signature: k independent hashes via seed-prefixed xxhash64 of
+    * each shingle; signature[i] = min over shingles. */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val mins = (0 until k).map(i =>
+      min(xxhash64(concat(lit(s"seed$i#"), col("sh")))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from banded signatures, verified with exact
+    * signature similarity >= simThreshold (fraction of equal components). */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      simThreshold: Double = 0.8): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, n, k)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val cands = l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("a", "b")
+    cands
+      .withColumn("sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("sim") >= simThreshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash fingerprints: per-bit tf-weighted votes over token
+    * hashes. Returns (doc_id, simhash). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteArr = array((0 until 64).map(i =>
+      when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))): _*)
+    val votes = tf
+      .select(col("doc_id"), posexplode(voteArr))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("col")).as("v"))
+    val bitValue = (0 until 64).map(i =>
+      when(col("pos") === i && col("v") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    votes
+      .groupBy(col("doc_id"))
+      .agg(sum(bitValue).as("simhash"))
+  }
+
+  /** Near-dup pairs within hamming distance <= maxDist, candidates via
+    * 16-bit chunk collision (pigeonhole: dist<=3 ⇒ one of 4 chunks equal). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fp = simhash(docs)
+    val chunked = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val l = chunked.as("l")
+    val r = chunked.as("r")
+    l.join(r,
+        col("l.chunk_idx") === col("r.chunk_idx") && col("l.chunk") === col("r.chunk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+      .dropDuplicates("a", "b")
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
+  // ---------------------------------------------------------------------
+  // embedding cosine near-dup (int-quantized for cross-engine determinism)
+  // ---------------------------------------------------------------------
+
+  /** All pairs with cosine >= threshold over 1e3-quantized embeddings.
+    * Exact arithmetic: integer dot products, one correctly-rounded sqrt. */
+  def embeddingCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+    val withNorm = q.withColumn("n2",
+      aggregate(transform(col("v"), x => x * x), lit(0L), (acc, x) => acc + x))
+    val a = withNorm.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na"))
+    val b = withNorm.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("dot"), col("cosine"))
+  }
+}

@@ -1,0 +1,238 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators for the driver gate: dedup family, ANN
+  * similarity, text analysis, multimodal stats. Exact-arithmetic operators
+  * get DuckDB oracles; probabilistic ones (MinHash LSH, SimHash, LSH-ANN)
+  * are rows-only here and invariant-checked in PipelineSpec.
+  *
+  * The dedup corpus plants duplicates deterministically: exact copies of
+  * every 25th doc (+200000) and near-copies with a 4-word tail of every
+  * 50th doc (+400000) — so dedup output is non-trivial and reproducible.
+  */
+object PipelineQueries {
+
+  /** documents ∪ planted exact copies ∪ planted near-copies. */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" extra tail words appended")).as("text")))
+  }
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id%25=0
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, text || ' extra tail words appended' AS text
+      |  FROM documents WHERE doc_id%50=0
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dup" -> { (s, d) =>
+      Dedup.exactDuplicates(corpus(s, d)).orderBy(col("text_hash"))
+    },
+
+    "dd2_minhash_lsh" -> { (s, d) => // rows-only; invariants in PipelineSpec
+      Dedup.minhashLshPairs(corpus(s, d)).orderBy(col("a"), col("b"))
+    },
+
+    "dd3_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(corpus(s, d), n = 3, threshold = 0.6)
+        .orderBy(col("a"), col("b"))
+    },
+
+    "dd4_simhash" -> { (s, d) => // rows-only; invariants in PipelineSpec
+      Dedup.simhashPairs(corpus(s, d), maxDist = 3).orderBy(col("a"), col("b"))
+    },
+
+    "dd5_embed_cosine" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingCosinePairs(planted, threshold = 0.99)
+        .select(col("a"), col("b"), col("dot"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    "ann1_topk_dot" -> { (s, d) =>
+      Ann.topKDot(Tables.embeddings(s, d), queryId = 0, k = 10)
+    },
+
+    "ann2_topk_cosine_lsh" -> { (s, d) => // rows-only; recall vs brute force in spec
+      Ann.topKCosineLsh(Tables.embeddings(s, d), queryId = 0, k = 10)
+    },
+
+    "tx1_token_stats" -> { (s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    "tx2_quality" -> { (s, d) =>
+      TextAnalysis.qualityScores(Tables.documents(s, d),
+        TextAnalysis.LangMarkers.head._2).orderBy(col("doc_id"))
+    },
+
+    "tx3_langid" -> { (s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    "tx4_fingerprint" -> { (s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), k = 16).orderBy(col("doc_id"))
+    },
+
+    "mm1_media_stats" -> { (s, d) =>
+      Multimodal.media(s, d)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("bytes"))).as("total_bytes"),
+          min(col("meta.width")).as("min_width"),
+          max(col("meta.duration_ms")).as("max_duration_ms"))
+        .orderBy(col("kind"))
+    },
+
+    "mm2_features" -> { (s, d) => // rows-only; stub-decode values checked in spec
+      Multimodal.extractFeatures(Multimodal.media(s, d)).orderBy(col("doc_id"))
+    }
+  )
+
+  private val shinglesCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, UNNEST(list_transform(range(1, len(ts) - 1),
+      |      i -> array_to_string(ts[i:i+2], ' '))) AS sh
+      |    FROM toks WHERE len(ts) >= 3) u)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dup" ->
+      s"""WITH $corpusCte
+         |SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+         |       MIN(doc_id) AS canonical_id,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
+         |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+         |ORDER BY text_hash""".stripMargin,
+
+    "dd3_ngram_jaccard" ->
+      s"""WITH $corpusCte,
+         |$shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.a, i.b, i.inter, sa.n_sh + sb.n_sh - i.inter AS un,
+         |       CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a
+         |JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.6
+         |ORDER BY a, b""".stripMargin,
+
+    "dd5_embed_cosine" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id%20=0),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM planted),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS BIGINT) AS dot
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(a.n2*b.n2 AS DOUBLE)) >= 0.99
+        |ORDER BY a, b""".stripMargin,
+
+    "ann1_topk_dot" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(list_zip(
+        |    list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)), q.qv),
+        |    p -> p[1]*p[2])) AS BIGINT) AS dot
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
+
+    "tx1_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx2_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) / nt AS mean_word_span,
+        |  na / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |  ns / nt AS stopword_ratio,
+        |  (ns / nt) * 0.5 + (na / CAST(length(text) AS DOUBLE)) * 0.5 AS quality
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '' AND list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) AS ns,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS na
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx3_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+        |       WHEN c_fr = best THEN 'fr' ELSE 'es' END AS lang_pred,
+        |  best AS marker_hits
+        |FROM (
+        |  SELECT doc_id, c_en, c_de, c_fr, c_es, greatest(c_en, c_de, c_fr, c_es) AS best
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS c_en,
+        |      CAST(len(list_filter(ts, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) AS BIGINT) AS c_de,
+        |      CAST(len(list_filter(ts, t -> list_contains(['le','la','les','et','est','une','dans'], t))) AS BIGINT) AS c_fr,
+        |      CAST(len(list_filter(ts, t -> list_contains(['el','los','las','es','una','para','con'], t))) AS BIGINT) AS c_es
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |          FROM documents) d) c) f
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx4_fingerprint" ->
+      """SELECT doc_id, fingerprint FROM (
+        |  SELECT doc_id, MIN(md5(substr(text, CAST(i AS INT), 16))) AS fingerprint FROM (
+        |    SELECT doc_id, text, UNNEST(range(1, length(text) - 14)) AS i
+        |    FROM documents WHERE length(text) >= 16) w
+        |  GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE length(text) < 16
+        |) t ORDER BY doc_id""".stripMargin,
+
+    "mm1_media_stats" ->
+      """SELECT kind, COUNT(*) AS n, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       MIN(width) AS min_width, MAX(duration_ms) AS max_duration_ms
+        |FROM (
+        |  SELECT CASE CAST(doc_id%3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         text, CAST(doc_id%640 + 1 AS INT) AS width, n_chars*10 AS duration_ms
+        |  FROM documents) m
+        |GROUP BY kind ORDER BY kind""".stripMargin
+  )
+}

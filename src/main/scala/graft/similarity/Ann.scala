@@ -1,0 +1,95 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - Brute-force top-k (cosine or dot) — the exactness baseline. Dot/norms
+  *    use 1e3 integer quantization so results are bit-identical across
+  *    engines (integer arithmetic + one correctly-rounded sqrt/division).
+  *  - LSH-bucketed variant (random-hyperplane signatures): the scale path —
+  *    candidates only within matching sign-buckets, then exact re-rank.
+  *    Hyperplanes are derived deterministically from xxhash64, so the index
+  *    is reproducible with no stored model.
+  *
+  * Scale: brute force is a broadcast of the query vector over a columnar
+  * scan (no shuffle, TakeOrdered(k)); LSH adds one groupBy on the signature
+  * to prune the scan to matching buckets — at 100 TB the signature becomes
+  * a partition key so a probe touches only its bucket's files.
+  */
+object Ann {
+
+  /** quantized vector + squared norm columns */
+  private def quantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .withColumn("n2", aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact top-k by dot product against the embedding of `queryId`
+    * (excluding itself): (vec_id, label, dot) ordered desc, vec_id asc. */
+  def topKDot(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = quantized(embeddings.filter(col("vec_id") === queryId))
+      .select(col("v").as("qv"))
+    quantized(embeddings).filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .select(col("vec_id"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Exact top-k by cosine: integer dot / sqrt(na*nb). */
+  def topKCosine(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = quantized(embeddings.filter(col("vec_id") === queryId))
+      .select(col("v").as("qv"), col("n2").as("qn2"))
+    quantized(embeddings).filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt((col("n2") * col("qn2")).cast("double")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * sign of xxhash64("p|i") → ±1. */
+  private def planeSign(p: Int, i: Column): Column =
+    when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1L)).otherwise(lit(-1L))
+
+  /** nBits-bit random-hyperplane signature of each embedding. */
+  def lshSignatures(embeddings: DataFrame, nBits: Int): DataFrame = {
+    val q = quantized(embeddings)
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x * planeSign(p, i)),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }
+    q.withColumn("sig", bits.reduce(_ + _))
+  }
+
+  /** ANN top-k: exact re-rank restricted to vectors whose signature is
+    * within `probeDist` hamming bits of the query's signature. */
+  def topKCosineLsh(embeddings: DataFrame, queryId: Long, k: Int,
+      nBits: Int = 12, probeDist: Int = 2): DataFrame = {
+    val sigs = lshSignatures(embeddings, nBits)
+    val q = sigs.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("n2").as("qn2"), col("sig").as("qsig"))
+    sigs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= probeDist)
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt((col("n2") * col("qn2")).cast("double")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

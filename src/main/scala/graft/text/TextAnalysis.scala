@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification (n-gram/stopword heuristic),
+  * and document fingerprinting (k-gram min-hash, winnowing-style).
+  *
+  * Every metric is engine-deterministic (integer counts, one final division)
+  * so the DuckDB oracle matches bit-for-bit. All operators are narrow
+  * projections over the text column — they scale linearly with no shuffle
+  * except the explicit per-doc aggregations.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** whitespace-word count, BPE-ish subword count (runs of letters, digits,
+    * or single punctuation — a cheap proxy for byte-pair pieces), chars. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long").as("n_ws_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpe_pieces"))
+
+  /** Quality score: mean word length, alpha ratio, stopword ratio, and a
+    * composite — all from integer counts with one final division each. */
+  def qualityScores(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val nAlphaChars = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    docs.select(
+      col("doc_id"),
+      (nChars / nTok).as("mean_word_span"),
+      (nAlphaChars / nChars).as("alpha_ratio"),
+      (nStop / nTok).as("stopword_ratio"),
+      ((nStop / nTok) * 0.5 + (nAlphaChars / nChars) * 0.5).as("quality"))
+  }
+
+  /** Language marker lists (tiny stopword heuristics). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "con"))
+
+  /** Language-ID: argmax of marker-token counts, ties and no-marker docs →
+    * 'und' (undetermined). Deterministic tie-break: higher count wins, then
+    * earlier language in [[LangMarkers]] order. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val counts = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*))).cast("long")
+    }
+    // fold: keep (bestLang, bestCount), strict > keeps earlier lang on ties
+    val (bestLang, bestCount) = counts.tail.foldLeft(
+      (lit(counts.head._1), counts.head._2)) { case ((bl, bc), (lang, c)) =>
+      (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    docs.select(col("doc_id"),
+      when(bestCount > 0, bestLang).otherwise(lit("und")).as("lang_pred"),
+      bestCount.as("marker_hits"))
+  }
+
+  /** Document fingerprint: minimum md5 over all k-gram character windows —
+    * a deterministic rolling-hash sketch (winnowing with window = whole doc;
+    * exact in SQL for the oracle). */
+  def fingerprints(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      when(length(col("text")) >= k,
+        array_min(transform(sequence(lit(1), length(col("text")) - (k - 1)),
+          i => md5(col("text").substr(i, lit(k))))))
+        .otherwise(md5(col("text"))).as("fingerprint"))
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val planted = PipelineQueries.corpus(spark, sf0001)
+
+  test("exact dedup finds every planted copy and nothing where text is unique") {
+    val groups = Dedup.exactDuplicates(planted).collect()
+    val nPlanted = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(groups.length == nPlanted)
+    assert(groups.forall(_.getAs[Long]("n_copies") == 2L))
+  }
+
+  test("minhash LSH finds all planted exact copies (sim 1.0) and near-copies") {
+    val pairs = Dedup.minhashLshPairs(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = Tables.documents(spark, sf0001)
+    val exactIds = docs.filter(col("doc_id") % 25 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach { id =>
+      assert(pairs.get((id, id + 200000)).contains(1.0),
+        s"exact copy pair ($id, ${id + 200000}) missing or sim != 1.0")
+    }
+    // near-copies share almost all shingles → high estimated sim
+    val nearIds = docs.filter(col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    val found = nearIds.count(id => pairs.contains((id, id + 400000)))
+    assert(found >= nearIds.length * 8 / 10,
+      s"LSH missed too many near-copies: $found of ${nearIds.length}")
+  }
+
+  test("simhash: identical docs distance 0; near-copies within distance 3") {
+    val pairs = Dedup.simhashPairs(planted, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val docs = Tables.documents(spark, sf0001)
+    val exactIds = docs.filter(col("doc_id") % 25 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach { id =>
+      assert(pairs.get((id, id + 200000)).contains(0L),
+        s"identical pair ($id,+200000) should have distance 0")
+    }
+  }
+
+  test("LSH ANN: identical vector always found as top-1; ranking is cosine-desc") {
+    val e = Tables.embeddings(spark, sf0001)
+    // plant an exact copy of the query vector — same signature bucket by
+    // construction, so LSH must return it first with cosine ~1.0
+    val withCopy = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") === 0)
+        .select(lit(99999L).as("vec_id"), col("embedding")))
+    val lsh = Ann.topKCosineLsh(withCopy, 0, 10).collect()
+    assert(lsh.nonEmpty && lsh.head.getLong(0) == 99999L)
+    assert(lsh.head.getDouble(1) > 0.9999)
+    val cosines = lsh.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sorted.reverse, "LSH results must rank by cosine desc")
+    // and LSH candidates are a subset re-ranked identically to brute force
+    val brute = Ann.topKCosine(withCopy, 0, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    lsh.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("jaccard pairs: planted near-copies pass threshold with correct arithmetic") {
+    val rows = Dedup.ngramJaccardPairs(planted, 3, 0.6).collect()
+    rows.foreach { r =>
+      val (inter, un, j) = (r.getAs[Long]("inter"), r.getAs[Long]("un"), r.getAs[Double]("jaccard"))
+      assert(j == inter.toDouble / un.toDouble && j >= 0.6 && j <= 1.0)
+    }
+    // exact copies must appear with jaccard 1.0
+    assert(rows.exists(r => r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("multimodal: stub decode is deterministic, frames slice the payload") {
+    val media = Multimodal.media(spark, sf0001)
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.filter(col("doc_id") === 0).collect().head
+    // checksum = sum of UTF-8 bytes of the text — recompute independently
+    val text = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0).select("text").collect().head.getString(0)
+    val expected = text.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum
+    assert(row.getAs[Long]("checksum") == expected)
+    assert(row.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    val frames = Multimodal.sampleFrames(media, stride = 4)
+    assert(frames.count() > 0)
+    assert(frames.select(max(length(col("frame_bytes")))).head.getInt(0) <= 16)
+  }
+}
