@@ -21,7 +21,8 @@ object SparkEntry {
       graft.sparql.SparqlQueries.queries ++
       graft.fts.FtsQueries.queries ++
       graft.catalog.CatalogQueries.queries ++
-      graft.pipeline.PipelineQueries.queries
+      graft.pipeline.PipelineQueries.queries ++
+      graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.sparql.SparqlQueries.oracles ++
       graft.fts.FtsQueries.oracles ++
       graft.catalog.CatalogQueries.oracles ++
-      graft.pipeline.PipelineQueries.oracles
+      graft.pipeline.PipelineQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles
 }

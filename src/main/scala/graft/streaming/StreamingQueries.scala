@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.Tables
+import graft.Tables.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming-semantics operators as batch-verifiable queries: the clock-skew
+  * deferral contract, idempotent replay dedup, glob-scoped watch delivery,
+  * and 2 s-debounce snapshot emission — all oracle-checked; the live
+  * Structured Streaming runner is exercised in StreamingSpec.
+  */
+object StreamingQueries {
+
+  /** fixed evaluation clock: 2024-01-15T00:00:00Z. */
+  val NowMs = 1705276800000L
+
+  private def ev(s: SparkSession, d: String): DataFrame = Projector.events(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // clock-skew classification (defer future, keep past — never drop)
+    "ev1_clock_skew" -> { (s, d) =>
+      ev(s, d)
+        .withColumn("status", Projector.statusCol(col("occurred_at_ms"), NowMs))
+        .groupBy(col("event_type"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("status"))
+    },
+
+    // idempotent replay: doubled stream dedups back to original counts
+    "ev2_dedup_replay" -> { (s, d) =>
+      val e = ev(s, d)
+      Projector.dedupEvents(e.unionByName(e))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // glob-scoped watch delivery over the event stream
+    "ev3_watch_delivery" -> { (s, d) =>
+      val e = ev(s, d).withColumn("path",
+        concat(lit("/users/"), (col("user_id") % 10).cast("string"),
+          lit("/e"), col("event_id").cast("string")))
+      val watches = s.createDataFrame(Seq(
+        ("w1", "/users/3/**", 3), // created|uploaded under user 3
+        ("w2", "/users/*/e5*", 15), // any kind, event ids starting with 5
+        ("w3", "**", 8) // all sync-failures
+      )).toDF("watch_id", "scope_glob", "kind_mask")
+      Watch.deliveries(e, watches)
+        .select(col("watch_id"), col("event_id"))
+        .orderBy(col("watch_id"), col("event_id"))
+    },
+
+    // 2 s debounce: latest snapshot per (user, 2s bucket)
+    "ev4_debounce" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"), col("bucket"))
+        .orderBy(col("occurred_at_ms").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("bucket", floor(col("occurred_at_ms") / 2000).cast("long"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("bucket"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
+    // registry projection: latest applicable event per user-document
+    "ev5_projection" -> { (s, d) =>
+      val (applicable, _) = Projector.partition(
+        ev(s, d).withColumn("doc", (col("user_id") % 50).cast("long")),
+        "occurred_at_ms", NowMs)
+      Projector.projectRegistry(Projector.dedupEvents(applicable), "doc")
+        .select(col("doc"), col("event_id"), col("event_type"), col("occurred_at_ms"))
+        .orderBy(col("doc"))
+    }
+  )
+
+  private val evCte =
+    "ev AS (SELECT *, epoch_ms(ts) AS occurred_at_ms FROM events)"
+
+  val oracles: Map[String, String] = Map(
+    "ev1_clock_skew" ->
+      s"""WITH $evCte
+         |SELECT event_type,
+         |  CASE WHEN occurred_at_ms > $NowMs + 300000 THEN 'deferred' ELSE 'applied' END AS status,
+         |  COUNT(*) AS n
+         |FROM ev GROUP BY 1, 2 ORDER BY event_type, status""".stripMargin,
+
+    "ev2_dedup_replay" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev3_watch_delivery" ->
+      """SELECT watch_id, event_id FROM (
+        |  SELECT 'w1' AS watch_id, event_id FROM events
+        |  WHERE user_id%10 = 3 AND event_type IN ('signup','click','purchase')
+        |  UNION ALL
+        |  SELECT 'w2', event_id FROM events
+        |  WHERE CAST(event_id AS VARCHAR) LIKE '5%'
+        |  UNION ALL
+        |  SELECT 'w3', event_id FROM events WHERE event_type = 'error'
+        |) t ORDER BY watch_id, event_id""".stripMargin,
+
+    "ev4_debounce" ->
+      """SELECT user_id, occurred_at_ms // 2000 AS bucket, event_id, value FROM (
+        |  SELECT *, epoch_ms(ts) AS occurred_at_ms FROM events) e
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, occurred_at_ms // 2000
+        |                           ORDER BY occurred_at_ms DESC, event_id DESC) = 1
+        |ORDER BY user_id, bucket""".stripMargin,
+
+    "ev5_projection" ->
+      s"""WITH $evCte
+         |SELECT user_id%50 AS doc, event_id, event_type, occurred_at_ms FROM ev
+         |WHERE occurred_at_ms <= $NowMs + 300000
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id%50
+         |                           ORDER BY occurred_at_ms DESC, event_id DESC) = 1
+         |ORDER BY doc""".stripMargin
+  )
+}
