@@ -22,7 +22,8 @@ object SparkEntry {
       graft.fts.FtsQueries.queries ++
       graft.catalog.CatalogQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
-      graft.streaming.StreamingQueries.queries
+      graft.streaming.StreamingQueries.queries ++
+      graft.functions.FunctionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.fts.FtsQueries.oracles ++
       graft.catalog.CatalogQueries.oracles ++
       graft.pipeline.PipelineQueries.oracles ++
-      graft.streaming.StreamingQueries.oracles
+      graft.streaming.StreamingQueries.oracles ++
+      graft.functions.FunctionQueries.oracles
 }

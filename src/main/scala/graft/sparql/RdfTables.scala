@@ -22,7 +22,13 @@ object RdfTables {
   val ConformsTo = "http://purl.org/dc/terms/conformsTo"
 
   /** quads(graph_iri, subject, subject_kind, predicate, obj_kind, obj_value,
-    * obj_lang, obj_datatype) — one named graph per document. */
+    * obj_lang, obj_datatype) — one named graph per document.
+    *
+    * Built as ONE documents scan + per-row explode of up to 10 triples
+    * (a 10-way union of scans would read the source ten times — at 100 TB
+    * that difference is the whole game). Row set is identical to
+    * [[quadsCte]].
+    */
   def quads(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val g = concat(lit("graph:"), col("doc_id").cast("string"))
@@ -31,35 +37,36 @@ object RdfTables {
     def row(subj: org.apache.spark.sql.Column, pred: String,
         kind: Int, v: org.apache.spark.sql.Column,
         lang: org.apache.spark.sql.Column = lit(""),
-        dt: org.apache.spark.sql.Column = lit("")): DataFrame =
-      d.select(g.as("graph_iri"), subj.as("subject"), lit(0).as("subject_kind"),
-        lit(pred).as("predicate"), lit(kind).as("obj_kind"), v.as("obj_value"),
+        dt: org.apache.spark.sql.Column = lit("")): org.apache.spark.sql.Column =
+      struct(subj.as("subject"), lit(pred).as("predicate"),
+        lit(kind).as("obj_kind"), v.as("obj_value"),
         lang.as("obj_lang"), dt.as("obj_datatype"))
-    val typ = row(s, RdfType, Kind.Iri,
-      when(col("doc_id") % 3 === 0, lit(SchemaNs + "Dataset"))
-        .otherwise(lit(SchemaNs + "File")))
-    val name = row(s, SchemaNs + "name", Kind.Literal,
-      concat(col("source"), lit("-doc-"), col("doc_id").cast("string")))
-    val desc = row(s, SchemaNs + "description", Kind.Literal, col("text"), col("lang"))
-    val ident = row(s, SchemaNs + "identifier", Kind.Literal, col("doc_id").cast("string"))
-    val size = row(s, SchemaNs + "contentSize", Kind.Literal,
-      col("n_chars").cast("string"), lit(""), lit(Term.XsdInteger))
-    val inLang = row(s, SchemaNs + "inLanguage", Kind.Literal, col("lang"))
-    val kwF = d.filter(col("doc_id") % 5 === 0)
-      .select(g.as("graph_iri"), s.as("subject"), lit(0).as("subject_kind"),
-        lit(SchemaNs + "keywords").as("predicate"), lit(Kind.Literal).as("obj_kind"),
-        concat(lit("kw-"), (col("doc_id") % 7).cast("string")).as("obj_value"),
-        lit("").as("obj_lang"), lit("").as("obj_datatype"))
-    val conforms = d.filter(col("doc_id") % 2 === 0)
-      .select(g.as("graph_iri"), s.as("subject"), lit(0).as("subject_kind"),
-        lit(ConformsTo).as("predicate"), lit(Kind.Iri).as("obj_kind"),
-        concat(lit("https://w3id.org/ro/crate/"), (col("doc_id") % 4).cast("string")).as("obj_value"),
-        lit("").as("obj_lang"), lit("").as("obj_datatype"))
-    val author = row(s, SchemaNs + "author", Kind.Iri, person)
-    val personName = row(person, SchemaNs + "name", Kind.Literal,
-      concat(lit("author-"), (col("doc_id") % 20).cast("string")))
-    Seq(typ, name, desc, ident, size, inLang, kwF, conforms, author, personName)
-      .reduce(_ union _)
+    val triples = array(
+      row(s, RdfType, Kind.Iri,
+        when(col("doc_id") % 3 === 0, lit(SchemaNs + "Dataset"))
+          .otherwise(lit(SchemaNs + "File"))),
+      row(s, SchemaNs + "name", Kind.Literal,
+        concat(col("source"), lit("-doc-"), col("doc_id").cast("string"))),
+      row(s, SchemaNs + "description", Kind.Literal, col("text"), col("lang")),
+      row(s, SchemaNs + "identifier", Kind.Literal, col("doc_id").cast("string")),
+      row(s, SchemaNs + "contentSize", Kind.Literal,
+        col("n_chars").cast("string"), lit(""), lit(Term.XsdInteger)),
+      row(s, SchemaNs + "inLanguage", Kind.Literal, col("lang")),
+      when(col("doc_id") % 5 === 0,
+        row(s, SchemaNs + "keywords", Kind.Literal,
+          concat(lit("kw-"), (col("doc_id") % 7).cast("string")))),
+      when(col("doc_id") % 2 === 0,
+        row(s, ConformsTo, Kind.Iri,
+          concat(lit("https://w3id.org/ro/crate/"), (col("doc_id") % 4).cast("string")))),
+      row(s, SchemaNs + "author", Kind.Iri, person),
+      row(person, SchemaNs + "name", Kind.Literal,
+        concat(lit("author-"), (col("doc_id") % 20).cast("string"))))
+    d.select(g.as("graph_iri"),
+        explode(filter(triples, t => t.isNotNull)).as("t"))
+      .select(col("graph_iri"), col("t.subject").as("subject"),
+        lit(0).as("subject_kind"), col("t.predicate").as("predicate"),
+        col("t.obj_kind").as("obj_kind"), col("t.obj_value").as("obj_value"),
+        col("t.obj_lang").as("obj_lang"), col("t.obj_datatype").as("obj_datatype"))
   }
 
   /** DuckDB CTE body equivalent to [[quads]] (reference it as `quads`). */

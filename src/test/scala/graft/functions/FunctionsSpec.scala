@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.cache.QueryCache
+import graft.sources.Autoindex
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  private val Kat = "123456789".getBytes("US-ASCII")
+
+  test("hash known-answer vectors for b\"123456789\" (blob/src/hash.rs:95-110)") {
+    assert(Hashes.crc32(Kat) == 0xcbf43926L)
+    assert(Hashes.crc32c(Kat) == 0xe3069283L)
+    assert(Hashes.crc64nvme(Kat) == 0xae8b14860a799888L)
+    assert(Hashes.digestHex("SHA-1", Kat) == "f7c3bc1d808e04732adf679965ccc34ca7ae3441")
+    assert(Hashes.digestHex("MD5", Kat) == "25f9e794323b453885f5181f1b624d0b")
+    assert(Hashes.digestHex("SHA-256", Kat) ==
+      "15e2b0d3c33891ebb0f1ef609ec419420c20e320ce94c65fbc8c3312448eb225")
+  }
+
+  test("ULID: roundtrip, sort order matches timestamp order, validation") {
+    val a = Ulid(1700000000000L, BigInt(42))
+    val b = Ulid(1700000000001L, BigInt(0))
+    assert(a.length == 26 && Ulid.isValid(a))
+    assert(Ulid.timestampMs(a) == 1700000000000L)
+    assert(Ulid.entropy(a) == BigInt(42))
+    assert(a < b, "string order must follow timestamp order")
+    assert(!Ulid.isValid("not-a-ulid"))
+    assert(!Ulid.isValid("U" * 26)) // 'U' not in Crockford alphabet
+    // property: order-preservation over 500 seeded random timestamp pairs
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val ts1 = math.abs(rnd.nextLong()) % (1L << 48)
+      val ts2 = math.abs(rnd.nextLong()) % (1L << 48)
+      val e = BigInt(math.abs(rnd.nextLong()))
+      if (ts1 != ts2) {
+        val (u1, u2) = (Ulid(ts1, e), Ulid(ts2, e))
+        assert((ts1 < ts2) == (u1 < u2), s"order violated for $ts1 vs $ts2")
+        assert(Ulid.timestampMs(u1) == ts1)
+      }
+    }
+  }
+
+  test("path prefix + confinement predicates (api.rs:1874-1882, blob.rs:25-51)") {
+    assert(Paths.normalize("a/b/") == "/a/b")
+    assert(Paths.isConfinedRelativePath("a/b/c.bin"))
+    assert(!Paths.isConfinedRelativePath("/abs/path"))
+    assert(!Paths.isConfinedRelativePath("a/../b"))
+    assert(!Paths.isConfinedRelativePath("a//b"))
+    assert(!Paths.isConfinedRelativePath("a/./b"))
+    assert(!Paths.isConfinedRelativePath("a/bell"))
+    assert(!Paths.isConfinedRelativePath(""))
+    assert(Paths.clampListingPage(None, anonymous = false) == 50)
+    assert(Paths.clampListingPage(Some(5000), anonymous = false) == 1000)
+    assert(Paths.clampListingPage(Some(5000), anonymous = true) == 100)
+    assert(Paths.shouldEstimateCount(24) && !Paths.shouldEstimateCount(23))
+  }
+
+  test("query cache: TTL expiry, generation-stamp invalidation, LRU caps") {
+    var now = 0L
+    val cache = new QueryCache[String](ttlMillis = 30000, maxEntries = 3,
+      maxBytes = 10000, clock = () => now, sizeOf = _.length.toLong)
+    val k = cache.key("scope-digest", "SELECT ?s WHERE { ?s ?p ?o }")
+    cache.put(k, "result", generation = 1)
+    assert(cache.get(k, currentGeneration = 1).contains("result"))
+    // a racing mutation bumps the generation → stale entry dropped
+    assert(cache.get(k, currentGeneration = 2).isEmpty)
+    cache.put(k, "result", generation = 2)
+    now = 30001 // TTL 30s exceeded
+    assert(cache.get(k, currentGeneration = 2).isEmpty)
+    // LRU entry cap
+    now = 0
+    (1 to 4).foreach(i => cache.put(s"k$i", s"v$i", 1))
+    assert(cache.size == 3)
+    assert(cache.get("k1", 1).isEmpty, "oldest entry evicted")
+    // byte cap: oversized single value is never cached
+    cache.put("big", "x" * 20000, 1)
+    assert(cache.get("big", 1).isEmpty)
+    // fingerprint keying is length-prefixed
+    assert(cache.key("ab", "c") != cache.key("a", "bc"))
+  }
+
+  test("autoindex parser: nginx and Apache pre shapes, negative page") {
+    val nginx =
+      """<html><head><title>Index of /data/</title></head><body>
+        |<h1>Index of /data/</h1><hr><pre><a href="../">../</a>
+        |<a href="subdir/">subdir/</a>     12-Jan-2024 10:00       -
+        |<a href="file1.bin">file1.bin</a>   12-Jan-2024 10:05     12345
+        |<a href="b%20c.txt">b c.txt</a>     13-Jan-2024 11:00       678
+        |</pre><hr></body></html>""".stripMargin
+    val entries = Autoindex.parse(nginx)
+    assert(entries.map(_.name).toSet == Set("subdir", "file1.bin", "b c.txt"))
+    assert(entries.find(_.name == "subdir").exists(_.isDir))
+    assert(entries.find(_.name == "file1.bin").exists(e => !e.isDir))
+    // negative: a non-index page parses to nothing
+    assert(Autoindex.parse("<html><body><p>hello world</p></body></html>").isEmpty)
+    // oversized page rejected
+    assert(Autoindex.parse("x" * (Autoindex.MaxPageBytes + 1)).isEmpty)
+  }
+}
