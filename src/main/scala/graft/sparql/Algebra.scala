@@ -86,6 +86,20 @@ final case class PGraph(g: TermPattern, p: Pattern) extends Pattern
 final case class PValues(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) extends Pattern
 final case class PGroup(p: Pattern, keys: Seq[String], aggs: Seq[AggExpr]) extends Pattern
 
+/** Property-path pattern (`GraphPattern::Path`, reference handle.rs:4893). */
+final case class PPath(s: TermPattern, path: PathExpr, o: TermPattern) extends Pattern
+
+/** Property-path expressions: iri, ^p, p/q, p|q, p+, p? (subset; `*` is `+`
+  * with reflexive closure over path endpoints). */
+sealed trait PathExpr
+final case class PLink(iri: String) extends PathExpr
+final case class PInverse(p: PathExpr) extends PathExpr
+final case class PSeq(l: PathExpr, r: PathExpr) extends PathExpr
+final case class PAlt(l: PathExpr, r: PathExpr) extends PathExpr
+final case class POneOrMore(p: PathExpr) extends PathExpr
+final case class PZeroOrMore(p: PathExpr) extends PathExpr
+final case class PZeroOrOne(p: PathExpr) extends PathExpr
+
 final case class OrderKey(expr: Expr, asc: Boolean)
 
 /** A parsed query: SELECT or ASK (the only forms the reference accepts —

@@ -55,6 +55,8 @@ object Compiler {
       (patternVars(q) ++ (g match { case TVar(n) => Seq(n); case _ => Nil })).distinct
     case PValues(vars, _) => vars
     case PGroup(_, keys, aggs) => keys ++ aggs.map(_.as)
+    case PPath(s, _, o) =>
+      Seq(s, o).collect { case TVar(n) => n }.distinct
   }
 
   // =====================================================================
@@ -70,7 +72,15 @@ object Compiler {
         // the empty group: a single empty solution
         quads.sparkSession.range(1).select(lit(1).as("__unit"))
       case BGP(triples) =>
-        triples.map(scanTriple(quads, _, graph)).reduce(join)
+        // selectivity heuristic: scan the most-constrained patterns first so
+        // early joins are small (Catalyst lacks stats to reorder these)
+        val ordered = triples.sortBy { t =>
+          -Seq(t.s, t.p, t.o).count(_.isInstanceOf[TConst])
+        }
+        ordered.map(scanTriple(quads, _, graph)).reduce(join)
+      case PPath(s, path, o) =>
+        PathCompiler.compile(quads, s, path, o, graph,
+          (q, p, g) => compileP(q, p, g))
       case PFilter(EExists(sub, negated), q) =>
         val left = compileP(quads, q, graph)
         val right = compileP(quads, sub, graph)

@@ -60,7 +60,10 @@ object RdfTables {
           concat(lit("https://w3id.org/ro/crate/"), (col("doc_id") % 4).cast("string")))),
       row(s, SchemaNs + "author", Kind.Iri, person),
       row(person, SchemaNs + "name", Kind.Literal,
-        concat(lit("author-"), (col("doc_id") % 20).cast("string"))))
+        concat(lit("author-"), (col("doc_id") % 20).cast("string"))),
+      // knows ring over the 20 person entities (property-path test graph)
+      row(person, SchemaNs + "knows", Kind.Iri,
+        concat(lit("person:"), ((col("doc_id") + 1) % 20).cast("string"))))
     d.select(g.as("graph_iri"),
         explode(filter(triples, t => t.isNotNull)).as("t"))
       .select(col("graph_iri"), col("t.subject").as("subject"),
@@ -92,7 +95,8 @@ object RdfTables {
       sel(doc, ConformsTo, Kind.Iri, "'https://w3id.org/ro/crate/'||(doc_id%4)",
         where = "doc_id%2=0"),
       sel(doc, SchemaNs + "author", Kind.Iri, person),
-      sel(person, SchemaNs + "name", Kind.Literal, "'author-'||(doc_id%20)"))
+      sel(person, SchemaNs + "name", Kind.Literal, "'author-'||(doc_id%20)"),
+      sel(person, SchemaNs + "knows", Kind.Iri, "'person:'||((doc_id+1)%20)"))
       .mkString("quads AS (\n", "\nUNION ALL ", "\n)")
   }
 

@@ -92,6 +92,17 @@ object SparqlQueries {
         "SELECT ?s ?name WHERE { ?s a schema:Dataset . ?s schema:name ?name } ORDER BY ?s")
     }),
 
+    // property paths (GraphPattern::Path): transitive closure over the
+    // 20-node knows-ring, sequence, alternation + inverse
+    "sp17_path_plus" -> run(
+      "SELECT ?x WHERE { <person:0> schema:knows+ ?x } ORDER BY ?x") _,
+
+    "sp18_path_seq" -> run(
+      "SELECT ?doc ?friend WHERE { ?doc schema:author/schema:knows ?friend } ORDER BY ?doc") _,
+
+    "sp19_path_alt_inv" -> run(
+      "SELECT ?x WHERE { ?x schema:knows|^schema:knows <person:5> } ORDER BY ?x") _,
+
     "sp16_visibility_member" -> ((s: SparkSession, d: String) => {
       val scoped = SparqlEngine.scoped(RdfTables.quads(s, d),
         RdfTables.visibleGraphs(s, d, "member:grp-3"))
@@ -167,6 +178,16 @@ object SparqlQueries {
       """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name
         |FROM documents
         |WHERE doc_id%3=0 AND doc_id%2=0 AND doc_id%97<>0 ORDER BY 1""".stripMargin,
+
+    "sp17_path_plus" ->
+      """SELECT DISTINCT 'person:'||(doc_id%20) AS x FROM documents ORDER BY x""",
+
+    "sp18_path_seq" ->
+      """SELECT 'doc:'||doc_id AS doc, 'person:'||((doc_id+1)%20) AS friend
+        |FROM documents ORDER BY doc""".stripMargin,
+
+    "sp19_path_alt_inv" ->
+      """SELECT x FROM (VALUES ('person:4'), ('person:6')) t(x) ORDER BY x""",
 
     "sp16_visibility_member" ->
       """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name

@@ -98,6 +98,37 @@ class SparqlEngineSpec extends SparkSpec {
     assert(bad("SELECT ?s WHERE { ?s schema:name \"" + ("x" * 70000) + "\" }"))
   }
 
+  private lazy val ringQuads = (0 until 5).flatMap { i =>
+    Seq(
+      ("g", s"n$i", 0, "http://schema.org/knows", 0, s"n${(i + 1) % 5}", "", ""),
+      ("g", s"n$i", 0, "http://schema.org/name", 2, s"node $i", "", ""))
+  }.toDF("graph_iri", "subject", "subject_kind", "predicate", "obj_kind",
+    "obj_value", "obj_lang", "obj_datatype")
+
+  private def selRing(q: String): Seq[Seq[Any]] =
+    SparqlEngine.select(ringQuads, q).collect().toSeq.map(_.toSeq)
+
+  test("property paths: +, *, ?, sequence, alternation, inverse") {
+    // transitive closure over a 5-ring reaches every node
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows+ ?x } ORDER BY ?x")
+      == (0 until 5).map(i => Seq(s"n$i")))
+    // zero-or-more includes the start node even without the cycle edge count
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows* ?x } ORDER BY ?x")
+      == (0 until 5).map(i => Seq(s"n$i")))
+    // zero-or-one: self + direct neighbor
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows? ?x } ORDER BY ?x")
+      == Seq(Seq("n0"), Seq("n1")))
+    // sequence: two hops
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows/schema:knows ?x }")
+      == Seq(Seq("n2")))
+    // alternation + inverse around n2: predecessor n1 and successor n3
+    assert(selRing("SELECT ?x WHERE { ?x schema:knows|^schema:knows <n2> } ORDER BY ?x")
+      == Seq(Seq("n1"), Seq("n3")))
+    // path endpoint bound both sides: acts as an existence filter
+    assert(selRing("SELECT ?n WHERE { <n0> schema:knows+ <n3> . <n0> schema:name ?n }")
+      == Seq(Seq("node 0")))
+  }
+
   test("result cap: min(LIMIT, 10000) when capped") {
     val df = SparqlEngine.select(quads, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", cap = true)
     assert(df.count() <= 10000)
