@@ -116,6 +116,37 @@ object JsonLd {
     } else entityToTriples(root, graphIri)
   }
 
+  /** Extract the RO-Crate metadata document from an `.eln` archive (a zip
+    * whose single top-level folder contains `ro-crate-metadata.json` — the
+    * shape of the reference's golden fixtures,
+    * `operations/fixtures/eln/` archives). Returns None when absent. */
+  def fromElnArchive(bytes: Array[Byte]): Option[String] = {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      Iterator.continually(zin.getNextEntry)
+        .takeWhile(_ != null)
+        .collectFirst {
+          case e if !e.isDirectory &&
+              (e.getName == "ro-crate-metadata.json" ||
+                e.getName.endsWith("/ro-crate-metadata.json")) =>
+            new String(zin.readAllBytes(), "UTF-8")
+        }
+    } finally zin.close()
+  }
+
+  /** Ingest a DataFrame of (graph_iri, eln_bytes) — archive extraction +
+    * JSON-LD mapping in one pass (the import driver shape,
+    * `operations/tests/rocrate_drivers.rs`). */
+  def ingestEln(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("graph_iri"), col("eln_bytes")).as[(String, Array[Byte])]
+      .flatMap { case (g, b) =>
+        fromElnArchive(b).toSeq.flatMap(documentToTriples(_, g))
+      }
+      .toDF()
+  }
+
   /** Ingest a DataFrame of (graph_iri, jsonld) into quads rows. Malformed
     * documents fail the task (the reference rejects at the API boundary) —
     * pre-validate with [[validate]] for a permissive pipeline. */

@@ -89,23 +89,26 @@ object PathCompiler {
     df.sparkSession.createDataFrame(rdd, df.schema)
   }
 
-  /** transitive closure via iterative frontier joins. */
+  /** transitive closure by path doubling: after k rounds `acc` holds every
+    * path of length ≤ 2^k, so a diameter-d graph converges in ⌈log₂ d⌉
+    * rounds — scheduling overhead (the cost driver for small/medium graphs)
+    * drops from d jobs to log d, and each round still shuffles only pair
+    * keys. */
   def closure(base0: DataFrame): DataFrame = {
-    val base = barrier(base0.dropDuplicates())
-    var acc = base
-    var frontier = base
+    var acc = barrier(base0.dropDuplicates())
+    var count = acc.count()
     var rounds = 0
-    var done = false
+    var done = count == 0
     while (!done && rounds < MaxClosureRounds) {
-      val extended = frontier.as("f")
-        .join(base.as("b"), col("f.o") === col("b.s"))
-        .select(col("f.s").as("s"), col("b.o").as("o"))
-        .dropDuplicates()
-      val novel = barrier(extended.join(acc, Seq("s", "o"), "left_anti"))
-      if (novel.isEmpty) done = true
+      val doubled = acc.as("a")
+        .join(acc.as("b"), col("a.o") === col("b.s"))
+        .select(col("a.s").as("s"), col("b.o").as("o"))
+      val next = barrier(acc.union(doubled).dropDuplicates())
+      val nextCount = next.count()
+      if (nextCount == count) done = true
       else {
-        acc = barrier(acc.union(novel))
-        frontier = novel
+        acc = next
+        count = nextCount
         rounds += 1
       }
     }

@@ -63,6 +63,30 @@ object SparqlEngine {
   def scoped(quads: DataFrame, visible: DataFrame): DataFrame =
     quads.join(broadcast(visible.select("graph_iri").distinct()), Seq("graph_iri"), "left_semi")
 
+  val MaxResultBytes: Long = 8L * 1024 * 1024 // handle.rs:96
+
+  /** Collect with the reference's result caps enforced post-hoc
+    * (`collect_metadata_query_results`, handle.rs:5023-5069): at most 10k
+    * rows AND 8 MiB of serialized solutions; returns (rows, truncated). */
+  def collectCapped(df: DataFrame): (Seq[org.apache.spark.sql.Row], Boolean) = {
+    val rows = df.limit(MaxResultRows.toInt + 1).collect()
+    var bytes = 0L
+    var i = 0
+    val out = Seq.newBuilder[org.apache.spark.sql.Row]
+    var truncated = rows.length > MaxResultRows
+    while (i < math.min(rows.length, MaxResultRows.toInt)) {
+      val r = rows(i)
+      bytes += r.toSeq.map {
+        case null => 4L
+        case s: String => s.getBytes("UTF-8").length.toLong
+        case other => other.toString.length.toLong
+      }.sum
+      if (bytes > MaxResultBytes) { truncated = true; i = rows.length }
+      else { out += r; i += 1 }
+    }
+    (out.result(), truncated)
+  }
+
   private def sortCol(df: DataFrame, k: OrderKey): Column = {
     val c: Column = k.expr match {
       case EVar(v) if isStruct(df, v) => df(v).getField("value")

@@ -79,6 +79,35 @@ class JsonLdSpec extends SparkSpec {
     assert(mapper.readTree(page2.getAs[String]("jsonld")).get("@graph").size == 1)
   }
 
+  test(".eln archive ingest: crate extracted from the zip and mapped") {
+    // synthesize an .eln: zip with <name>/ro-crate-metadata.json (fixture
+    // shape of operations/fixtures/eln/*.eln — shape, not bytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    zout.putNextEntry(new java.util.zip.ZipEntry("my-export/"))
+    zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("my-export/ro-crate-metadata.json"))
+    zout.write(crate.getBytes("UTF-8"))
+    zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("my-export/data.csv"))
+    zout.write("a,b\n1,2\n".getBytes("UTF-8"))
+    zout.closeEntry()
+    zout.close()
+    val eln = bos.toByteArray
+    assert(JsonLd.fromElnArchive(eln).contains(crate))
+    val df = Seq(("g9", eln)).toDF("graph_iri", "eln_bytes")
+    val quads = JsonLd.ingestEln(df)
+    assert(quads.filter($"predicate" === "http://schema.org/name").count() == 2)
+    // an archive without a crate yields nothing
+    val emptyZip = {
+      val b = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(b)
+      z.putNextEntry(new java.util.zip.ZipEntry("readme.txt")); z.write(1); z.closeEntry(); z.close()
+      b.toByteArray
+    }
+    assert(JsonLd.fromElnArchive(emptyZip).isEmpty)
+  }
+
   test("validate() flags bad rows without failing the batch") {
     val df = Seq(
       ("g1", crate),
