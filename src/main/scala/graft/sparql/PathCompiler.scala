@@ -6,25 +6,28 @@ import org.apache.spark.sql.functions._
 /** Property-path evaluation (`GraphPattern::Path`, reference handle.rs:4893).
   *
   * Paths evaluate over an edge DataFrame of ENCODED terms — each endpoint is
-  * one string `kindvaluelangdatatype` — so the iterative
-  * closure joins on flat string keys (cheap shuffles, simple plans) and only
-  * the final variable binding decodes back to term structs.
+  * one string `kindvaluelangdatatype` — so closure rounds
+  * join on flat string keys (cheap shuffles, simple plans) and only the
+  * final variable binding decodes back to term structs.
   *
   *  - link: predicate scan; inverse: swap; sequence: midpoint join;
   *    alternation: union-distinct.
-  *  - `p+`: transitive closure by iterative frontier joins — a driver-side
-  *    fixpoint producing DataFrames (SURVEY §4, the GraphFrames approach).
-  *    `localCheckpoint` truncates lineage so plans stay flat; rounds are
+  *  - `p+`: transitive closure — path *doubling* (⌈log₂ d⌉ rounds) while the
+  *    accumulated pair set is small, falling back to frontier⋈base rounds
+  *    (which shuffle only novel pairs) once it grows; a driver-side fixpoint
+  *    producing DataFrames (SURVEY §4, the GraphFrames approach). Rounds are
   *    capped to bound adversarial cycles.
   *  - `p*`/`p?` add reflexive pairs over the path's own node domain (SPARQL's
   *    zero-length path over all graph terms, narrowed to connected nodes).
-  *
-  * Scale: a diameter-d closure costs d frontier joins, each shuffling only
-  * the new pairs; the base edge set is checkpointed once and reused.
   */
 object PathCompiler {
 
-  val MaxClosureRounds = 32
+  val MaxClosureRounds = 64
+
+  /** Above this pair count, stop doubling (acc⋈acc intermediate can blow up
+    * cubically on long chains) and extend one hop at a time instead. */
+  val DoublingMaxPairs = 100000L
+
   private val Sep = ""
 
   private def enc(kind: Column, value: Column, lang: Column, dt: Column): Column =
@@ -83,35 +86,54 @@ object PathCompiler {
   /** lineage barrier: a fresh LogicalRDD with no inherited constraints
     * (localCheckpoint carries origin constraints that break Union's
     * constraint rewrite in Spark 4.1). The RDD is cached since each round
-    * reuses it twice (join + anti-join/union). */
-  private def barrier(df: DataFrame): DataFrame = {
+    * reuses it; the caller unpersists superseded rounds. */
+  private def barrier(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val rdd = df.rdd.cache()
-    df.sparkSession.createDataFrame(rdd, df.schema)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
-  /** transitive closure by path doubling: after k rounds `acc` holds every
-    * path of length ≤ 2^k, so a diameter-d graph converges in ⌈log₂ d⌉
-    * rounds — scheduling overhead (the cost driver for small/medium graphs)
-    * drops from d jobs to log d, and each round still shuffles only pair
-    * keys. */
-  def closure(base0: DataFrame): DataFrame = {
-    var acc = barrier(base0.dropDuplicates())
+  /** transitive closure fixpoint. Doubling phase: after k rounds `acc` holds
+    * every path of length ≤ 2^k — ⌈log₂ d⌉ rounds for diameter d, ideal for
+    * small/medium pair sets where per-job overhead dominates. Past
+    * [[DoublingMaxPairs]] the acc⋈acc intermediate (Σ indeg·outdeg over
+    * midpoints) can dwarf the closure itself, so large sets extend one hop
+    * per round (frontier⋈base, shuffling only novel pairs). */
+  def closure(base0: DataFrame,
+      doublingMaxPairs: Long = DoublingMaxPairs): DataFrame = {
+    var (acc, accRdd) = barrier(base0.dropDuplicates())
+    val base = acc
+    val baseRdd = accRdd
     var count = acc.count()
+    var frontier = acc
+    var frontierRdd: org.apache.spark.rdd.RDD[_] = null
     var rounds = 0
     var done = count == 0
     while (!done && rounds < MaxClosureRounds) {
-      val doubled = acc.as("a")
-        .join(acc.as("b"), col("a.o") === col("b.s"))
-        .select(col("a.s").as("s"), col("b.o").as("o"))
-      val next = barrier(acc.union(doubled).dropDuplicates())
+      val extended =
+        if (count <= doublingMaxPairs)
+          acc.as("a").join(acc.as("b"), col("a.o") === col("b.s"))
+            .select(col("a.s").as("s"), col("b.o").as("o"))
+        else
+          frontier.as("f").join(base.as("b"), col("f.o") === col("b.s"))
+            .select(col("f.s").as("s"), col("b.o").as("o"))
+      val (next, nextRdd) = barrier(acc.union(extended).dropDuplicates())
       val nextCount = next.count()
-      if (nextCount == count) done = true
-      else {
+      if (nextCount == count) {
+        nextRdd.unpersist(blocking = false)
+        done = true
+      } else {
+        val (novel, novelRdd) = barrier(next.join(acc, Seq("s", "o"), "left_anti"))
+        if (frontierRdd != null) frontierRdd.unpersist(blocking = false)
+        if (accRdd ne baseRdd) accRdd.unpersist(blocking = false)
+        frontier = novel
+        frontierRdd = novelRdd
         acc = next
+        accRdd = nextRdd
         count = nextCount
         rounds += 1
       }
     }
+    if (frontierRdd != null) frontierRdd.unpersist(blocking = false)
     acc
   }
 

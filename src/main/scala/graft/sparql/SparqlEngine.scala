@@ -67,25 +67,37 @@ object SparqlEngine {
 
   /** Collect with the reference's result caps enforced post-hoc
     * (`collect_metadata_query_results`, handle.rs:5023-5069): at most 10k
-    * rows AND 8 MiB of serialized solutions; returns (rows, truncated). */
+    * rows AND 8 MiB of serialized solutions; returns (rows, truncated).
+    * Streams partitions through `toLocalIterator` so the driver never holds
+    * more than the capped result plus one partition in flight. */
   def collectCapped(df: DataFrame): (Seq[org.apache.spark.sql.Row], Boolean) = {
-    val rows = df.limit(MaxResultRows.toInt + 1).collect()
+    val it = df.limit(MaxResultRows.toInt + 1).toLocalIterator()
     var bytes = 0L
-    var i = 0
+    var n = 0L
+    var truncated = false
     val out = Seq.newBuilder[org.apache.spark.sql.Row]
-    var truncated = rows.length > MaxResultRows
-    while (i < math.min(rows.length, MaxResultRows.toInt)) {
-      val r = rows(i)
-      bytes += r.toSeq.map {
-        case null => 4L
-        case s: String => s.getBytes("UTF-8").length.toLong
-        case other => other.toString.length.toLong
-      }.sum
-      if (bytes > MaxResultBytes) { truncated = true; i = rows.length }
-      else { out += r; i += 1 }
+    while (it.hasNext && !truncated) {
+      val r = it.next()
+      if (n >= MaxResultRows) truncated = true
+      else {
+        bytes += rowBytes(r)
+        if (bytes > MaxResultBytes) truncated = true
+        else { out += r; n += 1 }
+      }
     }
     (out.result(), truncated)
   }
+
+  private def rowBytes(r: org.apache.spark.sql.Row): Long =
+    r.toSeq.map {
+      case null => 4L
+      case s: String => s.getBytes("UTF-8").length.toLong
+      case b: Array[Byte] => b.length.toLong
+      case seq: scala.collection.Seq[_] => 16L + 16L * seq.length
+      case inner: org.apache.spark.sql.Row => rowBytes(inner)
+      case _: java.lang.Double | _: java.lang.Long => 8L
+      case other => other.toString.getBytes("UTF-8").length.toLong
+    }.sum
 
   private def sortCol(df: DataFrame, k: OrderKey): Column = {
     val c: Column = k.expr match {

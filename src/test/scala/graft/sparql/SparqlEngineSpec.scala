@@ -129,6 +129,17 @@ class SparqlEngineSpec extends SparkSpec {
       == Seq(Seq("node 0")))
   }
 
+  test("closure frontier-fallback path (large-set mode) matches doubling mode") {
+    import org.apache.spark.sql.functions.col
+    val edges = ringQuads.filter(col("predicate") === "http://schema.org/knows")
+      .selectExpr("concat('0\u0001', subject, '\u0001\u0001') AS s",
+        "concat('0\u0001', obj_value, '\u0001\u0001') AS o")
+    val viaDoubling = PathCompiler.closure(edges).collect().map(_.toSeq).toSet
+    val viaFrontier = PathCompiler.closure(edges, doublingMaxPairs = 0)
+      .collect().map(_.toSeq).toSet
+    assert(viaDoubling == viaFrontier && viaDoubling.size == 25) // 5-ring closure: all pairs
+  }
+
   test("result cap: min(LIMIT, 10000) when capped") {
     val df = SparqlEngine.select(quads, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", cap = true)
     assert(df.count() <= 10000)
