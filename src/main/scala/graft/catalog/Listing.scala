@@ -83,4 +83,26 @@ object Listing {
       .filter(lower(col("bucket")).contains(q.toLowerCase) &&
         !col("bucket").startsWith("ws-"))
       .orderBy(col("bucket"))
+
+  /** Unified-search limits (reference `api/src/routes/search.rs:27-29`). */
+  val UnifiedSearchDefaultLimit = 10
+  val UnifiedSearchMaxLimit = 100
+  val UnifiedSearchBucketLimit = 50
+
+  /** Minimum query length for user/group name search (the reference's
+    * `MIN_SEARCH_QUERY_CHARS` guard, `api/src/routes/users.rs`). */
+  val MinSearchQueryChars = 2
+
+  /** Case-insensitive substring search over a name column with the
+    * min-chars guard and limit clamp — the user/group search shape
+    * (`operations/src/search_users.rs` / `search_groups.rs`). */
+  def searchNames(df: DataFrame, nameCol: String, q: String,
+      limit: Int = UnifiedSearchDefaultLimit): DataFrame = {
+    if (q == null || q.trim.length < MinSearchQueryChars)
+      df.limit(0)
+    else
+      df.filter(lower(col(nameCol)).contains(q.trim.toLowerCase))
+        .orderBy(col(nameCol))
+        .limit(math.min(math.max(limit, 1), UnifiedSearchMaxLimit))
+  }
 }

@@ -54,6 +54,16 @@ class CatalogSpec extends SparkSpec {
       == Seq("Prod-Data", "archive"))
   }
 
+  test("user/group name search: min-chars guard, clamp, substring") {
+    val users = Seq("Ada Lovelace", "Alan Turing", "Grace Hopper").toDF("name")
+    // below min chars → empty, never a full scan result
+    assert(Listing.searchNames(users, "name", "a").count() == 0)
+    assert(Listing.searchNames(users, "name", " ").count() == 0)
+    assert(Listing.searchNames(users, "name", "al").collect().map(_.getString(0)).toSeq
+      == Seq("Alan Turing")) // case-insensitive substring
+    assert(Listing.searchNames(users, "name", "ace", limit = 1).count() == 1) // clamp
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
