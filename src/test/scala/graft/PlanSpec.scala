@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan properties —
+  * predicate pushdown into parquet scans, broadcast joins for dimensions,
+  * top-k as TakeOrdered (never a global sort) — must survive refactors.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6: all filters pushed into the lineitem parquet scan") {
+    val p = plan("q6_revenue_delta")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"expected shipdate+quantity in PushedFilters:\n$p")
+  }
+
+  test("q3: dimension joins broadcast; top-k is TakeOrdered, not global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ann1: query vector broadcast + TakeOrdered; vec_id filter pushed") {
+    val p = plan("ann1_topk_dot")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(vec_id,0)"), p)
+  }
+
+  test("fts4: postings scan filtered by query tokens before any shuffle") {
+    val p = plan("fts4_ranked")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // token IN-filter must appear below the aggregation
+    assert(p.contains("spark") && p.contains("merge"), s"token filter missing:\n$p")
+  }
+
+  test("sp15: visibility scoping compiles to a broadcast semi-join") {
+    val p = plan("sp15_visibility_anon")
+    assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")
+    assert(p.contains("Broadcast"), s"expected the visible-graph set broadcast:\n$p")
+  }
+}
