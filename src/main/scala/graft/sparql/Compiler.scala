@@ -77,10 +77,14 @@ object Compiler {
         val ordered = triples.sortBy { t =>
           -Seq(t.s, t.p, t.o).count(_.isInstanceOf[TConst])
         }
-        ordered.map(scanTriple(quads, _, graph)).reduce(join)
+        ordered.map(scanTriple(quads, _, graph)).reduce(join(_, _, Set.empty))
       case PPath(s, path, o) =>
-        PathCompiler.compile(quads, s, path, o, graph,
-          (q, p, g) => compileP(q, p, g))
+        graph match {
+          case Some(TVar(_)) => throw new SparqlParseException(
+            "property paths under GRAPH ?var are not supported")
+          case _ =>
+        }
+        PathCompiler.compile(quads, s, path, o, graph)
       case PFilter(EExists(sub, negated), q) =>
         val left = compileP(quads, q, graph)
         val right = compileP(quads, sub, graph)
@@ -88,7 +92,9 @@ object Compiler {
       case PFilter(expr, q) =>
         val df = compileP(quads, q, graph)
         df.filter(ExprCompiler.toBool(expr, n => df(n)))
-      case PJoin(l, r) => join(compileP(quads, l, graph), compileP(quads, r, graph))
+      case PJoin(l, r) =>
+        join(compileP(quads, l, graph), compileP(quads, r, graph),
+          nullableVars(l) ++ nullableVars(r))
       case PLeftJoin(l, r, expr) =>
         leftJoin(compileP(quads, l, graph), compileP(quads, r, graph), expr)
       case PUnion(l, r) => union(compileP(quads, l, graph), compileP(quads, r, graph))
@@ -114,10 +120,36 @@ object Compiler {
         spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
       case PGroup(q, keys, aggs) =>
         val df = compileP(quads, q, graph)
-        val aggCols = aggs.map(a => AggCompiler.compile(a, n => df(n)))
-        if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-        else df.groupBy(keys.map(df(_)): _*).agg(aggCols.head, aggCols.tail: _*)
+        if (aggs.isEmpty) df.select(keys.map(df(_)): _*).dropDuplicates()
+        else {
+          val aggCols = aggs.map(a => AggCompiler.compile(a, n => df(n)))
+          if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(keys.map(df(_)): _*).agg(aggCols.head, aggCols.tail: _*)
+        }
     }
+
+  /** Variables a pattern may bind to NULL (VALUES UNDEF, OPTIONAL right
+    * side) — joins on these need unbound-compatible semantics. */
+  def nullableVars(p: Pattern): Set[String] = p match {
+    case PValues(vars, rows) =>
+      vars.zipWithIndex.collect {
+        case (v, i) if rows.exists(r => r(i).isEmpty) => v
+      }.toSet
+    case PLeftJoin(l, r, _) =>
+      nullableVars(l) ++ (patternVars(r).toSet -- patternVars(l).toSet) ++ nullableVars(r)
+    case PJoin(l, r) => nullableVars(l) ++ nullableVars(r)
+    case PUnion(l, r) =>
+      // vars missing on one side come back null-filled
+      nullableVars(l) ++ nullableVars(r) ++
+        (patternVars(l).toSet diff patternVars(r).toSet) ++
+        (patternVars(r).toSet diff patternVars(l).toSet)
+    case PFilter(_, q) => nullableVars(q)
+    case PExtend(q, _, _) => nullableVars(q)
+    case PGraph(_, q) => nullableVars(q)
+    case PMinus(l, _) => nullableVars(l)
+    case PGroup(_, _, _) => Set.empty
+    case _ => Set.empty
+  }
 
   /** Columns of a solution DataFrame that are variables (excludes __unit). */
   private def solutionVars(df: DataFrame): Seq[String] =
@@ -170,30 +202,56 @@ object Compiler {
     if (graph.isEmpty) out.dropDuplicates() else out
   }
 
-  /** Inner join of two solution DFs on their shared variables. */
-  private def join(l: DataFrame, r: DataFrame): DataFrame = {
+  /** Inner join of two solution DFs on their shared variables. A shared var
+    * that may be unbound (VALUES UNDEF / OPTIONAL) joins with SPARQL
+    * compatibility semantics: null is compatible with anything, and the
+    * joined value is the bound one. */
+  private def join(l0: DataFrame, r0: DataFrame,
+      nullable: Set[String] = Set.empty): DataFrame = {
+    // a pure __unit side is an existence constraint (0 or 1 rows): keep the
+    // other side's rows iff the unit row exists; never drop var bindings
+    def unitOnly(df: DataFrame) = solutionVars(df).isEmpty
+    if (unitOnly(l0)) return existence(r0, l0)
+    if (unitOnly(r0)) return existence(l0, r0)
+    // residue __unit columns (constraint already applied to these rows)
+    val l = if (l0.columns.contains("__unit")) l0.drop("__unit") else l0
+    val r = if (r0.columns.contains("__unit")) r0.drop("__unit") else r0
     val lv = solutionVars(l)
     val rv = solutionVars(r)
     val shared = lv.intersect(rv)
-    if (lv.isEmpty || l.columns.contains("__unit")) return r
-    if (rv.isEmpty || r.columns.contains("__unit")) return l
     if (shared.isEmpty) l.crossJoin(r)
     else {
       val rr = shared.foldLeft(r)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
-      val cond = shared.map(v => l(v) === rr(s"__r_$v")).reduce(_ && _)
-      l.join(rr, cond, "inner").drop(shared.map(v => s"__r_$v"): _*)
+      val cond = shared.map { v =>
+        if (nullable.contains(v))
+          l(v) === rr(s"__r_$v") || l(v).isNull || rr(s"__r_$v").isNull
+        else l(v) === rr(s"__r_$v")
+      }.reduce(_ && _)
+      var out = l.join(rr, cond, "inner")
+      shared.filter(nullable.contains).foreach { v =>
+        out = out.withColumn(v, coalesce(l(v), rr(s"__r_$v")))
+      }
+      out.drop(shared.map(v => s"__r_$v"): _*)
     }
   }
 
+  /** keep's rows survive iff the 0/1-row unit frame is non-empty. */
+  private def existence(keep: DataFrame, unit: DataFrame): DataFrame =
+    if (unit.columns.contains("__unit"))
+      keep.crossJoin(unit.select(col("__unit")).limit(1)).drop("__unit")
+    else keep
+
   /** OPTIONAL: left outer join; the filter expression (if any) is evaluated
     * in the scope of the join, referencing both sides. */
-  private def leftJoin(l: DataFrame, r: DataFrame, expr: Option[Expr]): DataFrame = {
+  private def leftJoin(l0: DataFrame, r0: DataFrame, expr: Option[Expr]): DataFrame = {
+    val l = if (l0.columns.contains("__unit") && solutionVars(l0).nonEmpty)
+      l0.drop("__unit") else l0
+    val r = if (r0.columns.contains("__unit") && solutionVars(r0).nonEmpty)
+      r0.drop("__unit") else r0
     val lv = solutionVars(l)
     val rv = solutionVars(r)
     val shared = lv.intersect(rv)
-    val rr0 = shared.foldLeft(r)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
-    // disambiguate plan lineage for self-referencing quads scans
-    val rr = rr0
+    val rr = shared.foldLeft(r)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
     val resolve: String => Column = n =>
       if (shared.contains(n)) rr(s"__r_$n")
       else if (rv.contains(n)) rr(n)

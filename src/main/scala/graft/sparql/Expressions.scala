@@ -200,7 +200,7 @@ object AggCompiler {
   private def argCol(a: AggExpr, R: String => Column): Column = a.arg.get match {
     case e if infer(e) == TyNum => num(e, R)
     case e if infer(e) == TyStr => str(e, R)
-    case EVar(v) => value(R(v)).cast(DoubleType)
+    case EVar(v) => value(R(v)) // lexical; wrap in arithmetic to force numeric
     case e => str(e, R)
   }
 

@@ -139,8 +139,7 @@ object PathCompiler {
 
   /** Bind a compiled path into a solution DataFrame for (s, path, o). */
   def compile(quads: DataFrame, s: TermPattern, path: PathExpr, o: TermPattern,
-      graph: Option[TermPattern],
-      rec: (DataFrame, Pattern, Option[TermPattern]) => DataFrame): DataFrame = {
+      graph: Option[TermPattern]): DataFrame = {
     val e = edges(quads, path, graph)
     (s, o) match {
       case (TVar(vs), TVar(vo)) if vs == vo =>

@@ -34,9 +34,9 @@ object SparqlEngine {
     // (unless DISTINCT, which per SPARQL restricts ordering to projected vars)
     if (q.distinct) {
       df = df.select(projVars.map(df(_)): _*).dropDuplicates()
-      if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.map(sortCol(df, _)): _*)
+      if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.flatMap(sortCols(df, _)): _*)
     } else {
-      if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.map(sortCol(df, _)): _*)
+      if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.flatMap(sortCols(df, _)): _*)
       df = df.select(projVars.map(df(_)): _*)
     }
     q.offset.foreach(o => df = df.offset(o.toInt))
@@ -99,15 +99,20 @@ object SparqlEngine {
       case other => other.toString.getBytes("UTF-8").length.toLong
     }.sum
 
-  private def sortCol(df: DataFrame, k: OrderKey): Column = {
-    val c: Column = k.expr match {
-      case EVar(v) if isStruct(df, v) => df(v).getField("value")
-      case EVar(v) => df(v)
+  private def sortCols(df: DataFrame, k: OrderKey): Seq[Column] = {
+    def dir(c: Column) = if (k.asc) c.asc else c.desc
+    k.expr match {
+      case EVar(v) if isStruct(df, v) =>
+        // numeric literals order numerically, everything else lexically;
+        // regexp guard keeps the cast ANSI-safe
+        val value = df(v).getField("value")
+        val numKey = when(value.rlike("^-?[0-9]+(\\.[0-9]+)?$"), value.cast("double"))
+        Seq(dir(numKey), dir(value))
+      case EVar(v) => Seq(dir(df(v)))
       case e if ExprCompiler.infer(e) == ExprCompiler.TyNum =>
-        ExprCompiler.num(e, df(_))
-      case e => ExprCompiler.str(e, df(_))
+        Seq(dir(ExprCompiler.num(e, df(_))))
+      case e => Seq(dir(ExprCompiler.str(e, df(_))))
     }
-    if (k.asc) c.asc else c.desc
   }
 
   private def isStruct(df: DataFrame, name: String): Boolean =

@@ -140,6 +140,69 @@ class SparqlEngineSpec extends SparkSpec {
     assert(viaDoubling == viaFrontier && viaDoubling.size == 25) // 5-ring closure: all pairs
   }
 
+  test("review regressions: trailing dot, OPTIONAL-first join, unit existence") {
+    // PN_LOCAL must not swallow the triple terminator
+    assert(sel("SELECT ?s ?n WHERE { ?s a schema:Dataset. ?s schema:name ?n }") ==
+      Seq(Seq("d1", "alpha")))
+    // OPTIONAL-first group: bindings survive the following join. Note the
+    // standard SPARQL gotcha applies: Join(LeftJoin({}, A), t) keeps only
+    // t-solutions compatible with A — p1 (no contentSize) drops out.
+    val rows = sel(
+      """SELECT ?s ?size ?n WHERE {
+        |  OPTIONAL { ?s schema:contentSize ?size }
+        |  ?s schema:name ?n
+        |} ORDER BY ?s""".stripMargin)
+    assert(rows == Seq(Seq("d1", "400", "alpha"), Seq("d2", "100", "beta")))
+    // const-const path with no match is an existence filter -> empty result
+    assert(selRing(
+      "SELECT ?n WHERE { <n0> schema:knows+ <n99> . <n0> schema:name ?n }").isEmpty)
+  }
+
+  test("review regressions: GROUP BY without aggregates = distinct keys") {
+    assert(sel("SELECT ?t WHERE { ?s a ?t } GROUP BY ?t ORDER BY ?t")
+      == Seq(Seq("http://schema.org/Dataset"), Seq("http://schema.org/File")))
+  }
+
+  test("review regressions: multiple FILTERs inside OPTIONAL join scope") {
+    val rows = sel(
+      """SELECT ?s ?size WHERE { ?s schema:name ?n .
+        |OPTIONAL { ?s schema:contentSize ?size . FILTER(?size > 50) FILTER(?size < 300) }
+        |} ORDER BY ?s""".stripMargin)
+    assert(rows == Seq(Seq("d1", null), Seq("d2", "100"), Seq("p1", null)))
+  }
+
+  test("review regressions: VALUES UNDEF is join-compatible with any binding") {
+    val rows = sel(
+      """SELECT ?s ?n WHERE { ?s schema:name ?n .
+        |VALUES ?n { "alpha" UNDEF } } ORDER BY ?s""".stripMargin)
+    // UNDEF row is compatible with every solution; "alpha" row adds a dup for d1
+    assert(rows.map(_.head).toSet == Set("d1", "d2", "p1"))
+    assert(rows.count(_.head == "d1") == 2)
+  }
+
+  test("review regressions: ORDER BY numeric var orders numerically") {
+    val many = (Seq(("g", "dA", 0, "http://schema.org/contentSize", 2, "99", "", Term.XsdInteger),
+      ("g", "dB", 0, "http://schema.org/contentSize", 2, "1000", "", Term.XsdInteger),
+      ("g", "dC", 0, "http://schema.org/contentSize", 2, "5", "", Term.XsdInteger)))
+      .toDF("graph_iri", "subject", "subject_kind", "predicate", "obj_kind",
+        "obj_value", "obj_lang", "obj_datatype")
+    val out = SparqlEngine.select(many,
+      "SELECT ?s WHERE { ?s schema:contentSize ?size } ORDER BY DESC(?size)")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("dB", "dA", "dC"), s"lexical ordering leaked: $out")
+  }
+
+  test("review regressions: MIN/MAX over string vars is lexical; IRI lexer stops") {
+    val rows = sel("SELECT (MIN(?n) AS ?m) (MAX(?n) AS ?x) WHERE { ?s schema:name ?n }")
+    assert(rows == Seq(Seq("ada", "beta")))
+    // '<' followed by var chains must not lex as an IRI
+    assert(sel("SELECT ?s WHERE { ?s schema:contentSize ?c . FILTER(?c<?c&&?c>?c) }").isEmpty)
+    // GRAPH ?var over a path: explicit unsupported error, not silent cross-graph
+    intercept[SparqlParseException] {
+      sel("SELECT ?g ?x WHERE { GRAPH ?g { <n0> schema:knows+ ?x } }")
+    }
+  }
+
   test("result cap: min(LIMIT, 10000) when capped") {
     val df = SparqlEngine.select(quads, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", cap = true)
     assert(df.count() <= 10000)
