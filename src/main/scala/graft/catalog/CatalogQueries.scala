@@ -59,10 +59,12 @@ object CatalogQueries {
         .filter(!col("is_delete_marker"))
         .join(broadcast(live.select(col("blake3").as("hash"))), Seq("hash"))
         .join(broadcast(ObjectTables.buckets(s, d)), Seq("bucket"))
-      val base = obj.filter(col("version_ord") % 10 =!= 0)
+      // l_linenumber is 1..7, so version_ord%10 is never 0 — split at <=2
+      // so BOTH the base and the delta side are non-trivially exercised
+      val base = obj.filter(col("version_ord") % 10 > 2)
         .groupBy(col("group_id"))
         .agg(count(lit(1)).as("stored_blobs"), sum(col("size")).as("stored_bytes"))
-      val deltas = obj.filter(col("version_ord") % 10 === 0)
+      val deltas = obj.filter(col("version_ord") % 10 <= 2)
         .select(col("group_id"), lit(1L).as("d_blobs"), col("size").as("d_bytes"))
       UsageStats.applyDeltas(base, deltas).orderBy(col("group_id"))
     }

@@ -26,18 +26,22 @@ object Dedup {
   // tokenization / shingling
   // ---------------------------------------------------------------------
 
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  /** shared with FTS: the oracle pins this exact tokenization. */
+  def tokens(text: Column): Column = graft.fts.Fts.tokensOf(text)
 
   /** word n-gram shingles as strings ("w1 w2 w3"). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    // guard: sequence(0, -1) would produce a DESCENDING sequence in Spark
+    // guard: sequence(0, -1) would produce a DESCENDING sequence in Spark.
+    // Docs shorter than n tokens contribute their whole text as a single
+    // shingle so identical short docs still pair (empty text contributes
+    // nothing).
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+      .otherwise(when(size(toks) > 0, array(array_join(toks, " ")))
+        .otherwise(array().cast("array<string>")))
   }
 
   // ---------------------------------------------------------------------
@@ -95,6 +99,8 @@ object Dedup {
     * signature similarity >= simThreshold (fraction of equal components). */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       simThreshold: Double = 0.8): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature size ($k)") // rows=0 would cross-join everything
     val rows = k / bands
     val sigs = minhashSignatures(docs, n, k)
     val bandHashes = array((0 until bands).map(b =>
@@ -203,7 +209,7 @@ object Dedup {
           var dot = 0L
           var k = 0
           while (k < va.length) { dot += va(k) * vb(k); k += 1 }
-          val cosine = dot.toDouble / math.sqrt((n2(ai) * n2(bi)).toDouble)
+          val cosine = dot.toDouble / math.sqrt(n2(ai).toDouble * n2(bi).toDouble) // Long product overflows ~1024-dim unnormalized
           if (cosine >= threshold) out += ((id(ai), id(bi), dot, cosine))
           bi += 1
         }

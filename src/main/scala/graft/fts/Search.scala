@@ -46,20 +46,24 @@ object Search {
     * (graph_iri, subject_iri) with `score` (f32) and `score_key`. */
   def bm25(postings: DataFrame, query: String): DataFrame = {
     val tokens = tokenize(query)
-    if (tokens.isEmpty) return postings.sparkSession.emptyDataFrame
-    val corpus = postings.groupBy(col("graph_iri")).agg(sum(col("tf")).as("dl"))
+    def emptyResult = postings.sparkSession.emptyDataFrame
+      .withColumn("graph_iri", lit(""))
+      .withColumn("subject_iri", lit(""))
+      .withColumn("score", lit(0f))
+      .withColumn("score_key", lit(0L))
+      .limit(0)
+    if (tokens.isEmpty) return emptyResult
+    val corpus = Fts.docLengths(postings)
     // two scalar corpus stats (cache per index generation at scale)
     val stats = corpus.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val n = stats.getLong(0).toDouble
+    if (n == 0) return emptyResult // empty index: avgdl is NULL
     val avgdl = stats.getDouble(1)
-    val matched = postings
-      .filter(col("token").isin(tokens: _*))
+    val matchedTokens = postings.filter(col("token").isin(tokens: _*))
+    val matched = matchedTokens
       .groupBy(col("token"), col("graph_iri"), col("subject_iri"))
       .agg(sum(col("tf")).as("tf")) // fold fields together
-    val dfreq = postings
-      .filter(col("token").isin(tokens: _*))
-      .groupBy(col("token"))
-      .agg(countDistinct(col("graph_iri")).as("df"))
+    val dfreq = Fts.docFrequencies(matchedTokens)
     val idf = log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
@@ -150,6 +154,7 @@ object Search {
       case Array(fp, sk, g, s, d) =>
         if (fp != expectedFingerprint) throw new CursorException("cursor does not match query")
         val depth = try d.toInt catch { case _: NumberFormatException => throw new CursorException("malformed cursor") }
+        if (depth < 0) throw new CursorException("malformed cursor") // negative depth = tampering
         if (depth + clampPageSize(pageSize) > MaxPaginationDepth)
           throw new CursorException(s"pagination depth exceeds $MaxPaginationDepth")
         val key = try sk.toLong catch { case _: NumberFormatException => throw new CursorException("malformed cursor") }

@@ -116,7 +116,10 @@ object PipelineQueries {
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, UNNEST(list_transform(range(1, len(ts) - 1),
       |      i -> array_to_string(ts[i:i+2], ' '))) AS sh
-      |    FROM toks WHERE len(ts) >= 3) u)""".stripMargin
+      |    FROM toks WHERE len(ts) >= 3
+      |    UNION ALL
+      |    SELECT doc_id, array_to_string(ts, ' ') AS sh
+      |    FROM toks WHERE len(ts) BETWEEN 1 AND 2) u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dup" ->

@@ -49,9 +49,19 @@ object Watch {
     sb.append("$").toString
   }
 
+  // per-executor compiled-pattern cache: the watch table is small and
+  // static, but the UDF runs once per (event x watch) pair on the hot path
+  @transient private lazy val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
   val globMatch: UserDefinedFunction =
-    udf((path: String, glob: String) => path != null && glob != null &&
-      path.matches(globToRegex(glob)))
+    udf { (path: String, glob: String) =>
+      path != null && glob != null && {
+        val p = patternCache.computeIfAbsent(glob,
+          g => java.util.regex.Pattern.compile(globToRegex(g)))
+        p.matcher(path).matches()
+      }
+    }
 
   /** Deliveries: events × broadcast(watches) where the scope glob matches the
     * event path and the watch's kind mask has the event's bit set. Works on

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  /** shared with FTS/dedup: the oracles pin this exact tokenization. */
+  def tokens(text: Column): Column = graft.fts.Fts.tokensOf(text)
 
   /** whitespace-word count, BPE-ish subword count (runs of letters, digits,
     * or single punctuation — a cheap proxy for byte-pair pieces), chars. */

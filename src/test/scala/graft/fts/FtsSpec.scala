@@ -116,8 +116,15 @@ class FtsSpec extends SparkSpec {
     assert(rz.head.getFloat(2) > rs.head.getFloat(2), "rare token idf > common token idf")
   }
 
-  test("bm25 empty query → empty result") {
-    assert(Search.bm25(corpus, "  ---  ").isEmpty)
+  test("bm25 empty query / empty index → schema-stable empty through full pipeline") {
+    val empty = Search.bm25(corpus, "  ---  ")
+    assert(empty.isEmpty)
+    // downstream consumers (merge → page) must work on the empty frame
+    val hits = empty.withColumn("document_id", lit("x"))
+      .withColumn("snippet", lit(null: String))
+    assert(Search.page(Search.mergeHits(hits), None, 25).count() == 0)
+    // empty postings index: no NPE, empty result
+    assert(Search.bm25(corpus.limit(0), "spark").isEmpty)
   }
 
   test("enrichment: title precedence and snippet windowing") {
