@@ -20,12 +20,15 @@ object Paths {
   }
 
   /** Key sanitation (`ensure_confined_relative_path`, blob.rs:25-51): reject
-    * absolute paths, `.`/`..` segments, empty segments, control chars. */
+    * absolute paths, parent (`..`) segments and all ISO control chars
+    * (C0 + DEL + C1). `.` segments and duplicate separators are allowed and
+    * collapse away, matching the reference's Path-component semantics. */
   def isConfinedRelativePath(key: String): Boolean =
     key.nonEmpty &&
       !key.startsWith("/") &&
-      !key.exists(c => c < ' ' || c == 0x7f) &&
-      key.split("/", -1).forall(seg => seg.nonEmpty && seg != "." && seg != "..")
+      !key.exists(c => Character.isISOControl(c)) &&
+      key.split("/", -1).forall(seg => seg != "..") &&
+      key.split("/", -1).exists(seg => seg.nonEmpty && seg != ".")
 
   val isConfinedUdf = udf((k: String) => k != null && isConfinedRelativePath(k))
 

@@ -38,6 +38,7 @@ object Ulid {
 
   def timestampMs(ulid: String): Long = {
     require(ulid.length == 26, s"bad ULID length: $ulid")
+    require(decodeChar(ulid.charAt(0)) <= 7, s"ULID timestamp out of range: $ulid")
     var v = 0L
     var i = 0
     while (i < 10) { // first 10 chars decode to the 48-bit ms value
@@ -49,6 +50,7 @@ object Ulid {
   }
 
   def entropy(ulid: String): BigInt = {
+    require(ulid.length == 26, s"bad ULID length: $ulid")
     var v = BigInt(0)
     var i = 10
     while (i < 26) {

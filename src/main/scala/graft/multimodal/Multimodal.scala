@@ -80,13 +80,18 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th 16-byte slice of the payload becomes
     * a (doc_id, frame_idx, frame_bytes) row — the video-pipeline shape. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val step = 16 * stride
+    // ceil division keeps the trailing partial frame; empty payloads emit none
+    val nFrames = ceil(length(col("bytes")).cast("double") / step).cast("int")
     media
-      .filter(col("kind") === "video")
+      .filter(col("kind") === "video" && length(col("bytes")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
-          sequence(lit(0), greatest((length(col("bytes")) / (16 * stride)).cast("int") - 1, lit(0))),
-          i => col("bytes").substr(i * (16 * stride) + 1, lit(16)))))
+          sequence(lit(0), nFrames - 1),
+          i => col("bytes").substr(i * step + 1, lit(16)))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
+  }
 }

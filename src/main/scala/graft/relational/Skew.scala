@@ -23,8 +23,11 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // salt must be DETERMINISTIC per row content: a nondeterministic salt
+    // (e.g. monotonically_increasing_id) re-salts rows differently on stage
+    // retry, silently dropping/duplicating join output
     val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(salts)).cast("int"))
     val replicatedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedProbe

@@ -43,15 +43,19 @@ object Ann {
       .limit(k)
   }
 
-  /** Exact top-k by cosine: integer dot / sqrt(na*nb). */
+  /** Exact top-k by cosine: integer dot / sqrt(na*nb). Zero-norm vectors
+    * (all |x| < 0.0005 quantize to zero) have no defined cosine and are
+    * excluded; norms multiply in double (Long product overflows at high
+    * dims under ANSI mode). */
   def topKCosine(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = quantized(embeddings.filter(col("vec_id") === queryId))
+      .filter(col("n2") > 0)
       .select(col("v").as("qv"), col("n2").as("qn2"))
-    quantized(embeddings).filter(col("vec_id") =!= queryId)
+    quantized(embeddings).filter(col("vec_id") =!= queryId && col("n2") > 0)
       .crossJoin(broadcast(q))
       .withColumn("dot", dotCol(col("v"), col("qv")))
       .withColumn("cosine",
-        col("dot").cast("double") / sqrt((col("n2") * col("qn2")).cast("double")))
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -81,13 +85,14 @@ object Ann {
       nBits: Int = 12, probeDist: Int = 2): DataFrame = {
     val sigs = lshSignatures(embeddings, nBits)
     val q = sigs.filter(col("vec_id") === queryId)
+      .filter(col("n2") > 0)
       .select(col("v").as("qv"), col("n2").as("qn2"), col("sig").as("qsig"))
-    sigs.filter(col("vec_id") =!= queryId)
+    sigs.filter(col("vec_id") =!= queryId && col("n2") > 0)
       .crossJoin(broadcast(q))
       .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= probeDist)
       .withColumn("dot", dotCol(col("v"), col("qv")))
       .withColumn("cosine",
-        col("dot").cast("double") / sqrt((col("n2") * col("qn2")).cast("double")))
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)

@@ -17,6 +17,9 @@ object Autoindex {
       modified: Option[String])
 
   private val HrefRe = """(?i)<a\s+[^>]*href="([^"?]+)"[^>]*>([^<]*)</a>""".r
+  private val DateRe =
+    """(\d{2}-\w{3}-\d{4} \d{2}:\d{2}|\d{4}-\d{2}-\d{2} \d{2}:\d{2})""".r
+  private val SizeRe = """(?<=\s)(\d+)(?=\s|$)""".r
 
   /** Parse a directory-index HTML page. Returns Nil when the page does not
     * look like an autoindex (the negative fixture case). */
@@ -36,17 +39,33 @@ object Autoindex {
           if (isDir) href.dropRight(1) else href, "UTF-8")
         // look in the trailing text after the anchor for "date  size"
         val tail = html.substring(m.end, math.min(html.length, m.end + 120))
-        val sizeRe = """(?m)\s(\d+|[\d.]+[KMG]?)\s*$|\s(\d+)\s""".r
-        val dateRe = """(\d{2}-\w{3}-\d{4} \d{2}:\d{2}|\d{4}-\d{2}-\d{2} \d{2}:\d{2})""".r
-        val modified = dateRe.findFirstIn(tail)
+        val modified = DateRe.findFirstIn(tail)
         val size =
           if (isDir) None
-          else """(?<=\s)(\d+)(?=\s|$)""".r.findFirstIn(tail.linesIterator.toSeq.headOption.getOrElse(""))
+          else SizeRe.findFirstIn(tail.linesIterator.toSeq.headOption.getOrElse(""))
             .flatMap(s => scala.util.Try(s.toLong).toOption)
         Some(Entry(name, isDir, size, modified))
       }
     }.toSeq
     entries.distinct
+  }
+
+  /** Recursive walk over directory pages through a caller-supplied fetch,
+    * enforcing the reference's 64-fetch cap (`autoindex.rs:17-19`). Returns
+    * entries with paths relative to the root. */
+  def walk(fetch: String => Option[String], root: String = ""): Seq[Entry] = {
+    var fetches = 0
+    def go(prefix: String): Seq[Entry] = {
+      if (fetches >= MaxFetches) return Nil
+      fetches += 1
+      val page = fetch(prefix).getOrElse(return Nil)
+      parse(page).flatMap { e =>
+        val qualified = e.copy(name = if (prefix.isEmpty) e.name else s"$prefix${e.name}")
+        if (e.isDir) qualified +: go(s"${qualified.name}/")
+        else Seq(qualified)
+      }
+    }
+    go(root)
   }
 
   /** entries → DataFrame (offset/limit + files_only per the reference op). */

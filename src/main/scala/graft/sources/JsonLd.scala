@@ -88,7 +88,10 @@ object JsonLd {
     val types: Seq[String] = Option(o.get("@type")) match {
       case Some(t) if t.isTextual && t.asText.nonEmpty => Seq(t.asText)
       case Some(t) if t.isArray && t.size > 0 =>
-        t.elements.asScala.toSeq.map(_.asText).filter(_.nonEmpty)
+        val elems = t.elements.asScala.toSeq
+        if (elems.exists(e => !e.isTextual || e.asText.isEmpty))
+          throw new JsonLdError("entity @type arrays must contain only non-empty strings")
+        elems.map(_.asText)
       case _ => throw new JsonLdError("entity requires a non-empty @type")
     }
     val typeTriples = types.map(t =>
@@ -175,10 +178,11 @@ object JsonLd {
     * sorted by subject and predicates sorted for determinism. Returns
     * (graph_iri, jsonld, total_data_entities) — the paged export contract
     * (`core/src/metadata.rs:658-665`) adds offset slicing over entities. */
-  def exportGraphs(quads: DataFrame, offset: Int = 0, limit: Int = 1000): DataFrame = {
+  def exportGraphs(quads: DataFrame, offset: Int = 0, limit: Int = 100): DataFrame = {
     val spark = quads.sparkSession
     import spark.implicits._
-    val clamped = math.max(1, math.min(limit, 1000)) // api.rs:1934 clamp 1..=1000
+    val clamped = math.max(1, math.min(limit, 1000)) // reference default 100, clamp 1..=1000
+    val off = math.max(0, offset)
     quads
       .select(col("graph_iri"), col("subject"), col("predicate"),
         col("obj_kind"), col("obj_value"), col("obj_lang"), col("obj_datatype"))
@@ -188,7 +192,7 @@ object JsonLd {
         val mapper = new ObjectMapper()
         val bySubject = rows.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
         val total = bySubject.size
-        val page = bySubject.slice(offset, offset + clamped)
+        val page = bySubject.slice(off, off + clamped)
         val arr = mapper.createArrayNode()
         page.foreach { case (subject, triples) =>
           val ent = mapper.createObjectNode()

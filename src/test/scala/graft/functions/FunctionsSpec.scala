@@ -46,8 +46,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Paths.isConfinedRelativePath("a/b/c.bin"))
     assert(!Paths.isConfinedRelativePath("/abs/path"))
     assert(!Paths.isConfinedRelativePath("a/../b"))
-    assert(!Paths.isConfinedRelativePath("a//b"))
-    assert(!Paths.isConfinedRelativePath("a/./b"))
+    // the reference ACCEPTS '.' segments and duplicate separators
+    // (blob.rs positive matrix: "bucket/./object"); they collapse away
+    assert(Paths.isConfinedRelativePath("bucket/./object"))
+    assert(Paths.isConfinedRelativePath("a//b"))
+    assert(!Paths.isConfinedRelativePath(".")) // no real segment
+    assert(!Paths.isConfinedRelativePath("a/b\u0085c")) // C1 control rejected
     assert(!Paths.isConfinedRelativePath("a/bell"))
     assert(!Paths.isConfinedRelativePath(""))
     assert(Paths.clampListingPage(None, anonymous = false) == 50)

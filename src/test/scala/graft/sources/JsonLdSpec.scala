@@ -39,6 +39,12 @@ class JsonLdSpec extends SparkSpec {
     assert(bad("""{"@type": "Dataset", "name": "no id"}"""))
     assert(bad("""{"@id": "x", "name": "no type"}"""))
     assert(bad("""{"@id": "x", "@type": "", "name": "empty type"}"""))
+    // @type arrays must contain only non-empty strings (reference errors on
+    // non-string entries — no silent coercion or empty-filtered types)
+    assert(bad("""{"@id": "x", "@type": [""], "name": "n"}"""))
+    assert(bad("""{"@id": "x", "@type": [{}], "name": "n"}"""))
+    assert(bad("""{"@id": "x", "@type": [5], "name": "n"}"""))
+    assert(!bad("""{"@id": "x", "@type": ["Dataset", "Thing"], "name": "n"}"""))
     assert(bad("""{"@id": "x", "@type": "Dataset", "nested": {"a": 1}}"""))
     // @graph inside a single entity of a @graph payload is rejected
     assert(bad("""{"@graph": [{"@id": "x", "@type": "T", "@graph": []}]}"""))
