@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Property-path evaluation (`GraphPattern::Path`, reference handle.rs:4893).
   *
   * Paths evaluate over an edge DataFrame of ENCODED terms — each endpoint is
-  * one string `kindvaluelangdatatype` — so closure rounds
+  * one string `kind\u0001value\u0001lang\u0001datatype` — so closure rounds
   * join on flat string keys (cheap shuffles, simple plans) and only the
   * final variable binding decodes back to term structs.
   *
@@ -28,7 +28,7 @@ object PathCompiler {
     * cubically on long chains) and extend one hop at a time instead. */
   val DoublingMaxPairs = 100000L
 
-  private val Sep = ""
+  private val Sep = "\u0001"
 
   private def enc(kind: Column, value: Column, lang: Column, dt: Column): Column =
     concat_ws(Sep, kind.cast("string"), value, coalesce(lang, lit("")), coalesce(dt, lit("")))
@@ -137,23 +137,124 @@ object PathCompiler {
     acc
   }
 
-  /** Bind a compiled path into a solution DataFrame for (s, path, o). */
-  def compile(quads: DataFrame, s: TermPattern, path: PathExpr, o: TermPattern,
-      graph: Option[TermPattern]): DataFrame = {
-    val e = edges(quads, path, graph)
-    (s, o) match {
-      case (TVar(vs), TVar(vo)) if vs == vo =>
-        e.filter(col("s") === col("o")).select(decode(col("s")).as(vs))
-      case (TVar(vs), TVar(vo)) =>
-        e.select(decode(col("s")).as(vs), decode(col("o")).as(vo))
-      case (TConst(ts), TVar(vo)) =>
-        e.filter(col("s") === encTerm(ts)).select(decode(col("o")).as(vo))
-      case (TVar(vs), TConst(to)) =>
-        e.filter(col("o") === encTerm(to)).select(decode(col("s")).as(vs))
-      case (TConst(ts), TConst(to)) =>
-        // boolean existence: empty or single-row unit solution
-        e.filter(col("s") === encTerm(ts) && col("o") === encTerm(to))
-          .limit(1).select(lit(1).as("__unit"))
+  // ---------------------------------------------------------------------
+  // seeded evaluation — constant endpoints never compute a global closure
+  // ---------------------------------------------------------------------
+
+  /** Structural reverse: reverse(p) matches (o, s) iff p matches (s, o). */
+  private def reverse(p: PathExpr): PathExpr = p match {
+    case PLink(i) => PInverse(PLink(i))
+    case PInverse(q) => q
+    case PSeq(l, r) => PSeq(reverse(r), reverse(l))
+    case PAlt(l, r) => PAlt(reverse(l), reverse(r))
+    case POneOrMore(q) => POneOrMore(reverse(q))
+    case PZeroOrMore(q) => PZeroOrMore(reverse(q))
+    case PZeroOrOne(q) => PZeroOrOne(reverse(q))
+  }
+
+  /** node domain of an edge set (for zero-length path membership). */
+  private def nodes(base: DataFrame): DataFrame =
+    base.select(col("s").as("n")).union(base.select(col("o").as("n"))).dropDuplicates()
+
+  /** One path application over a position set `cur` (seed, n). */
+  private def step(cur: DataFrame, base: DataFrame): DataFrame =
+    cur.as("c").join(base.as("b"), col("c.n") === col("b.s"))
+      .select(col("c.seed").as("seed"), col("b.o").as("n")).dropDuplicates()
+
+  /** Seeded evaluation: positions (seed, n) reachable from `cur` via `path`.
+    * Closures run a frontier⋈base fixpoint from the seeds only — the work is
+    * O(|reachable|), never the whole-graph transitive closure, which is the
+    * difference between one seed's neighborhood and Θ(V·E) at 100 TB. */
+  private def evalFrom(quads: DataFrame, path: PathExpr,
+      graph: Option[TermPattern], cur: DataFrame): DataFrame = path match {
+    case PSeq(l, r) => evalFrom(quads, r, graph, evalFrom(quads, l, graph, cur))
+    case PAlt(l, r) =>
+      evalFrom(quads, l, graph, cur).union(evalFrom(quads, r, graph, cur))
+        .dropDuplicates()
+    case POneOrMore(p) => seededClosure(edges(quads, p, graph), cur)
+    case PZeroOrMore(p) =>
+      val base = edges(quads, p, graph)
+      cur.join(nodes(base), Seq("n"), "left_semi") // zero-length: n in the domain
+        .select(col("seed"), col("n")) // using-join put the key first; realign
+        .union(seededClosure(base, cur)).dropDuplicates()
+    case PZeroOrOne(p) =>
+      val base = edges(quads, p, graph)
+      cur.join(nodes(base), Seq("n"), "left_semi")
+        .select(col("seed"), col("n"))
+        .union(step(cur, base)).dropDuplicates()
+    case leaf => step(cur, edges(quads, leaf, graph))
+  }
+
+  /** Seeded transitive reachability: (seed, n) pairs reachable in >= 1 step.
+    *
+    * Small edge sets (≤ [[DoublingMaxPairs]]) take the log-rounds doubling
+    * closure and join the seeds afterwards — at that size the global closure
+    * is trivially cheap and doubling needs ⌈log₂ d⌉ rounds instead of d.
+    * Large edge sets run a frontier⋈base BFS from the seeds only: work is
+    * O(|reachable from seeds|) per round, never the whole-graph closure —
+    * the property that keeps one-seed queries viable at 100 TB. */
+  def seededClosure(base0: DataFrame, seeds: DataFrame,
+      doublingMaxPairs: Long = DoublingMaxPairs): DataFrame = {
+    val (base, baseRdd) = barrier(base0.dropDuplicates())
+    if (base.count() <= doublingMaxPairs) {
+      val out = seeds.as("c").join(closure(base).as("b"), col("c.n") === col("b.s"))
+        .select(col("c.seed").as("seed"), col("b.o").as("n")).dropDuplicates()
+      return out
     }
+    var (visited, visitedRdd) = barrier(step(seeds, base))
+    var frontier = visited
+    var frontierRdd = visitedRdd
+    var rounds = 1
+    var growing = !visited.isEmpty
+    while (growing && rounds < MaxClosureRounds) {
+      val stepped = step(frontier, base)
+      val (novel, novelRdd) = barrier(stepped.join(visited, Seq("seed", "n"), "left_anti"))
+      if (frontierRdd ne visitedRdd) frontierRdd.unpersist(blocking = false)
+      if (novel.isEmpty) {
+        novelRdd.unpersist(blocking = false)
+        frontierRdd = visitedRdd // nothing separate left to release
+        growing = false
+      } else {
+        val (nv, nvRdd) = barrier(visited.union(novel))
+        visitedRdd.unpersist(blocking = false)
+        visited = nv; visitedRdd = nvRdd
+        frontier = novel; frontierRdd = novelRdd
+        rounds += 1
+      }
+    }
+    if (frontierRdd ne visitedRdd) frontierRdd.unpersist(blocking = false)
+    baseRdd.unpersist(blocking = false)
+    visited
+  }
+
+  private def seedDf(quads: DataFrame, t: Term): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val e = encTerm(t)
+    Seq((e, e)).toDF("seed", "n")
+  }
+
+  /** Bind a compiled path into a solution DataFrame for (s, path, o).
+    * Constant endpoints evaluate seeded (frontier-only closures); the
+    * var-var case needs the full path relation. */
+  def compile(quads: DataFrame, s: TermPattern, path: PathExpr, o: TermPattern,
+      graph: Option[TermPattern]): DataFrame = (s, o) match {
+    case (TVar(vs), TVar(vo)) if vs == vo =>
+      val e = edges(quads, path, graph)
+      e.filter(col("s") === col("o")).select(decode(col("s")).as(vs))
+    case (TVar(vs), TVar(vo)) =>
+      val e = edges(quads, path, graph)
+      e.select(decode(col("s")).as(vs), decode(col("o")).as(vo))
+    case (TConst(ts), TVar(vo)) =>
+      evalFrom(quads, path, graph, seedDf(quads, ts))
+        .select(decode(col("n")).as(vo))
+    case (TVar(vs), TConst(to)) =>
+      evalFrom(quads, reverse(path), graph, seedDf(quads, to))
+        .select(decode(col("n")).as(vs))
+    case (TConst(ts), TConst(to)) =>
+      // boolean existence: empty or single-row unit solution
+      evalFrom(quads, path, graph, seedDf(quads, ts))
+        .filter(col("n") === encTerm(to))
+        .limit(1).select(lit(1).as("__unit"))
   }
 }

@@ -103,6 +103,11 @@ object SparqlQueries {
     "sp19_path_alt_inv" -> run(
       "SELECT ?x WHERE { ?x schema:knows|^schema:knows <person:5> } ORDER BY ?x") _,
 
+    // seeded evaluation through a sequence: the closure fixpoint starts from
+    // the single author node, never computing the global knows+ closure
+    "sp20_path_seeded_seq" -> run(
+      "SELECT ?x WHERE { <doc:6> schema:author/schema:knows+ ?x } ORDER BY ?x") _,
+
     "sp16_visibility_member" -> ((s: SparkSession, d: String) => {
       val scoped = SparqlEngine.scoped(RdfTables.quads(s, d),
         RdfTables.visibleGraphs(s, d, "member:grp-3"))
@@ -188,6 +193,10 @@ object SparqlQueries {
 
     "sp19_path_alt_inv" ->
       """SELECT x FROM (VALUES ('person:4'), ('person:6')) t(x) ORDER BY x""",
+
+    // knows+ from any node of the 20-person ring reaches the whole ring
+    "sp20_path_seeded_seq" ->
+      """SELECT DISTINCT 'person:'||(doc_id%20) AS x FROM documents ORDER BY x""",
 
     "sp16_visibility_member" ->
       """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name

@@ -140,6 +140,23 @@ class SparqlEngineSpec extends SparkSpec {
     assert(viaDoubling == viaFrontier && viaDoubling.size == 25) // 5-ring closure: all pairs
   }
 
+  test("seeded closure (both strategies) equals global closure filtered to the seed") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edges = ringQuads.filter(col("predicate") === "http://schema.org/knows")
+      .selectExpr("concat('0\u0001', subject, '\u0001\u0001') AS s",
+        "concat('0\u0001', obj_value, '\u0001\u0001') AS o")
+    val seedEnc = "0\u0001n0\u0001\u0001"
+    val seeds = Seq((seedEnc, seedEnc)).toDF("seed", "n")
+    val expected = PathCompiler.closure(edges).filter(col("s") === seedEnc)
+      .select(col("o")).collect().map(_.getString(0)).toSet
+    val small = PathCompiler.seededClosure(edges, seeds)
+      .select(col("n")).collect().map(_.getString(0)).toSet
+    val bfs = PathCompiler.seededClosure(edges, seeds, doublingMaxPairs = 0)
+      .select(col("n")).collect().map(_.getString(0)).toSet
+    assert(small == expected && bfs == expected && expected.size == 5)
+  }
+
   test("review regressions: trailing dot, OPTIONAL-first join, unit existence") {
     // PN_LOCAL must not swallow the triple terminator
     assert(sel("SELECT ?s ?n WHERE { ?s a schema:Dataset. ?s schema:name ?n }") ==
