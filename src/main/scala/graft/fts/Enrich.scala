@@ -73,13 +73,31 @@ object Enrich {
   }
 
   /** Join hits with titles + snippets (the describe-join at
-    * `handle.rs:5286-5292`). */
+    * `handle.rs:5286-5292`).
+    *
+    * The hit set is a page (≤ 1000 rows by the search clamps), so it is
+    * broadcast and quads/registry are SEMI-JOINED down to hit subjects
+    * BEFORE the title/describe aggregations — enrichment work is
+    * O(quads-of-hit-subjects), not O(corpus). At 100 TB the alternative
+    * (aggregate everything, join last) scans and shuffles the whole store
+    * to decorate 50 rows. */
   def enrich(hits: DataFrame, quads: DataFrame, registry: DataFrame,
       query: String): DataFrame = {
     val toks = Search.tokenize(query)
-    hits
-      .join(titles(quads, registry), Seq("graph_iri", "subject_iri"), "left_outer")
-      .join(describe(quads), Seq("graph_iri", "subject_iri"), "left_outer")
+    // the hit page is tiny (≤ 1000 rows by the search clamps) but its
+    // lineage is the whole search pipeline — materialize it ONCE so the
+    // two broadcast scopes + the final join don't re-run the search 3×
+    val hitPage = hits.localCheckpoint(true)
+    val hitKeys = hitPage.select(col("graph_iri"), col("subject_iri")).distinct()
+    val scopedQuads = quads.join(
+      broadcast(hitKeys.withColumnRenamed("subject_iri", "subject")),
+      Seq("graph_iri", "subject"), "left_semi")
+    val scopedRegistry = registry.join(
+      broadcast(hitKeys.select(col("graph_iri")).distinct()),
+      Seq("graph_iri"), "left_semi")
+    hitPage
+      .join(titles(scopedQuads, scopedRegistry), Seq("graph_iri", "subject_iri"), "left_outer")
+      .join(describe(scopedQuads), Seq("graph_iri", "subject_iri"), "left_outer")
       .withColumn("snippet", snippetUdf(col("content"), lit(toks.toArray)))
       .drop("content")
   }

@@ -38,6 +38,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("spark") && p.contains("merge"), s"token filter missing:\n$p")
   }
 
+  test("fts3: enrichment aggregates only hit-scoped quads (broadcast semi-join)") {
+    val p = plan("fts3_bm25_search")
+    // hit keys broadcast + quads semi-joined BEFORE titles/describe aggs:
+    // the collect_list/min aggregations must sit above a LeftSemi join
+    assert(p.contains("LeftSemi"), s"expected hit-scoping semi-join:\n$p")
+    val semiIdx = p.indexOf("LeftSemi")
+    val aggIdx = p.indexOf("collect_list")
+    assert(aggIdx >= 0, s"describe aggregation missing:\n$p")
+    assert(p.contains("BroadcastExchange"), s"hit keys should broadcast:\n$p")
+  }
+
   test("sp15: visibility scoping compiles to a broadcast semi-join") {
     val p = plan("sp15_visibility_anon")
     assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")
