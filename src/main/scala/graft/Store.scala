@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.fts.Fts
+import graft.sparql.{Materialize, RdfTables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Once-per-session materialized physical layouts for the derived RDF/FTS
+  * tables. The reference never re-derives its store per query — queries hit
+  * the persistent LSM tables and the tantivy index that ingest maintains
+  * (`handle.rs` reads the store; the index is updated on write, SURVEY §3.2).
+  * This object is the Spark analog: on first access each table is written
+  * once to parquet in its scale layout and every subsequent query plans
+  * against that file scan (pushdown + row-group skipping), instead of
+  * re-running the derivation and re-shuffling per query.
+  *
+  * At 100 TB these are real tables maintained incrementally by the ingest
+  * pipeline (M5); here they materialize lazily into a per-JVM temp dir.
+  *
+  * Layouts:
+  *  - `quads`: partitioned by `graph_bucket` ([[Materialize]]) — GRAPH-constant
+  *    and visibility-scoped scans prune partition directories.
+  *  - `triples`: the pre-deduped default graph (set union of all graphs,
+  *    `handle.rs:4999-5008`), clustered by predicate (classic RDF vertical
+  *    partitioning) — predicate-constant pattern scans skip row groups, and
+  *    scans need NO per-pattern dropDuplicates shuffle.
+  *  - `postings`: the FTS index clustered by token — a query's token filter
+  *    prunes via parquet min/max stats instead of re-tokenizing the corpus.
+  */
+object Store {
+
+  private lazy val root: Path = {
+    val p = Files.createTempDirectory("graft-store-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
+    p
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(delete))
+    f.delete()
+    ()
+  }
+
+  private val tables = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once-per-(session, dir) table: `write` materializes to the given
+    * path; the returned frame is a plain parquet scan of it. */
+  private def cached(spark: SparkSession, dir: String, name: String)(
+      write: String => Unit): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}:$dir:$name"
+    tables.computeIfAbsent(key, { _ =>
+      val path = root.resolve(s"${Integer.toHexString(key.hashCode)}-$name").toString
+      write(path)
+      spark.read.parquet(path)
+    })
+  }
+
+  /** Graph-bucketed quads (the [[Materialize]] layout). */
+  def quads(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "quads") { p =>
+      Materialize.writeQuads(RdfTables.quads(spark, dir), p)
+    }
+
+  /** Pre-deduped default-graph triples (no graph column), clustered by
+    * predicate. Valid only for unscoped queries — a visibility-scoped default
+    * graph must dedup AFTER restricting to the visible graphs. */
+  def triples(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "triples") { p =>
+      RdfTables.quads(spark, dir)
+        .drop("graph_iri")
+        .distinct()
+        .repartition(col("predicate"))
+        .sortWithinPartitions("predicate", "subject")
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** FTS postings index clustered by token. */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "postings") { p =>
+      Fts.postings(RdfTables.quads(spark, dir))
+        .repartition(col("token"))
+        .sortWithinPartitions("token", "graph_iri", "subject_iri")
+        .write.mode("overwrite").parquet(p)
+    }
+}

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object FtsQueries {
 
+  // materialized token-clustered index ([[graft.Store]]) — the reference
+  // queries its persistent tantivy index, never re-tokenizes per query
   private def postings(s: SparkSession, d: String): DataFrame =
-    Fts.postings(RdfTables.quads(s, d))
+    graft.Store.postings(s, d)
 
   /** Deterministic integer relevance: total tf of query tokens per subject
     * (exactly reproducible in SQL; same ordering contract as compare_hits). */
@@ -43,8 +45,8 @@ object FtsQueries {
     // full BM25 pipeline: scoring + merge + enrichment (rows-only gate;
     // ordering/quantization pinned by FtsSpec golden tests)
     "fts3_bm25_search" -> { (s, d) =>
-      val quads = RdfTables.quads(s, d)
-      val hits = Search.bm25(Fts.postings(quads), "spark merge fast")
+      val quads = graft.Store.quads(s, d)
+      val hits = Search.bm25(postings(s, d), "spark merge fast")
         .withColumn("document_id", regexp_extract(col("graph_iri"), "([0-9]+)$", 1))
         .withColumn("snippet", lit(null: String))
       val merged = Search.mergeHits(hits)

@@ -64,9 +64,17 @@ object Compiler {
   // =====================================================================
 
   def compile(quads: DataFrame, p: Pattern): DataFrame =
-    compileP(quads, p, None)
+    compileP(quads, p, None, None)
 
-  private def compileP(quads: DataFrame, p: Pattern, graph: Option[TermPattern]): DataFrame =
+  /** Compile with a pre-deduped default-graph triples table ([[graft.Store]]):
+    * default-graph pattern scans read `defaultGraph` directly and skip the
+    * per-pattern set-dedup shuffle (the table IS the set union of all graphs).
+    * GRAPH-scoped scans still use `quads`. */
+  def compile(quads: DataFrame, p: Pattern, defaultGraph: Option[DataFrame]): DataFrame =
+    compileP(quads, p, None, defaultGraph)
+
+  private def compileP(quads: DataFrame, p: Pattern, graph: Option[TermPattern],
+      dflt: Option[DataFrame] = None): DataFrame =
     p match {
       case BGP(Nil) =>
         // the empty group: a single empty solution
@@ -77,35 +85,35 @@ object Compiler {
         val ordered = triples.sortBy { t =>
           -Seq(t.s, t.p, t.o).count(_.isInstanceOf[TConst])
         }
-        ordered.map(scanTriple(quads, _, graph)).reduce(join(_, _, Set.empty))
+        ordered.map(scanTriple(quads, _, graph, dflt)).reduce(join(_, _, Set.empty))
       case PPath(s, path, o) =>
         graph match {
           case Some(TVar(_)) => throw new SparqlParseException(
             "property paths under GRAPH ?var are not supported")
           case _ =>
         }
-        PathCompiler.compile(quads, s, path, o, graph)
+        PathCompiler.compile(quads, s, path, o, graph, dflt)
       case PFilter(EExists(sub, negated), q) =>
-        val left = compileP(quads, q, graph)
-        val right = compileP(quads, sub, graph)
+        val left = compileP(quads, q, graph, dflt)
+        val right = compileP(quads, sub, graph, dflt)
         semiJoin(left, right, anti = negated)
       case PFilter(expr, q) =>
-        val df = compileP(quads, q, graph)
+        val df = compileP(quads, q, graph, dflt)
         df.filter(ExprCompiler.toBool(expr, n => df(n)))
       case PJoin(l, r) =>
-        join(compileP(quads, l, graph), compileP(quads, r, graph),
+        join(compileP(quads, l, graph, dflt), compileP(quads, r, graph, dflt),
           nullableVars(l) ++ nullableVars(r))
       case PLeftJoin(l, r, expr) =>
-        leftJoin(compileP(quads, l, graph), compileP(quads, r, graph), expr)
-      case PUnion(l, r) => union(compileP(quads, l, graph), compileP(quads, r, graph))
+        leftJoin(compileP(quads, l, graph, dflt), compileP(quads, r, graph, dflt), expr)
+      case PUnion(l, r) => union(compileP(quads, l, graph, dflt), compileP(quads, r, graph, dflt))
       case PMinus(l, r) =>
-        val left = compileP(quads, l, graph)
-        val right = compileP(quads, r, graph)
+        val left = compileP(quads, l, graph, dflt)
+        val right = compileP(quads, r, graph, dflt)
         val shared = solutionVars(left).intersect(solutionVars(right))
         if (shared.isEmpty) left // disjoint domains: MINUS removes nothing
         else semiJoin(left, right, anti = true)
       case PExtend(q, v, expr) =>
-        val df = compileP(quads, q, graph)
+        val df = compileP(quads, q, graph, dflt)
         df.withColumn(v, ExprCompiler.toTerm(expr, n => df(n)))
       case PGraph(g, q) => compileP(quads, q, Some(g))
       case PValues(vars, rows) =>
@@ -119,7 +127,7 @@ object Compiler {
         }
         spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
       case PGroup(q, keys, aggs) =>
-        val df = compileP(quads, q, graph)
+        val df = compileP(quads, q, graph, dflt)
         if (aggs.isEmpty) df.select(keys.map(df(_)): _*).dropDuplicates()
         else {
           val aggCols = aggs.map(a => AggCompiler.compile(a, n => df(n)))
@@ -155,10 +163,15 @@ object Compiler {
   private def solutionVars(df: DataFrame): Seq[String] =
     df.columns.toSeq.filterNot(_.startsWith("__"))
 
-  /** One triple-pattern scan over quads → solution DF of its variables. */
+  /** One triple-pattern scan over quads → solution DF of its variables.
+    * With a pre-deduped default-graph table (`dflt`), default-graph scans
+    * read it directly — distinct triples project to distinct binding rows
+    * (constant positions are filtered to exact constants, so the free
+    * positions inherit the table's set property), so no dedup shuffle. */
   private def scanTriple(quads: DataFrame, t: TriplePattern,
-      graph: Option[TermPattern]): DataFrame = {
-    var df = quads
+      graph: Option[TermPattern], dflt: Option[DataFrame]): DataFrame = {
+    val deduped = graph.isEmpty && dflt.isDefined
+    var df = if (deduped) dflt.get else quads
     // constant-position filters (these reach the parquet scan)
     t.s match {
       case TConst(c) => df = df.filter(col("subject") === c.value && col("subject_kind") === c.kind)
@@ -176,7 +189,13 @@ object Compiler {
       case _ =>
     }
     graph match {
-      case Some(TConst(c)) => df = df.filter(col("graph_iri") === c.value)
+      case Some(TConst(c)) =>
+        df = df.filter(col("graph_iri") === c.value)
+        // materialized layout: the foldable bucket predicate constant-folds
+        // and prunes partition directories before file listing
+        if (df.columns.contains("graph_bucket"))
+          df = df.filter(col("graph_bucket") ===
+            pmod(xxhash64(lit(c.value)), lit(Materialize.NumGraphBuckets)))
       case _ =>
     }
     // bind variables
@@ -198,8 +217,9 @@ object Compiler {
       case _ =>
     }
     val out = df.select(bindings.map { case (n, c) => c.as(n) }.toSeq: _*)
-    // default-graph set semantics: dedup when not inside GRAPH
-    if (graph.isEmpty) out.dropDuplicates() else out
+    // default-graph set semantics: dedup when not inside GRAPH (already a
+    // set when scanning the materialized triples table)
+    if (graph.isEmpty && !deduped) out.dropDuplicates() else out
   }
 
   /** Inner join of two solution DFs on their shared variables. A shared var

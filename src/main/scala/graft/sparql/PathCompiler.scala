@@ -44,11 +44,15 @@ object PathCompiler {
       element_at(parts, 4).as("datatype"))
   }
 
-  /** Compile a path to an edge DF with encoded string columns (s, o). */
+  /** Compile a path to an edge DF with encoded string columns (s, o).
+    * `dflt` is a pre-deduped default-graph triples table ([[graft.Store]]):
+    * when present, default-graph link scans read it directly and skip the
+    * per-link set-dedup shuffle. */
   def edges(quads: DataFrame, path: PathExpr,
-      graph: Option[TermPattern]): DataFrame = path match {
+      graph: Option[TermPattern], dflt: Option[DataFrame] = None): DataFrame = path match {
     case PLink(iri) =>
-      var df = quads.filter(col("predicate") === iri)
+      val deduped = graph.isEmpty && dflt.isDefined
+      var df = (if (deduped) dflt.get else quads).filter(col("predicate") === iri)
       graph match {
         case Some(TConst(c)) => df = df.filter(col("graph_iri") === c.value)
         case _ =>
@@ -56,23 +60,23 @@ object PathCompiler {
       val out = df.select(
         enc(col("subject_kind"), col("subject"), lit(""), lit("")).as("s"),
         enc(col("obj_kind"), col("obj_value"), col("obj_lang"), col("obj_datatype")).as("o"))
-      if (graph.isEmpty) out.dropDuplicates() else out
+      if (graph.isEmpty && !deduped) out.dropDuplicates() else out
     case PInverse(p) =>
-      edges(quads, p, graph).select(col("o").as("s"), col("s").as("o"))
+      edges(quads, p, graph, dflt).select(col("o").as("s"), col("s").as("o"))
     case PSeq(l, r) =>
-      val a = edges(quads, l, graph).select(col("s"), col("o").as("m"))
-      val b = edges(quads, r, graph).select(col("s").as("m2"), col("o"))
+      val a = edges(quads, l, graph, dflt).select(col("s"), col("o").as("m"))
+      val b = edges(quads, r, graph, dflt).select(col("s").as("m2"), col("o"))
       a.join(b, a("m") === b("m2")).select(col("s"), col("o")).dropDuplicates()
     case PAlt(l, r) =>
-      edges(quads, l, graph).toDF("s", "o")
-        .union(edges(quads, r, graph).toDF("s", "o")).dropDuplicates()
-    case POneOrMore(p) => closure(edges(quads, p, graph))
+      edges(quads, l, graph, dflt).toDF("s", "o")
+        .union(edges(quads, r, graph, dflt).toDF("s", "o")).dropDuplicates()
+    case POneOrMore(p) => closure(edges(quads, p, graph, dflt))
     case PZeroOrMore(p) =>
-      val base = edges(quads, p, graph)
+      val base = edges(quads, p, graph, dflt)
       closure(base).toDF("s", "o")
         .union(reflexive(base).toDF("s", "o")).dropDuplicates()
     case PZeroOrOne(p) =>
-      val base = edges(quads, p, graph)
+      val base = edges(quads, p, graph, dflt)
       base.toDF("s", "o").union(reflexive(base).toDF("s", "o")).dropDuplicates()
   }
 
@@ -166,23 +170,25 @@ object PathCompiler {
     * O(|reachable|), never the whole-graph transitive closure, which is the
     * difference between one seed's neighborhood and Θ(V·E) at 100 TB. */
   private def evalFrom(quads: DataFrame, path: PathExpr,
-      graph: Option[TermPattern], cur: DataFrame): DataFrame = path match {
-    case PSeq(l, r) => evalFrom(quads, r, graph, evalFrom(quads, l, graph, cur))
+      graph: Option[TermPattern], cur: DataFrame,
+      dflt: Option[DataFrame]): DataFrame = path match {
+    case PSeq(l, r) =>
+      evalFrom(quads, r, graph, evalFrom(quads, l, graph, cur, dflt), dflt)
     case PAlt(l, r) =>
-      evalFrom(quads, l, graph, cur).union(evalFrom(quads, r, graph, cur))
+      evalFrom(quads, l, graph, cur, dflt).union(evalFrom(quads, r, graph, cur, dflt))
         .dropDuplicates()
-    case POneOrMore(p) => seededClosure(edges(quads, p, graph), cur)
+    case POneOrMore(p) => seededClosure(edges(quads, p, graph, dflt), cur)
     case PZeroOrMore(p) =>
-      val base = edges(quads, p, graph)
+      val base = edges(quads, p, graph, dflt)
       cur.join(nodes(base), Seq("n"), "left_semi") // zero-length: n in the domain
         .select(col("seed"), col("n")) // using-join put the key first; realign
         .union(seededClosure(base, cur)).dropDuplicates()
     case PZeroOrOne(p) =>
-      val base = edges(quads, p, graph)
+      val base = edges(quads, p, graph, dflt)
       cur.join(nodes(base), Seq("n"), "left_semi")
         .select(col("seed"), col("n"))
         .union(step(cur, base)).dropDuplicates()
-    case leaf => step(cur, edges(quads, leaf, graph))
+    case leaf => step(cur, edges(quads, leaf, graph, dflt))
   }
 
   /** Seeded transitive reachability: (seed, n) pairs reachable in >= 1 step.
@@ -238,22 +244,22 @@ object PathCompiler {
     * Constant endpoints evaluate seeded (frontier-only closures); the
     * var-var case needs the full path relation. */
   def compile(quads: DataFrame, s: TermPattern, path: PathExpr, o: TermPattern,
-      graph: Option[TermPattern]): DataFrame = (s, o) match {
+      graph: Option[TermPattern], dflt: Option[DataFrame] = None): DataFrame = (s, o) match {
     case (TVar(vs), TVar(vo)) if vs == vo =>
-      val e = edges(quads, path, graph)
+      val e = edges(quads, path, graph, dflt)
       e.filter(col("s") === col("o")).select(decode(col("s")).as(vs))
     case (TVar(vs), TVar(vo)) =>
-      val e = edges(quads, path, graph)
+      val e = edges(quads, path, graph, dflt)
       e.select(decode(col("s")).as(vs), decode(col("o")).as(vo))
     case (TConst(ts), TVar(vo)) =>
-      evalFrom(quads, path, graph, seedDf(quads, ts))
+      evalFrom(quads, path, graph, seedDf(quads, ts), dflt)
         .select(decode(col("n")).as(vo))
     case (TVar(vs), TConst(to)) =>
-      evalFrom(quads, reverse(path), graph, seedDf(quads, to))
+      evalFrom(quads, reverse(path), graph, seedDf(quads, to), dflt)
         .select(decode(col("n")).as(vs))
     case (TConst(ts), TConst(to)) =>
       // boolean existence: empty or single-row unit solution
-      evalFrom(quads, path, graph, seedDf(quads, ts))
+      evalFrom(quads, path, graph, seedDf(quads, ts), dflt)
         .filter(col("n") === encTerm(to))
         .limit(1).select(lit(1).as("__unit"))
   }

@@ -19,14 +19,15 @@ object SparqlEngine {
 
   /** Evaluate a SELECT query; returns flattened columns (one per projected
     * variable: lexical value, or the plain value for BIND/aggregates). */
-  def select(quads: DataFrame, sparql: String, cap: Boolean = false): DataFrame = {
+  def select(quads: DataFrame, sparql: String, cap: Boolean = false,
+      defaultGraph: Option[DataFrame] = None): DataFrame = {
     val q = SparqlParser.parse(sparql)
     require(q.form == "select", s"expected SELECT, got ${q.form}")
     val pattern =
       if (q.aggregates.nonEmpty || q.groupKeys.nonEmpty)
         PGroup(q.pattern, q.groupKeys, q.aggregates)
       else q.pattern
-    var df = Compiler.compile(quads, pattern)
+    var df = Compiler.compile(quads, pattern, defaultGraph)
     val projVars: Seq[String] =
       if (q.projection.nonEmpty) q.projection
       else df.columns.toSeq.filterNot(_.startsWith("__"))
@@ -49,10 +50,11 @@ object SparqlEngine {
 
   /** ASK: true iff the pattern has at least one solution. Distributed merge
     * = any-true (`api.rs:2917-2921`). */
-  def ask(quads: DataFrame, sparql: String): DataFrame = {
+  def ask(quads: DataFrame, sparql: String,
+      defaultGraph: Option[DataFrame] = None): DataFrame = {
     val q = SparqlParser.parse(sparql)
     require(q.form == "ask", s"expected ASK, got ${q.form}")
-    Compiler.compile(quads, q.pattern)
+    Compiler.compile(quads, q.pattern, defaultGraph)
       .limit(1)
       .agg((count(lit(1)) > 0).as("ask"))
   }

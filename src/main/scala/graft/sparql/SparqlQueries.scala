@@ -11,8 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparqlQueries {
 
+  /** Unscoped queries read the materialized store: graph-bucketed quads for
+    * GRAPH scans, the pre-deduped triples table for default-graph scans (no
+    * per-pattern dedup shuffle). Visibility-scoped queries (sp15/sp16) must
+    * dedup after scoping, so they keep the scan-level dedup path. */
   private def run(sparql: String)(s: SparkSession, d: String): DataFrame =
-    SparqlEngine.select(RdfTables.quads(s, d), sparql)
+    SparqlEngine.select(graft.Store.quads(s, d), sparql,
+      defaultGraph = Some(graft.Store.triples(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // canonical reference query (metadata_query_concurrency.rs:177)
@@ -56,8 +61,9 @@ object SparqlQueries {
         |ORDER BY DESC(?size * 1) ?s LIMIT 10""".stripMargin) _,
 
     "sp9_ask" -> ((s: SparkSession, d: String) =>
-      SparqlEngine.ask(RdfTables.quads(s, d),
-        "ASK { ?s a schema:Dataset . ?s schema:name ?name }")),
+      SparqlEngine.ask(graft.Store.quads(s, d),
+        "ASK { ?s a schema:Dataset . ?s schema:name ?name }",
+        defaultGraph = Some(graft.Store.triples(s, d)))),
 
     "sp10_graph" -> run(
       """SELECT ?p ?o WHERE { GRAPH <graph:42> { ?s ?p ?o } } ORDER BY ?p ?o""") _,
@@ -86,7 +92,7 @@ object SparqlQueries {
 
     // authorization scoping: anonymous caller sees public, live graphs only
     "sp15_visibility_anon" -> ((s: SparkSession, d: String) => {
-      val scoped = SparqlEngine.scoped(RdfTables.quads(s, d),
+      val scoped = SparqlEngine.scoped(graft.Store.quads(s, d),
         RdfTables.visibleGraphs(s, d, "anonymous"))
       SparqlEngine.select(scoped,
         "SELECT ?s ?name WHERE { ?s a schema:Dataset . ?s schema:name ?name } ORDER BY ?s")
@@ -109,7 +115,7 @@ object SparqlQueries {
       "SELECT ?x WHERE { <doc:6> schema:author/schema:knows+ ?x } ORDER BY ?x") _,
 
     "sp16_visibility_member" -> ((s: SparkSession, d: String) => {
-      val scoped = SparqlEngine.scoped(RdfTables.quads(s, d),
+      val scoped = SparqlEngine.scoped(graft.Store.quads(s, d),
         RdfTables.visibleGraphs(s, d, "member:grp-3"))
       SparqlEngine.select(scoped,
         "SELECT ?s ?name WHERE { ?s a schema:Dataset . ?s schema:name ?name } ORDER BY ?s")

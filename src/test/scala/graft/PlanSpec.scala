@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"hit keys should broadcast:\n$p")
   }
 
+  test("sp1: default-graph BGP scans the materialized triples with no per-pattern dedup") {
+    val p = plan("sp1_bgp")
+    // pre-deduped store: the only aggregates allowed are none — a dedup would
+    // show up as HashAggregate(keys=[s...]) pairs per pattern
+    assert(!p.contains("HashAggregate"), s"unexpected dedup aggregate:\n$p")
+    assert(p.contains("graft-store"), s"expected materialized store scan:\n$p")
+    // constant predicate/object filters still reach the parquet scan
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("sp10: constant-GRAPH scan prunes graph buckets of the materialized quads") {
+    val p = plan("sp10_graph")
+    assert(p.contains("graph_bucket"), s"expected bucket predicate for pruning:\n$p")
+    assert(p.contains("graft-store"), s"expected materialized store scan:\n$p")
+  }
+
   test("sp15: visibility scoping compiles to a broadcast semi-join") {
     val p = plan("sp15_visibility_anon")
     assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")
