@@ -53,7 +53,10 @@ object ObjectTables {
       |)""".stripMargin
 
   /** blobs(blake3, backend, size, staging, partial) — one row per distinct
-    * content hash (content-addressed store, `blob.rs:253-366`). */
+    * content hash (content-addressed store, `blob.rs:253-366`). The fixture
+    * key is md5-derived ONLY so the DuckDB oracle can rebuild the same rows;
+    * real ingest keys on [[graft.functions.Blake3]] (see
+    * `Hashes.multiDigest`, validated by the h3 KAT gate). */
   def blobs(spark: SparkSession, dir: String): DataFrame =
     spark.range(0, 100).select(
       md5(col("id").cast("string")).as("blake3"),

@@ -17,16 +17,29 @@ object FunctionQueries {
         .orderBy(col("doc_id"))
     },
 
-    // crc family over the binary payloads (rows-only: DuckDB lacks crc32;
-    // pinned by the reference KAT vector in FunctionsSpec)
+    // crc family + blake3 over the binary payloads (rows-only: DuckDB lacks
+    // these; pinned by the reference KAT vector + official BLAKE3 vectors in
+    // FunctionsSpec, and by the oracle-checked h3 KAT gate below)
     "h2_crc_family" -> { (s, d) =>
       val bytes = encode(col("text"), "UTF-8")
       Tables.documents(s, d)
         .select(col("doc_id"),
+          Hashes.blake3Udf(bytes).as("blake3"),
           Hashes.crc32Udf(bytes).as("crc32"),
           Hashes.crc32cUdf(bytes).as("crc32c"),
           Hashes.crc64nvmeUdf(bytes).as("crc64nvme"))
         .orderBy(col("doc_id"))
+    },
+
+    // BLAKE3 known-answer gate: digests of the official test-vector inputs
+    // (bytes i % 251) — the oracle carries the published digests as
+    // literals, so the compare is engine-independent and deterministic
+    "h3_blake3_kat" -> { (s, d) =>
+      import s.implicits._
+      val mk = udf((n: Int) => Blake3.hex(Array.tabulate(n)(i => (i % 251).toByte)))
+      Blake3Kat.Lengths.toDF("n")
+        .select(col("n"), mk(col("n")).as("blake3"))
+        .orderBy(col("n"))
     },
 
     // JSON-LD ingest end-to-end: documents → JSON-LD payloads → quads,
@@ -47,6 +60,8 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "h3_blake3_kat" -> Blake3Kat.oracleSql,
+
     "h1_multihash" ->
       """SELECT doc_id, md5(text) AS md5, sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -5,16 +5,14 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Content-hash family (reference `blob/src/hash.rs:10-76`): every blob is
-  * multi-digested on write. Implemented: MD5, SHA1, SHA256, CRC32, CRC32C,
-  * CRC64/NVME — validated against the reference's known-answer vector for
-  * b"123456789" (`hash.rs:95-110`). BLAKE3 (the reference's primary content
-  * key) has no JVM implementation in this container and no offline test
-  * vector source, so content addressing here keys on SHA256 — the secondary
-  * digest the reference also records — rather than shipping an unverifiable
-  * implementation.
+  * multi-digested on write. Implemented: BLAKE3 (the reference's primary
+  * content key — pure-JVM [[Blake3]], validated against the official test
+  * vectors), MD5, SHA1, SHA256, CRC32, CRC32C, CRC64/NVME — the CRCs
+  * validated against the reference's known-answer vector for b"123456789"
+  * (`hash.rs:95-110`).
   *
   * MD5/SHA1/SHA256 prefer the built-in codegen'd `functions.md5/sha1/sha2`;
-  * the UDFs below are for the CRC family Spark lacks.
+  * the UDFs below are for BLAKE3 and the CRC family Spark lacks.
   */
 object Hashes {
 
@@ -69,10 +67,12 @@ object Hashes {
   val crc32Udf: UserDefinedFunction = udf((b: Array[Byte]) => crc32(b))
   val crc32cUdf: UserDefinedFunction = udf((b: Array[Byte]) => crc32c(b))
   val crc64nvmeUdf: UserDefinedFunction = udf((b: Array[Byte]) => crc64nvme(b))
+  val blake3Udf: UserDefinedFunction = udf((b: Array[Byte]) => Blake3.hex(b))
 
   /** All digests of a binary column at once — the PutObject multi-digest
     * ingest shape (`blob/src/hash.rs:56-63`). */
   def multiDigest(bytes: Column): Seq[(String, Column)] = Seq(
+    "blake3" -> blake3Udf(bytes),
     "md5" -> md5(bytes),
     "sha1" -> sha1(bytes),
     "sha256" -> sha2(bytes, 256),

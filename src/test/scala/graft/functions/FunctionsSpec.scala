@@ -18,6 +18,18 @@ class FunctionsSpec extends AnyFunSuite {
       "15e2b0d3c33891ebb0f1ef609ec419420c20e320ce94c65fbc8c3312448eb225")
   }
 
+  test("BLAKE3: official test vectors (input bytes i%251) across all tree paths") {
+    Blake3Kat.Vectors.foreach { case (n, expected) =>
+      val input = Array.tabulate(n)(i => (i % 251).toByte)
+      assert(Blake3.hex(input) == expected, s"length $n")
+    }
+    // extended output: first 32 bytes of a longer output equal the hash
+    val xof = Blake3.hash(Array.tabulate(65)(i => (i % 251).toByte), 131)
+    assert(xof.take(32).map("%02x".format(_)).mkString ==
+      "de1e5fa0be70df6d2be8fffd0e99ceaa8eb6e8c93a63f2d8d1c30ecb6b263dee")
+    assert(xof.length == 131)
+  }
+
   test("ULID: roundtrip, sort order matches timestamp order, validation") {
     val a = Ulid(1700000000000L, BigInt(42))
     val b = Ulid(1700000000001L, BigInt(0))
