@@ -89,6 +89,10 @@ final case class PGroup(p: Pattern, keys: Seq[String], aggs: Seq[AggExpr]) exten
 /** Property-path pattern (`GraphPattern::Path`, reference handle.rs:4893). */
 final case class PPath(s: TermPattern, path: PathExpr, o: TermPattern) extends Pattern
 
+/** Sub-SELECT (SPARQL 1.1 §12): the nested query evaluates independently and
+  * its projected solutions join with the enclosing group. */
+final case class PSub(q: SparqlQuery) extends Pattern
+
 /** Property-path expressions: iri, ^p, p/q, p|q, p+, p? (subset; `*` is `+`
   * with reflexive closure over path endpoints). */
 sealed trait PathExpr
@@ -113,4 +117,7 @@ final case class SparqlQuery(
     aggregates: Seq[AggExpr],
     orderBy: Seq[OrderKey],
     limit: Option[Long],
-    offset: Option[Long])
+    offset: Option[Long],
+    /** post-aggregation constraints; aggregate calls inside HAVING are
+      * hoisted by the parser into [[aggregates]] under `__h<i>` aliases. */
+    having: Seq[Expr] = Nil)

@@ -57,6 +57,11 @@ object Compiler {
     case PGroup(_, keys, aggs) => keys ++ aggs.map(_.as)
     case PPath(s, _, o) =>
       Seq(s, o).collect { case TVar(n) => n }.distinct
+    case PSub(q) =>
+      if (q.projection.nonEmpty) q.projection
+      else if (q.aggregates.nonEmpty || q.groupKeys.nonEmpty)
+        (q.groupKeys ++ q.aggregates.map(_.as)).filterNot(_.startsWith("__"))
+      else patternVars(q.pattern)
   }
 
   // =====================================================================
@@ -134,6 +139,28 @@ object Compiler {
           if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keys.map(df(_)): _*).agg(aggCols.head, aggCols.tail: _*)
         }
+      case PSub(q) =>
+        // the nested query evaluates like a top-level SELECT (group → having
+        // → distinct/order → slice → projection) but keeps term structs so
+        // the enclosing pattern joins on them
+        var df = compileP(quads,
+          if (q.aggregates.nonEmpty || q.groupKeys.nonEmpty)
+            PGroup(q.pattern, q.groupKeys, q.aggregates)
+          else q.pattern, graph, dflt)
+        q.having.foreach(h => df = df.filter(ExprCompiler.toBool(h, ExprCompiler.resolve(df))))
+        val projVars: Seq[String] =
+          if (q.projection.nonEmpty) q.projection
+          else df.columns.toSeq.filterNot(_.startsWith("__"))
+        if (q.distinct) {
+          df = df.select(projVars.map(df(_)): _*).dropDuplicates()
+          if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.flatMap(SparqlEngine.sortCols(df, _)): _*)
+        } else {
+          if (q.orderBy.nonEmpty) df = df.orderBy(q.orderBy.flatMap(SparqlEngine.sortCols(df, _)): _*)
+          df = df.select(projVars.map(df(_)): _*)
+        }
+        q.offset.foreach(o => df = df.offset(o.toInt))
+        q.limit.foreach(l => df = df.limit(l.toInt))
+        df
     }
 
   /** Variables a pattern may bind to NULL (VALUES UNDEF, OPTIONAL right
@@ -156,6 +183,7 @@ object Compiler {
     case PGraph(_, q) => nullableVars(q)
     case PMinus(l, _) => nullableVars(l)
     case PGroup(_, _, _) => Set.empty
+    case PSub(q) => nullableVars(q.pattern)
     case _ => Set.empty
   }
 

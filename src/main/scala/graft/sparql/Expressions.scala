@@ -13,6 +13,14 @@ import org.apache.spark.sql.types._
   */
 object ExprCompiler {
 
+  /** Resolver over a solution DataFrame: term-struct columns pass through;
+    * plain computed columns (aggregate outputs) wrap as literal terms so
+    * HAVING/ORDER expressions can reference them uniformly. */
+  def resolve(df: org.apache.spark.sql.DataFrame): String => Column = n =>
+    if (df.schema(n).dataType.isInstanceOf[StructType]) df(n)
+    else struct(lit(Kind.Literal).as("kind"), df(n).cast(StringType).as("value"),
+      lit("").as("lang"), lit(Term.XsdDouble).as("datatype"))
+
   sealed trait Ty
   case object TyNum extends Ty
   case object TyStr extends Ty

@@ -28,6 +28,7 @@ object SparqlEngine {
         PGroup(q.pattern, q.groupKeys, q.aggregates)
       else q.pattern
     var df = Compiler.compile(quads, pattern, defaultGraph)
+    q.having.foreach(h => df = df.filter(ExprCompiler.toBool(h, ExprCompiler.resolve(df))))
     val projVars: Seq[String] =
       if (q.projection.nonEmpty) q.projection
       else df.columns.toSeq.filterNot(_.startsWith("__"))
@@ -101,7 +102,7 @@ object SparqlEngine {
       case other => other.toString.getBytes("UTF-8").length.toLong
     }.sum
 
-  private def sortCols(df: DataFrame, k: OrderKey): Seq[Column] = {
+  private[sparql] def sortCols(df: DataFrame, k: OrderKey): Seq[Column] = {
     def dir(c: Column) = if (k.asc) c.asc else c.desc
     k.expr match {
       case EVar(v) if isStruct(df, v) =>

@@ -189,6 +189,19 @@ private final class SparqlParser(input: String) {
       val p = parseGroupGraphPattern()
       SparqlQuery("ask", distinct = false, Nil, p, Nil, Nil, Nil, None, None)
     } else {
+      val q = parseSelect()
+      cur match {
+        case TEOF =>
+        case t => throw new SparqlParseException(s"trailing token $t")
+      }
+      q
+    }
+  }
+
+  /** SELECT clause through solution modifiers; shared by the top-level query
+    * and sub-SELECTs (which stop at the enclosing '}'). */
+  private def parseSelect(): SparqlQuery = {
+    {
       expectWord("SELECT")
       val distinct = eatWord("DISTINCT") || { eatWord("REDUCED"); false }
       var projection = Vector[String]()
@@ -235,7 +248,17 @@ private final class SparqlParser(input: String) {
           case _ => more = false
         }
       }
-      if (eatWord("HAVING")) throw new SparqlParseException("HAVING unsupported")
+      var having = Vector[Expr]()
+      if (eatWord("HAVING")) {
+        // aggregate calls inside HAVING are hoisted to __h<i> aliases in the
+        // aggregation, so the constraint compiles to a plain post-agg filter
+        val saved = havingAggs
+        havingAggs = ArrayBuffer[AggExpr]()
+        having :+= parseConstraint()
+        while (isPunct("(")) having :+= parseConstraint()
+        aggs ++= havingAggs
+        havingAggs = saved
+      }
       var order = Vector[OrderKey]()
       if (eatWord("ORDER")) {
         expectWord("BY")
@@ -261,14 +284,13 @@ private final class SparqlParser(input: String) {
         if (l > SparqlParser.MaxLimit)
           throw new SparqlParseException(s"LIMIT $l exceeds ${SparqlParser.MaxLimit}") // api.rs LIMIT guard
       }
-      cur match {
-        case TEOF =>
-        case t => throw new SparqlParseException(s"trailing token $t")
-      }
       SparqlQuery("select", distinct, if (star) Nil else projection, p,
-        groupKeys, aggs, order, limit, offset)
+        groupKeys, aggs, order, limit, offset, having)
     }
   }
+
+  /** Non-null while parsing a HAVING constraint: collects hoisted aggregates. */
+  private var havingAggs: ArrayBuffer[AggExpr] = null
 
   private def parseLong(): Long = advance() match {
     case TNum(v) => v.toLong
@@ -302,6 +324,12 @@ private final class SparqlParser(input: String) {
   // ----- group graph pattern -----
   private def parseGroupGraphPattern(): Pattern = {
     expectPunct("{")
+    // SPARQL 1.1 §12: GroupGraphPattern ::= '{' (SubSelect | GroupGraphPatternSub) '}'
+    if (isWord("SELECT")) {
+      val q = parseSelect()
+      expectPunct("}")
+      return PSub(q)
+    }
     var current: Pattern = BGP(Nil)
     var filters = Vector[Expr]()
     def joinWith(p: Pattern): Unit = current match {
@@ -612,6 +640,13 @@ private final class SparqlParser(input: String) {
         ESameTerm(args(0), args(1))
       case TWord(w) if w.equalsIgnoreCase("true") => pos += 1; EConst(Term.bool(true))
       case TWord(w) if w.equalsIgnoreCase("false") => pos += 1; EConst(Term.bool(false))
+      case TWord(w) if havingAggs != null &&
+          Set("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+            .contains(w.toUpperCase) =>
+        val agg = parseAggOrNull()
+        val v = s"__h${havingAggs.size}"
+        havingAggs += agg.copy(as = v)
+        EVar(v)
       case TWord(w) if isFunctionName(w) =>
         pos += 1
         EFunc(w.toUpperCase, parseExprList())

@@ -114,6 +114,22 @@ object SparqlQueries {
     "sp20_path_seeded_seq" -> run(
       "SELECT ?x WHERE { <doc:6> schema:author/schema:knows+ ?x } ORDER BY ?x") _,
 
+    // HAVING: post-aggregation constraint (hoisted to a __h alias + filter)
+    "sp21_having" -> run(
+      """SELECT ?lang (COUNT(*) AS ?n) WHERE {
+        |  ?s schema:inLanguage ?lang ; schema:contentSize ?size .
+        |  FILTER(?size > 300)
+        |} GROUP BY ?lang HAVING (COUNT(*) > 40) ORDER BY ?lang""".stripMargin) _,
+
+    // sub-SELECT: nested aggregation joined with an outer BGP
+    "sp22_subselect" -> run(
+      """SELECT ?aname ?total WHERE {
+        |  { SELECT ?person (SUM(?size) AS ?total) WHERE {
+        |      ?doc schema:author ?person . ?doc schema:contentSize ?size
+        |    } GROUP BY ?person }
+        |  ?person schema:name ?aname
+        |} ORDER BY ?aname""".stripMargin) _,
+
     "sp16_visibility_member" -> ((s: SparkSession, d: String) => {
       val scoped = SparqlEngine.scoped(graft.Store.quads(s, d),
         RdfTables.visibleGraphs(s, d, "member:grp-3"))
@@ -208,6 +224,16 @@ object SparqlQueries {
       """SELECT 'doc:'||doc_id AS s, source||'-doc-'||doc_id AS name
         |FROM documents
         |WHERE doc_id%3=0 AND (doc_id%2=0 OR doc_id%10=3) AND doc_id%97<>0
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "sp21_having" ->
+      """SELECT lang, COUNT(*) AS n FROM documents
+        |WHERE n_chars > 300 GROUP BY lang HAVING COUNT(*) > 40
+        |ORDER BY lang""".stripMargin,
+
+    "sp22_subselect" ->
+      """SELECT 'author-'||(doc_id%20) AS aname,
+        |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM documents GROUP BY doc_id%20 ORDER BY aname""".stripMargin
   )
 }

@@ -224,4 +224,38 @@ class SparqlEngineSpec extends SparkSpec {
     val df = SparqlEngine.select(quads, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }", cap = true)
     assert(df.count() <= 10000)
   }
+
+  test("HAVING: aggregate constraint filters groups post-aggregation") {
+    // p1 authors 2 docs; each doc subject has 1 author triple
+    val rows = sel(
+      """SELECT ?p (COUNT(?d) AS ?n) WHERE { ?d schema:author ?p }
+        |GROUP BY ?p HAVING (COUNT(?d) > 1) ORDER BY ?p""".stripMargin)
+    assert(rows == Seq(Seq("p1", 2L)), rows.toString)
+    // HAVING that removes every group
+    assert(sel(
+      """SELECT ?p (COUNT(?d) AS ?n) WHERE { ?d schema:author ?p }
+        |GROUP BY ?p HAVING (COUNT(?d) > 5)""".stripMargin).isEmpty)
+    // HAVING over an aggregate not in the projection
+    val sums = sel(
+      """SELECT ?t WHERE { ?s a ?t . ?s schema:contentSize ?z }
+        |GROUP BY ?t HAVING (SUM(?z) >= 400) ORDER BY ?t""".stripMargin)
+    assert(sums == Seq(Seq("http://schema.org/Dataset")), sums.toString)
+  }
+
+  test("sub-SELECT: nested aggregation joins with the outer pattern") {
+    // inner query: authors with ≥2 docs; outer: their names
+    val rows = sel(
+      """SELECT ?name WHERE {
+        |  { SELECT ?p (COUNT(?d) AS ?n) WHERE { ?d schema:author ?p }
+        |    GROUP BY ?p HAVING (COUNT(?d) > 1) }
+        |  ?p schema:name ?name
+        |} ORDER BY ?name""".stripMargin)
+    assert(rows == Seq(Seq("ada")), rows.toString)
+    // sub-select with LIMIT: outer sees only the sliced solutions
+    val one = sel(
+      """SELECT ?s WHERE {
+        |  { SELECT ?s WHERE { ?s schema:contentSize ?z } ORDER BY DESC(?z * 1) LIMIT 1 }
+        |} ORDER BY ?s""".stripMargin)
+    assert(one == Seq(Seq("d1")), one.toString)
+  }
 }
