@@ -270,17 +270,65 @@ object Compiler {
     if (shared.isEmpty) l.crossJoin(r)
     else {
       val rr = shared.foldLeft(r)((d, v) => d.withColumnRenamed(v, s"__r_$v"))
-      val cond = shared.map { v =>
-        if (nullable.contains(v))
-          l(v) === rr(s"__r_$v") || l(v).isNull || rr(s"__r_$v").isNull
-        else l(v) === rr(s"__r_$v")
-      }.reduce(_ && _)
-      var out = l.join(rr, cond, "inner")
-      shared.filter(nullable.contains).foreach { v =>
-        out = out.withColumn(v, coalesce(l(v), rr(s"__r_$v")))
+      val nv = shared.filter(nullable.contains)
+      if (nv.isEmpty) {
+        val cond = shared.map(v => l(v) === rr(s"__r_$v")).reduce(_ && _)
+        l.join(rr, cond, "inner").drop(shared.map(v => s"__r_$v"): _*)
+      } else if (nv.size <= MaxCompatBranchVars) {
+        compatJoin(l, rr, shared, nv)
+      } else {
+        // fallback: the OR condition is correct but non-equi (nested loop);
+        // only reachable past MaxCompatBranchVars nullable shared vars
+        val cond = shared.map { v =>
+          if (nullable.contains(v))
+            l(v) === rr(s"__r_$v") || l(v).isNull || rr(s"__r_$v").isNull
+          else l(v) === rr(s"__r_$v")
+        }.reduce(_ && _)
+        var out = l.join(rr, cond, "inner")
+        nv.foreach { v =>
+          out = out.withColumn(v, coalesce(l(v), rr(s"__r_$v")))
+        }
+        out.drop(shared.map(v => s"__r_$v"): _*)
       }
-      out.drop(shared.map(v => s"__r_$v"): _*)
     }
+  }
+
+  /** Past this many nullable shared vars the 3^k branch union is worse than
+    * the nested-loop fallback (k>2 never occurs in the reference's tests). */
+  val MaxCompatBranchVars = 2
+
+  /** SPARQL compatibility join decomposed into a union of EQUI-join branches
+    * so Catalyst can hash-partition every one (the single OR-of-null
+    * conditions forces a nested-loop join, quadratic at scale). Each
+    * nullable shared var contributes three disjoint cases — A: both bound
+    * and equal (var joins as a key), B: left unbound, C: left bound / right
+    * unbound — giving 3^k branches whose pre-filters make them disjoint. */
+  private def compatJoin(l: DataFrame, rr: DataFrame, shared: Seq[String],
+      nv: Seq[String]): DataFrame = {
+    val bv = shared.filterNot(nv.contains)
+    val rOnly = rr.columns.toSeq.filterNot(c => c.startsWith("__r_") || l.columns.contains(c))
+    val cases = nv.foldLeft(Seq(Map.empty[String, Char]))((acc, v) =>
+      acc.flatMap(m => Seq(m + (v -> 'A'), m + (v -> 'B'), m + (v -> 'C'))))
+    val branches = cases.map { m =>
+      var lf = l
+      var rf = rr
+      m.foreach { case (v, c) => c match {
+        case 'A' => lf = lf.filter(lf(v).isNotNull); rf = rf.filter(rf(s"__r_$v").isNotNull)
+        case 'B' => lf = lf.filter(lf(v).isNull)
+        case 'C' => lf = lf.filter(lf(v).isNotNull); rf = rf.filter(rf(s"__r_$v").isNull)
+      }}
+      val keys = bv ++ m.collect { case (v, 'A') => v }
+      val joined =
+        if (keys.isEmpty) lf.crossJoin(rf) // an unbound side is a tiny filtered slice
+        else lf.join(rf, keys.map(v => lf(v) === rf(s"__r_$v")).reduce(_ && _), "inner")
+      // fixed output order so the union is positional-safe
+      val outCols =
+        l.columns.toSeq.map(c =>
+          if (shared.contains(c)) coalesce(col(c), col(s"__r_$c")).as(c) else col(c)) ++
+        rOnly.map(col)
+      joined.select(outCols: _*)
+    }
+    branches.reduce(_ union _)
   }
 
   /** keep's rows survive iff the 0/1-row unit frame is non-empty. */

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft-store"), s"expected materialized store scan:\n$p")
   }
 
+  test("sp12: VALUES/UNDEF compatibility join is equi-join branches, not BNLJ") {
+    val p = plan("sp12_values_bind")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"compat join degraded to a nested loop:\n$p")
+  }
+
   test("sp15: visibility scoping compiles to a broadcast semi-join") {
     val p = plan("sp15_visibility_anon")
     assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")
