@@ -23,7 +23,8 @@ object SparkEntry {
       graft.catalog.CatalogQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
-      graft.functions.FunctionQueries.queries
+      graft.functions.FunctionQueries.queries ++
+      graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.catalog.CatalogQueries.oracles ++
       graft.pipeline.PipelineQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++
-      graft.functions.FunctionQueries.oracles
+      graft.functions.FunctionQueries.oracles ++
+      graft.sources.SourceQueries.oracles
 }

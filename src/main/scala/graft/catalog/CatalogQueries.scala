@@ -53,6 +53,16 @@ object CatalogQueries {
         .orderBy(col("scope"), col("key"))
     },
 
+    // user/group name search: case-insensitive substring + min-chars guard
+    // (the 1-char branch must contribute zero rows) + limit clamp to the
+    // unified max of 100 — 111 customers match, so the clamp is exercised
+    "us1_name_search" -> { (s, d) =>
+      val names = graft.Tables.customer(s, d).select(col("c_name").as("name"))
+      Listing.searchNames(names, "name", "00012", limit = 200)
+        .union(Listing.searchNames(names, "name", "x", limit = 200))
+        .orderBy(col("name"))
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -156,6 +166,11 @@ object CatalogQueries {
          |  JOIN buckets bk USING (bucket)
          |  WHERE NOT o.is_delete_marker)
          |SELECT group_id, COUNT(*) AS stored_blobs, CAST(SUM(size) AS BIGINT) AS stored_bytes
-         |FROM obj GROUP BY group_id ORDER BY group_id""".stripMargin
+         |FROM obj GROUP BY group_id ORDER BY group_id""".stripMargin,
+
+    "us1_name_search" ->
+      """SELECT c_name AS name FROM customer
+        |WHERE contains(lower(c_name), '00012')
+        |ORDER BY c_name LIMIT 100""".stripMargin
   )
 }

@@ -42,6 +42,33 @@ object FunctionQueries {
         .orderBy(col("n"))
     },
 
+    // listing/search clamp matrix: every page-size clamp in the API layer
+    // (metadata listing 50/1000/anon 100, search page 25/100, unified 10/100,
+    // count-estimate gate ≥24) evaluated over a constant request grid; the
+    // oracle recomputes the clamps independently in SQL
+    "cl1_clamps" -> { (s, _) =>
+      import s.implicits._
+      import graft.catalog.Listing
+      import graft.fts.Search
+      val reqs = Seq(Option.empty[Int], Some(0), Some(1), Some(23), Some(24),
+        Some(25), Some(100), Some(101), Some(500), Some(1000), Some(5000))
+      val rows = for { r <- reqs; a <- Seq(false, true) } yield {
+        val listing = Paths.clampListingPage(r, a)
+        (r, a,
+          listing.toLong,
+          Search.clampPageSize(r.getOrElse(Search.DefaultPageSize)).toLong,
+          math.min(math.max(r.getOrElse(Listing.UnifiedSearchDefaultLimit), 1),
+            Listing.UnifiedSearchMaxLimit).toLong,
+          Paths.shouldEstimateCount(listing))
+      }
+      rows.toDF("requested", "anonymous", "listing_page", "search_page",
+          "unified_page", "estimate")
+        .select(col("requested").cast("long"), col("anonymous"),
+          col("listing_page"), col("search_page"), col("unified_page"),
+          col("estimate"))
+        .orderBy(col("requested"), col("anonymous"))
+    },
+
     // JSON-LD ingest end-to-end: documents → JSON-LD payloads → quads,
     // counted per predicate
     "jl1_ingest_counts" -> { (s, d) =>
@@ -61,6 +88,20 @@ object FunctionQueries {
 
   val oracles: Map[String, String] = Map(
     "h3_blake3_kat" -> Blake3Kat.oracleSql,
+
+    "cl1_clamps" ->
+      """WITH reqs(requested) AS (VALUES (CAST(NULL AS BIGINT)), (0), (1), (23),
+        |  (24), (25), (100), (101), (500), (1000), (5000)),
+        |anons(anonymous) AS (VALUES (false), (true))
+        |SELECT requested, anonymous,
+        |  LEAST(GREATEST(COALESCE(requested, 50), 1),
+        |        CASE WHEN anonymous THEN 100 ELSE 1000 END) AS listing_page,
+        |  LEAST(GREATEST(COALESCE(requested, 25), 1), 100) AS search_page,
+        |  LEAST(GREATEST(COALESCE(requested, 10), 1), 100) AS unified_page,
+        |  LEAST(GREATEST(COALESCE(requested, 50), 1),
+        |        CASE WHEN anonymous THEN 100 ELSE 1000 END) >= 24 AS estimate
+        |FROM reqs CROSS JOIN anons
+        |ORDER BY requested, anonymous""".stripMargin,
 
     "h1_multihash" ->
       """SELECT doc_id, md5(text) AS md5, sha256(text) AS sha256

@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the source adapters: autoindex HTML parsing and
+  * the JSON-LD export → re-ingest roundtrip. Both oracles are
+  * engine-independent (constant literals / predicate counts), so the gate
+  * checks real parser output rather than rows-only.
+  */
+object SourceQueries {
+
+  /** Deterministic nginx-style autoindex page: one directory, two files
+    * (one with a URL-encoded space), a parent link that must be skipped. */
+  val NginxFixture: String =
+    """<html><head><title>Index of /data/</title></head>
+      |<body><h1>Index of /data/</h1><hr><pre><a href="../">../</a>
+      |<a href="subdir/">subdir/</a>                             12-Mar-2024 10:15       -
+      |<a href="file1.bin">file1.bin</a>                         12-Mar-2024 10:20     4096
+      |<a href="b%20c.txt">b c.txt</a>                           01-Jan-2023 00:01      123
+      |</pre><hr></body></html>""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // autoindex parse over the fixture page: names decoded, dirs flagged,
+    // sizes and timestamps extracted from the trailing listing columns
+    "ax1_autoindex" -> { (s, _) =>
+      Autoindex.toDf(s, Autoindex.parse(NginxFixture))
+        .select(col("name"), col("is_dir"), col("size").cast("long"),
+          col("modified"))
+        .orderBy(col("name"))
+    },
+
+    // export → re-ingest roundtrip: documents → JSON-LD payloads → quads →
+    // paged RO-Crate export → ingest the exported pages → per-predicate
+    // counts must equal a direct count over the source rows
+    "jl2_export_roundtrip" -> { (s, d) =>
+      val payloads = Tables.documents(s, d).select(
+        concat(lit("graph:"), col("doc_id").cast("string")).as("graph_iri"),
+        to_json(struct(
+          concat(lit("doc:"), col("doc_id").cast("string")).as("@id"),
+          lit("Dataset").as("@type"),
+          concat(col("source"), lit("-doc-"), col("doc_id").cast("string")).as("name"),
+          col("n_chars").as("contentSize"))).as("jsonld"))
+      val quads = JsonLd.ingest(payloads)
+      val pages = JsonLd.exportGraphs(quads)
+      JsonLd.ingest(pages.select(col("graph_iri"), col("jsonld")))
+        .groupBy(col("predicate"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("predicate"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ax1_autoindex" ->
+      """SELECT * FROM (VALUES
+        |  ('b c.txt',   false, CAST(123  AS BIGINT), '01-Jan-2023 00:01'),
+        |  ('file1.bin', false, CAST(4096 AS BIGINT), '12-Mar-2024 10:20'),
+        |  ('subdir',    true,  CAST(NULL AS BIGINT), '12-Mar-2024 10:15')
+        |) t(name, is_dir, size, modified) ORDER BY name""".stripMargin,
+
+    // identical to jl1: the roundtrip must preserve every triple
+    "jl2_export_roundtrip" ->
+      """SELECT p AS predicate, COUNT(*) AS n FROM documents
+        |CROSS JOIN (VALUES ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+        |                   ('http://schema.org/name'),
+        |                   ('http://schema.org/contentSize')) t(p)
+        |GROUP BY p ORDER BY p""".stripMargin
+  )
+}
