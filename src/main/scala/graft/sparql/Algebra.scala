@@ -93,10 +93,17 @@ final case class PPath(s: TermPattern, path: PathExpr, o: TermPattern) extends P
   * its projected solutions join with the enclosing group. */
 final case class PSub(q: SparqlQuery) extends Pattern
 
-/** Property-path expressions: iri, ^p, p/q, p|q, p+, p? (subset; `*` is `+`
-  * with reflexive closure over path endpoints). */
+/** Property-path expressions: iri, ^p, p/q, p|q, p+, p?, !(…) (`*` is `+`
+  * with reflexive closure over path endpoints; `{n,m}` quantifiers desugar
+  * to seq/alternation at parse time). */
 sealed trait PathExpr
 final case class PLink(iri: String) extends PathExpr
+
+/** Negated property set `!(i1|…|^j1|…)` (SPARQL 1.1 §9.2): matches (s,o)
+  * when some triple `s p o` has p outside `forward`, or some `o p s` has p
+  * outside `inverse` — `!(F|^I) ≡ !(F) | ^(!(I))`. A side with no listed
+  * members contributes no branch (e.g. `!(^:q)` is inverse-only). */
+final case class PNps(forward: Seq[String], inverse: Seq[String]) extends PathExpr
 final case class PInverse(p: PathExpr) extends PathExpr
 final case class PSeq(l: PathExpr, r: PathExpr) extends PathExpr
 final case class PAlt(l: PathExpr, r: PathExpr) extends PathExpr

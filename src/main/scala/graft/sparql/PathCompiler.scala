@@ -61,6 +61,27 @@ object PathCompiler {
         enc(col("subject_kind"), col("subject"), lit(""), lit("")).as("s"),
         enc(col("obj_kind"), col("obj_value"), col("obj_lang"), col("obj_datatype")).as("o"))
       if (graph.isEmpty && !deduped) out.dropDuplicates() else out
+    case PNps(fwd, inv) =>
+      // !(F|^I) ≡ !(F) | ^(!(I)) — each side scans once with a NOT-IN
+      // predicate filter (pushed to the parquet scan); multiple surviving
+      // predicates can project to the same (s,o), so always set-dedup
+      val deduped = graph.isEmpty && dflt.isDefined
+      var base = if (deduped) dflt.get else quads
+      graph match {
+        case Some(TConst(c)) => base = base.filter(col("graph_iri") === c.value)
+        case _ =>
+      }
+      def branch(excl: Seq[String], swap: Boolean): DataFrame = {
+        val f = base.filter(!col("predicate").isin(excl: _*))
+        val sCol = enc(col("subject_kind"), col("subject"), lit(""), lit(""))
+        val oCol = enc(col("obj_kind"), col("obj_value"), col("obj_lang"), col("obj_datatype"))
+        if (swap) f.select(oCol.as("s"), sCol.as("o"))
+        else f.select(sCol.as("s"), oCol.as("o"))
+      }
+      val parts =
+        (if (fwd.nonEmpty || inv.isEmpty) Seq(branch(fwd, swap = false)) else Nil) ++
+          (if (inv.nonEmpty) Seq(branch(inv, swap = true)) else Nil)
+      parts.reduce(_ union _).dropDuplicates()
     case PInverse(p) =>
       edges(quads, p, graph, dflt).select(col("o").as("s"), col("s").as("o"))
     case PSeq(l, r) =>
@@ -148,6 +169,7 @@ object PathCompiler {
   /** Structural reverse: reverse(p) matches (o, s) iff p matches (s, o). */
   private def reverse(p: PathExpr): PathExpr = p match {
     case PLink(i) => PInverse(PLink(i))
+    case PNps(f, i) => PNps(i, f)
     case PInverse(q) => q
     case PSeq(l, r) => PSeq(reverse(r), reverse(l))
     case PAlt(l, r) => PAlt(reverse(l), reverse(r))

@@ -457,9 +457,13 @@ private final class SparqlParser(input: String) {
     case _ => TConst(parseTermConst())
   }
 
-  /** Property-path grammar (subset):
+  /** Property-path grammar:
     * Path := Seq ('|' Seq)* ; Seq := Elt ('/' Elt)* ;
-    * Elt := Primary ('+'|'*'|'?')? ; Primary := 'a' | iri | '^'Primary | '('Path')'. */
+    * Elt := Primary ('+'|'*'|'?'|'{n}'|'{n,}'|'{n,m}')? ;
+    * Primary := 'a' | iri | '^'Primary | '!'NPS | '('Path')'.
+    * `{n,m}` quantifiers desugar to p^n / (p?)^(m-n) — exact as a relation
+    * under set semantics (the zero-length arm of `?` is narrowed to the
+    * path's node domain, matching the engine's `*`/`?` convention). */
   private def parsePath(): PathExpr = {
     var p = parsePathSeq()
     while (eatPunct("|")) p = PAlt(p, parsePathSeq())
@@ -477,11 +481,37 @@ private final class SparqlParser(input: String) {
     if (eatPunct("+")) POneOrMore(prim)
     else if (eatPunct("*")) PZeroOrMore(prim)
     else if (eatPunct("?")) PZeroOrOne(prim)
+    else if (eatPunct("{")) parsePathRange(prim)
     else prim
+  }
+
+  /** `p{n}` / `p{n,}` / `p{n,m}` — desugared: n chained copies, then either
+    * a `p*` tail (unbounded) or m-n chained `p?` (each adds 0 or 1 hop). */
+  private def parsePathRange(p: PathExpr): PathExpr = {
+    def nat(): Int = advance() match {
+      case TNum(v) if v.forall(_.isDigit) => v.toInt
+      case t => throw new SparqlParseException(s"expected integer in path quantifier, got $t")
+    }
+    val min = nat()
+    val max: Option[Int] =
+      if (eatPunct(",")) { if (isPunct("}")) None else Some(nat()) } else Some(min)
+    expectPunct("}")
+    if (max.exists(_ < min) || max.contains(0))
+      throw new SparqlParseException(s"invalid path quantifier {$min,${max.getOrElse("")}}")
+    def pow(k: Int): PathExpr = (1 until k).foldLeft(p)((acc, _) => PSeq(acc, p))
+    (min, max) match {
+      case (0, None) => PZeroOrMore(p)
+      case (n, None) => PSeq(pow(n), PZeroOrMore(p))
+      case (0, Some(m)) => (1 until m).foldLeft(PZeroOrOne(p): PathExpr)((acc, _) =>
+        PSeq(acc, PZeroOrOne(p)))
+      case (n, Some(m)) =>
+        (n until m).foldLeft(pow(n))((acc, _) => PSeq(acc, PZeroOrOne(p)))
+    }
   }
 
   private def parsePathPrimary(): PathExpr = {
     if (eatPunct("^")) PInverse(parsePathPrimary())
+    else if (eatPunct("!")) parseNps()
     else if (isPunct("(")) { pos += 1; val p = parsePath(); expectPunct(")"); p }
     else if (isWord("a")) { pos += 1; PLink(RdfType) }
     else advance() match {
@@ -489,6 +519,29 @@ private final class SparqlParser(input: String) {
       case TPName(p, l) => PLink(expandPName(p, l))
       case t => throw new SparqlParseException(s"expected path element, got $t")
     }
+  }
+
+  /** `!iri` or `!(i1 | ^i2 | …)` → negated property set (SPARQL 1.1 §9.2). */
+  private def parseNps(): PathExpr = {
+    val fwd = ArrayBuffer[String]()
+    val inv = ArrayBuffer[String]()
+    def member(): Unit = {
+      val inverse = eatPunct("^")
+      val iri =
+        if (isWord("a")) { pos += 1; RdfType }
+        else advance() match {
+          case TIri(v) => v
+          case TPName(p, l) => expandPName(p, l)
+          case t => throw new SparqlParseException(s"expected IRI in negated property set, got $t")
+        }
+      if (inverse) inv += iri else fwd += iri
+    }
+    if (eatPunct("(")) {
+      member()
+      while (eatPunct("|")) member()
+      expectPunct(")")
+    } else member()
+    PNps(fwd.toSeq, inv.toSeq)
   }
 
   private def parseTriplesBlock(): (Seq[TriplePattern], Seq[PPath]) = {

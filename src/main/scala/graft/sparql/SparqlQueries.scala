@@ -114,6 +114,18 @@ object SparqlQueries {
     "sp20_path_seeded_seq" -> run(
       "SELECT ?x WHERE { <doc:6> schema:author/schema:knows+ ?x } ORDER BY ?x") _,
 
+    // negated property set: one scan with a NOT-IN predicate filter leaves
+    // only the author / conformsTo / knows edges (set semantics over the
+    // pre-deduped default graph)
+    "sp23_nps" -> run(
+      """SELECT ?s ?o WHERE {
+        |  ?s !(schema:name|schema:description|schema:identifier|schema:contentSize|schema:inLanguage|schema:keywords|a) ?o
+        |} ORDER BY ?s ?o""".stripMargin) _,
+
+    // {n,m} quantifier, seeded: 2..4 hops around the 20-person knows ring
+    "sp24_path_range" -> run(
+      "SELECT ?x WHERE { <person:0> schema:knows{2,4} ?x } ORDER BY ?x") _,
+
     // HAVING: post-aggregation constraint (hoisted to a __h alias + filter)
     "sp21_having" -> run(
       """SELECT ?lang (COUNT(*) AS ?n) WHERE {
@@ -225,6 +237,23 @@ object SparqlQueries {
         |FROM documents
         |WHERE doc_id%3=0 AND (doc_id%2=0 OR doc_id%10=3) AND doc_id%97<>0
         |ORDER BY 1""".stripMargin,
+
+    // surviving predicates: author (one per doc), conformsTo (even ids),
+    // knows (the deduped 20-ring)
+    "sp23_nps" ->
+      """SELECT s, o FROM (
+        |  SELECT 'doc:'||doc_id AS s, 'person:'||(doc_id%20) AS o FROM documents
+        |  UNION ALL
+        |  SELECT 'doc:'||doc_id, 'https://w3id.org/ro/crate/'||(doc_id%4)
+        |  FROM documents WHERE doc_id%2=0
+        |  UNION ALL
+        |  SELECT DISTINCT 'person:'||(doc_id%20), 'person:'||((doc_id+1)%20)
+        |  FROM documents
+        |) t ORDER BY s, o""".stripMargin,
+
+    "sp24_path_range" ->
+      """SELECT x FROM (VALUES ('person:2'), ('person:3'), ('person:4')) t(x)
+        |ORDER BY x""".stripMargin,
 
     "sp21_having" ->
       """SELECT lang, COUNT(*) AS n FROM documents

@@ -129,6 +129,37 @@ class SparqlEngineSpec extends SparkSpec {
       == Seq(Seq("node 0")))
   }
 
+  test("negated property sets: forward, inverse-only, mixed (SPARQL 1.1 §9.2)") {
+    // d1's non-excluded edges: author IRI + contentSize literal
+    // (IRIs order before literals in the engine's term ordering)
+    assert(sel("SELECT ?o WHERE { <d1> !(schema:name|a) ?o } ORDER BY ?o")
+      == Seq(Seq("p1"), Seq("400")))
+    // inverse-only: !(^schema:name) from p1 follows any inbound edge except name
+    assert(sel("SELECT ?x WHERE { <p1> !(^schema:name) ?x } ORDER BY ?x")
+      == Seq(Seq("d1"), Seq("d2")))
+    // mixed: forward side dead (p1 only has name), inverse side excludes rdf:type
+    assert(sel("SELECT ?x WHERE { <p1> !(schema:name|^a) ?x } ORDER BY ?x")
+      == Seq(Seq("d1"), Seq("d2")))
+    // NPS under a closure: !(schema:name)+ walks the ring like knows+
+    assert(selRing("SELECT ?x WHERE { <n0> !(schema:name)+ ?x } ORDER BY ?x")
+      == (0 until 5).map(i => Seq(s"n$i")))
+  }
+
+  test("path quantifiers {n}, {n,m}, {n,}, {0,m} over the 5-ring") {
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows{2} ?x }") == Seq(Seq("n2")))
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows{2,3} ?x } ORDER BY ?x")
+      == Seq(Seq("n2"), Seq("n3")))
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows{0,2} ?x } ORDER BY ?x")
+      == Seq(Seq("n0"), Seq("n1"), Seq("n2")))
+    // unbounded tail wraps the whole ring
+    assert(selRing("SELECT ?x WHERE { <n0> schema:knows{3,} ?x } ORDER BY ?x")
+      == (0 until 5).map(i => Seq(s"n$i")))
+    // var-to-const direction reverses the quantified path
+    assert(selRing("SELECT ?x WHERE { ?x schema:knows{2,3} <n0> } ORDER BY ?x")
+      == Seq(Seq("n2"), Seq("n3")))
+    intercept[SparqlParseException] { selRing("SELECT ?x WHERE { <n0> schema:knows{3,2} ?x }") }
+  }
+
   test("closure frontier-fallback path (large-set mode) matches doubling mode") {
     import org.apache.spark.sql.functions.col
     val edges = ringQuads.filter(col("predicate") === "http://schema.org/knows")
