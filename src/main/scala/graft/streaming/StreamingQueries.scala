@@ -64,6 +64,34 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("bucket"))
     },
 
+    // OR-set CRDT fold over a synthetic quad op-log: every doc adds
+    // (tag,v0) by actor a1; docs %3==0 get a concurrent re-add by a2; docs
+    // %2==0 get a remove that witnessed only a1's dot — so evens survive
+    // iff the unwitnessed a2 add exists (add-wins); %5==0 adds an
+    // untouched (status,ok) quad
+    "cr1_orset_fold" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val g = concat(lit("graph:"), col("doc_id").cast("string"))
+      val subj = concat(lit("doc:"), col("doc_id").cast("string"))
+      def op(df: DataFrame, pred: String, obj: String, kind: String,
+          actor: String, counter: org.apache.spark.sql.Column,
+          witnessed: org.apache.spark.sql.Column): DataFrame =
+        df.select(g.as("graph_iri"), subj.as("subject"), lit(pred).as("predicate"),
+          lit(obj).as("obj"), lit(kind).as("op"), lit(actor).as("actor"),
+          counter.cast("long").as("counter"), witnessed.as("witnessed"))
+      val noClock = lit(null).cast("map<string,bigint>")
+      val ops =
+        op(docs, "tag", "v0", "add", "a1", col("doc_id") + 1, noClock)
+          .unionByName(op(docs.filter(col("doc_id") % 3 === 0),
+            "tag", "v0", "add", "a2", col("doc_id") + 1, noClock))
+          .unionByName(op(docs.filter(col("doc_id") % 2 === 0),
+            "tag", "v0", "remove", null, lit(null),
+            map(lit("a1"), (col("doc_id") + 1).cast("bigint"))))
+          .unionByName(op(docs.filter(col("doc_id") % 5 === 0),
+            "status", "ok", "add", "a1", col("doc_id") + 100000, noClock))
+      graft.crdt.OrSet.fold(ops).orderBy(col("subject"), col("predicate"))
+    },
+
     // registry projection: latest applicable event per user-document
     "ev5_projection" -> { (s, d) =>
       val (applicable, _) = Projector.partition(
@@ -108,6 +136,18 @@ object StreamingQueries {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, occurred_at_ms // 2000
         |                           ORDER BY occurred_at_ms DESC, event_id DESC) = 1
         |ORDER BY user_id, bucket""".stripMargin,
+
+    // present iff some add-dot is uncovered: odds keep a1's dot (no remove),
+    // evens only survive via a2's concurrent re-add (%3==0)
+    "cr1_orset_fold" ->
+      """SELECT * FROM (
+        |  SELECT 'graph:'||doc_id AS graph_iri, 'doc:'||doc_id AS subject,
+        |         'tag' AS predicate, 'v0' AS obj
+        |  FROM documents WHERE doc_id%2=1 OR doc_id%3=0
+        |  UNION ALL
+        |  SELECT 'graph:'||doc_id, 'doc:'||doc_id, 'status', 'ok'
+        |  FROM documents WHERE doc_id%5=0
+        |) t ORDER BY subject, predicate""".stripMargin,
 
     "ev5_projection" ->
       s"""WITH $evCte
