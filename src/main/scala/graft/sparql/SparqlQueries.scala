@@ -1,6 +1,7 @@
 package graft.sparql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** SPARQL operator coverage as driver-contract queries: each entry runs a
   * SPARQL query through the full parse→compile→execute pipeline over the
@@ -113,6 +114,36 @@ object SparqlQueries {
     // the single author node, never computing the global knows+ closure
     "sp20_path_seeded_seq" -> run(
       "SELECT ?x WHERE { <doc:6> schema:author/schema:knows+ ?x } ORDER BY ?x") _,
+
+    // orphan-entity filter: plant a 2-node ghost cluster in every 4th graph
+    // (unreachable from the root doc, one edge back INTO the root tree —
+    // inbound edges must not rescue an orphan); filtering must restore
+    // exactly the unplanted corpus, counted per predicate
+    "or1_orphan_filter" -> { (s, d) =>
+      val base = RdfTables.quads(s, d)
+      val docs = graft.Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+      val g = concat(lit("graph:"), col("doc_id").cast("string"))
+      val ghost = concat(lit("ghost:"), col("doc_id").cast("string"))
+      val ghost2 = concat(lit("ghost2:"), col("doc_id").cast("string"))
+      def row(subj: org.apache.spark.sql.Column, pred: String, kind: Int,
+          v: org.apache.spark.sql.Column): DataFrame =
+        docs.select(g.as("graph_iri"), subj.as("subject"),
+          lit(0).as("subject_kind"), lit(RdfTables.SchemaNs + pred).as("predicate"),
+          lit(kind).as("obj_kind"), v.as("obj_value"),
+          lit("").as("obj_lang"), lit("").as("obj_datatype"))
+      val planted = base
+        .unionByName(row(ghost, "name", Kind.Literal, concat(lit("ghost-"), col("doc_id"))))
+        .unionByName(row(ghost, "knows", Kind.Iri, ghost2))
+        .unionByName(row(ghost2, "name", Kind.Literal, concat(lit("ghost2-"), col("doc_id"))))
+        .unionByName(row(ghost2, "mentions", Kind.Iri,
+          concat(lit("doc:"), col("doc_id").cast("string"))))
+      val roots = graft.Tables.documents(s, d).select(
+        concat(lit("graph:"), col("doc_id").cast("string")).as("graph_iri"),
+        concat(lit("doc:"), col("doc_id").cast("string")).as("root"))
+      Orphans.filterOrphaned(planted, roots)
+        .groupBy(col("predicate")).agg(count(lit(1)).as("n"))
+        .orderBy(col("predicate"))
+    },
 
     // negated property set: one scan with a NOT-IN predicate filter leaves
     // only the author / conformsTo / knows edges (set semantics over the
@@ -237,6 +268,12 @@ object SparqlQueries {
         |FROM documents
         |WHERE doc_id%3=0 AND (doc_id%2=0 OR doc_id%10=3) AND doc_id%97<>0
         |ORDER BY 1""".stripMargin,
+
+    // the ghost clusters vanish: counts equal the unplanted corpus
+    "or1_orphan_filter" ->
+      s"""WITH ${RdfTables.quadsCte}
+         |SELECT predicate, COUNT(*) AS n FROM quads
+         |GROUP BY predicate ORDER BY predicate""".stripMargin,
 
     // surviving predicates: author (one per doc), conformsTo (even ids),
     // knows (the deduped 20-ring)
