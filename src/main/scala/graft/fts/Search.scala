@@ -118,8 +118,9 @@ object Search {
 
   // ---------------------------------------------------------------------
   // cursor codec — reference signs cursors with ed25519 and verifies them
-  // against realm nodes (`search_cursor.rs:62-133`); single-cluster we keep
-  // the query fingerprint binding + depth cap, dropping the signature.
+  // against realm nodes (`search_cursor.rs:62-133`). The authenticated
+  // variant lives in [[SignedCursor]]; this unsigned codec keeps the query
+  // fingerprint binding + depth cap for single-cluster pagination.
   // ---------------------------------------------------------------------
 
   final case class Cursor(fingerprint: String, wm: Watermark, depth: Int)
