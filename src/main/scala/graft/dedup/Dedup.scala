@@ -85,12 +85,24 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
-  /** MinHash signature: k independent hashes via seed-prefixed xxhash64 of
-    * each shingle; signature[i] = min over shingles. */
+  /** MinHash signature: signature[i] = min over shingles of hash_i(shingle).
+    * The k hashes derive from TWO xxhash64 passes per shingle via XOR-rotate
+    * mixing (the double-hashing family of Kirsch–Mitzenmacher, using
+    * rotation instead of `h1 + i*h2` because ANSI mode rejects the wrapping
+    * multiply) — hashing the shingle text once instead of k times, which
+    * dominated the signature build. Rotation amounts are distinct for
+    * i < 63, so components stay pairwise independent draws. */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(k < 63, s"signature size $k exceeds the distinct-rotation family")
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-    val mins = (0 until k).map(i =>
-      min(xxhash64(concat(lit(s"seed$i#"), col("sh")))).as(s"h$i"))
+      .withColumn("h1", xxhash64(col("sh")))
+      .withColumn("h2", xxhash64(lit("km2"), col("sh")))
+    def rot(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column =
+      shiftleft(c, s).bitwiseOR(shiftrightunsigned(c, 64 - s))
+    val mins = (0 until k).map { i =>
+      val s = (i * 37) % 63 + 1
+      min(col("h1").bitwiseXOR(rot(col("h2"), s))).as(s"h$i")
+    }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }

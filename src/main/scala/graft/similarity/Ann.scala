@@ -79,6 +79,51 @@ object Ann {
     q.withColumn("sig", bits.reduce(_ + _))
   }
 
+  /** Materialize a sig-partitioned ANN index: one parquet directory per
+    * signature bucket, so a probe's partition filter touches only its
+    * candidate buckets' files — the 100 TB layout the LSH variant assumes. */
+  def writeIndex(embeddings: DataFrame, path: String, nBits: Int = 12): Unit =
+    lshSignatures(embeddings, nBits)
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+
+  /** All signatures within hamming distance `probeDist` of `sig` —
+    * C(nBits,0..probeDist) values, the probe's partition IN-list. */
+  def probeSignatures(sig: Long, nBits: Int, probeDist: Int): Seq[Long] = {
+    def flips(start: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (start until nBits).flatMap(b => flips(b + 1, left - 1, acc ^ (1L << b)))
+    (0 to probeDist).flatMap(d => flips(0, d, sig)).distinct
+  }
+
+  /** Probe a [[writeIndex]] layout: the partition column's IN-list prunes
+    * to the candidate buckets at planning time; only those files are read
+    * and exact-re-ranked. The query row lookup is a single-row collect. */
+  def topKCosineLshIndexed(index: DataFrame, queryId: Long, k: Int,
+      nBits: Int = 12, probeDist: Int = 2): DataFrame = {
+    val qRow = index.filter(col("vec_id") === queryId && col("n2") > 0)
+      .select(col("v"), col("n2"), col("sig").cast("long")).head()
+    val qsig = qRow.getLong(2)
+    val probes = probeSignatures(qsig, nBits, probeDist)
+    // partition-directory type inference narrows sig to int: the IN-list
+    // literals must match the raw column type or the cast defeats pruning
+    val probeVals: Seq[Any] = index.schema("sig").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probes.map(_.toInt)
+      case _ => probes
+    }
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = Seq((qRow.getSeq[Long](0), qRow.getLong(1))).toDF("qv", "qn2")
+    index.filter(col("sig").isin(probeVals: _*))
+      .filter(col("vec_id") =!= queryId && col("n2") > 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: exact re-rank restricted to vectors whose signature is
     * within `probeDist` hamming bits of the query's signature. */
   def topKCosineLsh(embeddings: DataFrame, queryId: Long, k: Int,

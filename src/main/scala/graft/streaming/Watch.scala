@@ -63,14 +63,16 @@ object Watch {
       }
     }
 
-  /** Deliveries: events × broadcast(watches) where the scope glob matches the
-    * event path and the watch's kind mask has the event's bit set. Works on
-    * both batch and streaming event frames (stream-static join). */
+  /** Deliveries: events × broadcast(watches) where the watch's kind mask has
+    * the event's bit set and the scope glob matches the event path. The
+    * bitmask test leads the conjunction so it short-circuits pairs before
+    * the (much costlier) glob-regex UDF runs. Works on both batch and
+    * streaming event frames (stream-static join). */
   def deliveries(events: DataFrame, watches: DataFrame): DataFrame =
     events
       .withColumn("__bit", kindBitCol(col("event_type")))
       .crossJoin(broadcast(watches))
-      .filter(globMatch(col("path"), col("scope_glob")) &&
-        col("kind_mask").bitwiseAND(col("__bit")) =!= 0)
+      .filter(col("kind_mask").bitwiseAND(col("__bit")) =!= 0 &&
+        globMatch(col("path"), col("scope_glob")))
       .drop("__bit")
 }

@@ -68,6 +68,22 @@ class PipelineSpec extends SparkSpec {
     lsh.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("sig-partitioned ANN index: probe prunes partitions, results match unindexed LSH") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    val e = Tables.embeddings(spark, sf0001)
+    Ann.writeIndex(e, dir)
+    val index = spark.read.parquet(dir)
+    val got = Ann.topKCosineLshIndexed(index, 3, 10)
+    val want = Ann.topKCosineLsh(e, 3, 10).collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want)
+    // physical proof: the probe IN-list reached the scan as a partition filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sig#"),
+      s"expected partition filter on sig in:\n$plan")
+    // probe-set arithmetic: C(12,0)+C(12,1)+C(12,2) distinct signatures
+    assert(Ann.probeSignatures(0L, 12, 2).length == 1 + 12 + 66)
+  }
+
   test("jaccard pairs: planted near-copies pass threshold with correct arithmetic") {
     val rows = Dedup.ngramJaccardPairs(planted, 3, 0.6).collect()
     rows.foreach { r =>
