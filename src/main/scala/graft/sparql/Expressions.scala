@@ -27,9 +27,12 @@ object ExprCompiler {
   case object TyBool extends Ty
   case object TyTerm extends Ty
 
-  private val NumFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND")
+  private val NumFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS")
   private val StrFns = Set("STR", "UCASE", "LCASE", "CONCAT", "LANG", "DATATYPE",
-    "SUBSTR", "REPLACE")
+    "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "TZ")
+  private val TermFns = Set("IRI", "URI", "STRLANG", "STRDT")
 
   def infer(e: Expr): Ty = e match {
     case EConst(t) if t.isLiteral && Term.isNumericDatatype(t.datatype) => TyNum
@@ -40,6 +43,7 @@ object ExprCompiler {
     case EArith(_, _, _) | ENeg(_) => TyNum
     case EFunc(f, _) if NumFns.contains(f) => TyNum
     case EFunc(f, _) if StrFns.contains(f) => TyStr
+    case EFunc(f, _) if TermFns.contains(f) => TyTerm
     case EIf(_, t, _) => infer(t)
     case ECoalesce(args) if args.nonEmpty => infer(args.head)
     case _ => TyBool
@@ -60,6 +64,14 @@ object ExprCompiler {
     case EFunc("CEIL", Seq(a)) => ceil(num(a, R)).cast(DoubleType)
     case EFunc("FLOOR", Seq(a)) => floor(num(a, R)).cast(DoubleType)
     case EFunc("ROUND", Seq(a)) => round(num(a, R), 0)
+    // xsd:dateTime accessors over the lexical form (SPARQL 1.1 §17.4.5);
+    // SECONDS truncates to the integral part
+    case EFunc("YEAR", Seq(a)) => year(ts(a, R)).cast(DoubleType)
+    case EFunc("MONTH", Seq(a)) => month(ts(a, R)).cast(DoubleType)
+    case EFunc("DAY", Seq(a)) => dayofmonth(ts(a, R)).cast(DoubleType)
+    case EFunc("HOURS", Seq(a)) => hour(ts(a, R)).cast(DoubleType)
+    case EFunc("MINUTES", Seq(a)) => minute(ts(a, R)).cast(DoubleType)
+    case EFunc("SECONDS", Seq(a)) => second(ts(a, R)).cast(DoubleType)
     case EIf(c, t, f) => when(toBool(c, R), num(t, R)).otherwise(num(f, R))
     case ECoalesce(args) => coalesce(args.map(num(_, R)): _*)
     case other => throw new SparqlParseException(s"not numeric: $other")
@@ -80,10 +92,45 @@ object ExprCompiler {
       substring(str(args.head, R), start, len)
     case EFunc("REPLACE", Seq(a, p, r)) =>
       regexp_replace(str(a, R), constStr(p), constStr(r))
+    // STRBEFORE/STRAFTER with the spec's empty-needle cases (§17.4.3.10-11);
+    // constant needle, like REPLACE's pattern
+    case EFunc("STRBEFORE", Seq(a, b)) =>
+      val needle = constStr(b)
+      if (needle.isEmpty) lit("")
+      else {
+        val s = str(a, R)
+        val pos = instr(s, needle)
+        when(pos > 0, s.substr(lit(1), pos - 1)).otherwise(lit(""))
+      }
+    case EFunc("STRAFTER", Seq(a, b)) =>
+      val needle = constStr(b)
+      val s = str(a, R)
+      if (needle.isEmpty) s
+      else {
+        val pos = instr(s, needle)
+        when(pos > 0, s.substr(pos + needle.length, length(s))).otherwise(lit(""))
+      }
+    // RFC 3986 percent-encoding: url_encode is form-encoding, so re-map
+    // '+'→%20, '*'→%2A and un-escape '~' (§17.4.3.12)
+    case EFunc("ENCODE_FOR_URI", Seq(a)) =>
+      regexp_replace(regexp_replace(regexp_replace(
+        url_encode(str(a, R)), "\\+", "%20"), "\\*", "%2A"), "%7E", "~")
+    case EFunc("MD5", Seq(a)) => md5(str(a, R))
+    case EFunc("SHA1", Seq(a)) => sha1(str(a, R))
+    case EFunc("SHA256", Seq(a)) => sha2(str(a, R), 256)
+    case EFunc("SHA384", Seq(a)) => sha2(str(a, R), 384)
+    case EFunc("SHA512", Seq(a)) => sha2(str(a, R), 512)
+    // TZ: the timezone designator of the lexical form, "" when absent
+    case EFunc("TZ", Seq(a)) =>
+      regexp_extract(str(a, R), "(Z|[+-][0-9]{2}:[0-9]{2})$", 1)
     case EIf(c, t, f) => when(toBool(c, R), str(t, R)).otherwise(str(f, R))
     case ECoalesce(args) => coalesce(args.map(str(_, R)): _*)
     case other => throw new SparqlParseException(s"not a string expression: $other")
   }
+
+  /** lexical form → timestamp (null when unparseable, per try semantics). */
+  private def ts(e: Expr, R: String => Column): Column =
+    try_to_timestamp(str(e, R))
 
   private def constStr(e: Expr): String = e match {
     case EConst(t) => t.value
@@ -158,7 +205,22 @@ object ExprCompiler {
     case EVar(v) => R(v)
     case EConst(t) => struct(lit(t.kind).as("kind"), lit(t.value).as("value"),
       lit(t.lang).as("lang"), lit(t.datatype).as("datatype"))
+    // term constructors (§17.4.2.5-8)
+    case EFunc("IRI" | "URI", Seq(a)) =>
+      struct(lit(Kind.Iri).as("kind"), str(a, R).as("value"),
+        lit("").as("lang"), lit("").as("datatype"))
+    case EFunc("STRLANG", Seq(a, l)) =>
+      struct(lit(Kind.Literal).as("kind"), str(a, R).as("value"),
+        str(l, R).as("lang"), lit("").as("datatype"))
+    case EFunc("STRDT", Seq(a, dt)) =>
+      struct(lit(Kind.Literal).as("kind"), str(a, R).as("value"),
+        lit("").as("lang"), constTermValue(dt).as("datatype"))
     case other => throw new SparqlParseException(s"not a term: $other")
+  }
+
+  private def constTermValue(e: Expr): Column = e match {
+    case EConst(t) => lit(t.value)
+    case other => throw new SparqlParseException(s"constant IRI required: $other")
   }
 
   /** BIND target: plain typed column for computed values, struct for terms. */

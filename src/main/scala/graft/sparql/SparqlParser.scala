@@ -713,5 +713,8 @@ private final class SparqlParser(input: String) {
     "STR", "LANG", "DATATYPE", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS",
     "STRLEN", "UCASE", "LCASE", "CONCAT", "ABS", "CEIL", "FLOOR", "ROUND",
     "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC", "LANGMATCHES",
-    "SUBSTR", "REPLACE").contains(w.toUpperCase)
+    "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "TZ",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "IRI", "URI", "STRLANG", "STRDT").contains(w.toUpperCase)
 }

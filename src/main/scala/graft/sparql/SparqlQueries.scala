@@ -157,6 +157,17 @@ object SparqlQueries {
     "sp24_path_range" -> run(
       "SELECT ?x WHERE { <person:0> schema:knows{2,4} ?x } ORDER BY ?x") _,
 
+    // scalar builtins end-to-end: STRSTARTS filter, STRAFTER/MD5/IRI binds —
+    // the IRI constructor joins back into the graph for the author name
+    "sp25_builtins" -> run(
+      """SELECT ?s ?suffix ?h ?aname WHERE {
+        |  ?s schema:name ?n . FILTER(STRSTARTS(?n, "src7-"))
+        |  BIND(STRAFTER(?n, "-doc-") AS ?suffix) BIND(MD5(?n) AS ?h)
+        |  ?s schema:identifier ?id .
+        |  BIND(IRI(CONCAT("person:", STR(?id))) AS ?p)
+        |  OPTIONAL { ?p schema:name ?aname }
+        |} ORDER BY ?s""".stripMargin) _,
+
     // HAVING: post-aggregation constraint (hoisted to a __h alias + filter)
     "sp21_having" -> run(
       """SELECT ?lang (COUNT(*) AS ?n) WHERE {
@@ -291,6 +302,15 @@ object SparqlQueries {
     "sp24_path_range" ->
       """SELECT x FROM (VALUES ('person:2'), ('person:3'), ('person:4')) t(x)
         |ORDER BY x""".stripMargin,
+
+    // persons exist for doc_id 0..19 only, so the IRI-joined author name
+    // is null past the ring
+    "sp25_builtins" ->
+      """SELECT 'doc:'||doc_id AS s, CAST(doc_id AS VARCHAR) AS suffix,
+        |       md5(source||'-doc-'||doc_id) AS h,
+        |       CASE WHEN doc_id < 20 THEN 'author-'||doc_id END AS aname
+        |FROM documents WHERE starts_with(source||'-doc-'||doc_id, 'src7-')
+        |ORDER BY s""".stripMargin,
 
     "sp21_having" ->
       """SELECT lang, COUNT(*) AS n FROM documents

@@ -129,6 +129,48 @@ class SparqlEngineSpec extends SparkSpec {
       == Seq(Seq("node 0")))
   }
 
+  test("string builtins: STRBEFORE/STRAFTER empty-needle cases, ENCODE_FOR_URI, hashes") {
+    val r = sel(
+      """SELECT ?b ?a ?e ?m WHERE { ?s a schema:Dataset . ?s schema:name ?n .
+        |BIND(STRBEFORE(?n, "ph") AS ?b) BIND(STRAFTER(?n, "ph") AS ?a)
+        |BIND(ENCODE_FOR_URI("a b~c*") AS ?e) BIND(MD5("abc") AS ?m) }""".stripMargin)
+    assert(r == Seq(Seq("al", "a", "a%20b~c%2A", "900150983cd24fb0d6963f7d28e17f72")))
+    // empty needle: STRBEFORE -> "", STRAFTER -> the whole string
+    assert(sel("""SELECT ?x ?y WHERE { ?s a schema:File .
+        |BIND(STRBEFORE("abc", "") AS ?x) BIND(STRAFTER("abc", "") AS ?y) }""".stripMargin)
+      == Seq(Seq("", "abc")))
+    // no match: both return ""
+    assert(sel("""SELECT ?x ?y WHERE { ?s a schema:File .
+        |BIND(STRBEFORE("abc", "zz") AS ?x) BIND(STRAFTER("abc", "zz") AS ?y) }""".stripMargin)
+      == Seq(Seq("", "")))
+  }
+
+  test("dateTime accessors and TZ over lexical forms") {
+    val r = sel(
+      """SELECT ?y ?mo ?d ?h ?tz ?notz WHERE { ?s a schema:Dataset .
+        |BIND(YEAR("2024-03-05T10:30:45Z") AS ?y)
+        |BIND(MONTH("2024-03-05T10:30:45Z") AS ?mo)
+        |BIND(DAY("2024-03-05T10:30:45Z") AS ?d)
+        |BIND(HOURS("2024-03-05T10:30:45Z") AS ?h)
+        |BIND(TZ("2024-03-05T10:30:45+05:00") AS ?tz)
+        |BIND(TZ("2024-03-05T10:30:45") AS ?notz) }""".stripMargin)
+    assert(r == Seq(Seq(2024.0, 3.0, 5.0, 10.0, "+05:00", "")))
+  }
+
+  test("term constructors: IRI, STRLANG, STRDT bind full terms") {
+    // IRI(CONCAT(...)) joins back to a real subject
+    assert(sel(
+      """SELECT ?n WHERE { ?s a schema:Dataset . BIND(IRI(CONCAT("p", "1")) AS ?p) .
+        |?p schema:name ?n }""".stripMargin)
+      == Seq(Seq("ada")))
+    // STRLANG carries the language tag into LANG(); STRDT the datatype
+    assert(sel(
+      """SELECT ?l ?dt WHERE { ?s a schema:Dataset .
+        |BIND(STRLANG("chat", "fr") AS ?fr) BIND(LANG(?fr) AS ?l)
+        |BIND(STRDT("42", xsd:integer) AS ?i) BIND(DATATYPE(?i) AS ?dt) }""".stripMargin)
+      == Seq(Seq("fr", "http://www.w3.org/2001/XMLSchema#integer")))
+  }
+
   test("negated property sets: forward, inverse-only, mixed (SPARQL 1.1 §9.2)") {
     // d1's non-excluded edges: author IRI + contentSize literal
     // (IRIs order before literals in the engine's term ordering)
