@@ -64,6 +64,12 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("bucket"))
     },
 
+    // watermarked tumbling-window rollup (batch run of the streaming plan)
+    "ev6_windowed_rollup" -> { (s, d) =>
+      Windows.eventRollup(ev(s, d))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    },
+
     // OR-set CRDT fold over a synthetic quad op-log: every doc adds
     // (tag,v0) by actor a1; docs %3==0 get a concurrent re-add by a2; docs
     // %2==0 get a remove that witnessed only a1's dot — so evens survive
@@ -136,6 +142,13 @@ object StreamingQueries {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, occurred_at_ms // 2000
         |                           ORDER BY occurred_at_ms DESC, event_id DESC) = 1
         |ORDER BY user_id, bucket""".stripMargin,
+
+    "ev6_windowed_rollup" ->
+      s"""WITH $evCte
+         |SELECT (occurred_at_ms // 10000) * 10000 AS window_start_ms, event_type,
+         |  COUNT(*) AS n,
+         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // present iff some add-dot is uncovered: odds keep a1's dot (no remove),
     // evens only survive via a2's concurrent re-add (%3==0)

@@ -71,4 +71,33 @@ class ScaleSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L))
   }
+
+  test("watermarked windowed rollup: windows close exactly once; late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WindowEv]
+    val q = graft.streaming.Windows.eventRollup(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode("append").start()
+    def emitted(): Map[(Long, String), (Long, Double)] =
+      spark.sql("SELECT window_start_ms, event_type, n, total_value FROM rollup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // watermark = max event time - 30s: nothing can close yet
+    mem.addData(WindowEv(1, "a", 1000, 1.0), WindowEv(2, "a", 5000, 2.0),
+      WindowEv(3, "a", 12000, 4.0))
+    q.processAllAvailable()
+    assert(emitted().isEmpty)
+    // t=45s → watermark 15s → window [0,10s) closes with both events
+    mem.addData(WindowEv(4, "b", 45000, 8.0))
+    q.processAllAvailable()
+    assert(emitted() == Map((0L, "a") -> ((2L, 3.0))))
+    // a 2s event is behind the 15s watermark: dropped by the engine;
+    // t=60s → watermark 30s → [10,20s) closes WITHOUT the late event
+    mem.addData(WindowEv(5, "a", 2000, 100.0), WindowEv(6, "b", 60000, 16.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted() == Map((0L, "a") -> ((2L, 3.0)), (10000L, "a") -> ((1L, 4.0))))
+  }
 }
+
+final case class WindowEv(event_id: Long, event_type: String,
+    occurred_at_ms: Long, value: Double)
