@@ -71,6 +71,18 @@ class PlanSpec extends SparkSpec {
       s"compat join degraded to a nested loop:\n$p")
   }
 
+  test("sp23: negated property set pushes NOT-IN into the store scan") {
+    val p = plan("sp23_nps")
+    assert(p.contains("Not(In(predicate"), s"NOT-IN not pushed to parquet:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("cr1: OR-set fold is a hash join + two-phase aggregate, no nested loop") {
+    val p = plan("cr1_orset_fold")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("sp15: visibility scoping compiles to a broadcast semi-join") {
     val p = plan("sp15_visibility_anon")
     assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")
