@@ -136,16 +136,19 @@ object Dedup {
       .select(col("a"), col("b"), col("sim"))
   }
 
-  /** Cross-engine-replicable MinHash: component i = min over shingles of
-    * the first 60 bits of md5("i#" ++ shingle) (15 hex chars → BIGINT —
-    * DuckDB casts '0x…' literals, Spark uses conv(_,16,10)). Slower than
-    * the xxhash64 family but lets the full LSH pipeline carry a DuckDB
-    * oracle. Returns (doc_id, h0..h{k-1}). */
+  /** Cross-engine-replicable MinHash: two 60-bit md5 base hashes per shingle
+    * (15 hex chars → BIGINT — DuckDB casts '0x…' literals, Spark uses
+    * conv(_,16,10)); component i = min over shingles of `h1 XOR (h2 >> i)`.
+    * Right-shift-only derivation keeps every value positive so Spark's
+    * shiftrightunsigned and DuckDB's `>>` agree bit-for-bit — the whole LSH
+    * pipeline carries a DuckDB oracle while hashing each shingle twice
+    * instead of k times. Returns (doc_id, h0..h{k-1}). */
   def minhashMd5Signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .withColumn("h1", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(concat(lit("2#"), col("sh"))), 1, 15), 16, 10).cast("long"))
     val mins = (0 until k).map(i =>
-      min(conv(substring(md5(concat(lit(s"$i#"), col("sh"))), 1, 15), 16, 10)
-        .cast("long")).as(s"h$i"))
+      min(col("h1").bitwiseXOR(shiftrightunsigned(col("h2"), i))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -188,26 +191,23 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** 64-bit SimHash fingerprints: per-bit tf-weighted votes over token
-    * hashes. Returns (doc_id, simhash). */
+    * hashes. The 64 bit-votes aggregate as 64 SUM columns in ONE map-side
+    * combinable pass — no per-bit row explosion, no second shuffle (the
+    * naive posexplode formulation multiplies the token stream 64×).
+    * Returns (doc_id, simhash). */
   def simhash(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("tok")))
-    val voteArr = array((0 until 64).map(i =>
-      when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))): _*)
-    val votes = tf
-      .select(col("doc_id"), posexplode(voteArr))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("col")).as("v"))
-    val bitValue = (0 until 64).map(i =>
-      when(col("pos") === i && col("v") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    votes
-      .groupBy(col("doc_id"))
-      .agg(sum(bitValue).as("simhash"))
+    val voteSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$i"))
+    val votes = tf.groupBy(col("doc_id")).agg(voteSums.head, voteSums.tail: _*)
+    val fingerprint = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    votes.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** Near-dup pairs within hamming distance <= maxDist, candidates via

@@ -153,12 +153,15 @@ object PipelineQueries {
       s"""WITH $corpusCte,
          |${shinglesCte()},
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+         |         CAST(('0x' || substr(md5('2#' || sh), 1, 15)) AS BIGINT) AS h2
+         |  FROM sh),
          |sigs AS (
          |  SELECT doc_id,
-         |${(0 until 8).map(i =>
-             s"    MIN(CAST(('0x' || substr(md5('$i#' || sh), 1, 15)) AS BIGINT)) AS h$i")
-             .mkString(",\n")}
-         |  FROM sh GROUP BY doc_id),
+         |${(0 until 8).map(i => s"    MIN(xor(h1, h2 >> $i)) AS h$i").mkString(",\n")}
+         |  FROM sh2 GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, CONCAT(h0,'|',h1) AS b0, CONCAT(h2,'|',h3) AS b1,
          |         CONCAT(h4,'|',h5) AS b2, CONCAT(h6,'|',h7) AS b3
