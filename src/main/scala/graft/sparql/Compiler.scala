@@ -93,11 +93,9 @@ object Compiler {
         ordered.map(scanTriple(quads, _, graph, dflt)).reduce(join(_, _, Set.empty))
       case PPath(s, path, o) =>
         graph match {
-          case Some(TVar(_)) => throw new SparqlParseException(
-            "property paths under GRAPH ?var are not supported")
-          case _ =>
+          case Some(TVar(gv)) => PathCompiler.compileGraphVar(quads, s, path, o, gv)
+          case _ => PathCompiler.compile(quads, s, path, o, graph, dflt)
         }
-        PathCompiler.compile(quads, s, path, o, graph, dflt)
       case PFilter(EExists(sub, negated), q) =>
         val left = compileP(quads, q, graph, dflt)
         val right = compileP(quads, sub, graph, dflt)

@@ -255,6 +255,70 @@ object PathCompiler {
     visited
   }
 
+  // ---------------------------------------------------------------------
+  // GRAPH ?var evaluation — composite (graph, node) keys
+  // ---------------------------------------------------------------------
+
+  private val GSep = "\u0002"
+
+  /** `GRAPH ?g { s path o }`: the path evaluates independently inside every
+    * named graph. Nodes are prefixed with their graph (`g<U+0002>node`), so
+    * every edge operation — sequence joins, closures, zero-length domains —
+    * stays inside its graph by key construction, and ONE evaluation covers
+    * all graphs (no per-graph loop). Constant endpoints pre-restrict the
+    * scan to graphs containing the constant (broadcast semi-join) before
+    * any fixpoint, bounding closure work to the graphs that can match. */
+  def compileGraphVar(quads: DataFrame, s: TermPattern, path: PathExpr,
+      o: TermPattern, gvar: String): DataFrame = {
+    val (vs, vo) = (s, o) match {
+      case (TVar(a), TVar(b)) => (a, b)
+      case (TVar(a), _) => (a, "__path_o")
+      case (_, TVar(b)) => ("__path_s", b)
+      case _ => ("__path_s", "__path_o")
+    }
+    if (gvar == vs || gvar == vo)
+      throw new SparqlParseException(
+        s"graph variable ?$gvar reused as a path endpoint is not supported")
+    val constEndpoint = Seq(s, o).collectFirst { case TConst(t) => t }
+    val scoped = constEndpoint match {
+      case Some(t) =>
+        val gs = quads.filter(col("subject") === t.value).select(col("graph_iri"))
+          .union(quads.filter(col("obj_value") === t.value &&
+            col("obj_kind") === t.kind).select(col("graph_iri")))
+          .distinct()
+        quads.join(broadcast(gs), Seq("graph_iri"), "left_semi")
+      case None => quads
+    }
+    val composite = scoped
+      .withColumn("subject", concat_ws(GSep, col("graph_iri"), col("subject")))
+      .withColumn("obj_value", concat_ws(GSep, col("graph_iri"), col("obj_value")))
+    val sameVar = vs == vo
+    val raw = compile(composite, TVar(vs), path, TVar(vo), None, None)
+    def termStruct(t: Term) = struct(lit(t.kind).as("kind"), lit(t.value).as("value"),
+      lit(t.lang).as("lang"), lit(t.datatype).as("datatype"))
+    def strip(c: Column) = struct(c.getField("kind").as("kind"),
+      element_at(split(c.getField("value"), GSep, 2), 2).as("value"),
+      c.getField("lang").as("lang"), c.getField("datatype").as("datatype"))
+    // the graph prefix is identical on every endpoint (edges never cross
+    // graphs) — read it off the first bound column, then de-prefix all
+    val first = raw.columns.head
+    var out = raw.withColumn(gvar,
+      struct(lit(Kind.Iri).as("kind"),
+        substring_index(raw(first).getField("value"), GSep, 1).as("value"),
+        lit("").as("lang"), lit("").as("datatype")))
+    raw.columns.foreach(c => out = out.withColumn(c, strip(out(c))))
+    s match {
+      case TConst(t) => out = out.filter(out(vs) === termStruct(t)).drop(vs)
+      case _ =>
+    }
+    o match {
+      case TConst(t) if !sameVar =>
+        out = out.filter(out(vo) === termStruct(t)).drop(vo)
+      case _ =>
+    }
+    if (constEndpoint.isDefined) out.dropDuplicates() else out
+  }
+
   private def seedDf(quads: DataFrame, t: Term): DataFrame = {
     val spark = quads.sparkSession
     import spark.implicits._

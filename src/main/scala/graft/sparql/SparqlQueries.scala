@@ -157,6 +157,14 @@ object SparqlQueries {
     "sp24_path_range" -> run(
       "SELECT ?x WHERE { <person:0> schema:knows{2,4} ?x } ORDER BY ?x") _,
 
+    // property path under GRAPH ?var: each graph holds ONE knows edge
+    // (person:i%20 -> person:(i+1)%20), so the per-graph closure from
+    // person:0 is exactly {person:1} in graphs where doc_id%20=0 — a global
+    // closure would wrap the whole 20-ring and leak across graphs
+    "sp26_graph_path" -> run(
+      """SELECT ?g ?x WHERE { GRAPH ?g { <person:0> schema:knows+ ?x } }
+        |ORDER BY ?g ?x""".stripMargin) _,
+
     // scalar builtins end-to-end: STRSTARTS filter, STRAFTER/MD5/IRI binds —
     // the IRI constructor joins back into the graph for the author name
     "sp25_builtins" -> run(
@@ -302,6 +310,10 @@ object SparqlQueries {
     "sp24_path_range" ->
       """SELECT x FROM (VALUES ('person:2'), ('person:3'), ('person:4')) t(x)
         |ORDER BY x""".stripMargin,
+
+    "sp26_graph_path" ->
+      """SELECT 'graph:'||doc_id AS g, 'person:1' AS x FROM documents
+        |WHERE doc_id%20=0 ORDER BY g""".stripMargin,
 
     // persons exist for doc_id 0..19 only, so the IRI-joined author name
     // is null past the ring

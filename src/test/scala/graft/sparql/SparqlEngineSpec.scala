@@ -171,6 +171,33 @@ class SparqlEngineSpec extends SparkSpec {
       == Seq(Seq("fr", "http://www.w3.org/2001/XMLSchema#integer")))
   }
 
+  test("property paths under GRAPH ?var: per-graph evaluation, no cross-graph leaks") {
+    // sequence path binds the graph variable alongside the endpoints
+    assert(sel(
+      """SELECT ?g ?n WHERE { GRAPH ?g { ?d schema:author/schema:name ?n } }
+        |ORDER BY ?g""".stripMargin)
+      == Seq(Seq("g1", "ada"), Seq("g2", "ada")))
+    // constant endpoint restricts to the graphs containing it
+    assert(sel("SELECT ?g WHERE { GRAPH ?g { <d1> schema:author ?p } }")
+      == Seq(Seq("g1")))
+    // closures stay inside their graph: g1 chains n0->n1->n2, g2 only n0->n2
+    val twoGraphs = Seq(
+      ("g1", "n0", 0, "http://schema.org/knows", 0, "n1", "", ""),
+      ("g1", "n1", 0, "http://schema.org/knows", 0, "n2", "", ""),
+      ("g2", "n0", 0, "http://schema.org/knows", 0, "n2", "", ""))
+      .toDF("graph_iri", "subject", "subject_kind", "predicate", "obj_kind",
+        "obj_value", "obj_lang", "obj_datatype")
+    val rows = SparqlEngine.select(twoGraphs,
+      "SELECT ?g ?x WHERE { GRAPH ?g { <n0> schema:knows+ ?x } } ORDER BY ?g ?x")
+      .collect().toSeq.map(_.toSeq)
+    assert(rows == Seq(Seq("g1", "n1"), Seq("g1", "n2"), Seq("g2", "n2")))
+    // reusing the graph var as an endpoint is a clear error, not silence
+    intercept[SparqlParseException] {
+      SparqlEngine.select(twoGraphs,
+        "SELECT ?g WHERE { GRAPH ?g { ?g schema:knows+ ?x } }").collect()
+    }
+  }
+
   test("negated property sets: forward, inverse-only, mixed (SPARQL 1.1 §9.2)") {
     // d1's non-excluded edges: author IRI + contentSize literal
     // (IRIs order before literals in the engine's term ordering)
@@ -287,10 +314,9 @@ class SparqlEngineSpec extends SparkSpec {
     assert(rows == Seq(Seq("ada", "beta")))
     // '<' followed by var chains must not lex as an IRI
     assert(sel("SELECT ?s WHERE { ?s schema:contentSize ?c . FILTER(?c<?c&&?c>?c) }").isEmpty)
-    // GRAPH ?var over a path: explicit unsupported error, not silent cross-graph
-    intercept[SparqlParseException] {
-      sel("SELECT ?g ?x WHERE { GRAPH ?g { <n0> schema:knows+ ?x } }")
-    }
+    // GRAPH ?var over a path (now supported): a constant seed absent from
+    // every graph evaluates cleanly to zero solutions
+    assert(sel("SELECT ?g ?x WHERE { GRAPH ?g { <n0> schema:knows+ ?x } }").isEmpty)
   }
 
   test("result cap: min(LIMIT, 10000) when capped") {
