@@ -123,12 +123,57 @@ object PathCompiler {
     * [[DoublingMaxPairs]] the acc⋈acc intermediate (Σ indeg·outdeg over
     * midpoints) can dwarf the closure itself, so large sets extend one hop
     * per round (frontier⋈base, shuffling only novel pairs). */
+  /** Edge sets at or below this size close on the driver: a 20-edge ring
+    * costs ⌈log₂ d⌉ distributed rounds (≈15 Spark jobs of pure overhead)
+    * versus microseconds of in-memory BFS. The cap bounds BOTH input and
+    * worst-case output (all-pairs of a chain is |E|²/2), so driver memory
+    * stays small; anything larger takes the distributed fixpoint. */
+  val LocalClosureMaxEdges = 5000L
+
+  /** all-pairs ≥1-step reachability of a small edge list, computed with an
+    * interned-index BFS on the driver. */
+  private def localClosure(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val ids = scala.collection.mutable.HashMap[String, Int]()
+    def id(s: String): Int = ids.getOrElseUpdate(s, ids.size)
+    val adj = scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]()
+    edges.foreach { case (s, o) =>
+      adj.getOrElseUpdate(id(s), scala.collection.mutable.ArrayBuffer()) += id(o)
+    }
+    val names = ids.toArray.sortBy(_._2).map(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (src <- adj.keys) {
+      val seen = new java.util.BitSet(ids.size)
+      var frontier = adj(src)
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer[Int]()
+        frontier.foreach { n =>
+          if (!seen.get(n)) {
+            seen.set(n)
+            out += ((names(src), names(n)))
+            adj.get(n).foreach(next ++= _)
+          }
+        }
+        frontier = next
+      }
+    }
+    out.toSeq.toDF("s", "o")
+  }
+
   def closure(base0: DataFrame,
-      doublingMaxPairs: Long = DoublingMaxPairs): DataFrame = {
+      doublingMaxPairs: Long = DoublingMaxPairs,
+      localMaxEdges: Long = LocalClosureMaxEdges): DataFrame = {
     var (acc, accRdd) = barrier(base0.dropDuplicates())
     val base = acc
     val baseRdd = accRdd
     var count = acc.count()
+    if (count <= localMaxEdges) {
+      val edges = base.select(col("s"), col("o")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      baseRdd.unpersist(blocking = false)
+      return localClosure(base.sparkSession, edges)
+    }
     var frontier = acc
     var frontierRdd: org.apache.spark.rdd.RDD[_] = null
     var rounds = 0

@@ -234,10 +234,13 @@ class SparqlEngineSpec extends SparkSpec {
     val edges = ringQuads.filter(col("predicate") === "http://schema.org/knows")
       .selectExpr("concat('0\u0001', subject, '\u0001\u0001') AS s",
         "concat('0\u0001', obj_value, '\u0001\u0001') AS o")
-    val viaDoubling = PathCompiler.closure(edges).collect().map(_.toSeq).toSet
-    val viaFrontier = PathCompiler.closure(edges, doublingMaxPairs = 0)
+    val viaLocal = PathCompiler.closure(edges).collect().map(_.toSeq).toSet
+    val viaDoubling = PathCompiler.closure(edges, localMaxEdges = 0)
       .collect().map(_.toSeq).toSet
-    assert(viaDoubling == viaFrontier && viaDoubling.size == 25) // 5-ring closure: all pairs
+    val viaFrontier = PathCompiler.closure(edges, doublingMaxPairs = 0, localMaxEdges = 0)
+      .collect().map(_.toSeq).toSet
+    assert(viaLocal == viaDoubling && viaDoubling == viaFrontier
+      && viaDoubling.size == 25) // 5-ring closure: all pairs
   }
 
   test("seeded closure (both strategies) equals global closure filtered to the seed") {
