@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+/** Session-lifetime cache hygiene for iterative operators.
+  *
+  * Fixpoint operators ([[graft.sparql.PathCompiler]] closures, the orphan
+  * reachability filter) must cache their per-round barriers AND their final
+  * result (the consumer's action re-reads it). Those caches cannot be
+  * unpersisted inside the operator — the returned DataFrame is lazy and the
+  * consumer has not materialized it yet — so they register here instead, and
+  * the NEXT query's entry point (or an explicit caller) drains the registry.
+  * By then the previous query has been materialized; if a released block is
+  * ever re-read, Spark recomputes it from lineage (shuffle files persist),
+  * so release is always safe, never wrong.
+  *
+  * This bounds block-manager growth to O(one query) in a long-lived service
+  * — without it every path/orphan query leaks cached RDDs for the session
+  * lifetime (the round-2 finding).
+  */
+object Caches {
+
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a cached RDD for release at the next entry-point drain. */
+  def track(rdd: RDD[_]): Unit = tracked.add(() => rdd.unpersist(blocking = false))
+
+  /** Register a persisted DataFrame for release at the next drain. */
+  def track(df: DataFrame): Unit = tracked.add(() => { df.unpersist(blocking = false); () })
+
+  /** Drain: unpersist everything registered since the previous drain. */
+  def release(): Unit = {
+    var r = tracked.poll()
+    while (r != null) { r(); r = tracked.poll() }
+  }
+}

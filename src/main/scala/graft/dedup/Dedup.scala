@@ -164,7 +164,24 @@ object Dedup {
     require(bands >= 1 && k % bands == 0,
       s"bands ($bands) must divide the signature size ($k)")
     val r = k / bands
-    val sigs = minhashMd5Signatures(docs, n, k)
+    // the corpus is shingled EXACTLY ONCE: the persisted array feeds both
+    // the signature derivation (below) and the two verify joins. Signatures
+    // come straight off the array with higher-order functions — one md5
+    // pair per shingle, then k cheap XOR/shift scans — no explode, no
+    // groupBy shuffle, and none of the round-2 double-shingling cost.
+    val shArr = docs.select(col("doc_id"), shingles(col("text"), n).as("shs"))
+      .persist()
+    graft.Caches.track(shArr)
+    val hashed = shArr.withColumn("hs", transform(col("shs"), sh => struct(
+      conv(substring(md5(sh), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(concat(lit("2#"), sh)), 1, 15), 16, 10).cast("long").as("h2"))))
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("hs"), p =>
+        p.getField("h1").bitwiseXOR(shiftrightunsigned(p.getField("h2"), i)))).as(s"h$i"))
+    // shingle-less docs carry no signature (exactly the explode+groupBy
+    // semantics) — otherwise every empty doc lands in one degenerate bucket
+    val sigs = hashed.filter(size(col("shs")) > 0)
+      .select((col("doc_id") +: sigCols): _*)
     val bexp = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)): _*)))
@@ -175,7 +192,6 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .dropDuplicates("a", "b")
-    val shArr = docs.select(col("doc_id"), shingles(col("text"), n).as("shs"))
     cand
       .join(shArr.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
       .join(shArr.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))

@@ -49,9 +49,19 @@ object Orphans {
   }
 
   /** Quads minus every row touching an orphaned entity (subject or IRI
-    * object), per `handle.rs:4969-4971`. */
+    * object), per `handle.rs:4969-4971`.
+    *
+    * The orphan set's lineage (seeded reachability fixpoint + anti-join) is
+    * the expensive part, and it feeds BOTH anti-joins — so it is barriered
+    * into one cached RDD and evaluated once; without the barrier each
+    * consumer re-runs the whole fixpoint (the round-2 or1 cost). The cache
+    * is registered with [[graft.Caches]] for release at the next query. */
   def filterOrphaned(quads: DataFrame, roots: DataFrame): DataFrame = {
-    val orph = orphanedEntities(quads, roots)
+    graft.Caches.release()
+    val orphDf = orphanedEntities(quads, roots)
+    val orphRdd = orphDf.rdd.cache()
+    graft.Caches.track(orphRdd)
+    val orph = quads.sparkSession.createDataFrame(orphRdd, orphDf.schema)
     val bySubject = quads.as("q").join(orph.as("os"),
       col("q.graph_iri") === col("os.graph_iri") &&
         col("q.subject") === col("os.entity"), "left_anti")

@@ -123,17 +123,23 @@ object PathCompiler {
     * [[DoublingMaxPairs]] the acc⋈acc intermediate (Σ indeg·outdeg over
     * midpoints) can dwarf the closure itself, so large sets extend one hop
     * per round (frontier⋈base, shuffling only novel pairs). */
-  /** Edge sets at or below this size close on the driver: a 20-edge ring
-    * costs ⌈log₂ d⌉ distributed rounds (≈15 Spark jobs of pure overhead)
-    * versus microseconds of in-memory BFS. The cap bounds BOTH input and
-    * worst-case output (all-pairs of a chain is |E|²/2), so driver memory
-    * stays small; anything larger takes the distributed fixpoint. */
+  /** Edge sets at or below this size TRY to close on the driver: a 20-edge
+    * ring costs ⌈log₂ d⌉ distributed rounds (≈15 Spark jobs of pure
+    * overhead) versus microseconds of in-memory BFS. The input cap alone
+    * does not bound the output (all-pairs of a 5000-edge chain is |E|²/2 ≈
+    * 12.5M string pairs), so [[LocalClosureMaxPairs]] bounds the OUTPUT as
+    * it accumulates — past it the BFS aborts and the distributed fixpoint
+    * takes over. Driver memory stays ≤ ~500k pairs either way. */
   val LocalClosureMaxEdges = 5000L
 
+  /** Hard output bound for the driver-local BFS (pairs, not edges). */
+  val LocalClosureMaxPairs = 500000
+
   /** all-pairs ≥1-step reachability of a small edge list, computed with an
-    * interned-index BFS on the driver. */
+    * interned-index BFS on the driver; None when the output outgrows
+    * [[LocalClosureMaxPairs]] (caller falls back to the distributed path). */
   private def localClosure(spark: org.apache.spark.sql.SparkSession,
-      edges: Array[(String, String)]): DataFrame = {
+      edges: Array[(String, String)]): Option[DataFrame] = {
     import spark.implicits._
     val ids = scala.collection.mutable.HashMap[String, Int]()
     def id(s: String): Int = ids.getOrElseUpdate(s, ids.size)
@@ -147,6 +153,7 @@ object PathCompiler {
       val seen = new java.util.BitSet(ids.size)
       var frontier = adj(src)
       while (frontier.nonEmpty) {
+        if (out.size > LocalClosureMaxPairs) return None
         val next = scala.collection.mutable.ArrayBuffer[Int]()
         frontier.foreach { n =>
           if (!seen.get(n)) {
@@ -158,7 +165,8 @@ object PathCompiler {
         frontier = next
       }
     }
-    out.toSeq.toDF("s", "o")
+    if (out.size > LocalClosureMaxPairs) None
+    else Some(out.toSeq.toDF("s", "o"))
   }
 
   def closure(base0: DataFrame,
@@ -171,8 +179,12 @@ object PathCompiler {
     if (count <= localMaxEdges) {
       val edges = base.select(col("s"), col("o")).collect()
         .map(r => (r.getString(0), r.getString(1)))
-      baseRdd.unpersist(blocking = false)
-      return localClosure(base.sparkSession, edges)
+      localClosure(base.sparkSession, edges) match {
+        case Some(local) =>
+          baseRdd.unpersist(blocking = false)
+          return local
+        case None => // output outgrew the driver bound; run distributed
+      }
     }
     var frontier = acc
     var frontierRdd: org.apache.spark.rdd.RDD[_] = null
@@ -204,6 +216,11 @@ object PathCompiler {
       }
     }
     if (frontierRdd != null) frontierRdd.unpersist(blocking = false)
+    // per-round counts already materialized accRdd, so base is releasable
+    // NOW; the returned result's cache must outlive this call (the consumer
+    // has not run its action yet) — registered for the next entry drain.
+    if (accRdd ne baseRdd) baseRdd.unpersist(blocking = false)
+    graft.Caches.track(accRdd)
     acc
   }
 
@@ -272,6 +289,10 @@ object PathCompiler {
     if (base.count() <= doublingMaxPairs) {
       val out = seeds.as("c").join(closure(base).as("b"), col("c.n") === col("b.s"))
         .select(col("c.seed").as("seed"), col("b.o").as("n")).dropDuplicates()
+      // closure() materialized (and tracked) its own result; base is only
+      // needed again if that cache is evicted, so recompute-from-lineage
+      // covers it — release now instead of leaking for the session.
+      baseRdd.unpersist(blocking = false)
       return out
     }
     var (visited, visitedRdd) = barrier(step(seeds, base))
@@ -297,6 +318,7 @@ object PathCompiler {
     }
     if (frontierRdd ne visitedRdd) frontierRdd.unpersist(blocking = false)
     baseRdd.unpersist(blocking = false)
+    graft.Caches.track(visitedRdd)
     visited
   }
 

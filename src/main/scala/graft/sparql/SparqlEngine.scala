@@ -21,6 +21,7 @@ object SparqlEngine {
     * variable: lexical value, or the plain value for BIND/aggregates). */
   def select(quads: DataFrame, sparql: String, cap: Boolean = false,
       defaultGraph: Option[DataFrame] = None): DataFrame = {
+    graft.Caches.release() // previous query's fixpoint caches (see [[graft.Caches]])
     val q = SparqlParser.parse(sparql)
     require(q.form == "select", s"expected SELECT, got ${q.form}")
     val pattern =
@@ -53,6 +54,7 @@ object SparqlEngine {
     * = any-true (`api.rs:2917-2921`). */
   def ask(quads: DataFrame, sparql: String,
       defaultGraph: Option[DataFrame] = None): DataFrame = {
+    graft.Caches.release()
     val q = SparqlParser.parse(sparql)
     require(q.form == "ask", s"expected ASK, got ${q.form}")
     Compiler.compile(quads, q.pattern, defaultGraph)
