@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard joins on shared shingles — exact but quadratic in the
   *    worst case; use after LSH at scale (verify step), standalone for
   *    small/medium corpora.
-  *  - SimHash: 64-bit fingerprints, candidates via 16-bit chunk collisions
+  *  - SimHash: 60-bit fingerprints, candidates via 15-bit chunk collisions
   *    (any pair within hamming distance 3 shares a chunk — pigeonhole).
   */
 object Dedup {
@@ -85,39 +85,24 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
-  /** MinHash signature: signature[i] = min over shingles of hash_i(shingle).
-    * The k hashes derive from TWO xxhash64 passes per shingle via XOR-rotate
-    * mixing (the double-hashing family of Kirsch–Mitzenmacher, using
-    * rotation instead of `h1 + i*h2` because ANSI mode rejects the wrapping
-    * multiply) — hashing the shingle text once instead of k times, which
-    * dominated the signature build. Rotation amounts are distinct for
-    * i < 63, so components stay pairwise independent draws. */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    require(k < 63, s"signature size $k exceeds the distinct-rotation family")
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-      .withColumn("h1", xxhash64(col("sh")))
-      .withColumn("h2", xxhash64(lit("km2"), col("sh")))
-    def rot(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column =
-      shiftleft(c, s).bitwiseOR(shiftrightunsigned(c, 64 - s))
-    val mins = (0 until k).map { i =>
-      val s = (i * 37) % 63 + 1
-      min(col("h1").bitwiseXOR(rot(col("h2"), s))).as(s"h$i")
-    }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-  }
-
   /** LSH candidate pairs from banded signatures, verified with exact
-    * signature similarity >= simThreshold (fraction of equal components). */
+    * signature similarity >= simThreshold (fraction of equal components).
+    * Signatures use the md5-derived Kirsch–Mitzenmacher family of
+    * [[minhashMd5Signatures]] — every step is integer arithmetic both
+    * engines reproduce bit-for-bit, so the whole operator carries a full
+    * DuckDB oracle (the round-2 gap for this gate). */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       simThreshold: Double = 0.8): DataFrame = {
     require(bands >= 1 && k % bands == 0,
       s"bands ($bands) must divide the signature size ($k)") // rows=0 would cross-join everything
     val rows = k / bands
-    val sigs = minhashSignatures(docs, n, k)
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
-    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
+    val sigs = minhashMd5Signatures(docs, n, k)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    // band key = joined component values (not a re-hash): keeps the bucket
+    // relation identical across engines for the oracle
+    val bandKeys = array((0 until bands).map(b =>
+      concat_ws("|", (0 until rows).map(j => col("sig").getItem(b * rows + j)): _*)): _*)
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
     val l = banded.as("l")
     val r = banded.as("r")
@@ -206,33 +191,39 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash fingerprints: per-bit tf-weighted votes over token
-    * hashes. The 64 bit-votes aggregate as 64 SUM columns in ONE map-side
+  /** SimHash bit width: 60 bits — the md5-prefix token hash is 60 bits
+    * (15 hex chars) so every value stays positive and below 2^60, where
+    * Spark and DuckDB shift/AND/XOR agree bit-for-bit (the full-oracle
+    * requirement); 60 also divides evenly into 4 pigeonhole chunks. */
+  val SimhashBits = 60
+
+  /** SimHash fingerprints: per-bit tf-weighted votes over md5-derived token
+    * hashes. The 60 bit-votes aggregate as 60 SUM columns in ONE map-side
     * combinable pass — no per-bit row explosion, no second shuffle (the
-    * naive posexplode formulation multiplies the token stream 64×).
+    * naive posexplode formulation multiplies the token stream 60×).
     * Returns (doc_id, simhash). */
   def simhash(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteSums = (0 until 64).map(i =>
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val voteSums = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"v$i"))
     val votes = tf.groupBy(col("doc_id")).agg(voteSums.head, voteSums.tail: _*)
-    val fingerprint = (0 until 64).map(i =>
+    val fingerprint = (0 until SimhashBits).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
     votes.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** Near-dup pairs within hamming distance <= maxDist, candidates via
-    * 16-bit chunk collision (pigeonhole: dist<=3 ⇒ one of 4 chunks equal). */
+    * 15-bit chunk collision (pigeonhole: dist<=3 ⇒ one of 4 chunks equal). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val fp = simhash(docs)
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val l = chunked.as("l")
     val r = chunked.as("r")
@@ -242,7 +233,7 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         col("l.simhash").as("ha"), col("r.simhash").as("hb"))
       .dropDuplicates("a", "b")
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
   }

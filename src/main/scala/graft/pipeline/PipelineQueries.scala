@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators for the driver gate: dedup family, ANN
-  * similarity, text analysis, multimodal stats. Exact-arithmetic operators
-  * get DuckDB oracles; probabilistic ones (MinHash LSH, SimHash, LSH-ANN)
-  * are rows-only here and invariant-checked in PipelineSpec.
+  * similarity, text analysis, multimodal stats. Every dedup operator —
+  * including the banded MinHash-LSH and SimHash gates — carries a full
+  * DuckDB oracle (the md5-derived hash families are integer arithmetic both
+  * engines reproduce bit-for-bit); only LSH-ANN stays rows-only
+  * (recall-vs-brute-force invariants live in PipelineSpec).
   *
   * The dedup corpus plants duplicates deterministically: exact copies of
   * every 25th doc (+200000) and near-copies with a 4-word tail of every
@@ -45,7 +47,7 @@ object PipelineQueries {
       Dedup.exactDuplicates(corpus(s, d)).orderBy(col("text_hash"))
     },
 
-    "dd2_minhash_lsh" -> { (s, d) => // rows-only; invariants in PipelineSpec
+    "dd2_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLshPairs(corpus(s, d)).orderBy(col("a"), col("b"))
     },
 
@@ -73,7 +75,7 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    "dd4_simhash" -> { (s, d) => // rows-only; invariants in PipelineSpec
+    "dd4_simhash" -> { (s, d) =>
       Dedup.simhashPairs(corpus(s, d), maxDist = 3).orderBy(col("a"), col("b"))
     },
 
@@ -184,6 +186,74 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.6
          |ORDER BY a, b""".stripMargin,
+
+    // full oracle for the banded-minhash LSH gate: identical md5-derived
+    // signature family, band buckets as joined component values, sim =
+    // fraction of equal components — integer arithmetic end to end
+    "dd2_minhash_lsh" -> {
+      val simExpr = (0 until 16).map(i =>
+        s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $corpusCte,
+         |${shinglesCte()},
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+         |         CAST(('0x' || substr(md5('2#' || sh), 1, 15)) AS BIGINT) AS h2
+         |  FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |${(0 until 16).map(i => s"    MIN(xor(h1, h2 >> $i)) AS h$i").mkString(",\n")}
+         |  FROM sh2 GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |${(0 until 4).map(b => s"    CONCAT(h${b * 4},'|',h${b * 4 + 1},'|',h${b * 4 + 2},'|',h${b * 4 + 3}) AS b$b").mkString(",\n")}
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.doc_id < r.doc_id
+         |   AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3))
+         |SELECT a, b, sim FROM (
+         |  SELECT c.a, c.b, CAST($simExpr AS DOUBLE) / 16 AS sim
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.a
+         |  JOIN sigs sb ON sb.doc_id = c.b) t
+         |WHERE sim >= 0.8
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // full oracle for the SimHash gate: 60-bit md5-prefix token hashes,
+    // 60 tf-weighted bit votes, 4x15-bit pigeonhole chunks, popcount dist
+    "dd4_simhash" -> {
+      val votes = (0 until Dedup.SimhashBits).map(i =>
+        s"    SUM(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS v$i").mkString(",\n")
+      val fp = (0 until Dedup.SimhashBits).map(i =>
+        s"(CASE WHEN v$i > 0 THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      val chunkEq = (0 until 4).map(i =>
+        s"((a.fp >> ${i * 15}) & 32767) = ((b.fp >> ${i * 15}) & 32767)").mkString(" OR ")
+      s"""WITH $corpusCte,
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id,
+         |           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                              t -> t <> '')) AS tok
+         |    FROM corpus) u
+         |  GROUP BY 1, 2),
+         |h AS (
+         |  SELECT doc_id, tf,
+         |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |  FROM tf),
+         |votes AS (
+         |  SELECT doc_id,
+         |$votes
+         |  FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $fp AS fp FROM votes),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.fp AS fa, b.fp AS fb
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq))
+         |SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS dist FROM cand
+         |WHERE bit_count(xor(fa, fb)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
 
     "dd3_ngram_jaccard" ->
       s"""WITH $corpusCte,

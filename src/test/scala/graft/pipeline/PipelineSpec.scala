@@ -40,7 +40,7 @@ class PipelineSpec extends SparkSpec {
 
   test("simhash: identical docs distance 0; near-copies within distance 3") {
     val pairs = Dedup.simhashPairs(planted, maxDist = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val docs = Tables.documents(spark, sf0001)
     val exactIds = docs.filter(col("doc_id") % 25 === 0)
       .select("doc_id").collect().map(_.getLong(0))
