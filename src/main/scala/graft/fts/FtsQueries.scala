@@ -4,11 +4,17 @@ import graft.sparql.RdfTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** FTS operator coverage for the driver gate. Integer-statistic queries get
-  * exact DuckDB oracles; the float BM25 ranking is rows-only here and pinned
-  * by golden unit tests instead (float scores are not bit-stable across
-  * engines' ln implementations — the *contract* per SURVEY §7 is our own
-  * deterministic ordering, which fts5 validates via the integer sort key).
+/** FTS operator coverage for the driver gate — every query carries a full
+  * DuckDB oracle, including the BM25 ranking (fts3): the compared value is
+  * the reference's own i64 micro-unit `score_key`, and the f32 cast that
+  * precedes quantization swallows the last-ulp differences between the two
+  * engines' `ln`/summation (29 mantissa bits of headroom). The oracle SQL
+  * mirrors the Scala arithmetic EXPRESSION BY EXPRESSION — every constant is
+  * CAST to DOUBLE (bare DuckDB decimals are DECIMAL-typed and would change
+  * the arithmetic), compound constants like k1+1 stay compound (constant
+  * folding reproduces the Scala double rounding), and the double→i64
+  * quantization goes through trunc() because DuckDB's CAST rounds while
+  * Spark/Rust truncate.
   */
 object FtsQueries {
 
@@ -42,8 +48,8 @@ object FtsQueries {
         .limit(20)
     },
 
-    // full BM25 pipeline: scoring + merge + enrichment (rows-only gate;
-    // ordering/quantization pinned by FtsSpec golden tests)
+    // full BM25 pipeline: scoring + merge + enrichment, hash-compared to
+    // the DuckDB replica below on the quantized score_key
     "fts3_bm25_search" -> { (s, d) =>
       val quads = graft.Store.quads(s, d)
       val hits = Search.bm25(postings(s, d), "spark merge fast")
@@ -80,7 +86,79 @@ object FtsQueries {
       |GROUP BY 1, 2
       |ORDER BY score_key DESC, graph_iri, subject_iri""".stripMargin
 
+  /** DuckDB replica of the fts3 pipeline (scoring → merge-trivial →
+    * enrichment → page). See the object Scaladoc for the float-parity rules;
+    * snippet/title logic mirrors [[Enrich]] clause by clause. */
+  private val bm25Sql: String = {
+    val toks = Search.tokenize("spark merge fast")
+    val tokList = toks.map(t => s"'$t'").mkString(",")
+    val idxTerms = toks.map(t => s"nullif(strpos(lc, '$t'), 0)").mkString(", ")
+    val ns = graft.sparql.RdfTables.SchemaNs
+    val fieldRank = Fts.IndexedFields.values.toSeq.sorted.zipWithIndex
+      .map { case (f, r) => s"WHEN '$ns$f' THEN $r" }.mkString(" ")
+    val indexedIn = Fts.IndexedFields.keys.toSeq.sorted.map(i => s"'$i'").mkString(", ")
+    s"""WITH ${Fts.postingsCte},
+       |${graft.sparql.RdfTables.quadsCte},
+       |${graft.sparql.RdfTables.registryCte},
+       |corpus AS (SELECT graph_iri, SUM(tf) AS dl FROM postings GROUP BY graph_iri),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM corpus),
+       |matchedt AS (SELECT * FROM postings WHERE token IN ($tokList)),
+       |matched AS (SELECT token, graph_iri, subject_iri, SUM(tf) AS tf
+       |            FROM matchedt GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT token, COUNT(DISTINCT graph_iri) AS df FROM matchedt GROUP BY token),
+       |weighted AS (
+       |  SELECT m.graph_iri, m.subject_iri,
+       |         ln(CAST(1.0 AS DOUBLE) +
+       |            (CAST(s.n - d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |            (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |         * ((CAST(m.tf AS DOUBLE) * (CAST(${Search.K1} AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+       |            (CAST(m.tf AS DOUBLE) + CAST(${Search.K1} AS DOUBLE) *
+       |             ((CAST(1.0 AS DOUBLE) - CAST(${Search.B} AS DOUBLE)) +
+       |              (CAST(${Search.B} AS DOUBLE) * CAST(c.dl AS DOUBLE)) / s.avgdl))) AS w
+       |  FROM matched m
+       |  JOIN dfreq d ON d.token = m.token
+       |  JOIN corpus c ON c.graph_iri = m.graph_iri, stats s),
+       |hits AS (
+       |  SELECT graph_iri, subject_iri,
+       |         CAST(trunc(CAST(CAST(SUM(w) AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS score_key
+       |  FROM weighted GROUP BY 1, 2),
+       |names AS (
+       |  SELECT graph_iri, subject AS subject_iri, MIN(obj_value) AS name
+       |  FROM quads WHERE predicate = '${ns}name' AND obj_kind = ${graft.sparql.Kind.Literal}
+       |  GROUP BY 1, 2),
+       |contents AS (
+       |  SELECT graph_iri, subject AS subject_iri,
+       |         string_agg(obj_value, ' ' ORDER BY
+       |           CASE predicate $fieldRank ELSE 99 END, obj_value) AS content
+       |  FROM quads
+       |  WHERE obj_kind = ${graft.sparql.Kind.Literal} AND predicate IN ($indexedIn)
+       |  GROUP BY 1, 2),
+       |enriched AS (
+       |  SELECT h.graph_iri, h.subject_iri, h.score_key,
+       |         COALESCE(n.name,
+       |                  NULLIF(regexp_extract(h.subject_iri, '([^/#:]+)$$', 1), ''),
+       |                  r.document_path) AS title,
+       |         CASE WHEN c.content IS NULL THEN NULL
+       |              WHEN least($idxTerms) IS NULL THEN substr(c.content, 1, ${Enrich.SnippetMaxLen})
+       |              ELSE substr(c.content,
+       |                          greatest(0, least($idxTerms) - 1 - ${Enrich.SnippetLead}) + 1,
+       |                          ${Enrich.SnippetMaxLen})
+       |         END AS snippet
+       |  FROM hits h
+       |  LEFT JOIN names n ON n.graph_iri = h.graph_iri AND n.subject_iri = h.subject_iri
+       |  LEFT JOIN registry r ON r.graph_iri = h.graph_iri
+       |  LEFT JOIN (SELECT graph_iri, subject_iri, content,
+       |                    lower(content) AS lc FROM contents) c
+       |    ON c.graph_iri = h.graph_iri AND c.subject_iri = h.subject_iri)
+       |SELECT graph_iri, subject_iri, score_key, title, snippet
+       |FROM enriched
+       |ORDER BY score_key DESC, graph_iri, subject_iri
+       |LIMIT 50""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "fts3_bm25_search" -> bm25Sql,
+
     "fts1_postings" ->
       s"""WITH ${Fts.postingsCte}
          |SELECT token, graph_iri, subject_iri, field, tf FROM postings
