@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * equivalent of a Pandas-UDF `mapInPandas` stage: per-partition batch,
   * schema-stable output).
   *
-  * The actual codec work (image decode / resize / audio frame extraction) is
-  * STUBBED — this container ships no media libraries — behind
-  * [[FakeCodec]], a deterministic stand-in with the same call shape a real
-  * decoder (e.g. javax.imageio / ffmpeg bindings) would have. The Spark-side
-  * plumbing — schema, binary handling, partition batching, output shape — is
-  * real and tested.
+  * IMAGE payloads decode for REAL through the JDK's `javax.imageio` (see
+  * [[ImageCodec]]); the mm2 gate round-trips a deterministic synthetic BMP
+  * through the actual decoder and hash-compares pixel statistics against a
+  * closed-form DuckDB oracle. Audio/video feature extraction remains a
+  * deterministic byte-stat stand-in with the decoder's call shape — this
+  * container ships no ffmpeg/soundfile — so the Spark-side plumbing
+  * (schema, binary handling, partition batching, output shape) is identical
+  * to what a production codec swap would keep.
   *
   * Scale: payloads never pass through a shuffle (derive → extract in one
   * narrow stage); metadata-only projections (kind, sizes) prune the binary
@@ -44,19 +46,79 @@ object Multimodal {
         (col("doc_id") % 480 + 1).cast("int").as("height"),
         (col("n_chars") * 10).as("duration_ms")).as("meta"))
 
-  /** STUB codec: deterministic byte statistics standing in for a real
-    * decoder. A production build would replace `decode` with the actual
-    * image/audio library call — the signature and batch shape stay. */
+  /** Real image codec over the JDK's bundled `javax.imageio` (no external
+    * dependency): encode a deterministic synthetic 24-bit BMP, decode any
+    * BMP/PNG payload back to pixel statistics. */
+  object ImageCodec {
+
+    /** Deterministic synthetic 24-bit gray BMP (BITMAPINFOHEADER, bottom-up
+      * rows, 4-byte row padding): pixel (x, y) value =
+      * `(seed*31 + x*7 + y*13) mod 256` with y counted from the top — the
+      * closed form the DuckDB oracle recomputes. */
+    def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"degenerate image ${w}x$h")
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val dataSize = rowSize * h
+      val fileSize = 54 + dataSize
+      val buf = java.nio.ByteBuffer.allocate(fileSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var r = 0
+      while (r < h) { // BMP stores rows bottom-up
+        val y = h - 1 - r
+        var x = 0
+        while (x < w) {
+          val v = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+          buf.put(v.toByte).put(v.toByte).put(v.toByte)
+          x += 1
+        }
+        var p = w * 3
+        while (p < rowSize) { buf.put(0.toByte); p += 1 }
+        r += 1
+      }
+      buf.array()
+    }
+
+    final case class ImageStats(width: Int, height: Int, pxSum: Long)
+
+    /** Actual `ImageIO` decode → (width, height, sum of 8-bit luminance).
+      * Gray pixels carry identical RGB channels, so the blue channel IS the
+      * luminance. */
+    def decode(bytes: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      ImageStats(img.getWidth, img.getHeight, sum)
+    }
+  }
+
+  /** Codec dispatch: image payloads with a BMP magic decode for real via
+    * [[ImageCodec]]; everything else (opaque payloads, audio, video — no
+    * ffmpeg in the toolchain) gets deterministic byte statistics with the
+    * same call shape a production decoder swap would keep. */
   object FakeCodec {
     final case class Features(nBytes: Long, checksum: Long, brightness: Double)
 
-    def decode(kind: String, bytes: Array[Byte]): Features = {
-      // ??? <- real decoder goes here (javax.imageio / ffmpeg / soundfile)
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-      Features(bytes.length.toLong, sum, if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
-    }
+    def decode(kind: String, bytes: Array[Byte]): Features =
+      if (kind == "image" && bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val s = ImageCodec.decode(bytes)
+        Features(bytes.length.toLong, s.pxSum,
+          s.pxSum.toDouble / (s.width.toLong * s.height))
+      } else {
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+        Features(bytes.length.toLong, sum,
+          if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+      }
   }
 
   val featureSchema: StructType = StructType(Seq(
@@ -74,6 +136,46 @@ object Multimodal {
       rows.map { r =>
         val f = FakeCodec.decode(r.getString(1), r.getAs[Array[Byte]]("bytes"))
         Row(r.getLong(0), r.getString(1), f.nBytes, f.checksum, f.brightness)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic image table: one real BMP payload per document
+    * (width doc_id%16+1, height doc_id%12+1, pixels from the
+    * [[ImageCodec.syntheticBmp]] closed form). Built per partition — one
+    * narrow stage, no shuffle; payload bytes exist only inside it. */
+  def syntheticImages(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("bytes", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    graft.Tables.documents(spark, dir).select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, ImageCodec.syntheticBmp(id, (id % 16).toInt + 1, (id % 12).toInt + 1))
+      }
+    }(enc)
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("mean_brightness", DoubleType)))
+
+  /** REAL image feature extraction: every payload goes through
+    * `javax.imageio` decode; output is pixel statistics the DuckDB oracle
+    * recomputes in closed form (encode→decode round-trip is the tested
+    * contract — a header or row-padding bug on either side breaks the
+    * hash-compare). */
+  def imageFeatures(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageFeatureSchema)
+    images.select("doc_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        // positional access: upstream rows may be schema-less (mapPartitions)
+        val s = ImageCodec.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.width, s.height, s.pxSum,
+          s.pxSum.toDouble / (s.width.toLong * s.height))
       }
     }(enc)
   }

@@ -123,8 +123,10 @@ object PipelineQueries {
         .orderBy(col("kind"))
     },
 
-    "mm2_features" -> { (s, d) => // rows-only; stub-decode values checked in spec
-      Multimodal.extractFeatures(Multimodal.media(s, d)).orderBy(col("doc_id"))
+    // REAL javax.imageio decode of synthetic BMPs; pixel stats oracle'd in
+    // closed form (the byte-stat stub path for audio/video stays spec-only)
+    "mm2_features" -> { (s, d) =>
+      Multimodal.imageFeatures(Multimodal.syntheticImages(s, d)).orderBy(col("doc_id"))
     }
   )
 
@@ -378,6 +380,21 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE length(text) < 16
         |) t ORDER BY doc_id""".stripMargin,
+
+    // closed-form replica of the synthetic-BMP pixel pattern; matching the
+    // Spark side requires the encode->ImageIO-decode round trip to be exact
+    "mm2_features" ->
+      """SELECT d.doc_id,
+        |       CAST(d.doc_id%16 + 1 AS INT) AS width,
+        |       CAST(d.doc_id%12 + 1 AS INT) AS height,
+        |       CAST(SUM((d.doc_id*31 + x.x*7 + y.y*13) % 256) AS BIGINT) AS px_sum,
+        |       CAST(SUM((d.doc_id*31 + x.x*7 + y.y*13) % 256) AS DOUBLE)
+        |         / ((d.doc_id%16 + 1) * (d.doc_id%12 + 1)) AS mean_brightness
+        |FROM documents d,
+        |     LATERAL (SELECT UNNEST(range(0, d.doc_id%16 + 1)) AS x) x,
+        |     LATERAL (SELECT UNNEST(range(0, d.doc_id%12 + 1)) AS y) y
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "mm1_media_stats" ->
       """SELECT kind, COUNT(*) AS n, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

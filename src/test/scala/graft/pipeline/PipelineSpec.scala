@@ -139,6 +139,30 @@ class PipelineSpec extends SparkSpec {
       s"planted exact pair ($id,+200000) missed by LSH bands"))
   }
 
+  test("image codec: ImageIO round-trip matches the closed-form pixel pattern") {
+    val bytes = Multimodal.ImageCodec.syntheticBmp(7, 5, 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 5 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val v = (7 * 31 + x * 7 + y * 13) % 256
+      val rgb = img.getRGB(x, y)
+      assert((rgb & 0xff) == v && ((rgb >> 8) & 0xff) == v && ((rgb >> 16) & 0xff) == v,
+        s"pixel ($x,$y) decoded ${rgb.toHexString}, expected gray $v")
+    }
+    val s = Multimodal.ImageCodec.decode(bytes)
+    val expectedSum = (for (y <- 0 until 3; x <- 0 until 5)
+      yield (7 * 31 + x * 7 + y * 13) % 256).sum.toLong
+    assert(s.pxSum == expectedSum && s.width == 5 && s.height == 3)
+    // image-kind payloads with the BMP magic route through the real decoder
+    val f = Multimodal.FakeCodec.decode("image", bytes)
+    assert(f.checksum == expectedSum)
+    // row padding exercised: widths not divisible by 4 must still round-trip
+    (1 to 8).foreach { w =>
+      val st = Multimodal.ImageCodec.decode(Multimodal.ImageCodec.syntheticBmp(3, w, 2))
+      assert(st.width == w && st.height == 2, s"width $w")
+    }
+  }
+
   test("multimodal: stub decode is deterministic, frames slice the payload") {
     val media = Multimodal.media(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
