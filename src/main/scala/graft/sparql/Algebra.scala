@@ -24,6 +24,7 @@ object Term {
   val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
   val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
   val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
 
   def iri(v: String): Term = Term(Kind.Iri, v, "", "")
   def bnode(v: String): Term = Term(Kind.BNode, v, "", "")

@@ -28,11 +28,34 @@ object ExprCompiler {
   case object TyTerm extends Ty
 
   private val NumFns = Set("STRLEN", "ABS", "CEIL", "FLOOR", "ROUND",
-    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS")
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "RAND")
   private val StrFns = Set("STR", "UCASE", "LCASE", "CONCAT", "LANG", "DATATYPE",
     "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI",
-    "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "TZ")
-  private val TermFns = Set("IRI", "URI", "STRLANG", "STRDT")
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "TZ", "STRUUID")
+  private val TermFns = Set("IRI", "URI", "STRLANG", "STRDT", "NOW", "UUID", "BNODE")
+
+  // ---------------------------------------------------------------------
+  // per-query scope for the nondeterministic builtins (SPARQL 1.1 §17.4):
+  // NOW() is CONSTANT within one query execution; BNODE(str) maps equal
+  // arguments to the same label within a query but not across queries.
+  // The engine opens a fresh scope per query; UUID/STRUUID/RAND stay
+  // per-row nondeterministic (Spark's uuid()/rand(), evaluated per row).
+  // ---------------------------------------------------------------------
+
+  private final case class QueryScope(nowLexical: String, bnodeSalt: String)
+  private val scope = new ThreadLocal[QueryScope]
+
+  /** Reset the nondeterministic-builtin scope (engine entry, per query). */
+  def newQueryScope(): Unit = scope.remove()
+
+  private def queryScope: QueryScope = {
+    if (scope.get == null)
+      scope.set(QueryScope(
+        java.time.format.DateTimeFormatter.ISO_INSTANT
+          .format(java.time.Instant.now()),
+        java.util.UUID.randomUUID().toString))
+    scope.get
+  }
 
   def infer(e: Expr): Ty = e match {
     case EConst(t) if t.isLiteral && Term.isNumericDatatype(t.datatype) => TyNum
@@ -72,6 +95,7 @@ object ExprCompiler {
     case EFunc("HOURS", Seq(a)) => hour(ts(a, R)).cast(DoubleType)
     case EFunc("MINUTES", Seq(a)) => minute(ts(a, R)).cast(DoubleType)
     case EFunc("SECONDS", Seq(a)) => second(ts(a, R)).cast(DoubleType)
+    case EFunc("RAND", Seq()) => rand() // fresh xsd:double per row
     case EIf(c, t, f) => when(toBool(c, R), num(t, R)).otherwise(num(f, R))
     case ECoalesce(args) => coalesce(args.map(num(_, R)): _*)
     case other => throw new SparqlParseException(s"not numeric: $other")
@@ -123,6 +147,9 @@ object ExprCompiler {
     // TZ: the timezone designator of the lexical form, "" when absent
     case EFunc("TZ", Seq(a)) =>
       regexp_extract(str(a, R), "(Z|[+-][0-9]{2}:[0-9]{2})$", 1)
+    case EFunc("STRUUID", Seq()) => expr("uuid()") // fresh simple literal per row
+    case EFunc("UUID", Seq()) => concat(lit("urn:uuid:"), expr("uuid()"))
+    case EFunc("NOW", Seq()) => lit(queryScope.nowLexical) // constant per query
     case EIf(c, t, f) => when(toBool(c, R), str(t, R)).otherwise(str(f, R))
     case ECoalesce(args) => coalesce(args.map(str(_, R)): _*)
     case other => throw new SparqlParseException(s"not a string expression: $other")
@@ -215,6 +242,22 @@ object ExprCompiler {
     case EFunc("STRDT", Seq(a, dt)) =>
       struct(lit(Kind.Literal).as("kind"), str(a, R).as("value"),
         lit("").as("lang"), constTermValue(dt).as("datatype"))
+    // nondeterministic constructors (§17.4.1.2, §17.4.2.3-4, §17.4.5.1)
+    case EFunc("NOW", Seq()) =>
+      struct(lit(Kind.Literal).as("kind"), lit(queryScope.nowLexical).as("value"),
+        lit("").as("lang"), lit(Term.XsdDateTime).as("datatype"))
+    case EFunc("UUID", Seq()) =>
+      struct(lit(Kind.Iri).as("kind"),
+        concat(lit("urn:uuid:"), expr("uuid()")).as("value"),
+        lit("").as("lang"), lit("").as("datatype"))
+    case EFunc("BNODE", Seq()) =>
+      struct(lit(Kind.BNode).as("kind"),
+        concat(lit("b"), regexp_replace(expr("uuid()"), "-", "")).as("value"),
+        lit("").as("lang"), lit("").as("datatype"))
+    case EFunc("BNODE", Seq(a)) => // same label for equal args WITHIN a query
+      struct(lit(Kind.BNode).as("kind"),
+        concat(lit("b"), md5(concat(lit(queryScope.bnodeSalt), str(a, R)))).as("value"),
+        lit("").as("lang"), lit("").as("datatype"))
     case other => throw new SparqlParseException(s"not a term: $other")
   }
 

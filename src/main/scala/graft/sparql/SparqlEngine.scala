@@ -22,6 +22,7 @@ object SparqlEngine {
   def select(quads: DataFrame, sparql: String, cap: Boolean = false,
       defaultGraph: Option[DataFrame] = None): DataFrame = {
     graft.Caches.release() // previous query's fixpoint caches (see [[graft.Caches]])
+    ExprCompiler.newQueryScope() // NOW()/BNODE() per-query constancy
     val q = SparqlParser.parse(sparql)
     require(q.form == "select", s"expected SELECT, got ${q.form}")
     val pattern =
@@ -55,6 +56,7 @@ object SparqlEngine {
   def ask(quads: DataFrame, sparql: String,
       defaultGraph: Option[DataFrame] = None): DataFrame = {
     graft.Caches.release()
+    ExprCompiler.newQueryScope()
     val q = SparqlParser.parse(sparql)
     require(q.form == "ask", s"expected ASK, got ${q.form}")
     Compiler.compile(quads, q.pattern, defaultGraph)

@@ -716,5 +716,6 @@ private final class SparqlParser(input: String) {
     "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512", "TZ",
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
-    "IRI", "URI", "STRLANG", "STRDT").contains(w.toUpperCase)
+    "IRI", "URI", "STRLANG", "STRDT",
+    "NOW", "UUID", "STRUUID", "RAND", "BNODE").contains(w.toUpperCase)
 }

@@ -344,6 +344,41 @@ class SparqlEngineSpec extends SparkSpec {
     assert(sums == Seq(Seq("http://schema.org/Dataset")), sums.toString)
   }
 
+  test("nondeterministic builtins: NOW constant per query, UUID/BNODE fresh per row") {
+    // NOW(): identical across expressions and rows of ONE query execution
+    val now = sel(
+      """SELECT ?s ?t ?t2 WHERE { ?s schema:name ?n .
+        |BIND(NOW() AS ?t) BIND(NOW() AS ?t2) }""".stripMargin)
+    assert(now.size == 3)
+    val stamps = now.flatMap(r => Seq(r(1), r(2))).distinct
+    assert(stamps.size == 1, s"NOW must be constant within a query: $stamps")
+    assert(stamps.head.asInstanceOf[String]
+      .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z"""))
+    // UUID(): a fresh urn:uuid IRI per row; STRUUID(): bare lexical
+    val ids = sel(
+      """SELECT ?s ?u ?su WHERE { ?s schema:name ?n .
+        |BIND(UUID() AS ?u) BIND(STRUUID() AS ?su) }""".stripMargin)
+    val us = ids.map(_(1).asInstanceOf[String])
+    assert(us.distinct.size == ids.size, "UUID must be unique per row")
+    assert(us.forall(_.matches("urn:uuid:[0-9a-f-]{36}")))
+    assert(ids.map(_(2).asInstanceOf[String]).forall(_.matches("[0-9a-f-]{36}")))
+    // RAND(): xsd:double in [0,1) per row
+    val rs = sel("SELECT ?s ?r WHERE { ?s schema:name ?n . BIND(RAND() AS ?r) }")
+      .map(_(1).asInstanceOf[Double])
+    assert(rs.forall(r => r >= 0.0 && r < 1.0))
+    // BNODE(str): equal args share a label within the query; ISBLANK sees it
+    val bn = sel(
+      """SELECT ?s ?b ?c WHERE { ?s schema:name ?n .
+        |BIND(BNODE("x") AS ?b) BIND(BNODE("x") AS ?c)
+        |FILTER(ISBLANK(?b)) }""".stripMargin)
+    assert(bn.size == 3)
+    assert(bn.forall(r => r(1) == r(2)), "BNODE(const) must be stable within a query")
+    // fresh BNODE(): distinct per row
+    val fresh = sel("SELECT ?s ?b WHERE { ?s schema:name ?n . BIND(BNODE() AS ?b) }")
+      .map(_(1).asInstanceOf[String])
+    assert(fresh.distinct.size == fresh.size)
+  }
+
   test("sub-SELECT: nested aggregation joins with the outer pattern") {
     // inner query: authors with ≥2 docs; outer: their names
     val rows = sel(
