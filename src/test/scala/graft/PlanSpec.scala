@@ -83,6 +83,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("or1: orphan fixpoint evaluates once behind an RDD barrier, not per anti-join") {
+    val p = plan("or1_orphan_filter")
+    // the reachability fixpoint's lineage (which contains the edge semi-join)
+    // must be hidden behind ONE cached-RDD barrier — if it were inlined per
+    // consumer, the plan would carry the LeftSemi (and the whole closure
+    // subtree) twice
+    assert(!p.contains("LeftSemi"), s"fixpoint lineage inlined into the plan:\n$p")
+    // the orphan set reads as a barrier scan (Catalyst may replicate the
+    // anti-joins through the planted-quads union; every copy scans the SAME
+    // cached RDD, so the fixpoint still runs once)
+    assert(p.contains("Scan ExistingRDD"), s"expected the orphan-set barrier:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size >= 2, s"anti-joins missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dd6: corpus shingled once (cached array), no shingle self-join, no row explode") {
+    val p = plan("dd6_lsh_verified")
+    // the persisted shingle array must be the shared scan for signatures AND
+    // both verify joins
+    assert(p.contains("InMemoryTableScan"), s"shingle array not reused from cache:\n$p")
+    // signatures derive from the array via higher-order functions: the only
+    // Generate allowed is the band posexplode — a per-shingle explode is the
+    // round-2 double-shingling regression (formatted explain prints the
+    // generator as "Arguments: [pos]explode(...)")
+    assert(p.contains("posexplode("), s"band explode missing:\n$p")
+    assert(!p.contains(" explode("), s"per-shingle explode crept back:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("sp15: visibility scoping compiles to a broadcast semi-join") {
     val p = plan("sp15_visibility_anon")
     assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")

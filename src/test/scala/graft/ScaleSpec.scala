@@ -35,6 +35,27 @@ class ScaleSpec extends SparkSpec {
     assert(pruned)
   }
 
+  test("fixpoint caches release across queries: persistent-RDD set does not grow") {
+    // or1 always barriers the orphan set (and may cache closure rounds);
+    // each query entry drains the previous query's registrations, so the
+    // persistent-RDD census must reach a steady state instead of growing
+    // per query (the round-2 session leak).
+    def runOrphan(): Unit = {
+      SparkEntry.queries("or1_orphan_filter")(spark, sf0001).count()
+      ()
+    }
+    def runPath(): Unit = {
+      SparkEntry.queries("sp17_path_plus")(spark, sf0001).count()
+      ()
+    }
+    runOrphan(); runPath()
+    val steady = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ => runOrphan(); runPath() }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= steady,
+      s"persistent RDDs grew across repeated fixpoint queries: $steady -> $after")
+  }
+
   test("stateful debounce: 2s suppression persists across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Notice]
