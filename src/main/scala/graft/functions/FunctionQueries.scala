@@ -17,17 +17,19 @@ object FunctionQueries {
         .orderBy(col("doc_id"))
     },
 
-    // crc family + blake3 over the binary payloads (rows-only: DuckDB lacks
-    // these; pinned by the reference KAT vector + official BLAKE3 vectors in
-    // FunctionsSpec, and by the oracle-checked h3 KAT gate below)
+    // CRC family over the binary payloads, fully oracle'd: DuckDB folds the
+    // identical reflected lookup tables over the UTF-8 bytes (list_reduce),
+    // so every checksum hash-compares bit-for-bit. CRC64/NVME exceeds the
+    // signed BIGINT range, so both sides emit it as %016x hex. BLAKE3 — the
+    // one digest SQL cannot replicate — is oracle-gated by h3's official
+    // known-answer vectors instead.
     "h2_crc_family" -> { (s, d) =>
       val bytes = encode(col("text"), "UTF-8")
       Tables.documents(s, d)
         .select(col("doc_id"),
-          Hashes.blake3Udf(bytes).as("blake3"),
           Hashes.crc32Udf(bytes).as("crc32"),
           Hashes.crc32cUdf(bytes).as("crc32c"),
-          Hashes.crc64nvmeUdf(bytes).as("crc64nvme"))
+          format_string("%016x", Hashes.crc64nvmeUdf(bytes)).as("crc64nvme"))
         .orderBy(col("doc_id"))
     },
 
@@ -86,7 +88,42 @@ object FunctionQueries {
     }
   )
 
+  /** DuckDB CRC replica: the reflected lookup tables (identical arrays the
+    * JVM kernels fold) embedded as list literals, folded over the payload's
+    * UTF-8 bytes with list_reduce. CRC64 runs in UBIGINT (values exceed the
+    * signed range) and prints as padded hex, mirroring the Spark column. */
+  private val crcSql: String = {
+    def tbl(poly: Long, ty: String): String =
+      Hashes.reflectedCrcTable(poly)
+        .map(v => s"CAST(${java.lang.Long.toUnsignedString(v)} AS $ty)")
+        .mkString("[", ",", "]")
+    def fold32(table: String): String =
+      s"""xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), bs),
+         |      (a, x) -> xor($table[(xor(a, x) & 255) + 1], a >> 8)), 4294967295)""".stripMargin
+    s"""WITH tabs AS (SELECT ${tbl(Hashes.Crc32Poly, "BIGINT")} AS t32,
+       |                     ${tbl(Hashes.Crc32cPoly, "BIGINT")} AS t32c,
+       |                     ${tbl(Hashes.Crc64NvmePoly, "UBIGINT")} AS t64),
+       |b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |bytes AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, length(hx)//2 + 1),
+       |                        i -> CAST(('0x' || substr(hx, i*2 - 1, 2)) AS BIGINT)) AS bs
+       |  FROM b)
+       |SELECT doc_id,
+       |  ${fold32("t32")} AS crc32,
+       |  ${fold32("t32c")} AS crc32c,
+       |  lpad(lower(to_hex(xor(list_reduce(
+       |      list_prepend(CAST(18446744073709551615 AS UBIGINT),
+       |                   list_transform(bs, x -> CAST(x AS UBIGINT))),
+       |      (a, x) -> xor(t64[CAST(xor(a, x) & 255 AS BIGINT) + 1], a >> 8)),
+       |    CAST(18446744073709551615 AS UBIGINT)))), 16, '0') AS crc64nvme
+       |FROM bytes, tabs
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "h2_crc_family" -> crcSql,
+
     "h3_blake3_kat" -> Blake3Kat.oracleSql,
 
     "cl1_clamps" ->

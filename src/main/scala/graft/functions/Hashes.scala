@@ -19,16 +19,21 @@ object Hashes {
   /** CRC64/NVME (a.k.a. CRC-64/Rocksoft, polynomial 0xAD93D23594C93659,
     * reflected, init/xorout 0xFFFFFFFFFFFFFFFF). KAT("123456789") =
     * 0xae8b14860a799888. */
-  private val Crc64NvmePoly = 0x9A6C9329AC4BC9B5L // reflected 0xAD93D23594C93659
+  val Crc64NvmePoly = 0x9A6C9329AC4BC9B5L // reflected 0xAD93D23594C93659
+  val Crc32Poly = 0xEDB88320L // reflected IEEE 802.3 (java.util.zip.CRC32)
+  val Crc32cPoly = 0x82F63B78L // reflected Castagnoli (java.util.zip.CRC32C)
 
-  private lazy val crc64Table: Array[Long] = {
+  /** 256-entry lookup table of a reflected CRC — shared by the JVM kernels
+    * and the DuckDB oracle generator (which embeds the entries as literals
+    * so both engines fold the identical table). */
+  def reflectedCrcTable(poly: Long): Array[Long] = {
     val t = new Array[Long](256)
     var i = 0
     while (i < 256) {
       var crc = i.toLong
       var k = 0
       while (k < 8) {
-        crc = if ((crc & 1L) != 0L) (crc >>> 1) ^ Crc64NvmePoly else crc >>> 1
+        crc = if ((crc & 1L) != 0L) (crc >>> 1) ^ poly else crc >>> 1
         k += 1
       }
       t(i) = crc
@@ -36,6 +41,8 @@ object Hashes {
     }
     t
   }
+
+  private lazy val crc64Table: Array[Long] = reflectedCrcTable(Crc64NvmePoly)
 
   def crc64nvme(bytes: Array[Byte]): Long = {
     var crc = -1L // init all-ones

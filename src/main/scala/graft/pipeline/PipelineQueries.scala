@@ -92,7 +92,7 @@ object PipelineQueries {
       Ann.topKDot(Tables.embeddings(s, d), queryId = 0, k = 10)
     },
 
-    "ann2_topk_cosine_lsh" -> { (s, d) => // rows-only; recall vs brute force in spec
+    "ann2_topk_cosine_lsh" -> { (s, d) =>
       Ann.topKCosineLsh(Tables.embeddings(s, d), queryId = 0, k = 10)
     },
 
@@ -317,6 +317,36 @@ object PipelineQueries {
         |  AND CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
         |      / sqrt(CAST(a.n2*b.n2 AS DOUBLE)) >= 0.99
         |ORDER BY a, b""".stripMargin,
+
+    // full oracle for the LSH-bucketed ANN: identical md5-parity hyperplane
+    // family, 12-bit signatures, hamming<=2 probe, exact integer re-rank
+    "ann2_topk_cosine_lsh" -> {
+      def proj(p: Int): String =
+        s"""list_sum(list_transform(range(1, len(v) + 1), i ->
+           |      v[i] * (CASE WHEN CAST(('0x' || substr(md5('$p|' || (i-1)), 1, 15)) AS BIGINT) % 2 = 0
+           |              THEN 1 ELSE -1 END)))""".stripMargin
+      val sigExpr = (0 until 12).map(p =>
+        s"(CASE WHEN ${proj(p)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString("\n    + ")
+      s"""WITH q0 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q0),
+         |sigs AS (
+         |  SELECT vec_id, v, n2,
+         |    $sigExpr AS sig
+         |  FROM n),
+         |qv AS (SELECT v, n2, sig FROM sigs WHERE vec_id = 0 AND n2 > 0)
+         |SELECT s.vec_id,
+         |  CAST(CAST(list_sum(list_transform(list_zip(s.v, q.v), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+         |    / sqrt(CAST(s.n2 AS DOUBLE) * CAST(q.n2 AS DOUBLE)) AS cosine
+         |FROM sigs s, qv q
+         |WHERE s.vec_id <> 0 AND s.n2 > 0 AND bit_count(xor(s.sig, q.sig)) <= 2
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "ann1_topk_dot" ->
       """WITH q AS (

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *    engines (integer arithmetic + one correctly-rounded sqrt/division).
   *  - LSH-bucketed variant (random-hyperplane signatures): the scale path —
   *    candidates only within matching sign-buckets, then exact re-rank.
-  *    Hyperplanes are derived deterministically from xxhash64, so the index
-  *    is reproducible with no stored model.
+  *    Hyperplanes are derived deterministically from md5 parities, so the
+  *    index is reproducible with no stored model AND replicable in DuckDB —
+  *    the ann2 gate hash-compares the whole bucketed top-k against SQL.
   *
   * Scale: brute force is a broadcast of the query vector over a columnar
   * scan (no shuffle, TakeOrdered(k)); LSH adds one groupBy on the signature
@@ -62,9 +63,11 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * sign of xxhash64("p|i") → ±1. */
+    * parity of the 60-bit md5 prefix of "p|i" → ±1 (md5 so both engines
+    * derive the identical plane family — the ann2 oracle requirement). */
   private def planeSign(p: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1L)).otherwise(lit(-1L))
+    when(conv(substring(md5(concat_ws("|", lit(p), i.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
 
   /** nBits-bit random-hyperplane signature of each embedding. */
   def lshSignatures(embeddings: DataFrame, nBits: Int): DataFrame = {
