@@ -127,14 +127,23 @@ object Dedup {
     * Right-shift-only derivation keeps every value positive so Spark's
     * shiftrightunsigned and DuckDB's `>>` agree bit-for-bit — the whole LSH
     * pipeline carries a DuckDB oracle while hashing each shingle twice
-    * instead of k times. Returns (doc_id, h0..h{k-1}). */
+    * instead of k times.
+    *
+    * Derivation is higher-order-function arithmetic over the per-doc shingle
+    * ARRAY — one md5 pair per shingle in a single narrow projection, then k
+    * array scans of XOR/shift; no explode and no groupBy shuffle (the
+    * exploded formulation shuffled the whole shingle stream). Docs with no
+    * shingles carry no signature. Returns (doc_id, h0..h{k-1}). */
   def minhashMd5Signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-      .withColumn("h1", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5(concat(lit("2#"), col("sh"))), 1, 15), 16, 10).cast("long"))
-    val mins = (0 until k).map(i =>
-      min(col("h1").bitwiseXOR(shiftrightunsigned(col("h2"), i))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val hs = transform(shingles(col("text"), n), sh => struct(
+      conv(substring(md5(sh), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(concat(lit("2#"), sh)), 1, 15), 16, 10).cast("long").as("h2")))
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("hs"), p =>
+        p.getField("h1").bitwiseXOR(shiftrightunsigned(p.getField("h2"), i)))).as(s"h$i"))
+    docs.select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select((col("doc_id") +: sigCols): _*)
   }
 
   /** The scale composition the docs promise: MinHash-LSH candidate

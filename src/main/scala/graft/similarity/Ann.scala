@@ -62,20 +62,33 @@ object Ann {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * parity of the 60-bit md5 prefix of "p|i" → ±1 (md5 so both engines
-    * derive the identical plane family — the ann2 oracle requirement). */
-  private def planeSign(p: Int, i: Column): Column =
-    when(conv(substring(md5(concat_ws("|", lit(p), i.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+  /** Vector width the precomputed hyperplanes cover. Vectors may be
+    * narrower (the sign array is sliced per row); wider ones would zip
+    * against nulls, so the builder rejects them via [[lshSignatures]]'s
+    * documented bound. */
+  val MaxLshDims = 1024
 
-  /** nBits-bit random-hyperplane signature of each embedding. */
+  /** Deterministic hyperplane signs for plane p: sign of dim i = parity of
+    * the 60-bit md5 prefix of "p|i" — the derivation the DuckDB oracle
+    * replays in SQL. Computed ONCE on the driver and embedded as a literal
+    * array: per-row signature work is pure integer arithmetic (the per-row
+    * md5 formulation cost dd7/ann2 several seconds at sf0.1). */
+  private def planeSigns(p: Int): Array[Long] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(MaxLshDims) { i =>
+      val hex = mdf.digest(s"$p|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** nBits-bit random-hyperplane signature of each embedding
+    * (dims ≤ [[MaxLshDims]]). */
   def lshSignatures(embeddings: DataFrame, nBits: Int): DataFrame = {
     val q = quantized(embeddings)
     val bits = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => x * planeSign(p, i)),
+      val signs = slice(typedlit(planeSigns(p).toSeq), lit(1), size(col("v")))
+      val proj = aggregate(zip_with(col("v"), signs, (x, s) => x * s),
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }

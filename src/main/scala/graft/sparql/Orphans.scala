@@ -61,7 +61,12 @@ object Orphans {
     val orphDf = orphanedEntities(quads, roots)
     val orphRdd = orphDf.rdd.cache()
     graft.Caches.track(orphRdd)
-    val orph = quads.sparkSession.createDataFrame(orphRdd, orphDf.schema)
+    // broadcast: the orphan set is bounded by the export's graph scope in
+    // the reference's usage (per-realm snapshot exports), and without the
+    // hint Catalyst replicates SORT-MERGE anti-joins through the quads
+    // union — full-table sorts per branch. Hash anti-joins against the
+    // broadcast set keep every branch shuffle-free.
+    val orph = broadcast(quads.sparkSession.createDataFrame(orphRdd, orphDf.schema))
     val bySubject = quads.as("q").join(orph.as("os"),
       col("q.graph_iri") === col("os.graph_iri") &&
         col("q.subject") === col("os.entity"), "left_anti")
