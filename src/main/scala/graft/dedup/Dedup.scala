@@ -29,20 +29,26 @@ object Dedup {
   /** shared with FTS: the oracle pins this exact tokenization. */
   def tokens(text: Column): Column = graft.fts.Fts.tokensOf(text)
 
-  /** word n-gram shingles as strings ("w1 w2 w3"). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // guard: sequence(0, -1) would produce a DESCENDING sequence in Spark.
-    // Docs shorter than n tokens contribute their whole text as a single
-    // shingle so identical short docs still pair (empty text contributes
-    // nothing).
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(when(size(toks) > 0, array(array_join(toks, " ")))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** word n-gram shingles as strings ("w1 w2 w3").
+    *
+    * The token array is bound ONCE through a single-element-array lambda:
+    * higher-order functions are CodegenFallback, so codegen's subexpression
+    * elimination never sees them — written naively, the five references to
+    * `toks` below re-split and re-lower the document five times per
+    * evaluation (the dominant cost of every shingling operator). */
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), ts => {
+      // guard: sequence(0, -1) would produce a DESCENDING sequence in Spark.
+      // Docs shorter than n tokens contribute their whole text as a single
+      // shingle so identical short docs still pair (empty text contributes
+      // nothing).
+      when(size(ts) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " "))))
+        .otherwise(when(size(ts) > 0, array(array_join(ts, " ")))
+          .otherwise(array().cast("array<string>")))
+    }), 1)
 
   // ---------------------------------------------------------------------
   // exact dedup
@@ -65,7 +71,11 @@ object Dedup {
   /** All pairs with Jaccard(shingles_n) >= threshold:
     * (a, b, inter, union, jaccard), a < b. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // three consumers (sizes + both join sides) — cache the shingle stream
+    // so the tokenize+shingle pass runs once, not three times
     val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .persist()
+    graft.Caches.track(sh)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -96,8 +106,13 @@ object Dedup {
     require(bands >= 1 && k % bands == 0,
       s"bands ($bands) must divide the signature size ($k)") // rows=0 would cross-join everything
     val rows = k / bands
+    // the signature build (shingling + one md5/shingle) is the dominant
+    // cost and the band self-join would evaluate its lineage twice —
+    // persist the tiny (doc_id, k longs) relation so it runs once
     val sigs = minhashMd5Signatures(docs, n, k)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .persist()
+    graft.Caches.track(sigs)
     // band key = joined component values (not a re-hash): keeps the bucket
     // relation identical across engines for the oracle
     val bandKeys = array((0 until bands).map(b =>
@@ -121,27 +136,35 @@ object Dedup {
       .select(col("a"), col("b"), col("sim"))
   }
 
-  /** Cross-engine-replicable MinHash: two 60-bit md5 base hashes per shingle
-    * (15 hex chars → BIGINT — DuckDB casts '0x…' literals, Spark uses
-    * conv(_,16,10)); component i = min over shingles of `h1 XOR (h2 >> i)`.
-    * Right-shift-only derivation keeps every value positive so Spark's
-    * shiftrightunsigned and DuckDB's `>>` agree bit-for-bit — the whole LSH
-    * pipeline carries a DuckDB oracle while hashing each shingle twice
-    * instead of k times.
+  /** Cross-engine-replicable MinHash: two 60-bit base hashes per shingle cut
+    * from the two halves of ONE md5 (hex chars 1-15 and 17-31 → BIGINT —
+    * DuckDB casts '0x…' literals, Spark uses conv(_,16,10)); component i =
+    * min over shingles of `h1 XOR (h2 >> i)`. Right-shift-only derivation
+    * keeps every value positive so Spark's shiftrightunsigned and DuckDB's
+    * `>>` agree bit-for-bit — the whole LSH pipeline carries a DuckDB oracle
+    * while hashing each shingle ONCE instead of k times (the md5 runs in the
+    * inner transform, so it is structurally once-per-shingle regardless of
+    * how many derived components read it).
     *
     * Derivation is higher-order-function arithmetic over the per-doc shingle
-    * ARRAY — one md5 pair per shingle in a single narrow projection, then k
+    * ARRAY — one md5 per shingle in a single narrow projection, then k
     * array scans of XOR/shift; no explode and no groupBy shuffle (the
     * exploded formulation shuffled the whole shingle stream). Docs with no
     * shingles carry no signature. Returns (doc_id, h0..h{k-1}). */
   def minhashMd5Signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val hs = transform(shingles(col("text"), n), sh => struct(
-      conv(substring(md5(sh), 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(concat(lit("2#"), sh)), 1, 15), 16, 10).cast("long").as("h2")))
+    val hs = transform(transform(shingles(col("text"), n), sh => md5(sh)), m => struct(
+      conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(m, 17, 15), 16, 10).cast("long").as("h2")))
+    // the hash pass is persisted BEFORE the empty-doc filter: a filter on
+    // the lazy column gets predicate-pushed below the projection and
+    // re-evaluates the whole shingle+md5 tree a second time per row (the
+    // plan-verified round-3 finding); the cache boundary stops the pushdown
+    val hashed = docs.select(col("doc_id"), hs.as("hs")).persist()
+    graft.Caches.track(hashed)
     val sigCols = (0 until k).map(i =>
       array_min(transform(col("hs"), p =>
         p.getField("h1").bitwiseXOR(shiftrightunsigned(p.getField("h2"), i)))).as(s"h$i"))
-    docs.select(col("doc_id"), hs.as("hs"))
+    hashed
       .filter(size(col("hs")) > 0)
       .select((col("doc_id") +: sigCols): _*)
   }
@@ -161,21 +184,26 @@ object Dedup {
     // the corpus is shingled EXACTLY ONCE: the persisted array feeds both
     // the signature derivation (below) and the two verify joins. Signatures
     // come straight off the array with higher-order functions — one md5
-    // pair per shingle, then k cheap XOR/shift scans — no explode, no
+    // per shingle (both 60-bit halves), then k cheap XOR/shift scans — no explode, no
     // groupBy shuffle, and none of the round-2 double-shingling cost.
     val shArr = docs.select(col("doc_id"), shingles(col("text"), n).as("shs"))
       .persist()
     graft.Caches.track(shArr)
-    val hashed = shArr.withColumn("hs", transform(col("shs"), sh => struct(
-      conv(substring(md5(sh), 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(concat(lit("2#"), sh)), 1, 15), 16, 10).cast("long").as("h2"))))
+    val hashed = shArr.withColumn("hs",
+      transform(transform(col("shs"), sh => md5(sh)), m => struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 17, 15), 16, 10).cast("long").as("h2"))))
     val sigCols = (0 until k).map(i =>
       array_min(transform(col("hs"), p =>
         p.getField("h1").bitwiseXOR(shiftrightunsigned(p.getField("h2"), i)))).as(s"h$i"))
     // shingle-less docs carry no signature (exactly the explode+groupBy
-    // semantics) — otherwise every empty doc lands in one degenerate bucket
+    // semantics) — otherwise every empty doc lands in one degenerate bucket.
+    // Persisted: the band self-join below evaluates its input twice, and
+    // without the cache each side re-runs the md5 pass over the shingles
     val sigs = hashed.filter(size(col("shs")) > 0)
       .select((col("doc_id") +: sigCols): _*)
+      .persist()
+    graft.Caches.track(sigs)
     val bexp = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         concat_ws("|", (0 until r).map(j => col(s"h${b * r + j}")): _*)): _*)))
@@ -229,7 +257,10 @@ object Dedup {
   /** Near-dup pairs within hamming distance <= maxDist, candidates via
     * 15-bit chunk collision (pigeonhole: dist<=3 ⇒ one of 4 chunks equal). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val fp = simhash(docs)
+    // the chunk self-join below evaluates its input twice; fingerprints are
+    // one long per doc, so cache them rather than re-running the tf pass
+    val fp = simhash(docs).persist()
+    graft.Caches.track(fp)
     val chunked = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*)))
@@ -327,9 +358,17 @@ object Dedup {
     require(bands >= 1 && nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
     val r = nBits / bands
     val mask = (1L << r) - 1
+    // the band self-join evaluates its input twice — cache the signature
+    // pass (16 hyperplane projections per vector) so it runs once
     val sigs = graft.similarity.Ann.lshSignatures(embeddings, nBits)
       .select(col("vec_id"), col("v"), col("n2"), col("sig"))
-    val banded = sigs.select(col("vec_id"), col("v"), col("n2"),
+      .persist()
+    graft.Caches.track(sigs)
+    // the band join is skinny — (vec_id, band) keys only. Carrying the
+    // vectors through the 4× posexplode and the bucket shuffle replicates
+    // every embedding four times; instead candidates dedup first and the
+    // two cached-sig joins attach vectors only to surviving pairs
+    val banded = sigs.select(col("vec_id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_bits")
@@ -339,10 +378,10 @@ object Dedup {
         col("l.band_idx") === col("r.band_idx") &&
           col("l.band_bits") === col("r.band_bits") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        col("l.v").as("va"), col("r.v").as("vb"),
-        col("l.n2").as("n2a"), col("r.n2").as("n2b"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
       .dropDuplicates("a", "b")
+      .join(sigs.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("n2a")), Seq("a"))
+      .join(sigs.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("n2b")), Seq("b"))
       .withColumn("dot",
         aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
       .withColumn("cosine",

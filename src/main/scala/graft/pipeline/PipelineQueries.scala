@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** documents ∪ planted exact copies ∪ planted near-copies. */
+  /** documents ∪ planted exact copies ∪ planted near-copies. Entry point for
+    * every dedup gate, so it also drains the previous query's fixpoint /
+    * signature caches (same contract as the SPARQL entry points). */
   def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.Caches.release()
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs
       .unionByName(docs.filter(col("doc_id") % 25 === 0)
@@ -160,7 +163,7 @@ object PipelineQueries {
          |sh2 AS (
          |  SELECT doc_id,
          |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
-         |         CAST(('0x' || substr(md5('2#' || sh), 1, 15)) AS BIGINT) AS h2
+         |         CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) AS h2
          |  FROM sh),
          |sigs AS (
          |  SELECT doc_id,
@@ -200,7 +203,7 @@ object PipelineQueries {
          |sh2 AS (
          |  SELECT doc_id,
          |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
-         |         CAST(('0x' || substr(md5('2#' || sh), 1, 15)) AS BIGINT) AS h2
+         |         CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) AS h2
          |  FROM sh),
          |sigs AS (
          |  SELECT doc_id,

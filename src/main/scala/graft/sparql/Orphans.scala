@@ -27,9 +27,19 @@ object Orphans {
   /** (graph_iri, entity) pairs unreachable from their graph's root.
     * `roots` columns: (graph_iri, root). */
   def orphanedEntities(quads: DataFrame, roots: DataFrame): DataFrame = {
-    val subjects = quads.select(col("graph_iri"), col("subject")).distinct()
+    // subjects and edges both walk the full quad set — cache ONE narrow
+    // skeleton pass instead of evaluating the quads lineage twice. Literal
+    // payloads are nulled out (only IRI objects matter to reachability), so
+    // the cached bytes are graph/subject/IRI strings, not document text —
+    // the projection that keeps this cacheable when quads are wide.
+    val skeleton = quads.select(col("graph_iri"), col("subject"),
+        col("obj_kind"),
+        when(col("obj_kind") === Kind.Iri, col("obj_value")).as("obj_value"))
+      .persist()
+    graft.Caches.track(skeleton)
+    val subjects = skeleton.select(col("graph_iri"), col("subject")).distinct()
     // entity→entity edges only: IRI objects that are subjects of the same graph
-    val edges = quads.filter(col("obj_kind") === Kind.Iri)
+    val edges = skeleton.filter(col("obj_kind") === Kind.Iri)
       .select(col("graph_iri"), col("subject"), col("obj_value"))
       .join(subjects.withColumnRenamed("subject", "obj_value"),
         Seq("graph_iri", "obj_value"), "left_semi")

@@ -125,15 +125,21 @@ object PathCompiler {
     * per round (frontier⋈base, shuffling only novel pairs). */
   /** Edge sets at or below this size TRY to close on the driver: a 20-edge
     * ring costs ⌈log₂ d⌉ distributed rounds (≈15 Spark jobs of pure
-    * overhead) versus microseconds of in-memory BFS. The input cap alone
-    * does not bound the output (all-pairs of a 5000-edge chain is |E|²/2 ≈
-    * 12.5M string pairs), so [[LocalClosureMaxPairs]] bounds the OUTPUT as
+    * overhead) versus microseconds of in-memory BFS. 100k edges is a few MB
+    * of strings on the driver — safe to collect — but the input cap alone
+    * does not bound the output (all-pairs of a dense chain is |E|²/2
+    * pairs), so [[LocalClosureMaxPairs]] bounds the OUTPUT as
     * it accumulates — past it the BFS aborts and the distributed fixpoint
     * takes over. Driver memory stays ≤ ~500k pairs either way. */
-  val LocalClosureMaxEdges = 5000L
+  val LocalClosureMaxEdges = 100000L
 
   /** Hard output bound for the driver-local BFS (pairs, not edges). */
   val LocalClosureMaxPairs = 500000
+
+  /** Frontier sizes at or below this broadcast in the seeded-BFS step join
+    * (composite-key strings — ~100 MB worst case, well inside executor
+    * memory; larger frontiers fall back to the shuffle join). */
+  val BfsBroadcastMaxRows = 1000000L
 
   /** all-pairs ≥1-step reachability of a small edge list, computed with an
     * interned-index BFS on the driver; None when the output outgrows
@@ -295,16 +301,26 @@ object PathCompiler {
       baseRdd.unpersist(blocking = false)
       return out
     }
+    // per-round joins: the frontier is usually orders of magnitude smaller
+    // than the edge relation, and both sides are LogicalRDD barriers whose
+    // stats Catalyst cannot see — without a hint every round pays a full
+    // sort-merge of the edge set. Broadcast the frontier while its exact
+    // count (known from the previous round's barrier) stays under the
+    // threshold; past it the plain shuffle join is the correct plan.
+    def maybeBroadcast(df: DataFrame, exactRows: Long): DataFrame =
+      if (exactRows <= BfsBroadcastMaxRows) broadcast(df) else df
     var (visited, visitedRdd) = barrier(step(seeds, base))
     var frontier = visited
     var frontierRdd = visitedRdd
+    var frontierCnt = visited.count()
     var rounds = 1
-    var growing = !visited.isEmpty
+    var growing = frontierCnt > 0
     while (growing && rounds < MaxClosureRounds) {
-      val stepped = step(frontier, base)
+      val stepped = step(maybeBroadcast(frontier, frontierCnt), base)
       val (novel, novelRdd) = barrier(stepped.join(visited, Seq("seed", "n"), "left_anti"))
       if (frontierRdd ne visitedRdd) frontierRdd.unpersist(blocking = false)
-      if (novel.isEmpty) {
+      val novelCnt = novel.count()
+      if (novelCnt == 0) {
         novelRdd.unpersist(blocking = false)
         frontierRdd = visitedRdd // nothing separate left to release
         growing = false
@@ -313,6 +329,7 @@ object PathCompiler {
         visitedRdd.unpersist(blocking = false)
         visited = nv; visitedRdd = nvRdd
         frontier = novel; frontierRdd = novelRdd
+        frontierCnt = novelCnt
         rounds += 1
       }
     }

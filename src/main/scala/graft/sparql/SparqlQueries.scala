@@ -125,18 +125,24 @@ object SparqlQueries {
       val g = concat(lit("graph:"), col("doc_id").cast("string"))
       val ghost = concat(lit("ghost:"), col("doc_id").cast("string"))
       val ghost2 = concat(lit("ghost2:"), col("doc_id").cast("string"))
-      def row(subj: org.apache.spark.sql.Column, pred: String, kind: Int,
-          v: org.apache.spark.sql.Column): DataFrame =
-        docs.select(g.as("graph_iri"), subj.as("subject"),
-          lit(0).as("subject_kind"), lit(RdfTables.SchemaNs + pred).as("predicate"),
-          lit(kind).as("obj_kind"), v.as("obj_value"),
-          lit("").as("obj_lang"), lit("").as("obj_datatype"))
-      val planted = base
-        .unionByName(row(ghost, "name", Kind.Literal, concat(lit("ghost-"), col("doc_id"))))
-        .unionByName(row(ghost, "knows", Kind.Iri, ghost2))
-        .unionByName(row(ghost2, "name", Kind.Literal, concat(lit("ghost2-"), col("doc_id"))))
-        .unionByName(row(ghost2, "mentions", Kind.Iri,
-          concat(lit("doc:"), col("doc_id").cast("string"))))
+      // the 4 ghost triples explode out of ONE documents scan (a 4-way
+      // unionByName re-read the source four times per evaluation of the
+      // planted lineage — and the orphan filter evaluates it more than once)
+      def t(subj: org.apache.spark.sql.Column, pred: String, kind: Int,
+          v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        struct(subj.as("subject"), lit(RdfTables.SchemaNs + pred).as("predicate"),
+          lit(kind).as("obj_kind"), v.as("obj_value"))
+      val planted = base.unionByName(
+        docs.select(g.as("graph_iri"), explode(array(
+            t(ghost, "name", Kind.Literal, concat(lit("ghost-"), col("doc_id"))),
+            t(ghost, "knows", Kind.Iri, ghost2),
+            t(ghost2, "name", Kind.Literal, concat(lit("ghost2-"), col("doc_id"))),
+            t(ghost2, "mentions", Kind.Iri,
+              concat(lit("doc:"), col("doc_id").cast("string"))))).as("t"))
+          .select(col("graph_iri"), col("t.subject").as("subject"),
+            lit(0).as("subject_kind"), col("t.predicate").as("predicate"),
+            col("t.obj_kind").as("obj_kind"), col("t.obj_value").as("obj_value"),
+            lit("").as("obj_lang"), lit("").as("obj_datatype")))
       val roots = graft.Tables.documents(s, d).select(
         concat(lit("graph:"), col("doc_id").cast("string")).as("graph_iri"),
         concat(lit("doc:"), col("doc_id").cast("string")).as("root"))
