@@ -24,25 +24,25 @@ object UsageStats {
     val heads = ObjectTables.heads(objects)
       .join(broadcast(live.select(col("blake3").as("hash"), col("backend"))), Seq("hash"), "inner")
       .join(broadcast(buckets), Seq("bucket"), "inner")
-    val perGroup = heads.groupBy(col("group_id"))
+    // ONE aggregation pass: GROUPING SETS ((group_id), (backend), ()) —
+    // the three-way union evaluated the head selection (a full
+    // window-sort of the object log) once per grain
+    heads.groupingSets(
+        Seq(Seq(col("group_id")), Seq(col("backend")), Seq.empty),
+        col("group_id"), col("backend"))
       .agg(countDistinct(col("bucket")).as("buckets"),
         count(lit(1)).as("stored_blobs"),
-        sum(col("size")).as("stored_bytes"))
-      .select(lit("group").as("scope"), col("group_id").as("key"),
+        sum(col("size")).as("stored_bytes"),
+        grouping(col("group_id")).as("__gg"),
+        grouping(col("backend")).as("__gb"))
+      .select(
+        when(col("__gg") === 0, lit("group"))
+          .when(col("__gb") === 0, lit("backend"))
+          .otherwise(lit("global")).as("scope"),
+        when(col("__gg") === 0, col("group_id"))
+          .when(col("__gb") === 0, col("backend"))
+          .otherwise(lit("all")).as("key"),
         col("buckets"), col("stored_blobs"), col("stored_bytes"))
-    val perBackend = heads.groupBy(col("backend"))
-      .agg(countDistinct(col("bucket")).as("buckets"),
-        count(lit(1)).as("stored_blobs"),
-        sum(col("size")).as("stored_bytes"))
-      .select(lit("backend").as("scope"), col("backend").as("key"),
-        col("buckets"), col("stored_blobs"), col("stored_bytes"))
-    val global = heads
-      .agg(countDistinct(col("bucket")).as("buckets"),
-        count(lit(1)).as("stored_blobs"),
-        sum(col("size")).as("stored_bytes"))
-      .select(lit("global").as("scope"), lit("all").as("key"),
-        col("buckets"), col("stored_blobs"), col("stored_bytes"))
-    perGroup.unionByName(perBackend).unionByName(global)
   }
 
   /** Incremental apply: base per-group counters + summed per-group deltas →

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * IMAGE payloads decode for REAL through the JDK's `javax.imageio` (see
   * [[ImageCodec]]); the mm2 gate round-trips a deterministic synthetic BMP
   * through the actual decoder and hash-compares pixel statistics against a
-  * closed-form DuckDB oracle. Audio/video feature extraction remains a
-  * deterministic byte-stat stand-in with the decoder's call shape — this
-  * container ships no ffmpeg/soundfile — so the Spark-side plumbing
-  * (schema, binary handling, partition batching, output shape) is identical
-  * to what a production codec swap would keep.
+  * closed-form DuckDB oracle. AUDIO payloads decode for REAL through the
+  * JDK's `javax.sound.sampled` (see [[AudioCodec]]); the mm3 gate
+  * round-trips deterministic 16-bit PCM WAVs the same way. Only VIDEO
+  * feature extraction remains a deterministic byte-stat stand-in with the
+  * decoder's call shape — this container ships no ffmpeg — so the
+  * Spark-side plumbing (schema, binary handling, partition batching,
+  * output shape) is identical to what a production codec swap would keep.
   *
   * Scale: payloads never pass through a shuffle (derive → extract in one
   * narrow stage); metadata-only projections (kind, sizes) prune the binary
@@ -100,10 +102,60 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec over the JDK's bundled `javax.sound.sampled` (no
+    * external dependency): encode a deterministic 16-bit PCM mono WAV,
+    * decode any RIFF/WAVE payload back to sample statistics. */
+  object AudioCodec {
+
+    val SampleRate = 8000
+
+    /** Deterministic synthetic WAV (PCM_SIGNED, 16-bit little-endian,
+      * mono @8 kHz): sample i = `((seed*31 + i*7) mod 65536) - 32768` —
+      * the closed form the DuckDB oracle recomputes. */
+    def syntheticWav(seed: Long, nSamples: Int): Array[Byte] = {
+      require(nSamples > 0, "degenerate waveform")
+      val data = java.nio.ByteBuffer.allocate(nSamples * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < nSamples) {
+        data.putShort(((seed * 31 + i * 7) % 65536 - 32768).toShort)
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data.array()), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    final case class AudioStats(sampleRate: Int, nSamples: Long, ampSum: Long)
+
+    /** Actual `AudioSystem` decode → (rate, sample count, sum of signed
+      * 16-bit samples). The header is parsed by the JDK, not by us — a
+      * chunk-layout bug on the encode side breaks the gate. */
+    def decode(bytes: Array[Byte]): AudioStats = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unsupported PCM layout: $fmt")
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      while (bb.remaining() >= 2) sum += bb.getShort()
+      AudioStats(fmt.getSampleRate.toInt, raw.length / 2L, sum)
+    }
+  }
+
   /** Codec dispatch: image payloads with a BMP magic decode for real via
-    * [[ImageCodec]]; everything else (opaque payloads, audio, video — no
-    * ffmpeg in the toolchain) gets deterministic byte statistics with the
-    * same call shape a production decoder swap would keep. */
+    * [[ImageCodec]], RIFF/WAVE audio payloads via [[AudioCodec]]; everything
+    * else (opaque payloads, video — no ffmpeg in the toolchain) gets
+    * deterministic byte statistics with the same call shape a production
+    * decoder swap would keep. */
   object FakeCodec {
     final case class Features(nBytes: Long, checksum: Long, brightness: Double)
 
@@ -112,6 +164,11 @@ object Multimodal {
         val s = ImageCodec.decode(bytes)
         Features(bytes.length.toLong, s.pxSum,
           s.pxSum.toDouble / (s.width.toLong * s.height))
+      } else if (kind == "audio" && bytes.length > 4 && bytes(0) == 'R' &&
+          bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+        val s = AudioCodec.decode(bytes)
+        Features(bytes.length.toLong, s.ampSum,
+          if (s.nSamples == 0) 0.0 else s.ampSum.toDouble / s.nSamples)
       } else {
         var sum = 0L
         var i = 0
@@ -176,6 +233,43 @@ object Multimodal {
         val s = ImageCodec.decode(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), s.width, s.height, s.pxSum,
           s.pxSum.toDouble / (s.width.toLong * s.height))
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic audio table: one real 16-bit PCM WAV payload
+    * per document (doc_id%50+1 samples from the [[AudioCodec.syntheticWav]]
+    * closed form). One narrow stage, no shuffle. */
+  def syntheticAudio(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("bytes", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    graft.Tables.documents(spark, dir).select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, AudioCodec.syntheticWav(id, (id % 50).toInt + 1))
+      }
+    }(enc)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("amp_sum", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** REAL audio feature extraction: every payload goes through
+    * `javax.sound.sampled` decode; output is sample statistics the DuckDB
+    * oracle recomputes in closed form (encode→decode round-trip is the
+    * tested contract). */
+  def audioFeatures(audio: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    audio.select("doc_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val s = AudioCodec.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.sampleRate, s.nSamples, s.ampSum,
+          s.nSamples * 1000L / s.sampleRate)
       }
     }(enc)
   }

@@ -127,9 +127,15 @@ object PipelineQueries {
     },
 
     // REAL javax.imageio decode of synthetic BMPs; pixel stats oracle'd in
-    // closed form (the byte-stat stub path for audio/video stays spec-only)
+    // closed form (the byte-stat stub path for video stays spec-only)
     "mm2_features" -> { (s, d) =>
       Multimodal.imageFeatures(Multimodal.syntheticImages(s, d)).orderBy(col("doc_id"))
+    },
+
+    // REAL javax.sound.sampled decode of synthetic 16-bit PCM WAVs; sample
+    // stats oracle'd in closed form
+    "mm3_audio_decode" -> { (s, d) =>
+      Multimodal.audioFeatures(Multimodal.syntheticAudio(s, d)).orderBy(col("doc_id"))
     }
   )
 
@@ -426,6 +432,20 @@ object PipelineQueries {
         |FROM documents d,
         |     LATERAL (SELECT UNNEST(range(0, d.doc_id%16 + 1)) AS x) x,
         |     LATERAL (SELECT UNNEST(range(0, d.doc_id%12 + 1)) AS y) y
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // closed-form replica of the synthetic-WAV sample pattern; matching the
+    // Spark side requires the encode->AudioSystem-decode round trip (RIFF
+    // chunk layout, little-endian signed 16-bit samples) to be exact
+    "mm3_audio_decode" ->
+      """SELECT d.doc_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(d.doc_id%50 + 1 AS BIGINT) AS n_samples,
+        |       CAST(SUM((d.doc_id*31 + i.i*7) % 65536 - 32768) AS BIGINT) AS amp_sum,
+        |       CAST((d.doc_id%50 + 1) * 1000 // 8000 AS BIGINT) AS duration_ms
+        |FROM documents d,
+        |     LATERAL (SELECT UNNEST(range(0, d.doc_id%50 + 1)) AS i) i
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

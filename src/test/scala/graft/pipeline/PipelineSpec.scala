@@ -163,6 +163,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("audio codec: AudioSystem round-trip matches the closed-form sample pattern") {
+    val bytes = Multimodal.AudioCodec.syntheticWav(7, 5)
+    val s = Multimodal.AudioCodec.decode(bytes)
+    val expected = (0 until 5).map(i => (7L * 31 + i * 7) % 65536 - 32768).sum
+    assert(s.sampleRate == 8000 && s.nSamples == 5L && s.ampSum == expected,
+      s"decoded $s, expected ampSum $expected")
+    // the JDK parses the RIFF header we wrote — format fields must round-trip
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(in.getFormat.getSampleSizeInBits == 16 && in.getFormat.getChannels == 1 &&
+      !in.getFormat.isBigEndian && in.getFrameLength == 5L)
+    // audio-kind payloads with the RIFF magic route through the real decoder
+    val f = Multimodal.FakeCodec.decode("audio", bytes)
+    assert(f.checksum == expected)
+    // sample values straddling the sign boundary round-trip (negative sums)
+    val neg = Multimodal.AudioCodec.decode(Multimodal.AudioCodec.syntheticWav(0, 3))
+    assert(neg.ampSum < 0, s"seed-0 samples start at -32768; got ${neg.ampSum}")
+  }
+
   test("multimodal: stub decode is deterministic, frames slice the payload") {
     val media = Multimodal.media(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
