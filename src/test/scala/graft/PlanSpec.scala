@@ -112,6 +112,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("dd2: minhash sigs cached, band join on the cache, no per-shingle explode") {
+    val p = plan("dd2_minhash_lsh")
+    // the shingle+md5 pass lives below ONE cache boundary; the band
+    // self-join must read InMemoryTableScan on both sides, not re-run it
+    assert(p.contains("InMemoryTableScan"), s"sigs not cached:\n$p")
+    assert(!p.contains(" explode("), s"per-shingle explode crept back:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dd7: band join is skinny — vectors never ride the posexplode") {
+    val p = plan("dd7_embed_cosine_lsh")
+    // every Generate (the band posexplode) must carry exactly (vec_id, sig);
+    // a 3+-column input means the quantized embedding array is being
+    // replicated 4x through the bucket shuffle again
+    val gens = """\(\d+\) Generate[^\n]*\nInput \[(\d+)\]""".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(gens.nonEmpty, s"band posexplode missing:\n$p")
+    assert(gens.forall(_ == 2), s"vectors riding the band explode (inputs $gens):\n$p")
+    assert(p.contains("InMemoryTableScan"), s"signature pass not cached:\n$p")
+  }
+
+  test("cat7: one window pass + one grouping-sets expand, not three grain scans") {
+    val p = plan("cat7_usage_rebuild")
+    val windows = """\(\d+\) Window\n""".r.findAllIn(p).size
+    assert(windows == 1, s"head-selection window evaluated $windows times:\n$p")
+    assert(p.contains("Expand"), s"expected GROUPING SETS expand:\n$p")
+  }
+
   test("sp15: visibility scoping compiles to a broadcast semi-join") {
     val p = plan("sp15_visibility_anon")
     assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")
