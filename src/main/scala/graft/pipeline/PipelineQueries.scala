@@ -99,6 +99,10 @@ object PipelineQueries {
       Ann.topKCosineLsh(Tables.embeddings(s, d), queryId = 0, k = 10)
     },
 
+    "ann3_topk_cosine_ivf" -> { (s, d) =>
+      Ann.topKCosineIvf(Tables.embeddings(s, d), queryId = 7, k = 10)
+    },
+
     "tx1_token_stats" -> { (s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
@@ -367,6 +371,45 @@ object PipelineQueries {
         |    p -> p[1]*p[2])) AS BIGINT) AS dot
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
+
+    // full IVF replica: deterministic flat codebook (vec_id < 16), integer
+    // L2 assignment with lowest-cell tie-break, 4-cell probe, exact cosine
+    // re-rank — integer arithmetic end to end
+    "ann3_topk_cosine_ivf" ->
+      """WITH vecs AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |nv AS (
+        |  SELECT vec_id, v,
+        |         CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM vecs),
+        |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT e.vec_id, e.v, e.n2, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |             c.cell) AS rn
+        |    FROM nv e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT v AS qv, n2 AS qn2 FROM nv WHERE vec_id = 7),
+        |qprobe AS (
+        |  SELECT cell FROM (
+        |    SELECT c.cell,
+        |           ROW_NUMBER() OVER (ORDER BY
+        |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |             c.cell) AS rn
+        |    FROM cents c, q) t
+        |  WHERE rn <= 4)
+        |SELECT vec_id, CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE)) AS cosine
+        |FROM (
+        |  SELECT a.vec_id, a.n2, q.qn2,
+        |         CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS BIGINT) AS dot
+        |  FROM assign a, q
+        |  WHERE a.cell IN (SELECT cell FROM qprobe)
+        |    AND a.vec_id <> 7 AND a.n2 > 0) t
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "tx1_token_stats" ->
       """SELECT doc_id,

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   *    Hyperplanes are derived deterministically from md5 parities, so the
   *    index is reproducible with no stored model AND replicable in DuckDB —
   *    the ann2 gate hash-compares the whole bucketed top-k against SQL.
+  *  - IVF variant (inverted-file coarse quantization): vectors assigned to
+  *    their nearest codebook centroid by exact integer L2; a probe
+  *    exact-re-ranks only the nprobe nearest cells. The deterministic flat
+  *    codebook keeps the whole operator integer arithmetic — the ann3 gate
+  *    hash-compares assignment + probe against SQL.
   *
   * Scale: brute force is a broadcast of the query vector over a columnar
   * scan (no shuffle, TakeOrdered(k)); LSH adds one groupBy on the signature
@@ -135,6 +140,65 @@ object Ann {
       .withColumn("dot", dotCol(col("v"), col("qv")))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) coarse quantization — codebook-partitioned layout
+  // ---------------------------------------------------------------------
+
+  /** Deterministic flat-IVF codebook: the quantized vectors of the nCells
+    * lowest vec_ids, collected once on the driver. Codebooks are small by
+    * design — production IVF broadcasts them exactly like this; k-means
+    * refinement would change the centroid VALUES, not the assignment or
+    * probe plans (and would break cross-engine determinism, which is what
+    * the ann3 oracle buys). Returns (cell, centroid, ||c||²) by cell id. */
+  private def codebook(embeddings: DataFrame, nCells: Int): Array[(Int, Seq[Long], Long)] =
+    quantized(embeddings).filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+
+  /** Cell assignment: nearest centroid by exact integer L2 — argmin over
+    * `cn2 - 2·dot` (the ||v||² term is constant per row), ties to the
+    * lowest cell id via struct ordering. One narrow projection against the
+    * literal codebook: no join, no shuffle — at 100 TB this is the map-side
+    * stage that feeds a `partitionBy("cell")` index write. */
+  def ivfAssignments(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val cents = codebook(embeddings, nCells)
+    require(cents.nonEmpty, "empty IVF codebook")
+    val best = array_min(array(cents.map { case (id, cv, cn2) =>
+      struct((lit(cn2) - lit(2L) * dotCol(col("v"), typedlit(cv))).as("score"),
+        lit(id).as("cell"))
+    }: _*))
+    quantized(embeddings).withColumn("cell", best.getField("cell"))
+  }
+
+  /** IVF probe: exact cosine top-k restricted to the `nprobe` cells whose
+    * centroids are nearest the query under the same integer metric the
+    * assignment used. The cell IN-list prunes at planning time — against a
+    * cell-partitioned index it is partition pruning, the same layout story
+    * as [[topKCosineLshIndexed]]. */
+  def topKCosineIvf(embeddings: DataFrame, queryId: Long, k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = codebook(embeddings, nCells)
+    val qRow = quantized(embeddings.filter(col("vec_id") === queryId))
+      .filter(col("n2") > 0).select(col("v"), col("n2")).head()
+    val qv = qRow.getSeq[Long](0)
+    val qn2 = qRow.getLong(1)
+    def dotLocal(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val probeCells: Seq[Any] = cents
+      .map { case (id, cv, cn2) => (cn2 - 2L * dotLocal(qv, cv), id) }
+      .sorted.take(nprobe).map(_._2).toSeq
+    ivfAssignments(embeddings, nCells)
+      .filter(col("cell").isin(probeCells: _*) &&
+        col("vec_id") =!= queryId && col("n2") > 0)
+      .withColumn("dot", dotCol(col("v"), typedlit(qv)))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * lit(qn2.toDouble)))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)

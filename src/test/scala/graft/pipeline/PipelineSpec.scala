@@ -163,6 +163,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: assignment covers every vector; probe scores match brute force") {
+    val e = Tables.embeddings(spark, sf0001)
+    val assigned = Ann.ivfAssignments(e, nCells = 16)
+    assert(assigned.count() == e.count(), "every vector gets a cell")
+    val cells = assigned.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 16), s"cell out of codebook range: ${cells.mkString(",")}")
+    // a planted exact copy of the query vector lands in the query's own
+    // cell (identical metric) and must surface as top-1 with cosine ~1.0
+    val withCopy = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") === 7)
+        .select(lit(99999L).as("vec_id"), col("embedding")))
+    val ivf = Ann.topKCosineIvf(withCopy, 7, 10).collect()
+    assert(ivf.nonEmpty && ivf.head.getLong(0) == 99999L && ivf.head.getDouble(1) > 0.9999)
+    // IVF candidates re-rank with the SAME exact arithmetic as brute force
+    val brute = Ann.topKCosine(withCopy, 7, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+  }
+
   test("audio codec: AudioSystem round-trip matches the closed-form sample pattern") {
     val bytes = Multimodal.AudioCodec.syntheticWav(7, 5)
     val s = Multimodal.AudioCodec.decode(bytes)
