@@ -204,6 +204,48 @@ object Ann {
       .limit(k)
   }
 
+  /** Materialize a cell-partitioned IVF index: one parquet directory per
+    * codebook cell, so a probe's IN-list touches only its cells' files —
+    * the same partition-pruning layout as [[writeIndex]]. */
+  def writeIvfIndex(embeddings: DataFrame, path: String, nCells: Int = 16): Unit =
+    ivfAssignments(embeddings, nCells)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writeIvfIndex]] layout: the codebook is recovered from the
+    * index itself (vec_id < nCells — the flat-codebook invariant), the
+    * nprobe nearest cells become a partition IN-list, and only those files
+    * are read and exact-re-ranked. */
+  def topKCosineIvfIndexed(index: DataFrame, queryId: Long, k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = index.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val qRow = index.filter(col("vec_id") === queryId && col("n2") > 0)
+      .select(col("v"), col("n2")).head()
+    val qv = qRow.getSeq[Long](0)
+    val qn2 = qRow.getLong(1)
+    def dotLocal(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val probes = cents
+      .map { case (id, cv, cn2) => (cn2 - 2L * dotLocal(qv, cv), id) }
+      .sorted.take(nprobe).map(_._2)
+    // partition-directory type inference may widen/narrow cell: match the
+    // raw column type or the cast defeats pruning (same trap as writeIndex)
+    val probeVals: Seq[Any] = index.schema("cell").dataType match {
+      case org.apache.spark.sql.types.LongType => probes.map(_.toLong).toSeq
+      case _ => probes.toSeq
+    }
+    index.filter(col("cell").isin(probeVals: _*))
+      .filter(col("vec_id") =!= queryId && col("n2") > 0)
+      .withColumn("dot", dotCol(col("v"), typedlit(qv)))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * lit(qn2.toDouble)))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: exact re-rank restricted to vectors whose signature is
     * within `probeDist` hamming bits of the query's signature. */
   def topKCosineLsh(embeddings: DataFrame, queryId: Long, k: Int,

@@ -182,6 +182,20 @@ class PipelineSpec extends SparkSpec {
     ivf.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("cell-partitioned IVF index: probe prunes partitions, results match unindexed IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val e = Tables.embeddings(spark, sf0001)
+    Ann.writeIvfIndex(e, dir)
+    val index = spark.read.parquet(dir)
+    val got = Ann.topKCosineIvfIndexed(index, 7, 10)
+    val want = Ann.topKCosineIvf(e, 7, 10).collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want)
+    // physical proof: the probe IN-list reached the scan as a partition filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell IN-list did not prune partitions:\n$plan")
+  }
+
   test("audio codec: AudioSystem round-trip matches the closed-form sample pattern") {
     val bytes = Multimodal.AudioCodec.syntheticWav(7, 5)
     val s = Multimodal.AudioCodec.decode(bytes)
