@@ -95,9 +95,13 @@ object Enrich {
     val scopedRegistry = registry.join(
       broadcast(hitKeys.select(col("graph_iri")).distinct()),
       Seq("graph_iri"), "left_semi")
+    // titles/describe emit ≤ one row per hit subject (bounded by the same
+    // clamps as the page) — hint them broadcast; the static planner cannot
+    // see through the aggregation and falls back to a sort-merge join
     hitPage
-      .join(titles(scopedQuads, scopedRegistry), Seq("graph_iri", "subject_iri"), "left_outer")
-      .join(describe(scopedQuads), Seq("graph_iri", "subject_iri"), "left_outer")
+      .join(broadcast(titles(scopedQuads, scopedRegistry)),
+        Seq("graph_iri", "subject_iri"), "left_outer")
+      .join(broadcast(describe(scopedQuads)), Seq("graph_iri", "subject_iri"), "left_outer")
       .withColumn("snippet", snippetUdf(col("content"), lit(toks.toArray)))
       .drop("content")
   }

@@ -128,7 +128,10 @@ object Compiler {
             case None => null
           })
         }
-        spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        // LocalRelation, NOT parallelize→LogicalRDD: a VALUES block is
+        // bounded by the query text, and the known size lets Catalyst
+        // broadcast the join (the RDD form hid the stats → sort-merge)
+        spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
       case PGroup(q, keys, aggs) =>
         val df = compileP(quads, q, graph, dflt)
         if (aggs.isEmpty) df.select(keys.map(df(_)): _*).dropDuplicates()
