@@ -40,20 +40,20 @@ class ScaleSpec extends SparkSpec {
     // each query entry drains the previous query's registrations, so the
     // persistent-RDD census must reach a steady state instead of growing
     // per query (the round-2 session leak).
-    def runOrphan(): Unit = {
-      SparkEntry.queries("or1_orphan_filter")(spark, sf0001).count()
+    // the dedup gates persist derived relations (sigs/fingerprints/shingle
+    // streams) through the same registry — cycle them too
+    def run(name: String): Unit = {
+      SparkEntry.queries(name)(spark, sf0001).count()
       ()
     }
-    def runPath(): Unit = {
-      SparkEntry.queries("sp17_path_plus")(spark, sf0001).count()
-      ()
-    }
-    runOrphan(); runPath()
+    val cycle = Seq("or1_orphan_filter", "sp17_path_plus",
+      "dd2_minhash_lsh", "dd4_simhash", "dd6_lsh_verified")
+    cycle.foreach(run)
     val steady = spark.sparkContext.getPersistentRDDs.size
-    (1 to 3).foreach { _ => runOrphan(); runPath() }
+    (1 to 2).foreach { _ => cycle.foreach(run) }
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after <= steady,
-      s"persistent RDDs grew across repeated fixpoint queries: $steady -> $after")
+      s"persistent RDDs grew across repeated fixpoint/dedup queries: $steady -> $after")
   }
 
   test("stateful debounce: 2s suppression persists across microbatches") {
