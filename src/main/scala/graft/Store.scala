@@ -77,6 +77,32 @@ object Store {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Predicate-partitioned, subject-bucketed default-graph triples: the BGP
+    * layout. Every triple-pattern scan filters by predicate — a partition
+    * DIRECTORY here, so each pattern reads exactly its predicate's files
+    * (RDF vertical partitioning) — and joins on `subject`, which all
+    * pattern scans share as the bucket key, so Catalyst plans the whole
+    * n-pattern star chain with ZERO exchanges (bucket-local sort-merge
+    * joins). At 100 TB the per-pattern shuffle of the triple store IS the
+    * BGP cost; this layout removes it, mirroring the reference's
+    * subject-major LSM key order. Registered as an external parquet table
+    * so the bucketing metadata lives in the session catalog. */
+  def triplesBucketed(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    val name = s"graft_triples_sub_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    if (!spark.catalog.tableExists(name)) {
+      val path = root.resolve(s"bucketed-$name").toString
+      RdfTables.quads(spark, dir)
+        .drop("graph_iri")
+        .distinct()
+        .write.mode("overwrite")
+        .partitionBy("predicate")
+        .bucketBy(buckets, "subject").sortBy("subject")
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
   /** FTS postings index clustered by token. */
   def postings(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "postings") { p =>

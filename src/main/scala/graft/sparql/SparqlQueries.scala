@@ -18,7 +18,7 @@ object SparqlQueries {
     * dedup after scoping, so they keep the scan-level dedup path. */
   private def run(sparql: String)(s: SparkSession, d: String): DataFrame =
     SparqlEngine.select(graft.Store.quads(s, d), sparql,
-      defaultGraph = Some(graft.Store.triples(s, d)))
+      defaultGraph = Some(graft.Store.triplesBucketed(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // canonical reference query (metadata_query_concurrency.rs:177)
@@ -64,7 +64,7 @@ object SparqlQueries {
     "sp9_ask" -> ((s: SparkSession, d: String) =>
       SparqlEngine.ask(graft.Store.quads(s, d),
         "ASK { ?s a schema:Dataset . ?s schema:name ?name }",
-        defaultGraph = Some(graft.Store.triples(s, d)))),
+        defaultGraph = Some(graft.Store.triplesBucketed(s, d)))),
 
     "sp10_graph" -> run(
       """SELECT ?p ?o WHERE { GRAPH <graph:42> { ?s ?p ?o } } ORDER BY ?p ?o""") _,

@@ -71,9 +71,13 @@ class PlanSpec extends SparkSpec {
       s"compat join degraded to a nested loop:\n$p")
   }
 
-  test("sp23: negated property set pushes NOT-IN into the store scan") {
+  test("sp23: negated property set prunes predicate partitions of the store") {
     val p = plan("sp23_nps")
-    assert(p.contains("Not(In(predicate"), s"NOT-IN not pushed to parquet:\n$p")
+    // predicate is the triples table's partition column, so the NOT-IN
+    // eliminates whole predicate directories at planning time — stronger
+    // than the former row-group PushedFilters
+    assert(p.contains("PartitionFilters: [NOT predicate"),
+      s"NOT-IN did not become partition pruning:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 

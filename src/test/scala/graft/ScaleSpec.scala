@@ -35,6 +35,26 @@ class ScaleSpec extends SparkSpec {
     assert(pruned)
   }
 
+  test("subject-bucketed triples: BGP self-join chain plans with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    import graft.sparql.RdfTables
+    val t = Store.triplesBucketed(spark, sf0001)
+    val author = t.filter(col("predicate") === RdfTables.SchemaNs + "author")
+      .select(col("subject"), col("obj_value").as("person"))
+    val name = t.filter(col("predicate") === RdfTables.SchemaNs + "name")
+      .select(col("subject"), col("obj_value").as("title"))
+    val ident = t.filter(col("predicate") === RdfTables.SchemaNs + "identifier")
+      .select(col("subject"), col("obj_value").as("ident"))
+    val joined = author.join(name, "subject").join(ident, "subject")
+    assert(joined.count() > 0)
+    // co-located joins: every pattern scan shares the subject bucketing, so
+    // the three-pattern chain must contain NO shuffle exchange at all (the
+    // per-pattern store shuffle is the dominant BGP cost at scale)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed self-join still shuffles:\n$plan")
+  }
+
   test("fixpoint caches release across queries: persistent-RDD set does not grow") {
     // or1 always barriers the orphan set (and may cache closure rounds);
     // each query entry drains the previous query's registrations, so the
