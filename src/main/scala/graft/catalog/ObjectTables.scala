@@ -90,7 +90,14 @@ object ObjectTables {
   def heads(objects: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // version_ord can tie (duplicate source rows) — hash desc tie-break
-    // keeps head selection deterministic
+    // keeps head selection deterministic.
+    //
+    // Deliberately a row_number window, NOT groupBy+max_by(row struct):
+    // Spark 4 plans rank-limit windows with a PARTIAL WindowGroupLimit
+    // below the shuffle (map-side top-1 per group — one surviving row per
+    // (bucket, key) on the wire), while the struct max_by serializes whole
+    // rows through an object aggregate. Measured at sf0.1: window 2.1 s vs
+    // max_by 3.2 s for cat7, and cat1/cat2 regress ~3x the same way.
     val w = Window.partitionBy(col("bucket"), col("key"))
       .orderBy(col("version_ord").desc, col("hash").desc)
     objects

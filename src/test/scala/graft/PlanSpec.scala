@@ -137,10 +137,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"signature pass not cached:\n$p")
   }
 
-  test("cat7: one window pass + one grouping-sets expand, not three grain scans") {
+  test("cat7: one rank-pruned window pass + one grouping-sets expand") {
     val p = plan("cat7_usage_rebuild")
     val windows = """\(\d+\) Window\n""".r.findAllIn(p).size
     assert(windows == 1, s"head-selection window evaluated $windows times:\n$p")
+    // the rank filter must push a partial WindowGroupLimit below the
+    // shuffle (map-side top-1 per (bucket, key)) — without it the whole
+    // object log crosses the wire (and a struct-max_by rewrite measured
+    // ~1.5x slower; see ObjectTables.heads)
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
     assert(p.contains("Expand"), s"expected GROUPING SETS expand:\n$p")
   }
 
