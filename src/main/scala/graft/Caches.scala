@@ -18,6 +18,14 @@ import org.apache.spark.sql.DataFrame
   * This bounds block-manager growth to O(one query) in a long-lived service
   * — without it every path/orphan query leaks cached RDDs for the session
   * lifetime (the round-2 finding).
+  *
+  * Contract: ONE query in flight at a time (the driver gate's execution
+  * model). Composing two entry points into a single lazy plan — e.g.
+  * unioning two `filterOrphaned` results before any action — is still
+  * CORRECT: a released block recomputes from lineage (shuffle files
+  * persist), so early release can cost recomputation, never wrong results.
+  * Callers needing cross-query cache lifetimes should persist outside this
+  * registry.
   */
 object Caches {
 

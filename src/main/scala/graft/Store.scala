@@ -87,10 +87,16 @@ object Store {
     * BGP cost; this layout removes it, mirroring the reference's
     * subject-major LSM key order. Registered as an external parquet table
     * so the bucketing metadata lives in the session catalog. */
+  private val bucketedNames = new ConcurrentHashMap[String, String]()
+
   def triplesBucketed(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
-    val name = s"graft_triples_sub_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-    if (!spark.catalog.tableExists(name)) {
-      val path = root.resolve(s"bucketed-$name").toString
+    // exact (session, dir, buckets) key → table name: a dir-hash-derived
+    // name alone would silently serve the wrong dataset on a hash
+    // collision, or the old bucketing on a buckets change
+    val key = s"${System.identityHashCode(spark)}:$dir:$buckets"
+    val name = bucketedNames.computeIfAbsent(key, { _ =>
+      val n = s"graft_triples_sub_${bucketedNames.size()}_${Integer.toHexString(key.hashCode & 0x7fffffff)}"
+      val path = root.resolve(s"bucketed-$n").toString
       RdfTables.quads(spark, dir)
         .drop("graph_iri")
         .distinct()
@@ -98,8 +104,9 @@ object Store {
         .partitionBy("predicate")
         .bucketBy(buckets, "subject").sortBy("subject")
         .option("path", path)
-        .saveAsTable(name)
-    }
+        .saveAsTable(n)
+      n
+    })
     spark.table(name)
   }
 

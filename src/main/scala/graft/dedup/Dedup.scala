@@ -152,6 +152,10 @@ object Dedup {
     * exploded formulation shuffled the whole shingle stream). Docs with no
     * shingles carry no signature. Returns (doc_id, h0..h{k-1}). */
   def minhashMd5Signatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    // h2 is a 60-bit value: component i >= 60 would shift it to zero and
+    // every such component would equal min(h1) — perfectly correlated
+    // duplicates that silently inflate similarity estimates
+    require(k >= 1 && k <= 60, s"signature size k must be in [1, 60], got $k")
     val hs = transform(transform(shingles(col("text"), n), sh => md5(sh)), m => struct(
       conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
       conv(substring(m, 17, 15), 16, 10).cast("long").as("h2")))
@@ -362,7 +366,7 @@ object Dedup {
     val r = nBits / bands
     val mask = (1L << r) - 1
     // the band self-join evaluates its input twice — cache the signature
-    // pass (16 hyperplane projections per vector) so it runs once
+    // pass (nBits hyperplane projections per vector) so it runs once
     val sigs = graft.similarity.Ann.lshSignatures(embeddings, nBits)
       .select(col("vec_id"), col("v"), col("n2"), col("sig"))
       .persist()

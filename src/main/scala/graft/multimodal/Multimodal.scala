@@ -159,23 +159,29 @@ object Multimodal {
   object FakeCodec {
     final case class Features(nBytes: Long, checksum: Long, brightness: Double)
 
-    def decode(kind: String, bytes: Array[Byte]): Features =
-      if (kind == "image" && bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M') {
-        val s = ImageCodec.decode(bytes)
-        Features(bytes.length.toLong, s.pxSum,
-          s.pxSum.toDouble / (s.width.toLong * s.height))
-      } else if (kind == "audio" && bytes.length > 4 && bytes(0) == 'R' &&
-          bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
-        val s = AudioCodec.decode(bytes)
-        Features(bytes.length.toLong, s.ampSum,
-          if (s.nSamples == 0) 0.0 else s.ampSum.toDouble / s.nSamples)
-      } else {
+    def decode(kind: String, bytes: Array[Byte]): Features = {
+      // magic bytes are a ROUTING hint, not a validity proof — a text
+      // payload that happens to start with "BM"/"RIFF" must fall back to
+      // byte statistics, not crash the extraction stage
+      val real: Option[Features] =
+        if (kind == "image" && bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M')
+          scala.util.Try(ImageCodec.decode(bytes)).toOption.map(s =>
+            Features(bytes.length.toLong, s.pxSum,
+              s.pxSum.toDouble / (s.width.toLong * s.height)))
+        else if (kind == "audio" && bytes.length > 4 && bytes(0) == 'R' &&
+            bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+          scala.util.Try(AudioCodec.decode(bytes)).toOption.map(s =>
+            Features(bytes.length.toLong, s.ampSum,
+              if (s.nSamples == 0) 0.0 else s.ampSum.toDouble / s.nSamples))
+        else None
+      real.getOrElse {
         var sum = 0L
         var i = 0
         while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
         Features(bytes.length.toLong, sum,
           if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
       }
+    }
   }
 
   val featureSchema: StructType = StructType(Seq(

@@ -88,7 +88,9 @@ object Ann {
   }
 
   /** nBits-bit random-hyperplane signature of each embedding
-    * (dims ≤ [[MaxLshDims]]). */
+    * (dims ≤ [[MaxLshDims]] — wider vectors raise a per-row error rather
+    * than silently zip_with-ing against nulls, which would collapse every
+    * wide vector into signature 0 and degenerate the band join to n²). */
   def lshSignatures(embeddings: DataFrame, nBits: Int): DataFrame = {
     val q = quantized(embeddings)
     val bits = (0 until nBits).map { p =>
@@ -97,7 +99,12 @@ object Ann {
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }
-    q.withColumn("sig", bits.reduce(_ + _))
+    q.withColumn("sig",
+      when(size(col("v")) <= MaxLshDims, bits.reduce(_ + _))
+        .otherwise(raise_error(concat(
+          lit(s"embedding wider than $MaxLshDims dims (got "),
+          size(col("v")).cast("string"),
+          lit(") unsupported by the precomputed LSH planes"))).cast("long")))
   }
 
   /** Materialize a sig-partitioned ANN index: one parquet directory per
@@ -166,8 +173,13 @@ object Ann {
     * lowest cell id via struct ordering. One narrow projection against the
     * literal codebook: no join, no shuffle — at 100 TB this is the map-side
     * stage that feeds a `partitionBy("cell")` index write. */
-  def ivfAssignments(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    val cents = codebook(embeddings, nCells)
+  def ivfAssignments(embeddings: DataFrame, nCells: Int = 16): DataFrame =
+    ivfAssignments(embeddings, codebook(embeddings, nCells))
+
+  /** Assignment against an already-collected codebook (probe paths collect
+    * it once for cell selection — don't run the collect job twice). */
+  private def ivfAssignments(embeddings: DataFrame,
+      cents: Array[(Int, Seq[Long], Long)]): DataFrame = {
     require(cents.nonEmpty, "empty IVF codebook")
     val best = array_min(array(cents.map { case (id, cv, cn2) =>
       struct((lit(cn2) - lit(2L) * dotCol(col("v"), typedlit(cv))).as("score"),
@@ -193,7 +205,7 @@ object Ann {
     val probeCells: Seq[Any] = cents
       .map { case (id, cv, cn2) => (cn2 - 2L * dotLocal(qv, cv), id) }
       .sorted.take(nprobe).map(_._2).toSeq
-    ivfAssignments(embeddings, nCells)
+    ivfAssignments(embeddings, cents)
       .filter(col("cell").isin(probeCells: _*) &&
         col("vec_id") =!= queryId && col("n2") > 0)
       .withColumn("dot", dotCol(col("v"), typedlit(qv)))

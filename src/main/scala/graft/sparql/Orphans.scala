@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Orphans {
 
+  /** Orphan sets at or below this row count broadcast into the anti-joins
+    * (two short strings per row, well under executor memory); larger sets
+    * fall back to shuffle anti-joins. */
+  val BroadcastMaxOrphans = 2000000L
+
   private val Sep = "\u0001" // (graph, node) composite key separator
 
   private def key(g: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
@@ -71,12 +76,16 @@ object Orphans {
     val orphDf = orphanedEntities(quads, roots)
     val orphRdd = orphDf.rdd.cache()
     graft.Caches.track(orphRdd)
-    // broadcast: the orphan set is bounded by the export's graph scope in
-    // the reference's usage (per-realm snapshot exports), and without the
+    // broadcast WHEN SMALL: the orphan set is usually bounded by the
+    // export's graph scope (per-realm snapshot exports), and without the
     // hint Catalyst replicates SORT-MERGE anti-joins through the quads
-    // union — full-table sorts per branch. Hash anti-joins against the
-    // broadcast set keep every branch shuffle-free.
-    val orph = broadcast(quads.sparkSession.createDataFrame(orphRdd, orphDf.schema))
+    // union — full-table sorts per branch. The count is a cheap action on
+    // the just-cached barrier (which must materialize anyway); a
+    // pathological dirty store with millions of orphans keeps the
+    // shuffle anti-join instead of hard-failing an 8GB broadcast.
+    val barriered = quads.sparkSession.createDataFrame(orphRdd, orphDf.schema)
+    val orph =
+      if (orphRdd.count() <= BroadcastMaxOrphans) broadcast(barriered) else barriered
     val bySubject = quads.as("q").join(orph.as("os"),
       col("q.graph_iri") === col("os.graph_iri") &&
         col("q.subject") === col("os.entity"), "left_anti")

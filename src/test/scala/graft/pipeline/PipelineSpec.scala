@@ -215,6 +215,17 @@ class PipelineSpec extends SparkSpec {
     assert(neg.ampSum < 0, s"seed-0 samples start at -32768; got ${neg.ampSum}")
   }
 
+  test("codec dispatch: magic-byte lookalikes fall back to byte stats, not a crash") {
+    // a text payload that merely STARTS with the BMP/RIFF magic is not
+    // decodable media; dispatch must degrade to byte statistics
+    val bmText = "BM25 scoring notes for the index".getBytes("UTF-8")
+    val f1 = Multimodal.FakeCodec.decode("image", bmText)
+    assert(f1.checksum == bmText.map(_ & 0xff).map(_.toLong).sum)
+    val riffText = "RIFF through the archives".getBytes("UTF-8")
+    val f2 = Multimodal.FakeCodec.decode("audio", riffText)
+    assert(f2.checksum == riffText.map(_ & 0xff).map(_.toLong).sum)
+  }
+
   test("multimodal: stub decode is deterministic, frames slice the payload") {
     val media = Multimodal.media(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
