@@ -228,6 +228,45 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("un"), col("jaccard"))
   }
 
+  /** Transitive near-duplicate clustering: connected components over an
+    * undirected similarity-pair set, by iterative min-label propagation
+    * (label = smallest doc_id reachable). Each round is one shuffle join of
+    * the cached edge list against the current labels plus a map-side min;
+    * the round count is the cluster DIAMETER, which for dedup clusters
+    * (LSH candidates verified into near-cliques) is small by construction —
+    * the property that makes label propagation the right fixpoint here
+    * where a general graph would want large-star/small-star. Returns
+    * (doc_id, canonical_id) for every document in at least one pair; the
+    * canonical is the cluster's smallest doc_id (the survivor a dedup
+    * pipeline keeps). */
+  def dedupComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    def barrier(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.cache()
+      graft.Caches.track(rdd)
+      spark.createDataFrame(rdd, df.schema)
+    }
+    val fwd = pairs.select(col("a").as("x"), col("b").as("y"))
+    val edges = barrier(fwd.union(fwd.select(col("y").as("x"), col("x").as("y"))))
+    var labels = barrier(
+      edges.select(col("x").as("node")).distinct().withColumn("lbl", col("node")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbr = edges.join(labels.withColumnRenamed("node", "y"), Seq("y"))
+        .groupBy(col("x").as("node"))
+        .agg(min(col("lbl")).as("nbr_min"))
+      val next = barrier(labels.join(nbr, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("chg")))
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("node"), col("lbl"))
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

@@ -54,6 +54,13 @@ object PipelineQueries {
       Dedup.minhashLshPairs(corpus(s, d)).orderBy(col("a"), col("b"))
     },
 
+    // transitive clustering of the LSH pair set: every doc in a pair gets
+    // its cluster's smallest doc_id as the canonical survivor
+    "dd8_dedup_components" -> { (s, d) =>
+      Dedup.dedupComponents(Dedup.minhashLshPairs(corpus(s, d)))
+        .orderBy(col("doc_id"))
+    },
+
     "dd3_ngram_jaccard" -> { (s, d) =>
       // capped corpus: the exact shingle self-join is the LSH verify step,
       // not a standalone full-corpus operator (Σ df² blowup) — gate it on a
@@ -157,6 +164,39 @@ object PipelineQueries {
       |    SELECT doc_id, array_to_string(ts, ' ') AS sh
       |    FROM toks WHERE len(ts) BETWEEN 1 AND 2) u)""".stripMargin
 
+  /** The dd2 MinHash-LSH pipeline as a reusable CTE chain ending in
+    * `lshpairs(a, b, sim)` — dd8's component clustering composes on it. */
+  private lazy val minhashPairsCtes: String = {
+    val simExpr = (0 until 16).map(i =>
+      s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$corpusCte,
+       |${shinglesCte()},
+       |sh2 AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+       |         CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) AS h2
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |${(0 until 16).map(i => s"    MIN(xor(h1, h2 >> $i)) AS h$i").mkString(",\n")}
+       |  FROM sh2 GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |${(0 until 4).map(b => s"    CONCAT(h${b * 4},'|',h${b * 4 + 1},'|',h${b * 4 + 2},'|',h${b * 4 + 3}) AS b$b").mkString(",\n")}
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.doc_id < r.doc_id
+       |   AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)),
+       |lshpairs AS (
+       |  SELECT a, b, sim FROM (
+       |    SELECT c.a, c.b, CAST($simExpr AS DOUBLE) / 16 AS sim
+       |    FROM cand c
+       |    JOIN sigs sa ON sa.doc_id = c.a
+       |    JOIN sigs sb ON sb.doc_id = c.b) t
+       |  WHERE sim >= 0.8)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dd1_exact_dup" ->
       s"""WITH $corpusCte
@@ -205,36 +245,22 @@ object PipelineQueries {
     // full oracle for the banded-minhash LSH gate: identical md5-derived
     // signature family, band buckets as joined component values, sim =
     // fraction of equal components — integer arithmetic end to end
-    "dd2_minhash_lsh" -> {
-      val simExpr = (0 until 16).map(i =>
-        s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH $corpusCte,
-         |${shinglesCte()},
-         |sh2 AS (
-         |  SELECT doc_id,
-         |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
-         |         CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) AS h2
-         |  FROM sh),
-         |sigs AS (
-         |  SELECT doc_id,
-         |${(0 until 16).map(i => s"    MIN(xor(h1, h2 >> $i)) AS h$i").mkString(",\n")}
-         |  FROM sh2 GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id,
-         |${(0 until 4).map(b => s"    CONCAT(h${b * 4},'|',h${b * 4 + 1},'|',h${b * 4 + 2},'|',h${b * 4 + 3}) AS b$b").mkString(",\n")}
-         |  FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r ON l.doc_id < r.doc_id
-         |   AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3))
-         |SELECT a, b, sim FROM (
-         |  SELECT c.a, c.b, CAST($simExpr AS DOUBLE) / 16 AS sim
-         |  FROM cand c
-         |  JOIN sigs sa ON sa.doc_id = c.a
-         |  JOIN sigs sb ON sb.doc_id = c.b) t
-         |WHERE sim >= 0.8
-         |ORDER BY a, b""".stripMargin
-    },
+    "dd2_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT a, b, sim FROM lshpairs ORDER BY a, b""".stripMargin,
+
+    // transitive near-dup clustering over the SAME pair set: recursive
+    // min-label reachability ≡ the Spark side's label-propagation fixpoint
+    "dd8_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |und AS (SELECT a AS x, b AS y FROM lshpairs
+         |        UNION ALL SELECT b, a FROM lshpairs),
+         |reach(node, m) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+         |  UNION
+         |  SELECT u.x, r.m FROM und u JOIN reach r ON r.node = u.y)
+         |SELECT node AS doc_id, MIN(m) AS canonical_id FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // full oracle for the SimHash gate: 60-bit md5-prefix token hashes,
     // 60 tf-weighted bit votes, 4x15-bit pigeonhole chunks, popcount dist

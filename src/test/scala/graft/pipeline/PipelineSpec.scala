@@ -163,6 +163,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup components: transitive clusters resolve to the smallest doc_id") {
+    import spark.implicits._
+    // hand-built graph: chain 1-2-3, pair 10-11, triangle 20-21-22 + bridge 22-23
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (22L, 23L)).toDF("a", "b")
+    val got = Dedup.dedupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // planted exact copies cluster with their source as canonical
+    val comps = Dedup.dedupComponents(Dedup.minhashLshPairs(planted)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactIds = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 25 === 0).select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach { id =>
+      assert(comps.get(id + 200000).contains(comps.getOrElse(id, id)),
+        s"copy ${id + 200000} not clustered with $id")
+    }
+  }
+
   test("IVF ANN: assignment covers every vector; probe scores match brute force") {
     val e = Tables.embeddings(spark, sf0001)
     val assigned = Ann.ivfAssignments(e, nCells = 16)
