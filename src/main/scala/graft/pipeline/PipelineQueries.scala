@@ -127,6 +127,14 @@ object PipelineQueries {
       TextAnalysis.fingerprints(Tables.documents(s, d), k = 16).orderBy(col("doc_id"))
     },
 
+    // deterministic md5-keyed train/val/test assignment — reproducible
+    // across runs/engines/partitionings (rand() is not)
+    "tx5_split" -> { (s, d) =>
+      TextAnalysis.deterministicSplit(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", "graft", 100, 50)
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    },
+
     "mm1_media_stats" -> { (s, d) =>
       Multimodal.media(s, d)
         .groupBy(col("kind"))
@@ -488,6 +496,16 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE length(text) < 16
         |) t ORDER BY doc_id""".stripMargin,
+
+    "tx5_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN slot < 100 THEN 'val' WHEN slot < 150 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     // closed-form replica of the synthetic-BMP pixel pattern; matching the
     // Spark side requires the encode->ImageIO-decode round trip to be exact

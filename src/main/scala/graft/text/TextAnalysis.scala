@@ -78,4 +78,24 @@ object TextAnalysis {
         array_min(transform(sequence(lit(1), length(col("text")) - (k - 1)),
           i => md5(col("text").substr(i, lit(k))))))
         .otherwise(md5(col("text"))).as("fingerprint"))
+
+  /** Deterministic stratified train/val/test split: every row is assigned by
+    * the md5 of (salt, id) — reproducible across runs, engines, partitionings
+    * and cluster sizes (NO rand(), which breaks on retry/re-partition), and
+    * independent of row order, which is what makes the split stable when the
+    * corpus is re-ingested at 100 TB. `valPermille`/`testPermille` carve the
+    * 0..999 hash space; the remainder is train. Stratification comes free:
+    * the hash is uniform within every stratum of any other column. */
+  def deterministicSplit(docs: DataFrame, idCol: String, salt: String,
+      valPermille: Int, testPermille: Int): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"split permilles must be non-negative and sum <= 1000")
+    val slot = conv(substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    docs.withColumn("split",
+      when(slot < valPermille, lit("val"))
+        .when(slot < valPermille + testPermille, lit("test"))
+        .otherwise(lit("train")))
+  }
 }

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
+import graft.text.TextAnalysis
 import graft.Tables
 import org.apache.spark.sql.functions._
 
@@ -161,6 +162,26 @@ class PipelineSpec extends SparkSpec {
       val st = Multimodal.ImageCodec.decode(Multimodal.ImageCodec.syntheticBmp(3, w, 2))
       assert(st.width == w && st.height == 2, s"width $w")
     }
+  }
+
+  test("deterministic split: stable fractions, repartition-invariant, salt-sensitive") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val s1 = TextAnalysis.deterministicSplit(docs, "doc_id", "graft", 100, 50)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    // md5 is uniform: 10% val / 5% test within sampling noise at n=500
+    assert(math.abs(counts.getOrElse("val", 0L) / n - 0.10) < 0.05, counts.toString)
+    assert(math.abs(counts.getOrElse("test", 0L) / n - 0.05) < 0.04, counts.toString)
+    // invariant under physical layout — the property rand() does not have
+    val a = s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.deterministicSplit(docs.repartition(7), "doc_id", "graft", 100, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // a different salt draws a different split
+    val c = TextAnalysis.deterministicSplit(docs, "doc_id", "other", 100, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
   }
 
   test("dedup components: transitive clusters resolve to the smallest doc_id") {
