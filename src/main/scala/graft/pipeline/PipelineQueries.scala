@@ -127,6 +127,13 @@ object PipelineQueries {
       TextAnalysis.fingerprints(Tables.documents(s, d), k = 16).orderBy(col("doc_id"))
     },
 
+    // concat-and-chunk sequence packing into 512-token contexts, windowed
+    // per source shard (the parallel formulation)
+    "tx6_pack" -> { (s, d) =>
+      TextAnalysis.packForTraining(Tables.documents(s, d), budget = 512)
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic md5-keyed train/val/test assignment — reproducible
     // across runs/engines/partitionings (rand() is not)
     "tx5_split" -> { (s, d) =>
@@ -496,6 +503,20 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE length(text) < 16
         |) t ORDER BY doc_id""".stripMargin,
+
+    "tx6_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        |  (cum_end - n_tokens) // 512 AS pack_id,
+        |  (cum_end - n_tokens) % 512 AS token_offset
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                           t -> t <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents) c) t
+        |ORDER BY doc_id""".stripMargin,
 
     "tx5_split" ->
       """SELECT doc_id,

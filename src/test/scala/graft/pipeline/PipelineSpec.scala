@@ -184,6 +184,21 @@ class PipelineSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("sequence packing: offsets stay under budget, packs monotone per source") {
+    val packed = TextAnalysis.packForTraining(Tables.documents(spark, sf0001), budget = 512)
+      .collect()
+    assert(packed.nonEmpty)
+    packed.foreach { r =>
+      val off = r.getAs[Long]("token_offset")
+      assert(off >= 0 && off < 512, s"offset $off out of [0, 512)")
+    }
+    // within a source, later docs never start in an earlier pack
+    packed.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val byDoc = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("pack_id"))
+      assert(byDoc.zip(byDoc.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("dedup components: transitive clusters resolve to the smallest doc_id") {
     import spark.implicits._
     // hand-built graph: chain 1-2-3, pair 10-11, triangle 20-21-22 + bridge 22-23
