@@ -42,4 +42,17 @@ object Caches {
     var r = tracked.poll()
     while (r != null) { r(); r = tracked.poll() }
   }
+
+  /** Lineage barrier for iterative operators: a fresh LogicalRDD with no
+    * inherited constraints. `localCheckpoint` CANNOT be used here — it
+    * carries origin constraints that break Union's constraint rewrite in
+    * Spark 4.1 (`NoSuchElementException` in `Union.rewriteConstraints`);
+    * `createDataFrame(df.rdd.cache(), schema)` is the working form. Returns
+    * the barriered frame and its cached RDD so the caller can unpersist
+    * superseded rounds; track the FINAL round here instead (the consumer
+    * has not run its action yet). */
+  def barrier(df: DataFrame): (DataFrame, RDD[_]) = {
+    val rdd = df.rdd.cache()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
 }

@@ -239,31 +239,47 @@ object Dedup {
     * (doc_id, canonical_id) for every document in at least one pair; the
     * canonical is the cluster's smallest doc_id (the survivor a dedup
     * pipeline keeps). */
+  /** Round cap for [[dedupComponents]]: label propagation converges in
+    * diameter rounds, and a >256-hop transitive chain of near-dups is a
+    * data bug, not a cluster shape. NEVER silently truncated — hitting the
+    * cap throws, because a non-converged label set splits one cluster
+    * across multiple canonicals and a dedup pipeline would quietly keep
+    * duplicate survivors. */
+  val ComponentMaxRounds = 256
+
   def dedupComponents(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    def barrier(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.cache()
-      graft.Caches.track(rdd)
-      spark.createDataFrame(rdd, df.schema)
-    }
-    val fwd = pairs.select(col("a").as("x"), col("b").as("y"))
-    val edges = barrier(fwd.union(fwd.select(col("y").as("x"), col("x").as("y"))))
-    var labels = barrier(
+    // ONE pass over the (expensive) pair lineage: both edge directions
+    // explode from the same scan — a self-union would re-execute the
+    // upstream LSH pipeline once per branch
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val (edges, edgesRdd) = graft.Caches.barrier(sym)
+    graft.Caches.track(edgesRdd)
+    var (labels, labelsRdd) = graft.Caches.barrier(
       edges.select(col("x").as("node")).distinct().withColumn("lbl", col("node")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (changed > 0 && rounds < ComponentMaxRounds) {
       val nbr = edges.join(labels.withColumnRenamed("node", "y"), Seq("y"))
         .groupBy(col("x").as("node"))
         .agg(min(col("lbl")).as("nbr_min"))
-      val next = barrier(labels.join(nbr, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("chg")))
+      val (next, nextRdd) = graft.Caches.barrier(
+        labels.join(nbr, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+            (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("chg")))
       changed = next.filter(col("chg")).count()
+      labelsRdd.unpersist(blocking = false) // superseded round
       labels = next.select(col("node"), col("lbl"))
+      labelsRdd = nextRdd
       rounds += 1
     }
+    require(changed == 0,
+      s"component labels did not converge within $ComponentMaxRounds rounds " +
+        "(a near-dup chain deeper than the cap) — refusing to emit split clusters")
+    graft.Caches.track(labelsRdd)
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
   }
 

@@ -108,14 +108,10 @@ object PathCompiler {
       .dropDuplicates()
       .select(col("n").as("s"), col("n").as("o"))
 
-  /** lineage barrier: a fresh LogicalRDD with no inherited constraints
-    * (localCheckpoint carries origin constraints that break Union's
-    * constraint rewrite in Spark 4.1). The RDD is cached since each round
-    * reuses it; the caller unpersists superseded rounds. */
-  private def barrier(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
-    val rdd = df.rdd.cache()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
-  }
+  /** lineage barrier — see [[graft.Caches.barrier]] for why localCheckpoint
+    * cannot be used. The caller unpersists superseded rounds. */
+  private def barrier(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
+    graft.Caches.barrier(df)
 
   /** transitive closure fixpoint. Doubling phase: after k rounds `acc` holds
     * every path of length ≤ 2^k — ⌈log₂ d⌉ rounds for diameter d, ideal for

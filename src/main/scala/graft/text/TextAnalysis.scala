@@ -79,20 +79,16 @@ object TextAnalysis {
           i => md5(col("text").substr(i, lit(k))))))
         .otherwise(md5(col("text"))).as("fingerprint"))
 
-  /** Deterministic stratified train/val/test split: every row is assigned by
-    * the md5 of (salt, id) — reproducible across runs, engines, partitionings
-    * and cluster sizes (NO rand(), which breaks on retry/re-partition), and
-    * independent of row order, which is what makes the split stable when the
-    * corpus is re-ingested at 100 TB. `valPermille`/`testPermille` carve the
-    * 0..999 hash space; the remainder is train. Stratification comes free:
-    * the hash is uniform within every stratum of any other column. */
   /** Concat-and-chunk sequence packing: documents are conceptually
     * concatenated in doc_id order WITHIN each source shard and split at
     * `budget`-token context boundaries; each doc gets the pack it STARTS in
     * and its token offset there. Per-shard windows keep the cumulative sum
     * parallel (one partition per source — the global-concat formulation is
     * inherently sequential and would single-thread a 100 TB corpus), which
-    * is also how production packers shard. Integer arithmetic end to end. */
+    * is also how production packers shard. Integer arithmetic end to end
+    * (`div`, not `/`: Spark's `/` on longs is DOUBLE division, which loses
+    * ulps past 2^53 cumulative tokens and diverges from the oracle's
+    * integer `//`). */
   def packForTraining(docs: DataFrame, budget: Int): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
@@ -101,11 +97,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum_end", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id", ((col("cum_end") - col("n_tokens")) / budget).cast("long"))
+      .withColumn("pack_id", expr(s"(cum_end - n_tokens) div $budget"))
       .withColumn("token_offset", (col("cum_end") - col("n_tokens")) % budget)
       .drop("cum_end")
   }
 
+  /** Deterministic stratified train/val/test split: every row is assigned by
+    * the md5 of (salt, id) — reproducible across runs, engines, partitionings
+    * and cluster sizes (NO rand(), which breaks on retry/re-partition), and
+    * independent of row order, which is what makes the split stable when the
+    * corpus is re-ingested at 100 TB. `valPermille`/`testPermille` carve the
+    * 0..999 hash space; the remainder is train. Stratification comes free:
+    * the hash is uniform within every stratum of any other column. */
   def deterministicSplit(docs: DataFrame, idCol: String, salt: String,
       valPermille: Int, testPermille: Int): DataFrame = {
     require(valPermille >= 0 && testPermille >= 0 &&
