@@ -64,6 +64,36 @@ object Dedup {
         array_join(array_sort(collect_list(col("doc_id").cast("string"))), ",").as("member_ids"))
       .filter(col("n_copies") > 1)
 
+  /** Cross-document repeated-passage detection — the paragraph-dedup step of
+    * CCNet-style pipelines, at the granularity that works for corpora without
+    * reliable paragraph boundaries: each doc's token stream is chunked into
+    * fixed `w`-token passages (non-overlapping, final partial chunk kept so
+    * the whole doc is covered), and a passage appearing in more than one
+    * distinct document is reported with its occurrence counts and canonical
+    * (smallest) doc. Removing rows whose passage_hash lands here is the
+    * boilerplate-stripping pass (licence headers, navigation chrome, quoted
+    * reply chains).
+    *
+    * Scale: one explode + ONE shuffle on the 128-bit passage hash — the
+    * same shape as exact dedup, linear in corpus token count. */
+  def repeatedPassages(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"passage window must be positive, got $w")
+    // sequence(1, size, step w) yields the chunk start positions; slice
+    // clamps the final chunk. The token array binds once through the
+    // single-element-array lambda (HOFs are CodegenFallback — see shingles).
+    val passages = element_at(transform(array(tokens(col("text"))), ts =>
+      when(size(ts) > 0,
+        transform(sequence(lit(1), size(ts), lit(w)),
+          i => array_join(slice(ts, i, lit(w)), " ")))
+        .otherwise(array().cast("array<string>"))), 1)
+    docs.select(col("doc_id"), explode(passages).as("p"))
+      .groupBy(md5(col("p")).as("passage_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   // ---------------------------------------------------------------------
   // exact n-gram Jaccard (shingle join — the verify step of LSH at scale)
   // ---------------------------------------------------------------------

@@ -98,8 +98,29 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // cross-doc repeated-passage detection (paragraph-dedup analog over
+    // fixed 8-token chunks) on the planted corpus
+    "dd9_passage_dedup" -> { (s, d) =>
+      Dedup.repeatedPassages(corpus(s, d), w = 8).orderBy(col("passage_hash"))
+    },
+
+    // train/test decontamination: train docs sharing a 5-gram with the test
+    // split (the planted near/exact copies leak across the split boundary)
+    "dc1_decontaminate" -> { (s, d) =>
+      TextAnalysis.contaminationReport(corpus(s, d), n = 5, salt = "graft",
+          valPermille = 100, testPermille = 50)
+        .orderBy(col("doc_id"))
+    },
+
     "ann1_topk_dot" -> { (s, d) =>
       Ann.topKDot(Tables.embeddings(s, d), queryId = 0, k = 10)
+    },
+
+    // batch k-NN join: 5 nearest neighbors for every 50th vector
+    "ann4_knn_join" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+        .orderBy(col("q_id"), col("rk"))
     },
 
     "ann2_topk_cosine_lsh" -> { (s, d) =>
@@ -112,6 +133,19 @@ object PipelineQueries {
 
     "tx1_token_stats" -> { (s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // within-doc duplicate-3-gram fraction (Gopher-style repetition rule)
+    "tx7_repetition" -> { (s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic per-source cap (the URL/domain-cap pipeline op): keep
+    // the 20 highest-md5-priority docs of each source
+    "tx8_source_cap" -> { (s, d) =>
+      TextAnalysis.capPerSource(Tables.documents(s, d), cap = 20, salt = "graft")
+        .orderBy(col("source"), col("rk"))
     },
 
     "tx2_quality" -> { (s, d) =>
@@ -402,6 +436,76 @@ object PipelineQueries {
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
     },
 
+    // repeated fixed-window passages across documents: same tokenization,
+    // chunk starts at 1, 1+8, … (range step), md5 passage key
+    "dd9_passage_dedup" ->
+      s"""WITH $corpusCte,
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '') AS ts
+         |  FROM corpus),
+         |pass AS (
+         |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS p
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts)+1, 8)) AS i
+         |        FROM toks WHERE len(ts) > 0) t)
+         |SELECT md5(p) AS passage_hash, COUNT(DISTINCT doc_id) AS n_docs,
+         |       COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
+         |FROM pass GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY passage_hash""".stripMargin,
+
+    // decontamination: md5-permille split of the planted corpus, distinct
+    // 5-gram overlap of train docs against the test split's gram set (short
+    // docs contribute their whole text as one gram, like the Spark side)
+    "dc1_decontaminate" ->
+      s"""WITH $corpusCte,
+         |lbl AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN slot < 100 THEN 'val' WHEN slot < 150 THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      CAST(('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |    FROM corpus) s),
+         |toks AS (
+         |  SELECT doc_id, split, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                                    t -> t <> '') AS ts
+         |  FROM lbl WHERE split IN ('test', 'train')),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, split, g FROM (
+         |    SELECT doc_id, split,
+         |           UNNEST(list_transform(range(1, len(ts) - 3), i -> array_to_string(ts[i:i+4], ' '))) AS g
+         |    FROM toks WHERE len(ts) >= 5
+         |    UNION ALL
+         |    SELECT doc_id, split, array_to_string(ts, ' ') AS g
+         |    FROM toks WHERE len(ts) BETWEEN 1 AND 4) u),
+         |ev AS (SELECT DISTINCT g FROM grams WHERE split = 'test')
+         |SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_hit_grams, MIN(t.g) AS first_gram
+         |FROM grams t JOIN ev ON ev.g = t.g
+         |WHERE t.split = 'train'
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // batch k-NN join: identical integer quantization/dot/norm arithmetic,
+    // per-query ROW_NUMBER rank with vec_id tie-break
+    "ann4_knn_join" ->
+      """WITH q0 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q0),
+        |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id % 50 = 0 AND n2 > 0)
+        |SELECT q_id, vec_id, cosine, rk FROM (
+        |  SELECT q.q_id, c.vec_id,
+        |    CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+        |        / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, c.vec_id) AS BIGINT) AS rk
+        |  FROM n c, qs q
+        |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
     "ann1_topk_dot" ->
       """WITH q AS (
         |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
@@ -459,6 +563,34 @@ object PipelineQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars_measured,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // duplicate-3-gram fraction: ALL grams (non-distinct) vs distinct count
+    "tx7_repetition" ->
+      """SELECT doc_id, n_grams, n_distinct,
+        |  CASE WHEN n_grams > 0
+        |       THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |       ELSE 0.0 END AS dup_ngram_frac
+        |FROM (
+        |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |         CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(ts) >= 3
+        |           THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |           ELSE CAST([] AS VARCHAR[]) END AS gs
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |          FROM documents) t) g) s
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-source cap: md5-priority ROW_NUMBER, keep rk <= 20
+    "tx8_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "tx2_quality" ->
       """SELECT doc_id,

@@ -67,6 +67,37 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch k-NN JOIN: for EVERY vector in `queries`, its `k` nearest
+    * neighbors from `embeddings` by exact cosine (self excluded, zero-norm
+    * vectors on either side excluded): (q_id, vec_id, cosine, rk). The
+    * single-query top-k operators answer one probe; this is the operator a
+    * pipeline runs to attach neighbor lists to a whole query table
+    * (retrieval eval sets, hard-negative mining, kNN-classification).
+    *
+    * Scale: the query block BROADCASTS (explicit `broadcast` — a query
+    * batch is thousands of vectors, the corpus is the big side), so the
+    * corpus scans ONCE with no shuffle of the candidate side; per-query
+    * ranking is a rank-limit window on (q_id), which Spark 4 plans as
+    * WindowGroupLimit — map-side top-k per query below the single (q_id)
+    * shuffle, never a global sort. Bigger query sets chunk into broadcast
+    * batches; at that point prefer the IVF/LSH index variants per chunk. */
+  def knnJoin(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val cand = quantized(embeddings).filter(col("n2") > 0)
+    val q = quantized(queries).filter(col("n2") > 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
   /** Vector width the precomputed hyperplanes cover. Vectors may be
     * narrower (the sign array is sliced per row); wider ones would zip
     * against nulls, so the builder rejects them via [[lshSignatures]]'s

@@ -102,6 +102,79 @@ object TextAnalysis {
       .drop("cum_end")
   }
 
+  /** Within-document repetition signal (the Gopher/dolma-style quality rule
+    * "fraction of duplicated n-grams"): per doc, ALL word n-grams (not
+    * de-duplicated) vs their distinct count; `dup_ngram_frac` =
+    * 1 - distinct/total. A doc that loops one sentence scores near 1; clean
+    * prose scores near 0. Both counts come out of ONE bound token array —
+    * higher-order functions are CodegenFallback, so naming the gram array
+    * twice would re-tokenize and re-shingle the doc per reference (the
+    * repo-wide shingling finding); the struct packs both sizes in a single
+    * evaluation. Narrow projection, no shuffle. */
+  def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val grams = element_at(transform(array(tokens(col("text"))), ts =>
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))), 1)
+    val stats = element_at(transform(array(grams), gs => struct(
+      size(gs).cast("long").as("n_grams"),
+      size(array_distinct(gs)).cast("long").as("n_distinct"))), 1)
+    docs.select(col("doc_id"), stats.as("st"))
+      .select(col("doc_id"),
+        col("st.n_grams").as("n_grams"),
+        col("st.n_distinct").as("n_distinct"),
+        when(col("st.n_grams") > 0,
+          lit(1.0) - col("st.n_distinct").cast("double") / col("st.n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ngram_frac"))
+  }
+
+  /** Per-source document cap — the URL/domain-cap operator every web-scale
+    * pipeline runs so one giant crawl host cannot dominate the corpus. Keeps
+    * the `cap` highest-priority docs per source, priority = md5(salt|doc_id)
+    * (deterministic across runs/engines/partitionings — sampling by rand()
+    * is not reproducible on retry), tie-broken by doc_id. One window per
+    * source shard; Spark 4 plans rank-limit windows as WindowGroupLimit
+    * (map-side top-cap per group below the shuffle), so the full corpus is
+    * never sorted — per-group state is O(cap). */
+  def capPerSource(docs: DataFrame, cap: Int, salt: String): DataFrame = {
+    require(cap >= 1, s"per-source cap must be positive, got $cap")
+    val pri = md5(concat(lit(salt + "|"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(pri, col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Train/eval decontamination report (the GPT-3/PaLM-style n-gram overlap
+    * check): assigns every doc a [[deterministicSplit]] slot, collects the
+    * distinct word n-grams of the TEST split, and reports each TRAIN doc
+    * sharing at least one n-gram with it: (doc_id, n_hit_grams, first_gram).
+    * Short docs (< n tokens) contribute their whole text as one gram — the
+    * same rule as [[graft.dedup.Dedup.shingles]], so exact short-doc copies
+    * across the split boundary are still caught.
+    *
+    * Scale: the eval/benchmark gram set is small by construction (benchmarks
+    * are MBs, the corpus is TBs) — it broadcasts, so the train side is ONE
+    * scan + broadcast semi-join + per-doc aggregation with no shuffle of the
+    * gram stream on the build side. */
+  def contaminationReport(docs: DataFrame, n: Int, salt: String,
+      valPermille: Int, testPermille: Int): DataFrame = {
+    val split = deterministicSplit(docs, "doc_id", salt, valPermille, testPermille)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(graft.dedup.Dedup.shingles(col("text"), n)).as("g"))
+    val evalGrams = grams(split.filter(col("split") === "test"))
+      .select(col("g")).distinct()
+    grams(split.filter(col("split") === "train"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit_grams"),
+        min(col("g")).as("first_gram"))
+  }
+
   /** Deterministic stratified train/val/test split: every row is assigned by
     * the md5 of (salt, id) — reproducible across runs, engines, partitionings
     * and cluster sizes (NO rand(), which breaks on retry/re-partition), and

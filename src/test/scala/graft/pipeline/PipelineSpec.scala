@@ -252,6 +252,94 @@ class PipelineSpec extends SparkSpec {
       s"cell IN-list did not prune partitions:\n$plan")
   }
 
+  test("repetition stats: looped text scores high, distinct text scores zero") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 9 tokens, 7 grams, 3 distinct rotations
+      (2L, "one two three four five six"), // all 3-grams distinct
+      (3L, "hi there"), // < n tokens → no grams
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((7L, 3L, 1.0 - 3.0 / 7.0)))
+    assert(got(2L) == ((4L, 4L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("per-source cap keeps exactly min(cap, group size), stable across partitionings") {
+    val docs = Tables.documents(spark, sf0001)
+    val capped = TextAnalysis.capPerSource(docs, cap = 7, salt = "graft")
+    val perSource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groupSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupSizes.foreach { case (src, n) =>
+      assert(perSource(src) == math.min(7L, n), s"source $src kept ${perSource.get(src)}")
+    }
+    // md5 priority is row-order independent: a shuffled input keeps the same set
+    val shuffled = TextAnalysis.capPerSource(docs.repartition(13), cap = 7, salt = "graft")
+    assert(shuffled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // Spark 4 plans the rank-limit window as a map-side WindowGroupLimit —
+    // the whole corpus is never globally sorted
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+  }
+
+  test("repeated passages: byte-identical docs share every passage, reported once each") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (30L, "totally different words with no shared window at all here")).toDF("doc_id", "text")
+    val got = Dedup.repeatedPassages(df, w = 8).collect()
+    // 10 tokens → chunks [1..8], [9..10]: two shared passages, docs {10, 20}
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_occurrences") == 2L &&
+        r.getAs[Long]("canonical_doc") == 10L)
+    }
+    // a passage repeated INSIDE one doc does not cross the n_docs > 1 bar
+    val solo = Seq((1L, ("w1 w2 w3 w4 w5 w6 w7 w8 " * 2).trim)).toDF("doc_id", "text")
+    assert(Dedup.repeatedPassages(solo, w = 8).count() == 0)
+  }
+
+  test("decontamination flags a train doc that copies a test doc's text") {
+    // find one id in each split bucket, then plant identical text on them
+    val ids = spark.range(0, 200).toDF("doc_id")
+    val bySplit = TextAnalysis.deterministicSplit(ids, "doc_id", "graft", 100, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val trainId = bySplit.collectFirst { case (id, "train") => id }.get
+    val testId = bySplit.collectFirst { case (id, "test") => id }.get
+    val leak = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = bySplit.map { case (id, _) =>
+      (id, if (id == trainId || id == testId) leak else s"filler text number $id nothing shared")
+    }.toSeq.toDF("doc_id", "text")
+    val report = TextAnalysis.contaminationReport(docs, n = 5, "graft", 100, 50)
+    val flagged = report.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(trainId), s"leaked train doc $trainId not flagged: $flagged")
+    assert(flagged(trainId) == 6L, "10-token doc has 6 distinct 5-grams, all leaked")
+    // the eval gram set rides a broadcast — the corpus side never shuffles
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+  }
+
+  test("knn join matches single-query top-k and emits exactly k ranked rows per query") {
+    val e = Tables.embeddings(spark, sf0001)
+    val knn = Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+    val rows = knn.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 5L), s"ranks wrong for query $q")
+      assert(!rs.exists(_.getLong(1) == q), s"query $q returned itself")
+    }
+    // per-query parity with the single-probe operator (same arithmetic)
+    val single = Ann.topKCosine(e, 0, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val batch = rows.filter(_.getLong(0) == 0L).sortBy(_.getLong(3))
+      .map(r => r.getLong(1) -> r.getDouble(2)).toSeq
+    assert(batch == single, s"knn join diverges from topKCosine:\n$batch\n$single")
+  }
+
   test("audio codec: AudioSystem round-trip matches the closed-form sample pattern") {
     val bytes = Multimodal.AudioCodec.syntheticWav(7, 5)
     val s = Multimodal.AudioCodec.decode(bytes)
