@@ -67,23 +67,33 @@ object Dedup {
   /** Cross-document repeated-passage detection — the paragraph-dedup step of
     * CCNet-style pipelines, at the granularity that works for corpora without
     * reliable paragraph boundaries: each doc's token stream is chunked into
-    * fixed `w`-token passages (non-overlapping, final partial chunk kept so
-    * the whole doc is covered), and a passage appearing in more than one
-    * distinct document is reported with its occurrence counts and canonical
-    * (smallest) doc. Removing rows whose passage_hash lands here is the
-    * boilerplate-stripping pass (licence headers, navigation chrome, quoted
-    * reply chains).
+    * fixed `w`-token passages (non-overlapping), and a passage appearing in
+    * more than one distinct document is reported with its occurrence counts
+    * and canonical (smallest) doc. Removing rows whose passage_hash lands
+    * here is the boilerplate-stripping pass (licence headers, navigation
+    * chrome, quoted reply chains).
+    *
+    * The final partial chunk is kept only when it has at least `minTail`
+    * tokens: a 1–2-token tail (e.g. a trailing "the") is near-certain to
+    * collide across unrelated documents, and a consumer stripping every
+    * reported passage would delete legitimate content. `minTail = 1` keeps
+    * every tail (full-coverage mode); the gated default is w/2.
     *
     * Scale: one explode + ONE shuffle on the 128-bit passage hash — the
     * same shape as exact dedup, linear in corpus token count. */
-  def repeatedPassages(docs: DataFrame, w: Int): DataFrame = {
+  def repeatedPassages(docs: DataFrame, w: Int, minTail: Int = 1): DataFrame = {
     require(w >= 1, s"passage window must be positive, got $w")
-    // sequence(1, size, step w) yields the chunk start positions; slice
-    // clamps the final chunk. The token array binds once through the
+    require(minTail >= 1 && minTail <= w,
+      s"minTail must be in [1, w], got $minTail (w = $w)")
+    // sequence(1, size, step w) yields the chunk start positions; the filter
+    // drops starts whose remaining run is shorter than minTail; slice clamps
+    // the final chunk. The token array binds once through the
     // single-element-array lambda (HOFs are CodegenFallback — see shingles).
     val passages = element_at(transform(array(tokens(col("text"))), ts =>
       when(size(ts) > 0,
-        transform(sequence(lit(1), size(ts), lit(w)),
+        transform(
+          filter(sequence(lit(1), size(ts), lit(w)),
+            i => size(ts) - i + 1 >= minTail),
           i => array_join(slice(ts, i, lit(w)), " ")))
         .otherwise(array().cast("array<string>"))), 1)
     docs.select(col("doc_id"), explode(passages).as("p"))

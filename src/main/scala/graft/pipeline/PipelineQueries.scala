@@ -45,6 +45,20 @@ object PipelineQueries {
       |  FROM documents WHERE doc_id%50=0
       |)""".stripMargin
 
+  // Shared operator parameters, interpolated into BOTH the Spark call and
+  // its DuckDB oracle SQL from one definition — editing either side alone
+  // cannot silently turn a passing gate into a red-herring mismatch.
+  private val Dd9W       = 8       // passage window (tokens)
+  private val Dd9MinTail = Dd9W / 2 // min final-chunk tokens kept
+  private val Dc1N       = 5       // contamination n-gram size
+  private val SplitSalt  = "graft" // deterministic-split hash salt
+  private val SplitValPm  = 100    // val permille of the hash space
+  private val SplitTestPm = 50     // test permille
+  private val Tx6Budget  = 512     // packing token budget
+  private val Tx8Cap     = 20      // per-source doc cap
+  private val Ann4K      = 5       // knn-join neighbors per query
+  private val Ann4Every  = 50      // knn-join query stride (every Nth vec)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dup" -> { (s, d) =>
       Dedup.exactDuplicates(corpus(s, d)).orderBy(col("text_hash"))
@@ -99,16 +113,17 @@ object PipelineQueries {
     },
 
     // cross-doc repeated-passage detection (paragraph-dedup analog over
-    // fixed 8-token chunks) on the planted corpus
+    // fixed W-token chunks, sub-W/2 tails dropped) on the planted corpus
     "dd9_passage_dedup" -> { (s, d) =>
-      Dedup.repeatedPassages(corpus(s, d), w = 8).orderBy(col("passage_hash"))
+      Dedup.repeatedPassages(corpus(s, d), w = Dd9W, minTail = Dd9MinTail)
+        .orderBy(col("passage_hash"))
     },
 
-    // train/test decontamination: train docs sharing a 5-gram with the test
+    // train/test decontamination: train docs sharing an n-gram with the test
     // split (the planted near/exact copies leak across the split boundary)
     "dc1_decontaminate" -> { (s, d) =>
-      TextAnalysis.contaminationReport(corpus(s, d), n = 5, salt = "graft",
-          valPermille = 100, testPermille = 50)
+      TextAnalysis.contaminationReport(corpus(s, d), n = Dc1N, salt = SplitSalt,
+          valPermille = SplitValPm, testPermille = SplitTestPm)
         .orderBy(col("doc_id"))
     },
 
@@ -116,10 +131,10 @@ object PipelineQueries {
       Ann.topKDot(Tables.embeddings(s, d), queryId = 0, k = 10)
     },
 
-    // batch k-NN join: 5 nearest neighbors for every 50th vector
+    // batch k-NN join: K nearest neighbors for every Nth vector
     "ann4_knn_join" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
+      Ann.knnJoin(e, e.filter(col("vec_id") % Ann4Every === 0), k = Ann4K)
         .orderBy(col("q_id"), col("rk"))
     },
 
@@ -142,9 +157,10 @@ object PipelineQueries {
     },
 
     // deterministic per-source cap (the URL/domain-cap pipeline op): keep
-    // the 20 highest-md5-priority docs of each source
+    // the cap highest-md5-priority docs of each source
     "tx8_source_cap" -> { (s, d) =>
-      TextAnalysis.capPerSource(Tables.documents(s, d), cap = 20, salt = "graft")
+      TextAnalysis.capPerSource(Tables.documents(s, d), cap = Tx8Cap,
+          salt = SplitSalt)
         .orderBy(col("source"), col("rk"))
     },
 
@@ -164,7 +180,7 @@ object PipelineQueries {
     // concat-and-chunk sequence packing into 512-token contexts, windowed
     // per source shard (the parallel formulation)
     "tx6_pack" -> { (s, d) =>
-      TextAnalysis.packForTraining(Tables.documents(s, d), budget = 512)
+      TextAnalysis.packForTraining(Tables.documents(s, d), budget = Tx6Budget)
         .orderBy(col("doc_id"))
     },
 
@@ -172,7 +188,8 @@ object PipelineQueries {
     // across runs/engines/partitionings (rand() is not)
     "tx5_split" -> { (s, d) =>
       TextAnalysis.deterministicSplit(
-          Tables.documents(s, d).select(col("doc_id")), "doc_id", "graft", 100, 50)
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          SplitSalt, SplitValPm, SplitTestPm)
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     },
 
@@ -437,7 +454,8 @@ object PipelineQueries {
     },
 
     // repeated fixed-window passages across documents: same tokenization,
-    // chunk starts at 1, 1+8, … (range step), md5 passage key
+    // chunk starts at 1, 1+W, … (range step), md5 passage key; final chunks
+    // shorter than minTail tokens are dropped (trailing-stop-word guard)
     "dd9_passage_dedup" ->
       s"""WITH $corpusCte,
          |toks AS (
@@ -445,9 +463,10 @@ object PipelineQueries {
          |                             t -> t <> '') AS ts
          |  FROM corpus),
          |pass AS (
-         |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS p
-         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts)+1, 8)) AS i
-         |        FROM toks WHERE len(ts) > 0) t)
+         |  SELECT doc_id, array_to_string(ts[i:i+${Dd9W - 1}], ' ') AS p
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts)+1, $Dd9W)) AS i
+         |        FROM toks WHERE len(ts) > 0) t
+         |  WHERE len(ts) - i + 1 >= $Dd9MinTail)
          |SELECT md5(p) AS passage_hash, COUNT(DISTINCT doc_id) AS n_docs,
          |       COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
          |FROM pass GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
@@ -460,11 +479,12 @@ object PipelineQueries {
       s"""WITH $corpusCte,
          |lbl AS (
          |  SELECT doc_id, text,
-         |    CASE WHEN slot < 100 THEN 'val' WHEN slot < 150 THEN 'test'
+         |    CASE WHEN slot < $SplitValPm THEN 'val'
+         |         WHEN slot < ${SplitValPm + SplitTestPm} THEN 'test'
          |         ELSE 'train' END AS split
          |  FROM (
          |    SELECT doc_id, text,
-         |      CAST(('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |      CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
          |    FROM corpus) s),
          |toks AS (
          |  SELECT doc_id, split, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -473,11 +493,11 @@ object PipelineQueries {
          |grams AS (
          |  SELECT DISTINCT doc_id, split, g FROM (
          |    SELECT doc_id, split,
-         |           UNNEST(list_transform(range(1, len(ts) - 3), i -> array_to_string(ts[i:i+4], ' '))) AS g
-         |    FROM toks WHERE len(ts) >= 5
+         |           UNNEST(list_transform(range(1, len(ts) - ${Dc1N - 2}), i -> array_to_string(ts[i:i+${Dc1N - 1}], ' '))) AS g
+         |    FROM toks WHERE len(ts) >= $Dc1N
          |    UNION ALL
          |    SELECT doc_id, split, array_to_string(ts, ' ') AS g
-         |    FROM toks WHERE len(ts) BETWEEN 1 AND 4) u),
+         |    FROM toks WHERE len(ts) BETWEEN 1 AND ${Dc1N - 1}) u),
          |ev AS (SELECT DISTINCT g FROM grams WHERE split = 'test')
          |SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_hit_grams, MIN(t.g) AS first_gram
          |FROM grams t JOIN ev ON ev.g = t.g
@@ -487,24 +507,24 @@ object PipelineQueries {
     // batch k-NN join: identical integer quantization/dot/norm arithmetic,
     // per-query ROW_NUMBER rank with vec_id tie-break
     "ann4_knn_join" ->
-      """WITH q0 AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q0),
-        |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id % 50 = 0 AND n2 > 0)
-        |SELECT q_id, vec_id, cosine, rk FROM (
-        |  SELECT q.q_id, c.vec_id,
-        |    CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
-        |      / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS cosine,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-        |      CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
-        |        / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, c.vec_id) AS BIGINT) AS rk
-        |  FROM n c, qs q
-        |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      s"""WITH q0 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q0),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id % $Ann4Every = 0 AND n2 > 0)
+         |SELECT q_id, vec_id, cosine, rk FROM (
+         |  SELECT q.q_id, c.vec_id,
+         |    CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |      / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, c.vec_id) AS BIGINT) AS rk
+         |  FROM n c, qs q
+         |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
+         |WHERE rk <= $Ann4K ORDER BY q_id, rk""".stripMargin,
 
     "ann1_topk_dot" ->
       """WITH q AS (
@@ -585,12 +605,12 @@ object PipelineQueries {
 
     // per-source cap: md5-priority ROW_NUMBER, keep rk <= 20
     "tx8_source_cap" ->
-      """SELECT doc_id, source, rk FROM (
-        |  SELECT doc_id, source,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
-        |  FROM documents) t
-        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $Tx8Cap ORDER BY source, rk""".stripMargin,
 
     "tx2_quality" ->
       """SELECT doc_id,
@@ -637,28 +657,29 @@ object PipelineQueries {
         |) t ORDER BY doc_id""".stripMargin,
 
     "tx6_pack" ->
-      """SELECT doc_id, source, n_tokens,
-        |  (cum_end - n_tokens) // 512 AS pack_id,
-        |  (cum_end - n_tokens) % 512 AS token_offset
-        |FROM (
-        |  SELECT doc_id, source, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
-        |  FROM (
-        |    SELECT doc_id, source,
-        |      CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                           t -> t <> '')) AS BIGINT) AS n_tokens
-        |    FROM documents) c) t
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, source, n_tokens,
+         |  (cum_end - n_tokens) // $Tx6Budget AS pack_id,
+         |  (cum_end - n_tokens) % $Tx6Budget AS token_offset
+         |FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                           t -> t <> '')) AS BIGINT) AS n_tokens
+         |    FROM documents) c) t
+         |ORDER BY doc_id""".stripMargin,
 
     "tx5_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN slot < 100 THEN 'val' WHEN slot < 150 THEN 'test'
-        |       ELSE 'train' END AS split
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5('graft|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
-        |  FROM documents) t
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CASE WHEN slot < $SplitValPm THEN 'val'
+         |       WHEN slot < ${SplitValPm + SplitTestPm} THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
 
     // closed-form replica of the synthetic-BMP pixel pattern; matching the
     // Spark side requires the encode->ImageIO-decode round trip to be exact

@@ -156,23 +156,36 @@ object TextAnalysis {
     * same rule as [[graft.dedup.Dedup.shingles]], so exact short-doc copies
     * across the split boundary are still caught.
     *
-    * Scale: the eval/benchmark gram set is small by construction (benchmarks
-    * are MBs, the corpus is TBs) — it broadcasts, so the train side is ONE
+    * Scale: the caller passes the eval/benchmark docs as their own DataFrame,
+    * so the broadcast-small assumption is STRUCTURAL — benchmarks are MBs
+    * while the corpus is TBs, and the signature makes it impossible to
+    * accidentally broadcast a corpus-sized side. The train side is then ONE
     * scan + broadcast semi-join + per-doc aggregation with no shuffle of the
     * gram stream on the build side. */
-  def contaminationReport(docs: DataFrame, n: Int, salt: String,
-      valPermille: Int, testPermille: Int): DataFrame = {
-    val split = deterministicSplit(docs, "doc_id", salt, valPermille, testPermille)
+  def contaminationReport(trainDocs: DataFrame, evalDocs: DataFrame,
+      n: Int): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
         explode(graft.dedup.Dedup.shingles(col("text"), n)).as("g"))
-    val evalGrams = grams(split.filter(col("split") === "test"))
-      .select(col("g")).distinct()
-    grams(split.filter(col("split") === "train"))
+    val evalGrams = grams(evalDocs).select(col("g")).distinct()
+    grams(trainDocs)
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_hit_grams"),
         min(col("g")).as("first_gram"))
+  }
+
+  /** [[contaminationReport]] against this corpus's own [[deterministicSplit]]
+    * test slice — the self-split formulation the dc1 gate runs. Only for
+    * corpora whose test permille is benchmark-sized: the eval side is
+    * broadcast, so at 100 TB pass a real external benchmark DataFrame to the
+    * two-argument overload instead of splitting the corpus itself. */
+  def contaminationReport(docs: DataFrame, n: Int, salt: String,
+      valPermille: Int, testPermille: Int): DataFrame = {
+    val split = deterministicSplit(docs, "doc_id", salt, valPermille, testPermille)
+    contaminationReport(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"), n)
   }
 
   /** Deterministic stratified train/val/test split: every row is assigned by

@@ -301,6 +301,17 @@ class PipelineSpec extends SparkSpec {
     // a passage repeated INSIDE one doc does not cross the n_docs > 1 bar
     val solo = Seq((1L, ("w1 w2 w3 w4 w5 w6 w7 w8 " * 2).trim)).toDF("doc_id", "text")
     assert(Dedup.repeatedPassages(solo, w = 8).count() == 0)
+    // minTail drops the short final chunk: the 2-token tail [9..10] is a
+    // near-certain cross-doc collision source (e.g. a trailing "the") —
+    // with minTail = 4 only the full 8-token window survives
+    val trimmed = Dedup.repeatedPassages(df, w = 8, minTail = 4).collect()
+    assert(trimmed.length == 1, s"expected only the full window: ${trimmed.toSeq}")
+    // a shared SHORT tail alone is not reported once minTail exceeds it
+    val shortTail = Seq(
+      (1L, "unique first doc words here padding out the window then the"),
+      (2L, "second doc distinct tokens filling its own full window so the"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedPassages(shortTail, w = 10, minTail = 5).count() == 0)
   }
 
   test("decontamination flags a train doc that copies a test doc's text") {
@@ -338,6 +349,11 @@ class PipelineSpec extends SparkSpec {
     val batch = rows.filter(_.getLong(0) == 0L).sortBy(_.getLong(3))
       .map(r => r.getLong(1) -> r.getDouble(2)).toSeq
     assert(batch == single, s"knn join diverges from topKCosine:\n$batch\n$single")
+    // the rank-limit window must plan as WindowGroupLimit (map-side top-k
+    // per query below the shuffle), never a global sort — same guard as
+    // capPerSource, so a regression to a full window sort cannot slip in
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"knn rank window not group-limited:\n$plan")
   }
 
   test("audio codec: AudioSystem round-trip matches the closed-form sample pattern") {
