@@ -58,6 +58,26 @@ object PipelineQueries {
   private val Tx8Cap     = 20      // per-source doc cap
   private val Ann4K      = 5       // knn-join neighbors per query
   private val Ann4Every  = 50      // knn-join query stride (every Nth vec)
+  private val Dd10Every    = 7      // incoming-batch stride: %N==0 dup, %N==3 novel
+  private val Dd10IdOffset = 600000 // incoming-batch doc_id offset
+  private val Dd10Suffix   = " wholly novel suffix" // marks the novel docs
+  private val Ds1Rates   = Seq("src0" -> 1000, "src1" -> 100, "src7" -> 900)
+  private val Ds1Default = 500     // permille for strata without a rate
+  private val PiiMod     = 10      // %N==0 plants an email, %N==5 an IPv4
+
+  /** documents with deterministic planted PII — email on every PiiMod-th
+    * doc, an IPv4 on the PiiMod/2-offset docs — so the scrub gate has
+    * non-trivial hits. The oracle CTE replicates the planting verbatim. */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("text",
+        when(col("doc_id") % PiiMod === 0,
+          concat(col("text"), lit(" contact p"), col("doc_id").cast("string"),
+            lit("@mail.example.org for details")))
+        .when(col("doc_id") % PiiMod === 5,
+          concat(col("text"), lit(" origin host 10.1."),
+            (col("doc_id") % 200).cast("string"), lit(".77 logged")))
+        .otherwise(col("text")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dup" -> { (s, d) =>
@@ -162,6 +182,40 @@ object PipelineQueries {
       TextAnalysis.capPerSource(Tables.documents(s, d), cap = Tx8Cap,
           salt = SplitSalt)
         .orderBy(col("source"), col("rk"))
+    },
+
+    // self-trained unigram-LM surprisal (perplexity-filter analog); the
+    // per-token ln is quantized to i64 micro-units BEFORE the per-doc sum,
+    // so the aggregate is exact integer arithmetic at any partitioning
+    "tx9_lm_surprisal" -> { (s, d) =>
+      TextAnalysis.lmSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // PII scrub: counts + redacted-text hash over the planted-PII corpus
+    "tx10_pii_scrub" -> { (s, d) =>
+      TextAnalysis.piiReport(piiCorpus(s, d)).orderBy(col("doc_id"))
+    },
+
+    // deterministic per-stratum downsampling (md5-slot vs per-source rate)
+    "ds1_stratified_sample" -> { (s, d) =>
+      TextAnalysis.stratifiedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", Ds1Rates.toMap, Ds1Default, SplitSalt)
+        .select(col("doc_id"), col("source"), col("slot"))
+        .orderBy(col("doc_id"))
+    },
+
+    // incremental exact dedup of an incoming batch against the existing
+    // corpus: Bloom prefilter (map-side) + exact semi-join confirm
+    "dd10_bloom_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") % Dd10Every === 0)
+        .select((col("doc_id") + Dd10IdOffset).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % Dd10Every === 3)
+          .select((col("doc_id") + Dd10IdOffset).as("doc_id"),
+            concat(col("text"), lit(Dd10Suffix)).as("text")))
+      Dedup.incrementalDuplicates(incoming, docs, expectedRefDocs = 1000000L)
+        .orderBy(col("doc_id"))
     },
 
     "tx2_quality" -> { (s, d) =>
@@ -611,6 +665,67 @@ object PipelineQueries {
          |      ORDER BY md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
          |  FROM documents) t
          |WHERE rk <= $Tx8Cap ORDER BY source, rk""".stripMargin,
+
+    // unigram LM: identical per-token ln()/trunc quantization, exact BIGINT
+    // sums; DuckDB's SUM(BIGINT) widens to HUGEINT, so cast back
+    "tx9_lm_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                                    t -> t <> '')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+         |keyed AS (
+         |  SELECT t.doc_id,
+         |    CAST(trunc(ln(CAST(tot.n AS DOUBLE) / CAST(v.cnt AS DOUBLE)) * 1e6) AS BIGINT) AS surp_key
+         |  FROM toks t JOIN vocab v USING (tok), tot)
+         |SELECT doc_id, COUNT(*) AS n_toks,
+         |  CAST(SUM(surp_key) AS BIGINT) AS sum_surprisal_key,
+         |  CAST(SUM(surp_key) AS BIGINT) // COUNT(*) AS mean_surprisal_key
+         |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PII scrub over the planted corpus; regexes stay in the Java∩RE2
+    // common subset so counts and the redacted hash agree bit-for-bit
+    "tx10_pii_scrub" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $PiiMod = 0
+         |           THEN text || ' contact p' || CAST(doc_id AS VARCHAR) || '@mail.example.org for details'
+         |         WHEN doc_id % $PiiMod = 5
+         |           THEN text || ' origin host 10.1.' || CAST(doc_id % 200 AS VARCHAR) || '.77 logged'
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |                     '${TextAnalysis.Ipv4Re}', '<IP>', 'g')) AS redacted_hash
+         |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "ds1_stratified_sample" ->
+      s"""SELECT doc_id, source, slot FROM (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |  FROM documents) t
+         |WHERE slot < CASE source
+         |  ${Ds1Rates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")}
+         |  ELSE $Ds1Default END
+         |ORDER BY doc_id""".stripMargin,
+
+    // membership of the incoming batch in the reference corpus — the Bloom
+    // prefilter is invisible to results (exact confirm join), so the oracle
+    // is the plain semi-join
+    "dd10_bloom_incremental" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id + $Dd10IdOffset AS doc_id, text
+         |  FROM documents WHERE doc_id % $Dd10Every = 0
+         |  UNION ALL
+         |  SELECT doc_id + $Dd10IdOffset AS doc_id, text || '$Dd10Suffix' AS text
+         |  FROM documents WHERE doc_id % $Dd10Every = 3),
+         |ref AS (SELECT DISTINCT md5(text) AS text_hash FROM documents)
+         |SELECT i.doc_id, md5(i.text) AS text_hash
+         |FROM inc i JOIN ref r ON md5(i.text) = r.text_hash
+         |ORDER BY i.doc_id""".stripMargin,
 
     "tx2_quality" ->
       """SELECT doc_id,

@@ -172,6 +172,58 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // --- conditional aggregate over a broadcast-dim join (TPC-H Q14) -----
+    // promo share of revenue in one month; CASE inside exact-decimal sums,
+    // the final ratio is one double division of two exact decimals
+    "q14_promo_revenue" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01") && col("l_shipdate") < lit("1997-04-01"))
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          psum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0.0).cast(DecimalType(14, 4)))).as("promo_rev"),
+          psum(revenue).as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
+    },
+
+    // --- pre-aggregated semi join (TPC-H Q18: large-volume orders) -------
+    // lineitem aggregates FIRST (one shuffle on orderkey, map-side partial
+    // sums), the small filtered survivor set then joins orders + broadcast
+    // customer — the fact table is never joined row-for-row at full width
+    "q18_large_orders" -> { (s, d) =>
+      val bigOrders = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      bigOrders.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // --- disjunctive multi-column predicates (TPC-H Q19 shape) -----------
+    // three OR'd conjunction branches over the join of lineitem x part;
+    // Catalyst extracts the common l_quantity/p_size bounds for pushdown
+    "q19_disjunctive" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(psum(revenue).as("rev"), count(lit(1)).as("n"))
     }
   )
 
@@ -270,6 +322,39 @@ object CoreQueries {
     "q13_status_counts" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT promo_rev, total_rev, 100.0 * promo_rev / total_rev AS promo_pct
+        |FROM (
+        |  SELECT
+        |    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))
+        |      ELSE CAST(0.0 AS DECIMAL(14,4)) END) AS VARCHAR) AS DOUBLE) AS promo_rev,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |) t""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) > 150
+        |) bo
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS rev,
+        | COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
   )
 }

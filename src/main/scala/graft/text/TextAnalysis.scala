@@ -188,6 +188,81 @@ object TextAnalysis {
       split.filter(col("split") === "test"), n)
   }
 
+  /** Self-trained unigram-LM surprisal — the KenLM-style "perplexity filter"
+    * of web-scale pipelines, with the LM trained on the corpus itself: a
+    * token's probability is its corpus frequency cnt/N, a doc's score is the
+    * mean surprisal ln(N/cnt) of its tokens. Low scores = repetitive/
+    * boilerplate-heavy docs; high scores = rare-token noise. Empty docs
+    * (zero tokens) have no defined surprisal and are absent from the output.
+    *
+    * Determinism discipline (the oracle hash-compares): ln() is evaluated
+    * PER ROW on integer-valued doubles (identical libm results in both
+    * engines — the BM25 idf relies on the same), quantized per row to i64
+    * micro-units with trunc, and only the exact BIGINT keys are summed —
+    * never raw doubles, whose summation order would drift in the last ulp
+    * across partitionings.
+    *
+    * Scale: one explode (linear), one groupBy(token) for the vocab (Heaps'
+    * law keeps it ≪ corpus, but it is NOT forced broadcast — at 100 TB a
+    * 10^8-row vocab shuffle-joins on the token key), one groupBy(doc_id).
+    * The 1-row total rides a broadcast cross join. */
+  def lmSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (log(col("n").cast("double") / col("cnt").cast("double")) * lit(1e6))
+          .cast("long").as("surp_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("surp_key")).as("sum_surprisal_key"))
+      .withColumn("mean_surprisal_key",
+        expr("sum_surprisal_key div n_toks"))
+  }
+
+  /** Deterministic stratified sampling — per-stratum keep rates in permille
+    * (the "downsample crawl dominance, keep all of the curated sliver" op).
+    * Keep/drop is decided by the md5 slot of (salt, id) — reproducible
+    * across runs/engines/partitionings and independent of row order, so a
+    * retried 100 TB job keeps exactly the same sample. Strata without an
+    * explicit rate fall back to `defaultPermille`. The rate lookup compiles
+    * to a CASE chain (strata maps are human-sized); the slot column is kept
+    * in the output so downstream thinning can subset without re-hashing. */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      ratesPermille: Map[String, Int], defaultPermille: Int,
+      salt: String): DataFrame = {
+    (ratesPermille.values.toSeq :+ defaultPermille).foreach { r =>
+      require(r >= 0 && r <= 1000, s"permille rate out of [0,1000]: $r")
+    }
+    val slot = conv(substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    // deterministic CASE order (sorted keys) so the compiled plan is stable
+    val rate = ratesPermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("slot", slot).filter(col("slot") < rate)
+  }
+
+  /** PII detection + redaction report: per doc, counts of email and IPv4
+    * literals and the md5 of the redacted text (emails first, then IPs —
+    * fixed order so the hash is well-defined). The patterns stay inside the
+    * regex subset where Java's engine and RE2 agree (character classes and
+    * bounded repetition, no alternation/backtracking constructs), which is
+    * what makes the DuckDB oracle exact. Narrow projection, no shuffle. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  def piiReport(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ipv4"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>"))).as("redacted_hash"))
+
   /** Deterministic stratified train/val/test split: every row is assigned by
     * the md5 of (salt, id) — reproducible across runs, engines, partitionings
     * and cluster sizes (NO rand(), which breaks on retry/re-partition), and

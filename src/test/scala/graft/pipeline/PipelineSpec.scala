@@ -197,6 +197,114 @@ class PipelineSpec extends SparkSpec {
       val byDoc = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("pack_id"))
       assert(byDoc.zip(byDoc.tail).forall { case (a, b) => a <= b })
     }
+    // full-result determinism across independent evaluations and input
+    // partitionings: the running sum is windowed over (source, doc_id),
+    // which is a total order — any value or ordering flake here would
+    // reproduce the driver-gate hash mismatch recorded in round 3 (never
+    // reproduced locally across 7 runs x 3 scales; pinned to stay that way)
+    def snap(): Seq[(Long, String, Long, Long, Long)] =
+      TextAnalysis.packForTraining(
+          Tables.documents(spark, sf0001).repartition(11), budget = 512)
+        .orderBy(col("doc_id")).collect().toSeq
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("token_offset")))
+    val s1 = snap()
+    assert(s1 == snap(), "packForTraining output is not deterministic")
+  }
+
+  test("lm surprisal: common-token docs score lower; exact integer keys are partition-invariant") {
+    // corpus: 'the' appears in every doc (common), 'xylophone' once (rare)
+    val docs = Seq(
+      (1L, "the the the the"),          // all common tokens -> low surprisal
+      (2L, "the xylophone"),            // one rare token -> higher mean
+      (3L, ""),                         // empty -> absent from output
+      (4L, "the quark")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains(3L), "empty doc must have no surprisal row")
+    assert(got(1L)._1 == 4L && got(2L)._1 == 2L)
+    assert(got(1L)._3 < got(2L)._3, s"common-only doc must score lower: $got")
+    // the mean key is exact integer division of exact integer sums
+    got.values.foreach { case (n, sumK, meanK) => assert(meanK == sumK / n) }
+    // partition-invariance: per-token quantization before the sum means NO
+    // double summation order can leak into the result
+    val re = TextAnalysis.lmSurprisal(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(re == got)
+  }
+
+  test("stratified sample: rates respected exactly, deterministic, subset of corpus") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("source"))
+    val rates = Map("src0" -> 1000, "src1" -> 0)
+    val got = TextAnalysis.stratifiedSample(docs, "doc_id", "source", rates, 500, "graft")
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0"), "rate 1000 must keep every doc")
+    assert(!bySrc.contains("src1"), "rate 0 must keep nothing")
+    // default-rate strata keep roughly half (md5 slots are uniform)
+    val defSrcs = totals.keySet -- rates.keySet
+    val kept = defSrcs.toSeq.map(s => bySrc.getOrElse(s, 0L)).sum.toDouble
+    val all = defSrcs.toSeq.map(totals).sum.toDouble
+    assert(kept / all > 0.35 && kept / all < 0.65, s"default rate off: ${kept / all}")
+    // reshuffled input draws the identical sample (md5 slots, not rand())
+    val re = TextAnalysis.stratifiedSample(docs.repartition(13), "doc_id",
+      "source", rates, 500, "graft")
+    assert(re.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("pii scrub: counts planted identifiers, redaction is idempotent on clean docs") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe@corp.example.com or bob+spam@x.io today"),
+      (2L, "server 192.168.0.1 talked to 10.0.0.255 overnight"),
+      (3L, "no identifiers in this perfectly clean sentence")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiReport(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 0L)
+    assert(got(2L)._1 == 0L && got(2L)._2 == 2L)
+    assert(got(3L)._1 == 0L && got(3L)._2 == 0L)
+    // a clean doc's redacted hash is the hash of its unmodified text
+    val cleanHash = docs.filter(col("doc_id") === 3)
+      .select(md5(col("text"))).head().getString(0)
+    assert(got(3L)._3 == cleanHash)
+    // redacted text of a PII doc no longer matches the PII patterns
+    val redacted = docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), lit(TextAnalysis.EmailRe),
+        lit("<EMAIL>")), lit(TextAnalysis.Ipv4Re), lit("<IP>")).as("text"))
+    val rescrub = TextAnalysis.piiReport(redacted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rescrub.values.forall(c => c._1 == 0L && c._2 == 0L),
+      s"redaction left live PII behind: $rescrub")
+  }
+
+  test("incremental bloom dedup: exact regardless of filter saturation") {
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha beta gamma"), (11L, "totally new content"),
+      (12L, "eta theta iota"), (13L, "also never seen")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDuplicates(incoming, ref, expectedRefDocs = 100)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 12L), s"expected dups {10,12}, got $got")
+    // a deliberately under-sized (saturated, high-fp) bloom filter changes
+    // NOTHING: every false positive dies in the exact confirm join (sized
+    // for ONE key at fpp 0.5 = 2 bits total, then 3 keys inserted)
+    val saturated = Dedup.incrementalDuplicates(incoming, ref,
+      expectedRefDocs = 1, fpp = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(saturated == got, "bloom sizing leaked into results")
+    // parity with the plain semi-join on the sf corpus slice
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val inc = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"), col("text"))
+    val viaBloom = Dedup.incrementalDuplicates(inc, docs, 100000)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val plain = inc.withColumn("text_hash", md5(col("text")))
+      .join(docs.select(md5(col("text")).as("text_hash")).distinct(),
+        Seq("text_hash"), "left_semi")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(viaBloom == plain)
   }
 
   test("dedup components: transitive clusters resolve to the smallest doc_id") {
