@@ -134,6 +134,53 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** Boilerplate stripping — the CONSUMER of [[repeatedPassages]]: rebuilds
+    * every document from the chunks that are NOT cross-document repeated
+    * (licence headers, navigation chrome, quoted reply chains vanish; the
+    * doc's own prose survives). Chunking is the same fixed `w`-token grid
+    * with FULL coverage (minTail 1): a stripper must account for every
+    * token, so the short-tail guard applies to the *detector's* report, not
+    * to reconstruction — a tail chunk is only dropped here when it repeats
+    * across `minDocs` distinct documents AND clears `minTail` (both rules
+    * together prevent the trailing-stop-word deletion failure).
+    *
+    * Output: (doc_id, clean_hash, n_kept, n_dropped) — the hash stands in
+    * for the rebuilt text so the gate compares fixed-width values. Docs
+    * whose every chunk is boilerplate (or that have no tokens) rebuild as
+    * the empty string.
+    *
+    * Scale: chunk explode (linear), one groupBy on the passage hash, one
+    * anti-join back on that hash, one per-doc rebuild groupBy — all
+    * key-partitioned, nothing driver-side. */
+  def stripRepeatedPassages(docs: DataFrame, w: Int, minDocs: Int,
+      minTail: Int = 1): DataFrame = {
+    require(w >= 1 && minDocs >= 2, s"bad strip params: w=$w minDocs=$minDocs")
+    val chunks = element_at(transform(array(tokens(col("text"))), ts =>
+      when(size(ts) > 0,
+        transform(sequence(lit(1), size(ts), lit(w)),
+          i => array_join(slice(ts, i, lit(w)), " ")))
+        .otherwise(array().cast("array<string>"))), 1)
+    val chunked = docs.select(col("doc_id"), posexplode(chunks).as(Seq("idx", "p")))
+    val boiler = repeatedPassages(docs, w, minTail)
+      .filter(col("n_docs") >= minDocs).select(col("passage_hash"))
+    val kept = chunked.join(boiler,
+        md5(col("p")) === boiler("passage_hash"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("p")))),
+          s => s.getField("p")), " ").as("clean_text"))
+    // total chunk count per doc = ceil(n_tokens / w), 0 for empty docs;
+    // floor of a double ratio of small ints is exact (≪ 2^53)
+    val nChunks = element_at(transform(array(tokens(col("text"))),
+      ts => floor((size(ts) + lit(w - 1)).cast("double") / lit(w)).cast("long")), 1)
+    docs.select(col("doc_id"), nChunks.as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   // ---------------------------------------------------------------------
   // exact n-gram Jaccard (shingle join — the verify step of LSH at scale)
   // ---------------------------------------------------------------------

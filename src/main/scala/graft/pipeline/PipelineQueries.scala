@@ -64,6 +64,7 @@ object PipelineQueries {
   private val Ds1Rates   = Seq("src0" -> 1000, "src1" -> 100, "src7" -> 900)
   private val Ds1Default = 500     // permille for strata without a rate
   private val PiiMod     = 10      // %N==0 plants an email, %N==5 an IPv4
+  private val Pl1MinQuality = 0.4  // end-to-end pipeline quality floor
 
   /** documents with deterministic planted PII — email on every PiiMod-th
     * doc, an IPv4 on the PiiMod/2-offset docs — so the scrub gate has
@@ -203,6 +204,38 @@ object PipelineQueries {
           "doc_id", "source", Ds1Rates.toMap, Ds1Default, SplitSalt)
         .select(col("doc_id"), col("source"), col("slot"))
         .orderBy(col("doc_id"))
+    },
+
+    // boilerplate strip: rebuild every corpus doc from its non-repeated
+    // chunks (consumer of the dd9 detector, full-coverage chunk grid)
+    "dd11_boilerplate_strip" -> { (s, d) =>
+      Dedup.stripRepeatedPassages(corpus(s, d), w = Dd9W, minDocs = 2,
+          minTail = Dd9MinTail)
+        .orderBy(col("doc_id"))
+    },
+
+    // end-to-end training-data pipeline in ONE fused scan: quality floor →
+    // language gate → exact-dedup canonicalization → deterministic split →
+    // per-split corpus stats. The metric columns come from the raw Column
+    // forms (qualityOf/langPredOf) so the text is read ONCE — composing the
+    // per-metric DataFrames would re-scan and re-join the corpus per stage.
+    "pl1_filter_dedup_split" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val survivors = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
+          TextAnalysis.qualityOf(col("text"),
+            TextAnalysis.LangMarkers.head._2).as("quality"),
+          TextAnalysis.langPredOf(col("text")).as("lang_pred"))
+        .filter(col("quality") >= Pl1MinQuality && col("lang_pred") === "en")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      TextAnalysis.deterministicSplit(survivors, "doc_id", SplitSalt,
+          SplitValPm, SplitTestPm)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+        .orderBy(col("split"))
     },
 
     // incremental exact dedup of an incoming batch against the existing
@@ -711,6 +744,79 @@ object PipelineQueries {
          |  ${Ds1Rates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")}
          |  ELSE $Ds1Default END
          |ORDER BY doc_id""".stripMargin,
+
+    // boilerplate strip: same chunk grid, detector tail rule on the boiler
+    // side only (full-coverage rebuild), order-preserving string_agg
+    "dd11_boilerplate_strip" ->
+      s"""WITH $corpusCte,
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '') AS ts
+         |  FROM corpus),
+         |chunks AS (
+         |  SELECT doc_id, i, len(ts) AS n, array_to_string(ts[i:i+${Dd9W - 1}], ' ') AS p
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts)+1, $Dd9W)) AS i
+         |        FROM toks WHERE len(ts) > 0) t),
+         |boiler AS (
+         |  SELECT md5(p) AS h FROM chunks
+         |  WHERE n - i + 1 >= $Dd9MinTail
+         |  GROUP BY md5(p) HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (
+         |  SELECT doc_id, i, p FROM chunks
+         |  WHERE md5(p) NOT IN (SELECT h FROM boiler)),
+         |rebuilt AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         string_agg(p, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (
+         |  SELECT doc_id, (len(ts) + ${Dd9W - 1}) // $Dd9W AS n_chunks FROM toks)
+         |SELECT c.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_hash,
+         |       COALESCE(r.n_kept, 0) AS n_kept,
+         |       t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped
+         |FROM corpus c JOIN tot t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    // end-to-end pipeline: quality floor -> langid gate -> md5-canonical
+    // dedup -> split -> per-split stats; every stage reuses the exact
+    // arithmetic its standalone gate already hash-matches
+    "pl1_filter_dedup_split" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(ts) AS BIGINT) AS n_words,
+         |    (ns / nt) * 0.5 + (na / CAST(length(text) AS DOUBLE)) * 0.5 AS quality,
+         |    CASE WHEN best = 0 THEN 'und'
+         |         WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+         |         WHEN c_fr = best THEN 'fr' ELSE 'es' END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id, text, ts, nt, ns, na, c_en, c_de, c_fr, c_es,
+         |      greatest(c_en, c_de, c_fr, c_es) AS best
+         |    FROM (
+         |      SELECT doc_id, text, ts,
+         |        CAST(len(ts) AS DOUBLE) AS nt,
+         |        CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) AS ns,
+         |        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS na,
+         |        CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS c_en,
+         |        CAST(len(list_filter(ts, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) AS BIGINT) AS c_de,
+         |        CAST(len(list_filter(ts, t -> list_contains(['le','la','les','et','est','une','dans'], t))) AS BIGINT) AS c_fr,
+         |        CAST(len(list_filter(ts, t -> list_contains(['el','los','las','es','una','para','con'], t))) AS BIGINT) AS c_es
+         |      FROM (SELECT doc_id, text,
+         |              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+         |            FROM documents) d) c) f),
+         |dd AS (
+         |  SELECT doc_id, n_words,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM m WHERE quality >= $Pl1MinQuality AND lang_pred = 'en'),
+         |sp AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN slot < $SplitValPm THEN 'val'
+         |         WHEN slot < ${SplitValPm + SplitTestPm} THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM (
+         |    SELECT doc_id, n_words,
+         |      CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |    FROM dd WHERE rn = 1) s)
+         |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     // membership of the incoming batch in the reference corpus — the Bloom
     // prefilter is invisible to results (exact confirm join), so the oracle

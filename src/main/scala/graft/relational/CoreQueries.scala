@@ -209,6 +209,25 @@ object CoreQueries {
         .limit(100)
     },
 
+    // --- scalar subquery + anti join (TPC-H Q22 shape) -------------------
+    // lapsed rich customers: above-average balance, nothing ordered in the
+    // final 14 months; the 1-row average rides a broadcast cross join, the
+    // anti-join side prunes to (filtered) order keys only
+    "q22_idle_customers" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-06-01"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // --- disjunctive multi-column predicates (TPC-H Q19 shape) -----------
     // three OR'd conjunction branches over the join of lineitem x part;
     // Catalyst extracts the common l_quantity/p_size bounds for pushdown
@@ -347,6 +366,18 @@ object CoreQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT

@@ -28,6 +28,18 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("n_bpe_pieces"))
 
+  /** Composite quality of a text column — exposed as a raw Column so
+    * multi-stage pipelines can fuse it into ONE scan projection instead of
+    * re-reading the corpus per metric (see the pl1 gate). */
+  def qualityOf(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
+    val nAlphaChars = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    val nChars = length(text).cast("double")
+    (nStop / nTok) * 0.5 + (nAlphaChars / nChars) * 0.5
+  }
+
   /** Quality score: mean word length, alpha ratio, stopword ratio, and a
     * composite — all from integer counts with one final division each. */
   def qualityScores(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
@@ -50,6 +62,20 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
     "es" -> Seq("el", "los", "las", "es", "una", "para", "con"))
+
+  /** Predicted language of a text column (argmax marker count, 'und' when
+    * no marker hits) — raw Column form for single-scan pipeline fusion. */
+  def langPredOf(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*))).cast("long")
+    }
+    val (bestLang, bestCount) = counts.tail.foldLeft(
+      (lit(counts.head._1), counts.head._2)) { case ((bl, bc), (lang, c)) =>
+      (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    when(bestCount > 0, bestLang).otherwise(lit("und"))
+  }
 
   /** Language-ID: argmax of marker-token counts, ties and no-marker docs →
     * 'und' (undetermined). Deterministic tie-break: higher count wins, then

@@ -307,6 +307,46 @@ class PipelineSpec extends SparkSpec {
     assert(viaBloom == plain)
   }
 
+  test("boilerplate strip: repeated window removed, unique prose and short tails survive") {
+    // both docs share the same 8-token licence header; prose differs
+    val header = "this work is licensed under creative commons attribution"
+    val df = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta unique one"),
+      (2L, s"$header different prose follows here with its own words kept two"),
+      (3L, s"$header")).toDF("doc_id", "text") // doc 3 is ALL boilerplate
+    val got = Dedup.stripRepeatedPassages(df, w = 8, minDocs = 2, minTail = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: header chunk dropped; its own two chunks (8 + 2 tokens) kept
+    val doc1Clean = "alpha beta gamma delta epsilon zeta eta theta unique one"
+    assert(got(1L)._2 == 2L && got(1L)._3 == 1L, s"doc1 counts: ${got(1L)}")
+    assert(got(1L)._1 == md5Hex(doc1Clean), "doc1 rebuilt text wrong")
+    // doc 3: everything boilerplate -> empty rebuild, all chunks dropped
+    assert(got(3L) == (md5Hex(""), 0L, 1L), s"doc3: ${got(3L)}")
+    // tail rule: a sub-minTail tail shared across docs is NOT boilerplate
+    val tails = Seq(
+      (1L, "first document body text goes right here padding the window the"),
+      (2L, "second body also completely distinct tokens inside this very window the"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.stripRepeatedPassages(tails, w = 10, minDocs = 2, minTail = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept.values.forall(_ == 0L), s"short shared tail wrongly stripped: $kept")
+  }
+
+  test("pl1 composition reads the corpus exactly once (fused metric columns)") {
+    val df = PipelineQueries.queries("pl1_filter_dedup_split")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected ONE corpus scan, plan has $scans:\n$plan")
+    val bySplit = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L),
+      s"train split should dominate: $bySplit")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("dedup components: transitive clusters resolve to the smallest doc_id") {
     import spark.implicits._
     // hand-built graph: chain 1-2-3, pair 10-11, triangle 20-21-22 + bridge 22-23
