@@ -167,6 +167,13 @@ object PipelineQueries {
       Ann.topKCosineIvf(Tables.embeddings(s, d), queryId = 7, k = 10)
     },
 
+    // one Lloyd step of IVF codebook retraining: exact integer assignment,
+    // per-(cell,dim) exact sums, one double division for the mean
+    "ann5_ivf_retrain" -> { (s, d) =>
+      Ann.ivfRetrain(Tables.embeddings(s, d), nCells = 16)
+        .orderBy(col("cell"), col("dim"))
+    },
+
     "tx1_token_stats" -> { (s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
@@ -662,6 +669,34 @@ object PipelineQueries {
         |  WHERE a.cell IN (SELECT cell FROM qprobe)
         |    AND a.vec_id <> 7 AND a.n2 > 0) t
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same assignment CTE as ann3, then per-(cell,dim) exact integer sums;
+    // dims explode via range-UNNEST (1-based list index -> 0-based dim)
+    "ann5_ivf_retrain" ->
+      """WITH vecs AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |nv AS (
+        |  SELECT vec_id, v,
+        |         CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM vecs),
+        |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |             c.cell) AS rn
+        |    FROM nv e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |ex AS (
+        |  SELECT cell, i - 1 AS dim, v[CAST(i AS INT)] AS x
+        |  FROM assign, UNNEST(range(1, len(v) + 1)) AS u(i))
+        |SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(x) AS BIGINT) AS sum_q,
+        |       CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q
+        |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
 
     "tx1_token_stats" ->
       """SELECT doc_id,

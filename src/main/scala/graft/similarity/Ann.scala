@@ -219,6 +219,26 @@ object Ann {
     quantized(embeddings).withColumn("cell", best.getField("cell"))
   }
 
+  /** IVF codebook retraining — one Lloyd update step: every vector is
+    * assigned to its nearest centroid (the exact integer metric the probe
+    * path uses), then each cell's new centroid is the dimension-wise mean
+    * of its members. Emitted per (cell, dim) so the aggregation is a plain
+    * key-partitioned groupBy: the posexplode multiplies rows by the
+    * dimension count, but each output group is (sum, count) of BIGINTs —
+    * exact at any partitioning — and the shuffle key (cell, dim) spreads
+    * uniformly across executors (no giant-cell hotspot, unlike grouping
+    * whole vectors by cell). The mean is one IEEE double division of exact
+    * integers — bit-identical in any engine. */
+  def ivfRetrain(embeddings: DataFrame, nCells: Int = 16): DataFrame =
+    ivfAssignments(embeddings, nCells)
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("x")).as("sum_q"))
+      .withColumn("mean_q",
+        col("sum_q").cast("double") / col("n_vecs").cast("double"))
+
   /** IVF probe: exact cosine top-k restricted to the `nprobe` cells whose
     * centroids are nearest the query under the same integer metric the
     * assignment used. The cell IN-list prunes at planning time — against a

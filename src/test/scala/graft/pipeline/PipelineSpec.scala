@@ -504,6 +504,29 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"knn rank window not group-limited:\n$plan")
   }
 
+  test("ivf retrain: every vector counted once; hand-built cell means exact") {
+    // 2 cells at vec_id 0/1, two extra members each — means are closed-form
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid cell 0
+      (1L, Array(0.0f, 1.0f)),   // centroid cell 1
+      (2L, Array(0.9f, 0.1f)),   // -> cell 0
+      (3L, Array(0.1f, 0.9f)),   // -> cell 1
+      (4L, Array(0.8f, 0.0f)))   // -> cell 0
+      .toDF("vec_id", "embedding")
+    val got = Ann.ivfRetrain(vecs, nCells = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // cell 0 dim 0: members {1000, 900, 800} -> sum 2700, mean 900.0
+    assert(got((0L, 0L)) == ((3L, 2700L, 900.0)), s"got ${got((0L, 0L))}")
+    assert(got((1L, 1L)) == ((2L, 1900L, 950.0)), s"got ${got((1L, 1L))}")
+    // every vector lands in exactly one cell: per-dim counts sum to corpus
+    val e = Tables.embeddings(spark, sf0001)
+    val counts = Ann.ivfRetrain(e, nCells = 16)
+      .groupBy(col("dim")).agg(sum(col("n_vecs")).as("n")).collect()
+      .map(_.getAs[Long]("n")).distinct.toSeq
+    assert(counts == Seq(e.count()), s"per-dim totals wrong: $counts")
+  }
+
   test("audio codec: AudioSystem round-trip matches the closed-form sample pattern") {
     val bytes = Multimodal.AudioCodec.syntheticWav(7, 5)
     val s = Multimodal.AudioCodec.decode(bytes)
