@@ -912,10 +912,13 @@ object PipelineQueries {
         |  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE length(text) < 16
         |) t ORDER BY doc_id""".stripMargin,
 
+    // CAST back to BIGINT: DuckDB's SUM(BIGINT) window is HUGEINT, and the
+    // driver's value hash distinguishes int128 from the i64 Spark writes
+    // (r3's only hash mismatch)
     "tx6_pack" ->
       s"""SELECT doc_id, source, n_tokens,
-         |  (cum_end - n_tokens) // $Tx6Budget AS pack_id,
-         |  (cum_end - n_tokens) % $Tx6Budget AS token_offset
+         |  CAST((cum_end - n_tokens) // $Tx6Budget AS BIGINT) AS pack_id,
+         |  CAST((cum_end - n_tokens) % $Tx6Budget AS BIGINT) AS token_offset
          |FROM (
          |  SELECT doc_id, source, n_tokens,
          |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end

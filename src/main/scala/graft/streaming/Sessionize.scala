@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event sessionization and as-of attachment — the two event-table shapes a
+  * training-data pipeline needs beyond plain windows: gap-based sessions
+  * (user activity bursts) and point-in-time dimension lookup (attach the
+  * state that was current when the event happened, never a future one).
+  *
+  * Both are ONE-shuffle operators: everything after the keyed repartition
+  * is a per-partition ordered walk, so the plans survive a 100 TB event log
+  * as long as single keys fit a partition (users/entities do; a pathological
+  * hot key would need the usual salting).
+  */
+object Sessionize {
+
+  /** Gap-based sessionization (gaps-and-islands): events of one `keyCol`
+    * belong to the same session while consecutive gaps are ≤ `gapMicros`.
+    * `tsMicros` is the event time as an epoch-microsecond expression —
+    * integer time end to end (second-cast time would merge sub-second
+    * bursts; float time drifts past 2^53). Per session: first ts (micros),
+    * event count, duration, exact-decimal value total.
+    *
+    * Plan: one shuffle on the key; the session numbering is a running sum
+    * over the per-key ordered walk; the aggregation reuses the same
+    * partitioning (no second exchange). */
+  def sessionize(events: DataFrame, keyCol: String, tsMicros: Column,
+      seqCol: String, valueCol: String, gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"session gap must be positive, got $gapMicros")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_tus"), col(seqCol))
+    val prev = lag(col("_tus"), 1).over(w)
+    val newSession = when(prev.isNull || col("_tus") - prev > gapMicros, 1)
+      .otherwise(0)
+    events
+      .withColumn("_tus", tsMicros.cast("long"))
+      .withColumn("_new", newSession)
+      .withColumn("_sess", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_sess"))
+      .agg(
+        min(col("_tus")).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (max(col("_tus")) - min(col("_tus"))).as("duration_us"),
+        graft.Tables.dsum(col(valueCol)).as("total_value"))
+      .drop("_sess")
+  }
+
+  /** Distributed as-of join: every left row gets the LATEST right row of
+    * the same key with `right.ts <= left.ts` (inclusive), or nulls when no
+    * prior right row exists — point-in-time-correct dimension attachment
+    * with no leakage from the future.
+    *
+    * NOT a range join: the classic `l JOIN r ON key AND r.ts <= l.ts` +
+    * max-per-row formulation explodes to Θ(|L|·|R|/keys) intermediate rows.
+    * Here both sides are tagged and UNIONed, shuffled ONCE on the key, and
+    * a per-key ordered walk carries the last-seen right payload forward
+    * (`last(_, ignoreNulls)` over an unbounded-preceding frame). Right rows
+    * sort BEFORE left rows at equal timestamps (inclusive semantics); ties
+    * among right rows resolve to the highest `seqCol`.
+    *
+    * Returns the left rows (original columns) plus a `asof` struct of the
+    * matched right row (null when unmatched). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, seqCol: String): DataFrame = {
+    val rStruct = struct(right.columns.map(col): _*)
+    val lStruct = struct(left.columns.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
+    val lType = left.select(lStruct).schema.head.dataType
+    val rTagged = right.select(
+      col(keyCol).as("_k"), col(tsCol).as("_ts"), col(seqCol).as("_seq"),
+      lit(1).as("_isr"), rStruct.as("_r"), lit(null).cast(lType).as("_l"))
+    val lTagged = left.select(
+      col(keyCol).as("_k"), col(tsCol).as("_ts"), col(seqCol).as("_seq"),
+      lit(0).as("_isr"), lit(null).cast(rType).as("_r"), lStruct.as("_l"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").asc, col("_isr").desc, col("_seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rTagged.unionByName(lTagged)
+      .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_isr") === 0)
+      .select(col("_l.*"), col("asof"))
+  }
+}

@@ -16,6 +16,9 @@ object StreamingQueries {
   /** fixed evaluation clock: 2024-01-15T00:00:00Z. */
   val NowMs = 1705276800000L
 
+  /** session gap (8 h) in micros — shared by the ev7 gate and its oracle. */
+  val SessionGapUs = 28800L * 1000000L
+
   private def ev(s: SparkSession, d: String): DataFrame = Projector.events(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -50,6 +53,36 @@ object StreamingQueries {
       Watch.deliveries(e, watches)
         .select(col("watch_id"), col("event_id"))
         .orderBy(col("watch_id"), col("event_id"))
+    },
+
+    // gap-based sessionization (8 h inactivity closes a session); the
+    // events parquet stores ns-as-long timestamps -> integer div to micros
+    "ev7_sessionize" -> { (s, d) =>
+      Sessionize.sessionize(Projector.events(s, d), "user_id",
+          expr("ts div 1000"), "event_id", "value", gapMicros = SessionGapUs)
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          col("duration_us"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // as-of join: attach the latest prior signup event (point-in-time
+    // dimension state) to every non-signup event — union+ordered-walk plan,
+    // ONE shuffle, no range-join row explosion
+    "ev8_asof_plan" -> { (s, d) =>
+      val e = Projector.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("ts_us"))
+      val dedupW = Window.partitionBy(col("user_id"), col("ts_us"))
+        .orderBy(col("event_id").desc)
+      val signups = e.filter(col("event_type") === "signup")
+        .withColumn("rn", row_number().over(dedupW))
+        .filter(col("rn") === 1).drop("rn")
+      Sessionize.asofJoin(e.filter(col("event_type") =!= "signup"), signups,
+          "user_id", "ts_us", "event_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof.event_id").as("signup_event"),
+          col("asof.value").as("signup_value"))
+        .orderBy(col("event_id"))
     },
 
     // 2 s debounce: latest snapshot per (user, 2s bucket)
@@ -135,6 +168,43 @@ object StreamingQueries {
         |  UNION ALL
         |  SELECT 'w3', event_id FROM events WHERE event_type = 'error'
         |) t ORDER BY watch_id, event_id""".stripMargin,
+
+    // sessionization as gaps-and-islands: new-session flag -> running sum
+    // -> per-(user, session) aggregate; integer micros end to end
+    "ev7_sessionize" ->
+      s"""SELECT user_id, MIN(tus) AS session_start_us, COUNT(*) AS n_events,
+        |  MAX(tus) - MIN(tus) AS duration_us,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess_n
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |             OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |                > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+        |    FROM (SELECT *, epoch_us(ts) AS tus FROM events) e) m) s
+        |GROUP BY user_id, sess_n
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+walk plan;
+    // right side deduped to one row per (user, ts) exactly like the gate
+    "ev8_asof_plan" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |su AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'signup') t
+        |  WHERE rn = 1),
+        |cl AS (SELECT * FROM e WHERE event_type <> 'signup')
+        |SELECT cl.event_id, cl.user_id, cl.ts_us,
+        |       su.event_id AS signup_event, su.value AS signup_value
+        |FROM cl ASOF LEFT JOIN su
+        |  ON cl.user_id = su.user_id AND cl.ts_us >= su.ts_us
+        |ORDER BY cl.event_id""".stripMargin,
 
     "ev4_debounce" ->
       """SELECT user_id, occurred_at_ms // 2000 AS bucket, event_id, value FROM (

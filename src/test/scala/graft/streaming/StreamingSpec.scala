@@ -9,6 +9,61 @@ case class Ev(event_id: Long, doc: Long, event_type: String, occurred_at_ms: Lon
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sessionize: gap boundary exact, singleton sessions, exact value totals") {
+    // user 1: events at t=0s, 10s, 10s+gap (still same session: gap is
+    // INCLUSIVE <=), then +gap+1us later (new session). user 2: singleton.
+    val gap = 60L * 1000000L
+    val rows = Seq(
+      (1L, 0L, 1L, 1.5),
+      (2L, 10L * 1000000L, 1L, 2.25),
+      (3L, 10L * 1000000L + gap, 1L, 4.0),       // exactly gap later -> same
+      (4L, 10L * 1000000L + 2 * gap + 1L, 1L, 8.0), // gap+1us -> new session
+      (5L, 999L, 2L, 16.0))
+      .map { case (id, tus, u, v) => (id, tus, u, v) }
+      .toDF("event_id", "tus", "user_id", "value")
+    val got = Sessionize.sessionize(rows, "user_id", col("tus"), "event_id",
+        "value", gapMicros = gap)
+      .orderBy(col("user_id"), col("session_start_us")).collect()
+    assert(got.length == 3, s"expected 3 sessions: ${got.toSeq}")
+    val s1 = got(0)
+    assert(s1.getAs[Long]("session_start_us") == 0L &&
+      s1.getAs[Long]("n_events") == 3L &&
+      s1.getAs[Long]("duration_us") == 10L * 1000000L + gap &&
+      s1.getAs[Double]("total_value") == 7.75, s"first session wrong: $s1")
+    assert(got(1).getAs[Long]("n_events") == 1L, "second session is the solo event")
+    assert(got(2).getAs[Long]("n_events") == 1L &&
+      got(2).getAs[Double]("total_value") == 16.0)
+  }
+
+  test("asof join: latest prior row attached, inclusive ties, no future leakage") {
+    val right = Seq(
+      (100L, 10L, 1L, "v1"),
+      (101L, 20L, 1L, "v2"),
+      (102L, 20L, 1L, "v2b"),  // same (key, ts) — higher seq must win
+      (103L, 99L, 2L, "other"))
+      .toDF("event_id", "ts_us", "user_id", "tag")
+    val left = Seq(
+      (1L, 5L, 1L),    // before any right row -> null
+      (2L, 10L, 1L),   // equal ts -> INCLUSIVE match (v1)
+      (3L, 25L, 1L),   // between: latest prior is the seq-101/102 pair
+      (4L, 50L, 2L))   // user 2: right row is in the future -> null
+      .toDF("event_id", "ts_us", "user_id")
+    val got = Sessionize.asofJoin(left, right, "user_id", "ts_us", "event_id")
+      .select(col("event_id"), col("asof.event_id").as("r_id"),
+        col("asof.tag").as("tag"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2))))).toMap
+    assert(got(1L).isEmpty, "no prior row must attach nothing")
+    assert(got(2L).contains((100L, "v1")), s"inclusive tie failed: ${got(2L)}")
+    assert(got(3L).contains((102L, "v2b")), s"same-ts tie must pick max seq: ${got(3L)}")
+    assert(got(4L).isEmpty, s"future right row leaked: ${got(4L)}")
+    // plan shape: ONE exchange total — the union trick never range-joins
+    val plan = Sessionize.asofJoin(left, right, "user_id", "ts_us", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of join degenerated to a product:\n$plan")
+  }
+
   test("clock-skew: future deferred, past kept, threshold-equal accepted (projector.rs:1729)") {
     val now = 1_000_000L
     assert(!Projector.exceedsClockSkew(now, now))
