@@ -65,6 +65,10 @@ object PipelineQueries {
   private val Ds1Default = 500     // permille for strata without a rate
   private val PiiMod     = 10      // %N==0 plants an email, %N==5 an IPv4
   private val Pl1MinQuality = 0.4  // end-to-end pipeline quality floor
+  private val Tx13K      = 30      // vocab heavy-hitter count
+  private val Tx14K      = 3       // tf-idf keywords per doc
+  private val Tx15Window = 64      // RAG chunk window (tokens)
+  private val Tx15Stride = 48      // RAG chunk stride (tokens)
 
   /** documents with deterministic planted PII — email on every PiiMod-th
     * doc, an IPv4 on the PiiMod/2-offset docs — so the scrub gate has
@@ -285,6 +289,24 @@ object PipelineQueries {
           Tables.documents(s, d).select(col("doc_id")), "doc_id",
           SplitSalt, SplitValPm, SplitTestPm)
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    },
+
+    // corpus vocabulary heavy hitters (top-k tokens by document frequency)
+    "tx13_vocab" -> { (s, d) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, d), k = Tx13K)
+    },
+
+    // per-doc tf-idf keyword extraction, f32-quantized score key
+    "tx14_keywords" -> { (s, d) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, d), k = Tx14K)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // RAG chunking: overlapping token windows + content hash per chunk
+    "tx15_chunks" -> { (s, d) =>
+      TextAnalysis.chunkWithOverlap(Tables.documents(s, d),
+          window = Tx15Window, stride = Tx15Stride)
+        .orderBy(col("doc_id"), col("chunk_id"))
     },
 
     "mm1_media_stats" -> { (s, d) =>
@@ -939,6 +961,62 @@ object PipelineQueries {
          |    CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin,
+
+    "tx13_vocab" ->
+      s"""SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(COUNT(*) AS BIGINT) AS tf
+         |FROM (
+         |  SELECT doc_id,
+         |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                       t -> t <> '')) AS token
+         |  FROM documents) t
+         |GROUP BY token
+         |ORDER BY df DESC, token
+         |LIMIT $Tx13K""".stripMargin,
+
+    // trunc before the BIGINT cast: DuckDB's double->int cast rounds while
+    // Spark's truncates; the REAL round-trip mirrors the f32 score key
+    "tx14_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                       t -> t <> '')) AS token
+         |  FROM documents),
+         |tc AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, token),
+         |dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY token),
+         |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+         |sc AS (
+         |  SELECT tc.doc_id, tc.token, tc.tf, dft.df,
+         |    CAST(trunc(CAST(CAST(
+         |      tc.tf * ln((n.n + 1) / (CAST(dft.df AS DOUBLE) + 1))
+         |    AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS score_key
+         |  FROM tc JOIN dft USING (token) CROSS JOIN n)
+         |SELECT doc_id, rank, token, tf, df, score_key FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score_key DESC, token) AS BIGINT) AS rank
+         |  FROM sc) r
+         |WHERE rank <= $Tx14K
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "tx15_chunks" ->
+      s"""SELECT doc_id, CAST(start_tok // $Tx15Stride AS BIGINT) AS chunk_id,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(len(chunk) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+         |FROM (
+         |  SELECT doc_id, start_tok,
+         |    ts[CAST(start_tok + 1 AS INT) : CAST(start_tok + $Tx15Window AS INT)] AS chunk
+         |  FROM (
+         |    SELECT doc_id, ts, UNNEST(range(0, len(ts), $Tx15Stride)) AS start_tok
+         |    FROM (
+         |      SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                    t -> t <> '') AS ts
+         |      FROM documents) d
+         |    WHERE len(ts) > 0) s) c
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // closed-form replica of the synthetic-BMP pixel pattern; matching the
     // Spark side requires the encode->ImageIO-decode round trip to be exact

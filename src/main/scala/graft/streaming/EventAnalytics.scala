@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Ordered-event analytics over the event log: conversion funnels, rolling
+  * time-window aggregates, and cohort retention — the three report shapes
+  * every product/training-telemetry pipeline derives from raw events.
+  *
+  * All three shuffle ONCE on the entity key (funnel/rolling) or twice for
+  * the cohort join (retention); nothing materializes per-event state on the
+  * driver, so the plans hold on a 100 TB event log. Time is integer
+  * epoch-microseconds end to end (see [[Sessionize]] for why).
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for each `keyCol` entity, the first time of
+    * `steps.head`, then the first time of each later step STRICTLY after the
+    * previous step and within `windowMicros` of step 1 — the standard
+    * "signup → click → purchase inside 7 days" shape. One row per entity
+    * with a nullable `ts_<step>` per step (null = never reached).
+    *
+    * Plan: one shuffle on the key, then one per-partition window pass per
+    * step (each `MIN(CASE …)` references the previous step's column, so the
+    * passes chain without re-shuffling — the final groupBy reuses the same
+    * hash partitioning). */
+  def funnel(events: DataFrame, keyCol: String, tsMicros: Column,
+      typeCol: String, steps: Seq[String], windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(windowMicros > 0, s"funnel window must be positive, got $windowMicros")
+    val w = Window.partitionBy(col(keyCol))
+    var df = events.withColumn("_tus", tsMicros.cast("long"))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val hit =
+        if (i == 0) when(col(typeCol) === st, col("_tus"))
+        else when(col(typeCol) === st &&
+          col("_tus") > col(s"_t${i - 1}") &&
+          col("_tus") <= col("_t0") + windowMicros, col("_tus"))
+      df = df.withColumn(s"_t$i", min(hit).over(w))
+    }
+    df.groupBy(col(keyCol))
+      .agg(max(col("_t0")).as(s"ts_${steps.head}"),
+        steps.tail.zipWithIndex.map { case (st, i) =>
+          max(col(s"_t${i + 1}")).as(s"ts_$st")
+        }: _*)
+  }
+
+  /** Per-entity daily totals plus a trailing `windowDays`-day rolling sum
+    * and active-day count (the usage/health time series). Day boundaries
+    * and the rolling frame are integer day numbers (RANGE frame), so a gap
+    * of inactive days still bounds the window by TIME, not by row count.
+    * The rolling sum goes through decimal (exact, order-free) — a double
+    * window sum would depend on the engine's frame-evaluation order. */
+  def rollingDaily(events: DataFrame, keyCol: String, tsMicros: Column,
+      valueCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"rolling window must be positive, got $windowDays")
+    val DayUs = 86400000000L
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    events
+      .withColumn("_tus", tsMicros.cast("long"))
+      .withColumn("day", expr(s"_tus div $DayUs"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(graft.Tables.dsum(col(valueCol)).as("day_value"),
+        count(lit(1)).as("n_events"))
+      .withColumn("roll_value",
+        sum(col("day_value").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .withColumn("n_days_active", count(lit(1)).over(w))
+  }
+
+  /** Weekly cohort retention: entities are cohorted by the epoch-week of
+    * their FIRST event; each (cohort_week, week_offset) cell counts the
+    * cohort members active that many weeks later. The activity set is
+    * deduped to (entity, week) BEFORE the cohort join, so the join input is
+    * one row per entity-week, not per event — at 100 TB that dedup is the
+    * difference between joining billions and joining millions of rows. */
+  def retention(events: DataFrame, keyCol: String, tsMicros: Column): DataFrame = {
+    val WeekUs = 604800000000L
+    val wk = events.withColumn("_tus", tsMicros.cast("long"))
+      .select(col(keyCol), expr(s"_tus div $WeekUs").as("week"))
+    val cohorts = wk.groupBy(col(keyCol)).agg(min(col("week")).as("cohort_week"))
+    val active = wk.distinct()
+    active.join(cohorts, Seq(keyCol))
+      // one row per (entity, week) after the dedup → COUNT(*) is the
+      // distinct-entity count without a second distinct aggregation
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
+}

@@ -19,6 +19,12 @@ object StreamingQueries {
   /** session gap (8 h) in micros — shared by the ev7 gate and its oracle. */
   val SessionGapUs = 28800L * 1000000L
 
+  /** funnel conversion window (7 d) in micros — ev9 gate + oracle. */
+  val FunnelWindowUs = 7L * 86400L * 1000000L
+
+  /** rolling-aggregate trailing window (7 d) — ev10 gate + oracle. */
+  val RollWindowDays = 7
+
   private def ev(s: SparkSession, d: String): DataFrame = Projector.events(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -83,6 +89,28 @@ object StreamingQueries {
           col("asof.event_id").as("signup_event"),
           col("asof.value").as("signup_value"))
         .orderBy(col("event_id"))
+    },
+
+    // ordered conversion funnel: signup -> click -> purchase within 7 days
+    "ev9_funnel" -> { (s, d) =>
+      EventAnalytics.funnel(Projector.events(s, d), "user_id",
+          expr("ts div 1000"), "event_type",
+          Seq("signup", "click", "purchase"), windowMicros = FunnelWindowUs)
+        .orderBy(col("user_id"))
+    },
+
+    // per-user daily totals + trailing 7-day rolling sum (RANGE frame)
+    "ev10_rolling" -> { (s, d) =>
+      EventAnalytics.rollingDaily(Projector.events(s, d), "user_id",
+          expr("ts div 1000"), "value", windowDays = RollWindowDays)
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // weekly cohort retention triangle
+    "ev11_retention" -> { (s, d) =>
+      EventAnalytics.retention(Projector.events(s, d), "user_id",
+          expr("ts div 1000"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     },
 
     // 2 s debounce: latest snapshot per (user, 2s bucket)
@@ -205,6 +233,49 @@ object StreamingQueries {
         |FROM cl ASOF LEFT JOIN su
         |  ON cl.user_id = su.user_id AND cl.ts_us >= su.ts_us
         |ORDER BY cl.event_id""".stripMargin,
+
+    // chained window CTEs: each step's MIN(CASE) reads the previous step's
+    // per-user constant — identical structure to the Spark plan
+    "ev9_funnel" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s0 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN tus END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > t0
+        |           AND tus <= t0 + $FunnelWindowUs THEN tus END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus > t1
+        |           AND tus <= t0 + $FunnelWindowUs THEN tus END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM s1)
+        |SELECT user_id, MAX(t0) AS ts_signup, MAX(t1) AS ts_click,
+        |  MAX(t2) AS ts_purchase
+        |FROM s2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev10_rolling" ->
+      s"""SELECT user_id, day, day_value, n_events,
+        |  CAST(SUM(CAST(day_value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_value,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_days_active
+        |FROM (
+        |  SELECT user_id, tus // 86400000000 AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS day_value,
+        |    COUNT(*) AS n_events
+        |  FROM (SELECT *, epoch_us(ts) AS tus FROM events) e
+        |  GROUP BY user_id, tus // 86400000000) d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             RANGE BETWEEN ${RollWindowDays - 1} PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "ev11_retention" ->
+      """SELECT cohort_week, week - cohort_week AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_entities
+        |FROM (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events) a
+        |JOIN (
+        |  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_week
+        |  FROM events GROUP BY user_id) c USING (user_id)
+        |GROUP BY cohort_week, week - cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "ev4_debounce" ->
       """SELECT user_id, occurred_at_ms // 2000 AS bucket, event_id, value FROM (

@@ -308,4 +308,75 @@ object TextAnalysis {
         .when(slot < valPermille + testPermille, lit("test"))
         .otherwise(lit("train")))
   }
+
+  /** Corpus vocabulary heavy hitters: the `k` tokens with the highest
+    * document frequency, with their total term frequency — the vocab/Zipf
+    * report every corpus build starts from. One explode + one aggregation;
+    * the countDistinct plans as a two-phase partial-agg shuffle on
+    * (token, doc_id) and the top-k is TakeOrdered (never a global sort).
+    * Ties break lexicographically so the cut is deterministic. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"vocab top-k must be positive, got $k")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Per-document keyword extraction: the `k` highest tf·idf terms of every
+    * doc, idf = ln((N+1)/(df+1)) (add-one smoothed). The score is cast to
+    * f32 BEFORE the i64 micro-unit quantization — the same trick as the BM25
+    * `score_key` ([[graft.fts.Search.scoreKey]]): engines' double `ln` can
+    * disagree in the last ulp, and the f32 round-trip absorbs it, making the
+    * key engine-exact. Term counts shuffle once on (doc, token); the df side
+    * re-aggregates those counts (docs-per-term); the rank filter plans as
+    * WindowGroupLimit (map-side top-k per doc, no full sort). */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"keyword top-k must be positive, got $k")
+    val tc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(col("doc_id")).distinct().count()
+    val score = col("tf") *
+      log((lit(nDocs.toDouble) + 1.0) / (col("df").cast("double") + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_key").desc, col("token"))
+    tc.join(df, Seq("token"))
+      .withColumn("score_key",
+        (score.cast("float").cast("double") * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score_key"))
+  }
+
+  /** RAG-style chunking: each doc's token stream is cut into windows of
+    * `window` tokens every `stride` tokens (overlap = window − stride), the
+    * unit retrieval pipelines embed and index. Emits one row per chunk with
+    * its token span and an md5 content hash (the downstream dedup/embedding
+    * key). Tail chunks shorter than the window are kept — dropping them
+    * would lose corpus coverage; the `n_toks` column lets consumers filter.
+    * Pure per-row explode over one scan: no shuffle, scales linearly. */
+  def chunkWithOverlap(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - 1, lit(stride)))
+          .as("start_tok"), col("ts"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("ts"), col("start_tok") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+  }
 }

@@ -571,4 +571,48 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.select(max(length(col("frame_bytes")))).head.getInt(0) <= 16)
   }
+
+  test("vocab top-k: df counts documents once, deterministic tie cut") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTopK(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // df ties (all 2) break lexicographically: alpha, beta, gamma
+    assert(got.toSeq == Seq(("alpha", 2L, 3L), ("beta", 2L, 2L), ("gamma", 2L, 2L)),
+      s"vocab order wrong: ${got.toSeq}")
+  }
+
+  test("tfidf keywords: corpus-wide term ranks below rare term, plan is group-limited") {
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val q = TextAnalysis.tfidfKeywords(docs, k = 2)
+    val top = q.filter(col("doc_id") === 1 && col("rank") === 1)
+      .select("token").collect().head.getString(0)
+    assert(top == "rare", s"idf must demote the everywhere-term: got $top")
+    // in-every-doc term: idf = ln(4/4) = 0 -> score_key exactly 0
+    val commonKey = q.filter(col("doc_id") === 2 && col("token") === "common")
+      .select("score_key").collect().headOption.map(_.getLong(0))
+    assert(commonKey.contains(0L), s"smoothed idf of an everywhere-term: $commonKey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"keyword rank not group-limited:\n$plan")
+  }
+
+  test("chunking: overlap repeats tokens, tails kept, token-free docs dropped") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, text), (2L, "solo"), (3L, "... !!!")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWithOverlap(docs, window = 4, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    // starts 0,3,6,9 -> sizes 4,4,4,1; chunk 1 starts at token 4 (w4)
+    assert(d1.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(d1.map(_.getAs[Long]("n_toks")).toSeq == Seq(4L, 4L, 4L, 1L))
+    // overlapping chunks share tokens: hash of [w4..w7] differs from [w1..w4]
+    assert(d1.map(_.getAs[String]("chunk_hash")).distinct.length == 4)
+    assert(got.count(_.getLong(0) == 2L) == 1, "single-token doc = one chunk")
+    assert(!got.exists(_.getLong(0) == 3L), "punctuation-only doc must vanish")
+  }
 }

@@ -159,4 +159,58 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.sql("SELECT * FROM watch_out").collect().map(_.toSeq).toSet
     assert(rows == Set(Seq("w1", 1L))) // click under /d/** only
   }
+
+  test("funnel: strict step order, window cap from step 1, pre-step-1 events ignored") {
+    val W = 100L
+    val rows = Seq(
+      // user 1: click BEFORE signup must not count; the later click does
+      (1L, 5L, "click"), (1L, 10L, "signup"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: purchase before click -> funnel stops at click
+      (2L, 0L, "signup"), (2L, 5L, "purchase"), (2L, 9L, "click"),
+      // user 3: click past the window (10 + 100 < 120) -> stops at signup
+      (3L, 10L, "signup"), (3L, 120L, "click"),
+      // user 4: no signup at all -> all null
+      (4L, 1L, "click"), (4L, 2L, "purchase"))
+      .toDF("user_id", "tus", "event_type")
+    val got = EventAnalytics.funnel(rows, "user_id", col("tus"), "event_type",
+        Seq("signup", "click", "purchase"), windowMicros = W)
+      .orderBy(col("user_id")).collect()
+      .map(r => r.getLong(0) -> Seq(1, 2, 3).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i)))).toMap
+    assert(got(1L) == Seq(Some(10L), Some(20L), Some(30L)), s"u1: ${got(1L)}")
+    assert(got(2L) == Seq(Some(0L), Some(9L), None), s"u2 purchase-before-click leaked: ${got(2L)}")
+    assert(got(3L) == Seq(Some(10L), None, None), s"u3 window exceeded: ${got(3L)}")
+    assert(got(4L) == Seq(None, None, None), s"u4: ${got(4L)}")
+  }
+
+  test("rolling daily: RANGE frame bounds by days not rows across gaps") {
+    val DayUs = 86400000000L
+    val rows = Seq(
+      (1L, 0L * DayUs, 1.0),        // day 0
+      (1L, 1L * DayUs, 2.0),        // day 1
+      (1L, 9L * DayUs, 4.0),        // day 9: days 0/1 fell out of the 7-day frame
+      (1L, 10L * DayUs, 8.0))       // day 10: sees day 9 only
+      .toDF("user_id", "tus", "value")
+    val got = EventAnalytics.rollingDaily(rows, "user_id", col("tus"), "value",
+        windowDays = 7)
+      .orderBy(col("day")).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Double]("roll_value"), r.getAs[Long]("n_days_active"))).toMap
+    assert(got(0L) == (1.0, 1L) && got(1L) == (3.0, 2L), s"warmup: $got")
+    assert(got(9L) == (4.0, 1L), s"gap days must age out (ROWS frame bug): $got")
+    assert(got(10L) == (12.0, 2L), s"day 10 frame: $got")
+  }
+
+  test("retention: cohort = first week, offsets count entities once per week") {
+    val WeekUs = 604800000000L
+    val rows = Seq(
+      (1L, 0L), (1L, 10L), (1L, WeekUs),          // cohort 0, active w0+w1
+      (2L, 0L), (2L, 2 * WeekUs),                 // cohort 0, active w0+w2
+      (3L, WeekUs))                               // cohort 1, active w1 only
+      .toDF("user_id", "tus")
+    val got = EventAnalytics.retention(rows, "user_id", col("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L), s"retention triangle wrong: $got")
+  }
 }
