@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph measures over an edge list — the link-analysis side of a
+  * corpus pipeline (domain authority for crawl prioritization, citation
+  * weight for sampling).
+  *
+  * PageRank here is the fixed-iteration dataflow formulation: each round is
+  * one join (rank → out-edges) and one aggregation (contributions → target),
+  * exactly the two shuffles Pregel-style systems pay per superstep. The
+  * edge set with out-degrees is computed once and cached; at real scale it
+  * would be written bucketed by `src` so every round's join is shuffle-free
+  * on the edge side, and ranks would `localCheckpoint` every few rounds to
+  * cut the growing lineage.
+  */
+object Graphs {
+
+  /** Per-round contribution sums go through DECIMAL(18,13): contributions
+    * are < 1, so the unscaled sum stays < 10^13 (exact long arithmetic,
+    * order-free — a double sum would depend on partitioning), and the
+    * cast back to double is one correctly-rounded IEEE division. A double
+    * can never be an exact half at scale 13, so the double→decimal rounding
+    * is unambiguous across engines (same argument as [[graft.Tables.dsum]]). */
+  private val SumType = DecimalType(18, 13)
+
+  /** Fixed-iteration PageRank: `pr₀ = 1/n`; each round every node sends
+    * `damping · pr / out_deg` along its out-edges and every node restarts
+    * from `(1 − damping)/n` plus what it receives. Dangling mass (nodes
+    * with no out-edges) is dropped, the common non-normalized variant —
+    * ranks then still converge proportionally. Nodes with no in-edges keep
+    * the teleport term via the left join against the full node set.
+    *
+    * Returns (node, pr) — engine-exact: per-row arithmetic is IEEE double
+    * (deterministic), cross-row sums are decimal (order-free). */
+  def pageRank(edges: DataFrame, damping: Double, iterations: Int): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .cache()
+    val teleport = (1.0 - damping) / n
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val sums = withDeg
+        .join(pr, col("src") === col("node"))
+        .select(col("dst"),
+          (col("pr") / col("out_deg") * damping).cast(SumType).as("w"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).cast("double").as("recv"))
+      pr = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), (lit(teleport) + coalesce(col("recv"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+}

@@ -65,6 +65,13 @@ object PipelineQueries {
   private val Ds1Default = 500     // permille for strata without a rate
   private val PiiMod     = 10      // %N==0 plants an email, %N==5 an IPv4
   private val Pl1MinQuality = 0.4  // end-to-end pipeline quality floor
+  private val Gr1Fanout  = 3       // derived link-graph out-degree
+  private val Gr1Damping = 0.85    // PageRank damping factor
+  private val Gr1Iters   = 3       // PageRank iterations
+  private val Ann6M      = 4       // PQ subspaces
+  private val Ann6Codes  = 16      // PQ centroids per subspace
+  private val Ann6Query  = 7       // ADC query vector id
+  private val Ann6TopK   = 10      // ADC result size
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx14K      = 3       // tf-idf keywords per doc
   private val Tx15Window = 64      // RAG chunk window (tokens)
@@ -176,6 +183,26 @@ object PipelineQueries {
     "ann5_ivf_retrain" -> { (s, d) =>
       Ann.ivfRetrain(Tables.embeddings(s, d), nCells = 16)
         .orderBy(col("cell"), col("dim"))
+    },
+
+    // fixed-iteration PageRank over a deterministic doc link graph
+    // (doc i -> (31·i + j) mod n for j = 1..fanout)
+    "gr1_pagerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((1 to Gr1Fanout).map(j =>
+          (col("doc_id") * 31 + j) % n): _*)).as("dst"))
+      graft.graph.Graphs.pageRank(edges, damping = Gr1Damping,
+          iterations = Gr1Iters)
+        .orderBy(col("node"))
+    },
+
+    // product-quantization ADC search: m code bytes per vector, exact
+    // integer subspace-distance lookup — the compressed-index ANN path
+    "ann6_pq_adc" -> { (s, d) =>
+      Ann.topKAdc(Tables.embeddings(s, d), queryId = Ann6Query, k = Ann6TopK,
+        m = Ann6M, kCodes = Ann6Codes)
     },
 
     "tx1_token_stats" -> { (s, d) =>
@@ -719,6 +746,69 @@ object PipelineQueries {
         |       CAST(SUM(x) AS BIGINT) AS sum_q,
         |       CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q
         |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
+    // three chained iteration CTEs, each one join + one decimal-exact
+    // aggregation — the same dataflow as the Spark rounds; per-row math is
+    // IEEE double in the identical op order
+    "gr1_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"""$out AS (
+          |  SELECT nd.node, (1.0 - $Gr1Damping)/nn.n + COALESCE(s.recv, 0.0) AS pr
+          |  FROM nodes nd CROSS JOIN nn
+          |  LEFT JOIN (
+          |    SELECT e.dst,
+          |      CAST(CAST(SUM(CAST(p.pr / d.out_deg * $Gr1Damping AS DECIMAL(18,13))) AS VARCHAR) AS DOUBLE) AS recv
+          |    FROM edges e JOIN $prev p ON e.src = p.node
+          |    JOIN deg d ON e.src = d.src
+          |    GROUP BY e.dst) s ON nd.node = s.dst)""".stripMargin
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id*31 + j.j) % nn.n AS dst
+        |  FROM documents CROSS JOIN nn, UNNEST(range(1, ${Gr1Fanout + 1})) AS j(j)),
+        |deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS pr FROM nodes CROSS JOIN nn),
+        |${iter("p0", "p1")},
+        |${iter("p1", "p2")},
+        |${iter("p2", "p3")}
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin
+    },
+
+    // PQ-ADC: per-(vector, subspace) nearest-centroid codes, then the
+    // query-to-centroid distance table joined back on (subspace, code);
+    // everything is exact integer L2 so the compare is bit-for-bit
+    "ann6_pq_adc" -> {
+      val ds = 64 / Ann6M
+      s"""WITH vecs AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, CAST(s.sub AS INT) AS sub,
+        |         v[CAST(s.sub*$ds+1 AS INT):CAST((s.sub+1)*$ds AS INT)] AS sv
+        |  FROM vecs, UNNEST(range(0, $Ann6M)) AS s(sub)),
+        |cents AS (
+        |  SELECT vec_id AS code, sub, sv AS cv FROM sv WHERE vec_id < $Ann6Codes),
+        |assign AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT sv.vec_id, sv.sub, c.code,
+        |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+        |        CAST(list_sum(list_transform(c.cv, x -> x*x)) AS BIGINT)
+        |          - 2*CAST(list_sum(list_transform(list_zip(sv.sv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |        c.code) AS rn
+        |    FROM sv JOIN cents c USING (sub)) t
+        |  WHERE rn = 1),
+        |qd AS (
+        |  SELECT c.sub, c.code,
+        |    CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+        |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+        |  FROM cents c JOIN (SELECT sub, sv FROM sv WHERE vec_id = $Ann6Query) q USING (sub))
+        |SELECT vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+        |FROM assign JOIN qd USING (sub, code)
+        |WHERE vec_id <> $Ann6Query
+        |GROUP BY vec_id
+        |ORDER BY adc_dist, vec_id LIMIT $Ann6TopK""".stripMargin
+    },
 
     "tx1_token_stats" ->
       """SELECT doc_id,

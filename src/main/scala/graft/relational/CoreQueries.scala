@@ -228,6 +228,28 @@ object CoreQueries {
         .orderBy(col("c_nationkey"))
     },
 
+    // --- exact grouped percentiles (price-distribution report) ----------
+    // percentile() is the exact sort-based aggregate (linear interpolation
+    // at rank p·(n−1), same definition as DuckDB's quantile_cont); the f32
+    // round-trip on each output absorbs the engines' last-ulp interpolation
+    // differences, the same trick as the BM25/tf-idf score keys. At scale
+    // the exact path shuffles each group's values once; the approximate
+    // alternative (approx_percentile, t-digest) is the knob to turn when a
+    // group stops fitting an executor — same query shape either way.
+    "q23_percentiles" -> { (s, d) =>
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val arr = percentile(col("l_extendedprice"), typedlit(ps))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), arr.as("pcts"))
+        .select(col("l_returnflag") +: col("n") +:
+          ps.zipWithIndex.map { case (p, i) =>
+            element_at(col("pcts"), i + 1).cast("float").cast("double")
+              .as(s"p${(p * 100).toInt}")
+          }: _*)
+        .orderBy(col("l_returnflag"))
+    },
+
     // --- disjunctive multi-column predicates (TPC-H Q19 shape) -----------
     // three OR'd conjunction branches over the join of lineitem x part;
     // Catalyst extracts the common l_quantity/p_size bounds for pushdown
@@ -378,6 +400,15 @@ object CoreQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(CAST(quantile_cont(l_extendedprice, 0.25) AS REAL) AS DOUBLE) AS p25,
+        |  CAST(CAST(quantile_cont(l_extendedprice, 0.5)  AS REAL) AS DOUBLE) AS p50,
+        |  CAST(CAST(quantile_cont(l_extendedprice, 0.75) AS REAL) AS DOUBLE) AS p75,
+        |  CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS REAL) AS DOUBLE) AS p95
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT

@@ -309,6 +309,88 @@ object Ann {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — subspace codebooks + ADC search
+  // ---------------------------------------------------------------------
+
+  /** Deterministic PQ codebook: the vector is split into `m` equal
+    * subspaces; subspace `j`'s `kCodes` centroids are the j-th sub-vectors
+    * of the `kCodes` lowest vec_ids (the same training-free convention as
+    * the IVF [[codebook]] — refinement would change centroid VALUES but not
+    * the operator shape, and the fixed codebook is what makes the gate
+    * engine-exact). Returns cents(subspace)(code) = quantized sub-vector. */
+  private def pqCodebook(embeddings: DataFrame, m: Int,
+      kCodes: Int): Array[Array[(Int, Seq[Long])]] = {
+    val rows = quantized(embeddings).filter(col("vec_id") < kCodes)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1))).sortBy(_._1)
+    require(rows.nonEmpty, "empty PQ codebook")
+    val dim = rows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    Array.tabulate(m) { j =>
+      rows.map { case (id, v) => (id, v.slice(j * ds, (j + 1) * ds)) }
+    }
+  }
+
+  /** PQ encoding: every vector compresses to `m` code bytes — subspace j's
+    * code is the centroid nearest its j-th sub-vector by exact integer L2,
+    * ties to the lowest code. 64 f32 dims become 4 bytes (64× smaller), the
+    * compression that lets a 100 TB embedding corpus fit hot storage.
+    * One narrow projection against the literal codebook — no join, no
+    * shuffle, whole corpus encoded in a single map-side pass. Codes also
+    * pack into one BIGINT (`pq_code`) for storage/grouping. */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, kCodes: Int = 16): DataFrame = {
+    val cents = pqCodebook(embeddings, m, kCodes)
+    val ds = cents(0)(0)._2.length
+    val enc = quantized(embeddings)
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(col("v"), j * ds + 1, ds)
+      // ||sub - c||² = cn2 - 2·dot + ||sub||²; the last term is constant
+      // per (row, subspace) so the argmin only needs cn2 - 2·dot
+      array_min(array(cents(j).map { case (code, cv) =>
+        val cn2 = cv.map(x => x * x).sum
+        struct((lit(cn2) - lit(2L) * dotCol(sub, typedlit(cv))).as("score"),
+          lit(code).as("code"))
+      }: _*)).getField("code").cast("long").as(s"code_$j")
+    }
+    val packed = (0 until m).reverse
+      .foldLeft(lit(0L)) { (acc, j) => acc * kCodes + col(s"code_$j") }
+    enc.select(col("vec_id") +: col("v") +: col("n2") +: codeCols: _*)
+      .withColumn("pq_code", packed)
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the query stays exact;
+    * every corpus vector contributes only its `m` codes, and its distance
+    * is the sum of per-subspace ||q_sub − centroid(code)||² looked up from
+    * a driver-built m×kCodes table (integer-exact, so fully oracle-able).
+    * The lookup tables ship as array LITERALS inside one projection —
+    * at scale this reads ONLY the code columns (4 bytes/vector, not the
+    * 256-byte vector), which is the entire point of PQ search. */
+  def topKAdc(embeddings: DataFrame, queryId: Long, k: Int,
+      m: Int = 4, kCodes: Int = 16): DataFrame = {
+    val cents = pqCodebook(embeddings, m, kCodes)
+    val ds = cents(0)(0)._2.length
+    val qv = quantized(embeddings.filter(col("vec_id") === queryId))
+      .select(col("v")).head().getSeq[Long](0)
+    // lut(j)(code) = exact ||q_sub_j - cent||²
+    val lut: Array[Seq[Long]] = Array.tabulate(m) { j =>
+      val qsub = qv.slice(j * ds, (j + 1) * ds)
+      cents(j).map { case (_, cv) =>
+        qsub.iterator.zip(cv.iterator).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.toSeq
+    }
+    val adc = (0 until m).map { j =>
+      element_at(typedlit(lut(j)), col(s"code_$j").cast("int") + 1)
+    }.reduce(_ + _)
+    pqEncode(embeddings, m, kCodes)
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc_dist", adc)
+      .select(col("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: exact re-rank restricted to vectors whose signature is
     * within `probeDist` hamming bits of the query's signature. */
   def topKCosineLsh(embeddings: DataFrame, queryId: Long, k: Int,

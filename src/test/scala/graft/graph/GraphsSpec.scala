@@ -1,0 +1,30 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank: 2-cycle fixed point, mass conserved without dangling nodes") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graphs.pageRank(edges, damping = 0.85, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the uniform vector is the exact fixed point of a cycle
+    assert(math.abs(pr(1L) - 0.5) < 1e-12 && math.abs(pr(2L) - 0.5) < 1e-12,
+      s"cycle fixed point: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass leaked: ${pr.values.sum}")
+  }
+
+  test("pagerank: hub receives more than spokes, sink-free star closed form") {
+    // 1->3, 2->3, 3->1: node 3 is the hub; one iteration from uniform 1/3:
+    //   pr(3) = 0.05 + 0.85*(1/3 + 1/3), pr(1) = 0.05 + 0.85/3, pr(2) = 0.05
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = Graphs.pageRank(edges, damping = 0.85, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(3L) - (0.05 + 0.85 * 2.0 / 3.0)) < 1e-12, s"hub: $pr")
+    assert(math.abs(pr(1L) - (0.05 + 0.85 / 3.0)) < 1e-12, s"spoke-with-in: $pr")
+    assert(math.abs(pr(2L) - 0.05) < 1e-12, s"no-in-edge node keeps teleport only: $pr")
+    assert(pr(3L) > pr(1L) && pr(1L) > pr(2L), s"authority ordering: $pr")
+  }
+}

@@ -615,4 +615,31 @@ class PipelineSpec extends SparkSpec {
     assert(got.count(_.getLong(0) == 2L) == 1, "single-token doc = one chunk")
     assert(!got.exists(_.getLong(0) == 3L), "punctuation-only doc must vanish")
   }
+
+  test("pq: centroid-exact vectors round-trip, ADC = exact L2 on codebook points") {
+    // 4 codebook vectors (ids 0..3) in dim 4, m=2 subspaces of 2 dims; ids
+    // 4/5 duplicate centroids 2/1 so their codes and ADC are closed-form
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 1f)),
+      (2L, Array(0f, 1f, 1f, 0f)),
+      (3L, Array(1f, 1f, 1f, 1f)),
+      (4L, Array(0f, 1f, 1f, 0f)),  // = centroid 2
+      (5L, Array(1f, 0f, 0f, 1f)))  // = centroid 1
+      .toDF("vec_id", "embedding")
+    val enc = Ann.pqEncode(vecs, m = 2, kCodes = 4)
+      .select("vec_id", "code_0", "code_1", "pq_code").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(enc(4L) == (2L, 2L, 2L + 4L * 2L), s"dup-of-centroid-2: ${enc(4L)}")
+    assert(enc(5L) == (1L, 1L, 1L + 4L * 1L), s"dup-of-centroid-1: ${enc(5L)}")
+    assert(enc.values.forall { case (c0, c1, _) =>
+      c0 >= 0 && c0 < 4 && c1 >= 0 && c1 < 4 }, s"code out of range: $enc")
+    // ADC from query 3 (=[1,1,1,1]): all points sit ON centroids, so ADC
+    // distance IS the exact quantized L2 (scale 1000 per dim => 1e6/unit)
+    val adc = Ann.topKAdc(vecs, queryId = 3L, k = 5, m = 2, kCodes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adc(1L) == 2000000L && adc(2L) == 2000000L, s"two-bit-away dists: $adc")
+    assert(adc(0L) == 4000000L, s"all-zeros dist: $adc")
+    assert(adc(4L) == adc(2L) && adc(5L) == adc(1L), "duplicates must tie their centroid")
+  }
 }
