@@ -60,4 +60,29 @@ object Graphs {
     }
     pr
   }
+
+  /** Per-node triangle participation counts over the UNDIRECTED simple
+    * graph induced by `edges` (direction dropped, self-loops and duplicate
+    * edges removed). Each triangle {a,b,c} counts once for each member.
+    *
+    * The enumeration is the oriented wedge join: with edges canonicalized
+    * to a < b, a triangle a<b<c appears exactly once as (a,b)⋈(b,c) closed
+    * by (a,c) — two equi-joins, no post-hoc dedup by permutation. At scale
+    * the standard refinement orients edges by DEGREE instead of id so
+    * high-degree hubs never land on the wedge-center side (caps the
+    * per-key join fan-out); id orientation keeps the oracle exact here and
+    * the join shape is identical. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val tri = canon
+      .join(canon.toDF("b", "c"), "b")
+      .join(canon.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

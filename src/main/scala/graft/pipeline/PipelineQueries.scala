@@ -198,6 +198,16 @@ object PipelineQueries {
         .orderBy(col("node"))
     },
 
+    // per-node triangle counts over the undirected derived link graph
+    "gr2_triangles" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((1 to Gr1Fanout).map(j =>
+          (col("doc_id") * 31 + j) % n): _*)).as("dst"))
+      graft.graph.Graphs.triangleCounts(edges).orderBy(col("node"))
+    },
+
     // product-quantization ADC search: m code bytes per vector, exact
     // integer subspace-distance lookup — the compressed-index ANN path
     "ann6_pq_adc" -> { (s, d) =>
@@ -773,6 +783,24 @@ object PipelineQueries {
         |${iter("p2", "p3")}
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin
     },
+
+    // oriented wedge join: canon a<b edges, (a,b)x(b,c) closed by (a,c)
+    "gr2_triangles" ->
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id*31 + j.j) % nn.n AS dst
+        |  FROM documents CROSS JOIN nn, UNNEST(range(1, ${Gr1Fanout + 1})) AS j(j)),
+        |canon AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+        |  WHERE EXISTS (SELECT 1 FROM canon e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+        |m AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM m GROUP BY node ORDER BY node""".stripMargin,
 
     // PQ-ADC: per-(vector, subspace) nearest-centroid codes, then the
     // query-to-centroid distance table joined back on (subspace, code);

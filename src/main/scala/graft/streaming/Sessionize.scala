@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event sessionization and as-of attachment — the two event-table shapes a
   * training-data pipeline needs beyond plain windows: gap-based sessions
@@ -81,5 +82,68 @@ object Sessionize {
       .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_isr") === 0)
       .select(col("_l.*"), col("asof"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Live (Structured Streaming) sessionization
+  // ---------------------------------------------------------------------
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessState(startMs: Long, lastMs: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start_ms: Long,
+      n_events: Long, duration_ms: Long, total_value: Double)
+
+  /** Streaming counterpart of [[sessionize]]: per-user gap sessions over a
+    * LIVE event stream via `flatMapGroupsWithState` with an event-time
+    * timeout. A session closes (and is the append-mode output) either when
+    * a later in-key event arrives past the gap, or when the WATERMARK
+    * passes `last event + gap` — so closure needs no further traffic from
+    * that user, only stream progress. The same (start, count, duration,
+    * total) tuple as the batch walk, at ms grain (stream timestamps are ms;
+    * the batch path keeps µs for log-replay parity).
+    *
+    * State per key is O(1) (4 scalars) — this scales to any user count;
+    * Spark partitions keys across executors and persists state in the
+    * checkpointed state store. */
+  def sessionizeStream(events: Dataset[SessEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    require(gapMs > 0, s"session gap must be positive, got $gapMs")
+    implicit val stateEnc = Encoders.product[SessState]
+    implicit val outEnc = Encoders.product[Session]
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, batch: Iterator[SessEvent], state: GroupState[SessState]) => {
+          def emit(s: SessState): Session =
+            Session(user, s.startMs, s.n, s.lastMs - s.startMs, s.total)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close and drop
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessState(s.startMs, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += emit(s)
+                  cur = Some(SessState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
   }
 }

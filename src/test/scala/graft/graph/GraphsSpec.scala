@@ -27,4 +27,20 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(pr(2L) - 0.05) < 1e-12, s"no-in-edge node keeps teleport only: $pr")
     assert(pr(3L) > pr(1L) && pr(1L) > pr(2L), s"authority ordering: $pr")
   }
+
+  test("triangles: direction/duplicates/self-loops ignored, shared edge counts twice") {
+    // K3 {1,2,3} plus triangle {2,3,4}: edge 2-3 is shared; noise rows
+    // (reverse duplicates, a self-loop, a dangling edge) must not count
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),     // triangle 1
+      (3L, 2L),                         // reverse duplicate of 2-3
+      (2L, 4L), (4L, 3L),               // triangle 2 via shared 2-3
+      (5L, 5L),                         // self-loop
+      (1L, 9L))                         // dangling edge, no triangle
+      .toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      s"triangle counts wrong: $got")
+  }
 }

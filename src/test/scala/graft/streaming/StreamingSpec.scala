@@ -160,6 +160,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(Seq("w1", 1L))) // click under /d/** only
   }
 
+  test("live sessionize: in-key gap closes on arrival, idle key closes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, sec: Long, v: Double) =
+      Sessionize.SessEvent(u, new java.sql.Timestamp(sec * 1000), v)
+    val mem = MemoryStream[Sessionize.SessEvent]
+    val q = Sessionize.sessionizeStream(mem.toDS(), gapMs = 10000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // batch 1: user 1 bursts (100s, 105s); user 2 one event at 100s
+    // (times sit above 0: the initial watermark is 0 and flatMapGroups
+    // drops events at-or-below it before the state function runs)
+    mem.addData(ev(1, 100, 1.0), ev(1, 105, 2.0), ev(2, 100, 16.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess_out").count() == 0,
+      "no session may close before the gap passes")
+    // batch 2: user 1 returns at 130s -> closes their first session in-key,
+    // and advances the watermark past user 2's last+gap
+    mem.addData(ev(1, 130, 4.0))
+    q.processAllAvailable()
+    // batch 3: any further progress fires user 2's event-time timeout
+    mem.addData(ev(1, 131, 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got.contains((1L, 100000L, 2L, 5000L, 3.0)),
+      s"user 1 burst session wrong: $got")
+    assert(got.contains((2L, 100000L, 1L, 0L, 16.0)),
+      s"user 2 idle timeout session missing: $got")
+    assert(got.size == 2, s"open session (user 1 @130s) must stay open: $got")
+  }
+
   test("funnel: strict step order, window cap from step 1, pre-step-1 events ignored") {
     val W = 100L
     val rows = Seq(
