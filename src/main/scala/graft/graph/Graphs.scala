@@ -43,9 +43,12 @@ object Graphs {
       .distinct()
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // re-read every round: cache once, release via the entry-point registry
+    // (the round-2 session-leak discipline — see [[graft.Caches]])
     val withDeg = edges
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
       .cache()
+    graft.Caches.track(withDeg)
     val teleport = (1.0 - damping) / n
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
@@ -73,11 +76,15 @@ object Graphs {
     * per-key join fan-out); id orientation keeps the oracle exact here and
     * the join shape is identical. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // read three times (two wedge sides + closure probe): cache once,
+    // release via the entry-point registry
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .cache()
+    graft.Caches.track(canon)
     val tri = canon
       .join(canon.toDF("b", "c"), "b")
       .join(canon.toDF("a", "c"), Seq("a", "c"), "left_semi")

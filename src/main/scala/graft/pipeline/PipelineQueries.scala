@@ -188,6 +188,7 @@ object PipelineQueries {
     // fixed-iteration PageRank over a deterministic doc link graph
     // (doc i -> (31·i + j) mod n for j = 1..fanout)
     "gr1_pagerank" -> { (s, d) =>
+      graft.Caches.release()
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       val edges = docs.select(col("doc_id").as("src"),
@@ -200,6 +201,7 @@ object PipelineQueries {
 
     // per-node triangle counts over the undirected derived link graph
     "gr2_triangles" -> { (s, d) =>
+      graft.Caches.release()
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       val edges = docs.select(col("doc_id").as("src"),

@@ -67,7 +67,8 @@ class ScaleSpec extends SparkSpec {
       ()
     }
     val cycle = Seq("or1_orphan_filter", "sp17_path_plus",
-      "dd2_minhash_lsh", "dd4_simhash", "dd6_lsh_verified", "dd8_dedup_components")
+      "dd2_minhash_lsh", "dd4_simhash", "dd6_lsh_verified", "dd8_dedup_components",
+      "gr1_pagerank", "gr2_triangles")
     cycle.foreach(run)
     val steady = spark.sparkContext.getPersistentRDDs.size
     (1 to 2).foreach { _ => cycle.foreach(run) }
