@@ -561,8 +561,7 @@ object Dedup {
       .dropDuplicates("a", "b")
       .join(sigs.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("n2a")), Seq("a"))
       .join(sigs.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("n2b")), Seq("b"))
-      .withColumn("dot",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", graft.functions.DotI64(col("va"), col("vb")))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("n2a").cast("double") * col("n2b").cast("double")))
       .filter(col("cosine") >= threshold)

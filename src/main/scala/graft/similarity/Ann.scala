@@ -31,10 +31,12 @@ object Ann {
   private def quantized(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("v"))
-      .withColumn("n2", aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
+      .withColumn("n2", graft.functions.DotI64.normSq(col("v")))
 
+  // native codegen'd kernel — the HOF form (aggregate∘zip_with) is
+  // CodegenFallback and allocates a product array per row
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotI64(a, b)
 
   /** Exact top-k by dot product against the embedding of `queryId`
     * (excluding itself): (vec_id, label, dot) ordered desc, vec_id asc. */
@@ -126,8 +128,7 @@ object Ann {
     val q = quantized(embeddings)
     val bits = (0 until nBits).map { p =>
       val signs = slice(typedlit(planeSigns(p).toSeq), lit(1), size(col("v")))
-      val proj = aggregate(zip_with(col("v"), signs, (x, s) => x * s),
-        lit(0L), (acc, x) => acc + x)
+      val proj = graft.functions.DotI64(col("v"), signs)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }
     q.withColumn("sig",

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for the library's native Catalyst
+  * expressions ([[graft.functions.DotI64]]).
+  *
+  * Spark 4's public `Column` wraps a connect-compatible `ColumnNode`, and
+  * the classic converters (`ExpressionUtils.column/expression`) are
+  * `private[sql]` — so this one-file shim lives under `org.apache.spark.sql`
+  * to re-export them, the established pattern for libraries that ship
+  * custom expressions without a SparkSessionExtensions registration
+  * requirement (registration would force every caller to rebuild their
+  * session with `.withExtensions`). Nothing else may go in this package.
+  */
+object Native {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
