@@ -228,6 +228,73 @@ object CoreQueries {
         .orderBy(col("c_nationkey"))
     },
 
+    // --- grouped view + scalar-max subquery (TPC-H Q15 shape) -----------
+    // quarterly revenue per supplier; emit the supplier(s) achieving the
+    // maximum. The max rides a 1-row broadcast cross join; the equality
+    // compares the EXACT decimal sums (a double round-trip before the
+    // compare could merge near-ties differently per engine)
+    "q15_top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // --- correlated average subquery (TPC-H Q17 shape) ------------------
+    // revenue lost to small-quantity orders of a brand: per-part average
+    // quantity is aggregated ONCE over the fact table and joined back —
+    // the decorrelation Catalyst applies to the correlated scalar form
+    "q17_small_qty" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val partAvg = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#2" && col("p_size") <= 10)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // --- double-nested EXISTS / NOT EXISTS (TPC-H Q21 shape) ------------
+    // sole late shipper on multi-supplier finished orders ("late" adapted
+    // to shipdate > orderdate + 60 days: this lineitem set has no
+    // commit/receipt dates). Semi + anti join against the same relation,
+    // both correlated on (orderkey, <> suppkey)
+    "q21_sole_late" -> { (s, d) =>
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"))
+      val lateOthers = late.select(col("l_orderkey").as("y_orderkey"),
+        col("l_suppkey").as("y_suppkey"))
+      late
+        .join(others, col("l_orderkey") === col("x_orderkey") &&
+          col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("y_orderkey") &&
+          col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
     // --- exact grouped percentiles (price-distribution report) ----------
     // percentile() is the exact sort-based aggregate (linear interpolation
     // at rank p·(n−1), same definition as DuckDB's quantile_cont); the f32
@@ -400,6 +467,47 @@ object CoreQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS ap_partkey,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#2' AND p_size <= 10
+        |  AND l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q21_sole_late" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+        |late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM l JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag, COUNT(*) AS n,
