@@ -71,6 +71,26 @@ object EventAnalytics {
       .withColumn("n_days_active", count(lit(1)).over(w))
   }
 
+  /** LIVE stream-stream interval join: pair each left event with every
+    * right event of the same key whose time falls in
+    * `[left.ts, left.ts + maxLag]` — the attribution join ("purchase within
+    * N minutes of the click") that batch as-of/funnel shapes answer
+    * offline, here answered on two live streams.
+    *
+    * Both sides carry watermarks, which is what BOUNDS the join state:
+    * Spark buffers only rows younger than `watermark − maxLag` per side
+    * and drops older state as the watermark advances — without the
+    * interval condition the state store would grow without limit. Append
+    * output: a pair emits once both sides have passed the join window. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+      maxLag: String, watermarkDelay: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark("lts", watermarkDelay)
+    val r = right.withWatermark("rts", watermarkDelay)
+    l.join(r, col(keyCol) === col(s"r_$keyCol") &&
+      col("rts") >= col("lts") &&
+      col("rts") <= col("lts") + expr(s"INTERVAL $maxLag"))
+  }
+
   /** Weekly cohort retention: entities are cohorted by the epoch-week of
     * their FIRST event; each (cohort_week, week_offset) cell counts the
     * cohort members active that many weeks later. The activity set is

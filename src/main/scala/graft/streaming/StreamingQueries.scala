@@ -113,6 +113,21 @@ object StreamingQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
+    // schema'd JSON parse of the props column (JsonToStructs — the typed
+    // from_json path, not string plucking) + per-decile rollup
+    "ev12_props_json" -> { (s, d) =>
+      val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Projector.events(s, d)
+        .select(col("value"),
+          from_json(col("props"), propsSchema).getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_decile"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"))
+        .orderBy(col("k_decile"))
+    },
+
     // 2 s debounce: latest snapshot per (user, 2s bucket)
     "ev4_debounce" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id"), col("bucket"))
@@ -276,6 +291,14 @@ object StreamingQueries {
         |  FROM events GROUP BY user_id) c USING (user_id)
         |GROUP BY cohort_week, week - cohort_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "ev12_props_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_decile,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+        |ORDER BY k_decile""".stripMargin,
 
     "ev4_debounce" ->
       """SELECT user_id, occurred_at_ms // 2000 AS bucket, event_id, value FROM (

@@ -193,6 +193,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 2, s"open session (user 1 @130s) must stay open: $got")
   }
 
+  test("stream-stream interval join: same-key pairs inside the lag window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val q = EventAnalytics.intervalJoinStreams(
+        clicks.toDF().toDF("user_id", "lts", "click_id"),
+        buys.toDF().toDF("r_user_id", "rts", "buy_id"),
+        "user_id", maxLag = "10 SECONDS")
+      .select("user_id", "click_id", "buy_id")
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    clicks.addData((1L, t(100), 11L), (2L, t(100), 21L))
+    // user 1 buys inside the window; user 2 buys too late; user 3 never clicked
+    buys.addData((1L, t(105), 911L), (2L, t(120), 921L), (3L, t(105), 931L))
+    q.processAllAvailable()
+    // a second click catches user 2's earlier purchase (rts >= lts holds)
+    clicks.addData((2L, t(115), 22L))
+    buys.addData((9L, t(200), 999L)) // advances the right watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM ij_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 11L, 911L), (2L, 22L, 921L)),
+      s"interval join pairs wrong: $got")
+  }
+
   test("funnel: strict step order, window cap from step 1, pre-step-1 events ignored") {
     val W = 100L
     val rows = Seq(
