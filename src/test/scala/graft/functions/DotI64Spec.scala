@@ -53,6 +53,30 @@ class DotI64Spec extends SparkSpec {
     assert(!cg.contains("nullSafeEval"), "expression fell back to interpreted eval")
   }
 
+  test("extensions: dot_i64 is a SQL function; the HOF dot form rewrites to it") {
+    // SQL registration via GraftExtensions.injectFunction
+    val viaSql = spark.sql(
+      "SELECT dot_i64(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head().getLong(0)
+    assert(viaSql == 32L)
+    // optimizer rewrite: the functions-composed HOF dot becomes DotI64
+    val hof = spark.range(8)
+      .select(array(col("id"), col("id") + 1).as("a"),
+        array(col("id") * 2, col("id")).as("b"))
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.contains("dot_i64"),
+      s"HOF dot not rewritten:\n${hof.queryExecution.optimizedPlan}")
+    assert(hof.collect().map(_.getLong(0)).toSeq ==
+      (0 until 8).map(i => 3L * i * i + i))
+    // a non-dot aggregate (different combine op) must NOT rewrite
+    val maxAgg = spark.range(2)
+      .select(array(col("id")).as("a"), array(col("id")).as("b"))
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => greatest(acc, x)).as("d"))
+    assert(!maxAgg.queryExecution.optimizedPlan.toString.contains("dot_i64"),
+      "non-sum aggregate must keep the HOF plan")
+  }
+
   test("dot_i64 rejects non-array<bigint> inputs at analysis time") {
     val err = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b").select(DotI64(col("a"), col("b"))).collect()
