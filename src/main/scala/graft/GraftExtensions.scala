@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotI64(args(0), args(1))
       }))
     ext.injectOptimizerRule(_ => RewriteHofDot)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -84,6 +84,42 @@ object Sessionize {
       .select(col("_l.*"), col("asof"))
   }
 
+  /** As-of join on the NATIVE physical operator ([[graft.plans.AsOfJoinExec]]
+    * — one forward merge scan per co-clustered partition, no union/padding;
+    * requires [[graft.GraftExtensions]] on the session). Same semantics as
+    * [[asofJoin]]; key/ts/seq columns must be LongType and present under
+    * the same names on both sides; caller disambiguates the OTHER column
+    * names (the output concatenates left and right attributes). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val lp = left.queryExecution.analyzed
+    // fresh exprIds for the whole right side: constructing the node below
+    // BYPASSES the analyzer, so its DeduplicateRelations never runs — a
+    // self-join (both sides derived from one base scan) would otherwise
+    // carry identical attribute ids on both children and column pruning
+    // would collapse the "duplicates" out of the right child
+    val rp = {
+      val analyzed = right.queryExecution.analyzed
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        analyzed.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        analyzed)
+    }
+    def att(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = {
+      val a = p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n missing from ${p.output.map(_.name).mkString(", ")}"))
+      require(a.dataType == LongType, s"$n must be bigint, got ${a.dataType}")
+      a
+    }
+    val node = graft.plans.AsOfJoinNode(lp, rp,
+      att(lp, keyCol), att(rp, keyCol),
+      att(lp, tsCol), att(rp, tsCol), att(rp, seqCol))
+    org.apache.spark.sql.graftnative.Native.ofRows(left.sparkSession, node)
+  }
+
   // ---------------------------------------------------------------------
   // Live (Structured Streaming) sessionization
   // ---------------------------------------------------------------------

@@ -113,6 +113,30 @@ object StreamingQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
+    // the SAME as-of semantics on the native AsOfJoinExec operator (custom
+    // LogicalPlan + Strategy + merge-scan SparkPlan via GraftExtensions);
+    // ev8 answers it with the union+window composition — both must match
+    // the one DuckDB ASOF oracle
+    "ev13_asof_native" -> { (s, d) =>
+      val e = Projector.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("ts_us"))
+      val dedupW = Window.partitionBy(col("user_id"), col("ts_us"))
+        .orderBy(col("event_id").desc)
+      val signups = e.filter(col("event_type") === "signup")
+        .withColumn("rn", row_number().over(dedupW))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks = e.filter(col("event_type") =!= "signup")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Sessionize.asofJoinNative(clicks, signups, "user_id", "ts_us", "event_id")
+        .toDF("l_event", "l_user", "l_ts", "r_event", "r_user", "r_ts", "r_value")
+        .select(col("l_event").as("event_id"), col("l_user").as("user_id"),
+          col("l_ts").as("ts_us"), col("r_event").as("signup_event"),
+          col("r_value").as("signup_value"))
+        .orderBy(col("event_id"))
+    },
+
     // schema'd JSON parse of the props column (JsonToStructs — the typed
     // from_json path, not string plucking) + per-decile rollup
     "ev12_props_json" -> { (s, d) =>
@@ -291,6 +315,24 @@ object StreamingQueries {
         |  FROM events GROUP BY user_id) c USING (user_id)
         |GROUP BY cohort_week, week - cohort_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // identical contract to ev8: one oracle, two implementations under test
+    "ev13_asof_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |su AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+        |                                 ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'signup') t
+        |  WHERE rn = 1),
+        |cl AS (SELECT * FROM e WHERE event_type <> 'signup')
+        |SELECT cl.event_id, cl.user_id, cl.ts_us,
+        |       su.event_id AS signup_event, su.value AS signup_value
+        |FROM cl ASOF LEFT JOIN su
+        |  ON cl.user_id = su.user_id AND cl.ts_us >= su.ts_us
+        |ORDER BY cl.event_id""".stripMargin,
 
     "ev12_props_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_decile,

@@ -193,6 +193,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 2, s"open session (user 1 @130s) must stay open: $got")
   }
 
+  test("native as-of exec: plans AsOfJoinExec, matches the window composition on fuzz") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq.tabulate(120)(i =>
+      (1000L + i, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong, s"p$i"))
+      .toDF("event_id", "user_id", "ts_us", "payload")
+    val native = Sessionize.asofJoinNative(left, right, "user_id", "ts_us", "event_id")
+      .toDF("l_event", "l_user", "l_ts", "r_event", "r_user", "r_ts", "r_payload")
+      .select("l_event", "r_event", "r_payload")
+    val plan = native.queryExecution.executedPlan.toString
+    // physical nodes print without the Exec suffix
+    assert(plan.contains("AsOfJoin"), s"native operator not planned:\n$plan")
+    val gotNative = native.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2)))))
+      .toMap
+    val gotWindow = Sessionize.asofJoin(left, right, "user_id", "ts_us", "event_id")
+      .select(col("event_id"), col("asof.event_id").as("r_event"),
+        col("asof.payload").as("r_payload"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2)))))
+      .toMap
+    assert(gotNative.size == 300 && gotNative == gotWindow,
+      s"native/window divergence: ${gotNative.toSet.diff(gotWindow.toSet).take(5)}")
+  }
+
   test("stream-stream interval join: same-key pairs inside the lag window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
