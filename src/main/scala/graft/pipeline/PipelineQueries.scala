@@ -73,6 +73,9 @@ object PipelineQueries {
   private val Ann6Query  = 7       // ADC query vector id
   private val Ann6TopK   = 10      // ADC result size
   private val Tx13K      = 30      // vocab heavy-hitter count
+  private val Tx16TopN   = 50      // bigram-LM report size
+  private val Tx17K      = 16      // winnowing gram length (chars)
+  private val Tx17W      = 8       // winnowing window (hashes)
   private val Tx14K      = 3       // tf-idf keywords per doc
   private val Tx15Window = 64      // RAG chunk window (tokens)
   private val Tx15Stride = 48      // RAG chunk stride (tokens)
@@ -333,6 +336,18 @@ object PipelineQueries {
     // corpus vocabulary heavy hitters (top-k tokens by document frequency)
     "tx13_vocab" -> { (s, d) =>
       TextAnalysis.vocabTopK(Tables.documents(s, d), k = Tx13K)
+    },
+
+    // corpus bigram LM: pair/unigram counts + exact conditional probability
+    "tx16_bigram_lm" -> { (s, d) =>
+      TextAnalysis.bigramLm(Tables.documents(s, d), topN = Tx16TopN)
+    },
+
+    // real winnowing fingerprints (k-gram hashes, min per w-window)
+    "tx17_winnowing" -> { (s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d),
+          k = Tx17K, w = Tx17W)
+        .orderBy(col("doc_id"), col("fp"))
     },
 
     // per-doc tf-idf keyword extraction, f32-quantized score key
@@ -1093,6 +1108,38 @@ object PipelineQueries {
          |GROUP BY token
          |ORDER BY df DESC, token
          |LIMIT $Tx13K""".stripMargin,
+
+    "tx16_bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                t -> t <> '') AS ts
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+         |  FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2),
+         |big AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+         |  FROM pairs GROUP BY w1, w2),
+         |uni AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM big GROUP BY w1)
+         |SELECT w1, w2, n_pair, n_w1,
+         |  CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE) AS p_cond
+         |FROM big JOIN uni USING (w1)
+         |ORDER BY n_pair DESC, w1, w2 LIMIT $Tx16TopN""".stripMargin,
+
+    "tx17_winnowing" ->
+      s"""SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT doc_id, pos, n_pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND ${Tx17W - 1} FOLLOWING) AS fp
+         |  FROM (
+         |    SELECT doc_id, i - 1 AS pos, length(text) - ${Tx17K - 1} AS n_pos,
+         |      md5(substr(text, CAST(i AS INT), $Tx17K)) AS h
+         |    FROM documents, UNNEST(range(1, length(text) - ${Tx17K - 2})) AS u(i)
+         |    WHERE length(text) >= $Tx17K) g) v
+         |WHERE pos <= greatest(n_pos - $Tx17W, 0)
+         |ORDER BY doc_id, fp""".stripMargin,
 
     // trunc before the BIGINT cast: DuckDB's double->int cast rounds while
     // Spark's truncates; the REAL round-trip mirrors the f32 score key

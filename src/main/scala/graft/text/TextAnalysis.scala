@@ -354,6 +354,57 @@ object TextAnalysis {
         col("df"), col("score_key"))
   }
 
+  /** Corpus bigram language model: C(w1,w2), C(w1), and the conditional
+    * P(w2|w1) as one exact-integer division — the n-gram-LM build step
+    * (the unigram variant backs the tx9 surprisal filter). Pairs explode
+    * from the bound token array in one pass (no self-join on positions);
+    * the aggregation is a plain (w1,w2)-keyed shuffle with map-side
+    * partials, so the build scales to any corpus. Returns the `topN`
+    * bigrams by count (ties lexicographic) — TakeOrdered, no global sort. */
+  def bigramLm(docs: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1, s"bigram top-n must be positive, got $topN")
+    val pairs = element_at(transform(array(tokens(col("text"))), ts =>
+      when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1), i =>
+          struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
+    val big = docs.select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = big.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
+    big.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        col("n_w1").cast("long").as("n_w1"),
+        (col("n_pair").cast("double") / col("n_w1").cast("double")).as("p_cond"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Proper winnowing (Schleimer/Wilkerson/Aiken): hash every k-char gram,
+    * slide a w-hash window, keep each window's MINIMUM — the fingerprint
+    * set that guarantees any match of length ≥ k+w−1 shares a fingerprint.
+    * [[fingerprints]] is the degenerate window=whole-doc variant; this one
+    * emits the real per-document set as (doc_id, fp) rows for the
+    * cross-document fingerprint join. Docs shorter than one full window
+    * keep their single all-hash minimum. One explode + one per-doc window
+    * pass + distinct — the shuffles are keyed by doc then (doc, fp). */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need positive k/w, got k=$k w=$w")
+    val hashes = transform(sequence(lit(1), length(col("text")) - (k - 1)),
+      i => md5(col("text").substr(i, lit(k))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")),
+        (length(col("text")) - (k - 1)).as("n_pos"))
+      .withColumn("fp", min(col("h")).over(win))
+      // only FULL windows select fingerprints; a doc shorter than one
+      // window degenerates to its global minimum (pos 0 partial window)
+      .filter(col("pos") <= greatest(col("n_pos") - w, lit(0)))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** RAG-style chunking: each doc's token stream is cut into windows of
     * `window` tokens every `stride` tokens (overlap = window − stride), the
     * unit retrieval pipelines embed and index. Emits one row per chunk with

@@ -616,6 +616,34 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(_.getLong(0) == 3L), "punctuation-only doc must vanish")
   }
 
+  test("bigram LM: closed-form counts, conditionals sum to 1 per w1") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(docs, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // pairs: d1 = (a,b),(b,a),(a,b),(b,c); d2 = (a,b)
+    assert(got(("a", "b")) == (3L, 3L, 1.0), s"C(a,b): ${got(("a", "b"))}")
+    assert(got(("b", "a")) == (1L, 2L, 0.5) && got(("b", "c")) == (1L, 2L, 0.5), got)
+    val perW1 = got.toSeq.groupBy(_._1._1).map { case (w1, xs) => w1 -> xs.map(_._2._3).sum }
+    perW1.foreach { case (w1, p) =>
+      assert(math.abs(p - 1.0) < 1e-12, s"P(·|$w1) must sum to 1, got $p") }
+  }
+
+  test("winnowing: shared long substring guarantees a shared fingerprint; short doc = 1 fp") {
+    val k = 8; val w = 4
+    val shared = "XXCOMMONSEQUENCEXX" // length 18 >= k + w - 1 = 11
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"totally different lead $shared and tail"),
+      (3L, "tiny text")) // 9 chars: 2 grams < w -> global-min single fp
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, k, w).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "winnowing guarantee violated: shared >=k+w-1 substring, no shared fp")
+    assert(fps(3L).size == 1, s"short doc must keep exactly its global min: ${fps(3L)}")
+  }
+
   test("pq: centroid-exact vectors round-trip, ADC = exact L2 on codebook points") {
     // 4 codebook vectors (ids 0..3) in dim 4, m=2 subspaces of 2 dims; ids
     // 4/5 duplicate centroids 2/1 so their codes and ADC are closed-form
