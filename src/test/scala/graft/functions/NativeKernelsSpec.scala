@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NativeKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sliding_min_i64 ≡ the HOF window-min form, including short arrays") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(100)(Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong()))
+    val w = 5
+    val hof = element_at(transform(array(col("a")), hs =>
+      transform(sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        j => array_min(slice(hs, j + 1, lit(w))))), 1)
+    val df = rows.toDF("a")
+      .select(SlidingMinI64(col("a"), w).as("native"), hof.as("hof"))
+    assert(df.filter(not(col("native") === col("hof"))).count() == 0)
+  }
+
+  test("winnow_fps ≡ the composed md5/conv/sliding-min/distinct pipeline") {
+    val k = 6; val w = 4
+    // includes a surrogate-pair doc: substr counts CODE POINTS, and a
+    // UTF-16-offset kernel would hash different grams
+    val docs = (Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaa", "short", "exact6",
+      "emoji 😀 inside a longer piece of text 😀 twice") ++
+      Seq.tabulate(50)(i => s"synthetic document number $i with shared tail words"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val composedHashes = transform(
+      sequence(lit(1), length(col("text")) - (k - 1)),
+      i => conv(substring(md5(col("text").substr(i, lit(k))), 1, 15), 16, 10)
+        .cast("long"))
+    val composed = docs.toDF("doc_id", "text")
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(SlidingMinI64(composedHashes, w))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = TextOps.winnow(docs, k, w)
+    assert(native == composed,
+      s"kernel diverges from the composed form: ${(native diff composed).take(3)} / ${(composed diff native).take(3)}")
+    assert(native.nonEmpty && !native.exists(_._1 == 2L), "sub-k doc must vanish")
+  }
+
+  private object TextOps {
+    def winnow(docs: Seq[(Long, String)], k: Int, w: Int): Set[(Long, Long)] =
+      graft.text.TextAnalysis.winnowFingerprints(
+          docs.toDF("doc_id", "text"), k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+}

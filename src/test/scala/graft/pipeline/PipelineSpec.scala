@@ -638,7 +638,7 @@ class PipelineSpec extends SparkSpec {
       (3L, "tiny text")) // 9 chars: 2 grams < w -> global-min single fp
       .toDF("doc_id", "text")
     val fps = TextAnalysis.winnowFingerprints(docs, k, w).collect()
-      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
     assert((fps(1L) & fps(2L)).nonEmpty,
       "winnowing guarantee violated: shared >=k+w-1 substring, no shared fp")
     assert(fps(3L).size == 1, s"short doc must keep exactly its global min: ${fps(3L)}")
