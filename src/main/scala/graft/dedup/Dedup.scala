@@ -273,21 +273,20 @@ object Dedup {
     // every such component would equal min(h1) — perfectly correlated
     // duplicates that silently inflate similarity estimates
     require(k >= 1 && k <= 60, s"signature size k must be in [1, 60], got $k")
-    val hs = transform(transform(shingles(col("text"), n), sh => md5(sh)), m => struct(
-      conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
-      conv(substring(m, 17, 15), 16, 10).cast("long").as("h2")))
-    // the hash pass is persisted BEFORE the empty-doc filter: a filter on
-    // the lazy column gets predicate-pushed below the projection and
+    // the signature pass is persisted BEFORE the empty-doc filter: a filter
+    // on the lazy column gets predicate-pushed below the projection and
     // re-evaluates the whole shingle+md5 tree a second time per row (the
-    // plan-verified round-3 finding); the cache boundary stops the pushdown
-    val hashed = docs.select(col("doc_id"), hs.as("hs")).persist()
+    // plan-verified round-3 finding); the cache boundary stops the pushdown.
+    // Hashing + component minima run in the native kernel
+    // ([[graft.functions.MinhashSigs]] — same md5 derivation, one pass).
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.MinhashSigs(shingles(col("text"), n), k).as("sigs"))
+      .persist()
     graft.Caches.track(hashed)
-    val sigCols = (0 until k).map(i =>
-      array_min(transform(col("hs"), p =>
-        p.getField("h1").bitwiseXOR(shiftrightunsigned(p.getField("h2"), i)))).as(s"h$i"))
     hashed
-      .filter(size(col("hs")) > 0)
-      .select((col("doc_id") +: sigCols): _*)
+      .filter(size(col("sigs")) > 0)
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"h$i")): _*)
   }
 
   /** The scale composition the docs promise: MinHash-LSH candidate
@@ -310,19 +309,15 @@ object Dedup {
     val shArr = docs.select(col("doc_id"), shingles(col("text"), n).as("shs"))
       .persist()
     graft.Caches.track(shArr)
-    val hashed = shArr.withColumn("hs",
-      transform(transform(col("shs"), sh => md5(sh)), m => struct(
-        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 17, 15), 16, 10).cast("long").as("h2"))))
-    val sigCols = (0 until k).map(i =>
-      array_min(transform(col("hs"), p =>
-        p.getField("h1").bitwiseXOR(shiftrightunsigned(p.getField("h2"), i)))).as(s"h$i"))
     // shingle-less docs carry no signature (exactly the explode+groupBy
     // semantics) — otherwise every empty doc lands in one degenerate bucket.
     // Persisted: the band self-join below evaluates its input twice, and
-    // without the cache each side re-runs the md5 pass over the shingles
-    val sigs = hashed.filter(size(col("shs")) > 0)
-      .select((col("doc_id") +: sigCols): _*)
+    // without the cache each side re-runs the md5 pass over the shingles.
+    // Hashing + component minima run in the native MinhashSigs kernel.
+    val sigs = shArr.filter(size(col("shs")) > 0)
+      .withColumn("sigs", graft.functions.MinhashSigs(col("shs"), k))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"h$i")): _*)
       .persist()
     graft.Caches.track(sigs)
     val bexp = sigs.select(col("doc_id"),

@@ -42,6 +42,29 @@ class NativeKernelsSpec extends SparkSpec {
     assert(native.nonEmpty && !native.exists(_._1 == 2L), "sub-k doc must vanish")
   }
 
+  test("minhash_sigs ≡ the composed md5/conv/xor-shift HOF derivation") {
+    val k = 8
+    val rnd = new scala.util.Random(3)
+    val words = Vector("alpha", "beta", "gamma", "delta", "café", "Über")
+    val rows = Seq.fill(80)(Seq.fill(1 + rnd.nextInt(12))(
+      words(rnd.nextInt(words.size))).mkString(" ")) :+ ""
+    val shs = graft.dedup.Dedup.shingles(col("text"), 3)
+    val composed = array((0 until k).map(i =>
+      array_min(transform(shs, sh => {
+        val m = md5(sh)
+        conv(substring(m, 1, 15), 16, 10).cast("long")
+          .bitwiseXOR(shiftrightunsigned(
+            conv(substring(m, 17, 15), 16, 10).cast("long"), i))
+      }))): _*)
+    val df = rows.toDF("text")
+      .select(MinhashSigs(shs, k).as("native"), composed.as("hof"),
+        size(shs).as("n_sh"))
+    val bad = df.filter(col("n_sh") > 0 && not(col("native") === col("hof")))
+    assert(bad.count() == 0, s"kernel diverges: ${bad.take(2).toSeq}")
+    assert(df.filter(col("n_sh") === 0 && size(col("native")) =!= 0).count() == 0,
+      "empty shingle set must give an empty signature")
+  }
+
   private object TextOps {
     def winnow(docs: Seq[(Long, String)], k: Int, w: Int): Set[(Long, Long)] =
       graft.text.TextAnalysis.winnowFingerprints(
