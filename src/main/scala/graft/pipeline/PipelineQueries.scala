@@ -74,6 +74,7 @@ object PipelineQueries {
   private val Ann6TopK   = 10      // ADC result size
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
+  private val Tx18Merges = 10      // BPE merges learned
   private val Tx17K      = 16      // winnowing gram length (chars)
   private val Tx17W      = 8       // winnowing window (hashes)
   private val Tx14K      = 3       // tf-idf keywords per doc
@@ -348,6 +349,12 @@ object PipelineQueries {
       TextAnalysis.winnowFingerprints(Tables.documents(s, d),
           k = Tx17K, w = Tx17W)
         .orderBy(col("doc_id"), col("fp"))
+    },
+
+    // BPE merge learning (tokenizer training): greedy top pair per round
+    "tx18_bpe" -> { (s, d) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, d), nMerges = Tx18Merges)
+        .orderBy(col("rank"))
     },
 
     // per-doc tf-idf keyword extraction, f32-quantized score key
@@ -1109,6 +1116,42 @@ object PipelineQueries {
          |ORDER BY df DESC, token
          |LIMIT $Tx13K""".stripMargin,
 
+    // one (pairs → best → replace) CTE triple per merge round, generated by
+    // the same loop count as the Spark side; plain replace() on the
+    // double-space encoding is the boundary-safe merge in both engines
+    "tx18_bpe" -> {
+      def round(i: Int): String =
+        s"""p$i AS MATERIALIZED (
+           |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, p[CAST(j AS INT)] AS l, p[CAST(j AS INT) + 1] AS r
+           |    FROM (SELECT freq, string_split(trim(s), '  ') AS p FROM w${i - 1}) t,
+           |         UNNEST(range(1, len(p))) AS u(j))
+           |  GROUP BY l, r),
+           |b$i AS MATERIALIZED (SELECT l, r, l || r AS merged, cnt FROM p$i
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT freq,
+           |    replace(s, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+           |            ' ' || (SELECT merged FROM b$i) || ' ') AS s
+           |  FROM w${i - 1})""".stripMargin
+      val rounds = (1 to Tx18Merges).map(round).mkString(",\n")
+      val finals = (1 to Tx18Merges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, merged, cnt AS pair_count FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                              t -> t <> '')) AS w
+         |    FROM documents) t
+         |  GROUP BY w),
+         |w0 AS MATERIALIZED (
+         |  SELECT freq, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+         |  FROM words),
+         |$rounds
+         |$finals
+         |ORDER BY rank""".stripMargin
+    },
+
     "tx16_bigram_lm" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
@@ -1135,7 +1178,7 @@ object PipelineQueries {
          |                 ROWS BETWEEN CURRENT ROW AND ${Tx17W - 1} FOLLOWING) AS fp
          |  FROM (
          |    SELECT doc_id, i - 1 AS pos, length(text) - ${Tx17K - 1} AS n_pos,
-         |      md5(substr(text, CAST(i AS INT), $Tx17K)) AS h
+         |      CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), $Tx17K)), 1, 15)) AS BIGINT) AS h
          |    FROM documents, UNNEST(range(1, length(text) - ${Tx17K - 2})) AS u(i)
          |    WHERE length(text) >= $Tx17K) g) v
          |WHERE pos <= greatest(n_pos - $Tx17W, 0)

@@ -295,6 +295,19 @@ object CoreQueries {
         .limit(20)
     },
 
+    // --- INTERSECT set op (completes §2.6: union/minus/intersect) --------
+    // high-balance customers who also ordered in 1997; plans as a
+    // left-semi aggregate join, no full distinct-sort of either side
+    "q24_intersect" -> { (s, d) =>
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val active = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_custkey").as("c_custkey"))
+      rich.intersect(active).orderBy(col("c_custkey"))
+    },
+
     // --- exact grouped percentiles (price-distribution report) ----------
     // percentile() is the exact sort-based aggregate (linear interpolation
     // at rank p·(n−1), same definition as DuckDB's quantile_cont); the f32
@@ -508,6 +521,14 @@ object CoreQueries {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q24_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q23_percentiles" ->
       """SELECT l_returnflag, COUNT(*) AS n,

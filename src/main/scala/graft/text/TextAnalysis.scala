@@ -404,6 +404,70 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.WinnowFps(col("text"), k, w)).as("fp"))
 
+  /** BPE merge learning — the tokenizer-training step of a corpus pipeline:
+    * starting from single characters, learn the `nMerges` highest-frequency
+    * adjacent symbol pairs (greedy, ties broken lexicographically), merging
+    * each winner into the working vocabulary before counting the next.
+    * Returns the merge table (rank, left, right, merged, pair_count).
+    *
+    * Symbol sequences live in a DOUBLE-SPACE-joined string wrapped in
+    * boundary double spaces; a merge replaces `" A  B "` with `" AB "`.
+    * That encoding makes plain non-overlapping `replace()` — identical
+    * semantics in Spark and the DuckDB oracle, no lookarounds (RE2 has
+    * none) — both boundary-safe (a pattern symbol must match a FULL
+    * vocabulary symbol: anything longer breaks the two-space run) and
+    * adjacent-repeat-correct ("a a a" merges left-to-right like reference
+    * BPE). Each round is one aggregation over the WORD table (vocab-sized,
+    * not corpus-sized — frequencies weight the counts), so learning cost is
+    * `nMerges` small jobs regardless of corpus scale; the corpus is read
+    * once to build word frequencies. */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"need at least one merge, got $nMerges")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("s",
+        concat(lit("  "), array_join(filter(split(col("w"), ""), c => c =!= ""),
+          "  "), lit("  ")))
+      .persist()
+    graft.Caches.track(words)
+    var state = words.select(col("freq"), col("s"))
+    val merges = Seq.newBuilder[Row]
+    for (rank <- 1 to nMerges) {
+      val pairs = state
+        .select(col("freq"), split(trim(col("s")), "  ").as("p"))
+        // guard: sequence(1, 0) would DESCEND for single-symbol words
+        .filter(size(col("p")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("p")) - 1),
+          i => struct(element_at(col("p"), i).as("l"),
+            element_at(col("p"), i + 1).as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val bestRows = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (bestRows.nonEmpty) {
+        val best = bestRows.head
+        val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += Row(rank.toLong, l, r, l + r, cnt)
+        val next = state.withColumn("s",
+          regexp_replace(col("s"), // literal replace: symbols are [a-z0-9]+
+            java.util.regex.Pattern.quote(s" $l  $r "),
+            java.util.regex.Matcher.quoteReplacement(s" ${l + r} ")))
+          .persist()
+        graft.Caches.track(next)
+        state = next
+      }
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.result(), 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("lhs", StringType), StructField("rhs", StringType),
+        StructField("merged", StringType),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
   /** RAG-style chunking: each doc's token stream is cut into windows of
     * `window` tokens every `stride` tokens (overlap = window − stride), the
     * unit retrieval pipelines embed and index. Emits one row per chunk with

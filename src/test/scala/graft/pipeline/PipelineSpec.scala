@@ -629,6 +629,23 @@ class PipelineSpec extends SparkSpec {
       assert(math.abs(p - 1.0) < 1e-12, s"P(·|$w1) must sum to 1, got $p") }
   }
 
+  test("bpe merges: greedy frequency order, lexicographic ties, repeat runs merge left-first") {
+    // corpus: "abab" x3, "aaa" x2 -> pair counts round 1:
+    //   (a,b)=6, (b,a)=3, (a,a)=4  => merge 1 = (a,b)->ab (count 6)
+    // round 2 state: "ab ab" x3, "a a a" x2 -> (ab,ab)=3, (a,a)=4
+    //   => merge 2 = (a,a)->aa (count 4; "a a a" pairs left-first)
+    // round 3 state: "ab ab" x3, "aa a" x2 -> (ab,ab)=3, (aa,a)=2
+    //   => merge 3 = (ab,ab)->abab (count 3)
+    val docs = Seq((1L, "abab abab abab aaa aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, nMerges = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "ab", 6L),
+      (2L, "a", "a", "aa", 4L),
+      (3L, "ab", "ab", "abab", 3L)), s"merge table wrong: ${got.toSeq}")
+  }
+
   test("winnowing: shared long substring guarantees a shared fingerprint; short doc = 1 fp") {
     val k = 8; val w = 4
     val shared = "XXCOMMONSEQUENCEXX" // length 18 >= k + w - 1 = 11
