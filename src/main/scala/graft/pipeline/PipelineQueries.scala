@@ -214,6 +214,11 @@ object PipelineQueries {
       graft.graph.Graphs.triangleCounts(edges).orderBy(col("node"))
     },
 
+    // symmetric int8 embedding quantization (integer-exact rounding)
+    "ann7_int8_quant" -> { (s, d) =>
+      Ann.int8Quantize(Tables.embeddings(s, d)).orderBy(col("vec_id"))
+    },
+
     // product-quantization ADC search: m code bytes per vector, exact
     // integer subspace-distance lookup — the compressed-index ANN path
     "ann6_pq_adc" -> { (s, d) =>
@@ -825,6 +830,26 @@ object PipelineQueries {
         |      UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM m GROUP BY node ORDER BY node""".stripMargin,
+
+    "ann7_int8_quant" ->
+      """WITH vecs AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |         CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS vmax
+        |  FROM vecs),
+        |codes AS (
+        |  SELECT vec_id, vmax, CAST(len(v) AS BIGINT) AS n_dims,
+        |    list_transform(v, x -> CASE WHEN x < 0
+        |      THEN -((2*abs(x)*127 + vmax) // (2*vmax))
+        |      ELSE (2*abs(x)*127 + vmax) // (2*vmax) END) AS cs
+        |  FROM sc WHERE vmax > 0)
+        |SELECT vec_id, n_dims, vmax AS scale_q,
+        |  CAST(list_sum(cs) AS BIGINT) AS code_sum,
+        |  md5(array_to_string(cs, ',')) AS code_hash
+        |FROM codes ORDER BY vec_id""".stripMargin,
 
     // PQ-ADC: per-(vector, subspace) nearest-centroid codes, then the
     // query-to-centroid distance table joined back on (subspace, code);

@@ -308,6 +308,17 @@ object CoreQueries {
       rich.intersect(active).orderBy(col("c_custkey"))
     },
 
+    // --- ROLLUP multi-grain aggregation ---------------------------------
+    // (flag, status) -> (flag) -> () in ONE pass over the partial
+    // aggregates (the Expand operator), not one scan per grain
+    "q25_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // --- exact grouped percentiles (price-distribution report) ----------
     // percentile() is the exact sort-based aggregate (linear interpolation
     // at rank p·(n−1), same definition as DuckDB's quantile_cont); the f32
@@ -521,6 +532,13 @@ object CoreQueries {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q24_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000

@@ -392,6 +392,37 @@ object Ann {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of every embedding — the storage-compression
+    * pass that shrinks a 100 TB f32 embedding corpus 4× before indexing:
+    * per-vector scale = max |component| (in the repo's 1/1000 quantized
+    * units), code_i = round(v_i · 127 / scale) ∈ [−127, 127]. The rounding
+    * is PURE INTEGER (`sign · ((2·|v|·127 + scale) div (2·scale))`), so the
+    * codes are engine-exact with no float-rounding-mode hazard. Emits one
+    * summary row per vector (dims, scale, code checksum + md5 — enough for
+    * the oracle to pin every code without hashing an array column).
+    * Zero-norm vectors are skipped (nothing to scale). Narrow projection,
+    * no shuffle. */
+  def int8Quantize(embeddings: DataFrame): DataFrame = {
+    // floor-of-double IS the integer division here: numerator/denominator
+    // are < 2^22, so a non-integer quotient sits ≥ 1/denominator ≈ 5e-5
+    // from any integer while the division error is ~1e-14 — floor cannot
+    // misround (the oracle uses BIGINT `//` directly)
+    val codes = transform(col("v"), x => {
+      val a = abs(x)
+      val q = floor((a * 254 + col("vmax")) / (col("vmax") * 2)).cast("long")
+      when(x < 0, -q).otherwise(q)
+    })
+    quantized(embeddings)
+      .withColumn("vmax", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("vmax") > 0)
+      .withColumn("codes", codes)
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        col("vmax").as("scale_q"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        md5(array_join(col("codes"), ",")).as("code_hash"))
+  }
+
   /** ANN top-k: exact re-rank restricted to vectors whose signature is
     * within `probeDist` hamming bits of the query's signature. */
   def topKCosineLsh(embeddings: DataFrame, queryId: Long, k: Int,
