@@ -25,6 +25,9 @@ object StreamingQueries {
   /** rolling-aggregate trailing window (7 d) — ev10 gate + oracle. */
   val RollWindowDays = 7
 
+  /** click→purchase attribution lag (1 h) — ev14 gate + oracle. */
+  val AttributionLagUs = 3600L * 1000000L
+
   private def ev(s: SparkSession, d: String): DataFrame = Projector.events(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,6 +138,29 @@ object StreamingQueries {
           col("l_ts").as("ts_us"), col("r_event").as("signup_event"),
           col("r_value").as("signup_value"))
         .orderBy(col("event_id"))
+    },
+
+    // batch twin of the stream-stream interval join: click -> purchase
+    // attribution within 1 h, same key; equi-key + range condition plans
+    // as a hash/sort-merge join on user_id with a post-filter — never a
+    // cartesian range explosion
+    "ev14_attribution" -> { (s, d) =>
+      val e = Projector.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("click_us"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"),
+          col("user_id").as("b_user_id"), col("ts_us").as("buy_us"))
+      clicks.join(buys,
+          col("user_id") === col("b_user_id") &&
+            col("buy_us") >= col("click_us") &&
+            col("buy_us") <= col("click_us") + AttributionLagUs)
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          (col("buy_us") - col("click_us")).as("lag_us"))
+        .orderBy(col("click_id"), col("buy_id"))
     },
 
     // schema'd JSON parse of the props column (JsonToStructs — the typed
@@ -315,6 +341,17 @@ object StreamingQueries {
         |  FROM events GROUP BY user_id) c USING (user_id)
         |GROUP BY cohort_week, week - cohort_week
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "ev14_attribution" ->
+      s"""WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+        |  b.ts_us - c.ts_us AS lag_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+        |  ON c.user_id = b.user_id
+        | AND b.ts_us >= c.ts_us AND b.ts_us <= c.ts_us + $AttributionLagUs
+        |ORDER BY click_id, buy_id""".stripMargin,
 
     // identical contract to ev8: one oracle, two implementations under test
     "ev13_asof_native" ->

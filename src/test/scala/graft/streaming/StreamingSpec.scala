@@ -193,6 +193,13 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 2, s"open session (user 1 @130s) must stay open: $got")
   }
 
+  test("ev14 attribution: equi+range join never degenerates to a product") {
+    val plan = StreamingQueries.queries("ev14_attribution")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join exploded:\n$plan")
+  }
+
   test("native as-of exec: plans AsOfJoinExec, matches the window composition on fuzz") {
     val rnd = new scala.util.Random(7)
     val left = Seq.tabulate(300)(i =>
