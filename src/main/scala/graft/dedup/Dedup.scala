@@ -410,20 +410,18 @@ object Dedup {
     * combinable pass — no per-bit row explosion, no second shuffle (the
     * naive posexplode formulation multiplies the token stream 60×).
     * Returns (doc_id, simhash). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val voteSums = (0 until SimhashBits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"v$i"))
-    val votes = tf.groupBy(col("doc_id")).agg(voteSums.head, voteSums.tail: _*)
-    val fingerprint = (0 until SimhashBits).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    votes.select(col("doc_id"), fingerprint.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    // ZERO shuffles: tf counting, per-token hashing, and the bit votes all
+    // run inside [[graft.functions.SimhashOf]] (one map-side pass) — the
+    // explode+double-groupBy formulation this replaces shuffled the corpus
+    // twice. Token-less docs are dropped BEFORE the projection on a cheap
+    // text predicate ("has an alnum char" ⇔ "has a token"): filtering on
+    // the kernel output would get predicate-pushed below the project and
+    // evaluate the kernel twice per row (the round-3 double-eval trap).
+    docs
+      .filter(lower(col("text")).rlike("[a-z0-9]"))
+      .select(col("doc_id"),
+        graft.functions.SimhashOf(tokens(col("text")), SimhashBits).as("simhash"))
 
   /** Near-dup pairs within hamming distance <= maxDist, candidates via
     * 15-bit chunk collision (pigeonhole: dist<=3 ⇒ one of 4 chunks equal). */

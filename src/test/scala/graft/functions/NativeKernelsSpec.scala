@@ -65,6 +65,34 @@ class NativeKernelsSpec extends SparkSpec {
       "empty shingle set must give an empty signature")
   }
 
+  test("simhash_of ≡ the explode + double-groupBy vote formulation") {
+    val rnd = new scala.util.Random(5)
+    val words = Vector("data", "spark", "engine", "query", "café", "the", "a")
+    val docs = (Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(20))(
+        words(rnd.nextInt(words.size))).mkString(" "))) :+
+      (900L, "!!! ...")) // token-less doc must vanish from BOTH
+      .toDF("doc_id", "text")
+    val toks = graft.dedup.Dedup.tokens(col("text"))
+    val voteSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$i"))
+    val fp = (0 until 60).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val composed = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("doc_id")).agg(voteSums.head, voteSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = graft.dedup.Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed, s"simhash kernel diverges: " +
+      s"${(native.toSet diff composed.toSet).take(3)} vs ${(composed.toSet diff native.toSet).take(3)}")
+    assert(!native.contains(900L), "token-less doc leaked into the fingerprints")
+  }
+
   private object TextOps {
     def winnow(docs: Seq[(Long, String)], k: Int, w: Int): Set[(Long, Long)] =
       graft.text.TextAnalysis.winnowFingerprints(
