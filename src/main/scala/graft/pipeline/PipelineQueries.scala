@@ -51,6 +51,7 @@ object PipelineQueries {
   private val Dd9W       = 8       // passage window (tokens)
   private val Dd9MinTail = Dd9W / 2 // min final-chunk tokens kept
   private val Dc1N       = 5       // contamination n-gram size
+  private val Dc2Snippet = 40      // exact-substring probe length (chars)
   private val SplitSalt  = "graft" // deterministic-split hash salt
   private val SplitValPm  = 100    // val permille of the hash space
   private val SplitTestPm = 50     // test permille
@@ -160,6 +161,14 @@ object PipelineQueries {
     "dc1_decontaminate" -> { (s, d) =>
       TextAnalysis.contaminationReport(corpus(s, d), n = Dc1N, salt = SplitSalt,
           valPermille = SplitValPm, testPermille = SplitTestPm)
+        .orderBy(col("doc_id"))
+    },
+
+    // exact-substring decontamination: test-split head snippets found
+    // verbatim inside train docs (broadcast snippet probe)
+    "dc2_exact_substring" -> { (s, d) =>
+      TextAnalysis.exactContamination(corpus(s, d), snippetLen = Dc2Snippet,
+          salt = SplitSalt, valPermille = SplitValPm, testPermille = SplitTestPm)
         .orderBy(col("doc_id"))
     },
 
@@ -657,6 +666,27 @@ object PipelineQueries {
     // decontamination: md5-permille split of the planted corpus, distinct
     // 5-gram overlap of train docs against the test split's gram set (short
     // docs contribute their whole text as one gram, like the Spark side)
+    "dc2_exact_substring" ->
+      s"""WITH $corpusCte,
+         |lbl AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN slot < $SplitValPm THEN 'val'
+         |         WHEN slot < ${SplitValPm + SplitTestPm} THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |    FROM corpus) s),
+         |sn AS (
+         |  SELECT doc_id AS snippet_doc, substr(text, 1, $Dc2Snippet) AS snippet
+         |  FROM lbl WHERE split = 'test' AND length(substr(text, 1, $Dc2Snippet)) >= $Dc2Snippet),
+         |tr AS (SELECT doc_id, text FROM lbl WHERE split = 'train')
+         |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  MIN(snippet_doc) AS first_snippet_doc
+         |FROM tr JOIN sn
+         |  ON instr(tr.text, sn.snippet) > 0 AND tr.doc_id <> sn.snippet_doc
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
     "dc1_decontaminate" ->
       s"""WITH $corpusCte,
          |lbl AS (

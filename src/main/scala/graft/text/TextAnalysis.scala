@@ -214,6 +214,33 @@ object TextAnalysis {
       split.filter(col("split") === "test"), n)
   }
 
+  /** Exact-substring decontamination (the complement of the n-gram overlap
+    * report): eval docs contribute a fixed-length head snippet, and every
+    * TRAIN doc containing any snippet verbatim is flagged — the check that
+    * catches benchmark prompts pasted into training text even when
+    * tokenization would split them differently. The snippet side is
+    * structurally small (an eval set), so it broadcasts and the scan is one
+    * pass over train; the per-(doc, snippet) `instr` probe is the honest
+    * cost — the refinement at huge snippet counts is an Aho–Corasick
+    * automaton in a mapPartitions, same dataflow shape. */
+  def exactContamination(docs: DataFrame, snippetLen: Int, salt: String,
+      valPermille: Int, testPermille: Int): DataFrame = {
+    require(snippetLen >= 8, s"snippet length too short to be meaningful: $snippetLen")
+    val lbl = deterministicSplit(docs, "doc_id", salt, valPermille, testPermille)
+    val snippets = lbl.filter(col("split") === "test")
+      .select(col("doc_id").as("snippet_doc"),
+        substring(col("text"), 1, snippetLen).as("snippet"))
+      .filter(length(col("snippet")) >= snippetLen)
+    val train = lbl.filter(col("split") === "train")
+      .select(col("doc_id"), col("text"))
+    train.join(broadcast(snippets),
+        instr(col("text"), col("snippet")) > 0 &&
+          col("doc_id") =!= col("snippet_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("snippet_doc")).as("first_snippet_doc"))
+  }
+
   /** Self-trained unigram-LM surprisal — the KenLM-style "perplexity filter"
     * of web-scale pipelines, with the LM trained on the corpus itself: a
     * token's probability is its corpus frequency cnt/N, a doc's score is the
