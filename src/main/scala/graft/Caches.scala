@@ -37,6 +37,16 @@ object Caches {
   /** Register a persisted DataFrame for release at the next drain. */
   def track(df: DataFrame): Unit = tracked.add(() => { df.unpersist(blocking = false); () })
 
+  /** Register a broadcast variable (e.g. the incremental-dedup Bloom
+    * filter, ~GB-scale per its sizing doc) for destruction at the next
+    * drain. Broadcasts are driver+executor memory, not block-manager cache,
+    * so leaking them across repeated gate/bench invocations accumulates
+    * until OOM; same one-query-in-flight contract as the RDD/DF overloads
+    * (a destroyed broadcast canNOT recompute — callers must materialize
+    * before the next drain). */
+  def track(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    tracked.add(() => b.destroy())
+
   /** Drain: unpersist everything registered since the previous drain. */
   def release(): Unit = {
     var r = tracked.poll()

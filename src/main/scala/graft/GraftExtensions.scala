@@ -35,12 +35,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions extends GraftExtensions
 
 /** `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (s,x) -> s+x)` →
-  * `dot_i64(a, b)`. Null semantics are identical (null array → null; a null
-  * element poisons the product, which poisons the running sum), so the
+  * `dot_i64(a, b)`. Null semantics are identical in every case — null
+  * array → null, a null element poisons the product which poisons the
+  * running sum, and a length mismatch is null on both sides (zip_with
+  * pads with nulls; [[DotI64]] returns null on unequal lengths) — so the
   * rewrite is safe whenever the aggregate's finish lambda is the identity
   * (i.e. the three-argument form). Only the exact multiply/add shape with a
-  * zero initial literal rewrites — anything else keeps the HOF plan. */
+  * zero initial literal rewrites — anything else keeps the HOF plan.
+  *
+  * The traversal is gated on the HIGH_ORDER_FUNCTION tree-pattern bit, so
+  * for the vast majority of plans (every SPARQL/path/FTS plan — no HOFs)
+  * the rule is a single cached-bitset test per optimizer fixpoint
+  * iteration, not a tree walk. This matters because seeded-closure path
+  * queries re-plan per expansion round and would otherwise multiply any
+  * per-plan traversal cost. */
 object RewriteHofDot extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.trees.TreePattern
 
   private object MulLambda {
     def unapply(f: LambdaFunction): Boolean = f match {
@@ -70,12 +80,14 @@ object RewriteHofDot extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case agg @ ArrayAggregate(
-        ZipWith(a, b, MulLambda()), ZeroLit(), AddLambda(), finish: LambdaFunction)
-        if isIdentity(finish) && agg.dataType == org.apache.spark.sql.types.LongType =>
-      DotI64(a, b)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(TreePattern.HIGH_ORDER_FUNCTION)) {
+      case agg @ ArrayAggregate(
+          ZipWith(a, b, MulLambda()), ZeroLit(), AddLambda(), finish: LambdaFunction)
+          if isIdentity(finish) && agg.dataType == org.apache.spark.sql.types.LongType =>
+        DotI64(a, b)
+    }
 
   private def isIdentity(f: LambdaFunction): Boolean = f match {
     case LambdaFunction(x: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>

@@ -87,6 +87,10 @@ object Dedup {
     val refHashes = reference.select(md5(col("text")).as("text_hash"))
     val bf = refHashes.stat.bloomFilter("text_hash", expectedRefDocs, fpp)
     val bfB = reference.sparkSession.sparkContext.broadcast(bf)
+    // the returned frame is lazy, so the broadcast cannot be destroyed
+    // here — register it for the next entry-point drain (round-2 session
+    // -leak discipline; a ~GB bloom leaked per invocation is driver OOM)
+    graft.Caches.track(bfB)
     val mightContain = udf((h: String) => h != null && bfB.value.mightContain(h))
     incoming.withColumn("text_hash", md5(col("text")))
       .filter(mightContain(col("text_hash")))

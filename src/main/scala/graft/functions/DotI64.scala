@@ -21,11 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ladder: a native `Expression` with `doGenCode` beating both the HOF
   * chain and any UDF.
   *
-  * Null semantics match the HOF form: a null array or ANY null element
-  * yields null (zip_with's null product poisons aggregate's sum). Lengths
-  * may differ; the overhang is ignored (zip_with pads with null, which
-  * would poison the HOF sum — callers always pass equal-length vectors, so
-  * the practical contract is identical).
+  * Null semantics match the HOF form exactly: a null array, ANY null
+  * element, or a LENGTH MISMATCH yields null (zip_with pads the shorter
+  * array with nulls, and the null products poison aggregate's running
+  * sum). Matching the mismatch case too is what makes the session-wide
+  * [[graft.RewriteHofDot]] rewrite unconditionally sound.
   */
 case class DotI64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,7 +49,8 @@ case class DotI64(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -66,11 +67,13 @@ case class DotI64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

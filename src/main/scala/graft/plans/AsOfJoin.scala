@@ -32,6 +32,15 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     rightSeq: Expression) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+  // the merge scan evals key/ts/seq straight to Long, so anything but
+  // bigint columns must be rejected at ANALYSIS time — without this check
+  // a construction path that skips asofJoinNative's validation would fail
+  // mid-execution with a ClassCastException instead
+  override lazy val resolved: Boolean = {
+    val exprs = Seq(leftKey, rightKey, leftTs, rightTs, rightSeq)
+    childrenResolved && exprs.forall(_.resolved) &&
+      exprs.forall(_.dataType == org.apache.spark.sql.types.LongType)
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)

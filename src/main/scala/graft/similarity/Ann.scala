@@ -325,7 +325,14 @@ object Ann {
     val rows = quantized(embeddings).filter(col("vec_id") < kCodes)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1))).sortBy(_._1)
-    require(rows.nonEmpty, "empty PQ codebook")
+    // pqEncode packs codes positionally (acc*kCodes + code) and topKAdc
+    // resolves distances via element_at(lut, code+1): both assume the
+    // training ids are EXACTLY the dense set 0..kCodes-1. A sparse or
+    // offset id space would silently produce wrong codes/distances, so
+    // reject it here rather than downstream.
+    require(rows.length == kCodes && rows.map(_._1).toSeq == (0 until kCodes),
+      s"PQ codebook needs dense vec_ids 0..${kCodes - 1}; " +
+        s"got ${rows.length} rows [${rows.take(5).map(_._1).mkString(",")}…]")
     val dim = rows.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val ds = dim / m

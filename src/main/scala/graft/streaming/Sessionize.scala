@@ -176,7 +176,15 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // flatMapGroupsWithState does NOT drop rows older than the
+              // watermark, and setTimeoutTimestamp throws if the requested
+              // timestamp is not strictly later than the current watermark —
+              // so one sufficiently-late event (trivial with a short
+              // watermark delay) would crash the whole query. Clamp to
+              // watermark+1: the group then times out at the next trigger,
+              // which is the correct "this session is already over" outcome.
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.result().iterator
           }

@@ -36,6 +36,26 @@ class DotI64Spec extends SparkSpec {
     assert(got(2) == (None, None), s"null element must poison: ${got(2)}")
   }
 
+  test("dot_i64 length mismatch yields null, exactly like the HOF form") {
+    // zip_with pads the shorter array with nulls, which poisons the HOF
+    // sum to null — the kernel must agree or the session-wide RewriteHofDot
+    // silently changes results for mismatched vectors (round-4 advice)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),      // left longer
+      (Seq(1L), Seq(2L, 3L)),              // right longer
+      (Seq.empty[Long], Seq(7L)),          // empty vs non-empty
+      (Seq(2L, 3L), Seq(4L, 5L)))          // equal: 23
+      .toDF("a", "b")
+      .select(DotI64(col("a"), col("b")).as("native"), hofDot.as("hof"))
+    val got = df.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got(0) == (None, None), s"mismatch must be null: ${got(0)}")
+    assert(got(1) == (None, None), s"mismatch must be null: ${got(1)}")
+    assert(got(2) == (None, None), s"mismatch must be null: ${got(2)}")
+    assert(got(3) == (Some(23L), Some(23L)))
+  }
+
   test("dot_i64 stays inside whole-stage codegen (no fallback compile)") {
     // spark.range, not a local Seq: ConvertToLocalRelation would fold a
     // tiny local relation at optimization time and leave no codegen stage
