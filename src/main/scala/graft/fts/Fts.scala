@@ -56,12 +56,17 @@ object Fts {
 
   /** DuckDB CTE equivalent of [[postings]] over `documents` (uses the quads
     * derivation from [[RdfTables]]): reference as `postings`. */
-  val postingsCte: String = {
+  val postingsCte: String = postingsCteFrom("documents")
+
+  /** [[postingsCte]] over any documents-shaped relation (the ev15
+    * incremental-projection oracle rebuilds postings from a mutated
+    * `docs2`). */
+  def postingsCteFrom(table: String): String = {
     def fieldSel(fieldName: String, subjExpr: String, valueExpr: String,
         where: String = ""): String =
       s"""SELECT t.token, d.graph_iri, d.subject_iri, '$fieldName' AS field, COUNT(*)::INT AS tf
          |FROM (SELECT doc_id, 'graph:'||doc_id AS graph_iri, $subjExpr AS subject_iri,
-         |             $valueExpr AS v FROM documents${if (where.nonEmpty) " WHERE " + where else ""}) d,
+         |             $valueExpr AS v FROM $table${if (where.nonEmpty) " WHERE " + where else ""}) d,
          |     LATERAL (SELECT UNNEST(string_split_regex(lower(d.v), '[^a-z0-9]+')) AS token) t
          |WHERE t.token <> ''
          |GROUP BY 1, 2, 3""".stripMargin

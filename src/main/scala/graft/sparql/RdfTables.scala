@@ -29,8 +29,14 @@ object RdfTables {
     * that difference is the whole game). Row set is identical to
     * [[quadsCte]].
     */
-  def quads(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def quads(spark: SparkSession, dir: String): DataFrame =
+    quadsOfDocs(Tables.documents(spark, dir))
+
+  /** [[quads]] over an explicit documents-shaped frame (doc_id, source,
+    * text, lang, n_chars) — the incremental projector re-derives a mutated
+    * document's graph through this same function, so streaming upserts and
+    * the batch build can never diverge. */
+  def quadsOfDocs(d: DataFrame): DataFrame = {
     val g = concat(lit("graph:"), col("doc_id").cast("string"))
     val s = concat(lit("doc:"), col("doc_id").cast("string"))
     val person = concat(lit("person:"), (col("doc_id") % 20).cast("string"))
@@ -73,12 +79,16 @@ object RdfTables {
   }
 
   /** DuckDB CTE body equivalent to [[quads]] (reference it as `quads`). */
-  val quadsCte: String = {
+  val quadsCte: String = quadsCteFrom("documents")
+
+  /** [[quadsCte]] over any documents-shaped relation (the ev15/ev16
+    * incremental-projection oracles rebuild quads from a mutated `docs2`). */
+  def quadsCteFrom(table: String): String = {
     def sel(subj: String, pred: String, kind: Int, v: String,
         lang: String = "''", dt: String = "''", where: String = ""): String =
       s"SELECT 'graph:'||doc_id AS graph_iri, $subj AS subject, 0 AS subject_kind, " +
         s"'$pred' AS predicate, $kind AS obj_kind, $v AS obj_value, " +
-        s"$lang AS obj_lang, $dt AS obj_datatype FROM documents" +
+        s"$lang AS obj_lang, $dt AS obj_datatype FROM $table" +
         (if (where.nonEmpty) s" WHERE $where" else "")
     val doc = "'doc:'||doc_id"
     val person = "'person:'||(doc_id%20)"

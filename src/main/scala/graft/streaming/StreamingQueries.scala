@@ -232,11 +232,47 @@ object StreamingQueries {
       Projector.projectRegistry(Projector.dedupEvents(applicable), "doc")
         .select(col("doc"), col("event_id"), col("event_type"), col("occurred_at_ms"))
         .orderBy(col("doc"))
+    },
+
+    // incremental FTS-postings projection: replay the mutation log in
+    // time-ordered micro-batches over the batch-built index; oracle is the
+    // batch rebuild over the mutated corpus (incremental ≡ batch)
+    "ev15_inc_postings" -> { (s, d) =>
+      val log = IncrementalIndex.mutationLog(ev(s, d), NowMs)
+      IncrementalIndex.foldPostings(Tables.documents(s, d), log)
+        .orderBy(col("token"), col("graph_iri"), col("subject_iri"), col("field"))
+    },
+
+    // incremental IRI backlink-index projection, same replay contract
+    "ev16_inc_iri" -> { (s, d) =>
+      val log = IncrementalIndex.mutationLog(ev(s, d), NowMs)
+      IncrementalIndex.foldIriIndex(Tables.documents(s, d), log)
+        .orderBy(col("predicate_iri"), col("object_iri"), col("graph_iri"))
     }
   )
 
   private val evCte =
     "ev AS (SELECT *, epoch_ms(ts) AS occurred_at_ms FROM events)"
+
+  /** Shared by ev15/ev16: the corpus after applying the mutation log's
+    * final per-doc outcome (the batch-rebuild side of incremental ≡ batch).
+    * Must mirror [[IncrementalIndex.mutationLog]]'s admission + versioning
+    * exactly. */
+  private val mutatedDocsCte =
+    s"""last AS (
+       |  SELECT doc, event_id, is_del FROM (
+       |    SELECT user_id%50 AS doc, event_id, event_type='purchase' AS is_del,
+       |           ROW_NUMBER() OVER (PARTITION BY user_id%50
+       |                              ORDER BY occurred_at_ms DESC, event_id DESC) AS rn
+       |    FROM ev WHERE occurred_at_ms <= $NowMs + 300000) t
+       |  WHERE rn = 1),
+       |docs2 AS (
+       |  SELECT d.doc_id, d.source,
+       |         CASE WHEN l.doc IS NOT NULL THEN d.text||' v'||l.event_id
+       |              ELSE d.text END AS text,
+       |         d.lang, d.n_chars
+       |  FROM documents d LEFT JOIN last l ON d.doc_id = l.doc
+       |  WHERE l.doc IS NULL OR NOT l.is_del)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ev1_clock_skew" ->
@@ -411,6 +447,23 @@ object StreamingQueries {
          |WHERE occurred_at_ms <= $NowMs + 300000
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id%50
          |                           ORDER BY occurred_at_ms DESC, event_id DESC) = 1
-         |ORDER BY doc""".stripMargin
+         |ORDER BY doc""".stripMargin,
+
+    "ev15_inc_postings" ->
+      s"""WITH $evCte,
+         |$mutatedDocsCte,
+         |${graft.fts.Fts.postingsCteFrom("docs2")}
+         |SELECT token, graph_iri, subject_iri, field, tf FROM postings
+         |ORDER BY token, graph_iri, subject_iri, field""".stripMargin,
+
+    "ev16_inc_iri" ->
+      s"""WITH $evCte,
+         |$mutatedDocsCte,
+         |${graft.sparql.RdfTables.quadsCteFrom("docs2")}
+         |SELECT predicate AS predicate_iri, obj_value AS object_iri, graph_iri,
+         |       string_agg(DISTINCT subject, ',') AS subjects
+         |FROM quads WHERE obj_kind = 0
+         |GROUP BY 1, 2, 3
+         |ORDER BY predicate_iri, object_iri, graph_iri""".stripMargin
   )
 }

@@ -154,4 +154,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"expected a semi-join for visibility:\n$p")
     assert(p.contains("Broadcast"), s"expected the visible-graph set broadcast:\n$p")
   }
+
+  test("ev15: incremental fold is broadcast anti-joins, no cartesian/BNLJ") {
+    val p = plan("ev15_inc_postings")
+    // per-batch stale-entry drop: touched-graph set broadcast to an anti-join
+    assert(p.contains("LeftAnti"), s"expected anti-joins for touched graphs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"touched set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in incremental fold:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in incremental fold:\n$p")
+  }
 }

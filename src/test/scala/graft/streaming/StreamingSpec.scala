@@ -306,4 +306,61 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
       (1L, 0L) -> 1L), s"retention triangle wrong: $got")
   }
+
+  test("streaming incremental postings: search hits appear after insert, vanish after update/delete") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.fts.Fts
+    import graft.sparql.RdfTables
+    // (event_id, doc_id, text, is_del) — the live mutation stream; state is
+    // the postings index, maintained per micro-batch exactly as
+    // IncrementalIndex.applyBatch does (drop touched graphs, re-derive
+    // surviving upserts through the batch build's own doc→postings path)
+    val mem = MemoryStream[(Long, Long, String, Boolean)]
+    val seed = Seq((1L, "web", "alpha beta", "en", 10L))
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+    var state = Fts.postings(RdfTables.quadsOfDocs(seed)).cache()
+    state.count()
+    val q = mem.toDF().toDF("event_id", "doc_id", "text", "is_del")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("event_id").desc)
+        val last = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val touched = last.select(
+          concat(lit("graph:"), col("doc_id").cast("string")).as("graph_iri"))
+        val upserts = last.filter(!col("is_del")).select(
+          col("doc_id"), lit("web").as("source"), col("text"),
+          lit("en").as("lang"), length(col("text")).cast("long").as("n_chars"))
+        val old = state
+        state = old.join(broadcast(touched), Seq("graph_iri"), "left_anti")
+          .unionByName(Fts.postings(RdfTables.quadsOfDocs(upserts))).cache()
+        state.count()
+        old.unpersist()
+        ()
+      }
+      .start()
+    def hits(token: String): Set[String] =
+      state.filter(col("token") === token && col("field") === "description")
+        .select("graph_iri").collect().map(_.getString(0)).toSet
+    assert(hits("zebra").isEmpty)
+    // insert: the new doc is searchable after the batch commits
+    mem.addData((10L, 100L, "the zebra jumps", false))
+    q.processAllAvailable()
+    assert(hits("zebra") == Set("graph:100"), "insert must become searchable")
+    assert(hits("alpha") == Set("graph:1"), "untouched docs must survive")
+    // update: stale postings must be repaired, not accumulated
+    mem.addData((11L, 100L, "quiet fox", false))
+    q.processAllAvailable()
+    assert(hits("zebra").isEmpty, "stale tokens must be dropped on update")
+    assert(hits("fox") == Set("graph:100"))
+    // delete: the graph disappears from the index
+    mem.addData((12L, 100L, "", true))
+    q.processAllAvailable()
+    q.stop()
+    assert(hits("fox").isEmpty, "deleted doc must leave the index")
+    assert(hits("alpha") == Set("graph:1"))
+    state.unpersist()
+    ()
+  }
 }
