@@ -75,7 +75,7 @@ object PipelineQueries {
   private val Ann6TopK   = 10      // ADC result size
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
-  private val Tx18Merges = 10      // BPE merges learned
+  private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
   private val Tx17K      = 16      // winnowing gram length (chars)
   private val Tx17W      = 8       // winnowing window (hashes)
   private val Tx14K      = 3       // tf-idf keywords per doc
@@ -1190,9 +1190,16 @@ object PipelineQueries {
            |            ' ' || (SELECT merged FROM b$i) || ' ') AS s
            |  FROM w${i - 1})""".stripMargin
       val rounds = (1 to Tx18Merges).map(round).mkString(",\n")
-      val finals = (1 to Tx18Merges).map(i =>
-        s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, merged, cnt AS pair_count FROM b$i")
-        .mkString("\nUNION ALL ")
+      // balanced UNION ALL tree: a left-deep 256-way chain exceeds
+      // DuckDB's max_expression_depth (1000); depth log2(n) does not
+      def unionAll(xs: Seq[String]): String =
+        if (xs.length == 1) xs.head
+        else {
+          val (a, b) = xs.splitAt(xs.length / 2)
+          s"(${unionAll(a)}\nUNION ALL ${unionAll(b)})"
+        }
+      val finals = unionAll((1 to Tx18Merges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, merged, cnt AS pair_count FROM b$i"))
       s"""WITH words AS (
          |  SELECT w, COUNT(*) AS freq FROM (
          |    SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

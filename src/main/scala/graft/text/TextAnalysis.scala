@@ -437,53 +437,107 @@ object TextAnalysis {
     * each winner into the working vocabulary before counting the next.
     * Returns the merge table (rank, left, right, merged, pair_count).
     *
-    * Symbol sequences live in a DOUBLE-SPACE-joined string wrapped in
-    * boundary double spaces; a merge replaces `" A  B "` with `" AB "`.
-    * That encoding makes plain non-overlapping `replace()` — identical
-    * semantics in Spark and the DuckDB oracle, no lookarounds (RE2 has
-    * none) — both boundary-safe (a pattern symbol must match a FULL
-    * vocabulary symbol: anything longer breaks the two-space run) and
-    * adjacent-repeat-correct ("a a a" merges left-to-right like reference
-    * BPE). Each round is one aggregation over the WORD table (vocab-sized,
-    * not corpus-sized — frequencies weight the counts), so learning cost is
-    * `nMerges` small jobs regardless of corpus scale; the corpus is read
-    * once to build word frequencies. */
-  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    * Split of labor (the same one SentencePiece / HF `tokenizers` use):
+    * the CORPUS-scale step — word frequency counting — is one distributed
+    * explode+groupBy, the only pass that ever touches the documents. Merge
+    * learning then runs driver-local over the VOCAB-sized (word, freq)
+    * table with incrementally maintained pair counts and a lazily
+    * invalidated max-heap: each merge touches only the words containing
+    * the winning pair (a reverse index, exactly HF's `word_to_pairs`), so
+    * learning 32k merges is O(total updates), not
+    * O(nMerges × vocab) Spark jobs — the round-4 scale finding. Greedy
+    * BPE is inherently sequential (a merge re-weights candidate pairs, and
+    * batching even symbol-disjoint winners diverges: merging (a,b) can
+    * induce (x,ab) with a count above the next batch member's), so exact
+    * training cannot fan out across rounds; what scales is keeping the
+    * sequential part off the cluster entirely.
+    *
+    * `minFreq` drops words rarer than the floor before collecting (HF's
+    * `min_frequency`), bounding driver memory at open-web scale;
+    * `maxVocab` is the hard guard on the collected row count.
+    *
+    * Greedy semantics are pinned by the oracle's encoding: symbol
+    * sequences as DOUBLE-SPACE-joined strings, a merge replacing
+    * `" A  B "` left-to-right non-overlapping — the in-memory list merge
+    * below is position-for-position identical (adjacent repeats merge
+    * left-to-right, a fresh merged symbol never re-pairs within its own
+    * round), ties broken by (l, r) byte order. */
+  def bpeMerges(docs: DataFrame, nMerges: Int, minFreq: Long = 1L,
+      maxVocab: Int = 4 << 20): DataFrame = {
     require(nMerges >= 1, s"need at least one merge, got $nMerges")
     val spark = docs.sparkSession
     import org.apache.spark.sql.Row
     val words = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("s",
-        concat(lit("  "), array_join(filter(split(col("w"), ""), c => c =!= ""),
-          "  "), lit("  ")))
-      .persist()
-    graft.Caches.track(words)
-    var state = words.select(col("freq"), col("s"))
+      .filter(col("freq") >= minFreq)
+      .select(col("w"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(words.length <= maxVocab,
+      s"vocab ${words.length} exceeds maxVocab $maxVocab — raise minFreq " +
+        "(frequency-floored training is the standard bound at corpus scale)")
+
+    val syms: Array[Array[String]] = words.map(_._1.split("").filter(_.nonEmpty))
+    val freqs: Array[Long] = words.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val wordsOf = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // max-heap by (cnt, then smallest l, smallest r); stale snapshots are
+    // skipped at pop time by re-checking the live count
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val cl = b._2.compareTo(a._2)
+            if (cl != 0) cl else b._3.compareTo(a._3)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val next = counts.getOrElse(p, 0L) + delta
+      if (next <= 0L) { counts.remove(p); () }
+      else {
+        counts(p) = next
+        heap.enqueue((next, p._1, p._2))
+      }
+      if (delta > 0) { wordsOf.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi; () }
+    }
+    for (wi <- syms.indices; i <- 0 until syms(wi).length - 1)
+      bump((syms(wi)(i), syms(wi)(i + 1)), freqs(wi), wi)
+
+    // left-to-right non-overlapping merge of (l, r); null when absent
+    def mergeWord(s: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      var changed = false
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+          out += l + r; i += 2; changed = true
+        } else { out += s(i); i += 1 }
+      }
+      if (changed) out.result() else null
+    }
+
     val merges = Seq.newBuilder[Row]
-    for (rank <- 1 to nMerges) {
-      val pairs = state
-        .select(col("freq"), split(trim(col("s")), "  ").as("p"))
-        // guard: sequence(1, 0) would DESCEND for single-symbol words
-        .filter(size(col("p")) >= 2)
-        .select(col("freq"), explode(transform(
-          sequence(lit(1), size(col("p")) - 1),
-          i => struct(element_at(col("p"), i).as("l"),
-            element_at(col("p"), i + 1).as("r")))).as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-      val bestRows = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
-      if (bestRows.nonEmpty) {
-        val best = bestRows.head
-        val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+    var rank = 1
+    while (rank <= nMerges && heap.nonEmpty) {
+      val (cnt, l, r) = heap.dequeue()
+      if (counts.get((l, r)).contains(cnt)) { // live, not a stale snapshot
         merges += Row(rank.toLong, l, r, l + r, cnt)
-        val next = state.withColumn("s",
-          regexp_replace(col("s"), // literal replace: symbols are [a-z0-9]+
-            java.util.regex.Pattern.quote(s" $l  $r "),
-            java.util.regex.Matcher.quoteReplacement(s" ${l + r} ")))
-          .persist()
-        graft.Caches.track(next)
-        state = next
+        for (wi <- wordsOf.getOrElse((l, r), scala.collection.mutable.HashSet.empty[Int]).toArray) {
+          val merged = mergeWord(syms(wi), l, r)
+          if (merged != null) { // the index keeps stale members lazily
+            for (i <- 0 until syms(wi).length - 1)
+              bump((syms(wi)(i), syms(wi)(i + 1)), -freqs(wi), wi)
+            syms(wi) = merged
+            for (i <- 0 until merged.length - 1)
+              bump((merged(i), merged(i + 1)), freqs(wi), wi)
+          }
+        }
+        counts.remove((l, r))
+        wordsOf.remove((l, r))
+        rank += 1
       }
     }
     import org.apache.spark.sql.types._

@@ -646,6 +646,47 @@ class PipelineSpec extends SparkSpec {
       (3L, "ab", "ab", "abab", 3L)), s"merge table wrong: ${got.toSeq}")
   }
 
+  test("bpe merges: incremental trainer ≡ naive recount greedy, 300 merges in seconds") {
+    // the fast path maintains pair counts incrementally (touched words
+    // only) with a lazily invalidated heap; this pins it against the
+    // obviously-correct full-recount greedy on a vocabulary rich enough
+    // that 300 merges don't saturate
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq.fill(400)(
+      (0 until (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    val text = Seq.fill(3000)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = TextAnalysis.bpeMerges(docs, nMerges = 300)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    def mergeSeq(s: List[String], l: String, r: String): List[String] = s match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeSeq(rest, l, r)
+      case a :: rest => a :: mergeSeq(rest, l, r)
+      case Nil => Nil
+    }
+    var state = text.split(" ").groupBy(identity).toSeq
+      .map { case (w, a) => (w.split("").toList, a.length.toLong) }
+    val ref = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to 300) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      state.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) += f)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        ref += ((l, r, c))
+        state = state.map { case (s, f) => (mergeSeq(s, l, r), f) }
+      }
+    }
+    assert(got == ref.result(), s"incremental diverged from recount greedy")
+    assert(got.length == 300, s"vocabulary saturated early: ${got.length}")
+    assert(secs < 30, s"300 merges took $secs s — incremental path regressed")
+  }
+
   test("winnowing: shared long substring guarantees a shared fingerprint; short doc = 1 fp") {
     val k = 8; val w = 4
     val shared = "XXCOMMONSEQUENCEXX" // length 18 >= k + w - 1 = 11
