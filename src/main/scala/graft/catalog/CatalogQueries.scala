@@ -63,6 +63,9 @@ object CatalogQueries {
         .orderBy(col("name"))
     },
 
+    // unified four-section search composition + clamp grid (search.rs:27-33)
+    "us2_unified" -> { (s, d) => UnifiedSearch.gate(s, d) },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -171,6 +174,8 @@ object CatalogQueries {
     "us1_name_search" ->
       """SELECT c_name AS name FROM customer
         |WHERE contains(lower(c_name), '00012')
-        |ORDER BY c_name LIMIT 100""".stripMargin
+        |ORDER BY c_name LIMIT 100""".stripMargin,
+
+    "us2_unified" -> UnifiedSearch.oracleSql
   )
 }

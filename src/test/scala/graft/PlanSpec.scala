@@ -155,6 +155,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"expected the visible-graph set broadcast:\n$p")
   }
 
+  test("us2: unified search pushes token filters into the postings scan, top-k per section") {
+    val p = plan("us2_unified")
+    // documents sections must push their token IN-list into the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("In(token"),
+      s"token filter not pushed into postings scan:\n$p")
+    // per-section limits are top-k, never a global sort of a section table
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k sections:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in section compose:\n$p")
+  }
+
   test("ev15: incremental fold is broadcast anti-joins, no cartesian/BNLJ") {
     val p = plan("ev15_inc_postings")
     // per-batch stale-entry drop: touched-graph set broadcast to an anti-join
