@@ -404,6 +404,12 @@ object PipelineQueries {
     // stats oracle'd in closed form
     "mm3_audio_decode" -> { (s, d) =>
       Multimodal.audioFeatures(Multimodal.syntheticAudio(s, d)).orderBy(col("doc_id"))
+    },
+
+    // REAL ISO-BMFF box parsing of synthetic MP4s (duration, resolution,
+    // handler, mdat size); container metadata oracle'd in closed form
+    "mm4_video_meta" -> { (s, d) =>
+      Multimodal.videoMeta(Multimodal.syntheticVideos(s, d)).orderBy(col("doc_id"))
     }
   )
 
@@ -1318,6 +1324,16 @@ object PipelineQueries {
         |     LATERAL (SELECT UNNEST(range(0, d.doc_id%50 + 1)) AS i) i
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "mm4_video_meta" ->
+      """SELECT doc_id,
+        |       CAST(doc_id%320 + 16 AS INT) AS width,
+        |       CAST(doc_id%240 + 16 AS INT) AS height,
+        |       CAST(doc_id%9000 + 1000 AS BIGINT) AS duration_ms,
+        |       'vide' AS handler,
+        |       CAST(doc_id%64 + 16 AS BIGINT) AS mdat_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "mm1_media_stats" ->
       """SELECT kind, COUNT(*) AS n, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -546,6 +546,46 @@ class PipelineSpec extends SparkSpec {
     assert(neg.ampSum < 0, s"seed-0 samples start at -32768; got ${neg.ampSum}")
   }
 
+  test("video codec: ISO-BMFF round-trip, largesize mdat, v1 mvhd, malformed boxes fail loudly") {
+    import Multimodal.VideoCodec
+    // 32-bit mdat (odd seed) and 64-bit largesize mdat (even seed)
+    for (seed <- Seq(7L, 8L)) {
+      val m = VideoCodec.parseMp4(VideoCodec.syntheticMp4(seed, 320, 240, 5500, 33))
+      assert(m == VideoCodec.VideoMeta(320, 240, 5500, "vide", 33),
+        s"seed $seed round-trip: $m")
+    }
+    // mvhd version 1 (64-bit times): patch a v0 movie into the v1 layout —
+    // duration in units of a 90 kHz timescale must rescale to ms
+    val v1 = {
+      val b = java.nio.ByteBuffer.allocate(8 + 112)
+      b.putInt(8 + 112); b.put("mvhd".getBytes("US-ASCII"))
+      b.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1, flags
+      b.putLong(0).putLong(0) // 64-bit creation/modification
+      b.putInt(90000) // timescale
+      b.putLong(90000L * 7) // 64-bit duration = 7 s
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.putLong(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      (1 to 6).foreach(_ => b.putInt(0))
+      b.putInt(2)
+      b.array()
+    }
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length); b.put(typ.getBytes("US-ASCII")); b.put(body)
+      b.array()
+    }
+    val mv1 = VideoCodec.parseMp4(box("moov", v1))
+    assert(mv1.durationMs == 7000L, s"v1 mvhd rescale: $mv1")
+    // malformed: a box whose declared size overruns its container
+    val bad = box("moov", v1).clone()
+    java.nio.ByteBuffer.wrap(bad).putInt(8, Int.MaxValue)
+    intercept[IllegalArgumentException](VideoCodec.parseMp4(bad))
+    // garbage without an mvhd is rejected, not silently defaulted
+    intercept[IllegalArgumentException](
+      VideoCodec.parseMp4(box("free", Array.fill(16)(0.toByte))))
+  }
+
   test("codec dispatch: magic-byte lookalikes fall back to byte stats, not a crash") {
     // a text payload that merely STARTS with the BMP/RIFF magic is not
     // decodable media; dispatch must degrade to byte statistics
