@@ -66,6 +66,45 @@ object CatalogQueries {
     // unified four-section search composition + clamp grid (search.rs:27-33)
     "us2_unified" -> { (s, d) => UnifiedSearch.gate(s, d) },
 
+    // query-cache semantics driven end-to-end (query_cache.rs:16-19,
+    // handle.rs:4787-4800): cold miss → fresh hit → a store mutation bumps
+    // the generation stamp and the SAME query must recompute against the
+    // mutated store (never serve the stale entry) → hit on the new entry →
+    // TTL expiry misses again. The trace records actual cache behavior;
+    // the oracle pins both the hit/miss sequence and the values, so a
+    // cache serving stale results diverges at s3.
+    "qc1_cache_invalidation" -> { (s, d) =>
+      val reg = RdfTables.registry(s, d)
+      val v0 = reg.filter(!col("deleted"))
+      // the mutation: delete every doc with document_id % 10 == 3
+      val v1 = v0.filter(col("document_id").cast("long") % 10 =!= 3)
+      var now = 0L // injectable clock: the TTL step is deterministic
+      val cache = new graft.cache.QueryCache[(Long, Long)](clock = () => now)
+      val k = cache.key("scope:anon", "live-doc-stats")
+      def compute(store: DataFrame): (Long, Long) = {
+        // bounded single-row aggregate (the cache stores collected results
+        // by design — reference result sets are capped at 10k rows/8 MiB)
+        val r = store.agg(count(lit(1)), sum(col("document_id").cast("long"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      def step(name: String, store: DataFrame, gen: Long): (String, Boolean, Long, Long) =
+        cache.get(k, gen) match {
+          case Some(v) => (name, true, v._1, v._2)
+          case None =>
+            val v = compute(store)
+            cache.put(k, v, gen)
+            (name, false, v._1, v._2)
+        }
+      val trace = Seq(
+        step("s1_cold", v0, 0L),
+        step("s2_hit", v0, 0L),
+        { now += 1000; step("s3_mutated", v1, 1L) },
+        step("s4_hit_after", v1, 1L),
+        { now += 31000; step("s5_ttl_expired", v1, 1L) })
+      import s.implicits._
+      trace.toDF("step", "cache_hit", "n_live", "sum_live").orderBy("step")
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -176,6 +215,19 @@ object CatalogQueries {
         |WHERE contains(lower(c_name), '00012')
         |ORDER BY c_name LIMIT 100""".stripMargin,
 
-    "us2_unified" -> UnifiedSearch.oracleSql
+    "us2_unified" -> UnifiedSearch.oracleSql,
+
+    "qc1_cache_invalidation" ->
+      """WITH v0 AS (SELECT doc_id FROM documents WHERE doc_id%97 <> 0),
+        |v1 AS (SELECT doc_id FROM v0 WHERE doc_id%10 <> 3),
+        |s0 AS (SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sm FROM v0),
+        |s1 AS (SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sm FROM v1)
+        |SELECT * FROM (
+        |  SELECT 's1_cold' AS step, FALSE AS cache_hit, n AS n_live, sm AS sum_live FROM s0
+        |  UNION ALL SELECT 's2_hit', TRUE, n, sm FROM s0
+        |  UNION ALL SELECT 's3_mutated', FALSE, n, sm FROM s1
+        |  UNION ALL SELECT 's4_hit_after', TRUE, n, sm FROM s1
+        |  UNION ALL SELECT 's5_ttl_expired', FALSE, n, sm FROM s1
+        |) ORDER BY step""".stripMargin
   )
 }
