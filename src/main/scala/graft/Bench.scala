@@ -17,6 +17,8 @@ object Bench {
   val TimedPasses = 3
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev-only (scale probes): fewer timed passes; the driver never sets it
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(TimedPasses)
     // the driver contract is local[32]; the env override exists for dev runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -39,7 +41,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = names.map { name =>
-      val samples = (1 to TimedPasses).map { _ =>
+      val samples = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }

@@ -528,15 +528,35 @@ object Dedup {
     * candidates on uniform vectors (2^4 buckets/band barely prunes); r = 6
     * cuts the candidate set ~4× for a fraction of a percent of recall at
     * the 0.99 operating point. One shuffle on (band, band_bits); candidates
-    * never materialize beyond colliding buckets — this is the 100 TB path. */
+    * never materialize beyond colliding buckets — this is the 100 TB path.
+    *
+    * FIXED band width does not survive corpus growth: with r bits there are
+    * only 2^r buckets per band, so bucket occupancy — and candidate pairs,
+    * which grow as occupancy² per bucket — scales linearly with n (the
+    * round-5 sf1 probe measured the fixed r = 6 gate at 22× wall on 10×
+    * data). Pass `nBits = 0` (the default) to size r from the corpus:
+    * r = max(6, ⌈log2(n / 64)⌉) targets ~64 vectors per bucket at any
+    * scale, keeping per-bucket pair generation bounded while recall at the
+    * 0.99 operating point stays ≥ 1 − (1−0.955^r)^bands ≈ 99% up to r = 10
+    * (raise `bands` together with r when operating below ~0.97 cosine).
+    * Explicit nBits/bands remain for oracle-pinned callers. */
   def embeddingCosinePairsLsh(embeddings: DataFrame, threshold: Double,
-      nBits: Int = 24, bands: Int = 4): DataFrame = {
-    require(bands >= 1 && nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
-    val r = nBits / bands
+      nBits: Int = 0, bands: Int = 4): DataFrame = {
+    val effBits =
+      if (nBits > 0) nBits
+      else {
+        val n = math.max(1L, embeddings.count()) // cheap metadata-ish job
+        val r = math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n / 64 - 1)) + 1) // ceil(log2(n/64)), floor 6
+        math.min(r, 15) * bands // 2^15 buckets/band is plenty past 2M vecs
+      }
+    require(bands >= 1 && effBits % bands == 0,
+      s"bands ($bands) must divide nBits ($effBits)")
+    val r = effBits / bands
     val mask = (1L << r) - 1
     // the band self-join evaluates its input twice — cache the signature
     // pass (nBits hyperplane projections per vector) so it runs once
-    val sigs = graft.similarity.Ann.lshSignatures(embeddings, nBits)
+    val sigs = graft.similarity.Ann.lshSignatures(embeddings, effBits)
       .select(col("vec_id"), col("v"), col("n2"), col("sig"))
       .persist()
     graft.Caches.track(sigs)

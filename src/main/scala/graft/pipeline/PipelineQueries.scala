@@ -131,7 +131,7 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Dedup.embeddingCosinePairsLsh(planted, threshold = 0.99)
+      Dedup.embeddingCosinePairsLsh(planted, threshold = 0.99, nBits = 24) // oracle-pinned bands
         .select(col("a"), col("b"), col("dot"))
         .orderBy(col("a"), col("b"))
     },
@@ -180,6 +180,14 @@ object PipelineQueries {
     "ann4_knn_join" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       Ann.knnJoin(e, e.filter(col("vec_id") % Ann4Every === 0), k = Ann4K)
+        .orderBy(col("q_id"), col("rk"))
+    },
+
+    // IVF-bucketed batch k-NN join — the knnJoin scale path: each query
+    // ranks only its nprobe probed cells' members
+    "ann8_knn_join_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.knnJoinIvf(e, e.filter(col("vec_id") % Ann4Every === 0), k = Ann4K)
         .orderBy(col("q_id"), col("rk"))
     },
 
@@ -742,6 +750,46 @@ object PipelineQueries {
          |        / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, c.vec_id) AS BIGINT) AS rk
          |  FROM n c, qs q
          |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
+         |WHERE rk <= $Ann4K ORDER BY q_id, rk""".stripMargin,
+
+    "ann8_knn_join_ivf" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
+         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n2, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM nv e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM nv
+         |       WHERE vec_id % $Ann4Every = 0 AND n2 > 0),
+         |qprobe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM qs q CROSS JOIN cents c) t
+         |  WHERE rn <= 4)
+         |SELECT q_id, vec_id, cosine, rk FROM (
+         |  SELECT q.q_id, a.vec_id,
+         |    CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, a.vec_id) AS BIGINT) AS rk
+         |  FROM assign a
+         |  JOIN qprobe p ON a.cell = p.cell
+         |  JOIN qs q ON q.q_id = p.q_id
+         |  WHERE a.vec_id <> q.q_id AND a.n2 > 0) t
          |WHERE rk <= $Ann4K ORDER BY q_id, rk""".stripMargin,
 
     "ann1_topk_dot" ->

@@ -100,6 +100,44 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  /** IVF-bucketed kNN JOIN — the scale path for [[knnJoin]]. Exact kNN
+    * join is Θ(|queries| · |corpus|) dot products by contract (the
+    * round-5 sf1 probe measured exactly that growth); here every query
+    * probes only its `nprobe` nearest cells and ranks those cells'
+    * members: work drops to ~|queries| · nprobe/nCells of the exact cost,
+    * and the candidate join shuffles on the cell key, so at 100 TB it
+    * rides a cell-partitioned index ([[writeIvfIndex]]) with partition
+    * pruning. Approximate exactly like [[topKCosineIvf]] (a true neighbor
+    * outside every probed cell is missed); fully deterministic — flat
+    * codebook, integer assignment metric, (cosine desc, vec_id) ranking —
+    * so the gate hash-compares against a DuckDB replica. */
+  def knnJoinIvf(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && nprobe <= nCells,
+      s"bad knnJoinIvf params: k=$k nprobe=$nprobe nCells=$nCells")
+    val cents = codebook(embeddings, nCells)
+    val cand = ivfAssignments(embeddings, cents).filter(col("n2") > 0)
+    // per-query probe cells: rank literal-codebook distances in one narrow
+    // projection, keep nprobe, explode to (q_id, cell) — no driver work
+    val dists = array_sort(array(cents.map { case (id, cv, cn2) =>
+      struct((lit(cn2) - lit(2L) * dotCol(col("v"), typedlit(cv))).as("score"),
+        lit(id).as("cell"))
+    }: _*))
+    val q = quantized(queries).filter(col("n2") > 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"),
+        explode(slice(dists, 1, nprobe).getField("cell")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
   /** Vector width the precomputed hyperplanes cover. Vectors may be
     * narrower (the sign array is sliced per row); wider ones would zip
     * against nulls, so the builder rejects them via [[lshSignatures]]'s

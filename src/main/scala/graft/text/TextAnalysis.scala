@@ -218,27 +218,96 @@ object TextAnalysis {
     * report): eval docs contribute a fixed-length head snippet, and every
     * TRAIN doc containing any snippet verbatim is flagged — the check that
     * catches benchmark prompts pasted into training text even when
-    * tokenization would split them differently. The snippet side is
-    * structurally small (an eval set), so it broadcasts and the scan is one
-    * pass over train; the per-(doc, snippet) `instr` probe is the honest
-    * cost — the refinement at huge snippet counts is an Aho–Corasick
-    * automaton in a mapPartitions, same dataflow shape. */
+    * tokenization would split them differently.
+    *
+    * Executed as a multi-pattern Rabin–Karp scan: the snippet side is
+    * structurally small (an eval set), so its fixed-length patterns ship to
+    * every partition as a broadcast rolling-hash table, and each train doc
+    * is ONE O(len) pass — a window-hash lookup per position plus an exact
+    * `regionMatches` verify on table hits (hash collisions cannot produce
+    * false positives). Per-doc aggregation happens inside the same
+    * mapPartitions, so the whole operator is a single narrow stage: no
+    * shuffle, no per-(doc, snippet) probe. The round-5 sf1 probe caught the
+    * previous `instr`-join form scaling as corpus × eval (133× wall on 10×
+    * data); this form is linear in corpus chars and stays exact. */
   def exactContamination(docs: DataFrame, snippetLen: Int, salt: String,
       valPermille: Int, testPermille: Int): DataFrame = {
     require(snippetLen >= 8, s"snippet length too short to be meaningful: $snippetLen")
+    val spark = docs.sparkSession
     val lbl = deterministicSplit(docs, "doc_id", salt, valPermille, testPermille)
     val snippets = lbl.filter(col("split") === "test")
       .select(col("doc_id").as("snippet_doc"),
         substring(col("text"), 1, snippetLen).as("snippet"))
       .filter(length(col("snippet")) >= snippetLen)
-    val train = lbl.filter(col("split") === "train")
+      .collect() // structurally eval-sized (the same contract the previous
+                 // broadcast form had); MBs while the corpus is TBs
+      .map(r => (r.getLong(0), r.getString(1)))
+    val L = snippetLen
+    val Base = 257L
+    def winHash(s: String, from: Int): Long = {
+      var h = 0L; var i = from
+      while (i < from + L) { h = h * Base + s.charAt(i); i += 1 }
+      h
+    }
+    // hash → indices of snippet rows with that window hash
+    val table: Map[Long, Array[Int]] = snippets.indices
+      .groupBy(i => winHash(snippets(i)._2, 0))
+      .map { case (h, is) => (h, is.toArray) }
+    val tableB = spark.sparkContext.broadcast((snippets, table))
+    graft.Caches.track(tableB) // released at the next entry-point drain
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_hits",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("first_snippet_doc",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    lbl.filter(col("split") === "train")
       .select(col("doc_id"), col("text"))
-    train.join(broadcast(snippets),
-        instr(col("text"), col("snippet")) > 0 &&
-          col("doc_id") =!= col("snippet_doc"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"),
-        min(col("snippet_doc")).as("first_snippet_doc"))
+      .mapPartitions { rows =>
+        val (snips, tbl) = tableB.value
+        // precomputed Base^(L-1) for the rolling update
+        var pow = 1L; (1 until L).foreach(_ => pow *= Base)
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+          if (text == null || text.length < L || tbl.isEmpty) Iterator.empty
+          else {
+            val matched = new java.util.BitSet(snips.length)
+            var h = winHash(text, 0)
+            var pos = 0
+            val last = text.length - L
+            while (pos <= last) {
+              tbl.get(h) match {
+                case Some(is) =>
+                  var k = 0
+                  while (k < is.length) {
+                    val i = is(k)
+                    if (!matched.get(i) && snips(i)._1 != docId &&
+                        text.regionMatches(pos, snips(i)._2, 0, L))
+                      matched.set(i)
+                    k += 1
+                  }
+                case None => ()
+              }
+              if (pos < last) // roll the window one char right
+                h = (h - text.charAt(pos) * pow) * Base + text.charAt(pos + L)
+              pos += 1
+            }
+            var n = 0L
+            var minSd = Long.MaxValue
+            var i = matched.nextSetBit(0)
+            while (i >= 0) {
+              n += 1
+              if (snips(i)._1 < minSd) minSd = snips(i)._1
+              i = matched.nextSetBit(i + 1)
+            }
+            if (n == 0) Iterator.empty else Iterator(Row(docId, n, minSd))
+          }
+        }
+      }(enc)
   }
 
   /** Self-trained unigram-LM surprisal — the KenLM-style "perplexity filter"

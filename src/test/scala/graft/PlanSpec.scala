@@ -165,6 +165,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in section compose:\n$p")
   }
 
+  test("ann8: IVF knn join is a cell-key hash join with group-limit top-k") {
+    val p = plan("ann8_knn_join_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF join must never be all-pairs:\n$p")
+    // rank<=k pushes into the window as a group limit (partial before shuffle)
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("mm4: video metadata extraction is one narrow stage — no shuffle") {
+    val p = plan("mm4_video_meta")
+    // derive → parse is mapPartitions over the documents scan; the only
+    // exchange allowed is the final presentation sort's
+    val body = p.split("== Physical Plan ==").last.split("Sort").head
+    assert(!body.contains("Exchange"), s"shuffle inside the extract stage:\n$p")
+  }
+
   test("ev15: incremental fold is broadcast anti-joins, no cartesian/BNLJ") {
     val p = plan("ev15_inc_postings")
     // per-batch stale-entry drop: touched-graph set broadcast to an anti-join

@@ -112,13 +112,24 @@ class PipelineSpec extends SparkSpec {
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
     val exact = Dedup.embeddingCosinePairs(planted, 0.99)
       .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val lsh = Dedup.embeddingCosinePairsLsh(planted, 0.99)
+    val lsh = Dedup.embeddingCosinePairsLsh(planted, 0.99, nBits = 24)
       .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(exact.nonEmpty && exact.toSeq == lsh.toSeq)
     // and the blocked kernel agrees with itself under a different blocking
     val small = Dedup.embeddingCosinePairs(planted, 0.99, blockSize = 7)
       .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(small.toSeq == exact.toSeq)
+  }
+
+  test("ivf knn join: per-query rows equal the single-query IVF probe") {
+    val e = Tables.embeddings(spark, sf0001)
+    val joined = Ann.knnJoinIvf(e, e.filter(col("vec_id") === 7), k = 10)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val single = Ann.topKCosineIvf(e, 7, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(joined.toSeq == single.toSeq,
+      s"batch IVF join diverged from the single-query probe:\n$joined\n$single")
   }
 
   test("lsh-verified jaccard is a subset of exact jaccard with identical arithmetic") {
