@@ -239,7 +239,10 @@ object StreamingQueries {
     // batch rebuild over the mutated corpus (incremental ≡ batch)
     "ev15_inc_postings" -> { (s, d) =>
       val log = IncrementalIndex.mutationLog(ev(s, d), NowMs)
-      IncrementalIndex.foldPostings(Tables.documents(s, d), log)
+      // fold onto the materialized token-clustered index — same rows as a
+      // fresh batch build, but the realistic starting state
+      IncrementalIndex.foldPostings(Tables.documents(s, d), log,
+          initial = Some(graft.Store.postings(s, d)))
         .orderBy(col("token"), col("graph_iri"), col("subject_iri"), col("field"))
     },
 
