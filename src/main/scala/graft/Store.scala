@@ -118,4 +118,17 @@ object Store {
         .sortWithinPartitions("token", "graph_iri", "subject_iri")
         .write.mode("overwrite").parquet(p)
     }
+
+  /** Reverse-reference (backlink) index clustered by its lookup key
+    * (predicate_iri, object_iri) — a `references_metadata` probe prunes to
+    * one cluster via parquet min/max stats instead of re-grouping the quads
+    * (the reference maintains this as its own LSM table,
+    * `operations/src/metadata/iri_index.rs:48-73`). */
+  def iriIndex(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "iri_index") { p =>
+      graft.index.IriIndex.build(quads(spark, dir))
+        .repartition(col("predicate_iri"), col("object_iri"))
+        .sortWithinPartitions("predicate_iri", "object_iri", "graph_iri")
+        .write.mode("overwrite").parquet(p)
+    }
 }

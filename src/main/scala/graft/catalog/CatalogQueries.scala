@@ -35,7 +35,7 @@ object CatalogQueries {
     },
 
     "cat5_iri_backlinks" -> { (s, d) =>
-      IriIndex.build(graft.Store.quads(s, d))
+      graft.Store.iriIndex(s, d)
         .filter(col("predicate_iri") === ConformsTo)
         .orderBy(col("object_iri"), col("graph_iri"))
     },
@@ -43,7 +43,7 @@ object CatalogQueries {
     "cat6_references" -> { (s, d) =>
       val visible = RdfTables.registry(s, d)
         .filter(col("public") && !col("deleted"))
-      IriIndex.references(IriIndex.build(graft.Store.quads(s, d)), visible,
+      IriIndex.references(graft.Store.iriIndex(s, d), visible,
         ConformsTo, "https://w3id.org/ro/crate/2")
     },
 

@@ -118,9 +118,12 @@ object IncrementalIndex {
     replay(initial.getOrElse(Fts.postings(RdfTables.quadsOfDocs(documents))),
       documents, log, nBatches, d => Fts.postings(RdfTables.quadsOfDocs(d)))
 
-  /** Incrementally maintained IRI backlink index after replaying the log. */
+  /** Incrementally maintained IRI backlink index after replaying the log.
+    * `initial` as in [[foldPostings]]: pass [[graft.Store.iriIndex]] to fold
+    * onto the maintained index instead of re-deriving the corpus. */
   def foldIriIndex(documents: DataFrame, log: DataFrame,
-      nBatches: Int = DefaultBatches): DataFrame =
-    replay(IriIndex.build(RdfTables.quadsOfDocs(documents)), documents, log,
-      nBatches, d => IriIndex.build(RdfTables.quadsOfDocs(d)))
+      nBatches: Int = DefaultBatches,
+      initial: Option[DataFrame] = None): DataFrame =
+    replay(initial.getOrElse(IriIndex.build(RdfTables.quadsOfDocs(documents))),
+      documents, log, nBatches, d => IriIndex.build(RdfTables.quadsOfDocs(d)))
 }

@@ -249,7 +249,8 @@ object StreamingQueries {
     // incremental IRI backlink-index projection, same replay contract
     "ev16_inc_iri" -> { (s, d) =>
       val log = IncrementalIndex.mutationLog(ev(s, d), NowMs)
-      IncrementalIndex.foldIriIndex(Tables.documents(s, d), log)
+      IncrementalIndex.foldIriIndex(Tables.documents(s, d), log,
+          initial = Some(graft.Store.iriIndex(s, d)))
         .orderBy(col("predicate_iri"), col("object_iri"), col("graph_iri"))
     }
   )
