@@ -189,4 +189,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in incremental fold:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in incremental fold:\n$p")
   }
+
+  test("cat6: backlink probe pushes its key into the materialized iri-index scan") {
+    val p = plan("cat6_references")
+    // the probe must hit Store.iriIndex (a parquet scan with the lookup key
+    // in PushedFilters — row groups are clustered on it), NOT re-derive the
+    // index by re-grouping the quads
+    assert(p.contains("graft-store"), s"expected materialized iri-index scan:\n$p")
+    assert(p.contains("EqualTo(predicate_iri") && p.contains("EqualTo(object_iri"),
+      s"lookup key not pushed into the index scan:\n$p")
+    assert(!p.contains("collect_set"),
+      s"probe re-derived the index instead of scanning it:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
