@@ -535,7 +535,8 @@ object Dedup {
     * which grow as occupancy² per bucket — scales linearly with n (the
     * round-5 sf1 probe measured the fixed r = 6 gate at 22× wall on 10×
     * data). Pass `nBits = 0` (the default) to size r from the corpus:
-    * r = max(6, ⌈log2(n / 64)⌉) targets ~64 vectors per bucket at any
+    * r = max(6, bitlen(n/64 − 1) + 1) — one bit finer than ⌈log2(n/64)⌉,
+    * targeting ~32–64 vectors per bucket — at any
     * scale, keeping per-bucket pair generation bounded while recall at the
     * 0.99 operating point stays ≥ 1 − (1−0.955^r)^bands ≈ 99% up to r = 10
     * (raise `bands` together with r when operating below ~0.97 cosine).
