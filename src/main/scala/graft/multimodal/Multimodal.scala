@@ -87,6 +87,32 @@ object Multimodal {
 
     final case class ImageStats(width: Int, height: Int, pxSum: Long)
 
+    /** Real nearest-neighbor resample: ImageIO decode → pixel loop with the
+      * standard floor mapping src = (dst * srcDim) / outDim → ImageIO BMP
+      * re-encode (the JDK bundles a BMP writer). Deterministic by
+      * construction — no AWT filtering/interpolation enters the pipeline,
+      * so the output pixels stay in closed form for the oracle. */
+    def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      require(outW > 0 && outH > 0, s"degenerate target ${outW}x$outH")
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(src != null, "payload is not a decodable image")
+      val dst = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = y * src.getHeight / outH
+        var x = 0
+        while (x < outW) {
+          dst.setRGB(x, y, src.getRGB(x * src.getWidth / outW, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(dst, "bmp", out), "no BMP writer")
+      out.toByteArray
+    }
+
     /** Actual `ImageIO` decode → (width, height, sum of 8-bit luminance).
       * Gray pixels carry identical RGB channels, so the blue channel IS the
       * luminance. */
@@ -421,6 +447,23 @@ object Multimodal {
         val s = AudioCodec.decode(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), s.sampleRate, s.nSamples, s.ampSum,
           s.nSamples * 1000L / s.sampleRate)
+      }
+    }(enc)
+  }
+
+  /** REAL image resize: every payload goes decode → nearest-neighbor
+    * resample → BMP re-encode ([[ImageCodec.resize]]), binary in binary
+    * out — the training-pipeline normalization shape (e.g. thumbnail to a
+    * fixed model input size). One narrow stage, no shuffle; chain into
+    * [[imageFeatures]] to verify the full decode→resize→encode→decode
+    * round trip against the closed-form oracle. */
+  def resizeImages(images: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("bytes", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    images.select("doc_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), ImageCodec.resize(r.getAs[Array[Byte]](1), outW, outH))
       }
     }(enc)
   }

@@ -418,6 +418,15 @@ object PipelineQueries {
     // handler, mdat size); container metadata oracle'd in closed form
     "mm4_video_meta" -> { (s, d) =>
       Multimodal.videoMeta(Multimodal.syntheticVideos(s, d)).orderBy(col("doc_id"))
+    },
+
+    // REAL resize: decode -> nearest-neighbor resample to 8x6 -> BMP
+    // re-encode -> decode; resampled pixel stats oracle'd in closed form
+    // (the floor mapping src = dst*srcDim/outDim is replicated in SQL)
+    "mm5_resize" -> { (s, d) =>
+      Multimodal.imageFeatures(
+        Multimodal.resizeImages(Multimodal.syntheticImages(s, d), 8, 6))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1370,6 +1379,25 @@ object PipelineQueries {
         |       CAST((d.doc_id%50 + 1) * 1000 // 8000 AS BIGINT) AS duration_ms
         |FROM documents d,
         |     LATERAL (SELECT UNNEST(range(0, d.doc_id%50 + 1)) AS i) i
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // nearest-neighbor floor mapping src = dst*srcDim/outDim over the
+    // synthetic-BMP closed form; matching the Spark side requires BOTH
+    // ImageIO round trips (decode the source, re-encode+decode the
+    // resampled image) to be pixel-exact
+    "mm5_resize" ->
+      """SELECT d.doc_id,
+        |       CAST(8 AS INT) AS width,
+        |       CAST(6 AS INT) AS height,
+        |       CAST(SUM((d.doc_id*31 + ((x.x*(d.doc_id%16 + 1))//8)*7
+        |                 + ((y.y*(d.doc_id%12 + 1))//6)*13) % 256) AS BIGINT) AS px_sum,
+        |       CAST(SUM((d.doc_id*31 + ((x.x*(d.doc_id%16 + 1))//8)*7
+        |                 + ((y.y*(d.doc_id%12 + 1))//6)*13) % 256) AS DOUBLE)
+        |         / 48 AS mean_brightness
+        |FROM documents d,
+        |     LATERAL (SELECT UNNEST(range(0, 8)) AS x) x,
+        |     LATERAL (SELECT UNNEST(range(0, 6)) AS y) y
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -181,6 +181,14 @@ class PlanSpec extends SparkSpec {
     assert(!body.contains("Exchange"), s"shuffle inside the extract stage:\n$p")
   }
 
+  test("mm5: decode→resize→re-encode→decode chain is one narrow stage — no shuffle") {
+    val p = plan("mm5_resize")
+    // payload bytes must never cross an exchange: derive, resample, and
+    // feature extraction all fuse into mapPartitions over the documents scan
+    val body = p.split("== Physical Plan ==").last.split("Sort").head
+    assert(!body.contains("Exchange"), s"shuffle inside the resize chain:\n$p")
+  }
+
   test("ev15: incremental fold is broadcast anti-joins, no cartesian/BNLJ") {
     val p = plan("ev15_inc_postings")
     // per-batch stale-entry drop: touched-graph set broadcast to an anti-join

@@ -175,6 +175,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("image resize: nearest-neighbor floor mapping, exact through BMP re-encode") {
+    import Multimodal.ImageCodec
+    // 10x6 -> 5x3: src = dst*srcDim/outDim, every output pixel from the
+    // closed form at the sampled coordinate
+    val resized = ImageCodec.decode(ImageCodec.resize(
+      ImageCodec.syntheticBmp(7, 10, 6), 5, 3))
+    val expected = (for (y <- 0 until 3; x <- 0 until 5)
+      yield (7 * 31 + (x * 10 / 5) * 7 + (y * 6 / 3) * 13) % 256).sum.toLong
+    assert(resized.width == 5 && resized.height == 3 && resized.pxSum == expected,
+      s"got $resized, expected pxSum $expected")
+    // identity resize preserves the image bit-for-bit (floor mapping is
+    // exact when dims match)
+    val same = ImageCodec.decode(ImageCodec.resize(ImageCodec.syntheticBmp(9, 5, 3), 5, 3))
+    assert(same == ImageCodec.decode(ImageCodec.syntheticBmp(9, 5, 3)))
+    // upscale replicates source pixels (4 copies each at 2x)
+    val up = ImageCodec.decode(ImageCodec.resize(ImageCodec.syntheticBmp(3, 2, 2), 4, 4))
+    val srcSum = ImageCodec.decode(ImageCodec.syntheticBmp(3, 2, 2)).pxSum
+    assert(up.pxSum == srcSum * 4, s"2x upscale should quadruple pxSum: $up vs $srcSum")
+    intercept[IllegalArgumentException](ImageCodec.resize(Array[Byte](1, 2, 3), 2, 2))
+  }
+
   test("deterministic split: stable fractions, repartition-invariant, salt-sensitive") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"))
     val s1 = TextAnalysis.deterministicSplit(docs, "doc_id", "graft", 100, 50)
