@@ -363,4 +363,57 @@ class StreamingSpec extends SparkSpec {
     state.unpersist()
     ()
   }
+
+  test("streaming incremental iri-index: backlinks appear after insert, vanish after delete") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.IriIndex
+    import graft.sparql.RdfTables
+    // same per-batch contract as the postings twin, with the backlink index
+    // as the maintained state (the reference's projector maintains both from
+    // the one event stream, projector.rs:112-265)
+    val mem = MemoryStream[(Long, Long, Boolean)] // (event_id, doc_id, is_del)
+    val seed = Seq((1L, "web", "alpha", "en", 5L))
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+    var state = IriIndex.build(RdfTables.quadsOfDocs(seed)).cache()
+    state.count()
+    val q = mem.toDF().toDF("event_id", "doc_id", "is_del")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("event_id").desc)
+        val last = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val touched = last.select(
+          concat(lit("graph:"), col("doc_id").cast("string")).as("graph_iri"))
+        val upserts = last.filter(!col("is_del")).select(
+          col("doc_id"), lit("web").as("source"), lit("text").as("text"),
+          lit("en").as("lang"), lit(4L).as("n_chars"))
+        val old = state
+        state = old.join(broadcast(touched), Seq("graph_iri"), "left_anti")
+          .unionByName(IriIndex.build(RdfTables.quadsOfDocs(upserts))).cache()
+        state.count()
+        old.unpersist()
+        ()
+      }
+      .start()
+    def backlinks(objectIri: String): Set[String] =
+      state.filter(col("object_iri") === objectIri)
+        .select("graph_iri").collect().map(_.getString(0)).toSet
+    // seed doc 1: author -> person:1
+    assert(backlinks("person:1") == Set("graph:1"))
+    assert(backlinks("person:0").isEmpty)
+    // insert doc 100 (100%20=0): author -> person:0 appears
+    mem.addData((10L, 100L, false))
+    q.processAllAvailable()
+    assert(backlinks("person:0").contains("graph:100"), "insert must index backlinks")
+    assert(backlinks("person:1").contains("graph:1"), "untouched graphs must survive")
+    // delete doc 100: its backlinks vanish, others survive
+    mem.addData((11L, 100L, true))
+    q.processAllAvailable()
+    q.stop()
+    assert(backlinks("person:0").forall(_ != "graph:100"), "deleted graph must leave the index")
+    assert(backlinks("person:1").contains("graph:1"))
+    state.unpersist()
+    ()
+  }
 }
