@@ -30,11 +30,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dev-only: SPARK_GRAFT_ONLY=dd2,or1 restricts the suite for iteration;
-    // the driver never sets it, so the official run is always the full set
+    // dev-only: SPARK_GRAFT_ONLY=dd2,or1 restricts the suite for iteration,
+    // SPARK_GRAFT_SKIP excludes gates (scale probes drop the by-contract
+    // quadratics); the driver never sets either, so the official run is
+    // always the full set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(f => f.exists(n.startsWith)))
+      .filter(n => !skip.exists(f => f.exists(n.startsWith)))
     // warm-up: run everything once untimed
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()

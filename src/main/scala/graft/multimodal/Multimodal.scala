@@ -55,6 +55,12 @@ object Multimodal {
     * BMP/PNG payload back to pixel statistics. */
   object ImageCodec {
 
+    // ImageIO's default ImageInputStream is DISK-cached — a temp file per
+    // decode call. Every payload here is an in-memory byte array, so the
+    // file cache is pure overhead (the sf10 probe measured it as the mm2/
+    // mm5 wall); memory-cached streams keep decode linear and tempdir-free.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic synthetic 24-bit gray BMP (BITMAPINFOHEADER, bottom-up
       * rows, 4-byte row padding): pixel (x, y) value =
       * `(seed*31 + x*7 + y*13) mod 256` with y counted from the top — the
@@ -153,18 +159,45 @@ object Multimodal {
       val in = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data.array()), fmt, nSamples.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(in,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      waveWriter.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
+    }
+
+    /** The JDK's WAVE writer, resolved once per JVM — same per-call
+      * provider-scan avoidance as [[waveReader]]. */
+    private lazy val waveWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter installed"))
     }
 
     final case class AudioStats(sampleRate: Int, nSamples: Long, ampSum: Long)
 
-    /** Actual `AudioSystem` decode → (rate, sample count, sum of signed
+    /** The JDK's WAVE parser, resolved ONCE per JVM through the public SPI.
+      * `AudioSystem.getAudioInputStream` re-scans every installed
+      * `AudioFileReader` per call, and the non-WAVE readers (AIFF, AU, …)
+      * reject by THROWING — at millions of rows × 32 threads that is an
+      * exception-allocation storm that made the sf10 probe's mm3 go 25×
+      * on 10× data. Pinning the matching reader keeps the decode linear
+      * while the header is still parsed by the JDK, not by us. */
+    private lazy val waveReader: javax.sound.sampled.spi.AudioFileReader = {
+      import scala.jdk.CollectionConverters._
+      val probe = syntheticProbeWav
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.find { r =>
+          try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+          catch { case _: Exception => false }
+        }.getOrElse(throw new IllegalStateException("no WAVE AudioFileReader installed"))
+    }
+
+    private def syntheticProbeWav: Array[Byte] = syntheticWav(0L, 1)
+
+    /** Actual JDK WAVE decode → (rate, sample count, sum of signed
       * 16-bit samples). The header is parsed by the JDK, not by us — a
       * chunk-layout bug on the encode side breaks the gate. */
     def decode(bytes: Array[Byte]): AudioStats = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val in = waveReader.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = in.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,

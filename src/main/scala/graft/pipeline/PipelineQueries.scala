@@ -187,7 +187,10 @@ object PipelineQueries {
     // ranks only its nprobe probed cells' members
     "ann8_knn_join_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Ann.knnJoinIvf(e, e.filter(col("vec_id") % Ann4Every === 0), k = Ann4K)
+      // nCells pinned for the static oracle; production callers omit it and
+      // get the √n-adaptive codebook (see knnJoinIvf scaladoc)
+      Ann.knnJoinIvf(e, e.filter(col("vec_id") % Ann4Every === 0), k = Ann4K,
+          nCells = 16)
         .orderBy(col("q_id"), col("rk"))
     },
 

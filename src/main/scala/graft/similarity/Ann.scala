@@ -110,12 +110,32 @@ object Ann {
     * pruning. Approximate exactly like [[topKCosineIvf]] (a true neighbor
     * outside every probed cell is missed); fully deterministic — flat
     * codebook, integer assignment metric, (cosine desc, vec_id) ranking —
-    * so the gate hash-compares against a DuckDB replica. */
+    * so the gate hash-compares against a DuckDB replica.
+    *
+    * A FIXED cell count does not survive corpus growth: per-cell occupancy
+    * — and the candidate join, which is |queries| · nprobe · occupancy —
+    * scales linearly with n (the sf10 probe measured the pinned
+    * nCells = 16 gate at 6.8× wall on 10× data). Pass `nCells = 0` (the
+    * default) to size the codebook from the corpus: the next power of two
+    * of √n (the classic IVF nlist guidance, clamped to [16, 1024]) keeps
+    * the two stages balanced — assignment costs n·nCells (so n^1.5, never
+    * the n²/c of a fixed-occupancy target) while per-query candidates are
+    * nprobe·√n. The sf10 probe measured 40 s (pinned 16) → 10 s (√n cells)
+    * on 210k vectors × 2.1k queries. Explicit nCells remains for
+    * oracle-pinned callers. */
   def knnJoinIvf(embeddings: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    require(k >= 1 && nprobe >= 1 && nprobe <= nCells,
-      s"bad knnJoinIvf params: k=$k nprobe=$nprobe nCells=$nCells")
-    val cents = codebook(embeddings, nCells)
+      nCells: Int = 0, nprobe: Int = 4): DataFrame = {
+    val effCells =
+      if (nCells > 0) nCells
+      else {
+        val n = math.max(1L, embeddings.count()) // one cheap metadata-ish job
+        val target = java.lang.Long.highestOneBit(
+          math.max(1L, math.sqrt(n.toDouble).toLong)) * 2
+        math.max(16L, math.min(1024L, target)).toInt
+      }
+    require(k >= 1 && nprobe >= 1 && nprobe <= effCells,
+      s"bad knnJoinIvf params: k=$k nprobe=$nprobe nCells=$effCells")
+    val cents = codebook(embeddings, effCells)
     val cand = ivfAssignments(embeddings, cents).filter(col("n2") > 0)
     // per-query probe cells: rank literal-codebook distances in one narrow
     // projection, keep nprobe, explode to (q_id, cell) — no driver work
