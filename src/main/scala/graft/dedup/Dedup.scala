@@ -406,7 +406,8 @@ object Dedup {
   /** SimHash bit width: 60 bits — the md5-prefix token hash is 60 bits
     * (15 hex chars) so every value stays positive and below 2^60, where
     * Spark and DuckDB shift/AND/XOR agree bit-for-bit (the full-oracle
-    * requirement); 60 also divides evenly into 4 pigeonhole chunks. */
+    * requirement); 60 also splits evenly into the 6 blocks of 10 bits the
+    * Manku block-combination candidate scheme keys on. */
   val SimhashBits = 60
 
   /** SimHash fingerprints: per-bit tf-weighted votes over md5-derived token
@@ -427,21 +428,39 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.SimhashOf(tokens(col("text")), SimhashBits).as("simhash"))
 
-  /** Near-dup pairs within hamming distance <= maxDist, candidates via
-    * 15-bit chunk collision (pigeonhole: dist<=3 ⇒ one of 4 chunks equal). */
+  /** Near-dup pairs within hamming distance <= maxDist (<= 3), candidates
+    * via the block-combination scheme of Manku et al. (WWW'07, the
+    * published web-scale simhash design): the 60-bit fingerprint splits
+    * into 6 blocks of 10 bits; <= 3 flipped bits touch <= 3 blocks, so
+    * every true pair shares all three blocks of at least one of the
+    * C(6,3) = 20 block-triples. Each doc emits 20 (triple_idx, 30-bit key)
+    * rows and candidates are key collisions — vs the naive 4x15-bit chunk
+    * pigeonhole, spurious collisions drop by ~2^15 (n^2/2^30 per key
+    * instead of n^2/2^15) for a 5x key fan-out, which is what keeps the
+    * candidate join linear-ish to web scale. Candidates are then EXACTLY
+    * verified (bit_count of the XOR), so the output is blocking-invariant
+    * and the DuckDB oracle pins it unchanged. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    // the chunk self-join below evaluates its input twice; fingerprints are
+    require(maxDist >= 1 && maxDist <= 3,
+      s"block scheme covers maxDist 1..3, got $maxDist")
+    // the key self-join below evaluates its input twice; fingerprints are
     // one long per doc, so cache them rather than re-running the tf pass
     val fp = simhash(docs).persist()
     graft.Caches.track(fp)
-    val chunked = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*)))
-      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
-    val l = chunked.as("l")
-    val r = chunked.as("r")
+    val block = (i: Int) =>
+      shiftright(col("simhash"), i * 10).bitwiseAND(lit(0x3FFL))
+    val keys = (0 until 6).combinations(3).toSeq.map { c =>
+      shiftleft(block(c(0)), 20)
+        .bitwiseOR(shiftleft(block(c(1)), 10))
+        .bitwiseOR(block(c(2)))
+    }
+    val keyed = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "triple_idx").withColumnRenamed("col", "key")
+    val l = keyed.as("l")
+    val r = keyed.as("r")
     l.join(r,
-        col("l.chunk_idx") === col("r.chunk_idx") && col("l.chunk") === col("r.chunk") &&
+        col("l.triple_idx") === col("r.triple_idx") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         col("l.simhash").as("ha"), col("r.simhash").as("hb"))
