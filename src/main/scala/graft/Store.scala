@@ -119,6 +119,21 @@ object Store {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Cell-partitioned IVF ANN index over the embeddings table (the
+    * [[graft.similarity.Ann.writeIvfIndex]] layout: one parquet directory
+    * per codebook cell). Built once per (session, dir); every
+    * [[graft.similarity.Ann.topKCosineIvfIndexed]] probe then reads ONLY its
+    * nprobe cells' directories (partition pruning, plan-asserted in
+    * PipelineSpec). This is the vector-index analog of [[postings]]/
+    * [[iriIndex]]: at 100 TB a deployment maintains the assignment on
+    * ingest (the map-side ivfAssignments stage feeding partitionBy) and
+    * serves every similarity query from the index — it never re-assigns
+    * the corpus per query. */
+  def ivfIndex(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "ivf_index") { p =>
+      graft.similarity.Ann.writeIvfIndex(Tables.embeddings(spark, dir), p)
+    }
+
   /** Reverse-reference (backlink) index clustered by its lookup key
     * (predicate_iri, object_iri) — a `references_metadata` probe prunes to
     * one cluster via parquet min/max stats instead of re-grouping the quads

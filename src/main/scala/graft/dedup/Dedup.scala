@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard joins on shared shingles — exact but quadratic in the
   *    worst case; use after LSH at scale (verify step), standalone for
   *    small/medium corpora.
-  *  - SimHash: 60-bit fingerprints, candidates via 15-bit chunk collisions
-  *    (any pair within hamming distance 3 shares a chunk — pigeonhole).
+  *  - SimHash: 60-bit fingerprints, candidates via the Manku block-triple
+  *    scheme (any pair within hamming distance 3 leaves one of the C(6,3)
+  *    block-triples untouched — its 30-bit key collides).
   */
 object Dedup {
 
@@ -440,6 +441,21 @@ object Dedup {
     * candidate join linear-ish to web scale. Candidates are then EXACTLY
     * verified (bit_count of the XOR), so the output is blocking-invariant
     * and the DuckDB oracle pins it unchanged. */
+  /** The C(6,3)=20 block-triple candidate keys of a 60-bit fingerprint:
+    * key `c` packs blocks c(0),c(1),c(2) (10 bits each) into 30 bits.
+    * Exposed package-private so the completeness invariant — any <=3-bit
+    * flip leaves at least one triple's key unchanged — is property-tested
+    * directly (a blocking that silently lost recall would MISS pairs, which
+    * the exact verify step cannot repair). */
+  private[graft] def simhashTripleKeys(fp: Column): Seq[Column] = {
+    val block = (i: Int) => shiftright(fp, i * 10).bitwiseAND(lit(0x3FFL))
+    (0 until 6).combinations(3).toSeq.map { c =>
+      shiftleft(block(c(0)), 20)
+        .bitwiseOR(shiftleft(block(c(1)), 10))
+        .bitwiseOR(block(c(2)))
+    }
+  }
+
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       s"block scheme covers maxDist 1..3, got $maxDist")
@@ -447,15 +463,8 @@ object Dedup {
     // one long per doc, so cache them rather than re-running the tf pass
     val fp = simhash(docs).persist()
     graft.Caches.track(fp)
-    val block = (i: Int) =>
-      shiftright(col("simhash"), i * 10).bitwiseAND(lit(0x3FFL))
-    val keys = (0 until 6).combinations(3).toSeq.map { c =>
-      shiftleft(block(c(0)), 20)
-        .bitwiseOR(shiftleft(block(c(1)), 10))
-        .bitwiseOR(block(c(2)))
-    }
     val keyed = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array(keys: _*)))
+      posexplode(array(simhashTripleKeys(col("simhash")): _*)))
       .withColumnRenamed("pos", "triple_idx").withColumnRenamed("col", "key")
     val l = keyed.as("l")
     val r = keyed.as("r")

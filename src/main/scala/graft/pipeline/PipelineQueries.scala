@@ -69,6 +69,7 @@ object PipelineQueries {
   private val Gr1Fanout  = 3       // derived link-graph out-degree
   private val Gr1Damping = 0.85    // PageRank damping factor
   private val Gr1Iters   = 3       // PageRank iterations
+  private val Ann9Query  = 13      // materialized-IVF-index probe vector id
   private val Ann6M      = 4       // PQ subspaces
   private val Ann6Codes  = 16      // PQ centroids per subspace
   private val Ann6Query  = 7       // ADC query vector id
@@ -200,6 +201,15 @@ object PipelineQueries {
 
     "ann3_topk_cosine_ivf" -> { (s, d) =>
       Ann.topKCosineIvf(Tables.embeddings(s, d), queryId = 7, k = 10)
+    },
+
+    // same IVF probe against the MATERIALIZED cell-partitioned index
+    // (Store.ivfIndex): built once per session, each query reads only its
+    // nprobe cells' partition directories — index-once-serve-many, the
+    // 100 TB serving path (ann3 re-derives the assignment per query)
+    "ann9_ivf_indexed" -> { (s, d) =>
+      Ann.topKCosineIvfIndexed(graft.Store.ivfIndex(s, d),
+        queryId = Ann9Query, k = 10)
     },
 
     // one Lloyd step of IVF codebook retraining: exact integer assignment,
@@ -853,6 +863,44 @@ object PipelineQueries {
         |  WHERE a.cell IN (SELECT cell FROM qprobe)
         |    AND a.vec_id <> 7 AND a.n2 > 0) t
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // identical algebra to ann3 (the index write/read roundtrip must not
+    // change a single probe result) with the ann9 query id interpolated
+    "ann9_ivf_indexed" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, v,
+         |         CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+         |  FROM vecs),
+         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n2, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM nv e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv, n2 AS qn2 FROM nv WHERE vec_id = $Ann9Query),
+         |qprobe AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell,
+         |           ROW_NUMBER() OVER (ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM cents c, q) t
+         |  WHERE rn <= 4)
+         |SELECT vec_id, CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE)) AS cosine
+         |FROM (
+         |  SELECT a.vec_id, a.n2, q.qn2,
+         |         CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS BIGINT) AS dot
+         |  FROM assign a, q
+         |  WHERE a.cell IN (SELECT cell FROM qprobe)
+         |    AND a.vec_id <> $Ann9Query AND a.n2 > 0) t
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     // same assignment CTE as ann3, then per-(cell,dim) exact integer sums;
     // dims explode via range-UNNEST (1-based list index -> 0-based dim)

@@ -93,6 +93,27 @@ class NativeKernelsSpec extends SparkSpec {
     assert(!native.contains(900L), "token-less doc leaked into the fingerprints")
   }
 
+  test("simhash triple-key blocking is complete for hamming distance <= 3") {
+    // pigeonhole invariant behind simhashPairs' candidate generation: flip
+    // any <=3 of the 60 bits and at least one C(6,3) block-triple is
+    // untouched, so its 30-bit key still collides. A blocking that lost
+    // this would silently MISS pairs (the exact verify step only prunes).
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(300) {
+      val fp = rnd.nextLong() & ((1L << 60) - 1)
+      val nFlips = 1 + rnd.nextInt(3)
+      val bits = rnd.shuffle((0 until 60).toList).take(nFlips)
+      (fp, bits.foldLeft(fp)((f, b) => f ^ (1L << b)))
+    }
+    val keyed = rows.toDF("fp", "fp2").select(
+      array(graft.dedup.Dedup.simhashTripleKeys(col("fp")): _*).as("k1"),
+      array(graft.dedup.Dedup.simhashTripleKeys(col("fp2")): _*).as("k2"))
+    // positional, matching simhashPairs' (triple_idx, key) join equi-key
+    val collides = exists(zip_with(col("k1"), col("k2"), (a, b) => a === b),
+      x => x)
+    assert(keyed.filter(not(collides)).count() == 0)
+  }
+
   private object TextOps {
     def winnow(docs: Seq[(Long, String)], k: Int, w: Int): Set[(Long, Long)] =
       graft.text.TextAnalysis.winnowFingerprints(

@@ -432,6 +432,18 @@ class PipelineSpec extends SparkSpec {
       s"cell IN-list did not prune partitions:\n$plan")
   }
 
+  test("ann9 gate: materialized Store.ivfIndex probe prunes partitions, matches direct IVF") {
+    val got = PipelineQueries.queries("ann9_ivf_indexed")(spark, sf0001)
+    // the gate's result must be bit-identical to the un-indexed probe (the
+    // index write/read roundtrip and the oracle both pin this)
+    val want = Ann.topKCosineIvf(Tables.embeddings(spark, sf0001), 13, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"materialized-index probe did not prune cell partitions:\n$plan")
+  }
+
   test("repetition stats: looped text scores high, distinct text scores zero") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // 9 tokens, 7 grams, 3 distinct rotations
