@@ -258,6 +258,48 @@ object Dedup {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** MinHash-LSH near-duplicate pairs BETWEEN two corpora — the fuzzy
+    * cross-set primitive (train corpus probed against an eval benchmark,
+    * new crawl against an existing index). Same banded md5-signature
+    * scheme as [[minhashLshPairs]], but the band join is left × right
+    * instead of a self-join, and the right side is broadcast by default:
+    * an eval suite is KBs against a 100 TB train corpus, so the probe
+    * side never shuffles — signature build is one narrow map pass and
+    * the band match is a broadcast hash join, making the whole operator
+    * scan-bound. Returns (a = left doc, b = right doc, sim = fraction of
+    * equal signature components, >= simThreshold). */
+  def minhashLshCrossPairs(left: DataFrame, right: DataFrame, n: Int = 3,
+      k: Int = 16, bands: Int = 4, simThreshold: Double = 0.8,
+      broadcastRight: Boolean = true): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature size ($k)")
+    val rows = k / bands
+    def bandedSigs(docs: DataFrame): DataFrame = {
+      val sigs = minhashMd5Signatures(docs, n, k)
+        .select(col("doc_id"),
+          array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      val bandKeys = array((0 until bands).map(b =>
+        concat_ws("|",
+          (0 until rows).map(j => col("sig").getItem(b * rows + j)): _*)): _*)
+      sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    }
+    val l = bandedSigs(left).as("l")
+    val r0 = bandedSigs(right)
+    val r = (if (broadcastRight) broadcast(r0) else r0).as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("a", "b")
+      .withColumn("sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          p => p)).cast("double") / k)
+      .filter(col("sim") >= simThreshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   /** Cross-engine-replicable MinHash: two 60-bit base hashes per shingle cut
     * from the two halves of ONE md5 (hex chars 1-15 and 17-31 → BIGINT —
     * DuckDB casts '0x…' literals, Spark uses conv(_,16,10)); component i =

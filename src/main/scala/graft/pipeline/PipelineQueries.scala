@@ -52,6 +52,7 @@ object PipelineQueries {
   private val Dd9MinTail = Dd9W / 2 // min final-chunk tokens kept
   private val Dc1N       = 5       // contamination n-gram size
   private val Dc2Snippet = 40      // exact-substring probe length (chars)
+  private val Dc3Sim     = 0.8     // fuzzy-contamination similarity floor
   private val SplitSalt  = "graft" // deterministic-split hash salt
   private val SplitValPm  = 100    // val permille of the hash space
   private val SplitTestPm = 50     // test permille
@@ -64,6 +65,9 @@ object PipelineQueries {
   private val Dd10Suffix   = " wholly novel suffix" // marks the novel docs
   private val Ds1Rates   = Seq("src0" -> 1000, "src1" -> 100, "src7" -> 900)
   private val Ds1Default = 500     // permille for strata without a rate
+  // target mixture weights (sources not listed are dropped from the mix)
+  private val Ds2Weights = Seq("src0" -> 6, "src11" -> 3, "src19" -> 1,
+    "src3" -> 2, "src4" -> 2, "src7" -> 1)
   private val PiiMod     = 10      // %N==0 plants an email, %N==5 an IPv4
   private val Pl1MinQuality = 0.4  // end-to-end pipeline quality floor
   private val Gr1Fanout  = 3       // derived link-graph out-degree
@@ -171,6 +175,16 @@ object PipelineQueries {
       TextAnalysis.exactContamination(corpus(s, d), snippetLen = Dc2Snippet,
           salt = SplitSalt, valPermille = SplitValPm, testPermille = SplitTestPm)
         .orderBy(col("doc_id"))
+    },
+
+    // fuzzy decontamination: train docs that are NEAR-duplicates of test
+    // docs (MinHash-LSH, eval side broadcast) — catches the paraphrase/
+    // reformat leaks dc1's gram overlap and dc2's verbatim scan both miss
+    "dc3_fuzzy_contamination" -> { (s, d) =>
+      TextAnalysis.fuzzyContamination(corpus(s, d), n = 3, k = 16, bands = 4,
+          simThreshold = Dc3Sim, salt = SplitSalt,
+          valPermille = SplitValPm, testPermille = SplitTestPm)
+        .orderBy(col("doc_id"), col("eval_doc_id"))
     },
 
     "ann1_topk_dot" -> { (s, d) =>
@@ -293,6 +307,20 @@ object PipelineQueries {
           "doc_id", "source", Ds1Rates.toMap, Ds1Default, SplitSalt)
         .select(col("doc_id"), col("source"), col("slot"))
         .orderBy(col("doc_id"))
+    },
+
+    // target-mixture resampling summary: per weighted source, its input
+    // count, the exact-integer sampling rate that lands the kept corpus on
+    // the target mix, and the rows the md5 slot actually kept
+    "ds2_mixture_resample" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val kept = TextAnalysis.mixtureResample(docs, "source", "doc_id",
+          Ds2Weights.toMap, SplitSalt)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      TextAnalysis.mixtureRates(docs, "source", Ds2Weights.toMap)
+        .join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy(col("source"))
     },
 
     // boilerplate strip: rebuild every corpus doc from its non-repeated
@@ -723,6 +751,52 @@ object PipelineQueries {
          |  ON instr(tr.text, sn.snippet) > 0 AND tr.doc_id <> sn.snippet_doc
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
+    // fuzzy decontamination: the dd2 signature/band algebra, but candidates
+    // come from a train-band x test-band join over the dc1 split instead of
+    // a self-join; sim is the same /16 component fraction (engine-exact)
+    "dc3_fuzzy_contamination" -> {
+      val simExpr = (0 until 16).map(i =>
+        s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $corpusCte,
+         |lbl AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN slot < $SplitValPm THEN 'val'
+         |         WHEN slot < ${SplitValPm + SplitTestPm} THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |    FROM corpus) s),
+         |tt AS (SELECT doc_id, text FROM lbl WHERE split IN ('train', 'test')),
+         |${shinglesCte("tt")},
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+         |         CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) AS h2
+         |  FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |${(0 until 16).map(i => s"    MIN(xor(h1, h2 >> $i)) AS h$i").mkString(",\n")}
+         |  FROM sh2 GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |${(0 until 4).map(b => s"    CONCAT(h${b * 4},'|',h${b * 4 + 1},'|',h${b * 4 + 2},'|',h${b * 4 + 3}) AS b$b").mkString(",\n")}
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l
+         |  JOIN lbl sl ON sl.doc_id = l.doc_id AND sl.split = 'train'
+         |  JOIN bands r ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+         |  JOIN lbl sr ON sr.doc_id = r.doc_id AND sr.split = 'test')
+         |SELECT a AS doc_id, b AS eval_doc_id, sim FROM (
+         |  SELECT c.a, c.b, CAST($simExpr AS DOUBLE) / 16 AS sim
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.a
+         |  JOIN sigs sb ON sb.doc_id = c.b) t
+         |WHERE sim >= $Dc3Sim
+         |ORDER BY doc_id, eval_doc_id""".stripMargin
+    },
+
     "dc1_decontaminate" ->
       s"""WITH $corpusCte,
          |lbl AS (
@@ -1112,6 +1186,30 @@ object PipelineQueries {
          |  ${Ds1Rates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")}
          |  ELSE $Ds1Default END
          |ORDER BY doc_id""".stripMargin,
+
+    // mixture resampling: identical integer rate algebra — binding source
+    // by IEEE-double n/w ordering (division is exactly rounded, so both
+    // engines agree), then exact integer floor-division rates; `//` is
+    // DuckDB's integer division (Spark side spells it `div`)
+    "ds2_mixture_resample" ->
+      s"""WITH w(source, w) AS (VALUES
+         |  ${Ds2Weights.sortBy(_._1).map { case (s, v) => s"('$s', CAST($v AS BIGINT))" }.mkString(",\n  ")}),
+         |c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |j AS (SELECT c.source, c.n, w.w FROM c JOIN w USING (source)),
+         |b AS (SELECT n AS bn, w AS bw FROM j
+         |      ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE), source LIMIT 1),
+         |r AS (SELECT j.source, j.n AS n_in,
+         |             (1000 * b.bn * j.w) // (b.bw * j.n) AS rate_permille
+         |      FROM j, b),
+         |k AS (
+         |  SELECT d.source, COUNT(*) AS n_kept
+         |  FROM documents d JOIN r ON d.source = r.source
+         |  WHERE CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < r.rate_permille
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_in, r.rate_permille,
+         |       COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM r LEFT JOIN k ON k.source = r.source
+         |ORDER BY r.source""".stripMargin,
 
     // boilerplate strip: same chunk grid, detector tail rule on the boiler
     // side only (full-coverage rebuild), order-preserving string_agg

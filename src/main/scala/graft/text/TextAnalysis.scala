@@ -310,6 +310,40 @@ object TextAnalysis {
       }(enc)
   }
 
+  /** Fuzzy (near-duplicate) decontamination — the third leg of the dc
+    * family: [[contaminationReport]] catches shared n-grams and
+    * [[exactContamination]] catches verbatim snippets, but a lightly
+    * paraphrased or reformatted benchmark document (whitespace, casing,
+    * a re-worded sentence) defeats both. MinHash-LSH between train docs
+    * and eval docs catches it: any (train, eval) pair whose estimated
+    * Jaccard over token shingles is >= simThreshold is reported as
+    * (doc_id, eval_doc_id, sim).
+    *
+    * Scale shape is [[graft.dedup.Dedup.minhashLshCrossPairs]]'s: the
+    * eval side is structurally benchmark-sized and broadcast, so the
+    * train corpus is one narrow signature scan probed by a broadcast
+    * band join — no train-side shuffle at any corpus size. */
+  def fuzzyContamination(trainDocs: DataFrame, evalDocs: DataFrame, n: Int,
+      k: Int, bands: Int, simThreshold: Double): DataFrame =
+    graft.dedup.Dedup
+      .minhashLshCrossPairs(trainDocs, evalDocs, n, k, bands, simThreshold)
+      .select(col("a").as("doc_id"), col("b").as("eval_doc_id"), col("sim"))
+
+  /** [[fuzzyContamination]] against this corpus's own
+    * [[deterministicSplit]] test slice — the self-split formulation the
+    * dc3 gate runs. As with the dc1 twin, only for corpora whose test
+    * permille is benchmark-sized; at 100 TB pass the external benchmark
+    * to the two-argument overload. */
+  def fuzzyContamination(docs: DataFrame, n: Int, k: Int, bands: Int,
+      simThreshold: Double, salt: String, valPermille: Int,
+      testPermille: Int): DataFrame = {
+    val split = deterministicSplit(docs, "doc_id", salt, valPermille, testPermille)
+    fuzzyContamination(
+      split.filter(col("split") === "train").select(col("doc_id"), col("text")),
+      split.filter(col("split") === "test").select(col("doc_id"), col("text")),
+      n, k, bands, simThreshold)
+  }
+
   /** Self-trained unigram-LM surprisal — the KenLM-style "perplexity filter"
     * of web-scale pipelines, with the LM trained on the corpus itself: a
     * token's probability is its corpus frequency cnt/N, a doc's score is the
@@ -365,6 +399,58 @@ object TextAnalysis {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
     docs.withColumn("slot", slot).filter(col("slot") < rate)
+  }
+
+  /** Target-mixture resampling — the data-mixing step of a pre-training
+    * build: given per-source target weights, each source is deterministically
+    * downsampled so the KEPT corpus's source proportions match the weights,
+    * with no source sampled harder than necessary (the binding source — the
+    * one scarcest relative to its weight — keeps rate 1000‰ and everything
+    * else scales to it). Sources without a weight are dropped entirely.
+    *
+    * Rates are exact integer arithmetic: binding source b = argmin(n/w)
+    * (IEEE-double sort key, source tie-break — division is exactly rounded
+    * so the ordering is engine-identical), then
+    * rate_s = (1000 * n_b * w_s) div (w_b * n_s), which is <= 1000 by
+    * construction and integer-exact at any corpus size (no double product
+    * past 2^53). Row selection is the same md5-permille slot as
+    * [[stratifiedSample]]: reproducible across runs, engines and
+    * partitionings, stable under re-ingest.
+    *
+    * Scale shape: one count aggregation (tiny result), the rate relation is
+    * sources-sized and broadcast onto the corpus scan — the corpus itself
+    * never shuffles. */
+  def mixtureRates(docs: DataFrame, sourceCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"mixture weights must be positive: $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.sortBy(_._1).toDF(sourceCol, "w")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val joined = counts.join(broadcast(w), Seq(sourceCol))
+    val binding = joined
+      .orderBy((col("n").cast("double") / col("w").cast("double")).asc,
+        col(sourceCol))
+      .limit(1).select(col("n").as("bn"), col("w").as("bw"))
+    joined.crossJoin(broadcast(binding))
+      .withColumn("rate_permille",
+        expr("(1000L * bn * w) div (bw * n)"))
+      .select(col(sourceCol), col("n").as("n_in"), col("rate_permille"))
+  }
+
+  /** Apply [[mixtureRates]]: the kept rows of `docs`, selected by the
+    * deterministic md5(salt|id) permille slot against each source's rate.
+    * Unweighted sources vanish (inner join with the rate relation). */
+  def mixtureResample(docs: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Int], salt: String): DataFrame = {
+    val rates = mixtureRates(docs, sourceCol, weights)
+      .select(col(sourceCol), col("rate_permille"))
+    val slot = conv(substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(slot < col("rate_permille"))
+      .drop("rate_permille")
   }
 
   /** PII detection + redaction report: per doc, counts of email and IPv4

@@ -526,6 +526,56 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
   }
 
+  test("fuzzy decontamination flags a lightly-edited cross-split near-copy") {
+    val ids = spark.range(0, 200).toDF("doc_id")
+    val bySplit = TextAnalysis.deterministicSplit(ids, "doc_id", "graft", 100, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val trainId = bySplit.collectFirst { case (id, "train") => id }.get
+    val testId = bySplit.collectFirst { case (id, "test") => id }.get
+    // a light edit (one appended clause) that breaks dc2's fixed head
+    // snippet and erodes only a few of dc1's grams — the fuzzy leg's case
+    val base = "machine translation benchmarks measure quality with automatic " +
+      "metrics computed against reference translations provided by humans " +
+      "for every sentence in the held out evaluation corpus"
+    val docs = bySplit.map { case (id, _) =>
+      (id, if (id == trainId) base + " as usual"
+           else if (id == testId) base
+           else s"alpha$id beta$id gamma$id delta$id epsilon$id zeta$id")
+    }.toSeq.toDF("doc_id", "text")
+    val report = TextAnalysis.fuzzyContamination(docs, n = 3, k = 16, bands = 4,
+      simThreshold = 0.5, salt = "graft", valPermille = 100, testPermille = 50)
+    val pairs = report.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((trainId, testId)),
+      s"expected exactly the planted near-copy pair, got $pairs")
+    // the eval band relation rides a broadcast — the train side of the
+    // candidate join never shuffles, at any corpus size
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval bands not broadcast:\n$plan")
+  }
+
+  test("mixture resampling: binding source keeps everything, others scale to the target mix") {
+    // counts a:100 b:50 c:10, equal weights -> c binds (scarcest per unit
+    // weight): rate_c = 1000, rate_a = 1000*10/100 = 100, rate_b = 200;
+    // unweighted source d must vanish from both rates and the sample
+    val docs = (Seq.tabulate(100)(i => (i.toLong, "a")) ++
+      Seq.tabulate(50)(i => (1000L + i, "b")) ++
+      Seq.tabulate(10)(i => (2000L + i, "c")) ++
+      Seq.tabulate(30)(i => (3000L + i, "d"))).toDF("doc_id", "source")
+    val w = Map("a" -> 1, "b" -> 1, "c" -> 1)
+    val rates = TextAnalysis.mixtureRates(docs, "source", w)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rates == Map("a" -> 100L, "b" -> 200L, "c" -> 1000L),
+      s"closed-form rates wrong: $rates")
+    val kept = TextAnalysis.mixtureResample(docs, "source", "doc_id", w, "graft")
+    assert(kept.filter(col("source") === "d").count() == 0,
+      "unweighted source leaked into the sample")
+    // binding source is never downsampled
+    assert(kept.filter(col("source") === "c").count() == 10)
+    // the rate relation rides a broadcast onto the corpus scan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+  }
+
   test("knn join matches single-query top-k and emits exactly k ranked rows per query") {
     val e = Tables.embeddings(spark, sf0001)
     val knn = Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
