@@ -74,6 +74,7 @@ object PipelineQueries {
   private val Gr1Damping = 0.85    // PageRank damping factor
   private val Gr1Iters   = 3       // PageRank iterations
   private val Ann9Query  = 13      // materialized-IVF-index probe vector id
+  private val Qf1SeedMod = 37      // every Nth vector seeds the domain centroid
   private val Ann6M      = 4       // PQ subspaces
   private val Ann6Codes  = 16      // PQ centroids per subspace
   private val Ann6Query  = 7       // ADC query vector id
@@ -224,6 +225,15 @@ object PipelineQueries {
     "ann9_ivf_indexed" -> { (s, d) =>
       Ann.topKCosineIvfIndexed(graft.Store.ivfIndex(s, d),
         queryId = Ann9Query, k = 10)
+    },
+
+    // embedding-space data selection: every vector scored by cosine to the
+    // seed-set centroid (integer sum vector — scale-invariant, so no mean
+    // division); the filter step of domain-targeted corpus curation
+    "qf1_domain_affinity" -> { (s, d) =>
+      Ann.centroidAffinity(Tables.embeddings(s, d),
+          col("vec_id") % Qf1SeedMod === 0)
+        .orderBy(col("vec_id"))
     },
 
     // one Lloyd step of IVF codebook retraining: exact integer assignment,
@@ -978,6 +988,32 @@ object PipelineQueries {
 
     // same assignment CTE as ann3, then per-(cell,dim) exact integer sums;
     // dims explode via range-UNNEST (1-based list index -> 0-based dim)
+    // same quantization as every ann gate; centroid = per-dim exact integer
+    // seed sums re-assembled into a list (cos(v, mean) == cos(v, sum))
+    "qf1_domain_affinity" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, v,
+         |         CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+         |  FROM vecs),
+         |seeds AS (SELECT v FROM nv WHERE vec_id % $Qf1SeedMod = 0 AND n2 > 0),
+         |ex AS (
+         |  SELECT i, CAST(SUM(v[CAST(i AS INT)]) AS BIGINT) AS s
+         |  FROM seeds, UNNEST(range(1, len(v) + 1)) AS u(i)
+         |  GROUP BY i),
+         |c AS (SELECT list(s ORDER BY i) AS cv,
+         |             CAST(SUM(s * s) AS BIGINT) AS cn2 FROM ex)
+         |SELECT vec_id,
+         |       CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS affinity
+         |FROM (
+         |  SELECT e.vec_id, e.n2, c.cn2,
+         |         CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT) AS dot
+         |  FROM nv e, c WHERE e.n2 > 0) t
+         |ORDER BY vec_id""".stripMargin,
+
     "ann5_ivf_retrain" ->
       """WITH vecs AS (
         |  SELECT vec_id,

@@ -242,6 +242,37 @@ object Ann {
       .limit(k)
   }
 
+  /** Domain-affinity scoring against a seed-set centroid — the embedding-
+    * space data-selection filter (score every corpus vector by cosine to
+    * the mean of a curated seed set; keep the high-affinity tail). The
+    * score is computed against the UNNORMALIZED per-dimension integer SUM
+    * of the quantized seed vectors: cos(v, mean) == cos(v, sum) by scale
+    * invariance, which keeps every intermediate an exact integer — no mean
+    * division, doubles only in the final cosine, so the DuckDB oracle is
+    * bit-exact (the ann-gate discipline).
+    *
+    * Scale shape: the seed aggregation reduces to ONE dim-sized row set
+    * (collected and shipped as a literal array — the broadcast-codebook
+    * pattern, bounded by the embedding dim); scoring is then a single
+    * narrow scan of the corpus with a codegen'd [[graft.functions.DotI64]]
+    * dot per row — no join, no shuffle, at any corpus size. Zero-norm
+    * vectors carry no defined cosine and are excluded. */
+  def centroidAffinity(embeddings: DataFrame, seedFilter: Column): DataFrame = {
+    val q = quantized(embeddings)
+    val sums = q.filter(seedFilter && col("n2") > 0)
+      .select(posexplode(col("v")))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+      .orderBy(col("pos")).collect().map(_.getLong(1))
+    require(sums.nonEmpty, "empty or all-zero seed set")
+    val cn2 = sums.map(x => x * x).sum
+    require(cn2 > 0, "seed centroid is the zero vector")
+    q.filter(col("n2") > 0)
+      .withColumn("dot", dotCol(col("v"), typedlit(sums.toSeq)))
+      .withColumn("affinity", col("dot").cast("double") /
+        sqrt(col("n2").cast("double") * lit(cn2.toDouble)))
+      .select(col("vec_id"), col("affinity"))
+  }
+
   // ---------------------------------------------------------------------
   // IVF (inverted-file) coarse quantization — codebook-partitioned layout
   // ---------------------------------------------------------------------

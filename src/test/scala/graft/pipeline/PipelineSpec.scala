@@ -576,6 +576,19 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
   }
 
+  test("centroid affinity: single-seed scores its own vector 1.0, scoring scan is shuffle-free") {
+    val e = Tables.embeddings(spark, sf0001)
+    val scored = Ann.centroidAffinity(e, col("vec_id") === 3)
+    val self = scored.filter(col("vec_id") === 3).head().getDouble(1)
+    assert(math.abs(self - 1.0) < 1e-12, s"cos(v, v-centroid) must be 1, got $self")
+    // cosine is bounded
+    assert(scored.filter(abs(col("affinity")) > 1.0 + 1e-9).count() == 0)
+    // the centroid ships as a literal — the corpus scoring pass is one
+    // narrow scan: no exchange anywhere in the scoring plan
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring scan shuffled:\n$plan")
+  }
+
   test("knn join matches single-query top-k and emits exactly k ranked rows per query") {
     val e = Tables.embeddings(spark, sf0001)
     val knn = Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
