@@ -430,6 +430,17 @@ object PipelineQueries {
         .orderBy(col("rank"))
     },
 
+    // tokenizer APPLICATION: the corpus re-tokenized under the tx18-trained
+    // vocabulary — per doc, subword count + token-stream md5 (training is
+    // offline; encoding is the pass every corpus build runs end to end)
+    "tx19_bpe_encode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeMerges(docs, nMerges = Tx18Merges)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, merges).orderBy(col("doc_id"))
+    },
+
     // per-doc tf-idf keyword extraction, f32-quantized score key
     "tx14_keywords" -> { (s, d) =>
       TextAnalysis.tfidfKeywords(Tables.documents(s, d), k = Tx14K)
@@ -494,6 +505,36 @@ object PipelineQueries {
       |    UNION ALL
       |    SELECT doc_id, array_to_string(ts, ' ') AS sh
       |    FROM toks WHERE len(ts) BETWEEN 1 AND 2) u)""".stripMargin
+
+  /** The tx18 BPE training rounds as a reusable CTE chain: `words`, `w0`
+    * and `p$i`/`b$i`/`w$i` for every merge round — tx18 reads the `b$i`
+    * winners, tx19 re-applies them to the doc relation. */
+  private lazy val bpeTrainingCtes: String = {
+    def round(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, p[CAST(j AS INT)] AS l, p[CAST(j AS INT) + 1] AS r
+         |    FROM (SELECT freq, string_split(trim(s), '  ') AS p FROM w${i - 1}) t,
+         |         UNNEST(range(1, len(p))) AS u(j))
+         |  GROUP BY l, r),
+         |b$i AS MATERIALIZED (SELECT l, r, l || r AS merged, cnt FROM p$i
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT freq,
+         |    replace(s, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+         |            ' ' || (SELECT merged FROM b$i) || ' ') AS s
+         |  FROM w${i - 1})""".stripMargin
+    s"""words AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                              t -> t <> '')) AS w
+       |    FROM documents) t
+       |  GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT freq, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+       |  FROM words),
+       |${(1 to Tx18Merges).map(round).mkString(",\n")}""".stripMargin
+  }
 
   /** The dd2 MinHash-LSH pipeline as a reusable CTE chain ending in
     * `lshpairs(a, b, sim)` — dd8's component clustering composes on it. */
@@ -1423,21 +1464,6 @@ object PipelineQueries {
     // the same loop count as the Spark side; plain replace() on the
     // double-space encoding is the boundary-safe merge in both engines
     "tx18_bpe" -> {
-      def round(i: Int): String =
-        s"""p$i AS MATERIALIZED (
-           |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, p[CAST(j AS INT)] AS l, p[CAST(j AS INT) + 1] AS r
-           |    FROM (SELECT freq, string_split(trim(s), '  ') AS p FROM w${i - 1}) t,
-           |         UNNEST(range(1, len(p))) AS u(j))
-           |  GROUP BY l, r),
-           |b$i AS MATERIALIZED (SELECT l, r, l || r AS merged, cnt FROM p$i
-           |        ORDER BY cnt DESC, l, r LIMIT 1),
-           |w$i AS MATERIALIZED (
-           |  SELECT freq,
-           |    replace(s, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
-           |            ' ' || (SELECT merged FROM b$i) || ' ') AS s
-           |  FROM w${i - 1})""".stripMargin
-      val rounds = (1 to Tx18Merges).map(round).mkString(",\n")
       // balanced UNION ALL tree: a left-deep 256-way chain exceeds
       // DuckDB's max_expression_depth (1000); depth log2(n) does not
       def unionAll(xs: Seq[String]): String =
@@ -1448,18 +1474,48 @@ object PipelineQueries {
         }
       val finals = unionAll((1 to Tx18Merges).map(i =>
         s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, merged, cnt AS pair_count FROM b$i"))
-      s"""WITH words AS (
-         |  SELECT w, COUNT(*) AS freq FROM (
-         |    SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |                              t -> t <> '')) AS w
-         |    FROM documents) t
-         |  GROUP BY w),
-         |w0 AS MATERIALIZED (
-         |  SELECT freq, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
-         |  FROM words),
-         |$rounds
+      s"""WITH $bpeTrainingCtes
          |$finals
          |ORDER BY rank""".stripMargin
+    },
+
+    // tokenizer application: the SAME training rounds derive the merge
+    // table, then the doc relation runs the identical double-space replace
+    // chain (4-space word boundaries can never match a ' l  r ' pattern,
+    // so per-doc global replace ≡ per-word merge)
+    "tx19_bpe_encode" -> {
+      // 4 sequential merges nest into one CTE (innermost replace = lowest
+      // rank) — the d-chain would otherwise push the combined training +
+      // encode CTE chain past DuckDB's 1000 expression-depth cap
+      val perCte = 4
+      require(Tx18Merges % perCte == 0)
+      // COALESCE to an unmatchable control char: training may exhaust its
+      // pair supply before nMerges rounds (every word one symbol — the
+      // Spark loop stops at heap exhaustion), leaving later b$i EMPTY, and
+      // a NULL scalar pattern would NULL the whole doc string
+      val docRounds = (1 to Tx18Merges / perCte).map { g =>
+        val body = ((g - 1) * perCte + 1 to g * perCte).foldLeft("s") { (acc, i) =>
+          s"""replace($acc, ' ' || COALESCE((SELECT l FROM b$i), chr(7)) || '  ' || COALESCE((SELECT r FROM b$i), chr(7)) || ' ',
+             |            ' ' || COALESCE((SELECT merged FROM b$i), chr(7)) || ' ')""".stripMargin
+        }
+        s"""d$g AS MATERIALIZED (
+           |  SELECT doc_id, $body AS s
+           |  FROM d${g - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeTrainingCtes,
+         |d0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    '  ' || array_to_string(list_transform(
+         |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+         |        w -> array_to_string(string_split(w, ''), '  ')), '    ') || '  ' AS s
+         |  FROM documents),
+         |$docRounds
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(toks, ' ')) AS stream_md5
+         |FROM (SELECT doc_id,
+         |        list_filter(string_split_regex(trim(s), ' +'), t -> t <> '') AS toks
+         |      FROM d${Tx18Merges / 4}) t
+         |ORDER BY doc_id""".stripMargin
     },
 
     "tx16_bigram_lm" ->

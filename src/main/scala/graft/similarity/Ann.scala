@@ -259,11 +259,19 @@ object Ann {
     * vectors carry no defined cosine and are excluded. */
   def centroidAffinity(embeddings: DataFrame, seedFilter: Column): DataFrame = {
     val q = quantized(embeddings)
-    val sums = q.filter(seedFilter && col("n2") > 0)
+    val agg = q.filter(seedFilter && col("n2") > 0)
       .select(posexplode(col("v")))
-      .groupBy(col("pos")).agg(sum(col("col")).as("s"))
-      .orderBy(col("pos")).collect().map(_.getLong(1))
-    require(sums.nonEmpty, "empty or all-zero seed set")
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("pos")).collect()
+    require(agg.nonEmpty, "empty or all-zero seed set")
+    // seed sets are curated and structurally small; the cap keeps the
+    // integer algebra exact: |s_d| <= nSeeds * maxq, and cn2 = Σ s_d² must
+    // fit a long — with |quantized| <= ~2e3 that bounds nSeeds at ~1.9e5,
+    // so 1e5 leaves 4x headroom (and the per-row dot stays < 2^45)
+    require(agg.head.getLong(2) <= 100000L,
+      s"seed set too large for exact integer centroid algebra " +
+        s"(${agg.head.getLong(2)} > 100000); sample the seeds first")
+    val sums = agg.map(_.getLong(1))
     val cn2 = sums.map(x => x * x).sum
     require(cn2 > 0, "seed centroid is the zero vector")
     q.filter(col("n2") > 0)

@@ -424,6 +424,11 @@ object TextAnalysis {
       weights: Map[String, Int]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"mixture weights must be positive: $weights")
+    // overflow headroom for the exact-integer rate: 1000 * n_b * w must fit
+    // a long, so with weights <= 1000 the binding count may reach 9e12 rows
+    // per source before wrapping. Weights are RATIOS — normalize large ones.
+    require(weights.values.forall(_ <= 1000),
+      s"mixture weights are ratios; normalize to <= 1000: $weights")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toSeq.sortBy(_._1).toDF(sourceCol, "w")
@@ -617,6 +622,21 @@ object TextAnalysis {
     * below is position-for-position identical (adjacent repeats merge
     * left-to-right, a fresh merged symbol never re-pairs within its own
     * round), ties broken by (l, r) byte order. */
+  // left-to-right non-overlapping merge of (l, r); null when the pair is
+  // absent — shared by training ([[bpeMerges]]) and encoding ([[bpeEncode]])
+  // so the two sides cannot drift
+  private def mergeWord(s: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    var changed = false
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+        out += l + r; i += 2; changed = true
+      } else { out += s(i); i += 1 }
+    }
+    if (changed) out.result() else null
+  }
+
   def bpeMerges(docs: DataFrame, nMerges: Int, minFreq: Long = 1L,
       maxVocab: Int = 4 << 20): DataFrame = {
     require(nMerges >= 1, s"need at least one merge, got $nMerges")
@@ -661,19 +681,6 @@ object TextAnalysis {
     for (wi <- syms.indices; i <- 0 until syms(wi).length - 1)
       bump((syms(wi)(i), syms(wi)(i + 1)), freqs(wi), wi)
 
-    // left-to-right non-overlapping merge of (l, r); null when absent
-    def mergeWord(s: Array[String], l: String, r: String): Array[String] = {
-      val out = Array.newBuilder[String]
-      var i = 0
-      var changed = false
-      while (i < s.length) {
-        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
-          out += l + r; i += 2; changed = true
-        } else { out += s(i); i += 1 }
-      }
-      if (changed) out.result() else null
-    }
-
     val merges = Seq.newBuilder[Row]
     var rank = 1
     while (rank <= nMerges && heap.nonEmpty) {
@@ -702,6 +709,52 @@ object TextAnalysis {
         StructField("lhs", StringType), StructField("rhs", StringType),
         StructField("merged", StringType),
         StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Apply a learned [[bpeMerges]] table: tokenize every document under the
+    * trained vocabulary — the other half of the tokenizer story (training
+    * is offline; ENCODING is the pass that runs over the full corpus on
+    * every build). Per doc: the subword token count and the md5 of the
+    * space-joined token stream (a content-strength check the oracle can
+    * reproduce, without shipping the stream itself).
+    *
+    * Merges apply in rank order with the SAME left-to-right
+    * non-overlapping word merge as training (shared `mergeWord` — the two
+    * sides cannot drift). Scale shape: the merge table is vocab-sized and
+    * broadcast; encoding is one narrow mapPartitions pass with a
+    * per-partition word→tokens memo (Zipf makes the memo hit rate high),
+    * no shuffle, no driver loop. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge table")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergesB = spark.sparkContext.broadcast(merges.toArray)
+    graft.Caches.track(mergesB)
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = mergesB.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def enc(w: String): Array[String] = memo.getOrElseUpdate(w, {
+          var s = w.split("").filter(_.nonEmpty)
+          var mi = 0
+          while (mi < ms.length) {
+            val m = mergeWord(s, ms(mi)._1, ms(mi)._2)
+            if (m != null) s = m
+            mi += 1
+          }
+          s
+        })
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, ws) =>
+          val stream = ws.iterator.flatMap(enc).mkString(" ")
+          md.reset()
+          val hex = md.digest(stream.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          (docId, ws.iterator.map(w => enc(w).length.toLong).sum, hex)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "stream_md5")
   }
 
   /** RAG-style chunking: each doc's token stream is cut into windows of

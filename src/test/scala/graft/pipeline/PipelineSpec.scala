@@ -589,6 +589,27 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring scan shuffled:\n$plan")
   }
 
+  test("bpe encode: learned merges tokenize a doc exactly like hand-applied merges") {
+    // vocab: "abab" x3, "abc" x2 -> merges learned then applied to a NEW doc
+    val train = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(train, nMerges = 2)
+      .orderBy(col("rank")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // round 1: (a,b) count 8; round 2: (ab,ab) count 3 beats (ab,c) 2
+    assert(merges == Seq(("a", "b"), ("ab", "ab")), s"unexpected merges: $merges")
+    val docs = Seq((10L, "abab abc ababab"), (11L, "")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs, merges)
+    val byDoc = enc.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // "abab"->[abab](1)  "abc"->[ab,c](2)  "ababab"->[abab,ab](2, left-to-right)
+    assert(byDoc(10L)._1 == 5L, s"token count wrong: ${byDoc(10L)}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("abab ab c abab ab".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(byDoc(10L)._2 == want, "token stream hash diverged from hand merge")
+    assert(byDoc(11L)._1 == 0L, "empty doc must encode to zero tokens")
+    // encoding is one narrow pass: merge table broadcast, no shuffle
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode pass shuffled:\n$plan")
+  }
+
   test("knn join matches single-query top-k and emits exactly k ranked rows per query") {
     val e = Tables.embeddings(spark, sf0001)
     val knn = Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
