@@ -587,6 +587,36 @@ object Dedup {
     }.toDF("a", "b", "dot", "cosine")
   }
 
+  /** Cluster-bucketed semantic near-dup — the SemDeDup recipe: vectors are
+    * assigned to their nearest codebook cell (the same map-side IVF
+    * assignment the ANN family uses, reference: Abbas et al., "SemDeDup",
+    * 2023) and only WITHIN-CELL pairs are scored exactly. Third blocking
+    * strategy beside exact blocked all-pairs ([[embeddingCosinePairs]],
+    * Θ(n²) by contract) and sign-band LSH ([[embeddingCosinePairsLsh]],
+    * probabilistic recall): cell blocking is DATA-ADAPTIVE — clusters
+    * concentrate the near-dups — and its candidate count scales with
+    * Σ cell² under one shuffle on the cell key. Identical vectors always
+    * share a cell (same assignment), so exact duplicates have full recall;
+    * a near-dup pair split across a cell boundary is missed BY DESIGN (the
+    * paper's stated trade — raise nCells for selectivity, not recall).
+    * Returns (a, b, cosine), a < b, cosine >= threshold, zero-norm vectors
+    * excluded. */
+  def semanticDupPairs(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 16): DataFrame = {
+    val asg = graft.similarity.Ann.ivfAssignments(embeddings, nCells)
+      .filter(col("n2") > 0)
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    val l = asg.as("l")
+    val r = asg.as("r")
+    l.join(r, col("l.cell") === col("r.cell") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("dot", graft.functions.DotI64(col("l.v"), col("r.v")))
+      .withColumn("cosine", col("dot").cast("double") /
+        sqrt(col("l.n2").cast("double") * col("r.n2").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"), col("cosine"))
+  }
+
   /** Scale path for embedding near-dup: random-hyperplane sign-band LSH
     * candidates + EXACT integer re-rank. Output ⊆ the exact operator's
     * output; a pair is a candidate iff it collides in at least one of

@@ -155,6 +155,17 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // SemDeDup: cluster-bucketed semantic near-dup — IVF cell assignment
+    // blocks the pair search, within-cell exact cosine; the data-adaptive
+    // third blocking beside exact all-pairs (dd5) and sign-LSH (dd7)
+    "dd12_semdedup" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.semanticDupPairs(planted, threshold = 0.99, nCells = 16)
+        .orderBy(col("a"), col("b"))
+    },
+
     // cross-doc repeated-passage detection (paragraph-dedup analog over
     // fixed W-token chunks, sub-W/2 tails dropped) on the planted corpus
     "dd9_passage_dedup" -> { (s, d) =>
@@ -727,6 +738,38 @@ object PipelineQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
         |      / sqrt(CAST(a.n2*b.n2 AS DOUBLE)) >= 0.99
+        |ORDER BY a, b""".stripMargin,
+
+    // SemDeDup: the ann3 assignment algebra over the dd5 planted relation,
+    // then exact within-cell pairs only (cell blocking IS the operator)
+    "dd12_semdedup" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id%20=0),
+        |vecs AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM planted),
+        |nv AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
+        |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT e.vec_id, e.v, e.n2, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |             c.cell) AS rn
+        |    FROM nv e CROSS JOIN cents c) t
+        |  WHERE rn = 1 AND n2 > 0)
+        |SELECT a, b, cosine FROM (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    CAST(list_sum(list_transform(list_zip(l.v, r.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(l.n2 AS DOUBLE) * CAST(r.n2 AS DOUBLE)) AS cosine
+        |  FROM assign l JOIN assign r
+        |    ON l.cell = r.cell AND l.vec_id < r.vec_id) t
+        |WHERE cosine >= 0.99
         |ORDER BY a, b""".stripMargin,
 
     // full oracle for the LSH-bucketed ANN: identical md5-parity hyperplane

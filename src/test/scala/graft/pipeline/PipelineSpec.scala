@@ -610,6 +610,27 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"encode pass shuffled:\n$plan")
   }
 
+  test("semdedup: full recall on planted copies, subset of exact all-pairs, cell-blocked join") {
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val sem = Dedup.semanticDupPairs(planted, threshold = 0.99, nCells = 16)
+    val semPairs = sem.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share a cell by construction -> every planted copy found
+    val nPlanted = e.filter(col("vec_id") % 20 === 0).count()
+    val copies = semPairs.filter { case (a, b) => b == a + 10000 }
+    assert(copies.size == nPlanted, s"missed planted copies: ${copies.size}/$nPlanted")
+    // cell blocking only PRUNES: output must be a subset of the exact operator's
+    val exact = Dedup.embeddingCosinePairs(planted, threshold = 0.99)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semPairs.subsetOf(exact), s"non-pairs leaked: ${semPairs.diff(exact)}")
+    // the pair search is an equi-join on the cell key — never all-pairs
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup fell back to all-pairs:\n$plan")
+  }
+
   test("knn join matches single-query top-k and emits exactly k ranked rows per query") {
     val e = Tables.embeddings(spark, sf0001)
     val knn = Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
