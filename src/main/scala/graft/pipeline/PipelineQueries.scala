@@ -82,6 +82,9 @@ object PipelineQueries {
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
   private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
+  private val Tx20Stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val Tx20MinWords = 10L   // Gopher word-count floor (corpus-scaled)
+  private val Tx20MaxWords = 100000L
   private val Tx17K      = 16      // winnowing gram length (chars)
   private val Tx17W      = 8       // winnowing window (hashes)
   private val Tx14K      = 3       // tf-idf keywords per doc
@@ -450,6 +453,14 @@ object PipelineQueries {
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs, merges).orderBy(col("doc_id"))
+    },
+
+    // Gopher-style RULE filter: the five-document-quality-rule keep/drop
+    // decision, every rule exact-integer (tx2 reports metrics; this filters)
+    "tx20_gopher_rules" -> { (s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), Tx20Stop,
+          Tx20MinWords, Tx20MaxWords)
+        .orderBy(col("doc_id"))
     },
 
     // per-doc tf-idf keyword extraction, f32-quantized score key
@@ -1433,6 +1444,36 @@ object PipelineQueries {
         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS na
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // same exact-integer rule algebra; doubles only in the reported ratios
+    "tx20_gopher_rules" ->
+      s"""SELECT doc_id, n AS n_words,
+         |  CASE WHEN n > 0 THEN CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_word_len,
+         |  CASE WHEN n > 0 THEN CAST(symbols AS DOUBLE) / CAST(n AS DOUBLE) END AS symbol_ratio,
+         |  CASE WHEN n > 0 THEN CAST(aw AS DOUBLE) / CAST(n AS DOUBLE) END AS alpha_word_ratio,
+         |  sd AS n_stop_distinct,
+         |  (n >= $Tx20MinWords AND n <= $Tx20MaxWords) AS r1_words,
+         |  (sumlen >= 3*n AND sumlen <= 10*n AND n > 0) AS r2_word_len,
+         |  (10*symbols <= n) AS r3_symbols,
+         |  (5*aw >= 4*n AND n > 0) AS r4_alpha,
+         |  (sd >= 2) AS r5_stopwords,
+         |  ((n >= $Tx20MinWords AND n <= $Tx20MaxWords)
+         |   AND (sumlen >= 3*n AND sumlen <= 10*n AND n > 0)
+         |   AND (10*symbols <= n)
+         |   AND (5*aw >= 4*n AND n > 0)
+         |   AND (sd >= 2)) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT) AS sumlen,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS symbols,
+         |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS aw,
+         |    CAST(len(list_intersect(list_distinct(ts),
+         |      [${Tx20Stop.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS sd
+         |  FROM (SELECT doc_id, text,
+         |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+         |        FROM documents) t0) t
+         |ORDER BY doc_id""".stripMargin,
 
     "tx3_langid" ->
       """SELECT doc_id,

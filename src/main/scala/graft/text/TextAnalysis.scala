@@ -56,6 +56,52 @@ object TextAnalysis {
       ((nStop / nTok) * 0.5 + (nAlphaChars / nChars) * 0.5).as("quality"))
   }
 
+  /** Gopher/C4-style RULE filter — the keep/drop DECISION layer on top of
+    * the raw metrics ([[qualityScores]] reports; this op filters): per doc,
+    * the five standard document-quality rules and their conjunction.
+    *
+    *  r1: word count within [minWords, maxWords]
+    *  r2: mean word length within [3, 10] chars
+    *  r3: symbol-to-word ratio <= 0.1 (chars that are neither alnum nor
+    *      whitespace, per word)
+    *  r4: >= 80% of words contain an alphabetic character
+    *  r5: >= 2 DISTINCT stop words present (the Gopher "stop word" rule —
+    *      absence signals boilerplate/navigation text)
+    *
+    * Every rule evaluates in EXACT INTEGER arithmetic (e.g. r3 as
+    * `10 * symbols <= words`, r2 as `3n <= Σlen <= 10n`) so the booleans
+    * are engine-identical with no float thresholds anywhere; the reported
+    * ratio metrics are IEEE doubles derived from the same integers (NULL
+    * for empty docs — an empty doc fails r1, never divides by zero).
+    * One narrow projection: no shuffle, no UDF, full codegen. */
+  def gopherRules(docs: DataFrame, stopwords: Seq[String],
+      minWords: Long, maxWords: Long): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, s"bad bounds [$minWords, $maxWords]")
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")), lit(0L))
+    val symbols = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopDistinct = size(array_intersect(array_distinct(toks),
+      typedlit(stopwords))).cast("long")
+    val r1 = n >= minWords && n <= maxWords
+    val r2 = sumLen >= lit(3L) * n && sumLen <= lit(10L) * n && n > 0
+    val r3 = lit(10L) * symbols <= n
+    val r4 = lit(5L) * alphaWords >= lit(4L) * n && n > 0
+    val r5 = stopDistinct >= 2L
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      when(n > 0, sumLen.cast("double") / n.cast("double")).as("mean_word_len"),
+      when(n > 0, symbols.cast("double") / n.cast("double")).as("symbol_ratio"),
+      when(n > 0, alphaWords.cast("double") / n.cast("double")).as("alpha_word_ratio"),
+      stopDistinct.as("n_stop_distinct"),
+      r1.as("r1_words"), r2.as("r2_word_len"), r3.as("r3_symbols"),
+      r4.as("r4_alpha"), r5.as("r5_stopwords"),
+      (r1 && r2 && r3 && r4 && r5).as("keep"))
+  }
+
   /** Language marker lists (tiny stopword heuristics). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

@@ -631,6 +631,32 @@ class PipelineSpec extends SparkSpec {
       s"semdedup fell back to all-pairs:\n$plan")
   }
 
+  test("gopher rules: each rule fails on its designed violation, clean doc keeps") {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val clean = "the quick brown fox jumps over that lazy sleeping dog " +
+      "while every other animal waits behind with great patience today"
+    val docs = Seq(
+      (1L, clean),                                    // passes all five
+      (2L, "too few words here"),                     // r1: under min words
+      (3L, ("a " * 40).trim),                         // r2: mean word length 1
+      (4L, clean + " " + ("@#$% " * 40).trim),        // r3: symbol flood
+      (5L, clean.replaceAll("[a-z]", "7")),           // r4+r5: no alpha words
+      (6L, "quick brown foxes jump over lazy dogs " +
+        "while many other animals wait behind patiently today again"))
+      .toDF("doc_id", "text")                         // r5 only: no stop words
+    val got = TextAnalysis.gopherRules(docs, stop, minWords = 10L, maxWords = 100000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+          r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true)), s"clean doc: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._6)
+    assert(!got(3L)._2 && !got(3L)._6)
+    assert(!got(4L)._3 && !got(4L)._6)
+    assert(!got(5L)._4 && !got(5L)._6)
+    assert(got(6L)._1 && got(6L)._2 && got(6L)._3 && got(6L)._4 &&
+      !got(6L)._5 && !got(6L)._6, s"stopword-free doc: ${got(6L)}")
+  }
+
   test("knn join matches single-query top-k and emits exactly k ranked rows per query") {
     val e = Tables.embeddings(spark, sf0001)
     val knn = Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
