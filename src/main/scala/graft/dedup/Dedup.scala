@@ -186,6 +186,88 @@ object Dedup {
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Sliding-window duplicated-SPAN removal — the suffix-array-style exact
+    * substring dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed as relational passes. Unlike the
+    * fixed `w`-token grid of [[repeatedPassages]]/[[stripRepeatedPassages]]
+    * (which misses any duplicate that straddles a chunk boundary), every
+    * k-token window of every document is hashed, a window is *duplicated*
+    * when its hash occurs more than once in the whole corpus (cross- OR
+    * within-document — a doc looping its own sentence is cut too), and a
+    * token position is *covered* when any duplicated window spans it, so
+    * overlapping duplicated windows merge into maximal spans exactly as the
+    * suffix-array formulation produces them.
+    *
+    * Output per doc: (doc_id, n_tokens, n_covered, n_spans, clean_hash) —
+    * `n_spans` counts the maximal covered runs, `clean_hash` is the md5 of
+    * the doc rebuilt from its UNcovered tokens (the dedup'd training text).
+    * Docs shorter than k tokens have no windows and survive whole.
+    *
+    * Scale: the window explode is linear in corpus token count (one row per
+    * token, same as shingling); duplicate detection is ONE shuffle on the
+    * 128-bit window hash (uniform — no hot key can exceed its occurrence
+    * count); the start-position collect and the coverage rebuild are one
+    * doc_id-keyed shuffle each. No pair join anywhere: cost is O(tokens) +
+    * O(dup windows), never O(docs²). Per-doc coverage is a HOF fold over
+    * the doc's OWN duplicated starts — bounded by doc length, executed
+    * inside the scan. */
+  def duplicatedSpans(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    // md5 of each k-token window, start positions 1-based; the token array
+    // binds once through the single-element-array lambda (see shingles)
+    val grams = element_at(transform(array(tokens(col("text"))), ts =>
+      when(size(ts) >= k,
+        transform(sequence(lit(1), size(ts) - (k - 1)),
+          i => md5(array_join(slice(ts, i, lit(k)), " "))))
+        .otherwise(array().cast("array<string>"))), 1)
+    val starts = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("idx", "h")))
+      .select(col("doc_id"), (col("idx") + 1).as("i"), col("h"))
+    val dup = starts.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select(col("h"))
+    val dupStarts = starts.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("i"))).as("dstarts"))
+    // coverage fold: layer 1 binds (tokens, covered positions) ONCE so the
+    // three consumers below (count, span count, rebuild) never re-run the
+    // O(n·|dstarts|) interval test per reference
+    val bound = element_at(transform(
+      array(struct(tokens(col("text")).as("t"), col("dstarts").as("d"))), s => {
+        val t = s.getField("t")
+        val d = s.getField("d")
+        val covered = when(size(t) > 0,
+          filter(sequence(lit(1), size(t)),
+            p => exists(d, st => st <= p && p < st + lit(k))))
+          .otherwise(array().cast("array<int>"))
+        struct(t.as("t"), covered.as("cov"))
+      }), 1)
+    val out = element_at(transform(array(bound), s => {
+      val t = s.getField("t")
+      val cov = s.getField("cov")
+      struct(
+        size(t).cast("long").as("n_tokens"),
+        size(cov).cast("long").as("n_covered"),
+        size(filter(cov, p => !array_contains(cov, p - 1)))
+          .cast("long").as("n_spans"),
+        md5(array_join(
+          transform(
+            when(size(t) > 0,
+              filter(sequence(lit(1), size(t)),
+                p => !array_contains(cov, p)))
+              .otherwise(array().cast("array<int>")),
+            p => element_at(t, p)), " ")).as("clean_hash"))
+    }), 1)
+    docs.join(dupStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("dstarts"), array().cast("array<int>")).as("dstarts"))
+      .select(col("doc_id"), out.as("o"))
+      .select(col("doc_id"),
+        col("o.n_tokens").as("n_tokens"),
+        col("o.n_covered").as("n_covered"),
+        col("o.n_spans").as("n_spans"),
+        col("o.clean_hash").as("clean_hash"))
+  }
+
   // ---------------------------------------------------------------------
   // exact n-gram Jaccard (shingle join — the verify step of LSH at scale)
   // ---------------------------------------------------------------------

@@ -50,6 +50,7 @@ object PipelineQueries {
   // cannot silently turn a passing gate into a red-herring mismatch.
   private val Dd9W       = 8       // passage window (tokens)
   private val Dd9MinTail = Dd9W / 2 // min final-chunk tokens kept
+  private val Dd13K      = 6       // duplicated-span sliding window (tokens)
   private val Dc1N       = 5       // contamination n-gram size
   private val Dc2Snippet = 40      // exact-substring probe length (chars)
   private val Dc3Sim     = 0.8     // fuzzy-contamination similarity floor
@@ -352,6 +353,14 @@ object PipelineQueries {
     "dd11_boilerplate_strip" -> { (s, d) =>
       Dedup.stripRepeatedPassages(corpus(s, d), w = Dd9W, minDocs = 2,
           minTail = Dd9MinTail)
+        .orderBy(col("doc_id"))
+    },
+
+    // sliding-window duplicated-span removal (Lee-et-al exact-substring
+    // dedup): every K-token window hashed; positions covered by a window
+    // occurring >1 time anywhere are cut; doc rebuilt from the rest
+    "dd13_dup_spans" -> { (s, d) =>
+      Dedup.duplicatedSpans(corpus(s, d), k = Dd13K)
         .orderBy(col("doc_id"))
     },
 
@@ -1372,6 +1381,40 @@ object PipelineQueries {
          |       t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped
          |FROM corpus c JOIN tot t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    // sliding-window span dedup: same window hashing, duplicate = hash
+    // count > 1 corpus-wide, coverage = any duplicated start spans the
+    // position, maximal runs counted by left-edge, rebuild from the rest
+    "dd13_dup_spans" ->
+      s"""WITH $corpusCte,
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '') AS ts
+         |  FROM corpus),
+         |g AS (
+         |  SELECT doc_id, i, md5(array_to_string(ts[i:i+${Dd13K - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - ${Dd13K - 2})) AS i
+         |        FROM toks WHERE len(ts) >= $Dd13K) t),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+         |ds AS (
+         |  SELECT doc_id, list_sort(list(i)) AS dstarts
+         |  FROM g WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+         |cov AS (
+         |  SELECT t.doc_id, t.ts, len(t.ts) AS n,
+         |         COALESCE(d.dstarts, CAST([] AS BIGINT[])) AS dstarts
+         |  FROM toks t LEFT JOIN ds d USING (doc_id)),
+         |res AS (
+         |  SELECT doc_id, ts, n,
+         |    list_filter(range(1, n + 1),
+         |      p -> len(list_filter(dstarts, s -> s <= p AND p < s + $Dd13K)) > 0) AS covered
+         |  FROM cov)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(len(covered) AS BIGINT) AS n_covered,
+         |  CAST(len(list_filter(covered, p -> NOT list_contains(covered, p - 1))) AS BIGINT) AS n_spans,
+         |  md5(COALESCE(array_to_string(list_transform(
+         |    list_filter(range(1, n + 1), p -> NOT list_contains(covered, p)),
+         |    p -> ts[p]), ' '), '')) AS clean_hash
+         |FROM res ORDER BY doc_id""".stripMargin,
 
     // end-to-end pipeline: quality floor -> langid gate -> md5-canonical
     // dedup -> split -> per-split stats; every stage reuses the exact

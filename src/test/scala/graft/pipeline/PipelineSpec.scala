@@ -657,6 +657,38 @@ class PipelineSpec extends SparkSpec {
       !got(6L)._5 && !got(6L)._6, s"stopword-free doc: ${got(6L)}")
   }
 
+  test("duplicated spans: cross-doc span cut at any offset, self-repeat cut, clean doc intact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique one tail here now"),
+      (2L, "start words differ alpha beta gamma delta epsilon zeta eta theta other ending"),
+      (3L, "totally different words with no overlap whatsoever anywhere present"),
+      (4L, "short doc"),
+      (5L, "loop one two three four five six loop one two three four five six"))
+      .toDF("doc_id", "text")
+    val res = Dedup.duplicatedSpans(docs, k = 6)
+    val got = res.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // docs 1/2 share an 8-token run at DIFFERENT offsets (grid dedup misses
+    // this): windows at starts 1..3 / 4..6 are duplicated, covering 8
+    // positions as ONE maximal span; the rest of each doc survives
+    assert(got(1L) == ((13L, 8L, 1L, md5Hex("unique one tail here now"))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((13L, 8L, 1L, md5Hex("start words differ other ending"))), s"doc2: ${got(2L)}")
+    // clean doc: untouched, hash of its own full token stream
+    assert(got(3L) == ((9L, 0L, 0L,
+      md5Hex("totally different words with no overlap whatsoever anywhere present"))))
+    // sub-k doc: no windows, survives whole
+    assert(got(4L) == ((2L, 0L, 0L, md5Hex("short doc"))))
+    // within-doc repeat: both halves' windows collide -> everything covered,
+    // adjacent runs merge into one span, rebuild is empty
+    assert(got(5L) == ((14L, 14L, 1L, md5Hex(""))), s"doc5: ${got(5L)}")
+    // linear relational shape: hash joins only, never an all-pairs fallback
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup fell back to all-pairs:\n$plan")
+  }
+
   test("knn join matches single-query top-k and emits exactly k ranked rows per query") {
     val e = Tables.embeddings(spark, sf0001)
     val knn = Ann.knnJoin(e, e.filter(col("vec_id") % 50 === 0), k = 5)
