@@ -669,6 +669,41 @@ object Dedup {
     }.toDF("a", "b", "dot", "cosine")
   }
 
+  /** Semantic (embedding-space) DECONTAMINATION — the cross-set twin of
+    * [[semanticDupPairs]]: every (train, eval) pair whose cosine clears the
+    * threshold, blocked by the SAME IVF-cell assignment, both sides scored
+    * under the TRAIN side's codebook (the eval benchmark must not influence
+    * cell geometry, and an identical leaked vector then lands in the same
+    * cell by construction — full recall on verbatim leaks). Completes the
+    * decontamination ladder: n-gram overlap (dc1) catches token-level
+    * leaks, exact substring (dc2) verbatim spans, fuzzy MinHash (dc3)
+    * paraphrase shingles — this catches the SEMANTIC leak (translated /
+    * re-worded eval items) none of the lexical checks see.
+    *
+    * Scale: the eval side is benchmark-sized by definition, so its
+    * assigned vectors BROADCAST — the 100 TB train corpus is scored in one
+    * shuffle-free scan (assignment is map-side against the literal
+    * codebook, the join is broadcast-hash on the cell key). Returns
+    * (vec_id, eval_vec_id, cosine), cosine >= threshold, zero-norm vectors
+    * excluded. */
+  def semanticCrossPairs(train: DataFrame, eval: DataFrame,
+      threshold: Double, nCells: Int = 16): DataFrame = {
+    val cents = graft.similarity.Ann.codebook(train, nCells)
+    val t = graft.similarity.Ann.ivfAssignments(train, cents)
+      .filter(col("n2") > 0)
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+    val e = graft.similarity.Ann.ivfAssignments(eval, cents)
+      .filter(col("n2") > 0)
+      .select(col("vec_id").as("eval_vec_id"), col("v").as("ev"),
+        col("n2").as("en2"), col("cell"))
+    t.join(broadcast(e), Seq("cell"))
+      .withColumn("dot", graft.functions.DotI64(col("v"), col("ev")))
+      .withColumn("cosine", col("dot").cast("double") /
+        sqrt(col("n2").cast("double") * col("en2").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id"), col("eval_vec_id"), col("cosine"))
+  }
+
   /** Cluster-bucketed semantic near-dup — the SemDeDup recipe: vectors are
     * assigned to their nearest codebook cell (the same map-side IVF
     * assignment the ANN family uses, reference: Abbas et al., "SemDeDup",

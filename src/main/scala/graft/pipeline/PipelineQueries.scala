@@ -356,6 +356,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // semantic decontamination: train x eval embedding pairs over the
+    // threshold, cell-blocked under the TRAIN codebook, eval side
+    // broadcast; catches reworded eval leaks dc1/dc2/dc3 cannot see
+    "dc4_semantic_contamination" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evalSet = e.filter(col("vec_id") % 50 === 7)
+      val train = e.filter(col("vec_id") % 50 =!= 7)
+        .unionByName(evalSet.filter(col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 900000).as("vec_id"), col("embedding")))
+      Dedup.semanticCrossPairs(train, evalSet, threshold = 0.99, nCells = 16)
+        .orderBy(col("vec_id"), col("eval_vec_id"))
+    },
+
     // sliding-window duplicated-span removal (Lee-et-al exact-substring
     // dedup): every K-token window hashed; positions covered by a window
     // occurring >1 time anywhere are cut; doc rebuilt from the rest
@@ -1381,6 +1394,52 @@ object PipelineQueries {
          |       t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped
          |FROM corpus c JOIN tot t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    // semantic decontamination: identical quantize/assign algebra as the
+    // dd12 oracle, codebook restricted to TRAIN vec_id < 16, cross join of
+    // per-cell train x eval instead of the self-pair triangle
+    "dc4_semantic_contamination" ->
+      """WITH ev AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id%50=7),
+        |tr AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id%50<>7
+        |  UNION ALL
+        |  SELECT vec_id + 900000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id%50=7 AND vec_id%3=0),
+        |tn AS (
+        |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |    FROM tr) t),
+        |en AS (
+        |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+        |  FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |    FROM ev) t),
+        |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM tn WHERE vec_id < 16),
+        |ta AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT e.vec_id, e.v, e.n2, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |             c.cell) AS rn
+        |    FROM tn e CROSS JOIN cents c) t
+        |  WHERE rn = 1 AND n2 > 0),
+        |ea AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT e.vec_id, e.v, e.n2, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |             c.cell) AS rn
+        |    FROM en e CROSS JOIN cents c) t
+        |  WHERE rn = 1 AND n2 > 0)
+        |SELECT vec_id, eval_vec_id, cosine FROM (
+        |  SELECT t.vec_id AS vec_id, e.vec_id AS eval_vec_id,
+        |    CAST(list_sum(list_transform(list_zip(t.v, e.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(t.n2 AS DOUBLE) * CAST(e.n2 AS DOUBLE)) AS cosine
+        |  FROM ta t JOIN ea e ON t.cell = e.cell) x
+        |WHERE cosine >= 0.99
+        |ORDER BY vec_id, eval_vec_id""".stripMargin,
 
     // sliding-window span dedup: same window hashing, duplicate = hash
     // count > 1 corpus-wide, coverage = any duplicated start spans the

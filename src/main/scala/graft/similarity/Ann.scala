@@ -291,7 +291,7 @@ object Ann {
     * refinement would change the centroid VALUES, not the assignment or
     * probe plans (and would break cross-engine determinism, which is what
     * the ann3 oracle buys). Returns (cell, centroid, ||c||²) by cell id. */
-  private def codebook(embeddings: DataFrame, nCells: Int): Array[(Int, Seq[Long], Long)] =
+  private[graft] def codebook(embeddings: DataFrame, nCells: Int): Array[(Int, Seq[Long], Long)] =
     quantized(embeddings).filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("v"), col("n2")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
@@ -307,7 +307,7 @@ object Ann {
 
   /** Assignment against an already-collected codebook (probe paths collect
     * it once for cell selection — don't run the collect job twice). */
-  private def ivfAssignments(embeddings: DataFrame,
+  private[graft] def ivfAssignments(embeddings: DataFrame,
       cents: Array[(Int, Seq[Long], Long)]): DataFrame = {
     require(cents.nonEmpty, "empty IVF codebook")
     val best = array_min(array(cents.map { case (id, cv, cn2) =>

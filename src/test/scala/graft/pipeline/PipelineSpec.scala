@@ -657,6 +657,30 @@ class PipelineSpec extends SparkSpec {
       !got(6L)._5 && !got(6L)._6, s"stopword-free doc: ${got(6L)}")
   }
 
+  test("semantic decontamination: planted eval leaks fully recalled, eval side broadcast") {
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") % 50 === 7)
+    val leaked = evalSet.filter(col("vec_id") % 3 === 0)
+    val train = e.filter(col("vec_id") % 50 =!= 7)
+      .unionByName(leaked.select((col("vec_id") + 900000).as("vec_id"), col("embedding")))
+    val res = Dedup.semanticCrossPairs(train, evalSet, threshold = 0.99, nCells = 16)
+    val pairs = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a verbatim leak is the same vector -> same cell under the train
+    // codebook, cosine 1.0: every planted pair must be reported
+    val leakedIds = leaked.collect().map(_.getLong(0)).toSet
+    val missed = leakedIds.filter(id => !pairs.contains((id + 900000, id)))
+    assert(missed.isEmpty, s"missed planted leaks: $missed")
+    // every reported cosine clears the threshold
+    assert(res.collect().forall(_.getDouble(2) >= 0.99))
+    // the benchmark side must broadcast: the train corpus never shuffles
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination fell back to all-pairs:\n$plan")
+  }
+
   test("duplicated spans: cross-doc span cut at any offset, self-repeat cut, clean doc intact") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta unique one tail here now"),
