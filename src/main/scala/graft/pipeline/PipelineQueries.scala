@@ -66,6 +66,7 @@ object PipelineQueries {
   private val Dd10Suffix   = " wholly novel suffix" // marks the novel docs
   private val Ds1Rates   = Seq("src0" -> 1000, "src1" -> 100, "src7" -> 900)
   private val Ds1Default = 500     // permille for strata without a rate
+  private val Ds3Shards  = 8       // training shard count
   // target mixture weights (sources not listed are dropped from the mix)
   private val Ds2Weights = Seq("src0" -> 6, "src11" -> 3, "src19" -> 1,
     "src3" -> 2, "src4" -> 2, "src7" -> 1)
@@ -354,6 +355,16 @@ object PipelineQueries {
       Dedup.stripRepeatedPassages(corpus(s, d), w = Dd9W, minDocs = 2,
           minTail = Dd9MinTail)
         .orderBy(col("doc_id"))
+    },
+
+    // deterministic shard shuffle: md5-keyed pseudorandom order, shard =
+    // top-60-bit key mod N, position = key rank within shard — the
+    // reproducible "global shuffle + shard writer" step before training
+    "ds3_shard_shuffle" -> { (s, d) =>
+      TextAnalysis.shardShuffle(
+          Tables.documents(s, d).select(col("doc_id")),
+          nShards = Ds3Shards, salt = SplitSalt)
+        .orderBy(col("shard"), col("pos"))
     },
 
     // semantic decontamination: train x eval embedding pairs over the
@@ -1394,6 +1405,20 @@ object PipelineQueries {
          |       t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped
          |FROM corpus c JOIN tot t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    // shard shuffle: same md5 key both as shard selector (top 60 bits mod
+    // N, the ds1/ds2 hex-cast idiom) and as the within-shard sort key
+    "ds3_shard_shuffle" ->
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, shard,
+         |         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+         |  FROM (
+         |    SELECT doc_id,
+         |           md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)) AS k,
+         |           CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |             % $Ds3Shards AS shard
+         |    FROM documents) t) t2
+         |ORDER BY shard, pos""".stripMargin,
 
     // semantic decontamination: identical quantize/assign algebra as the
     // dd12 oracle, codebook restricted to TRAIN vec_id < 16, cross join of

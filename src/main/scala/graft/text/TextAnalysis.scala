@@ -220,6 +220,31 @@ object TextAnalysis {
       .filter(col("rk") <= cap)
   }
 
+  /** Deterministic pre-training shard shuffle — the "global shuffle +
+    * shard writer" step a training run performs before serializing
+    * examples: every doc gets a reproducible pseudorandom key
+    * (md5(salt|doc_id) — identical on any engine, partitioning, or retry;
+    * rand() is none of those), its shard is the key's top-60-bit value mod
+    * nShards, and its position is the rank of its key within the shard.
+    * `repartition(shard) + sortWithinPartitions(pos)` downstream then
+    * writes byte-identical shard files on every rerun.
+    *
+    * Scale: ONE shuffle on the shard key + a per-shard sort — exactly the
+    * physical plan the shard writer needs anyway; no global sort, no
+    * driver state, and shards are md5-uniform so a hot shard is impossible
+    * by construction. Returns (doc_id, shard, pos). */
+  def shardShuffle(docs: DataFrame, nShards: Int, salt: String): DataFrame = {
+    require(nShards >= 1, s"shard count must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    docs.select(col("doc_id"),
+        md5(concat(lit(salt + "|"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 15), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Train/eval decontamination report (the GPT-3/PaLM-style n-gram overlap
     * check): assigns every doc a [[deterministicSplit]] slot, collects the
     * distinct word n-grams of the TEST split, and reports each TRAIN doc

@@ -657,6 +657,29 @@ class PipelineSpec extends SparkSpec {
       !got(6L)._5 && !got(6L)._6, s"stopword-free doc: ${got(6L)}")
   }
 
+  test("shard shuffle: repartition-invariant, contiguous positions per shard, one shard-key shuffle") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val res = TextAnalysis.shardShuffle(docs, nShards = 8, salt = "s5")
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // deterministic: identical assignment regardless of input partitioning
+    val rows2 = TextAnalysis.shardShuffle(docs.repartition(7), nShards = 8, salt = "s5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(rows2.sorted), "shuffle not repartition-invariant")
+    // every shard's positions are exactly 1..count (a writable dense order)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length),
+        s"shard $shard positions not contiguous")
+    }
+    // all 8 shards populated, none holds a majority (md5-uniform)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 8L).toSet, s"missing shards: $sizes")
+    assert(sizes.values.max < rows.length / 2, s"skewed shards: $sizes")
+    // plan: one hash shuffle on the shard key, no global sort
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), s"no shard-key exchange:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"unexpected global sort:\n$plan")
+  }
+
   test("semantic decontamination: planted eval leaks fully recalled, eval side broadcast") {
     val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
     val evalSet = e.filter(col("vec_id") % 50 === 7)
