@@ -84,7 +84,10 @@ object PipelineQueries {
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
   private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
-  private val Tx20Stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  // corpus-adapted "stop word" list: the documents table is synthetic
+  // engine-vocabulary prose, so the Gopher rule's stopword floor uses its
+  // own function words — an English list would vacuously drop every doc
+  private val Tx20Stop = Seq("the", "a", "query", "row", "join", "data", "scan", "key")
   private val Tx20MinWords = 10L   // Gopher word-count floor (corpus-scaled)
   private val Tx20MaxWords = 100000L
   private val Tx17K      = 16      // winnowing gram length (chars)
@@ -355,6 +358,28 @@ object PipelineQueries {
       Dedup.stripRepeatedPassages(corpus(s, d), w = Dd9W, minDocs = 2,
           minTail = Dd9MinTail)
         .orderBy(col("doc_id"))
+    },
+
+    // round-5 curation chain composed end-to-end: Gopher rule gate ->
+    // duplicated-span dedup over the SURVIVORS (filter-then-dedup, the
+    // production order) -> deterministic shard shuffle; per-shard totals
+    "pl2_filter_spandedup_shard" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val kept = docs.join(
+        TextAnalysis.gopherRules(docs, Tx20Stop, Tx20MinWords, Tx20MaxWords)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val spans = Dedup.duplicatedSpans(kept, k = Dd13K)
+        .select(col("doc_id"), col("n_tokens"), col("n_covered"))
+      val shards = TextAnalysis.shardShuffle(kept.select(col("doc_id")),
+          nShards = Ds3Shards, salt = SplitSalt)
+        .select(col("doc_id"), col("shard"))
+      spans.join(shards, Seq("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens") - col("n_covered")).as("n_tokens_clean"),
+          sum(col("n_covered")).as("n_tokens_cut"))
+        .orderBy(col("shard"))
     },
 
     // deterministic shard shuffle: md5-keyed pseudorandom order, shard =
@@ -1405,6 +1430,53 @@ object PipelineQueries {
          |       t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped
          |FROM corpus c JOIN tot t USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    // composed curation chain: tx20's integer rule gate, dd13's window
+    // algebra over the kept set only, ds3's shard selector, BIGINT sums
+    "pl2_filter_spandedup_shard" ->
+      s"""WITH ts0 AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '') AS ts,
+         |         text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, ts,
+         |    CAST(len(ts) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT) AS sumlen,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS symbols,
+         |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS aw,
+         |    CAST(len(list_intersect(list_distinct(ts),
+         |      [${Tx20Stop.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS sd
+         |  FROM ts0),
+         |kept AS (
+         |  SELECT doc_id, ts FROM m
+         |  WHERE n >= $Tx20MinWords AND n <= $Tx20MaxWords
+         |    AND sumlen >= 3*n AND sumlen <= 10*n AND n > 0
+         |    AND 10*symbols <= n AND 5*aw >= 4*n AND sd >= 2),
+         |g AS (
+         |  SELECT doc_id, i, md5(array_to_string(ts[i:i+${Dd13K - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - ${Dd13K - 2})) AS i
+         |        FROM kept WHERE len(ts) >= $Dd13K) t),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+         |dstarts AS (
+         |  SELECT doc_id, list(i) AS st
+         |  FROM g WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+         |spans AS (
+         |  SELECT k.doc_id, CAST(len(k.ts) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(range(1, len(k.ts) + 1),
+         |      p -> len(list_filter(COALESCE(d.st, CAST([] AS BIGINT[])),
+         |                           s -> s <= p AND p < s + $Dd13K)) > 0)) AS BIGINT) AS n_covered
+         |  FROM kept k LEFT JOIN dstarts d USING (doc_id)),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % $Ds3Shards AS shard
+         |  FROM kept)
+         |SELECT s.shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(p.n_tokens - p.n_covered) AS BIGINT) AS n_tokens_clean,
+         |  CAST(SUM(p.n_covered) AS BIGINT) AS n_tokens_cut
+         |FROM sh s JOIN spans p USING (doc_id)
+         |GROUP BY s.shard ORDER BY s.shard""".stripMargin,
 
     // shard shuffle: same md5 key both as shard selector (top 60 bits mod
     // N, the ds1/ds2 hex-cast idiom) and as the within-shard sort key

@@ -657,6 +657,28 @@ class PipelineSpec extends SparkSpec {
       !got(6L)._5 && !got(6L)._6, s"stopword-free doc: ${got(6L)}")
   }
 
+  test("pl2: composed chain agrees with its standalone stages, no all-pairs fallback") {
+    val df = PipelineQueries.queries("pl2_filter_spandedup_shard")(spark, sf0001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shard totals must reconcile with running the stages independently
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val stop = Seq("the", "a", "query", "row", "join", "data", "scan", "key")
+    val kept = docs.join(
+      TextAnalysis.gopherRules(docs, stop, 10L, 100000L)
+        .filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val nKept = kept.count()
+    assert(rows.map(_._2).sum == nKept, s"doc count mismatch: ${rows.map(_._2).sum} vs $nKept")
+    val spanTotals = Dedup.duplicatedSpans(kept, k = 6)
+      .agg(sum(col("n_tokens") - col("n_covered")), sum(col("n_covered")))
+      .head()
+    assert(rows.map(_._3).sum == spanTotals.getLong(0), "clean-token total mismatch")
+    assert(rows.map(_._4).sum == spanTotals.getLong(1), "cut-token total mismatch")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pl2 fell back to all-pairs:\n$plan")
+  }
+
   test("shard shuffle: repartition-invariant, contiguous positions per shard, one shard-key shuffle") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"))
     val res = TextAnalysis.shardShuffle(docs, nShards = 8, salt = "s5")
