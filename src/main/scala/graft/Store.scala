@@ -134,6 +134,24 @@ object Store {
       graft.similarity.Ann.writeIvfIndex(Tables.embeddings(spark, dir), p)
     }
 
+  /** [[ivfIndex]] maintained INCREMENTALLY: the index is first built from
+    * the stable slice of the embeddings table, then the held-out batch
+    * (`vec_id >= nCells && vec_id % batchMod == batchRem` — the codebook
+    * rows always stay in the base) is appended under the frozen codebook
+    * via [[graft.similarity.Ann.appendIvfIndex]]. Because assignment is a
+    * pure per-row function of (vector, codebook), the maintained layout
+    * serves probes bit-identically to a full rebuild — the ann10 gate's
+    * oracle is exactly the full-corpus formulation. */
+  def ivfIndexIncr(spark: SparkSession, dir: String, batchMod: Int,
+      batchRem: Int, nCells: Int = 16): DataFrame =
+    cached(spark, dir, s"ivf_index_incr_${batchMod}_$batchRem") { p =>
+      val e = Tables.embeddings(spark, dir)
+      val isBatch = col("vec_id") >= nCells && col("vec_id") % batchMod === batchRem
+      graft.similarity.Ann.writeIvfIndex(e.filter(!isBatch), p, nCells)
+      graft.similarity.Ann.appendIvfIndex(
+        spark.read.parquet(p), e.filter(isBatch), p, nCells)
+    }
+
   /** Reverse-reference (backlink) index clustered by its lookup key
     * (predicate_iri, object_iri) — a `references_metadata` probe prunes to
     * one cluster via parquet min/max stats instead of re-grouping the quads

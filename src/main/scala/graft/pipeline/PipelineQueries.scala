@@ -76,6 +76,9 @@ object PipelineQueries {
   private val Gr1Damping = 0.85    // PageRank damping factor
   private val Gr1Iters   = 3       // PageRank iterations
   private val Ann9Query  = 13      // materialized-IVF-index probe vector id
+  private val Ann10Mod   = 5       // incremental-index batch slice modulus
+  private val Ann10Rem   = 2       // ... and remainder
+  private val Ann10Query = 22L     // probe id INSIDE the appended batch
   private val Qf1SeedMod = 37      // every Nth vector seeds the domain centroid
   private val Ann6M      = 4       // PQ subspaces
   private val Ann6Codes  = 16      // PQ centroids per subspace
@@ -244,6 +247,16 @@ object PipelineQueries {
     "ann9_ivf_indexed" -> { (s, d) =>
       Ann.topKCosineIvfIndexed(graft.Store.ivfIndex(s, d),
         queryId = Ann9Query, k = 10)
+    },
+
+    // probe an INCREMENTALLY-maintained IVF index (base build + batch
+    // append under the frozen codebook); the query vector is IN the
+    // appended batch, so the gate proves appended vectors are served —
+    // oracle is the full-corpus formulation (append ≡ rebuild)
+    "ann10_ivf_append" -> { (s, d) =>
+      Ann.topKCosineIvfIndexed(
+        graft.Store.ivfIndexIncr(s, d, Ann10Mod, Ann10Rem),
+        queryId = Ann10Query, k = 10)
     },
 
     // embedding-space data selection: every vector scored by cosine to the
@@ -1137,6 +1150,45 @@ object PipelineQueries {
          |  FROM assign a, q
          |  WHERE a.cell IN (SELECT cell FROM qprobe)
          |    AND a.vec_id <> $Ann9Query AND a.n2 > 0) t
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // incremental-index probe: append ≡ rebuild under the frozen codebook,
+    // so the oracle is the identical full-corpus formulation, query inside
+    // the appended batch
+    "ann10_ivf_append" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, v,
+         |         CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2
+         |  FROM vecs),
+         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n2, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM nv e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv, n2 AS qn2 FROM nv WHERE vec_id = $Ann10Query),
+         |qprobe AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell,
+         |           ROW_NUMBER() OVER (ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM cents c, q) t
+         |  WHERE rn <= 4)
+         |SELECT vec_id, CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE) * CAST(qn2 AS DOUBLE)) AS cosine
+         |FROM (
+         |  SELECT a.vec_id, a.n2, q.qn2,
+         |         CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS BIGINT) AS dot
+         |  FROM assign a, q
+         |  WHERE a.cell IN (SELECT cell FROM qprobe)
+         |    AND a.vec_id <> $Ann10Query AND a.n2 > 0) t
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     // same assignment CTE as ann3, then per-(cell,dim) exact integer sums;

@@ -372,6 +372,27 @@ object Ann {
     ivfAssignments(embeddings, nCells)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental maintenance of a [[writeIvfIndex]] layout: the batch is
+    * assigned under the index's FROZEN codebook (recovered exactly as the
+    * probe recovers it — the flat-codebook invariant) and appended
+    * cell-partitioned. Ingest touches ONLY the cell directories the batch
+    * lands in; existing cells are never rewritten; and because assignment
+    * is a pure per-row function of (vector, codebook), the maintained
+    * index is bit-identical to a full rebuild over the union at the same
+    * codebook. The 100 TB ingest path: assignment is map-side against the
+    * literal codebook (no shuffle), the write is a partitionBy append —
+    * the vector rung of the incrementally-maintained index family
+    * (postings ev15, backlinks ev16). */
+  def appendIvfIndex(index: DataFrame, batch: DataFrame, path: String,
+      nCells: Int = 16): Unit = {
+    val cents = index.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    ivfAssignments(batch, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Probe a [[writeIvfIndex]] layout: the codebook is recovered from the
     * index itself (vec_id < nCells — the flat-codebook invariant), the
     * nprobe nearest cells become a partition IN-list, and only those files

@@ -657,6 +657,21 @@ class PipelineSpec extends SparkSpec {
       !got(6L)._5 && !got(6L)._6, s"stopword-free doc: ${got(6L)}")
   }
 
+  test("ann10: incrementally-appended IVF index serves probes bit-identically to a rebuild") {
+    val got = PipelineQueries.queries("ann10_ivf_append")(spark, sf0001)
+    // append under the frozen codebook ≡ full rebuild: same probe against
+    // the batch-built full index must match row for row
+    val want = Ann.topKCosineIvf(Tables.embeddings(spark, sf0001), 22L, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want,
+      "maintained index diverged from the rebuild")
+    // the query vector itself arrived via the append path — the probe
+    // head() for it would throw if the batch were not served
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"incremental-index probe did not prune cell partitions:\n$plan")
+  }
+
   test("pl2: composed chain agrees with its standalone stages, no all-pairs fallback") {
     val df = PipelineQueries.queries("pl2_filter_spandedup_shard")(spark, sf0001)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
