@@ -93,6 +93,8 @@ object PipelineQueries {
   private val Tx20Stop = Seq("the", "a", "query", "row", "join", "data", "scan", "key")
   private val Tx20MinWords = 10L   // Gopher word-count floor (corpus-scaled)
   private val Tx20MaxWords = 100000L
+  private val Tx21TopN = 2         // "top n-gram" char-fraction gram size
+  private val Tx21DupN = 5         // "duplicated n-gram" coverage gram size
   private val Tx17K      = 16      // winnowing gram length (chars)
   private val Tx17W      = 8       // winnowing window (hashes)
   private val Tx14K      = 3       // tf-idf keywords per doc
@@ -524,6 +526,15 @@ object PipelineQueries {
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs, merges).orderBy(col("doc_id"))
+    },
+
+    // Gopher CHAR-level repetition metrics: top bigram char fraction +
+    // duplicated 5-gram char coverage (tx7 reports the count fraction;
+    // the paper's thresholds are these char fractions)
+    "tx21_char_repetition" -> { (s, d) =>
+      TextAnalysis.repetitionCharStats(Tables.documents(s, d),
+          topN = Tx21TopN, dupN = Tx21DupN)
+        .orderBy(col("doc_id"))
     },
 
     // Gopher-style RULE filter: the five-document-quality-rule keep/drop
@@ -1695,6 +1706,57 @@ object PipelineQueries {
         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS na
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // char-level repetition: same gram grids, rank-1 top gram (count desc,
+    // gram asc), within-doc duplicated-start coverage summed over token
+    // lengths; separators excluded from all char counts
+    "tx21_char_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '') AS ts
+         |  FROM documents),
+         |g2 AS (
+         |  SELECT doc_id, i, array_to_string(ts[i:i+${Tx21TopN - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - ${Tx21TopN - 2})) AS i
+         |        FROM toks WHERE len(ts) >= $Tx21TopN) t),
+         |top AS (
+         |  SELECT doc_id, g AS top_gram, cnt AS top_count FROM (
+         |    SELECT doc_id, g, COUNT(*) AS cnt,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, g) AS rk
+         |    FROM g2 GROUP BY doc_id, g) t
+         |  WHERE rk = 1),
+         |g5 AS (
+         |  SELECT doc_id, i, array_to_string(ts[i:i+${Tx21DupN - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - ${Tx21DupN - 2})) AS i
+         |        FROM toks WHERE len(ts) >= $Tx21DupN) t),
+         |dup AS (
+         |  SELECT doc_id, list_sort(list(i)) AS dstarts FROM (
+         |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id, g) AS cnt
+         |    FROM g5) t
+         |  WHERE cnt >= 2 GROUP BY doc_id),
+         |base AS (
+         |  SELECT t.doc_id, t.ts,
+         |    CAST(coalesce(list_sum(list_transform(t.ts, x -> length(x))), 0) AS BIGINT) AS n_chars,
+         |    COALESCE(d.dstarts, CAST([] AS BIGINT[])) AS dstarts,
+         |    COALESCE(p.top_gram, '') AS top_gram,
+         |    CAST(COALESCE(p.top_count, 0) AS BIGINT) AS top_count
+         |  FROM toks t LEFT JOIN dup d USING (doc_id) LEFT JOIN top p USING (doc_id)),
+         |cov AS (
+         |  SELECT doc_id, n_chars, top_gram, top_count,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      list_filter(range(1, len(ts) + 1),
+         |        q -> len(list_filter(dstarts, s -> s <= q AND q < s + $Tx21DupN)) > 0),
+         |      q -> length(ts[q]))), 0) AS BIGINT) AS dup_chars
+         |  FROM base)
+         |SELECT doc_id, n_chars, top_gram, top_count,
+         |  CASE WHEN n_chars > 0
+         |       THEN CAST(top_count * (length(top_gram) - ${Tx21TopN - 1}) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |       ELSE 0.0 END AS top_frac,
+         |  dup_chars,
+         |  CASE WHEN n_chars > 0
+         |       THEN CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM cov ORDER BY doc_id""".stripMargin,
 
     // same exact-integer rule algebra; doubles only in the reported ratios
     "tx20_gopher_rules" ->

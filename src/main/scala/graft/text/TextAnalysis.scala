@@ -102,6 +102,87 @@ object TextAnalysis {
       (r1 && r2 && r3 && r4 && r5).as("keep"))
   }
 
+  /** Gopher CHAR-level repetition metrics — the paper's second rule family
+    * ([[repetitionStats]] reports the COUNT fraction; Gopher's actual
+    * thresholds are over characters): per doc,
+    *
+    *  - `top_frac`: fraction of characters contained in occurrences of the
+    *    single most frequent `topN`-gram (count desc, gram asc tie — the
+    *    paper's "top n-gram" rule, n = 2..4; can exceed 1 when occurrences
+    *    overlap, as in the paper's counting),
+    *  - `dup_frac`: fraction of characters covered by ANY `dupN`-gram that
+    *    occurs >= 2 times within the doc (the "duplicated n-gram" rule,
+    *    n = 5..10) — positions under overlapping duplicated windows count
+    *    once, so this one is a true coverage in [0, 1].
+    *
+    * Characters = token characters (separators excluded) on both sides of
+    * the oracle. Scale: two linear gram explodes, one (doc, gram) count
+    * shuffle each; the top gram is a rank-1 window (WindowGroupLimit —
+    * map-side top-1 per doc below the shuffle); coverage is a per-doc HOF
+    * fold over the doc's own duplicated starts. */
+  def repetitionCharStats(docs: DataFrame, topN: Int, dupN: Int): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"bad gram sizes: top=$topN dup=$dupN")
+    def gramRows(n: Int): DataFrame = {
+      val grams = element_at(transform(array(tokens(col("text"))), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => array_join(slice(ts, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))), 1)
+      docs.select(col("doc_id"), posexplode(grams).as(Seq("idx", "g")))
+        .select(col("doc_id"), (col("idx") + 1).as("i"), col("g"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g"))
+    val top = gramRows(topN).groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("g").as("top_gram"), col("cnt").as("top_count"))
+    val dupStarts = gramRows(dupN).groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"), collect_list(col("i")).as("is"))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), explode(col("is")).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("i"))).as("dstarts"))
+    val joined = docs
+      .join(top, Seq("doc_id"), "left_outer")
+      .join(dupStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), tokens(col("text")).as("ts"),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("dstarts"), array().cast("array<int>")).as("dstarts"))
+    // one bound evaluation of (token chars, covered chars) — see shingles
+    // for why the HOFs must not be referenced twice
+    val bound = element_at(transform(
+      array(struct(col("ts"), col("dstarts"))), s => {
+        val t = s.getField("ts")
+        val d = s.getField("dstarts")
+        val nch = coalesce(
+          aggregate(t, lit(0L), (a, x) => a + length(x).cast("long")), lit(0L))
+        val covered = when(size(t) > 0,
+          filter(sequence(lit(1), size(t)),
+            p => exists(d, st => st <= p && p < st + lit(dupN))))
+          .otherwise(array().cast("array<int>"))
+        val dch = coalesce(
+          aggregate(covered, lit(0L),
+            (a, p) => a + length(element_at(t, p)).cast("long")), lit(0L))
+        struct(nch.as("n_chars"), dch.as("dup_chars"))
+      }), 1)
+    joined.select(col("doc_id"), bound.as("b"),
+        col("top_gram"), col("top_count"))
+      .select(col("doc_id"),
+        col("b.n_chars").as("n_chars"),
+        col("top_gram"), col("top_count"),
+        when(col("b.n_chars") > 0,
+          (col("top_count") *
+            (length(col("top_gram")) - lit(topN - 1)).cast("long")).cast("double")
+            / col("b.n_chars").cast("double"))
+          .otherwise(lit(0.0)).as("top_frac"),
+        col("b.dup_chars").as("dup_chars"),
+        when(col("b.n_chars") > 0,
+          col("b.dup_chars").cast("double") / col("b.n_chars").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Language marker lists (tiny stopword heuristics). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

@@ -631,6 +631,28 @@ class PipelineSpec extends SparkSpec {
       s"semdedup fell back to all-pairs:\n$plan")
   }
 
+  test("char repetition: top-gram fraction and duplicated-window coverage match hand values") {
+    val docs = Seq(
+      (1L, "a b a b a b c"),               // top "a b" x3; no dup 5-gram
+      (2L, "x y z w v x y z w v u"),       // 5-gram repeats at offset 5
+      (3L, "q"),                           // sub-topN doc
+      (4L, ""))                            // empty doc
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.repetitionCharStats(docs, topN = 2, dupN = 5)
+    val got = res.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(1L) == ((7L, "a b", 3L, 6.0 / 7, 0L, 0.0)), s"doc1: ${got(1L)}")
+    // count-2 tie among "w v"/"x y"/"y z"/"z w" -> lexicographic min "w v";
+    // the duplicated "x y z w v" covers positions 1-10 of 11
+    assert(got(2L) == ((11L, "w v", 2L, 4.0 / 11, 10L, 10.0 / 11)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((1L, "", 0L, 0.0, 0L, 0.0)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, "", 0L, 0.0, 0L, 0.0)), s"doc4: ${got(4L)}")
+    // the top-1 window must plan as a group-limit, not a full per-doc sort
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank-1 not group-limited:\n$plan")
+  }
+
   test("gopher rules: each rule fails on its designed violation, clean doc keeps") {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val clean = "the quick brown fox jumps over that lazy sleeping dog " +
