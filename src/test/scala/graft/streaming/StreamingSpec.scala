@@ -84,6 +84,42 @@ class StreamingSpec extends SparkSpec {
     assert(applied2.count() == 1 && pending2.count() == 0)
   }
 
+  test("streaming IVF index maintenance: streamed vectors are probe-visible after the batch append") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("ivf-stream-").toString
+    val base = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 400)
+    graft.similarity.Ann.writeIvfIndex(base, path)
+    // copy two base vectors under fresh ids and stream them in; each batch
+    // appends under the index's frozen codebook (the ingest path ann10
+    // gates in batch form)
+    val donors = base.filter(col("vec_id").isin(123L, 250L))
+      .collect().map(r => (r.getLong(0) + 9000L, r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.similarity.Ann.appendIvfIndex(
+          spark.read.parquet(path), batch, path)
+        ()
+      }
+      .start()
+    mem.addData(donors(0))
+    q.processAllAvailable()
+    mem.addData(donors(1))
+    q.processAllAvailable()
+    q.stop()
+    // probe FROM a streamed id: its donor twin must rank first at cosine 1
+    val idx = spark.read.parquet(path)
+    donors.foreach { case (sid, _) =>
+      val top = graft.similarity.Ann
+        .topKCosineIvfIndexed(idx, queryId = sid, k = 3)
+        .head()
+      assert(top.getLong(0) == sid - 9000L && top.getDouble(1) > 0.999999,
+        s"streamed $sid not served or donor not top: $top")
+    }
+  }
+
   test("structured streaming: watermark dedup + foreachBatch projection upsert") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
