@@ -687,8 +687,13 @@ object Dedup {
     * (vec_id, eval_vec_id, cosine), cosine >= threshold, zero-norm vectors
     * excluded. */
   def semanticCrossPairs(train: DataFrame, eval: DataFrame,
-      threshold: Double, nCells: Int = 16): DataFrame = {
-    val cents = graft.similarity.Ann.codebook(train, nCells)
+      threshold: Double, nCells: Int = 0): DataFrame = {
+    // adaptive on the TRAIN side (see semanticDupPairs): more cells →
+    // fewer train rows per broadcast-joined eval cell
+    val effCells =
+      if (nCells > 0) nCells
+      else graft.similarity.Ann.adaptiveCells(math.max(1L, train.count()))
+    val cents = graft.similarity.Ann.codebook(train, effCells)
     val t = graft.similarity.Ann.ivfAssignments(train, cents)
       .filter(col("n2") > 0)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
@@ -719,8 +724,16 @@ object Dedup {
     * Returns (a, b, cosine), a < b, cosine >= threshold, zero-norm vectors
     * excluded. */
   def semanticDupPairs(embeddings: DataFrame, threshold: Double,
-      nCells: Int = 16): DataFrame = {
-    val asg = graft.similarity.Ann.ivfAssignments(embeddings, nCells)
+      nCells: Int = 0): DataFrame = {
+    // nCells = 0 (production default) → √n-adaptive codebook: with cells
+    // fixed the candidate volume Σ cell² grows quadratically (the dd12
+    // gate's pinned-16 oracle measured 193× on 100× data at sf10);
+    // adaptive cells keep assignment (n·nCells) and candidates (n²/nCells)
+    // balanced. Gates pin nCells=16 so the DuckDB oracle stays static.
+    val effCells =
+      if (nCells > 0) nCells
+      else graft.similarity.Ann.adaptiveCells(math.max(1L, embeddings.count()))
+    val asg = graft.similarity.Ann.ivfAssignments(embeddings, effCells)
       .filter(col("n2") > 0)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
     val l = asg.as("l")

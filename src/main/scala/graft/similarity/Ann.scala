@@ -127,12 +127,7 @@ object Ann {
       nCells: Int = 0, nprobe: Int = 4): DataFrame = {
     val effCells =
       if (nCells > 0) nCells
-      else {
-        val n = math.max(1L, embeddings.count()) // one cheap metadata-ish job
-        val target = java.lang.Long.highestOneBit(
-          math.max(1L, math.sqrt(n.toDouble).toLong)) * 2
-        math.max(16L, math.min(1024L, target)).toInt
-      }
+      else adaptiveCells(math.max(1L, embeddings.count())) // one cheap count job
     require(k >= 1 && nprobe >= 1 && nprobe <= effCells,
       s"bad knnJoinIvf params: k=$k nprobe=$nprobe nCells=$effCells")
     val cents = codebook(embeddings, effCells)
@@ -284,6 +279,17 @@ object Ann {
   // ---------------------------------------------------------------------
   // IVF (inverted-file) coarse quantization — codebook-partitioned layout
   // ---------------------------------------------------------------------
+
+  /** √n-adaptive cell count (power of 2, clamped [16, 1024]): balances the
+    * two IVF cost terms — assignment is n·nCells, candidate volume is
+    * Σ cell² ≈ n²/nCells — so neither dominates as the corpus grows. The
+    * production default wherever a caller does not pin nCells for a static
+    * oracle (knnJoinIvf, the SemDeDup pair family). */
+  private[graft] def adaptiveCells(n: Long): Int = {
+    val target = java.lang.Long.highestOneBit(
+      math.max(1L, math.sqrt(n.toDouble).toLong)) * 2
+    math.max(16L, math.min(1024L, target)).toInt
+  }
 
   /** Deterministic flat-IVF codebook: the quantized vectors of the nCells
     * lowest vec_ids, collected once on the driver. Codebooks are small by

@@ -739,6 +739,24 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"unexpected global sort:\n$plan")
   }
 
+  test("adaptive IVF cell count: power-of-2 near 2*sqrt(n), clamped [16, 1024]") {
+    assert(Ann.adaptiveCells(1L) == 16)
+    assert(Ann.adaptiveCells(1000L) == 32)       // sqrt 31 -> 16 -> x2
+    assert(Ann.adaptiveCells(210000L) == 512)    // sqrt 458 -> 256 -> x2
+    assert(Ann.adaptiveCells(100000000L) == 1024) // clamped
+    // the adaptive default must agree across the family sharing it:
+    // semanticDupPairs(nCells = 0) at n vectors blocks on the same
+    // codebook size as an explicit call at adaptiveCells(n)
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val auto = Dedup.semanticDupPairs(e, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Dedup.semanticDupPairs(e, threshold = 0.99,
+        nCells = Ann.adaptiveCells(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == pinned, "adaptive default diverged from explicit adaptiveCells(n)")
+  }
+
   test("semantic decontamination: planted eval leaks fully recalled, eval side broadcast") {
     val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
     val evalSet = e.filter(col("vec_id") % 50 === 7)
