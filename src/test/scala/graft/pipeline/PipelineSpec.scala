@@ -781,6 +781,43 @@ class PipelineSpec extends SparkSpec {
       s"decontamination fell back to all-pairs:\n$plan")
   }
 
+  test("duplicated spans: planted exact copies fully covered, repartition-invariant") {
+    val docs = PipelineQueries.corpus(spark, sf0001)
+    val res = Dedup.duplicatedSpans(docs, k = 6)
+    val byId = res.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    // every planted exact copy (doc_id + 200000) shares ALL its windows
+    // with its source: both rebuild empty whenever the doc has >= k tokens
+    val planted = byId.keys.filter(_ >= 200000L).filter(_ < 400000L)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val (n, cov, hash) = byId(id)
+      if (n >= 6) {
+        assert(cov == n, s"copy $id not fully covered: $cov/$n")
+        assert(byId(id - 200000L)._2 == n, s"source ${id - 200000L} not fully covered")
+        assert(hash == md5Hex(""), s"copy $id rebuild not empty")
+      }
+    }
+    // determinism: identical output under a different input partitioning
+    val re = Dedup.duplicatedSpans(docs.repartition(13), k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val base = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(base.sorted.sameElements(re.sorted), "span dedup not repartition-invariant")
+  }
+
+  test("semantic decontamination is a pruning of the exact cross pairs (nCells=1 degenerate)") {
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") % 50 === 7)
+    val train = e.filter(col("vec_id") % 50 =!= 7)
+    val blocked = Dedup.semanticCrossPairs(train, evalSet, threshold = 0.9, nCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nCells = 1 assigns everything to one cell -> the same operator IS the
+    // exact cross all-pairs; cell blocking may only PRUNE, never invent
+    val exact = Dedup.semanticCrossPairs(train, evalSet, threshold = 0.9, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), s"non-pairs leaked: ${blocked.diff(exact)}")
+  }
+
   test("duplicated spans: cross-doc span cut at any offset, self-repeat cut, clean doc intact") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta unique one tail here now"),
