@@ -134,6 +134,21 @@ object Store {
       graft.similarity.Ann.writeIvfIndex(Tables.embeddings(spark, dir), p)
     }
 
+  /** Materialized PQ code table: (vec_id, code_0..code_{m-1}, pq_code) —
+    * the ADC rung of index-once-serve-many. Codes are m small ints per
+    * vector (the 64-dim vector never ships); every
+    * [[graft.similarity.Ann.topKAdcIndexed]] probe scans only this narrow
+    * table, while codebook + query resolve as point reads on the
+    * embeddings table. */
+  def pqIndex(spark: SparkSession, dir: String, m: Int = 4,
+      kCodes: Int = 16): DataFrame =
+    cached(spark, dir, s"pq_index_${m}_$kCodes") { p =>
+      graft.similarity.Ann.pqEncode(Tables.embeddings(spark, dir), m, kCodes)
+        .select((col("vec_id") +: (0 until m).map(j => col(s"code_$j"))) :+
+          col("pq_code"): _*)
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** [[ivfIndex]] maintained INCREMENTALLY: the index is first built from
     * the stable slice of the embeddings table, then the held-out batch
     * (`vec_id >= nCells && vec_id % batchMod == batchRem` — the codebook

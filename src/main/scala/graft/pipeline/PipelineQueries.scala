@@ -84,6 +84,7 @@ object PipelineQueries {
   private val Ann6Codes  = 16      // PQ centroids per subspace
   private val Ann6Query  = 7       // ADC query vector id
   private val Ann6TopK   = 10      // ADC result size
+  private val Ann11Query = 29      // materialized-PQ-index probe vector id
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
   private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
@@ -311,6 +312,14 @@ object PipelineQueries {
     // integer subspace-distance lookup — the compressed-index ANN path
     "ann6_pq_adc" -> { (s, d) =>
       Ann.topKAdc(Tables.embeddings(s, d), queryId = Ann6Query, k = Ann6TopK,
+        m = Ann6M, kCodes = Ann6Codes)
+    },
+
+    // ADC probe against the MATERIALIZED code table (Store.pqIndex): the
+    // per-query scan reads only the m code columns — vectors never ship
+    "ann11_pq_indexed" -> { (s, d) =>
+      Ann.topKAdcIndexed(graft.Store.pqIndex(s, d, Ann6M, Ann6Codes),
+        Tables.embeddings(s, d), queryId = Ann11Query, k = Ann6TopK,
         m = Ann6M, kCodes = Ann6Codes)
     },
 
@@ -1353,6 +1362,41 @@ object PipelineQueries {
         |SELECT vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
         |FROM assign JOIN qd USING (sub, code)
         |WHERE vec_id <> $Ann6Query
+        |GROUP BY vec_id
+        |ORDER BY adc_dist, vec_id LIMIT $Ann6TopK""".stripMargin
+    },
+
+    // materialized-PQ-index probe: codes are a pure function of (vector,
+    // codebook), so the oracle is the identical assignment formulation
+    "ann11_pq_indexed" -> {
+      val ds = 64 / Ann6M
+      s"""WITH vecs AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, CAST(s.sub AS INT) AS sub,
+        |         v[CAST(s.sub*$ds+1 AS INT):CAST((s.sub+1)*$ds AS INT)] AS sv
+        |  FROM vecs, UNNEST(range(0, $Ann6M)) AS s(sub)),
+        |cents AS (
+        |  SELECT vec_id AS code, sub, sv AS cv FROM sv WHERE vec_id < $Ann6Codes),
+        |assign AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT sv.vec_id, sv.sub, c.code,
+        |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+        |        CAST(list_sum(list_transform(c.cv, x -> x*x)) AS BIGINT)
+        |          - 2*CAST(list_sum(list_transform(list_zip(sv.sv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |        c.code) AS rn
+        |    FROM sv JOIN cents c USING (sub)) t
+        |  WHERE rn = 1),
+        |qd AS (
+        |  SELECT c.sub, c.code,
+        |    CAST(list_sum(list_transform(list_zip(q.sv, c.cv),
+        |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+        |  FROM cents c JOIN (SELECT sub, sv FROM sv WHERE vec_id = $Ann11Query) q USING (sub))
+        |SELECT vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+        |FROM assign JOIN qd USING (sub, code)
+        |WHERE vec_id <> $Ann11Query
         |GROUP BY vec_id
         |ORDER BY adc_dist, vec_id LIMIT $Ann6TopK""".stripMargin
     },

@@ -499,25 +499,52 @@ object Ann {
     * The lookup tables ship as array LITERALS inside one projection —
     * at scale this reads ONLY the code columns (4 bytes/vector, not the
     * 256-byte vector), which is the entire point of PQ search. */
-  def topKAdc(embeddings: DataFrame, queryId: Long, k: Int,
-      m: Int = 4, kCodes: Int = 16): DataFrame = {
-    val cents = pqCodebook(embeddings, m, kCodes)
-    val ds = cents(0)(0)._2.length
-    val qv = quantized(embeddings.filter(col("vec_id") === queryId))
-      .select(col("v")).head().getSeq[Long](0)
-    // lut(j)(code) = exact ||q_sub_j - cent||²
+  /** ADC distance column over `code_0..code_{m-1}`: lut(j)(code) = exact
+    * ||q_sub_j - cent||², shipped as literal arrays — the scan resolves
+    * each row's distance with m array lookups and never touches a vector. */
+  private def adcDistCol(cents: Array[Array[(Int, Seq[Long])]],
+      qv: Seq[Long], m: Int, ds: Int): Column = {
     val lut: Array[Seq[Long]] = Array.tabulate(m) { j =>
       val qsub = qv.slice(j * ds, (j + 1) * ds)
       cents(j).map { case (_, cv) =>
         qsub.iterator.zip(cv.iterator).map { case (a, b) => (a - b) * (a - b) }.sum
       }.toSeq
     }
-    val adc = (0 until m).map { j =>
+    (0 until m).map { j =>
       element_at(typedlit(lut(j)), col(s"code_$j").cast("int") + 1)
     }.reduce(_ + _)
+  }
+
+  def topKAdc(embeddings: DataFrame, queryId: Long, k: Int,
+      m: Int = 4, kCodes: Int = 16): DataFrame = {
+    val cents = pqCodebook(embeddings, m, kCodes)
+    val ds = cents(0)(0)._2.length
+    val qv = quantized(embeddings.filter(col("vec_id") === queryId))
+      .select(col("v")).head().getSeq[Long](0)
     pqEncode(embeddings, m, kCodes)
       .filter(col("vec_id") =!= queryId)
-      .withColumn("adc_dist", adc)
+      .withColumn("adc_dist", adcDistCol(cents, qv, m, ds))
+      .select(col("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ADC probe against a MATERIALIZED code table ([[graft.Store.pqIndex]]):
+    * identical distances to [[topKAdc]], but the per-query scan reads ONLY
+    * the m small code columns of the index — the corpus's vectors are
+    * never read at query time. The codebook rows and the query vector
+    * resolve as kCodes+1 point reads on the embeddings table (driver-side,
+    * pushed down). At 100 TB this is the PQ serving path: codes are ~2
+    * orders of magnitude smaller than the vectors, so the whole index fits
+    * where the corpus cannot, and top-k plans as TakeOrderedAndProject. */
+  def topKAdcIndexed(index: DataFrame, embeddings: DataFrame, queryId: Long,
+      k: Int, m: Int = 4, kCodes: Int = 16): DataFrame = {
+    val cents = pqCodebook(embeddings, m, kCodes)
+    val ds = cents(0)(0)._2.length
+    val qv = quantized(embeddings.filter(col("vec_id") === queryId))
+      .select(col("v")).head().getSeq[Long](0)
+    index.filter(col("vec_id") =!= queryId)
+      .withColumn("adc_dist", adcDistCol(cents, qv, m, ds))
       .select(col("vec_id"), col("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)

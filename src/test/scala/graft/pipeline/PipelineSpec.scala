@@ -679,6 +679,20 @@ class PipelineSpec extends SparkSpec {
       !got(6L)._5 && !got(6L)._6, s"stopword-free doc: ${got(6L)}")
   }
 
+  test("ann11: materialized PQ code probe matches direct ADC, scans only code columns") {
+    val got = PipelineQueries.queries("ann11_pq_indexed")(spark, sf0001)
+    val want = Ann.topKAdc(Tables.embeddings(spark, sf0001), queryId = 29L, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got.collect().map(_.toSeq).toSeq == want,
+      "indexed ADC diverged from the direct probe")
+    val plan = got.queryExecution.executedPlan.toString
+    // the serving scan must read codes, never a vector, and plan top-k
+    assert(plan.contains("code_0") && !plan.contains("embedding"),
+      s"PQ probe read vectors:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"PQ top-k not TakeOrdered:\n$plan")
+  }
+
   test("ann10: incrementally-appended IVF index serves probes bit-identically to a rebuild") {
     val got = PipelineQueries.queries("ann10_ivf_append")(spark, sf0001)
     // append under the frozen codebook ≡ full rebuild: same probe against
