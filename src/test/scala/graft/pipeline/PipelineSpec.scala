@@ -728,6 +728,9 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"pl2 fell back to all-pairs:\n$plan")
+    // the chain consumes only the shard id — Catalyst must prune the
+    // shard shuffle's unused within-shard rank (and its per-shard sort)
+    assert(!plan.contains("Window"), s"unused window survived pruning:\n$plan")
   }
 
   test("shard shuffle: repartition-invariant, contiguous positions per shard, one shard-key shuffle") {
