@@ -98,6 +98,33 @@ object Multimodal {
       * re-encode (the JDK bundles a BMP writer). Deterministic by
       * construction — no AWT filtering/interpolation enters the pipeline,
       * so the output pixels stay in closed form for the oracle. */
+    /** Perceptual difference-hash: decode → 9×8 nearest-neighbor resample
+      * (the [[resize]] kernel) → 64 horizontal-gradient bits, MSB-first in
+      * (row-major y, x) order, split into two 32-bit halves so neither
+      * side of the oracle touches the sign bit of a 64-bit shift. Returns
+      * (hi, lo, n_bits_set). */
+    def dHash(bytes: Array[Byte]): (Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resize(bytes, 9, 8)))
+      var hi = 0L; var lo = 0L; var n = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val l = img.getRGB(x, y) & 0xff
+          val r = img.getRGB(x + 1, y) & 0xff
+          if (r > l) {
+            val idx = y * 8 + x
+            if (idx < 32) hi |= 1L << (31 - idx) else lo |= 1L << (63 - idx)
+            n += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (hi, lo, n)
+    }
+
     def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
       require(outW > 0 && outH > 0, s"degenerate target ${outW}x$outH")
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -443,6 +470,31 @@ object Multimodal {
         val s = ImageCodec.decode(r.getAs[Array[Byte]](1))
         Row(r.getLong(0), s.width, s.height, s.pxSum,
           s.pxSum.toDouble / (s.width.toLong * s.height))
+      }
+    }(enc)
+  }
+
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dhash_hi", LongType),
+    StructField("dhash_lo", LongType),
+    StructField("n_gradient_bits", LongType)))
+
+  /** REAL perceptual image hashing — the image rung of the dedup family:
+    * every payload goes decode → 9×8 nearest-neighbor resample → 64
+    * horizontal-gradient bits ([[ImageCodec.dHash]]; the classic dHash of
+    * the image-dedup literature). Two byte-identical images hash equal,
+    * and near-identical ones land within a small Hamming distance —
+    * candidate pairs then ride the SAME fingerprint blocking the SimHash
+    * text path uses (bit_count of xor over the packed halves). One narrow
+    * stage, no shuffle; the oracle recomputes the bits from the synthetic
+    * pixels' closed form through the identical resample mapping. */
+  def imageDHashes(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dHashSchema)
+    images.select("doc_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val (hi, lo, n) = ImageCodec.dHash(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), hi, lo, n)
       }
     }(enc)
   }

@@ -602,6 +602,14 @@ object PipelineQueries {
       Multimodal.imageFeatures(
         Multimodal.resizeImages(Multimodal.syntheticImages(s, d), 8, 6))
         .orderBy(col("doc_id"))
+    },
+
+    // perceptual dHash over the real decode->resample path: the image rung
+    // of the dedup family (equal images hash equal; near-dups pair under
+    // the simhash-style Hamming blocking)
+    "mm6_dhash" -> { (s, d) =>
+      Multimodal.imageDHashes(Multimodal.syntheticImages(s, d))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2082,6 +2090,28 @@ object PipelineQueries {
         |     LATERAL (SELECT UNNEST(range(0, 6)) AS y) y
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // dHash: gradient bits of the 9x8 resample recomputed from the
+    // synthetic pixels' closed form; 32-bit halves keep every shift off
+    // the sign bit on both engines
+    "mm6_dhash" ->
+      """SELECT doc_id,
+        |  CAST(SUM(CASE WHEN idx < 32 AND pr > pl
+        |           THEN (CAST(1 AS BIGINT) << (31 - idx)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN idx >= 32 AND pr > pl
+        |           THEN (CAST(1 AS BIGINT) << (63 - idx)) ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |  CAST(SUM(CASE WHEN pr > pl THEN 1 ELSE 0 END) AS BIGINT) AS n_gradient_bits
+        |FROM (
+        |  SELECT d.doc_id, CAST(y.y*8 + x.x AS INT) AS idx,
+        |    (d.doc_id*31 + ((x.x*(d.doc_id%16+1))//9)*7
+        |       + ((y.y*(d.doc_id%12+1))//8)*13) % 256 AS pl,
+        |    (d.doc_id*31 + (((x.x+1)*(d.doc_id%16+1))//9)*7
+        |       + ((y.y*(d.doc_id%12+1))//8)*13) % 256 AS pr
+        |  FROM documents d,
+        |       LATERAL (SELECT UNNEST(range(0, 8)) AS x) x,
+        |       LATERAL (SELECT UNNEST(range(0, 8)) AS y) y) t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "mm4_video_meta" ->
       """SELECT doc_id,

@@ -175,6 +175,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dHash: independently-derived reference values, equal images hash equal, Hamming from halves") {
+    import Multimodal.ImageCodec
+    def h(seed: Long) = ImageCodec.dHash(
+      ImageCodec.syntheticBmp(seed, (seed % 16).toInt + 1, (seed % 12).toInt + 1))
+    // references computed OUTSIDE the JVM from the closed-form pixels
+    assert(h(1L) == ((134744072L, 134744072L, 8L)), s"seed 1: ${h(1L)}")
+    assert(h(2L) == ((606348324L, 606348324L, 16L)), s"seed 2: ${h(2L)}")
+    assert(h(387L) == ((707406378L, 572664362L, 22L)), s"seed 387: ${h(387L)}")
+    // byte-identical images always hash equal (the dedup contract)
+    assert(h(42L) == h(42L))
+    // Hamming distance composes from the halves with no sign traps
+    val (h1, l1, _) = h(1L); val (h2, l2, _) = h(2L)
+    val d = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    assert(d > 0 && d <= 64, s"degenerate distance $d")
+  }
+
   test("image resize: nearest-neighbor floor mapping, exact through BMP re-encode") {
     import Multimodal.ImageCodec
     // 10x6 -> 5x3: src = dst*srcDim/outDim, every output pixel from the
