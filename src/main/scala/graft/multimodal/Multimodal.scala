@@ -223,6 +223,47 @@ object Multimodal {
     /** Actual JDK WAVE decode → (rate, sample count, sum of signed
       * 16-bit samples). The header is parsed by the JDK, not by us — a
       * chunk-layout bug on the encode side breaks the gate. */
+    /** Perceptual audio fingerprint: frame the PCM stream into `frame`-
+      * sample windows (final partial frame kept), take each frame's
+      * absolute-amplitude energy (exact integer), and emit one bit per
+      * adjacent frame pair — 1 when energy rises. The audio analog of the
+      * image dHash: byte-identical clips fingerprint equal, re-encoded or
+      * slightly-reweighted near-dups land within a small Hamming distance.
+      * Bits pack MSB-first (earliest pair highest); returns
+      * (n_frames, fp, n_bits_set). */
+    def fingerprint(bytes: Array[Byte], frame: Int): (Long, Long, Long) = {
+      require(frame >= 1, s"degenerate frame size $frame")
+      val in = waveReader.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unsupported PCM layout: $fmt")
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var acc = 0L
+      var i = 0
+      while (bb.remaining() >= 2) {
+        acc += math.abs(bb.getShort().toLong)
+        i += 1
+        if (i % frame == 0) { energies += acc; acc = 0L }
+      }
+      if (i % frame != 0) energies += acc
+      var fp = 0L
+      var n = 0L
+      var f = 0
+      while (f < energies.length - 1) {
+        if (energies(f + 1) > energies(f)) {
+          fp |= 1L << (energies.length - 2 - f)
+          n += 1
+        }
+        f += 1
+      }
+      (energies.length.toLong, fp, n)
+    }
+
     def decode(bytes: Array[Byte]): AudioStats = {
       val in = waveReader.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -510,6 +551,27 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, AudioCodec.syntheticWav(id, (id % 50).toInt + 1))
+      }
+    }(enc)
+  }
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", LongType),
+    StructField("fp", LongType),
+    StructField("n_bits_set", LongType)))
+
+  /** REAL audio fingerprinting — the audio rung of the dedup family: every
+    * payload goes through the `javax.sound.sampled` decode, then
+    * [[AudioCodec.fingerprint]]'s frame-energy-delta bits. One narrow
+    * stage, no shuffle; near-dup pairing rides the same Hamming blocking
+    * as SimHash/dHash. */
+  def audioFingerprints(audio: DataFrame, frame: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFpSchema)
+    audio.select("doc_id", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val (nf, fp, n) = AudioCodec.fingerprint(r.getAs[Array[Byte]](1), frame)
+        Row(r.getLong(0), nf, fp, n)
       }
     }(enc)
   }

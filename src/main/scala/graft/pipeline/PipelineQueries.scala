@@ -85,6 +85,7 @@ object PipelineQueries {
   private val Ann6Query  = 7       // ADC query vector id
   private val Ann6TopK   = 10      // ADC result size
   private val Ann11Query = 29      // materialized-PQ-index probe vector id
+  private val Mm7Frame   = 4       // audio fingerprint frame (samples)
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
   private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
@@ -609,6 +610,13 @@ object PipelineQueries {
     // the simhash-style Hamming blocking)
     "mm6_dhash" -> { (s, d) =>
       Multimodal.imageDHashes(Multimodal.syntheticImages(s, d))
+        .orderBy(col("doc_id"))
+    },
+
+    // frame-energy-delta audio fingerprint through the real WAV decode:
+    // the audio rung of the dedup family
+    "mm7_audio_fp" -> { (s, d) =>
+      Multimodal.audioFingerprints(Multimodal.syntheticAudio(s, d), frame = Mm7Frame)
         .orderBy(col("doc_id"))
     }
   )
@@ -2112,6 +2120,28 @@ object PipelineQueries {
         |       LATERAL (SELECT UNNEST(range(0, 8)) AS y) y) t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // audio fingerprint: frame energies from the closed-form samples,
+    // rising-energy bits MSB-first; frames of $Mm7Frame samples, final
+    // partial frame kept
+    "mm7_audio_fp" ->
+      s"""WITH fr AS (
+         |  SELECT d.doc_id, i.i // $Mm7Frame AS f,
+         |         SUM(abs((d.doc_id*31 + i.i*7) % 65536 - 32768)) AS e
+         |  FROM documents d,
+         |       LATERAL (SELECT UNNEST(range(0, d.doc_id%50 + 1)) AS i) i
+         |  GROUP BY d.doc_id, i.i // $Mm7Frame),
+         |nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY doc_id),
+         |bits AS (
+         |  SELECT a.doc_id, a.f, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+         |  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1)
+         |SELECT n.doc_id, CAST(n.n_frames AS BIGINT) AS n_frames,
+         |  CAST(COALESCE(SUM(CAST(bit AS BIGINT)
+         |    * (CAST(1 AS BIGINT) << CAST(n.n_frames - 2 - b.f AS INT))), 0) AS BIGINT) AS fp,
+         |  CAST(COALESCE(SUM(bit), 0) AS BIGINT) AS n_bits_set
+         |FROM nf n LEFT JOIN bits b USING (doc_id)
+         |GROUP BY n.doc_id, n.n_frames
+         |ORDER BY n.doc_id""".stripMargin,
 
     "mm4_video_meta" ->
       """SELECT doc_id,

@@ -191,6 +191,22 @@ class PipelineSpec extends SparkSpec {
     assert(d > 0 && d <= 64, s"degenerate distance $d")
   }
 
+  test("audio fingerprint: hand-computed frame energies, partial tail frame, identical clips equal") {
+    import Multimodal.AudioCodec
+    // seed 3, 10 samples: abs amplitude 32675-7i strictly falls, so both
+    // frame-pair bits are 0 (frames of 4,4,2 samples)
+    assert(AudioCodec.fingerprint(AudioCodec.syntheticWav(3, 10), 4) ==
+      ((3L, 0L, 0L)))
+    // seed 1056 wraps the 16-bit midpoint at i=5: energies 86, 34, 138 ->
+    // bits (0,1) MSB-first = fp 1
+    assert(AudioCodec.fingerprint(AudioCodec.syntheticWav(1056, 12), 4) ==
+      ((3L, 1L, 1L)))
+    // byte-identical clips always fingerprint equal (the dedup contract)
+    val a = AudioCodec.fingerprint(AudioCodec.syntheticWav(42, 37), 4)
+    assert(a == AudioCodec.fingerprint(AudioCodec.syntheticWav(42, 37), 4))
+    assert(a._1 == 10L, s"37 samples at frame 4 -> 10 frames: $a")
+  }
+
   test("image resize: nearest-neighbor floor mapping, exact through BMP re-encode") {
     import Multimodal.ImageCodec
     // 10x6 -> 5x3: src = dst*srcDim/outDim, every output pixel from the
