@@ -45,13 +45,27 @@ object Projector {
   def dedupEvents(events: DataFrame, idCol: String = "event_id"): DataFrame =
     events.dropDuplicates(idCol)
 
-  /** events reader for the driver tables: the parquet stores nanosecond
-    * timestamps (unsupported by Spark's reader) — read them as raw longs and
-    * derive exact millisecond epochs (ns/1e6, truncating like epoch_ms). */
+  /** events reader for the driver tables. The generator has shipped `ts` in
+    * two physical shapes across rounds — int64 nanosecond epochs (Spark reads
+    * them as raw longs under `nanosAsLong`) and `timestamp[us]` (Spark
+    * TIMESTAMP_NTZ). Normalize both to the same canonical column set the rest
+    * of the engine assumes: `ts` = epoch NANOSECONDS as long (so downstream
+    * `ts div 1000` → micros, `ts div 1000000` → millis stay exact integer
+    * arithmetic — ns epochs ~1.7e18 exceed double precision, so no `/`),
+    * plus `occurred_at_ms` (epoch millis, truncating like DuckDB epoch_ms). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: ns epochs (~1.7e18) exceed double precision
-    spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val tsNanos = raw.schema("ts").dataType match {
+      case LongType => col("ts") // already ns epochs
+      // NTZ wall-clock == UTC instant for the driver tables; all engine
+      // sessions pin spark.sql.session.timeZone=UTC, so the cast is lossless
+      case TimestampNTZType => expr("unix_micros(cast(ts as timestamp)) * 1000")
+      case TimestampType => expr("unix_micros(ts) * 1000")
+      case other => sys.error(s"events.parquet ts: unsupported type $other")
+    }
+    raw.withColumn("ts", tsNanos)
       .withColumn("occurred_at_ms", expr("ts div 1000000"))
   }
 
