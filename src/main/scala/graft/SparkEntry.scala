@@ -24,7 +24,8 @@ object SparkEntry {
       graft.pipeline.PipelineQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.functions.FunctionQueries.queries ++
-      graft.sources.SourceQueries.queries
+      graft.sources.SourceQueries.queries ++
+      graft.layout.LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.pipeline.PipelineQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.functions.FunctionQueries.oracles ++
-      graft.sources.SourceQueries.oracles
+      graft.sources.SourceQueries.oracles ++
+      graft.layout.LayoutQueries.oracles
 }

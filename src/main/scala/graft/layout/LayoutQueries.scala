@@ -1,0 +1,293 @@
+package graft.layout
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver gates for the physical-layout planners ([[Layout]]) and the
+  * deterministic cardinality sketch ([[Sketches]]). Shared operator
+  * parameters are interpolated into BOTH the Spark pipeline and its DuckDB
+  * oracle from one definition (the PipelineQueries discipline), so one-sided
+  * edits cannot silently diverge a gate.
+  */
+object LayoutQueries {
+
+  /** z-prefix depth: file = top (32 − ZoShift) bits of the 32-bit z-value →
+    * ≤ 256 z-files. Fixed prefix depth, not fixed file count: at 100 TB the
+    * same shift yields deeper trees by raising it — the plan shape (map-side
+    * z arithmetic + one ≤2^k-key agg) is scale-invariant. */
+  val ZoShift = 24
+  val ZoFiles = 256
+
+  /** zo2 probe rectangle, as percentiles of each dimension's range (computed
+    * in-query, so the predicate stays meaningful at every scale factor). */
+  val RectXLoPct = 5; val RectXHiPct = 45
+  val RectYLoPct = 10; val RectYHiPct = 40
+
+  /** cp1 compaction bin target (rows per bin; stands in for target bytes). */
+  val CpTarget = 2500L
+  private val WeekMs = 7L * 86400000L
+
+  /** rp1 range-partition fan-out. */
+  val RpK = 32
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** Shared by zo1/zo2: rows with min-max-normalized 16-bit dimension
+    * positions, their z-file (top bits of the Morton value of the SCALED
+    * coords — scaling is what spreads any key range across the full z
+    * domain), and the insertion-order file for the zo2 comparison. Zone
+    * maps keep ORIGINAL coordinates (that is what a scan predicate sees). */
+  private def zRows(s: SparkSession, d: String): DataFrame = {
+    val base = li(s, d).select(col("l_partkey").as("x"),
+      col("l_suppkey").as("y"), col("l_orderkey"))
+    val bounds = base.agg(
+      min("x").as("x_min"), max("x").as("x_max"),
+      min("y").as("y_min"), max("y").as("y_max"),
+      min("l_orderkey").as("ok_lo"), max("l_orderkey").as("ok_hi"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("xs", expr("((x - x_min) * 65536) div (x_max - x_min + 1)"))
+      .withColumn("ys", expr("((y - y_min) * 65536) div (y_max - y_min + 1)"))
+      .withColumn("zfile",
+        shiftright(Layout.zValue(col("xs"), col("ys")), ZoShift))
+      .withColumn("lfile",
+        expr(s"((l_orderkey - ok_lo) * $ZoFiles) div (ok_hi - ok_lo + 1)"))
+      .withColumn("rxlo", expr(s"x_min + ((x_max - x_min) * $RectXLoPct) div 100"))
+      .withColumn("rxhi", expr(s"x_min + ((x_max - x_min) * $RectXHiPct) div 100"))
+      .withColumn("rylo", expr(s"y_min + ((y_max - y_min) * $RectYLoPct) div 100"))
+      .withColumn("ryhi", expr(s"y_min + ((y_max - y_min) * $RectYHiPct) div 100"))
+  }
+
+  /** DuckDB mirror of [[zRows]]. */
+  private val zRowsSql: String = {
+    val xs = "(((x - x_min) * 65536) // (x_max - x_min + 1))"
+    val ys = "(((y - y_min) * 65536) // (y_max - y_min + 1))"
+    s"""base AS (SELECT l_partkey AS x, l_suppkey AS y, l_orderkey FROM lineitem),
+       |b AS (SELECT MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min,
+       |             MAX(y) AS y_max, MIN(l_orderkey) AS ok_lo,
+       |             MAX(l_orderkey) AS ok_hi FROM base),
+       |rows_ AS (SELECT x, y, l_orderkey,
+       |    (${Layout.zValueSql(xs, ys)} >> $ZoShift) AS zfile,
+       |    ((l_orderkey - ok_lo) * $ZoFiles) // (ok_hi - ok_lo + 1) AS lfile,
+       |    x_min + ((x_max - x_min) * $RectXLoPct) // 100 AS rxlo,
+       |    x_min + ((x_max - x_min) * $RectXHiPct) // 100 AS rxhi,
+       |    y_min + ((y_max - y_min) * $RectYLoPct) // 100 AS rylo,
+       |    y_min + ((y_max - y_min) * $RectYHiPct) // 100 AS ryhi
+       |  FROM base, b)""".stripMargin
+  }
+
+  /** hll1 per-key precision: raw HLL is valid for n ≳ 2.5·16^p, so the
+    * high-cardinality orderkey uses m=4096 while the ≤2k-distinct keys use
+    * m=256 — the precision knob every HLL library exposes, shared between
+    * the Spark pipeline and the oracle. */
+  val Hll1P = Seq(("lineitem.l_orderkey", "lineitem", "l_orderkey", 3),
+    ("lineitem.l_partkey", "lineitem", "l_partkey", 2),
+    ("orders.o_custkey", "orders", "o_custkey", 2))
+
+  // One sketch row: sketch + exact cardinality + error in basis points,
+  // everything integer so the oracle compare is exact.
+  private def hllRow(name: String, df: DataFrame,
+      key: org.apache.spark.sql.Column, p: Int): DataFrame =
+    df.agg(countDistinct(key).as("n_exact"))
+      .crossJoin(Sketches.estimate(Sketches.registers(df, key, Nil, p), Nil, p))
+      .select(lit(name).as("key_name"), col("n_exact"), col("hll_est"),
+        expr("abs(hll_est - n_exact) * 10000 div n_exact").as("err_bp"))
+
+  private def hllBlockSql(name: String, tbl: String, key: String, p: Int): String =
+    s"""SELECT '$name' AS key_name, x.n_exact, e.hll_est,
+       |  abs(e.hll_est - x.n_exact) * 10000 // x.n_exact AS err_bp
+       |FROM (SELECT COUNT(DISTINCT $key) AS n_exact FROM $tbl) x,
+       |     (WITH regs AS (SELECT bucket, MAX(rho) AS rho
+       |                    FROM (${Sketches.rhoPairsSql(tbl, key, Nil, p)}) GROUP BY bucket),
+       |           s AS (${Sketches.summarySql()})
+       |      SELECT ${Sketches.estimateSql(p)} AS hll_est FROM s) e""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Z-order clustering: per-z-file zone maps (count + per-dimension
+    // bounding box in ORIGINAL coordinates). Map-side bit arithmetic + one
+    // ≤256-key aggregation.
+    "zo1_zorder_layout" -> { (s, d) =>
+      zRows(s, d)
+        .groupBy(col("zfile").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("x_lo"), max("x").as("x_hi"),
+          min("y").as("y_lo"), max("y").as("y_hi"))
+        .orderBy("file_id")
+    },
+
+    // Zone-map pruning: how many files/rows a 2-D range predicate reads
+    // under z-order layout vs. insertion-order (l_orderkey range) layout.
+    // The whole point of z-ordering in one row: scan_z ≪ scan_lin for the
+    // same matched rows.
+    "zo2_zorder_prune" -> { (s, d) =>
+      val rows = zRows(s, d)
+      def scanStats(fileCol: String, tot: String, hit: String, scan: String) = {
+        val zones = rows.groupBy(col(fileCol))
+          .agg(count(lit(1)).as("n"), min("x").as("xl"), max("x").as("xh"),
+            min("y").as("yl"), max("y").as("yh"),
+            min("rxlo").as("rxlo"), min("rxhi").as("rxhi"),
+            min("rylo").as("rylo"), min("ryhi").as("ryhi"))
+        val isHit = col("xl") <= col("rxhi") && col("xh") >= col("rxlo") &&
+          col("yl") <= col("ryhi") && col("yh") >= col("rylo")
+        zones.agg(count(lit(1)).as(tot),
+          sum(when(isHit, 1L).otherwise(0L)).as(hit),
+          sum(when(isHit, col("n")).otherwise(0L)).as(scan))
+      }
+      val matched = rows.filter(col("x") >= col("rxlo") && col("x") <= col("rxhi") &&
+        col("y") >= col("rylo") && col("y") <= col("ryhi"))
+        .agg(count(lit(1)).as("n_match"))
+      scanStats("zfile", "z_files", "z_files_hit", "z_rows_scan")
+        .crossJoin(scanStats("lfile", "lin_files", "lin_files_hit", "lin_rows_scan"))
+        .crossJoin(matched)
+    },
+
+    // Compaction planning: weekly order "files" packed into target-row bins
+    // by one cumulative-sum pass over the size-descending file list — the
+    // small-file compaction planner as a relational query (no driver loop).
+    "cp1_compaction_plan" -> { (s, d) =>
+      val files = Tables.orders(s, d)
+        .select(expr(s"unix_millis(cast(o_orderdate as timestamp)) div $WeekMs")
+          .as("file_week"))
+        .groupBy("file_week").agg(count(lit(1)).as("size_rows"))
+      // file-METADATA relation (≤ ~800k rows even at 100 TB), so the
+      // single-partition cumsum window is bounded by catalog size, not data
+      val w = Window.orderBy(col("size_rows").desc, col("file_week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files.withColumn("cum", sum("size_rows").over(w))
+        .withColumn("bin_id", expr(s"(cum - size_rows) div $CpTarget"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_files"), sum("size_rows").as("bin_rows"),
+          max("size_rows").as("largest_file"))
+        .orderBy("bin_id")
+    },
+
+    // Range-partition planning: exact split points + per-range balance from
+    // a key histogram. The gate pins the exact-histogram contract; at full
+    // scale the identical boundary relation is fed from a sample (Spark
+    // RangePartitioner-style) — the plan shape downstream is unchanged.
+    "rp1_range_plan" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val hist = o.groupBy(col("o_totalprice").as("k")).agg(count(lit(1)).as("cnt"))
+      val total = o.agg(count(lit(1)).as("n_total"))
+      val w = Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.crossJoin(broadcast(total))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("bucket", expr(s"((cum - cnt) * $RpK) div n_total"))
+        .groupBy("bucket")
+        .agg(sum("cnt").as("n_rows"), min("k").as("lo"), max("k").as("hi"))
+        .orderBy("bucket")
+    },
+
+    // HyperLogLog distinct sketch over three key columns: engine-exact
+    // integer estimate + true cardinality + error in basis points.
+    "hll1_distinct_sketch" -> { (s, d) =>
+      Hll1P.map { case (name, tbl, key, p) =>
+        hllRow(name, Tables.read(s, d, tbl), col(key), p)
+      }.reduce(_ unionByName _).orderBy("key_name")
+    },
+
+    // Sketch mergeability: per-returnflag register sets, merged by MAX(rho)
+    // per bucket, must estimate the union EXACTLY as a direct sketch of the
+    // union would — the property that makes HLL a distributed aggregate.
+    "hll2_union_sketch" -> { (s, d) =>
+      val e = li(s, d).select(col("l_returnflag").as("grp"), col("l_orderkey"))
+      val regsG = Sketches.registers(e, col("l_orderkey"), Seq("grp"))
+      val perGrp = Sketches.estimate(regsG, Seq("grp"))
+        .join(e.groupBy("grp").agg(countDistinct("l_orderkey").as("n_exact")), "grp")
+      val merged = Sketches.estimate(
+          regsG.groupBy("bucket").agg(max("rho").as("rho")))
+        .withColumn("grp", lit("ALL"))
+        .crossJoin(e.agg(countDistinct("l_orderkey").as("n_exact")))
+      perGrp.select(col("grp"), col("n_exact"), col("hll_est"))
+        .unionByName(merged.select(col("grp"), col("n_exact"), col("hll_est")))
+        .orderBy("grp")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "zo1_zorder_layout" ->
+      s"""WITH $zRowsSql
+         |SELECT zfile AS file_id, COUNT(*) AS n_rows,
+         |  MIN(x) AS x_lo, MAX(x) AS x_hi, MIN(y) AS y_lo, MAX(y) AS y_hi
+         |FROM rows_ GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "zo2_zorder_prune" ->
+      s"""WITH $zRowsSql,
+         |zz AS (SELECT zfile, COUNT(*) AS n, MIN(x) AS xl, MAX(x) AS xh,
+         |              MIN(y) AS yl, MAX(y) AS yh, MIN(rxlo) AS rxlo,
+         |              MIN(rxhi) AS rxhi, MIN(rylo) AS rylo, MIN(ryhi) AS ryhi
+         |       FROM rows_ GROUP BY 1),
+         |lz AS (SELECT lfile, COUNT(*) AS n, MIN(x) AS xl, MAX(x) AS xh,
+         |              MIN(y) AS yl, MAX(y) AS yh, MIN(rxlo) AS rxlo,
+         |              MIN(rxhi) AS rxhi, MIN(rylo) AS rylo, MIN(ryhi) AS ryhi
+         |       FROM rows_ GROUP BY 1),
+         |zs AS (SELECT COUNT(*) AS z_files,
+         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN 1 ELSE 0 END) AS z_files_hit,
+         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN n ELSE 0 END) AS z_rows_scan FROM zz),
+         |ls AS (SELECT COUNT(*) AS lin_files,
+         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN 1 ELSE 0 END) AS lin_files_hit,
+         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN n ELSE 0 END) AS lin_rows_scan FROM lz),
+         |m AS (SELECT COUNT(*) AS n_match FROM rows_
+         |      WHERE x BETWEEN rxlo AND rxhi AND y BETWEEN rylo AND ryhi)
+         |SELECT * FROM zs, ls, m""".stripMargin,
+
+    "cp1_compaction_plan" ->
+      s"""WITH files AS (
+         |  SELECT epoch_ms(o_orderdate) // $WeekMs AS file_week,
+         |         COUNT(*) AS size_rows
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT *, SUM(size_rows) OVER (
+         |        ORDER BY size_rows DESC, file_week
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM files)
+         |SELECT (cum - size_rows) // $CpTarget AS bin_id, COUNT(*) AS n_files,
+         |       SUM(size_rows) AS bin_rows, MAX(size_rows) AS largest_file
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rp1_range_plan" ->
+      s"""WITH h AS (SELECT o_totalprice AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n_total FROM orders),
+         |b AS (SELECT k, cnt, n_total, SUM(cnt) OVER (
+         |        ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM h, t)
+         |SELECT ((cum - cnt) * $RpK) // n_total AS bucket, SUM(cnt) AS n_rows,
+         |       MIN(k) AS lo, MAX(k) AS hi
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "hll1_distinct_sketch" ->
+      Hll1P.map { case (name, tbl, key, p) => hllBlockSql(name, tbl, key, p) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
+
+    "hll2_union_sketch" ->
+      s"""WITH pairs AS (
+         |  ${Sketches.rhoPairsSql(
+               "(SELECT l_returnflag AS grp, l_orderkey FROM lineitem)",
+               "l_orderkey", Seq("grp"))}),
+         |regsg AS (SELECT grp, bucket, MAX(rho) AS rho FROM pairs GROUP BY 1, 2),
+         |pg AS (SELECT grp, COUNT(*) AS m_seen,
+         |         SUM(CAST(1 AS BIGINT) << (${Sketches.RMax} - rho)) AS s_seen
+         |       FROM regsg GROUP BY 1),
+         |pge AS (SELECT grp, ${Sketches.estimateSql()} AS hll_est FROM pg),
+         |xg AS (SELECT l_returnflag AS grp, COUNT(DISTINCT l_orderkey) AS n_exact
+         |       FROM lineitem GROUP BY 1),
+         |mr AS (SELECT bucket, MAX(rho) AS rho FROM regsg GROUP BY 1),
+         |ms AS (SELECT COUNT(*) AS m_seen,
+         |         SUM(CAST(1 AS BIGINT) << (${Sketches.RMax} - rho)) AS s_seen
+         |       FROM mr),
+         |me AS (SELECT 'ALL' AS grp,
+         |         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+         |         ${Sketches.estimateSql()} AS hll_est FROM ms)
+         |SELECT pge.grp, xg.n_exact, pge.hll_est FROM pge JOIN xg ON pge.grp = xg.grp
+         |UNION ALL
+         |SELECT grp, n_exact, hll_est FROM me
+         |ORDER BY grp""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.layout
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketches — the approximate-count machinery a
+  * 100 TB pipeline uses where exact `COUNT(DISTINCT)` would shuffle every
+  * key (per-source vocabulary sizes, distinct-URL counts, join-cardinality
+  * estimation feeding broadcast decisions).
+  *
+  * HyperLogLog (Flajolet et al. 2007), made *engine-exact* so it can carry a
+  * full DuckDB oracle:
+  *
+  *  - randomness = `md5(key)` hex, identical in both engines;
+  *  - register index = first `p` hex digits (m = 16^p registers; p is the
+  *    precision knob — raw-HLL is valid for n ≳ 2.5·m, so callers pick p to
+  *    their expected cardinality range, the same contract as every HLL
+  *    library's precision parameter);
+  *  - ρ = leading-zero count of the remaining nibble stream, derived with
+  *    string/CASE arithmetic (no floats, no platform `clz`);
+  *  - the harmonic mean Σ2^-ρ is kept as the exact integer Σ2^(RMax-ρ), and
+  *    the raw estimate α·m²/Σ2^-ρ is one big-integer division with α as an
+  *    exact rational — every intermediate is integer, so Spark and DuckDB
+  *    agree bit-for-bit (no last-ulp float flap).
+  *
+  * The register relation is the sketch: tiny (≤ m rows), mergeable by
+  * `MAX(ρ)` per bucket — the distributed-aggregation property the hll2 gate
+  * pins (union-of-sketches ≡ sketch-of-union, exactly). Spark's partial
+  * aggregation gives the map-side combine for free: the shuffle carries at
+  * most m rows per partition, never the keys.
+  *
+  * The small-range linear-counting correction (HLL++) needs `ln`, which is
+  * not correctly-rounded across libm implementations — it lives in
+  * [[Sketches.linearCounting]] for API users and is spec-tested, but gates
+  * pin only the integer raw estimate.
+  */
+object Sketches {
+
+  /** Default bucket-index hex digits: m = 16^3 = 4096 registers. */
+  val P = 3
+
+  def m(p: Int): Int = 1 << (4 * p)
+
+  /** ρ clamp: register values above RMax collapse (Σ2^(RMax-ρ) stays integer;
+    * P(ρ>40) ≈ 2^-40 per key — unreachable at any realistic scale). */
+  val RMax = 40
+
+  /** α_m = 0.7213/(1 + 1.079/m) as an exact rational (standard constant for
+    * m ≥ 128): denominator, and numerator times m²·2^RMax (the full
+    * numerator of the raw estimate α·m²·2^RMax / Σ2^(RMax-ρ)). */
+  def alphaDen(p: Int): BigInt = BigInt(10000) * (BigInt(1000) * m(p) + 1079)
+  def estNum(p: Int): BigInt =
+    BigInt(7213) * m(p) * 1000 * BigInt(m(p)) * BigInt(m(p)) * (BigInt(1) << RMax)
+
+  /** Per-row (bucket, ρ) pairs for a key column — all map-side. `carry`
+    * columns (e.g. a group key for per-group sketches) pass through. */
+  def rhoPairs(df: DataFrame, key: Column, carry: Seq[String] = Nil,
+      p: Int = P): DataFrame =
+    df.select(carry.map(col) :+ md5(key.cast("string")).as("h"): _*)
+      .select(carry.map(col) ++ Seq(substring(col("h"), 1, p).as("bucket"),
+        substring(col("h"), p + 1, 32 - p).as("tail")): _*)
+      .withColumn("lead0", length(regexp_extract(col("tail"), "^(0*)", 1)))
+      .withColumn("dv",
+        expr("instr('123456789abcdef', substring(tail, lead0 + 1, 1))"))
+      .withColumn("rho",
+        when(col("dv") === 0, lit(RMax)).otherwise(
+          least(lit(4) * col("lead0") +
+            when(col("dv") >= 8, 0).when(col("dv") >= 4, 1)
+              .when(col("dv") >= 2, 2).otherwise(3) + 1, lit(RMax))))
+      .select(carry.map(col) ++ Seq(col("bucket"), col("rho")): _*)
+
+  /** The sketch itself: ≤ m rows of (bucket, max ρ) per carry group. One
+    * shuffle on ≤ m×groups keys with map-side partial max. */
+  def registers(df: DataFrame, key: Column, carry: Seq[String] = Nil,
+      p: Int = P): DataFrame =
+    rhoPairs(df, key, carry, p).groupBy((carry :+ "bucket").map(col): _*)
+      .agg(max("rho").as("rho"))
+
+  /** Collapse a register relation (optionally pre-grouped) to the integer
+    * raw-HLL estimate. Input columns: `rho` (+ grouping cols). */
+  def estimate(regs: DataFrame, groupCols: Seq[String] = Nil,
+      p: Int = P): DataFrame = {
+    val base = if (groupCols.isEmpty) regs.groupBy()
+    else regs.groupBy(groupCols.map(col): _*)
+    base
+      .agg(count(lit(1)).as("m_seen"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RMax - rho)")).as("s_seen"))
+      .withColumn("s_total",
+        expr(s"s_seen + CAST(${m(p)} - m_seen AS BIGINT) * ${1L << RMax}"))
+      .withColumn("hll_est",
+        expr(s"CAST(CAST('${estNum(p)}' AS DECIMAL(38,0)) div " +
+          s"(CAST(${alphaDen(p)} AS DECIMAL(38,0)) * CAST(s_total AS DECIMAL(38,0))) AS BIGINT)"))
+      .drop("m_seen", "s_seen", "s_total")
+  }
+
+  /** HLL++ small-range path (API-only; see class Scaladoc for why gates
+    * exclude it): linear counting m·ln(m/V) when empty registers remain. */
+  def linearCounting(mSeen: Long, p: Int = P): Double =
+    if (mSeen >= m(p)) Double.NaN
+    else m(p) * math.log(m(p).toDouble / (m(p) - mSeen))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle fragments (same arithmetic, HUGEINT for the division)
+  // ------------------------------------------------------------------
+
+  /** CTE body: (carry…, bucket, rho) pairs for `keyExpr` over `rel`. */
+  def rhoPairsSql(rel: String, keyExpr: String, carry: Seq[String] = Nil,
+      p: Int = P): String = {
+    val c = carry.map(_ + ", ").mkString
+    s"""SELECT $c bucket,
+       |  CASE WHEN dv = 0 THEN $RMax
+       |       ELSE LEAST(4*lead0 + CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+       |                                 WHEN dv >= 2 THEN 2 ELSE 3 END + 1, $RMax)
+       |  END AS rho
+       |FROM (SELECT $c bucket, length(regexp_extract(tail, '^(0*)', 1)) AS lead0,
+       |             strpos('123456789abcdef',
+       |                    substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)) AS dv
+       |      FROM (SELECT $c substr(h, 1, $p) AS bucket, substr(h, ${p + 1}, ${32 - p}) AS tail
+       |            FROM (SELECT $c md5(CAST($keyExpr AS VARCHAR)) AS h FROM $rel)))""".stripMargin
+  }
+
+  /** SELECT-list fragment: integer raw estimate from (m_seen, s_seen). */
+  def estimateSql(p: Int = P): String =
+    s"""CAST(CAST('${estNum(p)}' AS HUGEINT) //
+       |  (CAST(${alphaDen(p)} AS HUGEINT) *
+       |   CAST(s_seen + (${m(p)} - m_seen) * CAST(${1L << RMax} AS BIGINT) AS HUGEINT))
+       | AS BIGINT)""".stripMargin
+
+  /** Aggregation over a register CTE named `regs(bucket, rho)` (plus
+    * optional grouping columns carried through). */
+  def summarySql(groupSel: String = "", groupBy: String = ""): String =
+    s"""SELECT $groupSel COUNT(*) AS m_seen,
+       |  SUM(CAST(1 AS BIGINT) << ($RMax - rho)) AS s_seen
+       |FROM regs $groupBy""".stripMargin
+}

@@ -198,6 +198,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in incremental fold:\n$p")
   }
 
+  test("zo1: z-layout stats are map-side bit math + one small-key agg — ≤2 shuffles") {
+    val p = plan("zo1_zorder_layout")
+    // bounds broadcast to every row (1-row relation), then partial+final agg
+    // on ≤256 file ids + the output sort: nothing else may shuffle
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(
+      p.split("== Physical Plan ==").last).length
+    assert(exchanges <= 2, s"expected ≤2 shuffles (agg, sort), got $exchanges:\n$p")
+  }
+
+  test("hll1: sketch aggregates partially map-side — registers never ship raw keys") {
+    val p = plan("hll1_distinct_sketch")
+    // each sketch: HashAggregate(partial max rho) below the exchange, so the
+    // shuffle carries ≤ m register rows per partition, not the key stream
+    assert(p.contains("partial_max") || p.contains("max(rho"),
+      s"expected map-side partial max of rho:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cp1/rp1: planner windows run over metadata-sized relations only") {
+    for (g <- Seq("cp1_compaction_plan", "rp1_range_plan")) {
+      val p = plan(g)
+      // the cumsum window must sit ABOVE the size/key aggregation (files /
+      // key-histogram relation), never over the raw row stream
+      val body = p.split("== Physical Plan ==").last
+      val aggIdx = body.indexOf("HashAggregate")
+      val winIdx = body.indexOf("Window")
+      assert(winIdx >= 0 && aggIdx >= 0, s"$g missing window/agg:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$g:\n$p")
+    }
+  }
+
   test("cat6: backlink probe pushes its key into the materialized iri-index scan") {
     val p = plan("cat6_references")
     // the probe must hit Store.iriIndex (a parquet scan with the lookup key

@@ -1,0 +1,121 @@
+package graft.layout
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue column matches the bit-at-a-time reference interleave") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == Layout.zValueRef(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("zValue is monotone in each dimension holding the other fixed") {
+    // interleave preserves per-dimension order: z(x1,y) < z(x2,y) iff x1 < x2
+    for (y <- Seq(0L, 7L, 65535L); x1 <- Seq(0L, 100L, 30000L)) {
+      assert(Layout.zValueRef(x1, y) < Layout.zValueRef(x1 + 1, y))
+      assert(Layout.zValueRef(y, x1) < Layout.zValueRef(y, x1 + 1))
+    }
+  }
+
+  test("zo2 at sf0.001: z-layout scans strictly fewer rows than linear for the 2-D probe") {
+    val r = LayoutQueries.queries("zo2_zorder_prune")(spark, sf0001).head()
+    val zScan = r.getAs[Long]("z_rows_scan")
+    val linScan = r.getAs[Long]("lin_rows_scan")
+    val matched = r.getAs[Long]("n_match")
+    assert(matched > 0, "probe rectangle must select something")
+    assert(zScan >= matched, "zone maps never skip a matching row")
+    assert(zScan * 2 < linScan,
+      s"z-order should at least halve the scan: z=$zScan lin=$linScan")
+  }
+
+  test("sketch rho matches a direct big-integer leading-zero computation") {
+    val keys = (1 to 2000).map(_.toString)
+    def refRho(key: String): (String, Int) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val tail = hex.substring(Sketches.P)
+      val lead = tail.takeWhile(_ == '0').length
+      val rho =
+        if (lead == tail.length) Sketches.RMax
+        else {
+          val d = Integer.parseInt(tail(lead).toString, 16)
+          val nb = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+          math.min(4 * lead + nb + 1, Sketches.RMax)
+        }
+      (hex.substring(0, Sketches.P), rho)
+    }
+    val pairs = Sketches.rhoPairs(keys.toDF("k"), col("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    val expected = keys.map(refRho).sorted
+    assert(pairs.toSeq == expected)
+  }
+
+  test("HLL estimate within 3% of truth on 50k distinct keys (p=3)") {
+    val n = 50000
+    val df = spark.range(n).select((col("id") * 2654435761L).as("k"))
+    val est = Sketches.estimate(Sketches.registers(df, col("k")))
+      .head().getAs[Long]("hll_est")
+    assert(math.abs(est - n).toDouble / n < 0.03, s"est=$est truth=$n")
+  }
+
+  test("sketch-of-union equals merge-of-sketches, register-for-register") {
+    val a = spark.range(0, 30000).select(col("id").as("k"))
+    val b = spark.range(20000, 45000).select(col("id").as("k")) // overlap
+    val direct = Sketches.registers(a.unionByName(b), col("k"))
+    val merged = Sketches.registers(a, col("k"))
+      .unionByName(Sketches.registers(b, col("k")))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    assert(direct.unionByName(merged).except(direct.intersect(merged)).isEmpty,
+      "register multisets differ") // set equality: (A ∪ B) \ (A ∩ B) = ∅
+    val eDirect = Sketches.estimate(direct).head().getAs[Long]("hll_est")
+    val eMerged = Sketches.estimate(merged).head().getAs[Long]("hll_est")
+    assert(eDirect == eMerged)
+  }
+
+  test("sketch registers are repartition-invariant") {
+    val df = spark.range(10000).select(col("id").as("k"))
+    val r1 = Sketches.registers(df, col("k")).collect().map(r =>
+      (r.getString(0), r.getInt(1))).sorted.toSeq
+    val r2 = Sketches.registers(df.repartition(13), col("k")).collect().map(r =>
+      (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(r1 == r2)
+  }
+
+  test("cp1 bins at sf0.001: packing invariants hold") {
+    val bins = LayoutQueries.queries("cp1_compaction_plan")(spark, sf0001).collect()
+    val totalRows = bins.map(_.getAs[Long]("bin_rows")).sum
+    val orders = graft.Tables.orders(spark, sf0001).count()
+    assert(totalRows == orders, "every file lands in exactly one bin")
+    bins.foreach { b =>
+      // next-fit-by-cumsum: a bin overflows its target by at most one file
+      assert(b.getAs[Long]("bin_rows") <
+        LayoutQueries.CpTarget + b.getAs[Long]("largest_file"),
+        s"bin ${b.getAs[Long]("bin_id")} overpacked")
+    }
+  }
+
+  test("rp1 buckets at sf0.001: full coverage, ordered, balanced") {
+    val bs = LayoutQueries.queries("rp1_range_plan")(spark, sf0001).collect()
+    assert(bs.map(_.getAs[Long]("n_rows")).sum ==
+      graft.Tables.orders(spark, sf0001).count())
+    // ranges strictly ordered and non-overlapping
+    bs.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("hi") < hi.getAs[Double]("lo"))
+      case _ =>
+    }
+    // o_totalprice is ~unique per order, so balance within ±1 of fair share
+    val sizes = bs.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 2,
+      s"unbalanced: min=${sizes.min} max=${sizes.max}")
+  }
+}
