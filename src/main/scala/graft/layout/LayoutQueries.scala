@@ -32,6 +32,9 @@ object LayoutQueries {
   /** rp1 range-partition fan-out. */
   val RpK = 32
 
+  /** cm1 probe size: the top-K true-frequency tokens get point estimates. */
+  val CmProbes = 20
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
 
   /** Shared by zo1/zo2: rows with min-max-normalized 16-bit dimension
@@ -189,6 +192,21 @@ object LayoutQueries {
       }.reduce(_ unionByName _).orderBy("key_name")
     },
 
+    // Count-Min frequency sketch over the corpus token stream: the d×w
+    // counter matrix (one ≤d·w-cell shuffle, map-side partial sums), point
+    // estimates for the top-true-frequency tokens — est_n ≥ true_n always,
+    // within the e/w overestimate bound at sketch size 4×1024.
+    "cm1_countmin" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("k"))
+      val counters = Sketches.cmsCounters(toks, col("k"))
+      val probes = toks.groupBy("k").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("k")).limit(CmProbes)
+      Sketches.cmsEstimate(probes, counters, Seq("true_n"))
+        .select(col("k").as("word"), col("true_n"), col("est_n"))
+        .orderBy("word")
+    },
+
     // Sketch mergeability: per-returnflag register sets, merged by MAX(rho)
     // per bucket, must estimate the union EXACTLY as a direct sketch of the
     // union would — the property that makes HLL a distributed aggregate.
@@ -265,6 +283,23 @@ object LayoutQueries {
     "hll1_distinct_sketch" ->
       Hll1P.map { case (name, tbl, key, p) => hllBlockSql(name, tbl, key, p) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
+
+    "cm1_countmin" ->
+      s"""WITH toks AS (
+         |  SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            t -> t <> '')) AS k
+         |  FROM documents),
+         |ds AS (SELECT UNNEST([${(0 until Sketches.CmsD).mkString(", ")}]) AS row_d),
+         |ctr AS (SELECT row_d, ${Sketches.cmsIdxSql("row_d", "k")} AS idx,
+         |               COUNT(*) AS cnt
+         |        FROM toks, ds GROUP BY 1, 2),
+         |probes AS (SELECT k, COUNT(*) AS true_n FROM toks GROUP BY 1
+         |           ORDER BY true_n DESC, k LIMIT $CmProbes),
+         |pi AS (SELECT k, true_n, row_d, ${Sketches.cmsIdxSql("row_d", "k")} AS idx
+         |       FROM probes, ds)
+         |SELECT pi.k AS word, pi.true_n, MIN(ctr.cnt) AS est_n
+         |FROM pi JOIN ctr USING (row_d, idx)
+         |GROUP BY 1, 2 ORDER BY word""".stripMargin,
 
     "hll2_union_sketch" ->
       s"""WITH pairs AS (

@@ -100,6 +100,53 @@ object Sketches {
     else m(p) * math.log(m(p).toDouble / (m(p) - mSeen))
 
   // ------------------------------------------------------------------
+  // Count-Min frequency sketch (Cormode & Muthukrishnan 2005)
+  // ------------------------------------------------------------------
+
+  /** Count-Min width (counters per hash row) and depth (hash rows). The
+    * sketch is a d×w integer matrix: ε ≈ e/w overestimate bound with
+    * probability 1−(1/e)^d. Like the HLL registers it is deterministic
+    * (md5-derived row hashes), mergeable (counter matrices ADD), and tiny —
+    * the shuffle carries ≤ d·w counter keys with map-side partial sums,
+    * never the token stream. */
+  val CmsW = 1024
+  val CmsD = 4
+
+  /** Row-`d`'s counter index = bits of the d-th disjoint 8-hex-digit chunk
+    * of ONE md5 per key (one digest feeds all d rows — the md5 is the hot
+    * cost at corpus scale, and disjoint chunks of a 128-bit digest are the
+    * standard way to derive the d "independent" CMS hashes). Spark text over
+    * a precomputed hex column `h`: */
+  def cmsChunkExpr(d: Int, hCol: String): String =
+    s"CAST(conv(substring($hCol, ${1 + d * 8}, 8), 16, 10) AS BIGINT) % $CmsW"
+
+  /** DuckDB text of the same index with `d` as a column reference. */
+  def cmsIdxSql(dCol: String, kCol: String): String =
+    s"CAST(('0x' || substr(md5($kCol), 1 + $dCol * 8, 8)) AS BIGINT) % $CmsW"
+
+  /** The sketch: (row_d, idx) → count over a key column. One md5 + map-side
+    * integer chunking per key, one shuffle on ≤ d·w counter cells. */
+  def cmsCounters(df: DataFrame, key: Column): DataFrame =
+    df.select(md5(key.cast("string")).as("h"))
+      .select(posexplode(array((0 until CmsD).map(d =>
+        expr(cmsChunkExpr(d, "h"))): _*)).as(Seq("row_d", "idx")))
+      .groupBy("row_d", "idx").agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for probe keys: min over the d counters each key maps
+    * to. `probes` needs columns (k, …carry); counters are sketch-sized so
+    * the join broadcasts. */
+  def cmsEstimate(probes: DataFrame, counters: DataFrame,
+      carry: Seq[String]): DataFrame =
+    probes
+      .withColumn("h", md5(col("k").cast("string")))
+      .select((probes.columns.map(col) :+
+        posexplode(array((0 until CmsD).map(d =>
+          expr(cmsChunkExpr(d, "h"))): _*)).as(Seq("row_d", "idx"))): _*)
+      .join(broadcast(counters), Seq("row_d", "idx"))
+      .groupBy(("k" +: carry).map(col): _*)
+      .agg(min("cnt").as("est_n"))
+
+  // ------------------------------------------------------------------
   // DuckDB oracle fragments (same arithmetic, HUGEINT for the division)
   // ------------------------------------------------------------------
 

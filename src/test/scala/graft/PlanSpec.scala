@@ -217,6 +217,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cm1: sketch-sized counter matrix broadcasts to the probe join") {
+    val p = plan("cm1_countmin")
+    assert(p.contains("BroadcastHashJoin"), s"counters should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cp1/rp1: planner windows run over metadata-sized relations only") {
     for (g <- Seq("cp1_compaction_plan", "rp1_range_plan")) {
       val p = plan(g)

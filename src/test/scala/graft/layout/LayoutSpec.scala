@@ -90,6 +90,35 @@ class LayoutSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("count-min never underestimates; exact for most keys at low load") {
+    val rnd = new scala.util.Random(7)
+    // 200 keys, skewed frequencies 1..60, total ~6k tokens over 4096 cells
+    val freqs = (1 to 200).map(i => (s"key$i", 1 + rnd.nextInt(60)))
+    val toks = freqs.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    val counters = Sketches.cmsCounters(toks, col("k"))
+    val truth = freqs.toDF("k", "true_n")
+    val est = Sketches.cmsEstimate(truth, counters, Seq("true_n")).collect()
+    assert(est.length == 200)
+    est.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Int]("true_n").toLong,
+        s"${r.getString(0)} underestimated")
+    }
+    val exact = est.count(r => r.getAs[Long]("est_n") == r.getAs[Int]("true_n").toLong)
+    assert(exact >= 180, s"only $exact/200 exact at 200 keys over 4×1024 cells")
+  }
+
+  test("count-min counter matrices merge by addition") {
+    val a = spark.range(0, 5000).select((col("id") % 97).cast("string").as("k"))
+    val b = spark.range(0, 3000).select((col("id") % 61).cast("string").as("k"))
+    val whole = Sketches.cmsCounters(a.unionByName(b), col("k"))
+    val merged = Sketches.cmsCounters(a, col("k"))
+      .unionByName(Sketches.cmsCounters(b, col("k")))
+      .groupBy("row_d", "idx").agg(sum("cnt").as("cnt"))
+    val diff = whole.unionByName(merged)
+      .except(whole.intersect(merged))
+    assert(diff.isEmpty, "summed halves differ from whole-stream counters")
+  }
+
   test("cp1 bins at sf0.001: packing invariants hold") {
     val bins = LayoutQueries.queries("cp1_compaction_plan")(spark, sf0001).collect()
     val totalRows = bins.map(_.getAs[Long]("bin_rows")).sum
