@@ -167,6 +167,33 @@ object Store {
         spark.read.parquet(p), e.filter(isBatch), p, nCells)
     }
 
+  /** HyperLogLog register table for `lineitem.l_orderkey`, maintained
+    * INCREMENTALLY: registers are first built from the stable slice
+    * (`l_orderkey % batchMod != batchRem`), persisted, and the held-out
+    * batch then folds in by per-bucket MAX(ρ) over the STORED registers +
+    * the batch's own registers — the fold reads ≤ m stored rows plus the
+    * batch, never the base corpus. Because merge-of-sketches ≡
+    * sketch-of-union exactly (hll2), the maintained table serves estimates
+    * bit-identically to a full rebuild — which is what the hll3 gate's
+    * oracle computes. This is the sketch rung of the maintained-index
+    * family (postings ev15 / backlinks ev16 / IVF ann10): at 100 TB it is
+    * how a deployment keeps live distinct counts over an append-only table
+    * without ever rescanning it. */
+  def hllRegsIncr(spark: SparkSession, dir: String, batchMod: Int,
+      batchRem: Int): DataFrame =
+    cached(spark, dir, s"hll_regs_incr_${batchMod}_$batchRem") { p =>
+      val key = col("l_orderkey")
+      val e = Tables.lineitem(spark, dir)
+      val isBatch = key % batchMod === batchRem
+      val basePath = s"$p-base"
+      graft.layout.Sketches.registers(e.filter(!isBatch), key)
+        .write.mode("overwrite").parquet(basePath)
+      spark.read.parquet(basePath)
+        .unionByName(graft.layout.Sketches.registers(e.filter(isBatch), key))
+        .groupBy("bucket").agg(max("rho").as("rho"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** Reverse-reference (backlink) index clustered by its lookup key
     * (predicate_iri, object_iri) — a `references_metadata` probe prunes to
     * one cluster via parquet min/max stats instead of re-grouping the quads

@@ -35,6 +35,11 @@ object LayoutQueries {
   /** cm1 probe size: the top-K true-frequency tokens get point estimates. */
   val CmProbes = 20
 
+  /** hll3 incremental slice: rows with l_orderkey % Mod == Rem arrive as
+    * the appended batch; the rest are the stable base. */
+  val HllIncrMod = 5
+  val HllIncrRem = 2
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
 
   /** Shared by zo1/zo2: rows with min-max-normalized 16-bit dimension
@@ -192,6 +197,18 @@ object LayoutQueries {
       }.reduce(_ unionByName _).orderBy("key_name")
     },
 
+    // Maintained sketch: the register table built from the stable slice and
+    // incrementally folded with the held-out batch (Store.hllRegsIncr; the
+    // fold never rescans the base) must estimate EXACTLY like the direct
+    // full-corpus sketch — which is what the oracle computes.
+    "hll3_incremental" -> { (s, d) =>
+      val regs = graft.Store.hllRegsIncr(s, d, HllIncrMod, HllIncrRem)
+      li(s, d).agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        .crossJoin(Sketches.estimate(regs))
+        .select(lit("lineitem.l_orderkey").as("key_name"),
+          col("n_exact"), col("hll_est"))
+    },
+
     // Count-Min frequency sketch over the corpus token stream: the d×w
     // counter matrix (one ≤d·w-cell shuffle, map-side partial sums), point
     // estimates for the top-true-frequency tokens — est_n ≥ true_n always,
@@ -283,6 +300,17 @@ object LayoutQueries {
     "hll1_distinct_sketch" ->
       Hll1P.map { case (name, tbl, key, p) => hllBlockSql(name, tbl, key, p) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
+
+    // the maintained register table ≡ a direct sketch of the whole corpus
+    // (exact merge property), so the oracle IS the direct formulation
+    "hll3_incremental" ->
+      s"""SELECT 'lineitem.l_orderkey' AS key_name, x.n_exact, e.hll_est
+         |FROM (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem) x,
+         |     (WITH regs AS (SELECT bucket, MAX(rho) AS rho
+         |                    FROM (${Sketches.rhoPairsSql("lineitem", "l_orderkey")})
+         |                    GROUP BY bucket),
+         |           s AS (${Sketches.summarySql()})
+         |      SELECT ${Sketches.estimateSql()} AS hll_est FROM s) e""".stripMargin,
 
     "cm1_countmin" ->
       s"""WITH toks AS (

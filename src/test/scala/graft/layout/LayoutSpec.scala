@@ -119,6 +119,41 @@ class LayoutSpec extends SparkSpec {
     assert(diff.isEmpty, "summed halves differ from whole-stream counters")
   }
 
+  test("structured streaming: per-batch register folds converge to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("hll-stream-").toString
+    var version = 0
+    def cur = s"$dir/v$version"
+    // seed an empty register table
+    spark.emptyDataFrame.select(lit("").as("bucket"), lit(0).as("rho"))
+      .limit(0).write.parquet(cur)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("k")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the live ingest fold: stored registers + batch registers → MAX(ρ)
+        val merged = spark.read.parquet(cur)
+          .unionByName(Sketches.registers(batch, col("k")))
+          .groupBy("bucket").agg(max("rho").as("rho"))
+        version += 1
+        merged.write.parquet(cur)
+        ()
+      }
+      .start()
+    mem.addData(0L until 4000L: _*)
+    q.processAllAvailable()
+    mem.addData(3000L until 9000L: _*) // overlap: replayed keys change nothing
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(cur)
+    val direct = Sketches.registers(
+      spark.range(9000).select(col("id").as("k")), col("k"))
+    assert(streamed.unionByName(direct)
+      .except(streamed.intersect(direct)).isEmpty,
+      "streamed register table differs from the direct sketch")
+  }
+
   test("cp1 bins at sf0.001: packing invariants hold") {
     val bins = LayoutQueries.queries("cp1_compaction_plan")(spark, sf0001).collect()
     val totalRows = bins.map(_.getAs[Long]("bin_rows")).sum
