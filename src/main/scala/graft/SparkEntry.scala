@@ -25,7 +25,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.queries ++
       graft.functions.FunctionQueries.queries ++
       graft.sources.SourceQueries.queries ++
-      graft.layout.LayoutQueries.queries
+      graft.layout.LayoutQueries.queries ++
+      graft.web.WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.streaming.StreamingQueries.oracles ++
       graft.functions.FunctionQueries.oracles ++
       graft.sources.SourceQueries.oracles ++
-      graft.layout.LayoutQueries.oracles
+      graft.layout.LayoutQueries.oracles ++
+      graft.web.WebQueries.oracles
 }
