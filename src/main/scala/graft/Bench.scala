@@ -39,19 +39,32 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(f => f.exists(n.startsWith)))
       .filter(n => !skip.exists(f => f.exists(n.startsWith)))
+    // Round-6 lesson: a gate that THROWS times as a near-zero "fast" gate if
+    // the exception is silently swallowed (the regenerated events schema
+    // broke all 16 ev* gates and the bench reported them at 0.04 s). Track
+    // failures explicitly — they surface on stderr AND in the output JSON.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     // warm-up: run everything once untimed
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => }
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
     val results = names.map { name =>
       val samples = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+        catch { case e: Throwable =>
+          failed.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> samples.min
+    }
+    failed.foreach { case (n, msg) =>
+      System.err.println(s"BENCH QUERY FAILED: $n — $msg")
     }
     def f3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -91,7 +104,8 @@ object Bench {
     // trailing line so the total always survives the tail window, and
     // persist the full JSON to a file in the working directory for
     // offline inspection.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"worst":{"$worstName":${f3(worstSec)}},"over_budget":$overJson,"sf":"$sfDir","detail":"bench_local.json"}""")
+    val failJson = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failJson,"worst":{"$worstName":${f3(worstSec)}},"over_budget":$overJson,"sf":"$sfDir","detail":"bench_local.json"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => } // never fail the run over a local dump

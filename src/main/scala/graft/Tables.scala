@@ -30,7 +30,11 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame   = read(s, d, "events")
+  /** events go through the normalizing reader — the generator has shipped
+    * `ts` as both int64-ns and timestamp[us] across rounds, and a raw read
+    * hands callers a schema-dependent column (the round-6 ev* breakage). */
+  def events(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Projector.events(s, d)
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 

@@ -80,6 +80,13 @@ object PipelineQueries {
   private val Ann10Rem   = 2       // ... and remainder
   private val Ann10Query = 22L     // probe id INSIDE the appended batch
   private val Qf1SeedMod = 37      // every Nth vector seeds the domain centroid
+  // qf2 linear quality model: integer micro-unit weights (a trained
+  // fastText-style model's coefficients, frozen as constants)
+  private val Qf2Bias  = -600000L
+  private val Qf2WStop = 30000L    // per corpus-stopword hit
+  private val Qf2WTok  = 9000L     // per token
+  private val Qf2WChar = 100L      // per char
+  private val Qf2WMwl  = -50L      // per mean-word-length micro-unit
   private val Ann6M      = 4       // PQ subspaces
   private val Ann6Codes  = 16      // PQ centroids per subspace
   private val Ann6Query  = 7       // ADC query vector id
@@ -270,6 +277,28 @@ object PipelineQueries {
       Ann.centroidAffinity(Tables.embeddings(s, d),
           col("vec_id") % Qf1SeedMod === 0)
         .orderBy(col("vec_id"))
+    },
+
+    // fastText-style learned quality classifier APPLICATION: a linear model
+    // over exact-integer doc features (stopword count, token count, chars,
+    // mean-word-length micro-units), logit in micro-units, keep = logit>0.
+    // Weights broadcast as literals; one narrow codegen'd scan — the
+    // classifier rung of the quality ladder (metrics tx2 → rules tx20 →
+    // classifier qf2 → LM surprisal tx9).
+    "qf2_quality_classifier" -> { (s, d) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n_tok"),
+          size(filter(toks, t => t.isin(Tx20Stop: _*))).as("n_stop"),
+          length(col("text")).as("n_chars"))
+        .withColumn("mwl_u",
+          expr("(n_chars * 1000) div greatest(n_tok, 1)"))
+        .withColumn("logit_u", expr(
+          s"$Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok + " +
+            s"$Qf2WChar * n_chars + $Qf2WMwl * mwl_u"))
+        .select(col("doc_id"), col("logit_u"), (col("logit_u") > 0).as("keep"))
+        .orderBy("doc_id")
     },
 
     // one Lloyd step of IVF codebook retraining: exact integer assignment,
@@ -1231,6 +1260,26 @@ object PipelineQueries {
     // dims explode via range-UNNEST (1-based list index -> 0-based dim)
     // same quantization as every ann gate; centroid = per-dim exact integer
     // seed sums re-assembled into a list (cos(v, mean) == cos(v, sum))
+    // same exact-integer features and frozen weights; token list built by
+    // the tx13-parity split, stop hits via the shared corpus stoplist
+    "qf2_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                    t -> t <> '')) AS n_tok,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                    t -> t IN (${Tx20Stop.map(w => s"'$w'").mkString(",")}))) AS n_stop,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_tok, n_stop, n_chars,
+         |        (n_chars * 1000) // greatest(n_tok, 1) AS mwl_u FROM f)
+         |SELECT doc_id,
+         |  $Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok +
+         |    $Qf2WChar * n_chars + $Qf2WMwl * mwl_u AS logit_u,
+         |  ($Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok +
+         |    $Qf2WChar * n_chars + $Qf2WMwl * mwl_u) > 0 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "qf1_domain_affinity" ->
       s"""WITH vecs AS (
          |  SELECT vec_id,

@@ -1185,4 +1185,28 @@ class PipelineSpec extends SparkSpec {
     assert(adc(0L) == 4000000L, s"all-zeros dist: $adc")
     assert(adc(4L) == adc(2L) && adc(5L) == adc(1L), "duplicates must tie their centroid")
   }
+
+  test("qf2: linear classifier logit matches a hand computation; decision splits the corpus") {
+    val row = graft.pipeline.PipelineQueries
+      .queries("qf2_quality_classifier")(spark, sf0001)
+    // exact Scala recomputation on a sample + non-degenerate decision
+    val got = row.limit(50).collect()
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = Set("the", "a", "query", "row", "join", "data", "scan", "key")
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val mwl = text.length.toLong * 1000 / math.max(toks.length, 1)
+      val logit = -600000L + 30000L * toks.count(stop) + 9000L * toks.length +
+        100L * text.length - 50L * mwl
+      assert(r.getLong(1) == logit, s"doc ${r.getLong(0)}: ${r.getLong(1)} != $logit")
+      assert(r.getBoolean(2) == (logit > 0))
+    }
+    val keeps = row.groupBy("keep").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0,
+      s"degenerate decision boundary: $keeps")
+  }
 }
