@@ -194,6 +194,32 @@ object Store {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Maintained KMV bottom-k sketch ([[graft.layout.Kmv]]): the stable slice's
+    * sketch is written once; the appended batch folds in by re-aggregating the
+    * base sketch's values with the batch's — bottom-k of a union of bottom-ks
+    * IS the union's bottom-k, so the fold never rescans the base (the same
+    * maintained-index contract as [[hllRegsIncr]]). */
+  def kmvIncr(spark: SparkSession, dir: String, batchMod: Int,
+      batchRem: Int): DataFrame =
+    cached(spark, dir, s"kmv_incr_${batchMod}_$batchRem") { p =>
+      import graft.layout.Kmv
+      val key = col("l_orderkey")
+      val e = Tables.lineitem(spark, dir)
+      val isBatch = key % batchMod === batchRem
+      val kmv = Kmv.agg()
+      val basePath = s"$p-base"
+      e.filter(!isBatch).select(Kmv.hash(key).as("h"))
+        .agg(kmv(col("h")).as("sk"))
+        .select(col("sk.values").as("sk"))
+        .write.mode("overwrite").parquet(basePath)
+      spark.read.parquet(basePath)
+        .select(explode(col("sk")).as("h"))
+        .unionByName(e.filter(isBatch).select(Kmv.hash(key).as("h")))
+        .agg(kmv(col("h")).as("sk"))
+        .select(col("sk.values").as("sk"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** Reverse-reference (backlink) index clustered by its lookup key
     * (predicate_iri, object_iri) — a `references_metadata` probe prunes to
     * one cluster via parquet min/max stats instead of re-grouping the quads

@@ -40,6 +40,9 @@ object LayoutQueries {
   val HllIncrMod = 5
   val HllIncrRem = 2
 
+  /** ks1 quantile grid (percent). */
+  val KsQ = Seq(1, 25, 50, 75, 90, 99)
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
 
   /** Shared by zo1/zo2: rows with min-max-normalized 16-bit dimension
@@ -101,6 +104,28 @@ object LayoutQueries {
       .crossJoin(Sketches.estimate(Sketches.registers(df, key, Nil, p), Nil, p))
       .select(lit(name).as("key_name"), col("n_exact"), col("hll_est"),
         expr("abs(hll_est - n_exact) * 10000 div n_exact").as("err_bp"))
+
+  // One KMV sketch row (mirror of [[hllRow]]): the UDAF's map-side partial
+  // means the shuffle carries one ≤k-long array per partition, never keys.
+  private def kmvRow(name: String, df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val sk = df.select(Kmv.hash(key).as("h"))
+      .agg(Kmv.agg()(col("h")).as("sk"))
+      .select(col("sk.values").as("sk"))
+    df.agg(countDistinct(key).as("n_exact"))
+      .crossJoin(sk)
+      .select(lit(name).as("key_name"), col("n_exact"),
+        Kmv.estimate("sk").as("kmv_est"))
+      .withColumn("err_bp", expr("abs(kmv_est - n_exact) * 10000 div n_exact"))
+  }
+
+  private def kmvBlockSql(name: String, tbl: String, key: String): String =
+    s"""SELECT '$name' AS key_name, x.n_exact, e.kmv_est,
+       |  abs(e.kmv_est - x.n_exact) * 10000 // x.n_exact AS err_bp
+       |FROM (SELECT COUNT(DISTINCT $key) AS n_exact FROM $tbl) x,
+       |     (WITH sk AS (${Kmv.sketchSql(tbl, key)}),
+       |           s AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM sk)
+       |      SELECT ${Kmv.estimateSql()} AS kmv_est FROM s) e""".stripMargin
 
   private def hllBlockSql(name: String, tbl: String, key: String, p: Int): String =
     s"""SELECT '$name' AS key_name, x.n_exact, e.hll_est,
@@ -224,6 +249,78 @@ object LayoutQueries {
         .orderBy("word")
     },
 
+    // KMV bottom-k distinct sketch over the hll1 key grid: the typed
+    // Aggregator keeps the k smallest distinct 60-bit hashes; estimate is
+    // one big-integer division, exact-integer in both engines.
+    "kmv1_bottomk_sketch" -> { (s, d) =>
+      Hll1P.map { case (name, tbl, key, _) =>
+        kmvRow(name, Tables.read(s, d, tbl), col(key))
+      }.reduce(_ unionByName _).orderBy("key_name")
+    },
+
+    // KMV mergeability: bottom-k of a union of per-group bottom-ks IS the
+    // union's bottom-k, so re-aggregating exploded sketch values is the
+    // distributed merge — per-returnflag sketches merged must estimate
+    // EXACTLY like a direct sketch of all rows.
+    "kmv2_merge_sketch" -> { (s, d) =>
+      val e = li(s, d).select(col("l_returnflag").as("grp"), col("l_orderkey"))
+      val kmv = Kmv.agg()
+      val skG = e.select(col("grp"), Kmv.hash(col("l_orderkey")).as("h"))
+        .groupBy("grp").agg(kmv(col("h")).as("sk"))
+        .select(col("grp"), col("sk.values").as("sk"))
+      val perGrp = skG.select(col("grp"), Kmv.estimate("sk").as("kmv_est"))
+        .join(e.groupBy("grp").agg(countDistinct("l_orderkey").as("n_exact")), "grp")
+      val merged = skG.select(explode(col("sk")).as("h"))
+        .agg(kmv(col("h")).as("sk")).select(col("sk.values").as("sk"))
+        .select(lit("ALL").as("grp"), Kmv.estimate("sk").as("kmv_est"))
+        .crossJoin(e.agg(countDistinct("l_orderkey").as("n_exact")))
+      perGrp.select(col("grp"), col("n_exact"), col("kmv_est"))
+        .unionByName(merged.select(col("grp"), col("n_exact"), col("kmv_est")))
+        .orderBy("grp")
+    },
+
+    // Maintained KMV sketch: base-slice sketch folded with the appended
+    // batch (Store.kmvIncr — the fold never rescans the base) must estimate
+    // EXACTLY like the direct full-corpus sketch the oracle computes.
+    "kmv3_incremental" -> { (s, d) =>
+      val sk = graft.Store.kmvIncr(s, d, HllIncrMod, HllIncrRem)
+      li(s, d).agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        .crossJoin(sk)
+        .select(lit("lineitem.l_orderkey").as("key_name"),
+          col("n_exact"), Kmv.estimate("sk").as("kmv_est"))
+    },
+
+    // Sample-quantile sketch: the KMV sketch of a UNIQUE key doubles as a
+    // deterministic uniform row sample (the bottom-k hash threshold selects
+    // the sample), so order statistics of the sample estimate the table's.
+    // est/true are table VALUES passed through untouched (no float
+    // arithmetic), so the compare is exact; truth is the gate's
+    // verification artifact — production reads only the sample side.
+    "ks1_sample_quantiles" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val thr = o.select(Kmv.hash(col("o_orderkey")).as("h"))
+        .agg(Kmv.agg()(col("h")).as("sk"))
+        .select(element_at(col("sk.values"), -1).as("hk"))
+      val samp = o.select(col("o_totalprice"), Kmv.hash(col("o_orderkey")).as("h"))
+        .crossJoin(broadcast(thr)).filter(col("h") <= col("hk"))
+      val sRank = samp
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_totalprice"), col("h"))))
+        .crossJoin(broadcast(samp.agg(count(lit(1)).as("n_s"))))
+      val tRank = o
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n_total"))))
+      val qdf = s.sql(s"SELECT explode(array(${KsQ.mkString(",")})) AS q_pct")
+      val est = sRank.crossJoin(broadcast(qdf))
+        .filter(col("rn") === expr("(q_pct * (n_s - 1)) div 100 + 1"))
+        .select(col("q_pct"), col("o_totalprice").as("est_price"))
+      val tru = tRank.crossJoin(broadcast(qdf))
+        .filter(col("rn") === expr("(q_pct * (n_total - 1)) div 100 + 1"))
+        .select(col("q_pct"), col("o_totalprice").as("true_price"))
+      est.join(tru, "q_pct").orderBy("q_pct")
+    },
+
     // Sketch mergeability: per-returnflag register sets, merged by MAX(rho)
     // per bucket, must estimate the union EXACTLY as a direct sketch of the
     // union would — the property that makes HLL a distributed aggregate.
@@ -328,6 +425,61 @@ object LayoutQueries {
          |SELECT pi.k AS word, pi.true_n, MIN(ctr.cnt) AS est_n
          |FROM pi JOIN ctr USING (row_d, idx)
          |GROUP BY 1, 2 ORDER BY word""".stripMargin,
+
+    "kmv1_bottomk_sketch" ->
+      Hll1P.map { case (name, tbl, key, _) => kmvBlockSql(name, tbl, key) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
+
+    "kmv2_merge_sketch" ->
+      s"""WITH pg AS (
+         |  SELECT grp, h FROM (
+         |    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT l_returnflag AS grp,
+         |                 ${Kmv.hashSql("l_orderkey")} AS h FROM lineitem))
+         |  WHERE rn <= ${Kmv.K}),
+         |pge AS (SELECT grp, ${Kmv.estimateSql()} AS kmv_est
+         |        FROM (SELECT grp, COUNT(*) AS sz, MAX(h) AS hk FROM pg GROUP BY 1)),
+         |xg AS (SELECT l_returnflag AS grp, COUNT(DISTINCT l_orderkey) AS n_exact
+         |       FROM lineitem GROUP BY 1),
+         |mrg AS (SELECT DISTINCT h FROM pg ORDER BY h LIMIT ${Kmv.K}),
+         |ms AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM mrg),
+         |me AS (SELECT 'ALL' AS grp,
+         |         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_exact,
+         |         ${Kmv.estimateSql()} AS kmv_est FROM ms)
+         |SELECT pge.grp, xg.n_exact, pge.kmv_est
+         |FROM pge JOIN xg ON pge.grp = xg.grp
+         |UNION ALL
+         |SELECT grp, n_exact, kmv_est FROM me
+         |ORDER BY grp""".stripMargin,
+
+    // maintained fold ≡ direct sketch (exact bottom-k merge property)
+    "kmv3_incremental" ->
+      s"""SELECT 'lineitem.l_orderkey' AS key_name, x.n_exact, e.kmv_est
+         |FROM (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem) x,
+         |     (WITH sk AS (${Kmv.sketchSql("lineitem", "l_orderkey")}),
+         |           s AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM sk)
+         |      SELECT ${Kmv.estimateSql()} AS kmv_est FROM s) e""".stripMargin,
+
+    "ks1_sample_quantiles" ->
+      s"""WITH oh AS (SELECT o_orderkey, o_totalprice,
+         |                   ${Kmv.hashSql("o_orderkey")} AS h FROM orders),
+         |sk AS (SELECT DISTINCT h FROM oh ORDER BY h LIMIT ${Kmv.K}),
+         |t AS (SELECT MAX(h) AS hk FROM sk),
+         |samp AS (SELECT o_totalprice, h FROM oh, t WHERE h <= hk),
+         |ns AS (SELECT COUNT(*) AS n_s FROM samp),
+         |sr AS (SELECT o_totalprice,
+         |              ROW_NUMBER() OVER (ORDER BY o_totalprice, h) AS rn FROM samp),
+         |tr AS (SELECT o_totalprice,
+         |              ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+         |       FROM orders),
+         |nt AS (SELECT COUNT(*) AS n_total FROM orders),
+         |qs AS (SELECT UNNEST([${KsQ.mkString(",")}]) AS q_pct),
+         |e AS (SELECT q_pct, sr.o_totalprice AS est_price
+         |      FROM qs, ns, sr WHERE sr.rn = (q_pct * (n_s - 1)) // 100 + 1),
+         |x AS (SELECT q_pct, tr.o_totalprice AS true_price
+         |      FROM qs, nt, tr WHERE tr.rn = (q_pct * (n_total - 1)) // 100 + 1)
+         |SELECT e.q_pct, est_price, true_price
+         |FROM e JOIN x USING (q_pct) ORDER BY q_pct""".stripMargin,
 
     "hll2_union_sketch" ->
       s"""WITH pairs AS (

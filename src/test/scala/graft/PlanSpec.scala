@@ -217,6 +217,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("kmv1: typed-Aggregator sketch runs a map-side partial — shuffle ships sketches, not keys") {
+    val p = plan("kmv1_bottomk_sketch")
+    // ObjectHashAggregate partial below the exchange, final above: the
+    // shuffle carries one ≤k-long array per partition
+    val body = p.split("== Physical Plan ==").last
+    val n = "ObjectHashAggregate".r.findAllIn(body).length
+    assert(n >= 2, s"expected partial+final ObjectHashAggregate pairs, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cm1: sketch-sized counter matrix broadcasts to the probe join") {
     val p = plan("cm1_countmin")
     assert(p.contains("BroadcastHashJoin"), s"counters should broadcast:\n$p")

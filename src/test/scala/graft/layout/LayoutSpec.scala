@@ -90,6 +90,43 @@ class LayoutSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("kmv sketch: bottom-k distinct hashes, repartition-invariant, exact below k") {
+    val agg = new KmvAgg(64)
+    // direct in-memory reference vs the UDAF over shuffled partitions
+    val df = spark.range(5000).select((col("id") % 1500).as("k"))
+    val ref = df.select(Kmv.hash(col("k")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted.take(64).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts).select(Kmv.hash(col("k")).as("h"))
+        .agg(graft.layout.Kmv.agg(64)(col("h")).as("sk"))
+        .select(col("sk.values")).collect()(0).getSeq[Long](0)
+      assert(got == ref, s"parts=$parts")
+    }
+    // below k the sketch IS the distinct set and the estimate is exact
+    val small = spark.range(40).select(col("id").as("k"))
+      .select(Kmv.hash(col("k")).as("h"))
+      .agg(graft.layout.Kmv.agg(64)(col("h")).as("sk"))
+      .select(col("sk.values").as("sk"))
+      .select(Kmv.estimate("sk", 64).as("est")).collect()(0).getLong(0)
+    assert(small == 40L)
+    // merge == sketch of concatenation (exact bottom-k merge property)
+    val xs = (0L until 300L).map(i => i * 7919L)
+    val ys = (0L until 200L).map(i => i * 104729L)
+    val sx = xs.foldLeft(agg.zero)(agg.reduce)
+    val sy = ys.foldLeft(agg.zero)(agg.reduce)
+    val whole = (xs ++ ys).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(sx, sy).values.toSeq == whole.values.toSeq)
+  }
+
+  test("kmv estimate within 10% of truth on 50k distinct keys (k=1024)") {
+    val df = spark.range(50000).select(col("id").as("k"))
+    val est = df.select(Kmv.hash(col("k")).as("h"))
+      .agg(Kmv.agg()(col("h")).as("sk"))
+      .select(col("sk.values").as("sk"))
+      .select(Kmv.estimate("sk").as("est")).collect()(0).getLong(0)
+    assert(math.abs(est - 50000L) <= 5000, s"est=$est")
+  }
+
   test("count-min never underestimates; exact for most keys at low load") {
     val rnd = new scala.util.Random(7)
     // 200 keys, skewed frequencies 1..60, total ~6k tokens over 4096 cells
