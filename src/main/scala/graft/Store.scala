@@ -220,6 +220,29 @@ object Store {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Maintained Count-Min counter matrix: counters ADD under merge, so the
+    * appended batch's d×w matrix sums cell-wise onto the stable base's —
+    * the fold touches ≤ d·w cells and never rescans the base token stream
+    * (same contract as [[hllRegsIncr]]/[[kmvIncr]]; batch = documents with
+    * doc_id % mod == rem). */
+  def cmsIncr(spark: SparkSession, dir: String, batchMod: Int,
+      batchRem: Int): DataFrame =
+    cached(spark, dir, s"cms_incr_${batchMod}_$batchRem") { p =>
+      import graft.layout.Sketches
+      import graft.text.TextAnalysis
+      val docs = Tables.documents(spark, dir)
+      val isBatch = col("doc_id") % batchMod === batchRem
+      def toks(df: DataFrame) =
+        df.select(explode(TextAnalysis.tokens(col("text"))).as("k"))
+      val basePath = s"$p-base"
+      Sketches.cmsCounters(toks(docs.filter(!isBatch)), col("k"))
+        .write.mode("overwrite").parquet(basePath)
+      spark.read.parquet(basePath)
+        .unionByName(Sketches.cmsCounters(toks(docs.filter(isBatch)), col("k")))
+        .groupBy("row_d", "idx").agg(sum("cnt").as("cnt"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** Reverse-reference (backlink) index clustered by its lookup key
     * (predicate_iri, object_iri) — a `references_metadata` probe prunes to
     * one cluster via parquet min/max stats instead of re-grouping the quads

@@ -307,9 +307,27 @@ object LayoutQueries {
         .withColumn("rn", row_number().over(
           Window.orderBy(col("o_totalprice"), col("h"))))
         .crossJoin(broadcast(samp.agg(count(lit(1)).as("n_s"))))
-      val tRank = o
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      // truth-side global rank WITHOUT a single-partition sort (the sf10
+      // finding): deterministic value-range buckets from min/max, parallel
+      // per-bucket row_number, plus a ≤NB-row cumulative offset join —
+      // two-phase exact selection, scale-safe
+      val NB = 64
+      val bounds = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      val bucketed = o.crossJoin(broadcast(bounds))
+        .withColumn("pid", least(lit(NB - 1), greatest(lit(0),
+          floor((col("o_totalprice") - col("lo")) * NB /
+            (col("hi") - col("lo") + lit(1e-9))).cast("int"))))
+      val offs = bucketed.groupBy("pid").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum("c").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("pid"), col("off"))
+      val tRank = bucketed
+        .withColumn("prn", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .join(broadcast(offs), "pid")
+        .withColumn("rn", (col("off") + col("prn")).cast("int"))
         .crossJoin(broadcast(o.agg(count(lit(1)).as("n_total"))))
       val qdf = s.sql(s"SELECT explode(array(${KsQ.mkString(",")})) AS q_pct")
       val est = sRank.crossJoin(broadcast(qdf))
@@ -319,6 +337,22 @@ object LayoutQueries {
         .filter(col("rn") === expr("(q_pct * (n_total - 1)) div 100 + 1"))
         .select(col("q_pct"), col("o_totalprice").as("true_price"))
       est.join(tru, "q_pct").orderBy("q_pct")
+    },
+
+    // Maintained Count-Min matrix: base counters + cell-wise-summed batch
+    // counters (Store.cmsIncr — the fold never rescans the base stream)
+    // must point-estimate EXACTLY like the direct full-corpus matrix the
+    // oracle computes. Completes the maintained-sketch triple
+    // (hll3 max-merge, kmv3 bottom-k-merge, cm2 add-merge).
+    "cm2_countmin_incr" -> { (s, d) =>
+      val counters = graft.Store.cmsIncr(s, d, HllIncrMod, HllIncrRem)
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("k"))
+      val probes = toks.groupBy("k").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("k")).limit(CmProbes)
+      Sketches.cmsEstimate(probes, counters, Seq("true_n"))
+        .select(col("k").as("word"), col("true_n"), col("est_n"))
+        .orderBy("word")
     },
 
     // Sketch mergeability: per-returnflag register sets, merged by MAX(rho)
@@ -480,6 +514,24 @@ object LayoutQueries {
          |      FROM qs, nt, tr WHERE tr.rn = (q_pct * (n_total - 1)) // 100 + 1)
          |SELECT e.q_pct, est_price, true_price
          |FROM e JOIN x USING (q_pct) ORDER BY q_pct""".stripMargin,
+
+    // additive merge is exact, so the maintained matrix ≡ the direct one
+    "cm2_countmin_incr" ->
+      s"""WITH toks AS (
+         |  SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            t -> t <> '')) AS k
+         |  FROM documents),
+         |ds AS (SELECT UNNEST([${(0 until Sketches.CmsD).mkString(", ")}]) AS row_d),
+         |ctr AS (SELECT row_d, ${Sketches.cmsIdxSql("row_d", "k")} AS idx,
+         |               COUNT(*) AS cnt
+         |        FROM toks, ds GROUP BY 1, 2),
+         |probes AS (SELECT k, COUNT(*) AS true_n FROM toks GROUP BY 1
+         |           ORDER BY true_n DESC, k LIMIT $CmProbes),
+         |pi AS (SELECT k, true_n, row_d, ${Sketches.cmsIdxSql("row_d", "k")} AS idx
+         |       FROM probes, ds)
+         |SELECT pi.k AS word, pi.true_n, MIN(ctr.cnt) AS est_n
+         |FROM pi JOIN ctr USING (row_d, idx)
+         |GROUP BY 1, 2 ORDER BY word""".stripMargin,
 
     "hll2_union_sketch" ->
       s"""WITH pairs AS (

@@ -87,6 +87,14 @@ object PipelineQueries {
   private val Qf2WTok  = 9000L     // per token
   private val Qf2WChar = 100L      // per char
   private val Qf2WMwl  = -50L      // per mean-word-length micro-unit
+  // qf3 DSIR (Xie et al. 2023, "Data Selection for Language Models via
+  // Importance Resampling"): hashed-token importance weights. Linear-pooled
+  // (mean per-token weight) instead of log-likelihood-ratio pooling so every
+  // intermediate stays exact-integer — `ln` is not correctly-rounded across
+  // libm implementations (the Sketches discipline).
+  private val Qf3B    = 4096       // hashed feature buckets
+  private val Qf3Lang = "en"       // target-distribution slice
+  private val Qf3K    = 50         // resample size
   private val Ann6M      = 4       // PQ subspaces
   private val Ann6Codes  = 16      // PQ centroids per subspace
   private val Ann6Query  = 7       // ADC query vector id
@@ -301,6 +309,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR data selection: importance weight per hashed token bucket =
+    // smoothed target/raw frequency ratio in micro-units (ONE pass trains
+    // the ≤B-row weight table — target and raw counts from the same agg);
+    // docs scored by mean per-token weight on the second pass (weights
+    // broadcast); top-K resample. At 100 TB the weight table trains on a
+    // sample slice — the scoring plan is unchanged.
+    "qf3_dsir_select" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $Qf3B"))
+      val w = tok.groupBy("b").agg(
+          count(lit(1)).as("r_cnt"),
+          sum(when(col("lang") === Qf3Lang, 1L).otherwise(0L)).as("t_cnt"))
+        .select(col("b"),
+          expr("(1000000 * (t_cnt + 1)) div (r_cnt + 1)").as("w_u"))
+      tok.join(broadcast(w), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum("w_u").as("sum_w"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("sum_w div n_tok").as("score_u"))
+        .orderBy(col("score_u").desc, col("doc_id")).limit(Qf3K)
+    },
+
     // one Lloyd step of IVF codebook retraining: exact integer assignment,
     // per-(cell,dim) exact sums, one double division for the mean
     "ann5_ivf_retrain" -> { (s, d) =>
@@ -419,10 +452,16 @@ object PipelineQueries {
     // production order) -> deterministic shard shuffle; per-shard totals
     "pl2_filter_spandedup_shard" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // the filtered survivor set feeds THREE consumers (span hashing, the
+      // rebuild join inside duplicatedSpans, the shard assignment); without
+      // a barrier each re-evaluates the HOF-heavy rule scan — the sf10 30×
+      // finding. Cache once, released at the next entry-point drain.
       val kept = docs.join(
         TextAnalysis.gopherRules(docs, Tx20Stop, Tx20MinWords, Tx20MaxWords)
           .filter(col("keep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+        .persist()
+      graft.Caches.track(kept)
       val spans = Dedup.duplicatedSpans(kept, k = Dd13K)
         .select(col("doc_id"), col("n_tokens"), col("n_covered"))
       val shards = TextAnalysis.shardShuffle(kept.select(col("doc_id")),
@@ -1279,6 +1318,23 @@ object PipelineQueries {
          |  ($Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok +
          |    $Qf2WChar * n_chars + $Qf2WMwl * mwl_u) > 0 AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "qf3_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % $Qf3B AS b
+         |  FROM (SELECT doc_id, lang,
+         |          UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '')) AS t
+         |        FROM documents)),
+         |w AS (SELECT b,
+         |        (1000000 * (SUM(CASE WHEN lang = '$Qf3Lang' THEN 1 ELSE 0 END) + 1))
+         |          // (COUNT(*) + 1) AS w_u
+         |      FROM tok GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tok, SUM(w.w_u) AS sum_w
+         |       FROM tok t JOIN w USING (b) GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_tok, sum_w // n_tok AS score_u
+         |FROM sc ORDER BY score_u DESC, doc_id LIMIT $Qf3K""".stripMargin,
 
     "qf1_domain_affinity" ->
       s"""WITH vecs AS (

@@ -191,6 +191,40 @@ class LayoutSpec extends SparkSpec {
       "streamed register table differs from the direct sketch")
   }
 
+  test("structured streaming: per-batch KMV folds converge to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("kmv-stream-").toString
+    var version = 0
+    def cur = s"$dir/v$version"
+    spark.emptyDataFrame.select(lit(0L).as("h")).limit(0).write.parquet(cur)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("k")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // live fold: stored sketch values + batch hashes → bottom-k re-agg
+        val merged = spark.read.parquet(cur)
+          .unionByName(batch.select(Kmv.hash(col("k")).as("h")))
+          .agg(Kmv.agg(256)(col("h")).as("sk"))
+          .select(explode(col("sk.values")).as("h"))
+        version += 1
+        merged.write.parquet(cur)
+        ()
+      }
+      .start()
+    mem.addData(0L until 4000L: _*)
+    q.processAllAvailable()
+    mem.addData(3000L until 9000L: _*) // overlap: replayed keys change nothing
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(cur).collect().map(_.getLong(0)).sorted.toSeq
+    val direct = spark.range(9000).select(Kmv.hash(col("id")).as("h"))
+      .agg(Kmv.agg(256)(col("h")).as("sk"))
+      .select(col("sk.values")).collect()(0).getSeq[Long](0)
+    assert(streamed == direct,
+      "streamed bottom-k sketch differs from the direct sketch")
+  }
+
   test("cp1 bins at sf0.001: packing invariants hold") {
     val bins = LayoutQueries.queries("cp1_compaction_plan")(spark, sf0001).collect()
     val totalRows = bins.map(_.getAs[Long]("bin_rows")).sum

@@ -1209,4 +1209,39 @@ class PipelineSpec extends SparkSpec {
     assert(keeps.getOrElse(true, 0L) > 0 && keeps.getOrElse(false, 0L) > 0,
       s"degenerate decision boundary: $keeps")
   }
+
+  test("qf3: DSIR selection prefers the target language; scores exact vs hand computation") {
+    val sel = graft.pipeline.PipelineQueries
+      .queries("qf3_dsir_select")(spark, sf0001).collect()
+    assert(sel.length == 50)
+    // selected mix must enrich the en target slice well past its base rate
+    // (~39% at sf0.001; hashed unigram buckets are shared across langs, so
+    // the lift is real but bounded — assert ≥ base + 10 points)
+    val en = sel.count(_.getString(1) == "en")
+    val base = graft.Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").count().toDouble /
+      graft.Tables.documents(spark, sf0001).count()
+    assert(en.toDouble / sel.length >= base + 0.10,
+      s"selected en fraction ${en}/${sel.length} not enriched over base $base")
+    // exact recomputation of one doc's score from first principles
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md, 16) % 4096
+    }
+    val all = docs.flatMap { case (_, lang, t) => toks(t).map(tk => (bucket(tk), lang)) }
+    val w = all.groupBy(_._1).map { case (b, xs) =>
+      b -> (1000000L * (xs.count(_._2 == "en") + 1) / (xs.length + 1))
+    }
+    val probe = sel.head
+    val (_, _, text) = docs.find(_._1 == probe.getLong(0)).get
+    val ts = toks(text)
+    val expect = ts.map(tk => w(bucket(tk))).sum / ts.length
+    assert(probe.getLong(3) == expect,
+      s"doc ${probe.getLong(0)}: score ${probe.getLong(3)} != $expect")
+  }
 }
