@@ -95,6 +95,16 @@ object PipelineQueries {
   private val Qf3B    = 4096       // hashed feature buckets
   private val Qf3Lang = "en"       // target-distribution slice
   private val Qf3K    = 50         // resample size
+  // rrf1 hybrid retrieval: lexical tf·idf ranking ⊕ vector dot ranking,
+  // fused by reciprocal-rank fusion (Cormack et al. 2009) in exact integer
+  // micro-units. Doc→vector alignment doc_id % n_vecs (the gr1 derived-
+  // relation precedent — at production scale the embedding table carries
+  // doc_id itself and the join is direct).
+  private val Rrf1Toks  = Seq("customer", "filter", "merge") // the query
+  private val Rrf1QVec  = 5L       // query embedding id
+  private val Rrf1C     = 60       // RRF rank constant
+  private val Rrf1Depth = 100      // per-ranking candidate depth
+  private val Rrf1Out   = 20       // fused result size
   private val Ann6M      = 4       // PQ subspaces
   private val Ann6Codes  = 16      // PQ centroids per subspace
   private val Ann6Query  = 7       // ADC query vector id
@@ -307,6 +317,50 @@ object PipelineQueries {
             s"$Qf2WChar * n_chars + $Qf2WMwl * mwl_u"))
         .select(col("doc_id"), col("logit_u"), (col("logit_u") > 0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // hybrid retrieval: lexical top-100 (query-token tf × f32-quantized
+    // idf, tokens filtered BEFORE any shuffle) and vector top-100 (exact
+    // int-quantized dot, query broadcast) fused by RRF — the
+    // lexical+semantic retrieval step of a RAG / curation pipeline. Both
+    // candidate lists are TakeOrdered (no global sort); the fusion join
+    // runs on 2×100 rows.
+    "rrf1_hybrid_rank" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val nVecs = Tables.embeddings(s, d).count()
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token").isin(Rrf1Toks: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("idf", log((lit(nDocs.toDouble) + 1.0) /
+          (col("df").cast("double") + 1.0)))
+      val lexTop = tf.join(broadcast(idf), "token")
+        .withColumn("score_key",
+          ((col("tf") * col("idf")).cast("float").cast("double") * 1e6).cast("long"))
+        .groupBy("doc_id").agg(sum("score_key").as("lex_score"))
+        .orderBy(col("lex_score").desc, col("doc_id")).limit(Rrf1Depth)
+        .withColumn("rank_lex", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("lex_score").desc, col("doc_id"))).cast("long"))
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === Rrf1QVec)
+        .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("qv"))
+      val vecTop = docs.select(col("doc_id"), (col("doc_id") % nVecs).as("vec_id"))
+        .join(Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))").as("v")),
+          "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"),
+          expr("aggregate(zip_with(v, qv, (a, b) -> a*b), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"))
+        .orderBy(col("dot").desc, col("doc_id")).limit(Rrf1Depth)
+        .withColumn("rank_vec", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+      lexTop.select(col("doc_id"), col("rank_lex"))
+        .join(vecTop.select(col("doc_id"), col("rank_vec")), Seq("doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr(s"1000000 div ($Rrf1C + rank_lex)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($Rrf1C + rank_vec)"), lit(0L)))
+        .orderBy(col("rrf_u").desc, col("doc_id")).limit(Rrf1Out)
     },
 
     // DSIR data selection: importance weight per hashed token bucket =
@@ -1318,6 +1372,45 @@ object PipelineQueries {
          |  ($Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok +
          |    $Qf2WChar * n_chars + $Qf2WMwl * mwl_u) > 0 AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "rrf1_hybrid_rank" ->
+      s"""WITH nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |nv AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id,
+         |          UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '')) AS token
+         |        FROM documents)
+         |  WHERE token IN (${Rrf1Toks.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2),
+         |idf AS (SELECT token, ln((n_docs + 1) / (CAST(COUNT(*) AS DOUBLE) + 1)) AS idf
+         |        FROM tf, nd GROUP BY token, n_docs),
+         |lex AS (
+         |  SELECT doc_id, SUM(CAST(trunc(CAST(CAST(tf.tf * idf.idf AS REAL) AS DOUBLE)
+         |                              * 1e6) AS BIGINT)) AS lex_score
+         |  FROM tf JOIN idf USING (token) GROUP BY 1),
+         |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY lex_score DESC, doc_id) AS BIGINT) AS rank_lex
+         |         FROM (SELECT * FROM lex ORDER BY lex_score DESC, doc_id LIMIT $Rrf1Depth)),
+         |q AS (SELECT list_transform(embedding,
+         |        x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+         |      FROM embeddings WHERE vec_id = $Rrf1QVec),
+         |dv AS (
+         |  SELECT d.doc_id,
+         |    CAST(list_sum(list_transform(list_zip(
+         |      list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)),
+         |      q.qv), p -> p[1]*p[2])) AS BIGINT) AS dot
+         |  FROM documents d, nv, q
+         |  JOIN embeddings e ON e.vec_id = d.doc_id % nv.n_vecs),
+         |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |           ORDER BY dot DESC, doc_id) AS BIGINT) AS rank_vec
+         |         FROM (SELECT * FROM dv ORDER BY dot DESC, doc_id LIMIT $Rrf1Depth))
+         |SELECT doc_id, rank_lex, rank_vec,
+         |  COALESCE(1000000 // ($Rrf1C + rank_lex), 0) +
+         |    COALESCE(1000000 // ($Rrf1C + rank_vec), 0) AS rrf_u
+         |FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+         |ORDER BY rrf_u DESC, doc_id LIMIT $Rrf1Out""".stripMargin,
 
     "qf3_dsir_select" ->
       s"""WITH tok AS (

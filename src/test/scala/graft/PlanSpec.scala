@@ -227,6 +227,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rrf1: both candidate lists are TakeOrdered (no global sort); fusion joins 2×depth rows") {
+    val p = plan("rrf1_hybrid_rank")
+    val body = p.split("== Physical Plan ==").last
+    val takes = "TakeOrderedAndProject".r.findAllIn(body).length
+    assert(takes >= 3, s"expected TakeOrdered for lex top-k, vec top-k and output, got $takes:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cm1: sketch-sized counter matrix broadcasts to the probe join") {
     val p = plan("cm1_countmin")
     assert(p.contains("BroadcastHashJoin"), s"counters should broadcast:\n$p")
