@@ -95,6 +95,12 @@ object PipelineQueries {
   private val Qf3B    = 4096       // hashed feature buckets
   private val Qf3Lang = "en"       // target-distribution slice
   private val Qf3K    = 50         // resample size
+  // tx22 unigram-LM tokenizer (SentencePiece inference): substring-count
+  // piece vocab, Viterbi min-cost segmentation as one Catalyst HOF fold.
+  private val Tx22PieceLen   = 4   // max piece length (chars)
+  private val Tx22MinCnt     = 5L  // multi-char piece count floor
+  private val Tx22MaxWordLen = 12  // encoded-word cap (DP depth; corpus max is 8)
+
   // rrf1 hybrid retrieval: lexical tf·idf ranking ⊕ vector dot ranking,
   // fused by reciprocal-rank fusion (Cormack et al. 2009) in exact integer
   // micro-units. Doc→vector alignment doc_id % n_vecs (the gr1 derived-
@@ -317,6 +323,17 @@ object PipelineQueries {
             s"$Qf2WChar * n_chars + $Qf2WMwl * mwl_u"))
         .select(col("doc_id"), col("logit_u"), (col("logit_u") > 0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // unigram-LM tokenizer encode: min-cost Viterbi segmentation of every
+    // distinct corpus word under the substring-count piece vocab — the
+    // SentencePiece counterpart of the BPE pair (tx18/tx19). Corpus-scale
+    // work is ONE word-frequency pass; the DP runs inside a codegen'd HOF
+    // fold over vocab-sized rows (no UDF, no driver loop)
+    "tx22_unigram_encode" -> { (s, d) =>
+      TextAnalysis.unigramEncode(Tables.documents(s, d),
+          Tx22PieceLen, Tx22MinCnt, Tx22MaxWordLen)
+        .orderBy("word")
     },
 
     // hybrid retrieval: lexical top-100 (query-token tf × f32-quantized
@@ -1372,6 +1389,49 @@ object PipelineQueries {
          |  ($Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok +
          |    $Qf2WChar * n_chars + $Qf2WMwl * mwl_u) > 0 AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the Viterbi DP unrolls to a Tx22MaxWordLen-deep CTE chain: B_j holds
+    // best (cost·64+pieces) for every word prefix of length ≤ j
+    "tx22_unigram_encode" -> {
+      val steps = (1 to Tx22MaxWordLen).map { j =>
+        val prev = if (j == 1) "b0" else s"bb${j - 1}"
+        s"""s$j AS (SELECT c.w, c.freq, $j AS j, MIN(p.v + c.c64) AS v
+           |  FROM cand c JOIN $prev p ON p.w = c.w AND p.j = c.i - 1
+           |  WHERE c.j = $j GROUP BY 1, 2),
+           |bb$j AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM s$j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                                  t -> t <> '')) AS w
+         |        FROM documents)
+         |  GROUP BY 1),
+         |wf AS MATERIALIZED (SELECT * FROM words WHERE length(w) <= $Tx22MaxWordLen),
+         |sub AS MATERIALIZED (
+         |  SELECT substr(words.w, i.i, l.len) AS piece, words.freq, i.i,
+         |         i.i + l.len - 1 AS j, words.w
+         |  FROM words,
+         |       UNNEST(range(1, length(words.w) + 1)) AS i(i),
+         |       UNNEST(range(1, $Tx22PieceLen + 1)) AS l(len)
+         |  WHERE i.i + l.len - 1 <= length(words.w)),
+         |voc AS (
+         |  SELECT piece, SUM(freq) AS cnt FROM sub GROUP BY 1
+         |  HAVING length(piece) = 1 OR SUM(freq) >= $Tx22MinCnt),
+         |tot AS (SELECT SUM(cnt) AS tot FROM voc),
+         |vc AS (SELECT piece,
+         |         CAST(trunc(CAST(CAST(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |           AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS cost_u
+         |       FROM voc, tot),
+         |cand AS MATERIALIZED (
+         |  SELECT s.w, s.freq, s.i, s.j, vc.cost_u * 64 + 1 AS c64
+         |  FROM (SELECT * FROM sub WHERE length(w) <= $Tx22MaxWordLen) s
+         |  JOIN vc USING (piece)),
+         |b0 AS MATERIALIZED (SELECT w, freq, 0 AS j, CAST(0 AS BIGINT) AS v FROM wf),
+         |$steps
+         |SELECT b.w AS word, b.freq, b.v // 64 AS cost_u, b.v % 64 AS n_pieces
+         |FROM bb$Tx22MaxWordLen b JOIN wf ON b.w = wf.w AND b.j = length(wf.w)
+         |ORDER BY word""".stripMargin
+    },
 
     "rrf1_hybrid_rank" ->
       s"""WITH nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),

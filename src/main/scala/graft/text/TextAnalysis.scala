@@ -934,4 +934,77 @@ object TextAnalysis {
         size(col("chunk")).cast("long").as("n_toks"),
         md5(array_join(col("chunk"), " ")).as("chunk_hash"))
   }
+
+  /** Unigram-LM piece vocabulary (the SentencePiece model table): every
+    * substring of corpus words up to `maxPieceLen` chars, counted weighted
+    * by word frequency; single-char pieces always survive (segmentation
+    * coverage guarantee), longer pieces need `minCount`. Piece cost =
+    * −ln(count/total) in f32-quantized micro-units (the tx14 score-key
+    * discipline — trunc after an f32 round-trip, so Spark and DuckDB agree
+    * bit-for-bit).
+    *
+    * Split of labor (the bpeMerges contract): the corpus-scale step is ONE
+    * explode+groupBy word-frequency pass; everything downstream is
+    * vocab-sized. */
+  def unigramVocab(docs: DataFrame, maxPieceLen: Int,
+      minCount: Long): DataFrame = {
+    require(maxPieceLen >= 1, s"piece length must be positive, got $maxPieceLen")
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pieces = words
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(i, least(i + ${maxPieceLen - 1}, length(w))),
+           |    j -> substring(w, i, j - i + 1))))""".stripMargin)).as("piece"),
+        col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= minCount)
+    pieces.crossJoin(broadcast(pieces.agg(sum("cnt").as("tot"))))
+      .select(col("piece"), col("cnt"), expr(
+        """CAST(CAST(CAST(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE))
+          |  AS FLOAT) AS DOUBLE) * 1e6 AS BIGINT)""".stripMargin).as("cost_u"))
+  }
+
+  /** Unigram-LM Viterbi encoding: each distinct corpus word segments into
+    * the min-cost piece sequence under [[unigramVocab]] — SentencePiece
+    * inference as ONE Catalyst HOF fold, no UDF, no driver loop. The DP
+    * state (cost, n_pieces) rides a single BIGINT (`cost_u·64 + n`, words
+    * capped at `maxWordLen` < 64 pieces), so the lexicographic
+    * (cost, pieces) minimum is a plain `array_min` and ties are broken
+    * identically in both engines. Per word: best(0)=0,
+    * best(j) = min over vocab pieces (i..j) of best(i−1) + cost64 —
+    * `aggregate(sequence(1, L), …)` builds the table positionally.
+    *
+    * Candidate pieces join the broadcast vocab; single-char coverage means
+    * the DP never strands. Output: (word, freq, cost_u, n_pieces). */
+  def unigramEncode(docs: DataFrame, maxPieceLen: Int, minCount: Long,
+      maxWordLen: Int): DataFrame = {
+    require(maxWordLen >= 1 && maxWordLen < 64,
+      s"word cap must be in [1, 63], got $maxWordLen")
+    val vocab = unigramVocab(docs, maxPieceLen, minCount)
+      .select(col("piece"), col("cost_u"))
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) <= maxWordLen)
+    val cand = words
+      .select(col("w"), col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(i, least(i + ${maxPieceLen - 1}, length(w))),
+           |    j -> named_struct('i', i, 'j', j,
+           |           'piece', substring(w, i, j - i + 1)))))""".stripMargin)).as("c"))
+      .select(col("w"), col("freq"), col("c.i").as("i"), col("c.j").as("j"),
+        col("c.piece").as("piece"))
+      .join(broadcast(vocab), "piece")
+      .select(col("w"), col("freq"), col("i"), col("j"),
+        (col("cost_u") * 64 + 1).as("c64"))
+    cand.groupBy("w", "freq")
+      .agg(collect_list(struct(col("i"), col("j"), col("c64"))).as("ps"))
+      .withColumn("best", expr(
+        """aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+          |  (acc, j) -> concat(acc, array(array_min(transform(
+          |    filter(ps, p -> p.j = j), p -> element_at(acc, p.i) + p.c64)))),
+          |  acc -> element_at(acc, -1))""".stripMargin))
+      .select(col("w").as("word"), col("freq"),
+        expr("best div 64").as("cost_u"), expr("best % 64").as("n_pieces"))
+  }
 }

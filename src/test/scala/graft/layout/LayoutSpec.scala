@@ -225,6 +225,58 @@ class LayoutSpec extends SparkSpec {
       "streamed bottom-k sketch differs from the direct sketch")
   }
 
+  test("ks1 at sf0.001: sample quantile rank error within 2.5 points; monotone in q") {
+    val rows = graft.layout.LayoutQueries
+      .queries("ks1_sample_quantiles")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 6)
+    // orders at sf0.001 has ~1.5k rows and the sketch keeps 1024 — a >2/3
+    // sample. The statistical contract of a uniform-sample quantile is RANK
+    // accuracy (value error is unbounded in distribution tails): the
+    // estimate's true rank must sit within 2.5 points of the target
+    // percentile.
+    val prices = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    rows.foreach { r =>
+      val q = r.getInt(0); val est = r.getDouble(1); val tru = r.getDouble(2)
+      assert(est > 0 && tru > 0, s"q$q: $est / $tru")
+      val pos = prices.count(_ <= est).toDouble / prices.length * 100
+      assert(math.abs(pos - q) <= 2.5, s"q$q: est $est has true rank $pos")
+    }
+    // monotone in q on both sides
+    assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).sorted.toSeq)
+    assert(rows.map(_.getDouble(2)).toSeq == rows.map(_.getDouble(2)).sorted.toSeq)
+  }
+
+  test("bucket-parallel global rank matches the single-partition reference") {
+    // the ks1 truth-side machinery, isolated: value-range buckets + offset
+    // join must reproduce exact global row_number on a skewed value set
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(4000)(math.pow(rnd.nextDouble(), 4) * 1e5) // skewed
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+      .repartition(16)
+    val NB = 8
+    val bounds = df.agg(min("v").as("lo"), max("v").as("hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("pid", least(lit(NB - 1), greatest(lit(0),
+        floor((col("v") - col("lo")) * NB /
+          (col("hi") - col("lo") + lit(1e-9))).cast("int"))))
+    val offs = bucketed.groupBy("pid").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val got = bucketed
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("v"), col("k"))))
+      .join(broadcast(offs), "pid")
+      .select(col("k"), (col("off") + col("prn")).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("k"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ref)
+  }
+
   test("cp1 bins at sf0.001: packing invariants hold") {
     val bins = LayoutQueries.queries("cp1_compaction_plan")(spark, sf0001).collect()
     val totalRows = bins.map(_.getAs[Long]("bin_rows")).sum

@@ -1210,6 +1210,37 @@ class PipelineSpec extends SparkSpec {
       s"degenerate decision boundary: $keeps")
   }
 
+  test("tx22: Viterbi segmentation matches a hand-rolled DP; single chars guarantee coverage") {
+    import graft.text.TextAnalysis
+    // tiny corpus with a repeated bigram-friendly word so multi-char pieces win
+    val docs = Seq.fill(8)("abab abab cd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEncode(docs, maxPieceLen = 4, minCount = 3,
+        maxWordLen = 12).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // hand DP: replicate vocab costs then Viterbi in plain Scala
+    val vocabRows = TextAnalysis.unigramVocab(docs, 4, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    def viterbi(w: String): (Long, Long) = {
+      val enc = Array.fill(w.length + 1)(Long.MaxValue)
+      enc(0) = 0L
+      for (j <- 1 to w.length; i <- math.max(0, j - 4) until j) {
+        vocabRows.get(w.substring(i, j)).foreach { c =>
+          if (enc(i) != Long.MaxValue)
+            enc(j) = math.min(enc(j), enc(i) + c * 64 + 1)
+        }
+      }
+      (enc(w.length) / 64, enc(w.length) % 64)
+    }
+    for (w <- Seq("abab", "cd")) assert(got(w) == viterbi(w), w)
+    // "abab" should use multi-char pieces (fewer than 4 single chars)
+    assert(got("abab")._2 < 4, s"abab segmented into ${got("abab")._2} pieces")
+    // coverage: a word whose multi-char substrings are all below minCount
+    // still encodes (single chars always in vocab) — "cd" appears 8 times
+    // but its chars also ride; encode must be finite for every word
+    got.values.foreach { case (c, n) => assert(c >= 0 && n >= 1) }
+  }
+
   test("qf3: DSIR selection prefers the target language; scores exact vs hand computation") {
     val sel = graft.pipeline.PipelineQueries
       .queries("qf3_dsir_select")(spark, sf0001).collect()
