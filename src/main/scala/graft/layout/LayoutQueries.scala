@@ -127,6 +127,26 @@ object LayoutQueries {
        |           s AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM sk)
        |      SELECT ${Kmv.estimateSql()} AS kmv_est FROM s) e""".stripMargin
 
+  /** am1 key grid: self-join size (F2) of these lineitem keys. */
+  val Am1Keys = Seq(("lineitem.l_partkey", "l_partkey"),
+    ("lineitem.l_suppkey", "l_suppkey"))
+
+  private def amsRow(name: String, df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).as("true_f2"))
+      .crossJoin(Sketches.amsEstimate(Sketches.amsZ(df, key)))
+      .select(lit(name).as("key_name"), col("true_f2"), col("est_f2"),
+        expr("abs(est_f2 - true_f2) * 10000 div true_f2").as("err_bp"))
+
+  private def amsBlockSql(name: String, tbl: String, key: String): String =
+    s"""SELECT '$name' AS key_name, x.true_f2, e.est_f2,
+       |  abs(e.est_f2 - x.true_f2) * 10000 // x.true_f2 AS err_bp
+       |FROM (SELECT SUM(c * c) AS true_f2
+       |      FROM (SELECT COUNT(*) AS c FROM $tbl GROUP BY $key)) x,
+       |     (WITH z AS (${Sketches.amsZSql(tbl, key)})
+       |      SELECT ${Sketches.amsEstimateSql} AS est_f2 FROM z) e""".stripMargin
+
   private def hllBlockSql(name: String, tbl: String, key: String, p: Int): String =
     s"""SELECT '$name' AS key_name, x.n_exact, e.hll_est,
        |  abs(e.hll_est - x.n_exact) * 10000 // x.n_exact AS err_bp
@@ -339,6 +359,14 @@ object LayoutQueries {
       est.join(tru, "q_pct").orderBy("q_pct")
     },
 
+    // AMS tug-of-war F2 sketch: self-join-size estimation from d signed
+    // running sums — the planner input that decides whether a key is safe
+    // to shuffle-join at scale. One narrow pass; sketches merge by adding.
+    "am1_f2_selfjoin" -> { (s, d) =>
+      Am1Keys.map { case (name, key) => amsRow(name, li(s, d), col(key)) }
+        .reduce(_ unionByName _).orderBy("key_name")
+    },
+
     // Maintained Count-Min matrix: base counters + cell-wise-summed batch
     // counters (Store.cmsIncr — the fold never rescans the base stream)
     // must point-estimate EXACTLY like the direct full-corpus matrix the
@@ -514,6 +542,10 @@ object LayoutQueries {
          |      FROM qs, nt, tr WHERE tr.rn = (q_pct * (n_total - 1)) // 100 + 1)
          |SELECT e.q_pct, est_price, true_price
          |FROM e JOIN x USING (q_pct) ORDER BY q_pct""".stripMargin,
+
+    "am1_f2_selfjoin" ->
+      Am1Keys.map { case (name, key) => amsBlockSql(name, "lineitem", key) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
 
     // additive merge is exact, so the maintained matrix ≡ the direct one
     "cm2_countmin_incr" ->

@@ -147,6 +147,47 @@ object Sketches {
       .agg(min("cnt").as("est_n"))
 
   // ------------------------------------------------------------------
+  // AMS tug-of-war F2 sketch (Alon, Matias & Szegedy 1996)
+  // ------------------------------------------------------------------
+
+  /** Estimator count: est = mean of d independent Z_d², relative stderr
+    * ≈ √(2/d). One md5 per key yields all d signs (one hex digit's low bit
+    * each), so d ≤ 32. */
+  val AmsD = 16
+
+  /** The sketch: d running signed sums Z_d = Σ_rows sign_d(key) — ONE
+    * map-side pass, the shuffle carries d numbers per partition, and
+    * sketches of disjoint streams MERGE BY ADDING their Z vectors. Z_d² is
+    * an unbiased estimator of F2 = Σ_k cnt(k)² — the self-join size, the
+    * quantity a planner needs before it risks a skewed shuffle join. */
+  def amsZ(df: DataFrame, key: Column): DataFrame =
+    df.select(md5(key.cast("string")).as("h"))
+      // one pass, d running sums as d agg columns — NO d× row blowup; the
+      // (row_d, z) shape unpivots after the agg for the merge API
+      .agg(
+        sum(expr(s"CAST(1 - 2 * (conv(substring(h, 1, 1), 16, 10) % 2) AS BIGINT)")).as("z0"),
+        (1 until AmsD).map(d =>
+          sum(expr(s"CAST(1 - 2 * (conv(substring(h, ${d + 1}, 1), 16, 10) % 2) AS BIGINT)")
+            ).as(s"z$d")): _*)
+      .select(expr(s"stack($AmsD, ${(0 until AmsD).map(d =>
+        s"$d, z$d").mkString(", ")}) AS (row_d, z)"))
+
+  /** Collapse a Z relation to the integer F2 estimate (mean of Z², floor
+    * div in BOTH engines — Spark's double-cast truncates while DuckDB's
+    * rounds, so the division must stay integral). */
+  def amsEstimate(z: DataFrame): DataFrame =
+    z.agg(expr(s"sum(z * z) div $AmsD").as("est_f2"))
+
+  /** DuckDB mirrors. */
+  def amsZSql(rel: String, keyExpr: String): String =
+    s"""SELECT row_d, SUM(1 - 2 * (CAST(('0x' || substr(h, row_d + 1, 1)) AS BIGINT) % 2)) AS z
+       |FROM (SELECT md5(CAST($keyExpr AS VARCHAR)) AS h FROM $rel),
+       |     (SELECT UNNEST(range(0, $AmsD)) AS row_d)
+       |GROUP BY 1""".stripMargin
+
+  def amsEstimateSql: String = s"SUM(z * z) // $AmsD"
+
+  // ------------------------------------------------------------------
   // DuckDB oracle fragments (same arithmetic, HUGEINT for the division)
   // ------------------------------------------------------------------
 

@@ -680,6 +680,26 @@ object PipelineQueries {
     // Gopher CHAR-level repetition metrics: top bigram char fraction +
     // duplicated 5-gram char coverage (tx7 reports the count fraction;
     // the paper's thresholds are these char fractions)
+    // corpus diversity report: per source and n ∈ {1,2,3}, total vs
+    // distinct n-grams (distinct-n, the standard text-diversity metric) —
+    // exact at gate scale; at 100 TB the distinct count rides the
+    // hll/kmv sketch with the same grouping
+    "tx24_ngram_diversity" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("ts"))
+        .select(col("source"), explode(expr(
+          """flatten(transform(sequence(1, 3), n ->
+            |  CASE WHEN size(ts) >= n THEN
+            |    transform(sequence(1, size(ts) - n + 1),
+            |      i -> named_struct('n', n, 'g', array_join(slice(ts, i, n), ' ')))
+            |  ELSE CAST(array() AS array<struct<n: int, g: string>>) END))""".stripMargin)).as("x"))
+        .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
+      grams.groupBy("source", "n")
+        .agg(count(lit(1)).as("total_n"), countDistinct("g").as("distinct_n"))
+        .withColumn("ratio_bp", expr("distinct_n * 10000 div total_n"))
+        .orderBy("source", "n")
+    },
+
     "tx21_char_repetition" -> { (s, d) =>
       TextAnalysis.repetitionCharStats(Tables.documents(s, d),
           topN = Tx21TopN, dupN = Tx21DupN)
@@ -1389,6 +1409,23 @@ object PipelineQueries {
          |  ($Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok +
          |    $Qf2WChar * n_chars + $Qf2WMwl * mwl_u) > 0 AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "tx24_ngram_diversity" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                     t -> t <> '') AS ts
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, ns.n AS n,
+         |         array_to_string(ts[i.i : i.i + ns.n - 1], ' ') AS g
+         |  FROM toks,
+         |       (SELECT UNNEST([1, 2, 3]) AS n) ns,
+         |       UNNEST(range(1, greatest(len(ts) - ns.n + 1, 0) + 1)) AS i(i))
+         |SELECT source, n, CAST(COUNT(*) AS BIGINT) AS total_n,
+         |       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_n,
+         |       COUNT(DISTINCT g) * 10000 // COUNT(*) AS ratio_bp
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the Viterbi DP unrolls to a Tx22MaxWordLen-deep CTE chain: B_j holds
     // best (cost·64+pieces) for every word prefix of length ≤ j

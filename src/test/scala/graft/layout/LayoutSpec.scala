@@ -127,6 +127,38 @@ class LayoutSpec extends SparkSpec {
     assert(math.abs(est - 50000L) <= 5000, s"est=$est")
   }
 
+  test("ams F2: exact on a one-key stream, merge-by-addition, repartition-invariant") {
+    // single key repeated n times: every Z_d = ±n, so the estimate is
+    // EXACTLY n² regardless of signs — the sketch's closed-form case
+    val one = spark.range(500).select(lit("k").as("k"))
+    val est1 = Sketches.amsEstimate(Sketches.amsZ(one, col("k")))
+      .head().getAs[Long]("est_f2")
+    assert(est1 == 500L * 500L, s"one-key stream: $est1")
+    // Z vectors of disjoint stream halves ADD to the whole stream's Z
+    val a = spark.range(0, 4000).select((col("id") % 97).as("k"))
+    val b = spark.range(4000, 7000).select((col("id") % 131).as("k"))
+    val whole = Sketches.amsZ(a.unionByName(b), col("k"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val added = (Sketches.amsZ(a, col("k")).collect() ++
+      Sketches.amsZ(b, col("k")).collect())
+      .groupBy(_.getInt(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).sum }
+    assert(added == whole, "Z vectors must add across stream splits")
+    // repartition invariance (sums commute)
+    val z1 = Sketches.amsZ(a, col("k")).collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val z2 = Sketches.amsZ(a.repartition(13), col("k")).collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(z1 == z2)
+  }
+
+  test("ams F2 estimate within 4 sigma on a uniform 20k-key stream") {
+    val n = 100000L; val k = 20000L
+    val df = spark.range(n).select((col("id") % k).as("k"))
+    val trueF2 = k * (n / k) * (n / k) // uniform: each key n/k times
+    val est = Sketches.amsEstimate(Sketches.amsZ(df, col("k")))
+      .head().getAs[Long]("est_f2")
+    val sigma = math.sqrt(2.0 / Sketches.AmsD) * trueF2
+    assert(math.abs(est - trueF2) <= 4 * sigma, s"est=$est true=$trueF2")
+  }
+
   test("count-min never underestimates; exact for most keys at low load") {
     val rnd = new scala.util.Random(7)
     // 200 keys, skewed frequencies 1..60, total ~6k tokens over 4096 cells
