@@ -127,6 +127,58 @@ object LayoutQueries {
        |           s AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM sk)
        |      SELECT ${Kmv.estimateSql()} AS kmv_est FROM s) e""".stripMargin
 
+  /** st1 column grid: (name, kind) — the ANALYZE-style stats targets. */
+  val St1Cols = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num", "l_extendedprice" -> "num",
+    "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  // One ANALYZE row per column; each is a single narrow scan (parquet
+  // column pruning reads ONE column per pass — cheaper than a multi-
+  // countDistinct EXPAND over the full width). min/max pass through as the
+  // column's own domain (DOUBLE / VARCHAR / formatted timestamp) — no
+  // cross-engine float formatting.
+  private def statRow(df: DataFrame, c: String, kind: String): DataFrame = {
+    val common = Seq(count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"))
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val agged = kind match {
+      case "num" => df.agg(common.head, common.tail ++ Seq(
+        min(col(c)).cast("double").as("min_d"),
+        max(col(c)).cast("double").as("max_d"),
+        nullS.as("min_s"), nullS.as("max_s")): _*)
+      case "str" => df.agg(common.head, common.tail ++ Seq(
+        nullD.as("min_d"), nullD.as("max_d"),
+        min(col(c)).as("min_s"), max(col(c)).as("max_s")): _*)
+      case "ts" => df.agg(common.head, common.tail ++ Seq(
+        nullD.as("min_d"), nullD.as("max_d"),
+        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as("min_s"),
+        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as("max_s")): _*)
+    }
+    agged.select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+      col("n_distinct"), col("min_d"), col("max_d"), col("min_s"), col("max_s"))
+  }
+
+  private def statBlockSql(c: String, kind: String): String = {
+    val (minD, maxD, minS, maxS) = kind match {
+      case "num" => (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      case "str" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        s"MIN($c)", s"MAX($c)")
+      case "ts" => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+        s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+    }
+    s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  $minD AS min_d, $maxD AS max_d, $minS AS min_s, $maxS AS max_s
+       |FROM lineitem""".stripMargin
+  }
+
   /** am1 key grid: self-join size (F2) of these lineitem keys. */
   val Am1Keys = Seq(("lineitem.l_partkey", "l_partkey"),
     ("lineitem.l_suppkey", "l_suppkey"))
@@ -359,6 +411,15 @@ object LayoutQueries {
       est.join(tru, "q_pct").orderBy("q_pct")
     },
 
+    // ANALYZE-style table stats: per-column rows/nulls/NDV/min/max — the
+    // relation a cost-based planner reads before choosing join sides.
+    // Eleven narrow single-column scans (column pruning), one output row
+    // each; at 100 TB NDV swaps to the hll/kmv sketch, same shape.
+    "st1_table_stats" -> { (s, d) =>
+      St1Cols.map { case (c, kind) => statRow(li(s, d), c, kind) }
+        .reduce(_ unionByName _).orderBy("col_name")
+    },
+
     // AMS tug-of-war F2 sketch: self-join-size estimation from d signed
     // running sums — the planner input that decides whether a key is safe
     // to shuffle-join at scale. One narrow pass; sketches merge by adding.
@@ -546,6 +607,10 @@ object LayoutQueries {
     "am1_f2_selfjoin" ->
       Am1Keys.map { case (name, key) => amsBlockSql(name, "lineitem", key) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
+
+    "st1_table_stats" ->
+      St1Cols.map { case (c, kind) => statBlockSql(c, kind) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     // additive merge is exact, so the maintained matrix ≡ the direct one
     "cm2_countmin_incr" ->

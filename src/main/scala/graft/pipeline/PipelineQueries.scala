@@ -336,6 +336,22 @@ object PipelineQueries {
         .orderBy("word")
     },
 
+    // unigram-LM tokenizer APPLICATION (the tx19 mirror): per-doc encoded
+    // length and total cost under the tx22 model — the word-level encode
+    // table is vocab-sized and broadcasts to the corpus token stream
+    "tx23_unigram_apply" -> { (s, d) =>
+      val enc = TextAnalysis.unigramEncode(Tables.documents(s, d),
+          Tx22PieceLen, Tx22MinCnt, Tx22MaxWordLen)
+        .select(col("word"), col("cost_u"), col("n_pieces"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .join(broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_pieces").as("n_pieces"),
+          sum("cost_u").as("cost_u"))
+        .orderBy("doc_id")
+    },
+
     // hybrid retrieval: lexical top-100 (query-token tf × f32-quantized
     // idf, tokens filtered BEFORE any shuffle) and vector top-100 (exact
     // int-quantized dot, query broadcast) fused by RRF — the
@@ -855,6 +871,51 @@ object PipelineQueries {
        |    JOIN sigs sa ON sa.doc_id = c.a
        |    JOIN sigs sb ON sb.doc_id = c.b) t
        |  WHERE sim >= 0.8)""".stripMargin
+  }
+
+  /** Shared DuckDB mirror of the tx22 unigram model + Viterbi DP: CTE body
+    * ending in `enc(word, freq, cost_u, n_pieces)`. MATERIALIZED everywhere
+    * a CTE is referenced twice — DuckDB inlines by default and the chained
+    * references would otherwise expand exponentially. */
+  private val tx22OracleCte: String = {
+    val steps = (1 to Tx22MaxWordLen).map { j =>
+      val prev = if (j == 1) "b0" else s"bb${j - 1}"
+      s"""s$j AS (SELECT c.w, c.freq, $j AS j, MIN(p.v + c.c64) AS v
+         |  FROM cand c JOIN $prev p ON p.w = c.w AND p.j = c.i - 1
+         |  WHERE c.j = $j GROUP BY 1, 2),
+         |bb$j AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM s$j)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                                  t -> t <> '')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |wf AS MATERIALIZED (SELECT * FROM words WHERE length(w) <= $Tx22MaxWordLen),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(words.w, i.i, l.len) AS piece, words.freq, i.i,
+       |         i.i + l.len - 1 AS j, words.w
+       |  FROM words,
+       |       UNNEST(range(1, length(words.w) + 1)) AS i(i),
+       |       UNNEST(range(1, $Tx22PieceLen + 1)) AS l(len)
+       |  WHERE i.i + l.len - 1 <= length(words.w)),
+       |voc AS (
+       |  SELECT piece, SUM(freq) AS cnt FROM sub GROUP BY 1
+       |  HAVING length(piece) = 1 OR SUM(freq) >= $Tx22MinCnt),
+       |tot AS (SELECT SUM(cnt) AS tot FROM voc),
+       |vc AS (SELECT piece,
+       |         CAST(trunc(CAST(CAST(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE))
+       |           AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS cost_u
+       |       FROM voc, tot),
+       |cand AS MATERIALIZED (
+       |  SELECT s.w, s.freq, s.i, s.j, vc.cost_u * 64 + 1 AS c64
+       |  FROM (SELECT * FROM sub WHERE length(w) <= $Tx22MaxWordLen) s
+       |  JOIN vc USING (piece)),
+       |b0 AS MATERIALIZED (SELECT w, freq, 0 AS j, CAST(0 AS BIGINT) AS v FROM wf),
+       |$steps,
+       |enc AS MATERIALIZED (
+       |  SELECT b.w AS word, b.freq, b.v // 64 AS cost_u, b.v % 64 AS n_pieces
+       |  FROM bb$Tx22MaxWordLen b JOIN wf ON b.w = wf.w AND b.j = length(wf.w))""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1430,45 +1491,24 @@ object PipelineQueries {
     // the Viterbi DP unrolls to a Tx22MaxWordLen-deep CTE chain: B_j holds
     // best (cost·64+pieces) for every word prefix of length ≤ j
     "tx22_unigram_encode" -> {
-      val steps = (1 to Tx22MaxWordLen).map { j =>
-        val prev = if (j == 1) "b0" else s"bb${j - 1}"
-        s"""s$j AS (SELECT c.w, c.freq, $j AS j, MIN(p.v + c.c64) AS v
-           |  FROM cand c JOIN $prev p ON p.w = c.w AND p.j = c.i - 1
-           |  WHERE c.j = $j GROUP BY 1, 2),
-           |bb$j AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM s$j)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH words AS (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM (SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |                                  t -> t <> '')) AS w
-         |        FROM documents)
-         |  GROUP BY 1),
-         |wf AS MATERIALIZED (SELECT * FROM words WHERE length(w) <= $Tx22MaxWordLen),
-         |sub AS MATERIALIZED (
-         |  SELECT substr(words.w, i.i, l.len) AS piece, words.freq, i.i,
-         |         i.i + l.len - 1 AS j, words.w
-         |  FROM words,
-         |       UNNEST(range(1, length(words.w) + 1)) AS i(i),
-         |       UNNEST(range(1, $Tx22PieceLen + 1)) AS l(len)
-         |  WHERE i.i + l.len - 1 <= length(words.w)),
-         |voc AS (
-         |  SELECT piece, SUM(freq) AS cnt FROM sub GROUP BY 1
-         |  HAVING length(piece) = 1 OR SUM(freq) >= $Tx22MinCnt),
-         |tot AS (SELECT SUM(cnt) AS tot FROM voc),
-         |vc AS (SELECT piece,
-         |         CAST(trunc(CAST(CAST(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE))
-         |           AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS cost_u
-         |       FROM voc, tot),
-         |cand AS MATERIALIZED (
-         |  SELECT s.w, s.freq, s.i, s.j, vc.cost_u * 64 + 1 AS c64
-         |  FROM (SELECT * FROM sub WHERE length(w) <= $Tx22MaxWordLen) s
-         |  JOIN vc USING (piece)),
-         |b0 AS MATERIALIZED (SELECT w, freq, 0 AS j, CAST(0 AS BIGINT) AS v FROM wf),
-         |$steps
-         |SELECT b.w AS word, b.freq, b.v // 64 AS cost_u, b.v % 64 AS n_pieces
-         |FROM bb$Tx22MaxWordLen b JOIN wf ON b.w = wf.w AND b.j = length(wf.w)
-         |ORDER BY word""".stripMargin
+      s"""WITH $tx22OracleCte
+         |SELECT word, freq, cost_u, n_pieces FROM enc ORDER BY word""".stripMargin
     },
+
+    // per-doc totals under the same DP chain; the enc relation is
+    // vocab-sized, the corpus side is one token explode
+    "tx23_unigram_apply" ->
+      s"""WITH $tx22OracleCte,
+         |toks AS (
+         |  SELECT doc_id,
+         |         UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                            t -> t <> '')) AS word
+         |  FROM documents)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |       SUM(e.n_pieces) AS n_pieces, SUM(e.cost_u) AS cost_u
+         |FROM toks t JOIN enc e USING (word)
+         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
+
 
     "rrf1_hybrid_rank" ->
       s"""WITH nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
