@@ -469,6 +469,45 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("un"), col("jaccard"))
   }
 
+  /** LSH-candidate CONTAINMENT verify — the asymmetric near-dup test
+    * (RefinedWeb-style): a truncated or excerpted copy has Jaccard ≈ |A|/|B|
+    * (invisible to [[lshVerifiedJaccardPairs]] at any threshold above it)
+    * but containment |A∩B|/min(|A|,|B|) ≈ 1. Same shingle-once + banded
+    * candidate machinery; single-row bands (r = 1) because candidate
+    * recall under banding is J^r per band and the interesting pairs sit at
+    * LOW Jaccard — r = 1 with k bands gives 1−(1−J)^k recall (99.6% at
+    * J = 0.5, k = 8). Verification is exact-integer: containment in basis
+    * points from the intersect count and each side's shingle count. */
+  def lshContainmentPairs(docs: DataFrame, n: Int = 3, k: Int = 8,
+      tauBp: Long = 9000L): DataFrame = {
+    val shArr = docs.select(col("doc_id"), shingles(col("text"), n).as("shs"))
+      .persist()
+    graft.Caches.track(shArr)
+    val sigs = shArr.filter(size(col("shs")) > 0)
+      .withColumn("sigs", graft.functions.MinhashSigs(col("shs"), k))
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"h$i")): _*)
+      .persist()
+    graft.Caches.track(sigs)
+    val bexp = sigs.select(col("doc_id"),
+      posexplode(array((0 until k).map(i => col(s"h$i").cast("string")): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val cand = bexp.as("l").join(bexp.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(shArr.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
+      .join(shArr.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("cont_a_bp", expr("inter * 10000 div size(sha)"))
+      .withColumn("cont_b_bp", expr("inter * 10000 div size(shb)"))
+      .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= tauBp)
+      .select(col("a"), col("b"), col("inter"), col("cont_a_bp"), col("cont_b_bp"))
+  }
+
   /** Transitive near-duplicate clustering: connected components over an
     * undirected similarity-pair set, by iterative min-label propagation
     * (label = smallest doc_id reachable). Each round is one shuffle join of

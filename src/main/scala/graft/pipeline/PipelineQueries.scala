@@ -179,6 +179,18 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // asymmetric containment dedup: half-truncated plants sit at Jaccard
+    // ≈ 0.5 (invisible to dd6's 0.6 floor) but containment ≈ 1 — the
+    // excerpt/truncation case a symmetric threshold misses
+    "dd14_containment" -> { (s, d) =>
+      val planted = corpus(s, d).unionByName(
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 3)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            expr("substring(text, 1, length(text) div 2)").as("text")))
+      Dedup.lshContainmentPairs(planted, n = 3, k = 8, tauBp = 9000L)
+        .orderBy(col("a"), col("b"))
+    },
+
     "dd7_embed_cosine_lsh" -> { (s, d) =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
@@ -961,6 +973,47 @@ object PipelineQueries {
          |JOIN sizes sa ON sa.doc_id = i.a
          |JOIN sizes sb ON sb.doc_id = i.b
          |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= 0.6
+         |ORDER BY a, b""".stripMargin,
+
+    // containment verify over r=1 bands: same signature family as dd6,
+    // single-component buckets, containment in basis points
+    "dd14_containment" ->
+      s"""WITH $corpusCte,
+         |corpus14 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 700000 AS doc_id,
+         |         substr(text, 1, length(text) // 2) AS text
+         |  FROM documents WHERE doc_id % 25 = 3),
+         |${shinglesCte("corpus14")},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h1,
+         |         CAST(('0x' || substr(md5(sh), 17, 15)) AS BIGINT) AS h2
+         |  FROM sh),
+         |sigs AS (
+         |  SELECT doc_id,
+         |${(0 until 8).map(i => s"    MIN(xor(h1, h2 >> $i)) AS h$i").mkString(",\n")}
+         |  FROM sh2 GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+         |   AND (${(0 until 8).map(i => s"l.h$i = r.h$i").mkString(" OR ")})),
+         |inter AS (
+         |  SELECT c.a, c.b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a
+         |  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+         |       i.inter * 10000 // sa.n_sh AS cont_a_bp,
+         |       i.inter * 10000 // sb.n_sh AS cont_b_bp
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a
+         |JOIN sizes sb ON sb.doc_id = i.b
+         |WHERE greatest(i.inter * 10000 // sa.n_sh,
+         |               i.inter * 10000 // sb.n_sh) >= 9000
          |ORDER BY a, b""".stripMargin,
 
     // full oracle for the banded-minhash LSH gate: identical md5-derived

@@ -1210,6 +1210,21 @@ class PipelineSpec extends SparkSpec {
       s"degenerate decision boundary: $keeps")
   }
 
+  test("dd14: planted half-truncations surface at containment ≈ 1 with Jaccard below dd6's floor") {
+    val rows = graft.pipeline.PipelineQueries
+      .queries("dd14_containment")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val truncPairs = rows.filter { case (a, b, _, _) => b == a + 700000 }
+    // 20 plants at sf0.001 (doc_id % 25 == 3 of 500); r=1 banding recall at
+    // J≈0.5 is 1-(1/2)^8 ≈ 99.6% per pair — require at least 16 recovered
+    assert(truncPairs.length >= 16, s"only ${truncPairs.length} truncation pairs")
+    truncPairs.foreach { case (a, b, contA, contB) =>
+      // the truncated side is (almost) fully contained; the full side is not
+      assert(contB >= 9000, s"($a,$b): cont_b=$contB")
+      assert(contA <= 7000, s"($a,$b): cont_a=$contA should sit near J≈0.5")
+    }
+  }
+
   test("tx22: Viterbi segmentation matches a hand-rolled DP; single chars guarantee coverage") {
     import graft.text.TextAnalysis
     // tiny corpus with a repeated bigram-friendly word so multi-char pieces win
