@@ -58,6 +58,15 @@ object Store {
     })
   }
 
+  /** Public build-once-per-(session, dir) hook for gate-local materialized
+    * layouts whose input relation lives with the gate (e.g. the planted
+    * dedup corpus): `write` receives a fresh path under the store root and
+    * must leave a parquet table there; later calls with the same name
+    * return the existing scan. */
+  def materialized(spark: SparkSession, dir: String, name: String)(
+      write: String => Unit): DataFrame =
+    cached(spark, dir, name)(write)
+
   /** Graph-bucketed quads (the [[Materialize]] layout). */
   def quads(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "quads") { p =>

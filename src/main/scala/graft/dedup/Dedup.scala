@@ -355,23 +355,83 @@ object Dedup {
       broadcastRight: Boolean = true): DataFrame = {
     require(bands >= 1 && k % bands == 0,
       s"bands ($bands) must divide the signature size ($k)")
-    val rows = k / bands
-    def bandedSigs(docs: DataFrame): DataFrame = {
-      val sigs = minhashMd5Signatures(docs, n, k)
-        .select(col("doc_id"),
-          array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-      val bandKeys = array((0 until bands).map(b =>
-        concat_ws("|",
-          (0 until rows).map(j => col("sig").getItem(b * rows + j)): _*)): _*)
-      sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys))
-        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    }
-    val l = bandedSigs(left).as("l")
-    val r0 = bandedSigs(right)
+    val l = bandedSignatures(left, n, k, bands).as("l")
+    val r0 = bandedSignatures(right, n, k, bands)
     val r = (if (broadcastRight) broadcast(r0) else r0).as("r")
     l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
           col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("a", "b")
+      .withColumn("sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          p => p)).cast("double") / k)
+      .filter(col("sim") >= simThreshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // maintained LSH band index (index-once-serve-many dedup)
+  // ---------------------------------------------------------------------
+
+  /** The banded MinHash signature relation `(doc_id, sig, band_idx,
+    * band_hash)` — the ROW LAYOUT of the persistent LSH index. Same
+    * md5-derived signature family and joined-component band keys as
+    * [[minhashLshPairs]]; every step is a pure per-row function of the
+    * text, which is what makes the index incrementally maintainable
+    * (appending a batch's rows ≡ rebuilding over the union). */
+  def bandedSignatures(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature size ($k)")
+    val rows = k / bands
+    val sigs = minhashMd5Signatures(docs, n, k)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val bandKeys = array((0 until bands).map(b =>
+      concat_ws("|",
+        (0 until rows).map(j => col("sig").getItem(b * rows + j)): _*)): _*)
+    sigs.select(col("doc_id"), col("sig"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Materialize the LSH band index for a corpus slice: clustered by
+    * `(band_idx, band_hash)` so a probe's band keys prune row groups via
+    * parquet min/max stats. At 100 TB this table is maintained by ingest
+    * (the dedup analog of the postings/IVF/backlink indexes): the corpus
+    * is signature-hashed ONCE, and every later dedup pass joins band keys
+    * against the index instead of re-shingling petabytes of text. */
+  def writeLshBandIndex(docs: DataFrame, path: String, n: Int = 3,
+      k: Int = 16, bands: Int = 4): Unit =
+    bandedSignatures(docs, n, k, bands)
+      .repartition(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions("band_idx", "band_hash")
+      .write.mode("overwrite").parquet(path)
+
+  /** Fold an appended batch into the stored index. Signatures are pure
+    * per-row functions, so appending the batch's banded rows makes the
+    * maintained table EXACTLY a rebuild over the union (up to row order) —
+    * the batch is hashed once and the base corpus is never rescanned. */
+  def appendLshBandIndex(batch: DataFrame, path: String, n: Int = 3,
+      k: Int = 16, bands: Int = 4): Unit =
+    bandedSignatures(batch, n, k, bands)
+      .write.mode("append").parquet(path)
+
+  /** Near-duplicate pairs served FROM the stored index: self-join on the
+    * band key (one shuffle of the narrow index relation — the text never
+    * ships), verify candidates by exact signature agreement >= simThreshold.
+    * Output ≡ [[minhashLshPairs]] over the indexed corpus — the dd15 gate
+    * pins that equivalence through the incremental build. */
+  def lshIndexPairs(index: DataFrame, k: Int = 16,
+      simThreshold: Double = 0.8): DataFrame = {
+    val l = index.as("l")
+    val r = index.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .dropDuplicates("a", "b")

@@ -48,6 +48,19 @@ object PipelineQueries {
   // Shared operator parameters, interpolated into BOTH the Spark call and
   // its DuckDB oracle SQL from one definition — editing either side alone
   // cannot silently turn a passing gate into a red-herring mismatch.
+  private val Dd15Mod    = 10      // maintained-LSH-index batch slice: doc_id % Mod == Rem
+  private val Dd15Rem    = 3
+
+  /** The dd15 maintained LSH band index: built once per (session, dir) —
+    * stable slice indexed, held-out batch folded in by append. Shared with
+    * PipelineSpec so the equivalence tests probe the SAME stored table. */
+  private[graft] def dd15Index(s: SparkSession, d: String): DataFrame =
+    graft.Store.materialized(s, d, "lsh_band_index") { p =>
+      val c = corpus(s, d)
+      val isBatch = col("doc_id") % Dd15Mod === Dd15Rem
+      Dedup.writeLshBandIndex(c.filter(!isBatch), p)
+      Dedup.appendLshBandIndex(c.filter(isBatch), p)
+    }
   private val Dd9W       = 8       // passage window (tokens)
   private val Dd9MinTail = Dd9W / 2 // min final-chunk tokens kept
   private val Dd13K      = 6       // duplicated-span sliding window (tokens)
@@ -155,6 +168,18 @@ object PipelineQueries {
 
     "dd2_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLshPairs(corpus(s, d)).orderBy(col("a"), col("b"))
+    },
+
+    // maintained LSH band index — the dedup rung of the maintained-index
+    // family (ev15 postings / ev16 backlinks / ann10 IVF / hll3 registers):
+    // the stable 9/10 of the corpus is signature-indexed once, the held-out
+    // batch folds in by appending its banded rows (signatures are pure
+    // per-row functions, so the maintained table ≡ a rebuild), and the pair
+    // probe self-joins the NARROW stored index on its band key — the corpus
+    // text is hashed once per doc, never rescanned. Oracle = the full-corpus
+    // formulation, pinning incremental ≡ batch.
+    "dd15_lsh_maintained" -> { (s, d) =>
+      Dedup.lshIndexPairs(dd15Index(s, d)).orderBy(col("a"), col("b"))
     },
 
     // transitive clustering of the LSH pair set: every doc in a pair gets
@@ -1020,6 +1045,12 @@ object PipelineQueries {
     // signature family, band buckets as joined component values, sim =
     // fraction of equal components — integer arithmetic end to end
     "dd2_minhash_lsh" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT a, b, sim FROM lshpairs ORDER BY a, b""".stripMargin,
+
+    // the maintained index serves the SAME pair set as a full-corpus run —
+    // the oracle is deliberately the dd2 formulation (incremental ≡ batch)
+    "dd15_lsh_maintained" ->
       s"""WITH $minhashPairsCtes
          |SELECT a, b, sim FROM lshpairs ORDER BY a, b""".stripMargin,
 

@@ -740,6 +740,34 @@ class PipelineSpec extends SparkSpec {
       s"incremental-index probe did not prune cell partitions:\n$plan")
   }
 
+  test("dd15: maintained LSH band index equals a rebuild and serves the dd2 pair set") {
+    val got = PipelineQueries.queries("dd15_lsh_maintained")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    // the probe over the incrementally-built index must equal the direct
+    // full-corpus operator bit for bit (same signature family, same bands)
+    val want = Dedup.minhashLshPairs(PipelineQueries.corpus(spark, sf0001))
+      .orderBy(col("a"), col("b")).collect().map(_.toSeq).toSeq
+    assert(got == want, "maintained-index pairs diverged from the direct operator")
+    // the maintained table itself ≡ a rebuild over the union (row set)
+    val idx = PipelineQueries.dd15Index(spark, sf0001)
+    val rebuilt = Dedup.bandedSignatures(PipelineQueries.corpus(spark, sf0001))
+    assert(idx.count() == rebuilt.count(),
+      "maintained index row count diverged from a rebuild")
+    assert(idx.select("doc_id", "band_idx", "band_hash")
+      .exceptAll(rebuilt.select("doc_id", "band_idx", "band_hash")).isEmpty,
+      "maintained index rows diverged from a rebuild")
+  }
+
+  test("dd15: index probe plan self-joins the stored scan without re-shingling") {
+    val idx = PipelineQueries.dd15Index(spark, sf0001)
+    val plan = Dedup.lshIndexPairs(idx).queryExecution.executedPlan.toString
+    // served from parquet: no md5/shingle derivation in the probe plan, no
+    // cartesian fallback — the only joins are the band-key equi-join
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs fallback:\n$plan")
+    assert(!plan.toLowerCase.contains("md5"), s"probe re-derived signatures:\n$plan")
+  }
+
   test("pl2: composed chain agrees with its standalone stages, no all-pairs fallback") {
     val df = PipelineQueries.queries("pl2_filter_spandedup_shard")(spark, sf0001)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
