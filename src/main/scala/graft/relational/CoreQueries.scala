@@ -356,8 +356,38 @@ object CoreQueries {
           (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30)))
         .agg(psum(revenue).as("rev"), count(lit(1)).as("n"))
+    },
+
+    // --- range (interval-containment) join via bin bucketing -------------
+    // a generated 64-range lookup relation (overlapping spans — a point can
+    // land in up to 5 ranges) probed by o_orderkey % 16384, so every range
+    // is populated at every scale. No native equi-key exists, so the naive
+    // plan is a nested-loop filter; [[RangeJoin.binned]] rewrites it to an
+    // equi-join on a 256-wide bin id + exact between-filter (PlanSpec pins
+    // no-cartesian). The oracle states the declarative BETWEEN join —
+    // DuckDB plans its own IEJoin.
+    "rj1_range_bin" -> { (s, d) =>
+      val ranges = s.range(RjRanges).select(col("id").as("r_id"),
+        (col("id") * RjStride).as("lo"),
+        (col("id") * RjStride + RjBaseW + (col("id") % 13) * RjWStep).as("hi"))
+      val points = Tables.orders(s, d)
+        .select(col("o_orderkey"), (col("o_orderkey") % RjDomain).as("pt"))
+      RangeJoin.binned(points, col("pt"), ranges, col("lo"), col("hi"), RjBinBits)
+        .groupBy(col("r_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("r_id"))
     }
   )
+
+  // rj1 shared parameters (interpolated into Spark AND oracle from one
+  // definition). Stride 256 vs max width 64+12*96=1216: spans overlap up to
+  // four successors, so containment is genuinely multi-match.
+  private val RjRanges = 64
+  private val RjStride = 256L
+  private val RjBaseW  = 64L
+  private val RjWStep  = 96L
+  private val RjDomain = 16384L  // probe key domain: o_orderkey % 16384
+  private val RjBinBits = 8      // bin width 256
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -564,6 +594,16 @@ object CoreQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "rj1_range_bin" ->
+      s"""WITH ranges AS (
+         |  SELECT range AS r_id, range * $RjStride AS lo,
+         |         range * $RjStride + $RjBaseW + (range % 13) * $RjWStep AS hi
+         |  FROM range($RjRanges))
+         |SELECT r_id, lo, hi, COUNT(*) AS n_orders,
+         |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+         |FROM ranges JOIN orders ON (o_orderkey % $RjDomain) BETWEEN lo AND hi
+         |GROUP BY 1, 2, 3 ORDER BY r_id""".stripMargin
   )
 }

@@ -254,6 +254,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rj1: bin rewrite turns the containment join into an equi-join — no nested loop") {
+    val p = plan("rj1_range_bin")
+    // the whole point of the bin bucketing: Spark must NOT fall back to the
+    // O(n·m) plans a pure non-equi predicate forces
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment join fell back to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash/merge equi-join found:\n$p")
+  }
+
   test("cat6: backlink probe pushes its key into the materialized iri-index scan") {
     val p = plan("cat6_references")
     // the probe must hit Store.iriIndex (a parquet scan with the lookup key
