@@ -179,6 +179,67 @@ object LayoutQueries {
        |FROM lineitem""".stripMargin
   }
 
+  /** st2 join grid: (join_name, left table, left key, right table, right
+    * key) — the equi-joins whose output size the System-R containment
+    * formula estimates from st1-style stats. */
+  val St2Joins = Seq(
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+
+  private def tableOf(s: SparkSession, d: String, name: String): DataFrame =
+    name match {
+      case "lineitem" => Tables.lineitem(s, d)
+      case "orders"   => Tables.orders(s, d)
+      case "part"     => Tables.part(s, d)
+      case "supplier" => Tables.supplier(s, d)
+      case "customer" => Tables.customer(s, d)
+    }
+
+  /** One estimate-vs-truth row per join: |A⋈B| ≈ |A|·|B| / max(ndv_A(k),
+    * ndv_B(k)) — the Selinger containment-of-value-sets estimate every
+    * cost-based optimizer starts from. Stats are two single-key aggregates
+    * (what ANALYZE maintains); truth is the actual join count. All integer
+    * arithmetic, so estimate AND error reproduce bit-for-bit in the
+    * oracle. */
+  private def st2Row(s: SparkSession, d: String, j: (String, String, String,
+      String, String)): DataFrame = {
+    val (name, lt, lk, rt, rk) = j
+    val l = tableOf(s, d, lt)
+    val r = tableOf(s, d, rt)
+    val lStats = l.agg(count(lit(1)).as("n_left"),
+      countDistinct(col(lk)).as("ndv_left"))
+    val rStats = r.agg(count(lit(1)).as("n_right"),
+      countDistinct(col(rk)).as("ndv_right"))
+    val actual = l.select(col(lk)).join(r.select(col(rk)),
+        col(lk) === col(rk))
+      .agg(count(lit(1)).as("actual_rows"))
+    lStats.crossJoin(rStats).crossJoin(actual)
+      .select(lit(name).as("join_name"), col("n_left"), col("ndv_left"),
+        col("n_right"), col("ndv_right"),
+        expr("n_left * n_right div greatest(ndv_left, ndv_right)").as("est_rows"),
+        col("actual_rows"),
+        expr("abs(n_left * n_right div greatest(ndv_left, ndv_right) - actual_rows) * 10000 div actual_rows")
+          .as("err_bp"))
+  }
+
+  private def st2BlockSql(j: (String, String, String, String, String)): String = {
+    val (name, lt, lk, rt, rk) = j
+    s"""SELECT '$name' AS join_name, ls.n_left, ls.ndv_left,
+       |  rs.n_right, rs.ndv_right,
+       |  ls.n_left * rs.n_right // greatest(ls.ndv_left, rs.ndv_right) AS est_rows,
+       |  a.actual_rows,
+       |  abs(ls.n_left * rs.n_right // greatest(ls.ndv_left, rs.ndv_right)
+       |      - a.actual_rows) * 10000 // a.actual_rows AS err_bp
+       |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+       |             CAST(COUNT(DISTINCT $lk) AS BIGINT) AS ndv_left FROM $lt) ls,
+       |     (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+       |             CAST(COUNT(DISTINCT $rk) AS BIGINT) AS ndv_right FROM $rt) rs,
+       |     (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+       |      FROM $lt JOIN $rt ON $lk = $rk) a""".stripMargin
+  }
+
   /** am1 key grid: self-join size (F2) of these lineitem keys. */
   val Am1Keys = Seq(("lineitem.l_partkey", "l_partkey"),
     ("lineitem.l_suppkey", "l_suppkey"))
@@ -420,6 +481,15 @@ object LayoutQueries {
         .reduce(_ unionByName _).orderBy("col_name")
     },
 
+    // Selinger containment-of-value-sets join-size estimation vs truth:
+    // the st1 stats feeding the formula a cost-based planner uses to pick
+    // join order/strategy. PK-FK joins estimate near-exactly (err_bp 0);
+    // the estimate and its error are integer arithmetic end to end.
+    "st2_join_card" -> { (s, d) =>
+      St2Joins.map(st2Row(s, d, _)).reduce(_ unionByName _)
+        .orderBy("join_name")
+    },
+
     // AMS tug-of-war F2 sketch: self-join-size estimation from d signed
     // running sums — the planner input that decides whether a key is safe
     // to shuffle-join at scale. One narrow pass; sketches merge by adding.
@@ -611,6 +681,10 @@ object LayoutQueries {
     "st1_table_stats" ->
       St1Cols.map { case (c, kind) => statBlockSql(c, kind) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "st2_join_card" ->
+      St2Joins.map(st2BlockSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY join_name"),
 
     // additive merge is exact, so the maintained matrix ≡ the direct one
     "cm2_countmin_incr" ->
