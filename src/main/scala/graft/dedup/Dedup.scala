@@ -442,6 +442,57 @@ object Dedup {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  // ---------------------------------------------------------------------
+  // content-defined chunking (storage-level dedup)
+  // ---------------------------------------------------------------------
+
+  /** Gear-hash content-defined chunks per document (see
+    * [[graft.functions.GearChunks]]): `(doc_id, chunk_idx, start, clen,
+    * chunk_md5)` with 1-based code-point offsets. One narrow map pass —
+    * the boundary kernel is a codegen'd native expression, chunk substrings
+    * and hashes derive inside the row, and only chunk-sized rows explode.
+    * This is the storage-dedup primitive (LBFS/FastCDC family): identical
+    * passages chunk identically regardless of their byte offset, so
+    * chunk-hash dedup survives insertions that shift the rest of the
+    * document — the property the fixed-grid dd9 lacks. */
+  def cdcChunks(docs: DataFrame, maskBits: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        graft.functions.GearChunks(col("text"), maskBits).as("ends"))
+      .filter(size(col("ends")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ends"))), j => {
+          val start = when(j === 1, 1)
+            .otherwise(element_at(col("ends"), j - 1) + 1)
+          val e = element_at(col("ends"), j)
+          struct(j.cast("long").as("chunk_idx"),
+            start.cast("long").as("start"),
+            (e - start + 1).cast("long").as("clen"),
+            md5(substring(col("text"), start, e - start + 1)).as("chunk_md5"))
+        })).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start"),
+        col("c.clen"), col("c.chunk_md5"))
+
+  /** Corpus-level CDC dedup accounting over [[cdcChunks]]: logical vs
+    * stored (distinct-chunk) sizes — the content-addressed-store report a
+    * dedup storage layer runs. One chunk-hash shuffle. */
+  def cdcDedupStats(docs: DataFrame, maskBits: Int): DataFrame = {
+    val ch = cdcChunks(docs, maskBits)
+    val logical = ch.agg(
+      count(lit(1)).as("n_logical"),
+      countDistinct(col("chunk_md5")).as("n_unique"),
+      sum(col("clen")).as("logical_chars"))
+    // clen is determined by the chunk content, so min() per hash is just
+    // "the" length of that distinct chunk
+    val stored = ch.groupBy(col("chunk_md5"))
+      .agg(min(col("clen")).as("clen"))
+      .agg(sum(col("clen")).as("stored_chars"))
+    logical.crossJoin(stored)
+      .select(col("n_logical"), col("n_unique"), col("logical_chars"),
+        col("stored_chars"),
+        expr("stored_chars * 10000 div logical_chars").as("stored_bp"))
+  }
+
   /** Cross-engine-replicable MinHash: two 60-bit base hashes per shingle cut
     * from the two halves of ONE md5 (hex chars 1-15 and 17-31 → BIGINT —
     * DuckDB casts '0x…' literals, Spark uses conv(_,16,10)); component i =

@@ -50,6 +50,7 @@ object PipelineQueries {
   // cannot silently turn a passing gate into a red-herring mismatch.
   private val Dd15Mod    = 10      // maintained-LSH-index batch slice: doc_id % Mod == Rem
   private val Dd15Rem    = 3
+  private val CdcBits    = 6       // CDC boundary mask bits: avg chunk 64 chars
 
   /** The dd15 maintained LSH band index: built once per (session, dir) —
     * stable slice indexed, held-out batch folded in by append. Shared with
@@ -180,6 +181,22 @@ object PipelineQueries {
     // formulation, pinning incremental ≡ batch.
     "dd15_lsh_maintained" -> { (s, d) =>
       Dedup.lshIndexPairs(dd15Index(s, d)).orderBy(col("a"), col("b"))
+    },
+
+    // gear-hash content-defined chunking: every doc's chunk table (offsets
+    // + content hashes) from one codegen'd native-kernel pass — the
+    // content-addressed storage-dedup primitive, edit-shift robust where
+    // dd9's fixed grid is not
+    "cdc1_chunks" -> { (s, d) =>
+      Dedup.cdcChunks(corpus(s, d), CdcBits)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // corpus-level CDC store accounting: logical vs distinct-chunk chars —
+    // the dedup ratio a content-addressed blob store achieves on this
+    // corpus (planted exact + near copies dedup to shared chunks)
+    "cdc2_dedup_stats" -> { (s, d) =>
+      Dedup.cdcDedupStats(corpus(s, d), CdcBits)
     },
 
     // transitive clustering of the LSH pair set: every doc in a pair gets
@@ -910,6 +927,46 @@ object PipelineQueries {
        |  WHERE sim >= 0.8)""".stripMargin
   }
 
+  /** Shared DuckDB mirror of the gear-CDC chunk table ([[Dedup.cdcChunks]]):
+    * CTE chain ending in `cfinal(doc_id, chunk_idx, start, clen, chunk_md5)`.
+    * The kernel's rolling `h = (2h + gear(c)) mod 2^62` equals a pure
+    * 62-term windowed sum (2^62·x ≡ 0), so the oracle replays it as a
+    * bounded window self-join — per-term `(g & (m >> k)) << k` is exactly
+    * `g·2^k mod 2^62`, the HUGEINT sum then folds once more. */
+  private lazy val cdcChunksCtes: String = {
+    val m62 = "4611686018427387903"  // 2^62 - 1
+    val p62 = "4611686018427387904"  // 2^62
+    s"""$corpusCte,
+       |cdocs AS (SELECT doc_id, text, length(text) AS len
+       |          FROM corpus WHERE length(text) > 0),
+       |cchars AS (SELECT doc_id, UNNEST(range(len)) AS i, text, len FROM cdocs),
+       |cgear AS (
+       |  SELECT doc_id, i, len,
+       |    CAST(('0x' || substr(md5(CAST(ascii(text[CAST(i + 1 AS INT):CAST(i + 1 AS INT)]) AS VARCHAR)), 1, 15)) AS BIGINT) AS g
+       |  FROM cchars),
+       |chash AS (
+       |  SELECT a.doc_id, a.i, a.len,
+       |    CAST(SUM((b.g & ($m62 >> (a.i - b.i))) << (a.i - b.i)) % $p62 AS BIGINT) AS h
+       |  FROM cgear a JOIN cgear b
+       |    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 61 AND a.i
+       |  GROUP BY 1, 2, 3),
+       |cbpos AS (
+       |  SELECT doc_id, i + 1 AS e FROM chash
+       |  WHERE h % ${1 << CdcBits} = 0 AND i + 1 < len
+       |  UNION ALL
+       |  SELECT doc_id, len FROM cdocs),
+       |cchunks AS (
+       |  SELECT doc_id, e,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) AS BIGINT) AS chunk_idx,
+       |    CAST(COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS BIGINT) AS start
+       |  FROM cbpos),
+       |cfinal AS (
+       |  SELECT c.doc_id, c.chunk_idx, c.start,
+       |    CAST(c.e - c.start + 1 AS BIGINT) AS clen,
+       |    md5(substr(d.text, CAST(c.start AS INT), CAST(c.e - c.start + 1 AS INT))) AS chunk_md5
+       |  FROM cchunks c JOIN cdocs d USING (doc_id))""".stripMargin
+  }
+
   /** Shared DuckDB mirror of the tx22 unigram model + Viterbi DP: CTE body
     * ending in `enc(word, freq, cost_u, n_pieces)`. MATERIALIZED everywhere
     * a CTE is referenced twice — DuckDB inlines by default and the chained
@@ -1053,6 +1110,22 @@ object PipelineQueries {
     "dd15_lsh_maintained" ->
       s"""WITH $minhashPairsCtes
          |SELECT a, b, sim FROM lshpairs ORDER BY a, b""".stripMargin,
+
+    "cdc1_chunks" ->
+      s"""WITH $cdcChunksCtes
+         |SELECT doc_id, chunk_idx, start, clen, chunk_md5 FROM cfinal
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "cdc2_dedup_stats" ->
+      s"""WITH $cdcChunksCtes
+         |SELECT a.n_logical, a.n_unique, a.logical_chars, b.stored_chars,
+         |       b.stored_chars * 10000 // a.logical_chars AS stored_bp
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_logical,
+         |             CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_unique,
+         |             CAST(SUM(clen) AS BIGINT) AS logical_chars FROM cfinal) a,
+         |     (SELECT CAST(SUM(clen) AS BIGINT) AS stored_chars
+         |      FROM (SELECT chunk_md5, MIN(clen) AS clen FROM cfinal
+         |            GROUP BY 1) u) b""".stripMargin,
 
     // transitive near-dup clustering over the SAME pair set: recursive
     // min-label reachability ≡ the Spark side's label-propagation fixpoint

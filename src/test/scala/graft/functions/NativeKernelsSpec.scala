@@ -120,4 +120,60 @@ class NativeKernelsSpec extends SparkSpec {
           docs.toDF("doc_id", "text"), k, w)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
+
+  test("gear_chunks: boundaries match a direct windowed-sum reference") {
+    // independent reference: h_i as the explicit 62-term windowed sum mod
+    // 2^62 (the closed form the DuckDB oracle uses), not the kernel's
+    // rolling recurrence — the two derivations must agree exactly
+    def gear(c: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(c).getBytes("US-ASCII"))
+      var h = 0L
+      for (b <- 0 until 8) h = (h << 8) | (d(b) & 0xffL)
+      h >>> 4
+    }
+    val mask62 = (1L << 62) - 1
+    def refEnds(s: String, bits: Int): Seq[Int] = {
+      if (s.isEmpty) return Seq.empty
+      val g = s.map(c => gear(c.toInt))
+      val ends = (0 until s.length).filter { i =>
+        var acc = 0L
+        for (k <- 0 to math.min(i, 61))
+          acc = (acc + ((g(i - k) & (mask62 >> k)) << k)) & mask62
+        (acc & ((1L << bits) - 1)) == 0L
+      }.map(_ + 1).filter(_ < s.length)
+      ends :+ s.length
+    }
+    val rnd = new scala.util.Random(23)
+    val texts = Seq("", "a", "hello world") ++
+      Seq.fill(40)(Seq.fill(20 + rnd.nextInt(300))(
+        ('a' + rnd.nextInt(26)).toChar).mkString)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), GearChunks(col("text"), 6).as("ends"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refEnds(t, 6), s"mismatch on text #$i")
+    }
+  }
+
+  test("gear_chunks: chunk hashes re-align after a prefix edit (edit-shift robustness)") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(600)(('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "INSERTED-PREFIX-" + base
+    def chunkHashes(t: String): Seq[String] = {
+      val rows = Seq((1L, t)).toDF("doc_id", "text")
+      graft.dedup.Dedup.cdcChunks(rows, 6)
+        .orderBy("chunk_idx").collect().map(_.getString(4)).toSeq
+    }
+    val a = chunkHashes(base)
+    val b = chunkHashes(edited)
+    // the gear window is 62 chars: boundaries more than ~62 chars past the
+    // edit are unchanged, so the two chunk streams share a long tail — the
+    // property a fixed-width grid chunker fails
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.size >= a.size / 2,
+      s"edit destroyed chunk alignment: ${shared.size} shared of ${a.size}")
+    assert(a.takeRight(2) == b.takeRight(2), "tail chunks did not re-align")
+  }
 }
