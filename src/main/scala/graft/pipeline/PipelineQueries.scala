@@ -552,6 +552,14 @@ object PipelineQueries {
       TextAnalysis.lmSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
+    // Kneser–Ney bigram surprisal with a HELD-OUT model: trained on the
+    // even-doc half, scoring everything — held-out docs hit the discount/
+    // continuation backoff paths (unseen bigrams and words) that the
+    // self-trained tx9 never exercises
+    "tx25_kn_surprisal" -> { (s, d) =>
+      TextAnalysis.knSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
     // PII scrub: counts + redacted-text hash over the planted-PII corpus
     "tx10_pii_scrub" -> { (s, d) =>
       TextAnalysis.piiReport(piiCorpus(s, d)).orderBy(col("doc_id"))
@@ -1962,6 +1970,48 @@ object PipelineQueries {
          |  CAST(SUM(surp_key) AS BIGINT) AS sum_surprisal_key,
          |  CAST(SUM(surp_key) AS BIGINT) // COUNT(*) AS mean_surprisal_key
          |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Kneser–Ney: exact BIGINT model counts, ONE fixed double expression
+    // for p (IEEE-identical across engines), f32-round-tripped −ln key in
+    // micro-units (trunc before the BIGINT cast — DuckDB's cast rounds)
+    "tx25_kn_surprisal" ->
+      s"""WITH dtoks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             t -> t <> '') AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ts[i + 1] AS v, ts[i + 2] AS w
+         |  FROM (SELECT doc_id, ts, UNNEST(range(len(ts) - 1)) AS i
+         |        FROM dtoks WHERE len(ts) >= 2)),
+         |cvw AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw
+         |        FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |cv AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+         |              CAST(COUNT(*) AS BIGINT) AS n1p_v FROM cvw GROUP BY 1),
+         |pw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1p_w FROM cvw GROUP BY 1),
+         |gl AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cvw) AS n1pp,
+         |              (SELECT CAST(COUNT(DISTINCT t) AS BIGINT)
+         |               FROM (SELECT UNNEST(ts) AS t FROM dtoks
+         |                     WHERE doc_id % 2 = 0) u) AS vsize),
+         |keys AS (
+         |  SELECT bg.doc_id,
+         |    CAST(trunc(CAST(CAST(-ln(
+         |      CASE WHEN cv.c_v IS NOT NULL THEN
+         |        (greatest(CAST(COALESCE(cvw.c_vw, 0) AS DOUBLE) - 0.75, 0.0)
+         |         + 0.75 * CAST(cv.n1p_v AS DOUBLE)
+         |           * ((CAST(COALESCE(pw.n1p_w, 0) AS DOUBLE) + 1.0)
+         |              / (CAST(gl.n1pp AS DOUBLE) + CAST(gl.vsize AS DOUBLE))))
+         |        / CAST(cv.c_v AS DOUBLE)
+         |      ELSE (CAST(COALESCE(pw.n1p_w, 0) AS DOUBLE) + 1.0)
+         |           / (CAST(gl.n1pp AS DOUBLE) + CAST(gl.vsize AS DOUBLE))
+         |      END) AS REAL) AS DOUBLE) * 1e6) AS BIGINT) AS kn_key
+         |  FROM bg
+         |  LEFT JOIN cvw USING (v, w)
+         |  LEFT JOIN cv USING (v)
+         |  LEFT JOIN pw USING (w), gl)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(kn_key) AS BIGINT) AS sum_kn_key,
+         |  CAST(SUM(kn_key) AS BIGINT) // COUNT(*) AS mean_kn_key
+         |FROM keys GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // PII scrub over the planted corpus; regexes stay in the Java∩RE2
     // common subset so counts and the redacted hash agree bit-for-bit

@@ -530,6 +530,57 @@ object TextAnalysis {
         expr("sum_surprisal_key div n_toks"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal — the CCNet-style held-out
+    * perplexity filter: the LM trains on the `doc_id % trainMod == trainRem`
+    * slice and scores EVERY doc, so held-out docs exercise the discount /
+    * continuation backoff on unseen bigrams and unseen words (what
+    * distinguishes KN from the raw-frequency [[lmSurprisal]]).
+    *
+    * Model (discount D = 0.75, add-one continuation floor so unseen words
+    * keep positive mass):
+    *   p(w|v) = (max(c(vw)−D, 0) + D·N1+(v·)·pcont(w)) / c(v)   if c(v) > 0
+    *          = pcont(w)                                         otherwise
+    *   pcont(w) = (N1+(·w) + 1) / (N1+(··) + |V|)
+    *
+    * Determinism: every count is exact BIGINT; p evaluates in one fixed
+    * double expression (IEEE ops are engine-identical), −ln(p) goes through
+    * the f32 round-trip micro-unit key (the tf-idf/BM25 discipline) and
+    * only exact i64 keys are summed. Scale: the model relations are
+    * vocab-/bigram-sized groupBys that shuffle-join the scoring stream on
+    * their natural keys; the two scalar totals ride a broadcast. */
+  def knSurprisal(docs: DataFrame, trainMod: Long = 2,
+      trainRem: Long = 0): DataFrame = {
+    val bg = docs.select(col("doc_id"), explode(bigramPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("v"), col("p.w2").as("w"))
+    val isTrain = col("doc_id") % trainMod === trainRem
+    val train = bg.filter(isTrain)
+    val cvw = train.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+    val cv = cvw.groupBy("v")
+      .agg(sum("c_vw").as("c_v"), count(lit(1)).as("n1p_v"))
+    val pw = cvw.groupBy("w").agg(count(lit(1)).as("n1p_w"))
+    val gl = cvw.agg(count(lit(1)).as("n1pp")).crossJoin(
+      docs.filter(isTrain)
+        .select(explode(tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).as("vsize")))
+    val pcont = (coalesce(col("n1p_w"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n1pp").cast("double") + col("vsize").cast("double"))
+    val p = when(col("c_v").isNotNull,
+        (greatest(coalesce(col("c_vw"), lit(0L)).cast("double") - lit(0.75),
+          lit(0.0)) + lit(0.75) * col("n1p_v").cast("double") * pcont) /
+          col("c_v").cast("double"))
+      .otherwise(pcont)
+    bg.join(cvw, Seq("v", "w"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(pw, Seq("w"), "left")
+      .crossJoin(broadcast(gl))
+      .select(col("doc_id"),
+        ((-log(p)).cast("float").cast("double") * lit(1e6)).cast("long")
+          .as("kn_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("kn_key")).as("sum_kn_key"))
+      .withColumn("mean_kn_key", expr("sum_kn_key div n_bigrams"))
+  }
+
   /** Deterministic stratified sampling — per-stratum keep rates in permille
     * (the "downsample crawl dominance, keep all of the curated sliver" op).
     * Keep/drop is decided by the md5 slot of (salt, id) — reproducible
@@ -700,14 +751,19 @@ object TextAnalysis {
     * the aggregation is a plain (w1,w2)-keyed shuffle with map-side
     * partials, so the build scales to any corpus. Returns the `topN`
     * bigrams by count (ties lexicographic) — TakeOrdered, no global sort. */
-  def bigramLm(docs: DataFrame, topN: Int): DataFrame = {
-    require(topN >= 1, s"bigram top-n must be positive, got $topN")
-    val pairs = element_at(transform(array(tokens(col("text"))), ts =>
+  /** Adjacent-token bigram structs per doc as one bound array (the
+    * single-element-array lambda trick — see [[Dedup.shingles]]'s note on
+    * HOF re-evaluation). Docs with < 2 tokens contribute nothing. */
+  private def bigramPairs(text: org.apache.spark.sql.Column) =
+    element_at(transform(array(tokens(text)), ts =>
       when(size(ts) >= 2,
         transform(sequence(lit(1), size(ts) - 1), i =>
           struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
-    val big = docs.select(explode(pairs).as("p"))
+
+  def bigramLm(docs: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1, s"bigram top-n must be positive, got $topN")
+    val big = docs.select(explode(bigramPairs(col("text"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
     val uni = big.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))

@@ -768,6 +768,21 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("md5"), s"probe re-derived signatures:\n$plan")
   }
 
+  test("tx25: KN surprisal — nonnegative keys, held-out half scores higher than train") {
+    val rows = PipelineQueries.queries("tx25_kn_surprisal")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // p ∈ (0,1] always (discounted mass never exceeds 1) → −ln(p) ≥ 0
+    assert(rows.forall(_._3 >= 0L), "negative surprisal key: some p > 1")
+    // the model trained on the even half: held-out odd docs carry unseen
+    // bigrams → strictly higher mean surprisal on average
+    val (train, held) = rows.partition(_._1 % 2 == 0)
+    def meanOf(xs: Seq[(Long, Long, Long, Long)]) =
+      xs.map(_._4.toDouble).sum / xs.size
+    assert(meanOf(held.toSeq) > meanOf(train.toSeq),
+      s"held-out mean ${meanOf(held.toSeq)} not above train ${meanOf(train.toSeq)}")
+  }
+
   test("pl2: composed chain agrees with its standalone stages, no all-pairs fallback") {
     val df = PipelineQueries.queries("pl2_filter_spandedup_shard")(spark, sf0001)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
