@@ -452,4 +452,38 @@ class StreamingSpec extends SparkSpec {
     state.unpersist()
     ()
   }
+
+  test("structured streaming: LSH band index maintained by ingest — streamed near-dup pairs appear") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("lsh-stream-").toString + "/idx"
+    val base = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    graft.dedup.Dedup.writeLshBandIndex(base, path)
+    // before ingest: no pair involves the streamed id range
+    def pairsWith(id: Long): Seq[(Long, Long)] =
+      graft.dedup.Dedup.lshIndexPairs(spark.read.parquet(path))
+        .filter(col("a") === id || col("b") === id)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // stream two docs: an exact copy of doc 42 and a brand-new text; each
+    // batch appends banded signatures under the SAME pure hash family —
+    // the ingest path the dd15 gate pins in batch form
+    val donor = base.filter(col("doc_id") === 42L).head().getString(1)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.dedup.Dedup.appendLshBandIndex(batch, path)
+        ()
+      }
+      .start()
+    mem.addData((9042L, donor))
+    q.processAllAvailable()
+    mem.addData((9043L, "entirely unrelated fresh words nothing shared here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(pairsWith(9042L).contains((42L, 9042L)),
+      "streamed exact copy must pair with its donor through the maintained index")
+    assert(pairsWith(9043L).isEmpty,
+      "unrelated streamed doc must not pair with anything")
+  }
 }
