@@ -429,6 +429,49 @@ object LayoutQueries {
     // est/true are table VALUES passed through untouched (no float
     // arithmetic), so the compare is exact; truth is the gate's
     // verification artifact — production reads only the sample side.
+    // KMV set-operation estimates (Beyer et al. 2007): the union sketch is
+    // the bottom-k merge of the two side sketches, the Jaccard fraction is
+    // counted INSIDE it, and intersection/difference cardinalities follow
+    // by one integer multiply-divide — set arithmetic over 8 KB summaries
+    // instead of a distinct-join of the full key sets. Exact counts ride
+    // along for the basis-point error columns.
+    "ks2_set_ops" -> { (s, d) =>
+      val l = li(s, d)
+      val kmv = Kmv.agg()
+      def sideSketch(flag: String, as: String) =
+        l.filter(col("l_returnflag") === flag)
+          .select(Kmv.hash(col("l_orderkey")).as("h"))
+          .agg(kmv(col("h")).as("sk")).select(col("sk.values").as(as))
+      val exact = l.filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_orderkey").as("k"), col("l_returnflag").as("f"))
+        .distinct()
+        .groupBy("k").agg(count(lit(1)).as("nf"), min("f").as("mf"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("nf") === 2, 1L).otherwise(0L)).as("exact_inter"),
+          sum(when(col("nf") === 1 && col("mf") === "R", 1L).otherwise(0L))
+            .as("exact_onlya"))
+      sideSketch("R", "ska").crossJoin(sideSketch("A", "skb"))
+        .withColumn("sku",
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, Kmv.K))
+        .withColumn("n_u", size(col("sku")).cast("long"))
+        .withColumn("n_both", size(filter(col("sku"), x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+          .cast("long"))
+        .withColumn("n_onlya", size(filter(col("sku"), x =>
+          array_contains(col("ska"), x) && !array_contains(col("skb"), x)))
+          .cast("long"))
+        .withColumn("union_est", Kmv.estimate("sku"))
+        .withColumn("inter_est", expr("n_both * union_est div n_u"))
+        .withColumn("onlya_est", expr("n_onlya * union_est div n_u"))
+        .crossJoin(exact)
+        .select(col("union_est"), col("exact_union"),
+          expr("abs(union_est - exact_union) * 10000 div exact_union").as("union_err_bp"),
+          col("inter_est"), col("exact_inter"),
+          expr("abs(inter_est - exact_inter) * 10000 div exact_inter").as("inter_err_bp"),
+          col("onlya_est"), col("exact_onlya"),
+          expr("abs(onlya_est - exact_onlya) * 10000 div exact_onlya").as("onlya_err_bp"))
+    },
+
     "ks1_sample_quantiles" -> { (s, d) =>
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
       val thr = o.select(Kmv.hash(col("o_orderkey")).as("h"))
@@ -652,6 +695,35 @@ object LayoutQueries {
          |     (WITH sk AS (${Kmv.sketchSql("lineitem", "l_orderkey")}),
          |           s AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM sk)
          |      SELECT ${Kmv.estimateSql()} AS kmv_est FROM s) e""".stripMargin,
+
+    "ks2_set_ops" -> {
+      val k = Kmv.K
+      s"""WITH ha AS (${Kmv.sketchSql("lineitem WHERE l_returnflag = 'R'", "l_orderkey")}),
+         |hb AS (${Kmv.sketchSql("lineitem WHERE l_returnflag = 'A'", "l_orderkey")}),
+         |hu AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb) u
+         |       ORDER BY h LIMIT $k),
+         |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hu) AS sz,
+         |              (SELECT MAX(h) FROM hu) AS hk,
+         |              (SELECT CAST(COUNT(*) AS BIGINT) FROM hu
+         |               WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)) AS n_both,
+         |              (SELECT CAST(COUNT(*) AS BIGINT) FROM hu
+         |               WHERE h IN (SELECT h FROM ha) AND h NOT IN (SELECT h FROM hb)) AS n_onlya),
+         |est AS (SELECT sz AS n_u, n_both, n_onlya, ${Kmv.estimateSql()} AS union_est FROM st),
+         |ex AS (SELECT k, COUNT(*) AS nf, MIN(f) AS mf
+         |       FROM (SELECT DISTINCT l_orderkey AS k, l_returnflag AS f
+         |             FROM lineitem WHERE l_returnflag IN ('R', 'A')) d GROUP BY k),
+         |exs AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         |               CAST(SUM(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+         |               CAST(SUM(CASE WHEN nf = 1 AND mf = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS exact_onlya
+         |        FROM ex)
+         |SELECT e.union_est, x.exact_union,
+         |  abs(e.union_est - x.exact_union) * 10000 // x.exact_union AS union_err_bp,
+         |  e.n_both * e.union_est // e.n_u AS inter_est, x.exact_inter,
+         |  abs(e.n_both * e.union_est // e.n_u - x.exact_inter) * 10000 // x.exact_inter AS inter_err_bp,
+         |  e.n_onlya * e.union_est // e.n_u AS onlya_est, x.exact_onlya,
+         |  abs(e.n_onlya * e.union_est // e.n_u - x.exact_onlya) * 10000 // x.exact_onlya AS onlya_err_bp
+         |FROM est e, exs x""".stripMargin
+    },
 
     "ks1_sample_quantiles" ->
       s"""WITH oh AS (SELECT o_orderkey, o_totalprice,
