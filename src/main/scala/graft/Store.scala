@@ -252,6 +252,27 @@ object Store {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Maintained Bloom word relation: the stable slice's packed words are
+    * written once; the appended batch's words fold in by cell-wise bit_or —
+    * OR-merge is exact, so the fold equals the direct full-corpus build BIT
+    * FOR BIT and never rescans the base (same contract as
+    * [[hllRegsIncr]]/[[kmvIncr]]/[[cmsIncr]]). */
+  def bloomIncr(spark: SparkSession, dir: String, batchMod: Int,
+      batchRem: Int): DataFrame =
+    cached(spark, dir, s"bloom_incr_${batchMod}_$batchRem") { p =>
+      import graft.layout.Sketches
+      val key = col("l_orderkey")
+      val e = Tables.lineitem(spark, dir)
+      val isBatch = key % batchMod === batchRem
+      val basePath = s"$p-base"
+      Sketches.bloomBuild(e.filter(!isBatch), key)
+        .write.mode("overwrite").parquet(basePath)
+      spark.read.parquet(basePath)
+        .unionByName(Sketches.bloomBuild(e.filter(isBatch), key))
+        .groupBy("word_i").agg(expr("bit_or(bits)").as("bits"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** Reverse-reference (backlink) index clustered by its lookup key
     * (predicate_iri, object_iri) — a `references_metadata` probe prunes to
     * one cluster via parquet min/max stats instead of re-grouping the quads

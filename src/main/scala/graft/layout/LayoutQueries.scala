@@ -43,6 +43,13 @@ object LayoutQueries {
   /** ks1 quantile grid (percent). */
   val KsQ = Seq(1, 25, 50, 75, 90, 99)
 
+  /** bf1 member rule: customers with c_custkey % Mod == 0 (at sf0.01 ~500
+    * members → bit load ≈ 0.37 → fp ≈ 3%, a non-degenerate grid). */
+  val BfMemberMod = 3
+
+  /** bf2 runtime-filter dim predicate: suppliers in nations [0, Max). */
+  val BfNationMax = 5
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
 
   /** Shared by zo1/zo2: rows with min-max-normalized 16-bit dimension
@@ -572,10 +579,94 @@ object LayoutQueries {
       perGrp.select(col("grp"), col("n_exact"), col("hll_est"))
         .unionByName(merged.select(col("grp"), col("n_exact"), col("hll_est")))
         .orderBy("grp")
+    },
+
+    // Bloom membership sketch: words built from the member set (one tiny
+    // bit_or aggregation), probed by every customer — never a false
+    // negative (n_pass ≥ n_member per segment, pinned by the exact counts),
+    // false positives measured against ground truth. The per-segment grid
+    // is the bf operating-point report a pipeline reads before trusting the
+    // filter.
+    "bf1_bloom_fp" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val words = Sketches.bloomBuild(
+        cust.filter(col("c_custkey") % BfMemberMod === 0), col("c_custkey"))
+      val probes = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        (col("c_custkey") % BfMemberMod === 0).cast("int").as("is_member"))
+      Sketches.bloomContains(probes, words, Seq("seg", "is_member"))
+        .groupBy("seg").agg(
+          count(lit(1)).as("n_probe"),
+          count(when(col("is_member") === 1, 1)).as("n_member"),
+          count(when(col("bf_pass"), 1)).as("n_pass"),
+          count(when(col("bf_pass") && col("is_member") === 0, 1)).as("n_fp"))
+        .orderBy("seg")
+    },
+
+    // Runtime-filter join pruning (the pattern behind Spark's own
+    // spark.sql.optimizer.runtime.bloomFilter): the selective dim side's
+    // key bloom collapses to a ≤m/32-long literal array, applied as a
+    // codegen'd predicate on the fact scan BEFORE the shuffle join — at
+    // 100 TB the shuffle carries only pass rows (true matches + the fp
+    // tail) instead of the full fact table. Never-false-negative makes the
+    // result EQUAL the plain join, which is exactly what the oracle runs.
+    "bf2_bloom_join" -> { (s, d) =>
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey") < BfNationMax)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val w = Sketches.bloomBuild(dim, col("s_suppkey"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val arr = (0 until Sketches.bloomNWords)
+        .map(i => w.getOrElse(i, 0L)).mkString("array(", "L, ", "L)")
+      li(s, d)
+        .withColumn("h", md5(col("l_suppkey").cast("string")))
+        .filter(expr(Sketches.bloomFilterExpr("h", arr)))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+
+    // Maintained Bloom words: the base slice's word relation is persisted
+    // once; the appended batch's words fold in by cell-wise bit_or
+    // (Store.bloomIncr — the fold never rescans the base) and must equal
+    // the direct full-corpus build BIT FOR BIT, which is what the oracle
+    // computes. The OR-merge rung of the maintained-sketch family
+    // (hll3 max, kmv3 bottom-k, cm2 add).
+    "bf3_bloom_incr" -> { (s, d) =>
+      graft.Store.bloomIncr(s, d, HllIncrMod, HllIncrRem).orderBy("word_i")
     }
   )
 
   val oracles: Map[String, String] = Map(
+
+    "bf1_bloom_fp" ->
+      s"""WITH mem AS (SELECT c_custkey AS k FROM customer
+         |             WHERE c_custkey % $BfMemberMod = 0),
+         |bw AS (${Sketches.bloomBuildSql("mem", "k")}),
+         |probes AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+         |                  CASE WHEN c_custkey % $BfMemberMod = 0
+         |                       THEN 1 ELSE 0 END AS is_member
+         |           FROM customer),
+         |mres AS (${Sketches.bloomContainsSql("probes", "seg, is_member,")})
+         |SELECT seg, COUNT(*) AS n_probe,
+         |       COUNT(*) FILTER (WHERE is_member = 1) AS n_member,
+         |       COUNT(*) FILTER (WHERE bf_pass) AS n_pass,
+         |       COUNT(*) FILTER (WHERE bf_pass AND is_member = 0) AS n_fp
+         |FROM mres GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // the bloom never drops a true match, so pruned join ≡ plain join
+    "bf2_bloom_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_items,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE s_nationkey < $BfNationMax
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // maintained OR-fold ≡ direct build, bit for bit
+    "bf3_bloom_incr" ->
+      s"""WITH bw AS (${Sketches.bloomBuildSql("lineitem", "l_orderkey")})
+         |SELECT word_i, bits FROM bw ORDER BY word_i""".stripMargin,
 
     "zo1_zorder_layout" ->
       s"""WITH $zRowsSql

@@ -220,4 +220,99 @@ object Sketches {
     s"""SELECT $groupSel COUNT(*) AS m_seen,
        |  SUM(CAST(1 AS BIGINT) << ($RMax - rho)) AS s_seen
        |FROM regs $groupBy""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bloom filter (Bloom 1970) — the membership sketch
+  // ------------------------------------------------------------------
+
+  /** Bloom geometry: m bits packed 32 to a BIGINT word (32-bit lanes keep
+    * every mask positive — DuckDB's `<<` guards the BIGINT sign bit, so
+    * 64-bit lanes could not be oracle'd), k probe positions per key. Like
+    * the HLL precision p, m is the caller's sizing knob (bits ≈ 10·n for
+    * ~1% fp); the gates pin the arithmetic at 4096/3 so the bf1
+    * false-positive grid is non-degenerate at sf0.01 (~500 members → ~3%
+    * fp). The sketch is the ≤ m/32-row (word_i, bits) relation:
+    * deterministic (md5-chunk positions, the [[cmsChunkExpr]] derivation
+    * family), mergeable (words OR cell-wise — the distributed-build AND the
+    * incremental-maintenance property), never-false-negative by
+    * construction. At 100 TB this is the runtime-filter sketch: built from
+    * the selective side of a join in one tiny aggregation, shipped as a
+    * literal array, applied as a codegen'd predicate on the fact scan
+    * BEFORE the shuffle (the bf2 gate). */
+  val BloomM = 4096
+  val BloomK = 3
+  val BloomLane = 32
+  def bloomNWords: Int = BloomM / BloomLane
+
+  /** Probe position i ∈ [0,k): bits of the i-th disjoint 8-hex-digit chunk
+    * of ONE md5 per key, mod m (one digest feeds all k probes). */
+  def bloomPosExpr(i: Int, hCol: String): String =
+    s"CAST(conv(substring($hCol, ${1 + i * 8}, 8), 16, 10) AS BIGINT) % $BloomM"
+
+  /** DuckDB text of the same position with `i` as a column reference. */
+  def bloomPosSql(iCol: String, kCol: String): String =
+    s"CAST(('0x' || substr(md5(CAST($kCol AS VARCHAR)), 1 + $iCol * 8, 8)) AS BIGINT) % $BloomM"
+
+  /** Per-key probe positions (k rows per input row); `carry` passes through. */
+  def bloomPositions(df: DataFrame, key: Column,
+      carry: Seq[String] = Nil): DataFrame =
+    df.select(carry.map(col) :+ md5(key.cast("string")).as("h"): _*)
+      .select(carry.map(col) :+ explode(array((0 until BloomK).map(i =>
+        expr(bloomPosExpr(i, "h"))): _*)).as("pos"): _*)
+
+  /** The sketch: packed (word_i, bits) words — ≤ m/32 rows, one map-side
+    * md5+chunk pass, one ≤ m/32-key shuffle with map-side partial bit_or. */
+  def bloomBuild(df: DataFrame, key: Column): DataFrame =
+    bloomPositions(df, key)
+      .groupBy(expr(s"pos div $BloomLane").as("word_i"))
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomLane AS INT)))")
+        .as("bits"))
+
+  /** DuckDB mirror of [[bloomBuild]] as a CTE body over `rel(kCol)`. */
+  def bloomBuildSql(rel: String, kCol: String): String =
+    s"""SELECT pos // $BloomLane AS word_i,
+       |       BIT_OR(CAST(1 AS BIGINT) << CAST(pos % $BloomLane AS INT)) AS bits
+       |FROM (SELECT ${bloomPosSql("i", kCol)} AS pos
+       |      FROM $rel, (SELECT UNNEST(range(0, $BloomK)) AS i))
+       |GROUP BY 1""".stripMargin
+
+  /** Membership: probes (column `k` + carry) gain boolean `bf_pass` — true
+    * iff ALL k probe bits are set. The word relation is sketch-sized so it
+    * broadcasts; a missing word row means no bit of that word is set. */
+  def bloomContains(probes: DataFrame, words: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    bloomPositions(probes, col("k"), "k" +: carry)
+      .withColumn("word_i", expr(s"pos div $BloomLane"))
+      .join(broadcast(words), Seq("word_i"), "left")
+      .withColumn("hit", expr(
+        s"""CAST((coalesce(bits, CAST(0 AS BIGINT)) &
+           | shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomLane AS INT))) <> 0
+           | AS INT)""".stripMargin))
+      .groupBy(("k" +: carry).map(col): _*)
+      .agg((min("hit") === 1).as("bf_pass"))
+
+  /** DuckDB mirror of [[bloomContains]]: SELECT body over `probes(k, …)`
+    * and a words CTE named `bw(word_i, bits)`. */
+  def bloomContainsSql(probesRel: String, carrySel: String): String =
+    s"""SELECT k, $carrySel
+       |       (MIN(CASE WHEN (COALESCE(bw.bits, 0) &
+       |                       (CAST(1 AS BIGINT) << CAST(pos % $BloomLane AS INT))) <> 0
+       |                 THEN 1 ELSE 0 END) = 1) AS bf_pass
+       |FROM (SELECT p.*, ${bloomPosSql("i", "p.k")} AS pos
+       |      FROM $probesRel p, (SELECT UNNEST(range(0, $BloomK)) AS i) ii) px
+       |LEFT JOIN bw ON bw.word_i = px.pos // $BloomLane
+       |GROUP BY ALL""".stripMargin
+
+  /** The k probe tests of one key (md5-hex column `hCol` — ONE digest per
+    * row feeds all k probes) against a words LITERAL ARRAY — the
+    * runtime-filter predicate: narrow, codegen'd, no join, applied on the
+    * fact scan before any shuffle. `wordsArrSql` is a 1-indexed array (slot
+    * w+1 = word w, 0 where absent); a key passes iff every chunk's bit is
+    * set. */
+  def bloomFilterExpr(hCol: String, wordsArrSql: String): String =
+    (0 until BloomK).map { i =>
+      val pos = s"(${bloomPosExpr(i, hCol)})"
+      s"""(element_at($wordsArrSql, CAST($pos div $BloomLane AS INT) + 1) &
+         | shiftleft(CAST(1 AS BIGINT), CAST($pos % $BloomLane AS INT))) <> 0""".stripMargin
+    }.mkString("(", " AND ", ")")
 }

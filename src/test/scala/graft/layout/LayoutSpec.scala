@@ -337,4 +337,82 @@ class LayoutSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 2,
       s"unbalanced: min=${sizes.min} max=${sizes.max}")
   }
+
+  // ---------------------------------------------------------------- bloom
+
+  private def bloomRefPositions(k: Long): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until Sketches.BloomK).map(i =>
+      (java.lang.Long.parseLong(h.substring(i * 8, i * 8 + 8), 16)
+        % Sketches.BloomM).toInt)
+  }
+
+  private def wordsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bloom: packed words match a direct md5-position reference") {
+    val keys = (1L to 1500L).filter(_ % 3 == 0)
+    val ref = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    keys.foreach(k => bloomRefPositions(k).foreach { p =>
+      val w = (p / Sketches.BloomLane).toLong
+      ref(w) = ref(w) | (1L << (p % Sketches.BloomLane))
+    })
+    val got = wordsOf(Sketches.bloomBuild(keys.toDF("k"), col("k")))
+    assert(got == ref.toMap)
+  }
+
+  test("bloom: no false negatives, mergeable by OR, repartition-invariant") {
+    val a = spark.range(1, 2000).select(col("id").as("k"))
+    val b = spark.range(5000, 6000).select(col("id").as("k"))
+    val u = a.unionByName(b)
+    val wU = wordsOf(Sketches.bloomBuild(u, col("k")))
+    val wA = wordsOf(Sketches.bloomBuild(a, col("k")))
+    val wB = wordsOf(Sketches.bloomBuild(b, col("k")))
+    val or = (wA.keySet ++ wB.keySet).map(i =>
+      i -> (wA.getOrElse(i, 0L) | wB.getOrElse(i, 0L))).toMap
+    assert(or == wU, "sketches of disjoint streams merge by cell-wise OR")
+    assert(wordsOf(Sketches.bloomBuild(u.repartition(13), col("k"))) == wU)
+    // membership: every true member passes (never-false-negative)
+    val res = Sketches.bloomContains(a, Sketches.bloomBuild(a, col("k")))
+    assert(res.collect().forall(_.getAs[Boolean]("bf_pass")))
+  }
+
+  test("bloom: bf1 membership grid matches per-key reference decisions") {
+    val members = (1L to 1500L).filter(_ % 3 == 0)
+    val bits = members.flatMap(bloomRefPositions).toSet
+    val words = Sketches.bloomBuild(members.toDF("k"), col("k"))
+    val got = Sketches.bloomContains((1L to 1500L).toDF("k"), words)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("bf_pass")).toMap
+    (1L to 1500L).foreach { k =>
+      val expect = bloomRefPositions(k).forall(bits.contains)
+      assert(got(k) == expect, s"key $k")
+    }
+    // the operating point is non-degenerate: some fp, not all
+    val fp = (1L to 1500L).count(k => k % 3 != 0 && got(k))
+    assert(fp > 0 && fp < 500, s"fp count $fp out of 1000 non-members")
+  }
+
+  test("bf2 at sf0.001: bloom-pruned join equals the plain join; pruning bites") {
+    import graft.Tables
+    val pruned = LayoutQueries.queries("bf2_bloom_join")(spark, sf0001).collect()
+    val dim = Tables.supplier(spark, sf0001)
+      .filter(col("s_nationkey") < LayoutQueries.BfNationMax)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("s_nationkey").collect()
+    assert(pruned.toSeq.map(_.toSeq) == plain.toSeq.map(_.toSeq))
+    // the scan-side predicate really prunes: pass-fraction ≈ dim coverage
+    val w = wordsOf(Sketches.bloomBuild(dim, col("s_suppkey")))
+    val arr = (0 until Sketches.bloomNWords)
+      .map(i => w.getOrElse(i.toLong, 0L)).mkString("array(", "L, ", "L)")
+    val li = Tables.lineitem(spark, sf0001)
+      .withColumn("h", md5(col("l_suppkey").cast("string")))
+    val pass = li.filter(expr(Sketches.bloomFilterExpr("h", arr))).count()
+    assert(pass > 0 && pass * 5 < li.count() * 4,
+      s"bloom should prune the fact scan: pass=$pass")
+  }
 }
