@@ -376,6 +376,30 @@ object CoreQueries {
         .groupBy(col("r_id"), col("lo"), col("hi"))
         .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_key"))
         .orderBy(col("r_id"))
+    },
+
+    // --- skew-salted join (hybrid hot/cold) ------------------------------
+    // The production mitigation for a shuffle join whose key distribution
+    // has heavy hitters: detect hot keys (one map-side-partial count — at
+    // 100 TB the cm1/am1 sketches give the same relation without the exact
+    // pass), then join the hot slice SALTED (fact side gets salt =
+    // l_linenumber % S, dim side replicates each hot row S ways) so one hot
+    // key spreads over S reducers instead of stalling one, and the cold
+    // slice joins normally. The two slices are disjoint, so
+    // union-then-aggregate EQUALS the plain join — which is exactly what
+    // the oracle runs. Both joins are pinned as sort-merge (no broadcast):
+    // salting only matters when neither side broadcasts.
+    "sk1_salted_join" -> { (s, d) =>
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      SkewJoin.hybrid(fact, "l_orderkey", col("l_linenumber"),
+          dim, "o_orderkey",
+          SkewJoin.hotKeysByCount(fact, "l_orderkey", SkHotMin), SkSalts)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -388,6 +412,12 @@ object CoreQueries {
   private val RjWStep  = 96L
   private val RjDomain = 16384L  // probe key domain: o_orderkey % 16384
   private val RjBinBits = 8      // bin width 256
+
+  // sk1 parameters: keys with ≥ HotMin fact rows take the salted path
+  // (lineitem has 1–7 rows per order, so ≥6 marks a real minority slice);
+  // hot fact rows spread over Salts reducers.
+  private val SkHotMin = 6
+  private val SkSalts  = 8
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -595,6 +625,13 @@ object CoreQueries {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // hot/cold slices are disjoint, so the hybrid ≡ the plain join
+    "sk1_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rj1_range_bin" ->
       s"""WITH ranges AS (

@@ -52,4 +52,28 @@ class CoreQueriesSpec extends SparkSpec {
       .select("o_custkey").collect().map(_.getLong(0)).toSet
     assert(res.intersect(open).isEmpty)
   }
+
+  test("skew join: hybrid on a genuinely skewed stream equals the plain join") {
+    import graft.relational.SkewJoin
+    // one pathological key carrying 50k of 55k rows + a uniform tail
+    val hotRows = spark.range(50000).select(lit(7L).as("k"), col("id").as("rid"))
+    val tail = spark.range(5000).select((col("id") % 100 + 100).as("k"),
+      (col("id") + 50000).as("rid"))
+    val fact = hotRows.unionByName(tail)
+    val dim = spark.range(300).select(col("id").as("dk"),
+      concat(lit("v"), col("id")).as("dv"))
+    val hot = SkewJoin.hotKeysByCount(fact, "k", 1000L)
+    assert(hot.collect().map(_.getLong(0)).toSeq == Seq(7L), "only key 7 is hot")
+    val hybrid = SkewJoin.hybrid(fact, "k", col("rid"), dim, "dk", hot, 16)
+      .groupBy("dv").agg(count(lit(1)).as("n"), sum("rid").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("dv").agg(count(lit(1)).as("n"), sum("rid").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(hybrid == plain)
+    // the hot key's rows really spread: every salt bucket is populated
+    val spread = fact.filter(col("k") === 7)
+      .select((col("rid") % 16).as("salt")).distinct().count()
+    assert(spread == 16)
+  }
 }

@@ -276,4 +276,22 @@ class PlanSpec extends SparkSpec {
       s"probe re-derived the index instead of scanning it:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("sk1: both slices sort-merge (no broadcast); the hot join is salt-keyed") {
+    val p = plan("sk1_salted_join")
+    assert("SortMergeJoin".r.findAllMatchIn(p).size >= 2,
+      s"expected two sort-merge joins (hot salted + cold):\n$p")
+    assert(p.contains("salt"), s"salt key missing from the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bf2: bloom predicate filters the fact scan below the join, no extra shuffle") {
+    val p = plan("bf2_bloom_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the literal-array probe runs as a scan-side filter (codegen'd
+    // element_at + shiftleft arithmetic), never behind an exchange
+    assert(p.contains("element_at") && p.contains("shiftleft"),
+      s"bloom filter arithmetic missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
