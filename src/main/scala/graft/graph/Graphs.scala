@@ -92,4 +92,37 @@ object Graphs {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Multi-source BFS hop distance, the reachability/proximity primitive
+    * (crawl-frontier distance from seed domains, citation distance from a
+    * trusted core). Returns (node, d) for every node within `maxDepth`
+    * DIRECTED hops of a seed, d = MINIMUM hop count; unreached nodes are
+    * absent.
+    *
+    * Frontier formulation: each round expands only the nodes discovered in
+    * the previous round (never the whole visited set) and anti-joins the
+    * visited set, so a round costs one frontier⋈edges join plus one
+    * distinct — the Pregel superstep shape. The visited set is re-read
+    * every round: cache per round, release via the entry-point registry; at
+    * real scale `localCheckpoint` every few rounds cuts the growing
+    * anti-join lineage, and edges live bucketed by `src` so every round's
+    * join is shuffle-free on the edge side (same note as [[pageRank]]). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("d", lit(0)).cache()
+    graft.Caches.track(visited)
+    var frontier = visited
+    for (i <- 1 to maxDepth) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("d", lit(i)).cache()
+      graft.Caches.track(next)
+      visited = visited.unionByName(next).cache()
+      graft.Caches.track(visited)
+      frontier = next
+    }
+    visited
+  }
 }

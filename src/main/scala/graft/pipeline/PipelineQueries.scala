@@ -89,6 +89,8 @@ object PipelineQueries {
   private val Gr1Fanout  = 3       // derived link-graph out-degree
   private val Gr1Damping = 0.85    // PageRank damping factor
   private val Gr1Iters   = 3       // PageRank iterations
+  private val Gr3SeedMod = 97      // BFS seeds: doc_id % mod == 0
+  private val Gr3Depth   = 3       // BFS hop budget
   private val Ann9Query  = 13      // materialized-IVF-index probe vector id
   private val Ann10Mod   = 5       // incremental-index batch slice modulus
   private val Ann10Rem   = 2       // ... and remainder
@@ -505,6 +507,21 @@ object PipelineQueries {
         explode(array((1 to Gr1Fanout).map(j =>
           (col("doc_id") * 31 + j) % n): _*)).as("dst"))
       graft.graph.Graphs.triangleCounts(edges).orderBy(col("node"))
+    },
+
+    // multi-source BFS hop distance over the derived link graph: frontier
+    // rounds (only last round's discoveries expand), min-hop by
+    // construction; nodes beyond the hop budget stay absent
+    "gr3_bfs_hops" -> { (s, d) =>
+      graft.Caches.release()
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((1 to Gr1Fanout).map(j =>
+          (col("doc_id") * 31 + j) % n): _*)).as("dst"))
+      val seeds = docs.filter(col("doc_id") % Gr3SeedMod === 0)
+        .select(col("doc_id").as("node"))
+      graft.graph.Graphs.bfsHops(edges, seeds, Gr3Depth).orderBy("node", "d")
     },
 
     // symmetric int8 embedding quantization (integer-exact rounding)
@@ -1825,6 +1842,26 @@ object PipelineQueries {
         |      UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM m GROUP BY node ORDER BY node""".stripMargin,
+
+    // union-min closure per round ≡ frontier BFS: d_k(v) = min hops ≤ k
+    "gr3_bfs_hops" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (
+          |  SELECT node, MIN(d) AS d FROM (
+          |    SELECT node, d FROM $prev
+          |    UNION ALL
+          |    SELECT e.dst AS node, p.d + 1 AS d
+          |    FROM edges e JOIN $prev p ON e.src = p.node)
+          |  GROUP BY node)""".stripMargin
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id*31 + j.j) % nn.n AS dst
+        |  FROM documents CROSS JOIN nn, UNNEST(range(1, ${Gr1Fanout + 1})) AS j(j)),
+        |d0 AS (SELECT doc_id AS node, 0 AS d FROM documents
+        |       WHERE doc_id % $Gr3SeedMod = 0),
+        |${(1 to Gr3Depth).map(i => round(s"d${i - 1}", s"d$i")).mkString(",\n")}
+        |SELECT node, d FROM d$Gr3Depth ORDER BY node, d""".stripMargin
+    },
 
     "ann7_int8_quant" ->
       """WITH vecs AS (

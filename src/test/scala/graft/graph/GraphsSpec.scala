@@ -43,4 +43,28 @@ class GraphsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
       s"triangle counts wrong: $got")
   }
+
+  test("bfs: line graph distances, hop budget cuts, unreachable absent") {
+    graft.Caches.release()
+    // 0→1→2→…→9 plus an isolated island 100→101
+    val edges = ((0L to 8L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("src", "dst")
+    val got = Graphs.bfsHops(edges, Seq(0L).toDF("node"), maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == (0 to 4).map(i => i.toLong -> i).toMap,
+      s"line-graph distances wrong: $got")
+  }
+
+  test("bfs: multi-source takes the minimum; direction respected") {
+    graft.Caches.release()
+    // ring 0→1→2→3→4→0; seeds {0, 3}: node 2 is 2 hops (from 0), not 4
+    val edges = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val got = Graphs.bfsHops(edges, Seq(0L, 3L).toDF("node"), maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 0, 4L -> 1),
+      s"multi-source min wrong: $got")
+    // each node appears exactly once (frontier discovers once)
+    val rows = Graphs.bfsHops(edges, Seq(0L, 3L).toDF("node"), maxDepth = 5)
+    assert(rows.count() == rows.select("node").distinct().count())
+  }
 }
