@@ -50,6 +50,10 @@ object LayoutQueries {
   /** bf2 runtime-filter dim predicate: suppliers in nations [0, Max). */
   val BfNationMax = 5
 
+  /** st3 probe ranges as (pctLo, pctHi) of the key domain — full scan,
+    * wide, bucket-interior, wide-tail, and sub-bucket-narrow. */
+  val St3Ranges = Seq((0, 100), (5, 25), (40, 45), (50, 95), (90, 91))
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
 
   /** Shared by zo1/zo2: rows with min-max-normalized 16-bit dimension
@@ -627,6 +631,44 @@ object LayoutQueries {
         .orderBy("s_nationkey")
     },
 
+    // Equi-width histogram → range-selectivity estimation: the third
+    // planner stat beside st1 (rows/ndv/min-max) and st2 (join
+    // cardinality). The ≤B-row histogram is built with map-side partial
+    // counts (per-partition histograms MERGE BY ADDING, like cm); range
+    // estimates interpolate within buckets in exact integer arithmetic.
+    // The truth side (one broadcast-replicated conditional count) is the
+    // gate's verification artifact — production reads only the estimate.
+    "st3_histogram_sel" -> { (s, d) =>
+      val base = li(s, d).select(col("l_partkey").as("x"))
+      val bounds = base.agg(min("x").as("lo"), max("x").as("hi"))
+        .select(col("lo"), (col("hi") - col("lo") + 1).as("dd"))
+      val hist = base.crossJoin(broadcast(bounds))
+        .groupBy(expr(Sketches.histBucketSql("x", "lo", "dd", "div")).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bk_lo", expr(Sketches.histLoSql("k", "lo", "dd", "div")))
+        .withColumn("bk_hi", expr(Sketches.histHiSql("k", "lo", "dd", "div")))
+      val rdf = s.sql(St3Ranges.zipWithIndex.map { case ((p1, p2), i) =>
+          s"SELECT $i AS r_id, $p1 AS p_lo, $p2 AS p_hi" }
+          .mkString(" UNION ALL "))
+        .crossJoin(broadcast(bounds))
+        .withColumn("a", expr("lo + dd * p_lo div 100"))
+        .withColumn("b", expr("lo + dd * p_hi div 100"))
+        .select("r_id", "a", "b")
+      val est = hist.crossJoin(broadcast(rdf))
+        .groupBy("r_id", "a", "b")
+        .agg(sum(expr(Sketches.histEstTermSql("a", "b", "div"))).as("est_rows"))
+      val truth = base.crossJoin(broadcast(rdf))
+        .filter(col("x").between(col("a"), col("b")))
+        .groupBy("r_id").agg(count(lit(1)).as("true_rows"))
+      est.join(truth, "r_id")
+        .select(col("r_id"), col("a"), col("b"), col("est_rows"),
+          col("true_rows"),
+          expr("abs(est_rows - true_rows) * 10000 div greatest(true_rows, 1)")
+            .as("err_bp"))
+        .orderBy("r_id")
+    },
+
     // Maintained Bloom words: the base slice's word relation is persisted
     // once; the appended batch's words fold in by cell-wise bit_or
     // (Store.bloomIncr — the fold never rescans the base) and must equal
@@ -662,6 +704,33 @@ object LayoutQueries {
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |WHERE s_nationkey < $BfNationMax
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st3_histogram_sel" -> {
+      val vals = St3Ranges.zipWithIndex.map { case ((p1, p2), i) =>
+        s"($i, $p1, $p2)" }.mkString(", ")
+      s"""WITH base AS (SELECT l_partkey AS x FROM lineitem),
+         |bd AS (SELECT MIN(x) AS lo, MAX(x) - MIN(x) + 1 AS dd FROM base),
+         |hist AS (SELECT ${Sketches.histBucketSql("x", "lo", "dd", "//")} AS k,
+         |                COUNT(*) AS cnt
+         |         FROM base, bd GROUP BY 1),
+         |hb AS (SELECT k, cnt,
+         |              ${Sketches.histLoSql("k", "lo", "dd", "//")} AS bk_lo,
+         |              ${Sketches.histHiSql("k", "lo", "dd", "//")} AS bk_hi
+         |       FROM hist, bd),
+         |r AS (SELECT * FROM (VALUES $vals) t(r_id, p_lo, p_hi)),
+         |rr AS (SELECT r_id, lo + dd * p_lo // 100 AS a,
+         |              lo + dd * p_hi // 100 AS b2 FROM r, bd),
+         |est AS (SELECT r_id, a, b2,
+         |               CAST(SUM(${Sketches.histEstTermSql("a", "b2", "//")})
+         |                    AS BIGINT) AS est_rows
+         |        FROM hb, rr GROUP BY 1, 2, 3),
+         |tr AS (SELECT r_id, COUNT(*) AS true_rows
+         |       FROM base, rr WHERE x BETWEEN a AND b2 GROUP BY 1)
+         |SELECT r_id, a, b2 AS b, est_rows, true_rows,
+         |       abs(est_rows - true_rows) * 10000 // GREATEST(true_rows, 1)
+         |         AS err_bp
+         |FROM est JOIN tr USING (r_id) ORDER BY r_id""".stripMargin
+    },
 
     // maintained OR-fold ≡ direct build, bit for bit
     "bf3_bloom_incr" ->

@@ -303,6 +303,38 @@ object Sketches {
        |LEFT JOIN bw ON bw.word_i = px.pos // $BloomLane
        |GROUP BY ALL""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Equi-width histogram → range-selectivity estimation
+  // ------------------------------------------------------------------
+
+  /** Histogram buckets. Like the other sketches the relation is bounded
+    * (≤ B rows), built with map-side partial counts, and MERGES BY ADDING
+    * counts — per-partition histograms fold into the table's. */
+  val HistB = 64
+
+  /** Bucket id for integer value `xSql` in domain [lo, lo+D): engine-exact
+    * integer arithmetic, `div`/`//` spelled per engine via `idiv`. */
+  def histBucketSql(xSql: String, loSql: String, dSql: String,
+      idiv: String): String =
+    s"((($xSql) - ($loSql)) * $HistB $idiv ($dSql))"
+
+  /** Inclusive integer value bounds of bucket `k` (0-based): bucket k
+    * covers offsets [ceil(kD/B), ceil((k+1)D/B) − 1] from lo. */
+  def histLoSql(kSql: String, loSql: String, dSql: String,
+      idiv: String): String =
+    s"(($loSql) + ((($kSql) * ($dSql) + ${HistB - 1}) $idiv $HistB))"
+  def histHiSql(kSql: String, loSql: String, dSql: String,
+      idiv: String): String =
+    s"(($loSql) + (((($kSql) + 1) * ($dSql) + ${HistB - 1}) $idiv $HistB) - 1)"
+
+  /** Estimated rows of [a, b] from one bucket row (cnt, bk_lo, bk_hi):
+    * within-bucket uniformity, exact-integer interpolation — cnt·overlap
+    * div width. The planner's range-predicate estimator. */
+  def histEstTermSql(aSql: String, bSql: String, idiv: String): String =
+    s"""(CASE WHEN LEAST($bSql, bk_hi) < GREATEST($aSql, bk_lo) THEN 0
+       |      ELSE cnt * (LEAST($bSql, bk_hi) - GREATEST($aSql, bk_lo) + 1)
+       |           $idiv (bk_hi - bk_lo + 1) END)""".stripMargin
+
   /** The k probe tests of one key (md5-hex column `hCol` — ONE digest per
     * row feeds all k probes) against a words LITERAL ARRAY — the
     * runtime-filter predicate: narrow, codegen'd, no join, applied on the

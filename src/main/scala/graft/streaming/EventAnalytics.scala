@@ -109,4 +109,27 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Slowly-changing-dimension type-2 history: per key, the `attr` stream
+    * collapses into validity intervals — a new row opens only when the
+    * attribute CHANGES (lag ≠ current, the gaps-and-islands change mark),
+    * `valid_to` is the next change's `valid_from` (exclusive; NULL on the
+    * open row), `is_current` marks exactly one row per key. Consecutive
+    * repeats of the same value collapse into their first interval.
+    *
+    * Two window passes over the SAME (key, time, tie) ordering — Catalyst
+    * reuses one keyed exchange+sort for both, so the whole build is a
+    * single shuffle; the second pass runs on the change rows only. `tie`
+    * must be a per-key-unique column (an event id): timestamp ties would
+    * otherwise make lag/lead nondeterministic across engines. */
+  def scd2History(events: DataFrame, keyCol: String, attrCol: String,
+      tsMicros: Column, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("tus"), col(tieCol))
+    events.withColumn("tus", tsMicros)
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
+      .withColumn("valid_to", lead(col("tus"), 1).over(w))
+      .select(col(keyCol), col(attrCol), col("tus").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -109,6 +109,17 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("day"))
     },
 
+    // SCD type-2 dimension history: the user's event_type stream collapses
+    // to validity intervals (new row only on CHANGE, valid_to = next
+    // change, exactly one open row per user) — the warehouse dimension
+    // build every CDC pipeline ships; one keyed shuffle, both window
+    // passes reuse it
+    "ev17_scd2_history" -> { (s, d) =>
+      EventAnalytics.scd2History(Projector.events(s, d), "user_id",
+          "event_type", expr("ts div 1000"), "event_id")
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
     // weekly cohort retention triangle
     "ev11_retention" -> { (s, d) =>
       EventAnalytics.retention(Projector.events(s, d), "user_id",
@@ -369,6 +380,21 @@ object StreamingQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN ${RollWindowDays - 1} PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin,
+
+    "ev17_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+        |           FROM events),
+        |m AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY tus, event_id) AS prev_attr
+        |      FROM e),
+        |c AS (SELECT * FROM m
+        |      WHERE prev_attr IS NULL OR prev_attr <> event_type)
+        |SELECT user_id, event_type, tus AS valid_from,
+        |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |    AS valid_to,
+        |  (lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |     IS NULL) AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
 
     "ev11_retention" ->
       """SELECT cohort_week, week - cohort_week AS week_offset,

@@ -486,4 +486,32 @@ class StreamingSpec extends SparkSpec {
     assert(pairsWith(9043L).isEmpty,
       "unrelated streamed doc must not pair with anything")
   }
+
+  test("scd2: repeats collapse, intervals abut, exactly one open row per key") {
+    // user 1: A A B A  (the repeat collapses; A reappears as a NEW interval)
+    // user 2: X        (single row, immediately current)
+    val ev = Seq(
+      (1L, 10L, "A", 100L), (1L, 20L, "A", 101L),
+      (1L, 30L, "B", 102L), (1L, 40L, "A", 103L),
+      (2L, 15L, "X", 104L))
+      .toDF("user_id", "tus", "event_type", "event_id")
+    val got = EventAnalytics.scd2History(ev, "user_id", "event_type",
+        col("tus"), "event_id")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "A", 10L, 30L, false),   // repeat at 20 collapsed
+      (1L, "B", 30L, 40L, false),
+      (1L, "A", 40L, -1L, true),    // same value, NEW interval after B
+      (2L, "X", 15L, -1L, true)), s"history wrong: $got")
+    // invariant: per key, valid_to chains exactly onto the next valid_from
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3, s"gap between $a and $b")
+        case _ =>
+      }
+      assert(rows.count(_._5) == 1, "exactly one current row per key")
+    }
+  }
 }
