@@ -122,6 +122,44 @@ object EventAnalytics {
     * single shuffle; the second pass runs on the change rows only. `tie`
     * must be a per-key-unique column (an event id): timestamp ties would
     * otherwise make lag/lead nondeterministic across engines. */
+  final case class AttrEvent(key: Long, tus: Long, attr: String, tie: Long)
+  final case class Scd2Row(key: Long, attr: String, valid_from: Long,
+    valid_to: Long)
+  final case class Scd2State(attr: String, from: Long)
+
+  /** LIVE twin of [[scd2History]]: `flatMapGroupsWithState` keeps the open
+    * interval per key (O(1) state — attr + valid_from) and emits an
+    * interval the moment the attribute CHANGES — exactly the CDC→dimension
+    * maintenance loop, no batch rebuild. Emits CLOSED intervals only; the
+    * open row lives in state (the serving table upserts it from the latest
+    * emitted `valid_to` boundary). Assumes per-key in-time-order arrival
+    * across batches — the projector's clock-skew deferral (ev1) provides
+    * that upstream. */
+  def scd2Stream(ds: org.apache.spark.sql.Dataset[AttrEvent])
+      : org.apache.spark.sql.Dataset[Scd2Row] = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = E.product[Scd2State]
+    implicit val outEnc = E.product[Scd2Row]
+    ds.groupByKey(_.key)(E.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, events: Iterator[AttrEvent], state: GroupState[Scd2State]) => {
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          events.toSeq.sortBy(e => (e.tus, e.tie)).foreach { e =>
+            open match {
+              case Some(s) if s.attr != e.attr =>
+                out += Scd2Row(key, s.attr, s.from, e.tus)
+                open = Some(Scd2State(e.attr, e.tus))
+              case Some(_) => // repeat: interval already open, collapse
+              case None => open = Some(Scd2State(e.attr, e.tus))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+        })
+  }
+
   def scd2History(events: DataFrame, keyCol: String, attrCol: String,
       tsMicros: Column, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("tus"), col(tieCol))

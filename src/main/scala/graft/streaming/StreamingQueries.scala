@@ -120,6 +120,30 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("valid_from"))
     },
 
+    // per-key daily gap-fill with carry-forward: the dense day spine
+    // (sequence over each user's active span) left-joins the sparse daily
+    // totals and the last observed value carries across gaps — the
+    // report-table densification every dashboard pipeline runs. One keyed
+    // shuffle; the spine explode is map-side.
+    "ev18_gapfill" -> { (s, d) =>
+      val daily = Projector.events(s, d)
+        .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .agg(graft.Tables.dsum(col("value")).as("active_value"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d_lo"), max("day").as("d_hi"))
+        .select(col("user_id"),
+          explode(sequence(col("d_lo"), col("d_hi"))).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("day_value",
+          last(col("active_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("day_value"),
+          col("active_value").isNotNull.as("is_active"))
+        .orderBy("user_id", "day")
+    },
+
     // weekly cohort retention triangle
     "ev11_retention" -> { (s, d) =>
       EventAnalytics.retention(Projector.events(s, d), "user_id",
@@ -380,6 +404,25 @@ object StreamingQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN ${RollWindowDays - 1} PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin,
+
+    "ev18_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |      AS active_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(day) AS d_lo, MAX(day) AS d_hi
+        |          FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, UNNEST(generate_series(d_lo, d_hi)) AS day
+        |          FROM spans)
+        |SELECT s.user_id, s.day,
+        |  last_value(d.active_value IGNORE NULLS) OVER
+        |    (PARTITION BY s.user_id ORDER BY s.day ROWS UNBOUNDED PRECEDING)
+        |    AS day_value,
+        |  (d.active_value IS NOT NULL) AS is_active
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     "ev17_scd2_history" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id

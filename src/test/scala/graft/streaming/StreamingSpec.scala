@@ -514,4 +514,38 @@ class StreamingSpec extends SparkSpec {
       assert(rows.count(_._5) == 1, "exactly one current row per key")
     }
   }
+
+  test("structured streaming: live SCD2 emits closed intervals ≡ batch history") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventAnalytics.AttrEvent
+    val all = Seq(
+      AttrEvent(1, 10, "A", 100), AttrEvent(1, 20, "A", 101),   // batch 1
+      AttrEvent(2, 15, "X", 102),
+      AttrEvent(1, 30, "B", 103),                                // batch 2
+      AttrEvent(2, 25, "X", 104),                                //   repeat
+      AttrEvent(1, 40, "A", 105), AttrEvent(2, 35, "Y", 106))    // batch 3
+    val mem = MemoryStream[AttrEvent]
+    val q = EventAnalytics.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    mem.addData(all(0), all(1), all(2)); q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM scd2_out").count() == 0,
+      "no interval may close before an attribute changes")
+    mem.addData(all(3), all(4)); q.processAllAvailable()
+    mem.addData(all(5), all(6)); q.processAllAvailable()
+    q.stop()
+    val live = spark.sql("SELECT * FROM scd2_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch reference over the SAME events: the non-current rows
+    val batch = EventAnalytics.scd2History(
+        all.toDF("user_id", "tus", "event_type", "event_id"),
+        "user_id", "event_type", col("tus"), "event_id")
+      .filter(!col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(live == batch, s"live=$live batch=$batch")
+    assert(live == Set((1L, "A", 10L, 30L), (1L, "B", 30L, 40L),
+      (2L, "X", 15L, 35L)))
+  }
 }
