@@ -133,6 +133,7 @@ object PipelineQueries {
   private val Ann6TopK   = 10      // ADC result size
   private val Ann11Query = 29      // materialized-PQ-index probe vector id
   private val Mm7Frame   = 4       // audio fingerprint frame (samples)
+  private val Mm8K       = 5       // video frame-sample fan-out per clip
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
   private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
@@ -848,6 +849,23 @@ object PipelineQueries {
     // handler, mdat size); container metadata oracle'd in closed form
     "mm4_video_meta" -> { (s, d) =>
       Multimodal.videoMeta(Multimodal.syntheticVideos(s, d)).orderBy(col("doc_id"))
+    },
+
+    // Frame-sample PLANNING over the REAL parsed video metadata (mm4's
+    // ISO-BMFF box walk): per clip, K uniform sample timestamps plus the
+    // proportional mdat byte offset a range-request decode would seek to —
+    // the decode itself stays excluded (no codec in the toolchain), the
+    // Spark-side plumbing (parse → plan → explode fan-out) is real. The
+    // oracle recomputes from the synthetic clips' closed form.
+    "mm8_frame_sample" -> { (s, d) =>
+      Multimodal.videoMeta(Multimodal.syntheticVideos(s, d))
+        .select(col("doc_id"), col("duration_ms"), col("mdat_bytes"),
+          explode(sequence(lit(0L), lit(Mm8K - 1L))).as("sample_idx"))
+        .withColumn("sample_ms", expr(s"duration_ms * sample_idx div $Mm8K"))
+        .withColumn("sample_byte",
+          expr("mdat_bytes * sample_ms div duration_ms"))
+        .select("doc_id", "sample_idx", "sample_ms", "sample_byte")
+        .orderBy("doc_id", "sample_idx")
     },
 
     // REAL resize: decode -> nearest-neighbor resample to 8x6 -> BMP
@@ -2731,6 +2749,15 @@ object PipelineQueries {
         |       CAST(doc_id%64 + 16 AS BIGINT) AS mdat_bytes
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // duration/mdat from the mm4 closed form; sample grid is pure integer
+    "mm8_frame_sample" ->
+      s"""SELECT doc_id, i AS sample_idx,
+         |  (doc_id%9000 + 1000) * i // $Mm8K AS sample_ms,
+         |  (doc_id%64 + 16) * ((doc_id%9000 + 1000) * i // $Mm8K)
+         |    // (doc_id%9000 + 1000) AS sample_byte
+         |FROM documents, (SELECT UNNEST(range(0, $Mm8K)) AS i) ii
+         |ORDER BY doc_id, sample_idx""".stripMargin,
 
     "mm1_media_stats" ->
       """SELECT kind, COUNT(*) AS n, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -285,6 +285,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dpp: dim-side filter dynamically prunes predicate partitions of the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = graft.Store.triplesBucketed(spark, sf0001)
+    val preds = t.select("predicate").distinct().limit(2)
+      .collect().map(_.getString(0))
+    // the dim must be a SOURCED relation with a live Filter node — a local
+    // Seq constant-folds its filter away and the pruning rule sees no
+    // selective predicate
+    val dimPath = java.nio.file.Files.createTempDirectory("dpp-dim").toString
+    preds.zipWithIndex.toSeq.toDF("p", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("grp") === 0)
+    val q = t.join(dim, t("predicate") === dim("p")).groupBy("p").count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition-pruning subquery on the fact scan:\n$p")
+  }
+
   test("bf2: bloom predicate filters the fact scan below the join, no extra shuffle") {
     val p = plan("bf2_bloom_join")
     assert(p.contains("BroadcastHashJoin"), p)
