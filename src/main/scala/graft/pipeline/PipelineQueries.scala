@@ -324,6 +324,28 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rk"))
     },
 
+    // recall@k evaluation harness: the IVF scale path scored against the
+    // exact ground truth, per probe — the monitoring relation every ANN
+    // deployment keeps (speed is worthless without a recall number). The
+    // exact side is the eval artifact: at 100 TB it runs on a probe SAMPLE,
+    // the IVF side is the production plan unchanged.
+    "ann12_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % Ann4Every === 0)
+      val exact = Ann.knnJoin(e, q, k = Ann4K)
+        .select(col("q_id"), col("vec_id"))
+      val ivf = Ann.knnJoinIvf(e, q, k = Ann4K, nCells = 16)
+        .select(col("q_id"), col("vec_id"))
+      val hits = ivf.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("hits"), lit(0L)).as("n_hit"),
+          expr("coalesce(hits, 0) * 10000 div n_exact").as("recall_bp"))
+        .orderBy("q_id")
+    },
+
     "ann2_topk_cosine_lsh" -> { (s, d) =>
       Ann.topKCosineLsh(Tables.embeddings(s, d), queryId = 0, k = 10)
     },
@@ -1479,6 +1501,63 @@ object PipelineQueries {
          |  FROM n c, qs q
          |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
          |WHERE rk <= $Ann4K ORDER BY q_id, rk""".stripMargin,
+
+    // exact chain (ann4's) + IVF chain (ann8's) as CTEs; recall counts the
+    // intersection per probe
+    "ann12_recall" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM nv
+         |       WHERE vec_id % $Ann4Every = 0 AND n2 > 0),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, c.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, c.vec_id) AS rk
+         |  FROM nv c, qs q
+         |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
+         |  WHERE rk <= $Ann4K),
+         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n2, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM nv e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM qs q CROSS JOIN cents c) t
+         |  WHERE rn <= 4),
+         |ap AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, a.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, a.vec_id) AS rk
+         |  FROM assign a
+         |  JOIN qprobe p ON a.cell = p.cell
+         |  JOIN qs q ON q.q_id = p.q_id
+         |  WHERE a.vec_id <> q.q_id AND a.n2 > 0) t
+         |  WHERE rk <= $Ann4K),
+         |hit AS (SELECT ap.q_id, COUNT(*) AS n_hit
+         |        FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+         |        GROUP BY 1),
+         |exn AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+         |SELECT exn.q_id, n_exact,
+         |       COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |       COALESCE(n_hit, 0) * 10000 // n_exact AS recall_bp
+         |FROM exn LEFT JOIN hit ON exn.q_id = hit.q_id
+         |ORDER BY exn.q_id""".stripMargin,
 
     "ann8_knn_join_ivf" ->
       s"""WITH vecs AS (
