@@ -134,6 +134,9 @@ object PipelineQueries {
   private val Ann11Query = 29      // materialized-PQ-index probe vector id
   private val Mm7Frame   = 4       // audio fingerprint frame (samples)
   private val Mm8K       = 5       // video frame-sample fan-out per clip
+  private val RlEvery    = 19      // every 19th part gets a corrupted twin
+  private val RlMaxDist  = 2       // linkage edit-distance ceiling
+  private val RlBlock    = 3       // blocking-key length (prefix + suffix)
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
   private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
@@ -871,6 +874,39 @@ object PipelineQueries {
     // handler, mdat size); container metadata oracle'd in closed form
     "mm4_video_meta" -> { (s, d) =>
       Multimodal.videoMeta(Multimodal.syntheticVideos(s, d)).orderBy(col("doc_id"))
+    },
+
+    // Fuzzy record linkage (entity resolution): dirty records (planted
+    // single-char deletions of part names — deterministic corruption at
+    // position key % length) link back to the catalog via BLOCKED edit
+    // distance — the union of prefix-3 and suffix-3 blocking keys covers
+    // every single-deletion corruption of a ≥7-char name (a deletion spares
+    // the prefix OR the suffix; fails-both needs len < 2·block+1), then the
+    // levenshtein verify runs on block-mates only — never the all-pairs
+    // product (the string analog of the LSH→verify ladder). Best match =
+    // (min distance, min key), deterministic in both engines.
+    "rl1_fuzzy_linkage" -> { (s, d) =>
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val posE = s"CAST(p_partkey % length(p_name) AS INT)"
+      val dirty = parts.filter(col("p_partkey") % RlEvery === 0)
+        .select(col("p_partkey").as("d_id"),
+          expr(s"concat(substring(p_name, 1, $posE), substring(p_name, $posE + 2))")
+            .as("d_name"))
+      def blocked(df: DataFrame, nameCol: String) =
+        df.withColumn("bk", explode(array(
+          substring(col(nameCol), 1, RlBlock),
+          substring(col(nameCol), -RlBlock, RlBlock))))
+      val cand = blocked(dirty, "d_name")
+        .join(blocked(parts, "p_name"), "bk")
+        .dropDuplicates("d_id", "p_partkey")
+        .withColumn("dist",
+          levenshtein(col("d_name"), col("p_name")).cast("long"))
+        .filter(col("dist") <= RlMaxDist)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d_id")).orderBy(col("dist"), col("p_partkey"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("d_id"), col("p_partkey").as("match_id"), col("dist"))
+        .orderBy("d_id")
     },
 
     // Frame-sample PLANNING over the REAL parsed video metadata (mm4's
@@ -2828,6 +2864,30 @@ object PipelineQueries {
         |       CAST(doc_id%64 + 16 AS BIGINT) AS mdat_bytes
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "rl1_fuzzy_linkage" -> {
+      val pos = "CAST(p_partkey % length(p_name) AS INT)"
+      s"""WITH parts AS (SELECT p_partkey, p_name FROM part),
+         |dirty AS (SELECT p_partkey AS d_id,
+         |    substr(p_name, 1, $pos) || substr(p_name, $pos + 2) AS d_name
+         |  FROM part WHERE p_partkey % $RlEvery = 0),
+         |db AS (SELECT d_id, d_name, UNNEST([substr(d_name, 1, $RlBlock),
+         |                                    substr(d_name, -$RlBlock, $RlBlock)]) AS bk
+         |       FROM dirty),
+         |pb AS (SELECT p_partkey, p_name, UNNEST([substr(p_name, 1, $RlBlock),
+         |                                         substr(p_name, -$RlBlock, $RlBlock)]) AS bk
+         |       FROM parts),
+         |cand AS (SELECT DISTINCT d_id, d_name, p_partkey, p_name
+         |         FROM db JOIN pb USING (bk)),
+         |scored AS (SELECT d_id, p_partkey,
+         |                  levenshtein(d_name, p_name) AS dist
+         |           FROM cand WHERE levenshtein(d_name, p_name) <= $RlMaxDist)
+         |SELECT d_id, p_partkey AS match_id, dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY d_id
+         |                               ORDER BY dist, p_partkey) AS rk
+         |  FROM scored) t
+         |WHERE rk = 1 ORDER BY d_id""".stripMargin
+    },
 
     // duration/mdat from the mm4 closed form; sample grid is pure integer
     "mm8_frame_sample" ->

@@ -1333,4 +1333,20 @@ class PipelineSpec extends SparkSpec {
     assert(probe.getLong(3) == expect,
       s"doc ${probe.getLong(0)}: score ${probe.getLong(3)} != $expect")
   }
+
+  test("rl1: every planted corruption links within one edit; join is blocked") {
+    val df = PipelineQueries.queries("rl1_fuzzy_linkage")(spark, sf0001)
+    val rows = df.collect()
+    // RlEvery = 19 (gate param): one dirty record per 19th part
+    val dirtyN = graft.Tables.part(spark, sf0001)
+      .filter(col("p_partkey") % 19 === 0).count()
+    assert(rows.length == dirtyN,
+      s"full recall: ${rows.length} of $dirtyN dirty records linked")
+    assert(rows.forall(_.getLong(2) <= 1),
+      "a single deletion is always recoverable within one edit")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"linkage must stay a blocked equi-join:\n$plan")
+  }
 }
