@@ -252,6 +252,35 @@ object Store {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Maintained equi-width histogram: bucket counts ADD under merge, so
+    * the appended batch's ≤B-row histogram folds cell-wise onto the
+    * persisted base — under bounds FROZEN from the base slice (the ann10
+    * frozen-codebook contract: the bucket function must not move when data
+    * arrives, so out-of-range batch values clamp to the edge buckets).
+    * Never rescans the base rows; ≡ a direct clamped build, which is what
+    * the st4 oracle computes. */
+  def histIncr(spark: SparkSession, dir: String, batchMod: Int,
+      batchRem: Int): DataFrame =
+    cached(spark, dir, s"hist_incr_${batchMod}_$batchRem") { p =>
+      import graft.layout.Sketches
+      val e = Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("x"), col("l_orderkey"))
+      val isBatch = col("l_orderkey") % batchMod === batchRem
+      val basePath = s"$p-base"
+      val bounds = e.filter(!isBatch)
+        .agg(min("x").as("lo"), max("x").as("hi"))
+        .select(col("lo"), (col("hi") - col("lo") + 1).as("dd"))
+      def histOf(df: DataFrame) = df.crossJoin(broadcast(bounds))
+        .groupBy(expr(Sketches.histBucketClampedSql("x", "lo", "dd", "div"))
+          .as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      histOf(e.filter(!isBatch)).write.mode("overwrite").parquet(basePath)
+      spark.read.parquet(basePath)
+        .unionByName(histOf(e.filter(isBatch)))
+        .groupBy("k").agg(sum("cnt").as("cnt"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** Maintained Bloom word relation: the stable slice's packed words are
     * written once; the appended batch's words fold in by cell-wise bit_or —
     * OR-merge is exact, so the fold equals the direct full-corpus build BIT

@@ -125,4 +125,30 @@ object Graphs {
     }
     visited
   }
+
+  /** Bounded-hop weighted shortest paths — Bellman–Ford rounds over an
+    * edge list (src, dst, w). After `rounds` rounds, d(v) = the minimum
+    * total weight over paths of ≤ `rounds` edges from any seed (nodes
+    * beyond that horizon are absent) — the weighted generalization of
+    * [[bfsHops]] and the standard dataflow SSSP: each round is one
+    * dist⋈edges relax join plus one min-aggregation, the two shuffles a
+    * Pregel superstep pays. Negative weights are fine (the hop bound
+    * replaces the no-negative-cycle requirement); same scale notes as
+    * [[pageRank]] — bucketed edges make the relax join shuffle-free,
+    * `localCheckpoint` every few rounds cuts lineage. */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("d", lit(0L)).cache()
+    graft.Caches.track(dist)
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min("d").as("d")).cache()
+      graft.Caches.track(dist)
+    }
+    dist
+  }
 }

@@ -669,6 +669,14 @@ object LayoutQueries {
         .orderBy("r_id")
     },
 
+    // Maintained histogram: base-slice bucket counts + cell-wise-added
+    // batch counts under FROZEN base-slice bounds (Store.histIncr — the
+    // fold never rescans the base) ≡ the direct clamped build the oracle
+    // computes. The add-merge rung for st3's planner stat.
+    "st4_histogram_incr" -> { (s, d) =>
+      graft.Store.histIncr(s, d, HllIncrMod, HllIncrRem).orderBy("k")
+    },
+
     // Maintained Bloom words: the base slice's word relation is persisted
     // once; the appended batch's words fold in by cell-wise bit_or
     // (Store.bloomIncr — the fold never rescans the base) and must equal
@@ -731,6 +739,15 @@ object LayoutQueries {
          |         AS err_bp
          |FROM est JOIN tr USING (r_id) ORDER BY r_id""".stripMargin
     },
+
+    // maintained add-fold ≡ direct clamped build under frozen base bounds
+    "st4_histogram_incr" ->
+      s"""WITH e AS (SELECT l_partkey AS x, l_orderkey FROM lineitem),
+         |bd AS (SELECT MIN(x) AS lo, MAX(x) - MIN(x) + 1 AS dd FROM e
+         |       WHERE NOT (l_orderkey % $HllIncrMod = $HllIncrRem))
+         |SELECT ${Sketches.histBucketClampedSql("x", "lo", "dd", "//")} AS k,
+         |       COUNT(*) AS cnt
+         |FROM e, bd GROUP BY 1 ORDER BY k""".stripMargin,
 
     // maintained OR-fold ≡ direct build, bit for bit
     "bf3_bloom_incr" ->

@@ -327,6 +327,12 @@ object Sketches {
       idiv: String): String =
     s"(($loSql) + (((($kSql) + 1) * ($dSql) + ${HistB - 1}) $idiv $HistB) - 1)"
 
+  /** Bucket id under FROZEN bounds (the maintained-histogram path): values
+    * outside the frozen [lo, lo+D) domain clamp to the edge buckets. */
+  def histBucketClampedSql(xSql: String, loSql: String, dSql: String,
+      idiv: String): String =
+    s"LEAST(${HistB - 1}, GREATEST(0, ${histBucketSql(xSql, loSql, dSql, idiv)}))"
+
   /** Estimated rows of [a, b] from one bucket row (cnt, bk_lo, bk_hi):
     * within-bucket uniformity, exact-integer interpolation — cnt·overlap
     * div width. The planner's range-predicate estimator. */

@@ -91,6 +91,7 @@ object PipelineQueries {
   private val Gr1Iters   = 3       // PageRank iterations
   private val Gr3SeedMod = 97      // BFS seeds: doc_id % mod == 0
   private val Gr3Depth   = 3       // BFS hop budget
+  private val Gr4Rounds  = 3       // Bellman-Ford relax rounds
   private val Ann9Query  = 13      // materialized-IVF-index probe vector id
   private val Ann10Mod   = 5       // incremental-index batch slice modulus
   private val Ann10Rem   = 2       // ... and remainder
@@ -137,6 +138,25 @@ object PipelineQueries {
   private val RlEvery    = 19      // every 19th part gets a corrupted twin
   private val RlMaxDist  = 2       // linkage edit-distance ceiling
   private val RlBlock    = 3       // blocking-key length (prefix + suffix)
+  // cs1 snapshot-version slices: docs %11==3 exist only in NEW (added),
+  // %17==2 only in OLD (removed), %13==5 have OLD text truncated (changed)
+  private val CsAdd = (11, 3); private val CsRm = (17, 2)
+  private val CsChg = (13, 5)
+
+  /** dd16: signature budget R = r·b and the (rows, bands) candidates. */
+  private val LshBudget = 64
+  private val LshRGrid  = Seq(1, 2, 4, 8, 16, 32)
+
+  /** x^e as an explicit square-and-multiply chain — multiplication is
+    * correctly-rounded IEEE in both engines, `pow()` is libm and is NOT;
+    * the chain text is identical Spark/DuckDB SQL. */
+  private def powChain(base: String, e: Int): String =
+    if (e == 1) base
+    else {
+      val h = powChain(base, e / 2)
+      val sq = s"($h * $h)"
+      if (e % 2 == 1) s"($sq * $base)" else sq
+    }
   private val Tx13K      = 30      // vocab heavy-hitter count
   private val Tx16TopN   = 50      // bigram-LM report size
   private val Tx18Merges = 256     // BPE merges learned (vocab-scale training, round-5)
@@ -550,6 +570,22 @@ object PipelineQueries {
       graft.graph.Graphs.bfsHops(edges, seeds, Gr3Depth).orderBy("node", "d")
     },
 
+    // bounded-hop weighted shortest paths (Bellman-Ford rounds) over the
+    // derived link graph with deterministic integer weights
+    "gr4_shortest_paths" -> { (s, d) =>
+      graft.Caches.release()
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array((1 to Gr1Fanout).map(j =>
+          (col("doc_id") * 31 + j) % n): _*)).as("dst"))
+        .withColumn("w", expr("(src + dst) % 7 + 1"))
+      val seeds = docs.filter(col("doc_id") % Gr3SeedMod === 0)
+        .select(col("doc_id").as("node"))
+      graft.graph.Graphs.shortestPaths(edges, seeds, Gr4Rounds)
+        .orderBy("node", "d")
+    },
+
     // symmetric int8 embedding quantization (integer-exact rounding)
     "ann7_int8_quant" -> { (s, d) =>
       Ann.int8Quantize(Tables.embeddings(s, d)).orderBy(col("vec_id"))
@@ -874,6 +910,52 @@ object PipelineQueries {
     // handler, mdat size); container metadata oracle'd in closed form
     "mm4_video_meta" -> { (s, d) =>
       Multimodal.videoMeta(Multimodal.syntheticVideos(s, d)).orderBy(col("doc_id"))
+    },
+
+    // LSH parameter planner: the S-curve detection probability
+    // p = 1 − (1 − j^r)^b for every (rows, bands) split of the signature
+    // budget R = r·b, over a Jaccard grid — the relation an operator reads
+    // BEFORE committing a band shape (dd2/dd6/dd15 run at one point of
+    // this surface). Engine-exact: j^r and (1−j^r)^b are explicit
+    // square-and-multiply chains (correctly-rounded IEEE multiplies — no
+    // libm pow), identical SQL text in both engines.
+    "dd16_lsh_tune" -> { (s, d) =>
+      LshRGrid.map { r =>
+        val b = LshBudget / r
+        s.sql(
+          s"""SELECT $r AS r, $b AS b, j_pct,
+             |  CAST(CAST(1.0 - ${powChain("(1.0 - jr)", b)} AS FLOAT) AS DOUBLE)
+             |    AS p_detect
+             |FROM (SELECT j_pct, ${powChain("j", r)} AS jr
+             |      FROM (SELECT j_pct, CAST(j_pct AS DOUBLE) / 100 AS j
+             |            FROM (SELECT explode(sequence(5, 95, 5)) AS j_pct)))""".stripMargin)
+      }.reduce(_ unionByName _).orderBy("r", "j_pct")
+    },
+
+    // Snapshot diff — the dataset-versioning primitive (what a lakehouse
+    // CDC feed emits between two table versions): full outer join on the
+    // key, content compared by hash, each row classified
+    // added/removed/changed/unchanged. One keyed join; the hash is
+    // computed map-side so the shuffle never carries document bodies.
+    "cs1_snapshot_diff" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldV = docs.filter(col("doc_id") % CsAdd._1 =!= CsAdd._2)
+        .select(col("doc_id"),
+          when(col("doc_id") % CsChg._1 === CsChg._2,
+            expr("substring(text, 1, CAST(length(text) div 2 AS INT))"))
+            .otherwise(col("text")).as("text"))
+      val newV = docs.filter(col("doc_id") % CsRm._1 =!= CsRm._2)
+        .select(col("doc_id"), col("text"))
+      oldV.select(col("doc_id"), md5(col("text")).as("h_old"))
+        .join(newV.select(col("doc_id"), md5(col("text")).as("h_new")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
     },
 
     // Fuzzy record linkage (entity resolution): dirty records (planted
@@ -1976,6 +2058,28 @@ object PipelineQueries {
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM m GROUP BY node ORDER BY node""".stripMargin,
 
+    // weighted union-min relax per round: d_k(v) = min path weight ≤ k hops
+    "gr4_shortest_paths" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (
+          |  SELECT node, MIN(d) AS d FROM (
+          |    SELECT node, d FROM $prev
+          |    UNION ALL
+          |    SELECT e.dst AS node, p.d + e.w AS d
+          |    FROM edges e JOIN $prev p ON e.src = p.node)
+          |  GROUP BY node)""".stripMargin
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT src, dst, (src + dst) % 7 + 1 AS w FROM (
+        |    SELECT doc_id AS src, (doc_id*31 + j.j) % nn.n AS dst
+        |    FROM documents CROSS JOIN nn,
+        |         UNNEST(range(1, ${Gr1Fanout + 1})) AS j(j))),
+        |d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS d FROM documents
+        |       WHERE doc_id % $Gr3SeedMod = 0),
+        |${(1 to Gr4Rounds).map(i => round(s"d${i - 1}", s"d$i")).mkString(",\n")}
+        |SELECT node, d FROM d$Gr4Rounds ORDER BY node, d""".stripMargin
+    },
+
     // union-min closure per round ≡ frontier BFS: d_k(v) = min hops ≤ k
     "gr3_bfs_hops" -> {
       def round(prev: String, out: String) =
@@ -2864,6 +2968,38 @@ object PipelineQueries {
         |       CAST(doc_id%64 + 16 AS BIGINT) AS mdat_bytes
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "dd16_lsh_tune" ->
+      LshRGrid.map { r =>
+        val b = LshBudget / r
+        s"""SELECT $r AS r, $b AS b, j_pct,
+           |  CAST(CAST(1.0 - ${powChain("(1.0 - jr)", b)} AS FLOAT) AS DOUBLE)
+           |    AS p_detect
+           |FROM (SELECT j_pct, ${powChain("j", r)} AS jr
+           |      FROM (SELECT CAST(j_pct AS INT) AS j_pct,
+           |                   CAST(j_pct AS DOUBLE) / 100 AS j
+           |            FROM (SELECT UNNEST(range(5, 100, 5)) AS j_pct) g) jj) kk""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY r, j_pct"),
+
+    "cs1_snapshot_diff" ->
+      s"""WITH oldv AS (
+         |  SELECT doc_id, CASE WHEN doc_id % ${CsChg._1} = ${CsChg._2}
+         |                      THEN substr(text, 1, length(text) // 2)
+         |                      ELSE text END AS text
+         |  FROM documents WHERE doc_id % ${CsAdd._1} <> ${CsAdd._2}),
+         |newv AS (SELECT doc_id, text FROM documents
+         |         WHERE doc_id % ${CsRm._1} <> ${CsRm._2}),
+         |j AS (SELECT doc_id, o.h AS h_old, nv.h AS h_new
+         |      FROM (SELECT doc_id, md5(text) AS h FROM oldv) o
+         |      FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM newv) nv
+         |        USING (doc_id))
+         |SELECT status, COUNT(*) AS n_docs FROM (
+         |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+         |              WHEN h_new IS NULL THEN 'removed'
+         |              WHEN h_old <> h_new THEN 'changed'
+         |              ELSE 'unchanged' END AS status
+         |  FROM j) t
+         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "rl1_fuzzy_linkage" -> {
       val pos = "CAST(p_partkey % length(p_name) AS INT)"

@@ -67,4 +67,17 @@ class GraphsSpec extends SparkSpec {
     val rows = Graphs.bfsHops(edges, Seq(0L, 3L).toDF("node"), maxDepth = 5)
     assert(rows.count() == rows.select("node").distinct().count())
   }
+
+  test("shortest paths: cheaper two-hop beats direct edge; hop bound respects horizon") {
+    graft.Caches.release()
+    // 0→1 (5), 1→2 (1), 0→2 (7): best path to 2 is 6 via 1, needs 2 rounds
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 7L))
+      .toDF("src", "dst", "w")
+    def run(r: Int) = Graphs.shortestPaths(edges, Seq(0L).toDF("node"), r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) == Map(0L -> 0L, 1L -> 5L, 2L -> 7L),
+      "one round sees only the direct edge")
+    assert(run(2) == Map(0L -> 0L, 1L -> 5L, 2L -> 6L),
+      "two rounds relax through the cheaper two-hop path")
+  }
 }
