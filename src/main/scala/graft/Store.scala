@@ -98,6 +98,28 @@ object Store {
     * so the bucketing metadata lives in the session catalog. */
   private val bucketedNames = new ConcurrentHashMap[String, String]()
 
+  /** A relational table bucketed (and sorted) by a join key — the SMB
+    * (sort-merge-bucket) layout: two tables bucketed the same way join
+    * with ZERO exchanges and no sort, which at 100 TB removes the entire
+    * fact-fact shuffle (the dominant cost of an orders⋈lineitem-shaped
+    * join). Registered via saveAsTable so the bucketing metadata lives in
+    * the session catalog. */
+  def bucketedRel(spark: SparkSession, dir: String, table: String,
+      key: String, buckets: Int = 16): DataFrame = {
+    val k = s"${System.identityHashCode(spark)}:$dir:$table:$key:$buckets"
+    val name = bucketedNames.computeIfAbsent(k, { _ =>
+      val n = s"graft_rel_${table}_${bucketedNames.size()}_${Integer.toHexString(k.hashCode & 0x7fffffff)}"
+      val path = root.resolve(s"bucketed-$n").toString
+      Tables.read(spark, dir, table)
+        .write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", path)
+        .saveAsTable(n)
+      n
+    })
+    spark.table(name)
+  }
+
   def triplesBucketed(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
     // exact (session, dir, buckets) key → table name: a dir-hash-derived
     // name alone would silently serve the wrong dataset on a hash

@@ -48,6 +48,23 @@ object SourceQueries {
         .groupBy(col("predicate"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("predicate"))
+    },
+
+    // JSONL corpus round-trip — the interchange format every training
+    // corpus ships as: write the documents table as JSON Lines, read it
+    // back under an EXPLICIT schema (never inference — nondeterministic
+    // sampling at scale), and the relation must be identical, which is
+    // what the oracle (the original table) checks. Pins the writer's
+    // escaping and the reader's decode end-to-end.
+    "jl3_jsonl_roundtrip" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-jsonl-${Integer.toHexString((d + ":jl3").hashCode & 0x7fffffff)}"
+      ).toString
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path).orderBy("doc_id")
     }
   )
 
@@ -58,6 +75,11 @@ object SourceQueries {
         |  ('file1.bin', false, CAST(4096 AS BIGINT), '12-Mar-2024 10:20'),
         |  ('subdir',    true,  CAST(NULL AS BIGINT), '12-Mar-2024 10:15')
         |) t(name, is_dir, size, modified) ORDER BY name""".stripMargin,
+
+    // round-trip identity: the reimported relation IS the source table
+    "jl3_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // identical to jl1: the roundtrip must preserve every triple
     "jl2_export_roundtrip" ->

@@ -55,6 +55,21 @@ class ScaleSpec extends SparkSpec {
       s"bucketed self-join still shuffles:\n$plan")
   }
 
+  test("SMB layout: bucketed orders ⋈ lineitem joins with zero exchanges") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val o = Store.bucketedRel(spark, sf0001, "orders", "o_orderkey")
+      .select("o_orderkey", "o_orderpriority")
+    val l = Store.bucketedRel(spark, sf0001, "lineitem", "l_orderkey")
+      .select("l_orderkey", "l_quantity")
+    val j = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    assert(j.count() > 0)
+    // both sides share the bucketing, so the fact-fact join — the dominant
+    // shuffle of this query shape at scale — needs NO exchange at all
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed fact-fact join still shuffles:\n$plan")
+  }
+
   test("fixpoint caches release across queries: persistent-RDD set does not grow") {
     // or1 always barriers the orphan set (and may cache closure rounds);
     // each query entry drains the previous query's registrations, so the
