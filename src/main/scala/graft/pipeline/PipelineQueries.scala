@@ -974,20 +974,29 @@ object PipelineQueries {
         .select(col("p_partkey").as("d_id"),
           expr(s"concat(substring(p_name, 1, $posE), substring(p_name, $posE + 2))")
             .as("d_name"))
+      // the expensive compare runs on DISTINCT names — both sides are
+      // VOCABULARY-bounded, so the levenshtein block join is independent
+      // of corpus size (the sf0.1 probe caught the row-level formulation
+      // at Σ bucket-products ∝ n²); row-level answers come back via two
+      // broadcast name joins, and name-level best + min-key-per-name
+      // equals the row-level argmin (dist, p_partkey) exactly
       def blocked(df: DataFrame, nameCol: String) =
         df.withColumn("bk", explode(array(
           substring(col(nameCol), 1, RlBlock),
           substring(col(nameCol), -RlBlock, RlBlock))))
-      val cand = blocked(dirty, "d_name")
-        .join(blocked(parts, "p_name"), "bk")
-        .dropDuplicates("d_id", "p_partkey")
+      val scored = blocked(dirty.select("d_name").distinct(), "d_name")
+        .join(blocked(parts.select("p_name").distinct(), "p_name"), "bk")
+        .dropDuplicates("d_name", "p_name")
         .withColumn("dist",
           levenshtein(col("d_name"), col("p_name")).cast("long"))
         .filter(col("dist") <= RlMaxDist)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("d_id")).orderBy(col("dist"), col("p_partkey"))
-      cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("d_id"), col("p_partkey").as("match_id"), col("dist"))
+      val best = scored.groupBy("d_name").agg(min("dist").as("dist"))
+      val chosen = scored.join(best, Seq("d_name", "dist"))
+        .join(parts.groupBy("p_name").agg(min("p_partkey").as("pk_min")),
+          "p_name")
+        .groupBy("d_name", "dist").agg(min("pk_min").as("match_id"))
+      dirty.join(broadcast(chosen), "d_name")
+        .select(col("d_id"), col("match_id"), col("dist"))
         .orderBy("d_id")
     },
 
