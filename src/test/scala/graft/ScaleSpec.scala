@@ -70,6 +70,36 @@ class ScaleSpec extends SparkSpec {
       s"bucketed fact-fact join still shuffles:\n$plan")
   }
 
+  test("streaming dedup with BOUNDED state: in-horizon dups drop, expired keys re-emit") {
+    // dropDuplicatesWithinWatermark — the TTL'd analog of ev2's
+    // applied-ids dedup: state is evicted once the watermark passes, so
+    // memory is O(window), not O(history). The contract trade: a key
+    // re-delivered AFTER its horizon re-emits (at-least-once beyond the
+    // window) — which is exactly what this pins, because at 100 TB the
+    // unbounded-set variant is the one that falls over.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    mem.addData((1L, t(100)), (1L, t(101)), (2L, t(100)))
+    q.processAllAvailable()
+    mem.addData((3L, t(200)))   // watermark -> 190, id 1's state expires
+    q.processAllAvailable()
+    mem.addData((1L, t(201)))   // beyond the horizon: re-emits
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT id FROM dedup_ttl").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got.count(_ == 1L) == 2,
+      s"one emit per horizon for id 1, got $got")
+    assert(got.count(_ == 2L) == 1 && got.count(_ == 3L) == 1, s"$got")
+  }
+
   test("fixpoint caches release across queries: persistent-RDD set does not grow") {
     // or1 always barriers the orphan set (and may cache closure rounds);
     // each query entry drains the previous query's registrations, so the

@@ -57,8 +57,27 @@ def doc_transform(t, rep):
     return t.set_column(i, t.schema.field(i), pa.array(new, type=pa.string()))
 
 
+def emb_transform(t, rep):
+    # same not-a-near-duplicate contract as documents: flip each replica's
+    # vectors by a deterministic per-(rep, dim) sign pattern. Within-replica
+    # geometry is EXACTLY preserved (cosine is invariant when both vectors
+    # wear the same pattern), but cross-replica vectors decorrelate — a
+    # verbatim replica would make every vector a 10-way exact duplicate and
+    # quadratically explode every bucket-blocked dedup gate (measured: dd7
+    # 9.9 s -> 35 s at sf1 from replica pile-up alone).
+    i = t.schema.get_field_index('embedding')
+    col = t.column('embedding').to_pylist()
+    dim = max((len(v) for v in col if v is not None), default=0)
+    signs = [1.0 if ((rep * 1315423911 + d * 2654435761) >> 7) & 1 == 0
+             else -1.0 for d in range(dim)]
+    new = [None if v is None else [x * signs[j] for j, x in enumerate(v)]
+           for v in col]
+    return t.set_column(i, t.schema.field(i),
+                        pa.array(new, type=t.schema.field(i).type))
+
+
 replicate('documents', ['doc_id'], doc_transform)
-replicate('embeddings', ['vec_id'])
+replicate('embeddings', ['vec_id'], emb_transform)
 replicate('events', ['event_id', 'user_id'])
 replicate('lineitem', ['l_orderkey', 'l_partkey', 'l_suppkey'])
 replicate('orders', ['o_orderkey', 'o_custkey'])
