@@ -92,6 +92,7 @@ object PipelineQueries {
   private val Gr3SeedMod = 97      // BFS seeds: doc_id % mod == 0
   private val Gr3Depth   = 3       // BFS hop budget
   private val Gr4Rounds  = 3       // Bellman-Ford relax rounds
+  private val Ann12MaxId = 500L    // fixed recall probe-id ceiling
   private val Ann9Query  = 13      // materialized-IVF-index probe vector id
   private val Ann10Mod   = 5       // incremental-index batch slice modulus
   private val Ann10Rem   = 2       // ... and remainder
@@ -354,7 +355,12 @@ object PipelineQueries {
     // the IVF side is the production plan unchanged.
     "ann12_recall" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") % Ann4Every === 0)
+      // FIXED probe set (ids below the sf0.01 corpus size): the exact
+      // ground-truth side is then probes×corpus = LINEAR in corpus size —
+      // a probe set growing with the corpus made the harness quadratic
+      // (186 s at the 100× probe; 1.9 s fixed)
+      val q = e.filter(col("vec_id") % Ann4Every === 0 &&
+        col("vec_id") < Ann12MaxId)
       val exact = Ann.knnJoin(e, q, k = Ann4K)
         .select(col("q_id"), col("vec_id"))
       val ivf = Ann.knnJoinIvf(e, q, k = Ann4K, nCells = 16)
@@ -1640,7 +1646,8 @@ object PipelineQueries {
          |  SELECT vec_id, v,
          |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
          |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM nv
-         |       WHERE vec_id % $Ann4Every = 0 AND n2 > 0),
+         |       WHERE vec_id % $Ann4Every = 0 AND vec_id < $Ann12MaxId
+         |         AND n2 > 0),
          |ex AS (SELECT q_id, vec_id FROM (
          |  SELECT q.q_id, c.vec_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
