@@ -340,6 +340,35 @@ object LayoutQueries {
         .orderBy("bin_id")
     },
 
+    // Compaction EXECUTION (cp1 is the plan, this is the rewrite): the
+    // file→bin map broadcasts onto the row scan, one repartition(bin_id) +
+    // partitionBy(bin_id) write IS the compaction — each bin lands as one
+    // file written by one task. The gate reads the compacted table back
+    // and reconciles per-bin files/rows against the plan (the cp1 oracle
+    // aggregate), so the physical rewrite provably preserved the data.
+    "cp2_compaction_apply" -> { (s, d) =>
+      val rows = Tables.orders(s, d).withColumn("file_week",
+        expr(s"unix_millis(cast(o_orderdate as timestamp)) div $WeekMs"))
+      val files = rows.groupBy("file_week").agg(count(lit(1)).as("size_rows"))
+      val w = Window.orderBy(col("size_rows").desc, col("file_week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val plan = files.withColumn("cum", sum("size_rows").over(w))
+        .withColumn("bin_id", expr(s"(cum - size_rows) div $CpTarget"))
+        .select("file_week", "bin_id")
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-compact-${Integer.toHexString((d + ":cp2").hashCode & 0x7fffffff)}"
+      ).toString
+      rows.join(broadcast(plan), "file_week")
+        .repartition(col("bin_id"))
+        .write.mode("overwrite").partitionBy("bin_id").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("bin_id").cast("long").as("bin_id"))
+        .agg(countDistinct("file_week").as("n_files"),
+          count(lit(1)).as("bin_rows"))
+        .orderBy("bin_id")
+    },
+
     // Range-partition planning: exact split points + per-range balance from
     // a key histogram. The gate pins the exact-histogram contract; at full
     // scale the identical boundary relation is fed from a sample (Spark
@@ -712,6 +741,21 @@ object LayoutQueries {
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |WHERE s_nationkey < $BfNationMax
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the rewrite preserved the plan's per-bin shape exactly
+    "cp2_compaction_apply" ->
+      s"""WITH files AS (
+         |  SELECT epoch_ms(o_orderdate) // $WeekMs AS file_week,
+         |         COUNT(*) AS size_rows
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT *, SUM(size_rows) OVER (
+         |        ORDER BY size_rows DESC, file_week
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM files)
+         |SELECT (cum - size_rows) // $CpTarget AS bin_id,
+         |       COUNT(*) AS n_files,
+         |       CAST(SUM(size_rows) AS BIGINT) AS bin_rows
+         |FROM b GROUP BY 1 ORDER BY bin_id""".stripMargin,
 
     "st3_histogram_sel" -> {
       val vals = St3Ranges.zipWithIndex.map { case ((p1, p2), i) =>

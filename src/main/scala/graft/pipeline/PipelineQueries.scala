@@ -637,6 +637,34 @@ object PipelineQueries {
       TextAnalysis.lmSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
+    // CCNet-style perplexity bucketing: docs split into terciles of the
+    // tx9 surprisal score (head/middle/tail), head+middle kept — the
+    // decision layer ON TOP of the perplexity filter. Terciles come from a
+    // cumsum over the SCORE histogram (distinct scores, not docs — the rp1
+    // formula; ties share a bucket deterministically); at 100 TB the
+    // thresholds come from the ks1 sample-quantile sketch instead, with
+    // the bucket-map join unchanged.
+    "qf4_ccnet_buckets" -> { (s, d) =>
+      val scored = TextAnalysis.lmSurprisal(Tables.documents(s, d))
+      val hist = scored.groupBy("mean_surprisal_key")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = scored.agg(count(lit(1)).as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("mean_surprisal_key")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val buckets = hist.crossJoin(broadcast(tot))
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("bucket", expr("((cum - cnt) * 3) div n_total"))
+        .select("mean_surprisal_key", "bucket")
+      scored.join(buckets, "mean_surprisal_key")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"),
+          min("mean_surprisal_key").as("lo_key"),
+          max("mean_surprisal_key").as("hi_key"))
+        .withColumn("keep", col("bucket") <= 1)
+        .orderBy("bucket")
+    },
+
     // Kneser–Ney bigram surprisal with a HELD-OUT model: trained on the
     // even-doc half, scoring everything — held-out docs hit the discount/
     // continuation backoff paths (unseen bigrams and words) that the
@@ -2260,6 +2288,35 @@ object PipelineQueries {
          |  CAST(SUM(surp_key) AS BIGINT) AS sum_surprisal_key,
          |  CAST(SUM(surp_key) AS BIGINT) // COUNT(*) AS mean_surprisal_key
          |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // terciles over the tx9 score distribution via the rp1 cumsum formula
+    "qf4_ccnet_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                                    t -> t <> '')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+         |keyed AS (
+         |  SELECT t.doc_id,
+         |    CAST(trunc(ln(CAST(tot.n AS DOUBLE) / CAST(v.cnt AS DOUBLE)) * 1e6) AS BIGINT) AS surp_key
+         |  FROM toks t JOIN vocab v USING (tok), tot),
+         |scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_toks,
+         |    CAST(SUM(surp_key) AS BIGINT) // COUNT(*) AS mk
+         |  FROM keyed GROUP BY doc_id),
+         |h AS (SELECT mk, COUNT(*) AS cnt FROM scored GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n_total FROM scored),
+         |bk AS (SELECT mk, ((cum - cnt) * 3) // n_total AS bucket
+         |       FROM (SELECT mk, cnt, SUM(cnt) OVER (ORDER BY mk
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |             FROM h) c, nt)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+         |       MIN(mk) AS lo_key, MAX(mk) AS hi_key,
+         |       bucket <= 1 AS keep
+         |FROM scored JOIN bk USING (mk)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // Kneser–Ney: exact BIGINT model counts, ONE fixed double expression
     // for p (IEEE-identical across engines), f32-round-tripped −ln key in

@@ -278,15 +278,22 @@ object CoreQueries {
       val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
-      val others = l.select(col("l_orderkey").as("x_orderkey"),
-        col("l_suppkey").as("x_suppkey"))
-      val lateOthers = late.select(col("l_orderkey").as("y_orderkey"),
-        col("l_suppkey").as("y_suppkey"))
+      // decorrelated: EXISTS(other supplier, same order) ⇔ the order has
+      // ≥2 distinct suppliers; NOT EXISTS(other LATE supplier) ⇔ exactly 1
+      // distinct late supplier (l1 itself is late, so it is that one).
+      // Two per-order distinct-aggregates + orderkey joins replace the
+      // semi + anti SELF-joins — the shuffle carries distinct
+      // (order, supplier) pairs instead of full lineitem twice (the sf10
+      // probe measured the self-join form at 2× the cost)
+      val nSupp = l.groupBy(col("l_orderkey").as("a_orderkey"))
+        .agg(countDistinct("l_suppkey").as("n_supp"))
+      val nLate = late.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(countDistinct("l_suppkey").as("n_late"))
       late
-        .join(others, col("l_orderkey") === col("x_orderkey") &&
-          col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-        .join(lateOthers, col("l_orderkey") === col("y_orderkey") &&
-          col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+        .join(nSupp, col("l_orderkey") === col("a_orderkey"))
+        .filter(col("n_supp") >= 2)
+        .join(nLate, col("l_orderkey") === col("b_orderkey"))
+        .filter(col("n_late") === 1)
         .join(broadcast(Tables.supplier(s, d)),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
