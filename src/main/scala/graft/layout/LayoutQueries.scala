@@ -698,6 +698,36 @@ object LayoutQueries {
         .orderBy("r_id")
     },
 
+    // Rolling-window distinct via sketch reuse: ONE per-day register build
+    // fans out to every trailing 7-day window by register MERGE (max ρ) —
+    // the property that makes HLL the only way to answer "distinct users
+    // per rolling window" at scale (exact distincts cannot subtract, so
+    // the exact form recounts every window — which is precisely the
+    // verification artifact here, never the production path). p=1 (m=16)
+    // fits the sf0.01 window cardinality (~150 ≥ 2.5·m); hll1 pins the
+    // accuracy contract in the tuned-p regime, this gate pins WINDOW
+    // reuse.
+    "hll4_rolling_distinct" -> { (s, d) =>
+      val pp = 1
+      val ev = Tables.events(s, d)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      val days = ev.select("day").distinct()
+      val regs = Sketches.registers(ev, col("user_id"), Seq("day"), pp)
+      val fan = explode(array((0 until 7).map(k => col("day") + lit(k)): _*))
+      val win = regs.withColumn("out_day", fan)
+        .join(days.select(col("day").as("out_day")), Seq("out_day"))
+        .groupBy("out_day", "bucket").agg(max("rho").as("rho"))
+      val est = Sketches.estimate(win, Seq("out_day"), pp)
+      val truth = ev.distinct()
+        .withColumn("out_day", fan)
+        .join(days.select(col("day").as("out_day")), Seq("out_day"))
+        .groupBy("out_day").agg(countDistinct("user_id").as("n_exact"))
+      est.join(truth, "out_day")
+        .select(col("out_day").as("day"), col("n_exact"), col("hll_est"),
+          expr("abs(hll_est - n_exact) * 10000 div n_exact").as("err_bp"))
+        .orderBy("day")
+    },
+
     // Maintained histogram: base-slice bucket counts + cell-wise-added
     // batch counts under FROZEN base-slice bounds (Store.histIncr — the
     // fold never rescans the base) ≡ the direct clamped build the oracle
@@ -782,6 +812,33 @@ object LayoutQueries {
          |       abs(est_rows - true_rows) * 10000 // GREATEST(true_rows, 1)
          |         AS err_bp
          |FROM est JOIN tr USING (r_id) ORDER BY r_id""".stripMargin
+    },
+
+    // same register fan-out in SQL: registers range-join the day spine
+    "hll4_rolling_distinct" -> {
+      val pp = 1
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+         |            FROM events),
+         |dsp AS (SELECT DISTINCT day FROM ev),
+         |regs AS (SELECT day, bucket, MAX(rho) AS rho
+         |         FROM (${Sketches.rhoPairsSql("ev", "user_id", Seq("day"), pp)})
+         |         GROUP BY 1, 2),
+         |win AS (SELECT dsp.day AS out_day, bucket, MAX(rho) AS rho
+         |        FROM regs r JOIN dsp ON dsp.day BETWEEN r.day AND r.day + 6
+         |        GROUP BY 1, 2),
+         |s AS (SELECT out_day, COUNT(*) AS m_seen,
+         |        SUM(CAST(1 AS BIGINT) << (${Sketches.RMax} - rho)) AS s_seen
+         |      FROM win GROUP BY 1),
+         |est AS (SELECT out_day, ${Sketches.estimateSql(pp)} AS hll_est FROM s),
+         |tru AS (SELECT dsp.day AS out_day,
+         |          COUNT(DISTINCT user_id) AS n_exact
+         |        FROM (SELECT DISTINCT day, user_id FROM ev) u
+         |        JOIN dsp ON dsp.day BETWEEN u.day AND u.day + 6
+         |        GROUP BY 1)
+         |SELECT est.out_day AS day, n_exact, hll_est,
+         |       abs(hll_est - n_exact) * 10000 // n_exact AS err_bp
+         |FROM est JOIN tru ON est.out_day = tru.out_day
+         |ORDER BY day""".stripMargin
     },
 
     // maintained add-fold ≡ direct clamped build under frozen base bounds
