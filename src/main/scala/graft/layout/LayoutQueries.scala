@@ -54,6 +54,11 @@ object LayoutQueries {
     * wide, bucket-interior, wide-tail, and sub-bucket-narrow. */
   val St3Ranges = Seq((0, 100), (5, 25), (40, 45), (50, 95), (90, 91))
 
+  /** st5 column pairs probed for correlation / functional dependency. */
+  val St5Pairs = Seq(("l_orderkey", "l_linenumber"),
+    ("l_orderkey", "l_partkey"), ("l_partkey", "l_suppkey"),
+    ("l_returnflag", "l_linestatus"), ("l_quantity", "l_tax"))
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
 
   /** Shared by zo1/zo2: rows with min-max-normalized 16-bit dimension
@@ -698,6 +703,27 @@ object LayoutQueries {
         .orderBy("r_id")
     },
 
+    // Column correlation / soft functional dependency — the planner stat
+    // behind multi-predicate selectivity (independence assumption breaks
+    // exactly when ndv(a,b) ≪ ndv(a)·ndv(b)) and behind groupBy-cardinality
+    // estimates. Five narrow two-column scans; per pair: the three NDVs,
+    // the correlation ratio in basis points of the independent case, and
+    // the a→b functional-dependency verdict (ndv(a,b) = ndv(a)). At
+    // 100 TB the NDVs swap to the hll/kmv sketches, same relation shape.
+    "st5_column_corr" -> { (s, d) =>
+      St5Pairs.map { case (a, b) =>
+        li(s, d).agg(
+          countDistinct(col(a)).as("ndv_a"),
+          countDistinct(col(b)).as("ndv_b"),
+          countDistinct(col(a), col(b)).as("ndv_ab"))
+          .select(lit(s"$a,$b").as("pair"), col("ndv_a"), col("ndv_b"),
+            col("ndv_ab"),
+            expr("ndv_ab * 10000 div least(ndv_a * ndv_b, 9000000000000000000)")
+              .as("corr_bp"),
+            (col("ndv_ab") === col("ndv_a")).as("fd_a_to_b"))
+      }.reduce(_ unionByName _).orderBy("pair")
+    },
+
     // Rolling-window distinct via sketch reuse: ONE per-day register build
     // fans out to every trailing 7-day window by register MERGE (max ρ) —
     // the property that makes HLL the only way to answer "distinct users
@@ -813,6 +839,18 @@ object LayoutQueries {
          |         AS err_bp
          |FROM est JOIN tr USING (r_id) ORDER BY r_id""".stripMargin
     },
+
+    "st5_column_corr" ->
+      St5Pairs.map { case (a, b) =>
+        s"""SELECT '$a,$b' AS pair,
+           |  COUNT(DISTINCT $a) AS ndv_a, COUNT(DISTINCT $b) AS ndv_b,
+           |  COUNT(DISTINCT ($a, $b)) AS ndv_ab,
+           |  COUNT(DISTINCT ($a, $b)) * 10000
+           |    // LEAST(COUNT(DISTINCT $a) * COUNT(DISTINCT $b),
+           |             9000000000000000000) AS corr_bp,
+           |  COUNT(DISTINCT ($a, $b)) = COUNT(DISTINCT $a) AS fd_a_to_b
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY pair"),
 
     // same register fan-out in SQL: registers range-join the day spine
     "hll4_rolling_distinct" -> {
