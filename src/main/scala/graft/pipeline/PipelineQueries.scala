@@ -148,6 +148,31 @@ object PipelineQueries {
   private val LshBudget = 64
   private val LshRGrid  = Seq(1, 2, 4, 8, 16, 32)
 
+  /** Score → CCNet tercile map (shared by qf4 and pl3): cumsum over the
+    * SCORE histogram (distinct scores, not docs — the rp1 formula; ties
+    * share a bucket deterministically). */
+  private def ccnetBucketMap(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("mean_surprisal_key").agg(count(lit(1)).as("cnt"))
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("mean_surprisal_key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("bucket", expr("((cum - cnt) * 3) div n_total"))
+      .select("mean_surprisal_key", "bucket")
+  }
+
+  /** DuckDB twin of [[ccnetBucketMap]]: CTE bodies h/nt/bk over a scored
+    * CTE exposing column `mk`. */
+  private def ccnetBucketSql(scoredCte: String): String =
+    s"""h AS (SELECT mk, COUNT(*) AS cnt FROM $scoredCte GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS n_total FROM $scoredCte),
+       |bk AS (SELECT mk, ((cum - cnt) * 3) // n_total AS bucket
+       |       FROM (SELECT mk, cnt, SUM(cnt) OVER (ORDER BY mk
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |             FROM h) c, nt)""".stripMargin
+
   /** x^e as an explicit square-and-multiply chain — multiplication is
     * correctly-rounded IEEE in both engines, `pow()` is libm and is NOT;
     * the chain text is identical Spark/DuckDB SQL. */
@@ -637,6 +662,28 @@ object PipelineQueries {
       TextAnalysis.lmSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
+    // Composed curation chain v3 — rules, then perplexity, then split:
+    // Gopher rule gate → self-trained surprisal over the SURVIVORS (the
+    // LM never sees dropped docs, the production order) → CCNet tercile
+    // keep (head+middle) → deterministic split → per-split corpus totals.
+    // Every stage reuses arithmetic its standalone gate hash-matches
+    // (tx20, tx9/qf4, tx5).
+    "pl3_rules_ppl_split" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = TextAnalysis.gopherRules(docs, Tx20Stop,
+        Tx20MinWords, Tx20MaxWords).filter(col("keep")).select("doc_id")
+      val survivors = docs.join(keep, "doc_id")
+      val scored = TextAnalysis.lmSurprisal(survivors)
+      val kept = scored.join(ccnetBucketMap(scored), "mean_surprisal_key")
+        .filter(col("bucket") <= 1)
+        .select("doc_id", "n_toks")
+      TextAnalysis.deterministicSplit(kept, "doc_id", SplitSalt,
+          SplitValPm, SplitTestPm)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        .orderBy("split")
+    },
+
     // CCNet-style perplexity bucketing: docs split into terciles of the
     // tx9 surprisal score (head/middle/tail), head+middle kept — the
     // decision layer ON TOP of the perplexity filter. Terciles come from a
@@ -646,17 +693,7 @@ object PipelineQueries {
     // the bucket-map join unchanged.
     "qf4_ccnet_buckets" -> { (s, d) =>
       val scored = TextAnalysis.lmSurprisal(Tables.documents(s, d))
-      val hist = scored.groupBy("mean_surprisal_key")
-        .agg(count(lit(1)).as("cnt"))
-      val tot = scored.agg(count(lit(1)).as("n_total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("mean_surprisal_key")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val buckets = hist.crossJoin(broadcast(tot))
-        .withColumn("cum", sum("cnt").over(w))
-        .withColumn("bucket", expr("((cum - cnt) * 3) div n_total"))
-        .select("mean_surprisal_key", "bucket")
-      scored.join(buckets, "mean_surprisal_key")
+      scored.join(ccnetBucketMap(scored), "mean_surprisal_key")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"),
           min("mean_surprisal_key").as("lo_key"),
@@ -2289,6 +2326,54 @@ object PipelineQueries {
          |  CAST(SUM(surp_key) AS BIGINT) // COUNT(*) AS mean_surprisal_key
          |FROM keyed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // rules → survivor-trained surprisal → terciles → split, all from the
+    // standalone gates' pinned arithmetic
+    "pl3_rules_ppl_split" ->
+      s"""WITH t0 AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                t -> t <> '') AS ts
+         |  FROM documents),
+         |rstats AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0) AS BIGINT) AS sumlen,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS symbols,
+         |    CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS aw,
+         |    CAST(len(list_intersect(list_distinct(ts),
+         |      [${Tx20Stop.map(w => s"'$w'").mkString(",")}])) AS BIGINT) AS sd
+         |  FROM t0),
+         |surv AS (
+         |  SELECT t0.doc_id, ts FROM t0 JOIN rstats USING (doc_id)
+         |  WHERE (n >= $Tx20MinWords AND n <= $Tx20MaxWords)
+         |    AND (sumlen >= 3*n AND sumlen <= 10*n AND n > 0)
+         |    AND (10*symbols <= n) AND (5*aw >= 4*n AND n > 0)
+         |    AND (sd >= 2)),
+         |toks AS (SELECT doc_id, UNNEST(ts) AS tok FROM surv),
+         |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+         |keyed AS (
+         |  SELECT t.doc_id,
+         |    CAST(trunc(ln(CAST(tot.n AS DOUBLE) / CAST(v.cnt AS DOUBLE)) * 1e6) AS BIGINT) AS surp_key
+         |  FROM toks t JOIN vocab v USING (tok), tot),
+         |scored AS (
+         |  SELECT doc_id, COUNT(*) AS n_toks,
+         |    CAST(SUM(surp_key) AS BIGINT) // COUNT(*) AS mk
+         |  FROM keyed GROUP BY doc_id),
+         |${ccnetBucketSql("scored")},
+         |kept AS (SELECT doc_id, n_toks FROM scored JOIN bk USING (mk)
+         |         WHERE bucket <= 1),
+         |spl AS (
+         |  SELECT n_toks,
+         |    CASE WHEN slot < $SplitValPm THEN 'val'
+         |         WHEN slot < ${SplitValPm + SplitTestPm} THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT n_toks,
+         |          CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot
+         |        FROM kept) t)
+         |SELECT split, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |FROM spl GROUP BY 1 ORDER BY split""".stripMargin,
+
     // terciles over the tx9 score distribution via the rp1 cumsum formula
     "qf4_ccnet_buckets" ->
       s"""WITH toks AS (
@@ -2305,12 +2390,7 @@ object PipelineQueries {
          |  SELECT doc_id, COUNT(*) AS n_toks,
          |    CAST(SUM(surp_key) AS BIGINT) // COUNT(*) AS mk
          |  FROM keyed GROUP BY doc_id),
-         |h AS (SELECT mk, COUNT(*) AS cnt FROM scored GROUP BY 1),
-         |nt AS (SELECT COUNT(*) AS n_total FROM scored),
-         |bk AS (SELECT mk, ((cum - cnt) * 3) // n_total AS bucket
-         |       FROM (SELECT mk, cnt, SUM(cnt) OVER (ORDER BY mk
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |             FROM h) c, nt)
+         |${ccnetBucketSql("scored")}
          |SELECT bucket, COUNT(*) AS n_docs,
          |       CAST(SUM(n_toks) AS BIGINT) AS n_toks,
          |       MIN(mk) AS lo_key, MAX(mk) AS hi_key,
