@@ -703,6 +703,48 @@ object LayoutQueries {
         .orderBy("r_id")
     },
 
+    // Rolling-window quantile via sketch reuse — the quantile twin of
+    // hll4: per-day KMV bottom-k sketches (of the unique event_id) merge
+    // into every trailing 7-day window (bottom-k of a union of bottom-ks
+    // IS the union's bottom-k), the merged threshold h_k selects a
+    // deterministic uniform sample of the window's rows, and the sample
+    // median estimates the window median. Exact per-window medians (the
+    // 7×-amplified recount) are the verification artifact only. Values
+    // pass through untouched — the compare is exact.
+    "ks4_rolling_quantile" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        expr("ts div 86400000000000").as("day"), col("event_id"), col("value"))
+      val days = ev.select("day").distinct()
+      val fan = explode(array((0 until 7).map(k => col("day") + lit(k)): _*))
+      val kmv = Kmv.agg()
+      val skD = ev.select(col("day"), Kmv.hash(col("event_id")).as("h"))
+        .groupBy("day").agg(kmv(col("h")).as("sk"))
+        .select(col("day"), col("sk.values").as("sk"))
+      val thr = skD.withColumn("out_day", fan)
+        .join(days.select(col("day").as("out_day")), Seq("out_day"))
+        .select(col("out_day"), explode(col("sk")).as("h"))
+        .groupBy("out_day").agg(kmv(col("h")).as("sk"))
+        .select(col("out_day"), element_at(col("sk.values"), -1).as("hk"))
+      val fanned = ev.withColumn("out_day", fan)
+        .join(days.select(col("day").as("out_day")), Seq("out_day"))
+        .withColumn("h", Kmv.hash(col("event_id")))
+      val sample = fanned.join(broadcast(thr), Seq("out_day"))
+        .filter(col("h") <= col("hk"))
+      def medianOf(df: DataFrame,
+          ord: Seq[org.apache.spark.sql.Column], out: String) = {
+        val w = Window.partitionBy(col("out_day")).orderBy(ord: _*)
+        df.withColumn("rn", row_number().over(w))
+          .join(df.groupBy("out_day").agg(count(lit(1)).as("cnt")), "out_day")
+          .filter(col("rn") === expr("(cnt - 1) div 2 + 1"))
+          .select(col("out_day"), col("value").as(out))
+      }
+      medianOf(sample, Seq(col("value"), col("h")), "est_median")
+        .join(medianOf(fanned, Seq(col("value"), col("event_id")),
+          "true_median"), "out_day")
+        .select(col("out_day").as("day"), col("est_median"), col("true_median"))
+        .orderBy("day")
+    },
+
     // Column correlation / soft functional dependency — the planner stat
     // behind multi-predicate selectivity (independence assumption breaks
     // exactly when ndv(a,b) ≪ ndv(a)·ndv(b)) and behind groupBy-cardinality
@@ -839,6 +881,43 @@ object LayoutQueries {
          |         AS err_bp
          |FROM est JOIN tr USING (r_id) ORDER BY r_id""".stripMargin
     },
+
+    // the merge property (kmv2) makes per-day-sketch fan-out ≡ a direct
+    // bottom-k over each window's distinct hashes — which is what SQL runs
+    "ks4_rolling_quantile" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_id,
+         |                   value
+         |            FROM events),
+         |dsp AS (SELECT DISTINCT day FROM ev),
+         |fanned AS (
+         |  SELECT dsp.day AS out_day, ev.event_id, ev.value,
+         |         ${Kmv.hashSql("ev.event_id")} AS h
+         |  FROM ev JOIN dsp ON dsp.day BETWEEN ev.day AND ev.day + 6),
+         |bk AS (SELECT out_day, h FROM (
+         |         SELECT out_day, h,
+         |                ROW_NUMBER() OVER (PARTITION BY out_day ORDER BY h) AS rn
+         |         FROM (SELECT DISTINCT out_day, h FROM fanned) dd) r
+         |       WHERE rn <= ${Kmv.K}),
+         |thr AS (SELECT out_day, MAX(h) AS hk FROM bk GROUP BY 1),
+         |samp AS (SELECT f.out_day, f.value, f.h
+         |         FROM fanned f JOIN thr USING (out_day) WHERE f.h <= thr.hk),
+         |med_s AS (SELECT out_day, value AS est_median FROM (
+         |            SELECT out_day, value,
+         |              ROW_NUMBER() OVER (PARTITION BY out_day
+         |                                 ORDER BY value, h) AS rn,
+         |              COUNT(*) OVER (PARTITION BY out_day) AS cnt
+         |            FROM samp) m
+         |          WHERE rn = (cnt - 1) // 2 + 1),
+         |med_t AS (SELECT out_day, value AS true_median FROM (
+         |            SELECT out_day, value,
+         |              ROW_NUMBER() OVER (PARTITION BY out_day
+         |                                 ORDER BY value, event_id) AS rn,
+         |              COUNT(*) OVER (PARTITION BY out_day) AS cnt
+         |            FROM fanned) m
+         |          WHERE rn = (cnt - 1) // 2 + 1)
+         |SELECT med_s.out_day AS day, est_median, true_median
+         |FROM med_s JOIN med_t USING (out_day)
+         |ORDER BY day""".stripMargin,
 
     "st5_column_corr" ->
       St5Pairs.map { case (a, b) =>
