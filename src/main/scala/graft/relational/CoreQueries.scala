@@ -385,6 +385,27 @@ object CoreQueries {
         .orderBy(col("r_id"))
     },
 
+    // --- returned-item revenue report (TPC-H Q10 shape) ------------------
+    // 4-table join: customer × orders (one quarter) × R-flagged lineitem ×
+    // broadcast nation; revenue per customer, top 20 — the classic
+    // "who returned the most" report: dims broadcast, the fact join rides
+    // the orderkey, top-k is TakeOrdered (never a global sort)
+    "q26_returned_revenue" -> { (s, d) =>
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(psum(revenue).as("rev"), count(lit(1)).as("n_items"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // --- skew-salted join (hybrid hot/cold) ------------------------------
     // The production mitigation for a shuffle join whose key distribution
     // has heavy hitters: detect hot keys (one map-side-partial count — at
@@ -632,6 +653,19 @@ object CoreQueries {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q26_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS rev,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
 
     // hot/cold slices are disjoint, so the hybrid ≡ the plain join
     "sk1_salted_join" ->

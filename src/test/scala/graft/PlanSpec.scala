@@ -277,6 +277,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q26: dims broadcast; top-k is TakeOrdered, not a global sort") {
+    val p = plan("q26_returned_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hll4: window-merged registers aggregate partially map-side") {
+    val p = plan("hll4_rolling_distinct")
+    assert(p.contains("partial_max") || p.contains("max(rho"),
+      s"expected map-side partial max of rho:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qf4: the tercile cumsum windows over the SCORE histogram, not the docs") {
+    val p = plan("qf4_ccnet_buckets")
+    // the only window orders by the distinct-score key — the doc relation
+    // itself never enters a window operator (the 1-row total legitimately
+    // rides a broadcast nested loop, so only cartesian is banned)
+    assert(p.contains("windowspecdefinition(mean_surprisal_key"),
+      s"cumsum window must run over the score histogram:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"doc relation must not enter a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sk1: both slices sort-merge (no broadcast); the hot join is salt-keyed") {
     val p = plan("sk1_salted_join")
     assert("SortMergeJoin".r.findAllMatchIn(p).size >= 2,
