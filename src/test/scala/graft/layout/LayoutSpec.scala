@@ -338,6 +338,47 @@ class LayoutSpec extends SparkSpec {
       s"unbalanced: min=${sizes.min} max=${sizes.max}")
   }
 
+  test("structured streaming: per-batch histogram folds converge to the direct build") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("hist-stream-").toString
+    var version = 0
+    def cur = s"$dir/v$version"
+    spark.emptyDataFrame.select(lit(0L).as("k"), lit(0L).as("cnt"))
+      .limit(0).write.parquet(cur)
+    // frozen bounds fixed at index-build time (the st4 contract)
+    val lo = 0L; val dd = 10000L
+    def histOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(expr(Sketches.histBucketClampedSql("x", s"$lo", s"$dd", "div"))
+        .as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("x")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the live ingest fold: stored counts + batch counts ADD cell-wise
+        val merged = spark.read.parquet(cur)
+          .unionByName(histOf(batch))
+          .groupBy("k").agg(sum("cnt").as("cnt"))
+        version += 1
+        merged.write.parquet(cur)
+        ()
+      }
+      .start()
+    mem.addData(0L until 4000L: _*)
+    q.processAllAvailable()
+    mem.addData(4000L until 9000L: _*)
+    mem.addData(12000L until 12100L: _*) // out of frozen range: edge-clamped
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(cur)
+    val direct = histOf(spark.range(9000).select(col("id").as("x"))
+      .unionByName((12000L until 12100L).toDF("x")))
+    assert(streamed.unionByName(direct)
+      .except(streamed.intersect(direct)).isEmpty,
+      "streamed histogram differs from the direct clamped build")
+  }
+
   // ---------------------------------------------------------------- bloom
 
   private def bloomRefPositions(k: Long): Seq[Int] = {
