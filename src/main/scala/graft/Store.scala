@@ -289,9 +289,16 @@ object Store {
         .select(col("l_partkey").as("x"), col("l_orderkey"))
       val isBatch = col("l_orderkey") % batchMod === batchRem
       val basePath = s"$p-base"
-      val bounds = e.filter(!isBatch)
+      val boundsPath = s"$p-bounds"
+      // Freeze (lo, dd) AT BUILD TIME: persisted next to the base histogram
+      // and read back for every fold, so incremental folds never rescan the
+      // base rows (not even for a min/max) — the frozen-codebook contract
+      // taken literally.
+      e.filter(!isBatch)
         .agg(min("x").as("lo"), max("x").as("hi"))
         .select(col("lo"), (col("hi") - col("lo") + 1).as("dd"))
+        .write.mode("overwrite").parquet(boundsPath)
+      val bounds = spark.read.parquet(boundsPath)
       def histOf(df: DataFrame) = df.crossJoin(broadcast(bounds))
         .groupBy(expr(Sketches.histBucketClampedSql("x", "lo", "dd", "div"))
           .as("k"))

@@ -84,6 +84,110 @@ object Listing {
         !col("bucket").startsWith("ws-"))
       .orderBy(col("bucket"))
 
+  /** One ListParts page (reference `operations/src/s3/list_parts.rs`):
+    * parts of one Open upload in ascending part_number order,
+    * `part_number_marker` resume (strictly-after, `list_parts.rs:186-189`),
+    * `max_parts` page (default 1000), `is_truncated` +
+    * `next_part_number_marker` = last emitted part number
+    * (`list_parts.rs:191-200`). A missing / closed / target-mismatched
+    * upload yields an empty page (the reference's NoSuchUpload /
+    * UploadNotOpen errors).
+    *
+    * Scale: the part scan is prefix-bounded by upload_id (PART_SCAN_LIMIT
+    * 10_000, `list_parts.rs:14` — one upload's parts ALWAYS fit a page
+    * read), so the filter pushes to the scan and the page relation is ≤
+    * maxParts+ rows before the bounded TakeOrdered. */
+  def listParts(uploads: DataFrame, parts: DataFrame, uploadId: String,
+      partNumberMarker: Option[Int] = None, maxParts: Int = 1000): DataFrame = {
+    val open = uploads
+      .filter(col("upload_id") === uploadId && col("status") === "Open")
+      .select("upload_id", "bucket", "key")
+    var p = parts.filter(col("upload_id") === uploadId)
+    partNumberMarker.foreach(m => p = p.filter(col("part_number") > m))
+    val survivors = p.join(broadcast(open), Seq("upload_id"))
+      .select(col("bucket"), col("key"), col("part_number"), col("size"), col("hash"))
+    val total = survivors.agg(count(lit(1)).as("__n"))
+    // page + scalar trailer columns: ≤ maxParts rows by construction, so the
+    // single-partition window is bounded
+    val w = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    survivors.orderBy("part_number").limit(maxParts)
+      .crossJoin(broadcast(total))
+      .withColumn("is_truncated", col("__n") > maxParts)
+      .withColumn("next_part_number_marker",
+        when(col("is_truncated"), max(col("part_number")).over(w)))
+      .drop("__n")
+      .orderBy("part_number")
+  }
+
+  /** One ListMultipartUploads page (reference
+    * `operations/src/s3/list_multipart_uploads.rs`): Open uploads of one
+    * bucket filtered by key prefix, delimiter-grouped via
+    * [[commonPrefixOf]], ordered by (key, upload_id)
+    * (`list_multipart_uploads.rs:196-202`), `(key_marker, upload_id_marker)`
+    * tuple resume (`:206-219` — equal keys drop unless the upload-id marker
+    * is present and exceeded), prefixes and uploads sharing one `max_uploads`
+    * budget. max_uploads=0 short-circuits to an empty page (`:105-118`).
+    *
+    * Scale: the reference scans the global multipart keyspace because it has
+    * no per-bucket index (`list_multipart_uploads.rs:3-5`); here the bucket
+    * + prefix predicates push down to the scan, and the page is a bounded
+    * TakeOrdered — no global sort. */
+  def listMultipartUploads(uploads: DataFrame, bucket: String,
+      prefix: Option[String] = None, delimiter: Option[String] = None,
+      keyMarker: Option[String] = None, uploadIdMarker: Option[String] = None,
+      maxUploads: Int = 1000): DataFrame = {
+    var u = uploads.filter(col("bucket") === bucket && col("status") === "Open")
+    prefix.filter(_.nonEmpty).foreach(p => u = u.filter(col("key").startsWith(p)))
+    val withCp = delimiter match {
+      case Some(d) => u.withColumn("cp",
+        commonPrefixOf(col("key"), prefix.getOrElse(""), d))
+      case None => u.withColumn("cp", lit(null).cast("string"))
+    }
+    // a group's cursor is its last underlying key, so resume compares the
+    // group name (> any key under it ⇒ the whole group is skipped)
+    val name = coalesce(col("cp"), col("key"))
+    val marked = (keyMarker, uploadIdMarker) match {
+      case (Some(km), Some(um)) =>
+        withCp.filter(name > km || (col("cp").isNull && col("key") === km && col("upload_id") > um))
+      case (Some(km), None) => withCp.filter(name > km)
+      case _ => withCp
+    }
+    val prefixes = marked.filter(col("cp").isNotNull)
+      .select(lit("CommonPrefix").as("kind"), col("cp").as("name"),
+        lit(null).cast("string").as("upload_id"))
+      .distinct()
+    val leaves = marked.filter(col("cp").isNull)
+      .select(lit("Upload").as("kind"), col("key").as("name"), col("upload_id"))
+    prefixes.union(leaves).orderBy(col("name"), col("upload_id")).limit(maxUploads)
+  }
+
+  /** One plain paged ListBuckets page (reference
+    * `operations/src/s3/list_buckets.rs`): the listing every S3 client calls
+    * first. Buckets of one group filtered by name prefix, name order,
+    * `continuation_token` resume (strictly-after), `max_buckets` clamp
+    * (≤0 / None → 10_000, `list_buckets.rs:59,117-120`), and the
+    * continuation token = last returned name when more remain
+    * (`list_buckets.rs:137-144`). */
+  def listBuckets(buckets: DataFrame, groupId: String,
+      prefix: Option[String] = None, continuationToken: Option[String] = None,
+      maxBuckets: Option[Int] = None): DataFrame = {
+    val maxN = maxBuckets.filter(_ > 0).getOrElse(10000)
+    var b = buckets.filter(col("group_id") === groupId)
+    prefix.foreach(p => b = b.filter(col("bucket").startsWith(p)))
+    continuationToken.foreach(t => b = b.filter(col("bucket") > t))
+    val total = b.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    b.orderBy("bucket").limit(maxN)
+      .crossJoin(broadcast(total))
+      .withColumn("is_truncated", col("__n") > maxN)
+      .withColumn("continuation_token",
+        when(col("is_truncated"), max(col("bucket")).over(w)))
+      .drop("__n")
+      .orderBy("bucket")
+  }
+
   /** Unified-search limits (reference `api/src/routes/search.rs:27-29`). */
   val UnifiedSearchDefaultLimit = 10
   val UnifiedSearchMaxLimit = 100

@@ -85,6 +85,74 @@ object ObjectTables {
       |  SELECT 'bkt-'||r AS bucket, 'grp-'||(r%3) AS group_id FROM range(0,4) t(r)
       |)""".stripMargin
 
+  /** uploads(upload_id, bucket, key, status) — one multipart upload per
+    * order (`core/src/structs` MultipartUpload; status ∈ Open | Completed |
+    * Aborted). upload_id is zero-padded so string order == numeric order,
+    * standing in for the reference's ULID ordering. */
+  def uploads(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("upload_id"),
+      concat(lit("bkt-"), (col("o_custkey") % 4).cast("string")).as("bucket"),
+      concat(lit("mp/d"), (col("o_custkey") % 10).cast("string"),
+        lit("/u"), (col("o_orderkey") % 200).cast("string"), lit(".bin")).as("key"),
+      when(col("o_orderkey") % 7 === 0, "Completed")
+        .when(col("o_orderkey") % 7 === 1, "Aborted")
+        .otherwise("Open").as("status"))
+  }
+
+  val uploadsCte: String =
+    """uploads AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS upload_id,
+      |         'bkt-'||(o_custkey%4) AS bucket,
+      |         'mp/d'||(o_custkey%10)||'/u'||(o_orderkey%200)||'.bin' AS key,
+      |         CASE WHEN o_orderkey%7=0 THEN 'Completed'
+      |              WHEN o_orderkey%7=1 THEN 'Aborted'
+      |              ELSE 'Open' END AS status
+      |  FROM orders
+      |)""".stripMargin
+
+  /** parts(upload_id, part_number, size, hash) — one part per lineitem.
+    * `l_linenumber + 7*(l_partkey%5)` is collision-free per order
+    * (linenumber ∈ 1..7, so two rows of one order can never differ by a
+    * multiple of 7), matching the reference's unique part keys
+    * (`MultipartUploadPartKey`). */
+  def parts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val uploadId = lpad(col("l_orderkey").cast("string"), 12, "0")
+    val partNumber = (col("l_linenumber") + lit(7) * (col("l_partkey") % 5)).cast("int")
+    l.select(
+      uploadId.as("upload_id"),
+      partNumber.as("part_number"),
+      ((col("l_partkey") % 100) * 512 + 31).cast("long").as("size"),
+      md5(concat(uploadId, lit("-"), partNumber.cast("string"))).as("hash"))
+  }
+
+  val partsCte: String =
+    """parts AS (
+      |  SELECT lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS upload_id,
+      |         CAST(l_linenumber + 7*(l_partkey%5) AS INT) AS part_number,
+      |         CAST((l_partkey%100)*512 + 31 AS BIGINT) AS size,
+      |         md5(lpad(CAST(l_orderkey AS VARCHAR), 12, '0')||'-'||
+      |             CAST(CAST(l_linenumber + 7*(l_partkey%5) AS INT) AS VARCHAR)) AS hash
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** bucketsLarge(bucket, group_id) — a bucket keyspace big enough to page
+    * (one bucket per customer), for the plain ListBuckets scan
+    * (`list_buckets.rs`). */
+  def bucketsLarge(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      concat(lit("cb-"), lpad(col("c_custkey").cast("string"), 8, "0")).as("bucket"),
+      concat(lit("grp-"), (col("c_custkey") % 5).cast("string")).as("group_id"))
+
+  val bucketsLargeCte: String =
+    """buckets_large AS (
+      |  SELECT 'cb-'||lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS bucket,
+      |         'grp-'||(c_custkey%5) AS group_id
+      |  FROM customer
+      |)""".stripMargin
+
   /** Current heads: latest version per (bucket, key); a delete-marker head
     * hides the key (`list_objects_v2.rs:165-167`). */
   def heads(objects: DataFrame): DataFrame = {

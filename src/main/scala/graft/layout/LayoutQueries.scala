@@ -270,8 +270,8 @@ object LayoutQueries {
 
   private def amsBlockSql(name: String, tbl: String, key: String): String =
     s"""SELECT '$name' AS key_name, x.true_f2, e.est_f2,
-       |  abs(e.est_f2 - x.true_f2) * 10000 // x.true_f2 AS err_bp
-       |FROM (SELECT SUM(c * c) AS true_f2
+       |  CAST(abs(e.est_f2 - x.true_f2) * 10000 // x.true_f2 AS BIGINT) AS err_bp
+       |FROM (SELECT CAST(SUM(c * c) AS BIGINT) AS true_f2
        |      FROM (SELECT COUNT(*) AS c FROM $tbl GROUP BY $key)) x,
        |     (WITH z AS (${Sketches.amsZSql(tbl, key)})
        |      SELECT ${Sketches.amsEstimateSql} AS est_f2 FROM z) e""".stripMargin
@@ -360,10 +360,10 @@ object LayoutQueries {
       val plan = files.withColumn("cum", sum("size_rows").over(w))
         .withColumn("bin_id", expr(s"(cum - size_rows) div $CpTarget"))
         .select("file_week", "bin_id")
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-compact-${Integer.toHexString((d + ":cp2").hashCode & 0x7fffffff)}"
-      ).toString
+      // per-invocation scratch dir: concurrent runs of the same dataset
+      // (or two users on a shared host) must never race on mode(overwrite)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-compact-").toString
       rows.join(broadcast(plan), "file_week")
         .repartition(col("bin_id"))
         .write.mode("overwrite").partitionBy("bin_id").parquet(path)
@@ -760,7 +760,9 @@ object LayoutQueries {
           countDistinct(col(a), col(b)).as("ndv_ab"))
           .select(lit(s"$a,$b").as("pair"), col("ndv_a"), col("ndv_b"),
             col("ndv_ab"),
-            expr("ndv_ab * 10000 div least(ndv_a * ndv_b, 9000000000000000000)")
+            // cap each factor BEFORE multiplying: 3e9 * 3e9 = 9e18 < 2^63-1,
+            // so the product cannot wrap in the billion-NDV regime
+            expr("ndv_ab * 10000 div (least(ndv_a, 3000000000) * least(ndv_b, 3000000000))")
               .as("corr_bp"),
             (col("ndv_ab") === col("ndv_a")).as("fd_a_to_b"))
       }.reduce(_ unionByName _).orderBy("pair")
@@ -846,11 +848,11 @@ object LayoutQueries {
          |  SELECT epoch_ms(o_orderdate) // $WeekMs AS file_week,
          |         COUNT(*) AS size_rows
          |  FROM orders GROUP BY 1),
-         |b AS (SELECT *, SUM(size_rows) OVER (
+         |b AS (SELECT *, CAST(SUM(size_rows) OVER (
          |        ORDER BY size_rows DESC, file_week
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |      FROM files)
-         |SELECT (cum - size_rows) // $CpTarget AS bin_id,
+         |SELECT CAST((cum - size_rows) // $CpTarget AS BIGINT) AS bin_id,
          |       COUNT(*) AS n_files,
          |       CAST(SUM(size_rows) AS BIGINT) AS bin_rows
          |FROM b GROUP BY 1 ORDER BY bin_id""".stripMargin,
@@ -924,9 +926,9 @@ object LayoutQueries {
         s"""SELECT '$a,$b' AS pair,
            |  COUNT(DISTINCT $a) AS ndv_a, COUNT(DISTINCT $b) AS ndv_b,
            |  COUNT(DISTINCT ($a, $b)) AS ndv_ab,
-           |  COUNT(DISTINCT ($a, $b)) * 10000
-           |    // LEAST(COUNT(DISTINCT $a) * COUNT(DISTINCT $b),
-           |             9000000000000000000) AS corr_bp,
+           |  CAST(COUNT(DISTINCT ($a, $b)) * 10000
+           |    // (LEAST(COUNT(DISTINCT $a), 3000000000)
+           |        * LEAST(COUNT(DISTINCT $b), 3000000000)) AS BIGINT) AS corr_bp,
            |  COUNT(DISTINCT ($a, $b)) = COUNT(DISTINCT $a) AS fd_a_to_b
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY pair"),
@@ -989,15 +991,15 @@ object LayoutQueries {
          |              MIN(rxhi) AS rxhi, MIN(rylo) AS rylo, MIN(ryhi) AS ryhi
          |       FROM rows_ GROUP BY 1),
          |zs AS (SELECT COUNT(*) AS z_files,
-         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
-         |      THEN 1 ELSE 0 END) AS z_files_hit,
-         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
-         |      THEN n ELSE 0 END) AS z_rows_scan FROM zz),
+         |  CAST(SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS z_files_hit,
+         |  CAST(SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN n ELSE 0 END) AS BIGINT) AS z_rows_scan FROM zz),
          |ls AS (SELECT COUNT(*) AS lin_files,
-         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
-         |      THEN 1 ELSE 0 END) AS lin_files_hit,
-         |  SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
-         |      THEN n ELSE 0 END) AS lin_rows_scan FROM lz),
+         |  CAST(SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS lin_files_hit,
+         |  CAST(SUM(CASE WHEN xl <= rxhi AND xh >= rxlo AND yl <= ryhi AND yh >= rylo
+         |      THEN n ELSE 0 END) AS BIGINT) AS lin_rows_scan FROM lz),
          |m AS (SELECT COUNT(*) AS n_match FROM rows_
          |      WHERE x BETWEEN rxlo AND rxhi AND y BETWEEN rylo AND ryhi)
          |SELECT * FROM zs, ls, m""".stripMargin,
@@ -1007,21 +1009,24 @@ object LayoutQueries {
          |  SELECT epoch_ms(o_orderdate) // $WeekMs AS file_week,
          |         COUNT(*) AS size_rows
          |  FROM orders GROUP BY 1),
-         |b AS (SELECT *, SUM(size_rows) OVER (
+         |b AS (SELECT *, CAST(SUM(size_rows) OVER (
          |        ORDER BY size_rows DESC, file_week
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |      FROM files)
-         |SELECT (cum - size_rows) // $CpTarget AS bin_id, COUNT(*) AS n_files,
-         |       SUM(size_rows) AS bin_rows, MAX(size_rows) AS largest_file
+         |SELECT CAST((cum - size_rows) // $CpTarget AS BIGINT) AS bin_id,
+         |       COUNT(*) AS n_files,
+         |       CAST(SUM(size_rows) AS BIGINT) AS bin_rows,
+         |       MAX(size_rows) AS largest_file
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rp1_range_plan" ->
       s"""WITH h AS (SELECT o_totalprice AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
          |t AS (SELECT COUNT(*) AS n_total FROM orders),
-         |b AS (SELECT k, cnt, n_total, SUM(cnt) OVER (
-         |        ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |b AS (SELECT k, cnt, n_total, CAST(SUM(cnt) OVER (
+         |        ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |      FROM h, t)
-         |SELECT ((cum - cnt) * $RpK) // n_total AS bucket, SUM(cnt) AS n_rows,
+         |SELECT CAST(((cum - cnt) * $RpK) // n_total AS BIGINT) AS bucket,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
          |       MIN(k) AS lo, MAX(k) AS hi
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -185,7 +185,7 @@ object Sketches {
        |     (SELECT UNNEST(range(0, $AmsD)) AS row_d)
        |GROUP BY 1""".stripMargin
 
-  def amsEstimateSql: String = s"SUM(z * z) // $AmsD"
+  def amsEstimateSql: String = s"CAST(SUM(z * z) // $AmsD AS BIGINT)"
 
   // ------------------------------------------------------------------
   // DuckDB oracle fragments (same arithmetic, HUGEINT for the division)

@@ -168,9 +168,9 @@ object PipelineQueries {
   private def ccnetBucketSql(scoredCte: String): String =
     s"""h AS (SELECT mk, COUNT(*) AS cnt FROM $scoredCte GROUP BY 1),
        |nt AS (SELECT COUNT(*) AS n_total FROM $scoredCte),
-       |bk AS (SELECT mk, ((cum - cnt) * 3) // n_total AS bucket
-       |       FROM (SELECT mk, cnt, SUM(cnt) OVER (ORDER BY mk
-       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |bk AS (SELECT mk, CAST(((cum - cnt) * 3) // n_total AS BIGINT) AS bucket
+       |       FROM (SELECT mk, cnt, CAST(SUM(cnt) OVER (ORDER BY mk
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |             FROM h) c, nt)""".stripMargin
 
   /** x^e as an explicit square-and-multiply chain — multiplication is
@@ -1983,7 +1983,8 @@ object PipelineQueries {
          |                            t -> t <> '')) AS word
          |  FROM documents)
          |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-         |       SUM(e.n_pieces) AS n_pieces, SUM(e.cost_u) AS cost_u
+         |       CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(SUM(e.cost_u) AS BIGINT) AS cost_u
          |FROM toks t JOIN enc e USING (word)
          |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
 
@@ -2036,12 +2037,13 @@ object PipelineQueries {
          |                             t -> t <> '')) AS t
          |        FROM documents)),
          |w AS (SELECT b,
-         |        (1000000 * (SUM(CASE WHEN lang = '$Qf3Lang' THEN 1 ELSE 0 END) + 1))
-         |          // (COUNT(*) + 1) AS w_u
+         |        CAST((1000000 * (SUM(CASE WHEN lang = '$Qf3Lang' THEN 1 ELSE 0 END) + 1))
+         |          // (COUNT(*) + 1) AS BIGINT) AS w_u
          |      FROM tok GROUP BY 1),
-         |sc AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tok, SUM(w.w_u) AS sum_w
+         |sc AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tok,
+         |              CAST(SUM(w.w_u) AS BIGINT) AS sum_w
          |       FROM tok t JOIN w USING (b) GROUP BY 1, 2)
-         |SELECT doc_id, lang, n_tok, sum_w // n_tok AS score_u
+         |SELECT doc_id, lang, n_tok, CAST(sum_w // n_tok AS BIGINT) AS score_u
          |FROM sc ORDER BY score_u DESC, doc_id LIMIT $Qf3K""".stripMargin,
 
     "qf1_domain_affinity" ->

@@ -39,7 +39,7 @@ object SkewJoin {
     val dimT = dim.join(broadcast(hotKeys),
       dim(dimKey) === hotKeys("hk"), "left")
     val fh = factT.filter(col("hk").isNotNull)
-      .withColumn("salt", (saltOf % salts).cast("int"))
+      .withColumn("salt", pmod(saltOf, lit(salts)).cast("int"))
     val dh = dimT.filter(col("hk").isNotNull)
       .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
     val hotJoin = fh.join(dh.hint("merge"),

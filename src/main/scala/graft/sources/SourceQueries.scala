@@ -59,10 +59,10 @@ object SourceQueries {
     "jl3_jsonl_roundtrip" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-jsonl-${Integer.toHexString((d + ":jl3").hashCode & 0x7fffffff)}"
-      ).toString
+      // per-invocation scratch dir: concurrent runs must never race on
+      // mode(overwrite) of a shared deterministic path
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-jsonl-").toString
       docs.write.mode("overwrite").json(path)
       s.read.schema(docs.schema).json(path).orderBy("doc_id")
     }

@@ -61,10 +61,16 @@ object SparqlQueries {
       """SELECT ?s ?size WHERE { ?s schema:contentSize ?size }
         |ORDER BY DESC(?size * 1) ?s LIMIT 10""".stripMargin) _,
 
+    // ASK short-circuits onto the UNBUCKETED triples table: an ASK needs
+    // one row, so paying the bucketed layout's many-file listing/planning
+    // cost per query is exactly the wrong trade (r6 showed 4.5× regression
+    // when ASK rode the BGP layout). The bucketed layout exists to remove
+    // join shuffles — an ASK's limit(1) never reaches a shuffle that
+    // matters.
     "sp9_ask" -> ((s: SparkSession, d: String) =>
       SparqlEngine.ask(graft.Store.quads(s, d),
         "ASK { ?s a schema:Dataset . ?s schema:name ?name }",
-        defaultGraph = Some(graft.Store.triplesBucketed(s, d)))),
+        defaultGraph = Some(graft.Store.triples(s, d)))),
 
     "sp10_graph" -> run(
       """SELECT ?p ?o WHERE { GRAPH <graph:42> { ?s ?p ?o } } ORDER BY ?p ?o""") _,

@@ -109,7 +109,7 @@ object WebQueries {
          |SELECT ${Urls.domainSql(Urls.hostSql("url"))} AS domain,
          |  COUNT(*) AS n_docs,
          |  COUNT(DISTINCT ${Urls.canonicalSql("url")}) AS n_urls_canon,
-         |  SUM(n_chars) AS total_chars
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM urls GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

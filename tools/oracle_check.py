@@ -57,6 +57,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
             print(f"  [ROWCOUNT] {name}: spark={len(g)} duckdb={len(w)}")
             continue
+        # dtype-strict: the driver hashes typed values, so an integral Spark
+        # column vs a float64 DuckDB column (the HUGEINT/DECIMAL tell) fails
+        # the driver's hash even when values compare numerically equal.
+        dtype_bad = None
+        for c in g.columns:
+            if pd.api.types.is_integer_dtype(g[c]) and pd.api.types.is_float_dtype(w[c]):
+                dtype_bad = f"col {c}: spark={g[c].dtype} duckdb={w[c].dtype} (uncast HUGEINT/DECIMAL? wrap in CAST(... AS BIGINT))"
+                break
+        if dtype_bad:
+            n_bad += 1
+            print(f"  [DTYPE] {name}: {dtype_bad}")
+            continue
         # exact value compare (timestamps normalized to ns, floats bit-exact)
         mismatch = None
         for c in g.columns:
