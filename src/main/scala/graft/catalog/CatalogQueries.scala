@@ -105,6 +105,101 @@ object CatalogQueries {
       trace.toDF("step", "cache_hit", "n_live", "sum_live").orderBy("step")
     },
 
+    // ListParts (list_parts.rs): two pages of one Open upload — p1 cold
+    // (marker None, truncated at 3 with the resume marker), p2 resumed
+    // strictly after part 10. Upload 20 has 6 parts at sf0.01, so both
+    // truncation and the final short page are exercised.
+    "cat9_list_parts" -> { (s, d) =>
+      val up = ObjectTables.uploads(s, d)
+      val pt = ObjectTables.parts(s, d)
+      Listing.listParts(up, pt, "000000000020", None, maxParts = 3)
+        .withColumn("page", lit("p1"))
+        .unionByName(
+          Listing.listParts(up, pt, "000000000020", Some(10), maxParts = 3)
+            .withColumn("page", lit("p2")))
+        .orderBy("page", "part_number")
+    },
+
+    // ListMultipartUploads (list_multipart_uploads.rs): sect a = delimiter
+    // grouping at the bucket root (every key folds into its mp/dX/ group);
+    // sect b = leaf page under one group with the (key_marker,
+    // upload_id_marker) tuple resume — equal keys survive only past the
+    // upload-id marker.
+    "cat10_list_uploads" -> { (s, d) =>
+      val up = ObjectTables.uploads(s, d)
+      Listing.listMultipartUploads(up, "bkt-1", Some("mp/"), Some("/"),
+        maxUploads = 8)
+        .withColumn("sect", lit("a"))
+        .unionByName(
+          Listing.listMultipartUploads(up, "bkt-1", Some("mp/d3/"), Some("/"),
+            keyMarker = Some("mp/d3/u150.bin"),
+            uploadIdMarker = Some("000000000300"), maxUploads = 10)
+            .withColumn("sect", lit("b")))
+        .orderBy(col("sect"), col("name"), col("upload_id"))
+    },
+
+    // Plain paged ListBuckets (list_buckets.rs): p1 cold truncated page
+    // (continuation token = last returned name), p2 resumed strictly after
+    // a token, p3 prefix-filtered with the default (10k) clamp — the
+    // listing every S3 client calls first.
+    "cat11_list_buckets" -> { (s, d) =>
+      val b = ObjectTables.bucketsLarge(s, d)
+      Listing.listBuckets(b, "grp-2", maxBuckets = Some(25))
+        .withColumn("page", lit("p1"))
+        .unionByName(
+          Listing.listBuckets(b, "grp-2",
+            continuationToken = Some("cb-00000055"), maxBuckets = Some(25))
+            .withColumn("page", lit("p2")))
+        .unionByName(
+          Listing.listBuckets(b, "grp-2", prefix = Some("cb-000001"))
+            .withColumn("page", lit("p3")))
+        .orderBy("page", "bucket")
+    },
+
+    // Summary-cache semantics end-to-end (summary_cache.rs:33-110): one
+    // summary per (graph, cursor); a cursor advance misses WITHOUT evicting
+    // the old entry, then supersedes it on insert; remove-by-graph (the
+    // document-sync invalidation) and the 30 s TTL both evict. The trace
+    // records actual cache behavior; the oracle pins the hit/miss sequence
+    // AND the summary strings, so a cache serving a stale or cross-cursor
+    // summary diverges immediately.
+    "qc2_summary_cache" -> { (s, d) =>
+      val quads = graft.Store.quads(s, d)
+      val g = "graph:42"
+      def summarize(df: DataFrame): String = {
+        // bounded one-graph aggregate (summaries are small capped strings
+        // by contract — SUMMARY_CACHE_BYTES / 16 KiB average)
+        val r = df.filter(col("graph_iri") === g)
+          .agg(count(lit(1)), countDistinct(col("subject"))).head()
+        s"triples=${r.getLong(0)};subjects=${r.getLong(1)}"
+      }
+      val v0 = quads
+      val v1 = quads.filter(col("predicate") =!= ConformsTo) // the doc sync
+      var now = 0L
+      val cache = new graft.cache.SummaryCache(clock = () => now)
+      def step(name: String, store: DataFrame, cursor: String,
+          insertOnMiss: Boolean = true): (String, Boolean, String) =
+        cache.get(g, cursor) match {
+          case Some(sum) => (name, true, sum)
+          case None =>
+            val sum = summarize(store)
+            if (insertOnMiss) cache.insert(g, cursor, sum)
+            (name, false, sum)
+        }
+      val trace = Seq(
+        step("s1_cold", v0, "c1"),
+        step("s2_hit", v0, "c1"),
+        step("s3_cursor_advance", v1, "c2"),
+        step("s4_hit_new_cursor", v1, "c2"),
+        // the c1 entry was superseded (one summary per graph) — a lagging
+        // reader recomputes but must NOT clobber the newer cursor's entry
+        step("s5_stale_cursor", v0, "c1", insertOnMiss = false),
+        { cache.remove(g); step("s6_removed", v1, "c2") },
+        { now += 31000; step("s7_ttl_expired", v1, "c2") })
+      import s.implicits._
+      trace.toDF("step", "cache_hit", "summary").orderBy("step")
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -216,6 +311,86 @@ object CatalogQueries {
         |ORDER BY c_name LIMIT 100""".stripMargin,
 
     "us2_unified" -> UnifiedSearch.oracleSql,
+
+    "cat9_list_parts" ->
+      s"""WITH ${ObjectTables.uploadsCte}, ${ObjectTables.partsCte},
+         |up AS (SELECT upload_id, bucket, key FROM uploads
+         |       WHERE upload_id='000000000020' AND status='Open'),
+         |base AS (SELECT u.bucket, u.key, p.part_number, p.size, p.hash
+         |         FROM parts p JOIN up u USING (upload_id)),
+         |p1b AS (SELECT * FROM base ORDER BY part_number LIMIT 3),
+         |p1n AS (SELECT COUNT(*) AS t FROM base),
+         |p2base AS (SELECT * FROM base WHERE part_number > 10),
+         |p2b AS (SELECT * FROM p2base ORDER BY part_number LIMIT 3),
+         |p2n AS (SELECT COUNT(*) AS t FROM p2base)
+         |SELECT * FROM (
+         |  SELECT b.*, n.t > 3 AS is_truncated,
+         |         CASE WHEN n.t > 3 THEN (SELECT MAX(part_number) FROM p1b) END
+         |           AS next_part_number_marker,
+         |         'p1' AS page
+         |  FROM p1b b, p1n n
+         |  UNION ALL
+         |  SELECT b.*, n.t > 3,
+         |         CASE WHEN n.t > 3 THEN (SELECT MAX(part_number) FROM p2b) END,
+         |         'p2'
+         |  FROM p2b b, p2n n
+         |) ORDER BY page, part_number""".stripMargin,
+
+    "cat10_list_uploads" ->
+      s"""WITH ${ObjectTables.uploadsCte}
+         |SELECT * FROM (
+         |  SELECT DISTINCT 'CommonPrefix' AS kind,
+         |         'mp/'||substr(substr(key, 4), 1, strpos(substr(key, 4), '/')) AS name,
+         |         CAST(NULL AS VARCHAR) AS upload_id, 'a' AS sect
+         |  FROM uploads
+         |  WHERE bucket='bkt-1' AND status='Open' AND key LIKE 'mp/%'
+         |    AND strpos(substr(key, 4), '/') > 0
+         |  ORDER BY name LIMIT 8
+         |) UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'Upload' AS kind, key AS name, upload_id, 'b' AS sect
+         |  FROM uploads
+         |  WHERE bucket='bkt-1' AND status='Open' AND key LIKE 'mp/d3/%'
+         |    AND (key > 'mp/d3/u150.bin'
+         |         OR (key = 'mp/d3/u150.bin' AND upload_id > '000000000300'))
+         |  ORDER BY name, upload_id LIMIT 10
+         |) ORDER BY sect, name, upload_id""".stripMargin,
+
+    "cat11_list_buckets" -> {
+      def page(label: String, where: String, max: Long): String =
+        s"""${label}b AS (SELECT * FROM bl $where ORDER BY bucket LIMIT $max),
+           |${label}n AS (SELECT COUNT(*) AS t FROM bl $where),
+           |$label AS (SELECT q.bucket, q.group_id, n.t > $max AS is_truncated,
+           |         CASE WHEN n.t > $max
+           |              THEN (SELECT MAX(bucket) FROM ${label}b) END
+           |           AS continuation_token,
+           |         '$label' AS page
+           |       FROM ${label}b q, ${label}n n)""".stripMargin
+      s"""WITH ${ObjectTables.bucketsLargeCte},
+         |bl AS (SELECT * FROM buckets_large WHERE group_id='grp-2'),
+         |${page("p1", "", 25)},
+         |${page("p2", "WHERE bucket > 'cb-00000055'", 25)},
+         |${page("p3", "WHERE bucket LIKE 'cb-000001%'", 10000)}
+         |SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+         |ORDER BY page, bucket""".stripMargin
+    },
+
+    "qc2_summary_cache" ->
+      s"""WITH ${RdfTables.quadsCte},
+         |g AS (SELECT * FROM quads WHERE graph_iri='graph:42'),
+         |s0 AS (SELECT 'triples='||COUNT(*)||';subjects='||COUNT(DISTINCT subject)
+         |         AS sm FROM g),
+         |s1 AS (SELECT 'triples='||COUNT(*)||';subjects='||COUNT(DISTINCT subject)
+         |         AS sm FROM g WHERE predicate <> '$ConformsTo')
+         |SELECT * FROM (
+         |  SELECT 's1_cold' AS step, FALSE AS cache_hit, sm AS summary FROM s0
+         |  UNION ALL SELECT 's2_hit', TRUE, sm FROM s0
+         |  UNION ALL SELECT 's3_cursor_advance', FALSE, sm FROM s1
+         |  UNION ALL SELECT 's4_hit_new_cursor', TRUE, sm FROM s1
+         |  UNION ALL SELECT 's5_stale_cursor', FALSE, sm FROM s0
+         |  UNION ALL SELECT 's6_removed', FALSE, sm FROM s1
+         |  UNION ALL SELECT 's7_ttl_expired', FALSE, sm FROM s1
+         |) ORDER BY step""".stripMargin,
 
     "qc1_cache_invalidation" ->
       """WITH v0 AS (SELECT doc_id FROM documents WHERE doc_id%97 <> 0),

@@ -64,6 +64,78 @@ class CatalogSpec extends SparkSpec {
     assert(Listing.searchNames(users, "name", "ace", limit = 1).count() == 1) // clamp
   }
 
+  private lazy val mpUploads = Seq(
+    ("u01", "b1", "mp/a/1.bin", "Open"),
+    ("u02", "b1", "mp/a/2.bin", "Completed"), // closed: never listed
+    ("u03", "b1", "mp/b/3.bin", "Open"),
+    ("u04", "b1", "mp/b/3.bin", "Open"), // same key, larger upload_id
+    ("u05", "b2", "mp/a/9.bin", "Open") // other bucket
+  ).toDF("upload_id", "bucket", "key", "status")
+
+  private lazy val mpParts = Seq(
+    ("u01", 1, 10L, "h1"), ("u01", 3, 30L, "h3"), ("u01", 2, 20L, "h2"),
+    ("u01", 7, 70L, "h7"), ("u02", 1, 10L, "h1")
+  ).toDF("upload_id", "part_number", "size", "hash")
+
+  test("ListParts: ascending order, marker resume, truncation marker (list_parts.rs:186-200)") {
+    val p1 = Listing.listParts(mpUploads, mpParts, "u01", None, maxParts = 3)
+      .collect()
+    assert(p1.map(_.getAs[Int]("part_number")).toSeq == Seq(1, 2, 3)) // sorted, not insertion order
+    assert(p1.forall(_.getAs[Boolean]("is_truncated")))
+    assert(p1.forall(_.getAs[Int]("next_part_number_marker") == 3)) // last emitted
+    val p2 = Listing.listParts(mpUploads, mpParts, "u01", Some(3), maxParts = 3)
+      .collect()
+    assert(p2.map(_.getAs[Int]("part_number")).toSeq == Seq(7))
+    assert(p2.forall(!_.getAs[Boolean]("is_truncated"))) // final page: no marker
+    assert(p2.forall(_.isNullAt(p2.head.fieldIndex("next_part_number_marker"))))
+  }
+
+  test("ListParts: missing or closed upload yields an empty page (NoSuchUpload/UploadNotOpen)") {
+    assert(Listing.listParts(mpUploads, mpParts, "u99").count() == 0)
+    assert(Listing.listParts(mpUploads, mpParts, "u02").count() == 0) // Completed
+  }
+
+  test("ListMultipartUploads: filter+sort+tuple marker (list_multipart_uploads.rs:196-219)") {
+    val all = Listing.listMultipartUploads(mpUploads, "b1")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // Open only, (key, upload_id) order, other bucket excluded
+    assert(all == Seq(("mp/a/1.bin", "u01"), ("mp/b/3.bin", "u03"), ("mp/b/3.bin", "u04")))
+    // equal key survives only past the upload-id marker
+    val resumed = Listing.listMultipartUploads(mpUploads, "b1",
+      keyMarker = Some("mp/b/3.bin"), uploadIdMarker = Some("u03"))
+      .collect().map(_.getString(2)).toSeq
+    assert(resumed == Seq("u04"))
+    // key marker WITHOUT an upload-id marker drops equal keys entirely
+    val noIdMarker = Listing.listMultipartUploads(mpUploads, "b1",
+      keyMarker = Some("mp/b/3.bin")).count()
+    assert(noIdMarker == 0)
+    // max_uploads=0 short-circuits to an empty page (:105-118)
+    assert(Listing.listMultipartUploads(mpUploads, "b1", maxUploads = 0).count() == 0)
+  }
+
+  test("ListMultipartUploads: delimiter groups share the max_uploads budget") {
+    val grouped = Listing.listMultipartUploads(mpUploads, "b1",
+      prefix = Some("mp/"), delimiter = Some("/"), maxUploads = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(grouped == Seq(("CommonPrefix", "mp/a/"))) // one group consumed the budget
+  }
+
+  test("ListBuckets: group filter, token resume, continuation token (list_buckets.rs:117-144)") {
+    val buckets = Seq(
+      ("b-a", "g1"), ("b-b", "g1"), ("b-c", "g1"), ("b-d", "g2")
+    ).toDF("bucket", "group_id")
+    val p1 = Listing.listBuckets(buckets, "g1", maxBuckets = Some(2)).collect()
+    assert(p1.map(_.getString(0)).toSeq == Seq("b-a", "b-b"))
+    assert(p1.forall(_.getAs[Boolean]("is_truncated")))
+    assert(p1.forall(_.getAs[String]("continuation_token") == "b-b"))
+    val p2 = Listing.listBuckets(buckets, "g1",
+      continuationToken = Some("b-b"), maxBuckets = Some(2)).collect()
+    assert(p2.map(_.getString(0)).toSeq == Seq("b-c"))
+    assert(p2.forall(!_.getAs[Boolean]("is_truncated")))
+    // max_buckets ≤ 0 falls back to the 10k default clamp (list_buckets.rs:117-120)
+    assert(Listing.listBuckets(buckets, "g1", maxBuckets = Some(0)).count() == 3)
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))

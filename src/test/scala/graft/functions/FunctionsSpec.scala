@@ -96,6 +96,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(cache.key("ab", "c") != cache.key("a", "bc"))
   }
 
+  test("summary cache: one-per-graph, cursor mismatch keeps entry, TTL/remove evict, caps") {
+    var now = 0L
+    val cache = new graft.cache.SummaryCache(ttlMillis = 30000, maxEntries = 2,
+      maxBytes = 100, clock = () => now)
+    cache.insert("g1", "c1", "sum1")
+    assert(cache.get("g1", "c1").contains("sum1"))
+    // cursor mismatch misses WITHOUT evicting (summary_cache.rs:73 — the
+    // lagging reader may still want the stored cursor's summary)
+    assert(cache.get("g1", "c0").isEmpty)
+    assert(cache.get("g1", "c1").contains("sum1"))
+    // one summary per graph: a newer cursor supersedes (summary_cache.rs:63-65)
+    cache.insert("g1", "c2", "sum2")
+    assert(cache.get("g1", "c1").isEmpty)
+    assert(cache.get("g1", "c2").contains("sum2"))
+    assert(cache.size == 1)
+    // remove-by-graph (document sync invalidation)
+    cache.remove("g1")
+    assert(cache.get("g1", "c2").isEmpty)
+    // TTL eviction on read
+    cache.insert("g1", "c2", "sum2")
+    now = 30001
+    assert(cache.get("g1", "c2").isEmpty)
+    assert(cache.size == 0)
+    // entry-count LRU: third graph evicts the least-recently-used
+    now = 0
+    cache.insert("g1", "c", "a")
+    cache.insert("g2", "c", "b")
+    cache.insert("g3", "c", "c")
+    assert(cache.size == 2 && cache.get("g1", "c").isEmpty)
+    // oversized summary is never cached; byte cap evicts LRU-first
+    cache.insert("g4", "c", "x" * 200)
+    assert(cache.get("g4", "c").isEmpty)
+    cache.insert("g5", "c", "y" * 60) // 62 bytes: g2/g3 (4 bytes) must go
+    assert(cache.get("g5", "c").isDefined)
+    assert(cache.bytes <= 100)
+  }
+
   test("autoindex parser: nginx and Apache pre shapes, negative page") {
     val nginx =
       """<html><head><title>Index of /data/</title></head><body>
