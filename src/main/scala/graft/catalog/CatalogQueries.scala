@@ -3,6 +3,7 @@ package graft.catalog
 import graft.index.IriIndex
 import graft.sparql.RdfTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Catalog operators for the driver gate: ListObjectsV2 (delimiter grouping,
@@ -154,6 +155,40 @@ object CatalogQueries {
           Listing.listBuckets(b, "grp-2", prefix = Some("cb-000001"))
             .withColumn("page", lit("p3")))
         .orderBy("page", "bucket")
+    },
+
+    // CompleteMultipartUpload validation (complete_multipart_upload.rs):
+    // five planted request variants per upload class — baseline (v0),
+    // phantom part (v1 → InvalidPart), reversed order (v2 →
+    // InvalidPartOrder), corrupted etag (v3 → PartEtagMismatch), wrong
+    // declared size (v4 → InvalidObjectSize) — plus the data-planted small
+    // parts that trip EntityTooSmall on otherwise-clean requests. The
+    // verdict must be the FIRST failing rule in request position order.
+    "cat12_complete_multipart" -> { (s, d) =>
+      val isPicked = col("upload_id").cast("long") % 11 === 0
+      val up = ObjectTables.uploads(s, d).filter(isPicked)
+      val pt = ObjectTables.parts(s, d).filter(isPicked)
+      val w = Window.partitionBy("upload_id")
+      val pv = pt
+        .withColumn("v", col("upload_id").cast("long") % 5)
+        .withColumn("min_pn", min("part_number").over(w))
+        .withColumn("sum_sz", sum("size").over(w))
+      val base = pv.select(
+        col("upload_id"),
+        when(col("v") === 2, -col("part_number")).otherwise(col("part_number"))
+          .cast("int").as("seq"),
+        col("part_number"),
+        when(col("v") === 3 && col("part_number") === col("min_pn"),
+          "deadbeef").otherwise(col("hash")).as("etag"),
+        when(col("v") === 4, col("sum_sz") + 1).cast("long").as("declared_size"))
+      val phantom = pv.filter(col("v") === 1)
+        .select("upload_id").distinct()
+        .select(col("upload_id"), lit(99).cast("int").as("seq"),
+          lit(99).cast("int").as("part_number"),
+          lit(null).cast("string").as("etag"),
+          lit(null).cast("long").as("declared_size"))
+      Multipart.completeVerdicts(up, pt, base.unionByName(phantom))
+        .orderBy("upload_id")
     },
 
     // Summary-cache semantics end-to-end (summary_cache.rs:33-110): one
@@ -374,6 +409,61 @@ object CatalogQueries {
          |SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
          |ORDER BY page, bucket""".stripMargin
     },
+
+    "cat12_complete_multipart" ->
+      s"""WITH ${ObjectTables.uploadsCte}, ${ObjectTables.partsCte},
+         |up AS (SELECT upload_id FROM uploads
+         |       WHERE CAST(upload_id AS BIGINT)%11=0 AND status='Open'),
+         |pt AS (SELECT * FROM parts WHERE CAST(upload_id AS BIGINT)%11=0),
+         |pv AS (SELECT *, CAST(upload_id AS BIGINT)%5 AS v,
+         |         MIN(part_number) OVER (PARTITION BY upload_id) AS min_pn,
+         |         CAST(SUM(size) OVER (PARTITION BY upload_id) AS BIGINT) AS sum_sz
+         |       FROM pt),
+         |req AS (
+         |  SELECT upload_id,
+         |         CAST(CASE WHEN v=2 THEN -part_number ELSE part_number END AS INT) AS seq,
+         |         part_number,
+         |         CASE WHEN v=3 AND part_number=min_pn THEN 'deadbeef' ELSE hash END AS etag,
+         |         CASE WHEN v=4 THEN sum_sz+1 END AS declared_size
+         |  FROM pv
+         |  UNION ALL
+         |  SELECT DISTINCT upload_id, CAST(99 AS INT), CAST(99 AS INT), NULL, NULL
+         |  FROM pv WHERE v=1),
+         |j AS (SELECT r.*, p.size AS p_size, p.hash AS p_hash
+         |      FROM req r
+         |      JOIN up u USING (upload_id)
+         |      LEFT JOIN pt p USING (upload_id, part_number)),
+         |f AS (SELECT *,
+         |        LAG(part_number) OVER (PARTITION BY upload_id ORDER BY seq) AS prev_pn,
+         |        MAX(seq) OVER (PARTITION BY upload_id) AS max_seq
+         |      FROM j),
+         |g AS (SELECT *,
+         |        CASE WHEN prev_pn IS NOT NULL AND part_number <= prev_pn
+         |               THEN 'InvalidPartOrder'
+         |             WHEN p_size IS NULL THEN 'InvalidPart'
+         |             WHEN etag IS NOT NULL AND etag <> p_hash
+         |               THEN 'PartEtagMismatch' END AS code,
+         |        (seq < max_seq AND p_size < ${Multipart.MinPartSize}) AS too_small
+         |      FROM f),
+         |a AS (SELECT upload_id,
+         |        arg_min(code, seq) FILTER (WHERE code IS NOT NULL) AS fail_code,
+         |        bool_or(too_small) AS any_small,
+         |        CAST(SUM(p_size) AS BIGINT) AS sum_size,
+         |        any_value(declared_size) AS declared,
+         |        COUNT(*) AS n_req
+         |      FROM g GROUP BY 1),
+         |v AS (SELECT upload_id,
+         |        COALESCE(fail_code,
+         |                 CASE WHEN any_small THEN 'EntityTooSmall' END,
+         |                 CASE WHEN declared IS NOT NULL AND declared <> sum_size
+         |                      THEN 'InvalidObjectSize' END,
+         |                 'OK') AS verdict,
+         |        sum_size, n_req
+         |      FROM a)
+         |SELECT upload_id, verdict,
+         |       CASE WHEN verdict='OK' THEN sum_size END AS object_size,
+         |       CASE WHEN verdict='OK' THEN n_req END AS n_parts
+         |FROM v ORDER BY upload_id""".stripMargin,
 
     "qc2_summary_cache" ->
       s"""WITH ${RdfTables.quadsCte},

@@ -112,30 +112,38 @@ object ObjectTables {
       |  FROM orders
       |)""".stripMargin
 
-  /** parts(upload_id, part_number, size, hash) — one part per lineitem.
-    * `l_linenumber + 7*(l_partkey%5)` is collision-free per order
-    * (linenumber ∈ 1..7, so two rows of one order can never differ by a
-    * multiple of 7), matching the reference's unique part keys
-    * (`MultipartUploadPartKey`). */
+  /** parts(upload_id, part_number, size, hash) — ≤ 35 parts per upload with
+    * unique (upload_id, part_number) keys, matching the reference's unique
+    * part keys (`MultipartUploadPartKey`). */
   def parts(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val uploadId = lpad(col("l_orderkey").cast("string"), 12, "0")
     val partNumber = (col("l_linenumber") + lit(7) * (col("l_partkey") % 5)).cast("int")
+    // MiB-scale sizes (1..100 MiB): ~4% of parts land under S3's 5 MiB
+    // non-last-part minimum, so CompleteMultipartUpload's EntityTooSmall
+    // rule (complete_multipart_upload.rs:522-527) is exercisable. The
+    // synthetic lineitem repeats (orderkey, linenumber) pairs, so the
+    // relation dedups by (upload_id, part_number) — MAX(size); the hash is
+    // key-derived and needs no tie-break.
     l.select(
       uploadId.as("upload_id"),
       partNumber.as("part_number"),
-      ((col("l_partkey") % 100) * 512 + 31).cast("long").as("size"),
-      md5(concat(uploadId, lit("-"), partNumber.cast("string"))).as("hash"))
+      (((col("l_partkey") % 100) + 1) * 1048576L + col("l_linenumber")).cast("long").as("size"))
+      .groupBy("upload_id", "part_number")
+      .agg(max("size").as("size"))
+      .withColumn("hash",
+        md5(concat(col("upload_id"), lit("-"), col("part_number").cast("string"))))
   }
 
   val partsCte: String =
     """parts AS (
-      |  SELECT lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS upload_id,
-      |         CAST(l_linenumber + 7*(l_partkey%5) AS INT) AS part_number,
-      |         CAST((l_partkey%100)*512 + 31 AS BIGINT) AS size,
-      |         md5(lpad(CAST(l_orderkey AS VARCHAR), 12, '0')||'-'||
-      |             CAST(CAST(l_linenumber + 7*(l_partkey%5) AS INT) AS VARCHAR)) AS hash
-      |  FROM lineitem
+      |  SELECT upload_id, part_number, MAX(size) AS size,
+      |         md5(upload_id||'-'||CAST(part_number AS VARCHAR)) AS hash
+      |  FROM (SELECT lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS upload_id,
+      |               CAST(l_linenumber + 7*(l_partkey%5) AS INT) AS part_number,
+      |               CAST(((l_partkey%100)+1)*1048576 + l_linenumber AS BIGINT) AS size
+      |        FROM lineitem)
+      |  GROUP BY 1, 2
       |)""".stripMargin
 
   /** bucketsLarge(bucket, group_id) — a bucket keyspace big enough to page

@@ -136,6 +136,41 @@ class CatalogSpec extends SparkSpec {
     assert(Listing.listBuckets(buckets, "g1", maxBuckets = Some(0)).count() == 3)
   }
 
+  test("CompleteMultipartUpload: positional first-fail, post-loop rules, subset OK") {
+    val mib = 1048576L
+    val ups = Seq(("u1", "b1", "k1", "Open"), ("u2", "b1", "k2", "Completed"))
+      .toDF("upload_id", "bucket", "key", "status")
+    val pts = Seq(
+      ("u1", 1, 6 * mib, "h1"), ("u1", 2, 2 * mib, "h2"), ("u1", 3, 7 * mib, "h3"),
+      ("u2", 1, 6 * mib, "h1")
+    ).toDF("upload_id", "part_number", "size", "hash")
+    def req(rows: (String, Int, Int, String, java.lang.Long)*) =
+      rows.toDF("upload_id", "seq", "part_number", "etag", "declared_size")
+    def verdictOf(r: org.apache.spark.sql.DataFrame) =
+      Multipart.completeVerdicts(ups, pts, r).collect().map(x =>
+        (x.getString(0), x.getString(1))).toMap
+    // an etag mismatch at seq 1 beats an order violation at seq 3 — the
+    // reference fails at the FIRST bad request position, not by rule rank
+    assert(verdictOf(req(("u1", 1, 2, "WRONG", null), ("u1", 2, 3, "h3", null),
+      ("u1", 3, 1, "h1", null)))("u1") == "PartEtagMismatch")
+    // order violation at seq 2 beats a phantom part at seq 3
+    assert(verdictOf(req(("u1", 1, 3, null, null), ("u1", 2, 1, null, null),
+      ("u1", 3, 99, null, null)))("u1") == "InvalidPartOrder")
+    // clean loop, but the non-last part 2 is 2 MiB < 5 MiB
+    assert(verdictOf(req(("u1", 1, 1, null, null), ("u1", 2, 2, null, null),
+      ("u1", 3, 3, null, null)))("u1") == "EntityTooSmall")
+    // a small LAST part is fine; declared-size mismatch still fails
+    assert(verdictOf(req(("u1", 1, 1, null, null), ("u1", 2, 2, null, null)))("u1") == "OK")
+    assert(verdictOf(req(("u1", 1, 1, java.lang.String.valueOf("h1"), 6 * mib),
+      ("u1", 2, 3, "h3", 6 * mib)))("u1") == "InvalidObjectSize")
+    // subset compose is legal: object_size = sum of REQUESTED parts only
+    val ok = Multipart.completeVerdicts(ups, pts,
+      req(("u1", 1, 1, null, null), ("u1", 2, 3, null, null))).collect().head
+    assert(ok.getString(1) == "OK" && ok.getLong(2) == 13 * mib && ok.getLong(3) == 2L)
+    // closed upload yields no verdict row (UploadNotOpen)
+    assert(Multipart.completeVerdicts(ups, pts, req(("u2", 1, 1, null, null))).count() == 0)
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
