@@ -235,6 +235,100 @@ object CatalogQueries {
       trace.toDF("step", "cache_hit", "summary").orderBy("step")
     },
 
+    // Batch DeleteObjects verdicts (delete_objects.rs / delete_object.rs):
+    // four planted request classes — c0 unversioned delete (tombstone,
+    // always OK), c1 versioned delete of an existing version (permanent,
+    // delete_marker reports the removed version's own state, head
+    // transition reported), c2 versioned delete of a phantom version
+    // (NoSuchVersion — version ids end in 1..7, the planted id ends in 9),
+    // c3 unversioned delete of an absent key (still a tombstone: S3
+    // semantics, delete_objects.rs:203-204).
+    "cat13_delete_objects" -> { (s, d) =>
+      val vv = ObjectTables.versionsStore(s, d)
+      val sel = vv.filter(col("version_ord") % 13 === 0)
+        .withColumn("c", (col("version_ord") / 13).cast("long") % 4)
+      val nullV = lit(null).cast("string")
+      val unv = sel.filter(col("c") === 0).select(
+        col("bucket"), col("key"), nullV.as("req_version"),
+        concat(lit("T"), col("version_ulid")).as("tomb_version"))
+      val ver = sel.filter(col("c") === 1).select(
+        col("bucket"), col("key"), col("version_ulid").as("req_version"),
+        nullV.as("tomb_version"))
+      val phantom = sel.filter(col("c") === 2).select(
+        col("bucket"), col("key"),
+        lpad((col("version_ord") - col("version_ord") % 10 + 9).cast("string"),
+          12, "0").as("req_version"),
+        nullV.as("tomb_version"))
+      val absent = sel.filter(col("c") === 3).select(
+        col("bucket"), concat(col("key"), lit(".x")).as("key"),
+        nullV.as("req_version"),
+        concat(lit("T"), col("version_ulid")).as("tomb_version"))
+      ObjectOps.deleteVerdicts(vv,
+        unv.unionByName(ver).unionByName(phantom).unionByName(absent))
+        .orderBy(col("bucket"), col("key"),
+          coalesce(col("req_version"), lit("")),
+          coalesce(col("result_version"), lit("")))
+    },
+
+    // Conditional CopyObject source verdicts (copy_object.rs:56-166):
+    // nine head-targeted classes covering the AWS precedence matrix —
+    // c0 unconditional, c1 if-match correct (quoted), c2 if-match wrong,
+    // c3 if-match '*', c4 if-none-match '*', c5 if-unmodified-since
+    // violated, c6 if-match correct OVERRIDING a violated
+    // if-unmodified-since, c7 if-modified-since violated, c8 if-none-match
+    // non-matching OVERRIDING a violated if-modified-since — plus explicit
+    // version hits (e0: OK or DeleteMarker on tombstones), phantom
+    // versions (e1: NoSuchVersion) and absent keys (a0: NoSuchKey).
+    "cat14_copy_conditions" -> { (s, d) =>
+      val vv = ObjectTables.versionsStore(s, d)
+      val w = Window.partitionBy("bucket", "key")
+        .orderBy(col("version_ord").desc, col("hash").desc)
+      val hd = vv.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val sel = hd.filter(col("version_ord") % 51 === 0)
+        .withColumn("c", (col("version_ord") / 51).cast("long") % 9)
+        .withColumn("lm", (col("created_at_ms") / 1000).cast("long"))
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("long")
+      val quoted = concat(lit("\""), col("hash"), lit("\""))
+      val headReqs = sel.select(
+        concat(lit("h"), col("c"), lit(":"), col("bucket"), lit("/"),
+          col("key")).as("req_id"),
+        col("bucket"), col("key"), nullS.as("src_version"),
+        when(col("c") === 1 || col("c") === 6, quoted)
+          .when(col("c") === 2, "deadbeef")
+          .when(col("c") === 3, "*").as("if_match"),
+        when(col("c") === 4, "*")
+          .when(col("c") === 8, "deadbeef").as("if_none_match"),
+        when(col("c") === 7 || col("c") === 8, col("lm") + 10)
+          .cast("long").as("if_modified_s"),
+        when(col("c") === 5 || col("c") === 6, col("lm") - 10)
+          .cast("long").as("if_unmodified_s"))
+      val exact = vv.filter(col("version_ord") % 57 === 0).select(
+        concat(lit("e0:"), col("bucket"), lit("/"), col("key"), lit("@"),
+          col("version_ulid")).as("req_id"),
+        col("bucket"), col("key"), col("version_ulid").as("src_version"),
+        nullS.as("if_match"), nullS.as("if_none_match"),
+        nullL.as("if_modified_s"), nullL.as("if_unmodified_s"))
+      val phantom = vv.filter(col("version_ord") % 59 === 0).select(
+        concat(lit("e1:"), col("bucket"), lit("/"), col("key"), lit("@"),
+          col("version_ulid")).as("req_id"),
+        col("bucket"), col("key"),
+        lpad((col("version_ord") - col("version_ord") % 10 + 9).cast("string"),
+          12, "0").as("src_version"),
+        nullS.as("if_match"), nullS.as("if_none_match"),
+        nullL.as("if_modified_s"), nullL.as("if_unmodified_s"))
+      val absent = sel.filter(col("c") === 0).select(
+        concat(lit("a0:"), col("bucket"), lit("/"), col("key")).as("req_id"),
+        col("bucket"), concat(col("key"), lit(".nope")).as("key"),
+        nullS.as("src_version"),
+        nullS.as("if_match"), nullS.as("if_none_match"),
+        nullL.as("if_modified_s"), nullL.as("if_unmodified_s"))
+      ObjectOps.copyVerdicts(vv,
+        headReqs.unionByName(exact).unionByName(phantom).unionByName(absent))
+        .orderBy("req_id")
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -464,6 +558,113 @@ object CatalogQueries {
          |       CASE WHEN verdict='OK' THEN sum_size END AS object_size,
          |       CASE WHEN verdict='OK' THEN n_req END AS n_parts
          |FROM v ORDER BY upload_id""".stripMargin,
+
+    "cat13_delete_objects" ->
+      s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
+         |sel AS (SELECT *, (version_ord//13)%4 AS c FROM versions
+         |        WHERE version_ord%13=0),
+         |req AS (
+         |  SELECT bucket, key, CAST(NULL AS VARCHAR) AS req_version,
+         |         'T'||version_ulid AS tomb FROM sel WHERE c=0
+         |  UNION ALL
+         |  SELECT bucket, key, version_ulid, NULL FROM sel WHERE c=1
+         |  UNION ALL
+         |  SELECT bucket, key,
+         |         lpad(CAST(version_ord - version_ord%10 + 9 AS VARCHAR), 12, '0'),
+         |         NULL FROM sel WHERE c=2
+         |  UNION ALL
+         |  SELECT bucket, key||'.x', NULL, 'T'||version_ulid FROM sel WHERE c=3),
+         |rk AS (SELECT bucket, key, version_ulid,
+         |         ROW_NUMBER() OVER (PARTITION BY bucket, key
+         |                            ORDER BY version_ord DESC, hash DESC) AS rn
+         |       FROM versions),
+         |top2 AS (SELECT bucket, key,
+         |           MAX(CASE WHEN rn=1 THEN version_ulid END) AS latest_v,
+         |           MAX(CASE WHEN rn=2 THEN version_ulid END) AS second_v
+         |         FROM rk WHERE rn<=2 GROUP BY 1, 2),
+         |j AS (SELECT r.*, v.is_delete_marker AS t_marker, t.latest_v, t.second_v
+         |      FROM req r
+         |      LEFT JOIN versions v ON r.bucket=v.bucket AND r.key=v.key
+         |                          AND r.req_version=v.version_ulid
+         |      LEFT JOIN top2 t ON r.bucket=t.bucket AND r.key=t.key)
+         |SELECT bucket, key, req_version,
+         |  CASE WHEN req_version IS NULL THEN 'OK'
+         |       WHEN t_marker IS NULL THEN 'NoSuchVersion' ELSE 'OK' END AS verdict,
+         |  CASE WHEN req_version IS NULL THEN TRUE
+         |       WHEN t_marker IS NOT NULL THEN t_marker END AS delete_marker,
+         |  CASE WHEN req_version IS NULL THEN tomb
+         |       WHEN t_marker IS NOT NULL THEN req_version END AS result_version,
+         |  CASE WHEN req_version IS NOT NULL AND t_marker IS NOT NULL
+         |       THEN req_version = latest_v END AS was_latest,
+         |  CASE WHEN req_version IS NOT NULL AND t_marker IS NOT NULL
+         |       THEN CASE WHEN req_version = latest_v THEN second_v
+         |                 ELSE latest_v END END AS new_latest
+         |FROM j
+         |ORDER BY bucket, key, COALESCE(req_version, ''),
+         |         COALESCE(result_version, '')""".stripMargin,
+
+    "cat14_copy_conditions" ->
+      s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
+         |hd AS (SELECT * FROM versions
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket, key
+         |                 ORDER BY version_ord DESC, hash DESC) = 1),
+         |sel AS (SELECT *, (version_ord//51)%9 AS c, created_at_ms//1000 AS lm
+         |        FROM hd WHERE version_ord%51=0),
+         |req AS (
+         |  SELECT 'h'||c||':'||bucket||'/'||key AS req_id, bucket, key,
+         |         CAST(NULL AS VARCHAR) AS src_version,
+         |         CASE WHEN c=1 OR c=6 THEN '"'||hash||'"'
+         |              WHEN c=2 THEN 'deadbeef' WHEN c=3 THEN '*' END AS if_match,
+         |         CASE WHEN c=4 THEN '*' WHEN c=8 THEN 'deadbeef' END AS if_none_match,
+         |         CASE WHEN c=7 OR c=8 THEN lm+10 END AS if_modified_s,
+         |         CASE WHEN c=5 OR c=6 THEN lm-10 END AS if_unmodified_s
+         |  FROM sel
+         |  UNION ALL
+         |  SELECT 'e0:'||bucket||'/'||key||'@'||version_ulid, bucket, key,
+         |         version_ulid, NULL, NULL, NULL, NULL
+         |  FROM versions WHERE version_ord%57=0
+         |  UNION ALL
+         |  SELECT 'e1:'||bucket||'/'||key||'@'||version_ulid, bucket, key,
+         |         lpad(CAST(version_ord - version_ord%10 + 9 AS VARCHAR), 12, '0'),
+         |         NULL, NULL, NULL, NULL
+         |  FROM versions WHERE version_ord%59=0
+         |  UNION ALL
+         |  SELECT 'a0:'||bucket||'/'||key, bucket, key||'.nope',
+         |         NULL, NULL, NULL, NULL, NULL
+         |  FROM sel WHERE c=0),
+         |bv AS (SELECT bucket, key, version_ulid AS src_version,
+         |              is_delete_marker AS v_marker, hash AS v_etag,
+         |              created_at_ms//1000 AS v_lm FROM versions),
+         |hh AS (SELECT bucket, key, version_ulid AS h_version,
+         |              is_delete_marker AS h_marker, hash AS h_etag,
+         |              created_at_ms//1000 AS h_lm FROM hd),
+         |x AS (SELECT r.*, bv.v_marker, bv.v_etag, hh.h_version, hh.h_marker,
+         |        CASE WHEN r.src_version IS NOT NULL THEN bv.v_etag
+         |             ELSE hh.h_etag END AS etag,
+         |        CASE WHEN r.src_version IS NOT NULL THEN bv.v_lm
+         |             ELSE hh.h_lm END AS lm2,
+         |        COALESCE(r.src_version, hh.h_version) AS src_v
+         |      FROM req r
+         |      LEFT JOIN bv ON r.bucket=bv.bucket AND r.key=bv.key
+         |                  AND r.src_version=bv.src_version
+         |      LEFT JOIN hh ON r.bucket=hh.bucket AND r.key=hh.key),
+         |v AS (SELECT *,
+         |  CASE WHEN src_version IS NOT NULL AND v_etag IS NULL THEN 'NoSuchVersion'
+         |       WHEN src_version IS NOT NULL AND v_marker THEN 'DeleteMarker'
+         |       WHEN src_version IS NULL AND h_version IS NULL THEN 'NoSuchKey'
+         |       WHEN src_version IS NULL AND h_marker THEN 'NoSuchKey'
+         |       WHEN (CASE WHEN if_match IS NOT NULL
+         |                  THEN NOT (if_match='*' OR trim(if_match, '"')=etag)
+         |                  ELSE if_unmodified_s IS NOT NULL AND lm2 > if_unmodified_s END)
+         |         OR (CASE WHEN if_none_match IS NOT NULL
+         |                  THEN if_none_match='*' OR trim(if_none_match, '"')=etag
+         |                  ELSE if_modified_s IS NOT NULL AND lm2 <= if_modified_s END)
+         |       THEN 'PreconditionFailed' ELSE 'OK' END AS verdict FROM x)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='OK' THEN src_v END AS source_version,
+         |  CASE WHEN verdict='OK' THEN etag END AS etag,
+         |  CASE WHEN verdict='OK' THEN lm2 END AS last_modified_s
+         |FROM v ORDER BY req_id""".stripMargin,
 
     "qc2_summary_cache" ->
       s"""WITH ${RdfTables.quadsCte},

@@ -1,0 +1,161 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch DeleteObjects verdicts and conditional CopyObject source checks as
+  * relational operators (reference `operations/src/s3/delete_object.rs`,
+  * `delete_objects.rs`, `copy_object.rs`, `get_object.rs`).
+  *
+  * Both evaluate a REQUEST RELATION against the versions keyspace in one
+  * equi-join + per-key window pass — no per-request driver loop, verdicts
+  * for every request in the batch come out of one shuffle round. The
+  * request side partitions on (bucket, key) with the versions side, and the
+  * per-key windows are bounded by the key's version count (the reference
+  * walks the same rows per delete in `ReadAllVersions`).
+  */
+object ObjectOps {
+
+  /** DeleteObjects outcomes (`delete_objects.rs:32-61`, per-entry semantics
+    * from `delete_object.rs`):
+    *
+    *  - unversioned delete (`version_id: None`): writes a tombstone with a
+    *    fresh version id and ALWAYS succeeds with `delete_marker: true`
+    *    (`handle_transaction_started` → `write_tombstone`,
+    *    `delete_object.rs:244-248,795-797`) — even for keys that do not
+    *    exist (`delete_objects.rs:203-204` asserts the absent-key marker);
+    *  - versioned delete: the version record must exist, else
+    *    `NoSuchVersion` (`delete_object.rs:270-272`); on success the version
+    *    is removed permanently and `delete_marker` reports whether the
+    *    REMOVED version was itself a tombstone
+    *    (`VersionSummary::is_deleted`, `delete_object.rs:776-784`);
+    *  - failures are isolated per entry (`delete_objects.rs:214`).
+    *
+    * The head transition (`ApplyHeadTransition`) is reported relationally:
+    * for a versioned delete, `was_latest` says whether the removed version
+    * held the head, and `new_latest` is the surviving head version id
+    * (NULL when the key has no other versions). Unversioned deletes leave
+    * both NULL — their new head IS the returned tombstone.
+    *
+    * `versions(bucket, key, version_ulid, version_ord, is_delete_marker,
+    * hash)` must be unique on (bucket, key, version_ulid).
+    * `requests(bucket, key, req_version, tomb_version)` — `req_version`
+    * NULL selects the unversioned path; `tomb_version` is the caller's
+    * pre-assigned tombstone id (the reference mints a ULID,
+    * `delete_object.rs:329`; a relation needs it injected to stay
+    * deterministic).
+    */
+  def deleteVerdicts(versions: DataFrame, requests: DataFrame): DataFrame = {
+    // head order = (version_ord desc, hash desc), the listing tie-break
+    val w = Window.partitionBy("bucket", "key")
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    val ranked = versions
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+    val top2 = ranked.groupBy("bucket", "key")
+      .agg(
+        max(when(col("__rk") === 1, col("version_ulid"))).as("latest_v"),
+        max(when(col("__rk") === 2, col("version_ulid"))).as("second_v"))
+    val target = versions.select(
+      col("bucket"), col("key"),
+      col("version_ulid").as("req_version"),
+      col("is_delete_marker").as("t_marker"))
+    val resolved = requests
+      .join(target, Seq("bucket", "key", "req_version"), "left")
+      .join(top2, Seq("bucket", "key"), "left")
+    resolved.select(
+      col("bucket"), col("key"), col("req_version"),
+      when(col("req_version").isNull, "OK")
+        .when(col("t_marker").isNull, "NoSuchVersion")
+        .otherwise("OK").as("verdict"),
+      when(col("req_version").isNull, lit(true))
+        .when(col("t_marker").isNotNull, col("t_marker"))
+        .as("delete_marker"),
+      when(col("req_version").isNull, col("tomb_version"))
+        .when(col("t_marker").isNotNull, col("req_version"))
+        .as("result_version"),
+      when(col("req_version").isNotNull && col("t_marker").isNotNull,
+        col("req_version") === col("latest_v")).as("was_latest"),
+      when(col("req_version").isNotNull && col("t_marker").isNotNull,
+        when(col("req_version") === col("latest_v"), col("second_v"))
+          .otherwise(col("latest_v"))).as("new_latest"))
+  }
+
+  /** Conditional CopyObject source verdicts (`copy_object.rs:56-160`).
+    *
+    * Source resolution errors come FIRST — the GetObject drive's `?` fires
+    * before `evaluate_source_conditions` (`copy_object.rs:122-135,161-166`):
+    *
+    *  - no version requested, key absent → `NoSuchKey`
+    *    (`get_object.rs:275,301`);
+    *  - no version requested, head is a tombstone → `NoSuchKey` (implicit
+    *    marker resolution, `get_object.rs:345-347` else-branch);
+    *  - requested version absent → `NoSuchVersion` (`get_object.rs:273`);
+    *  - requested version is a tombstone → `DeleteMarker`
+    *    (`get_object.rs:345` explicit branch).
+    *
+    * Then the AWS-precedence condition ladder
+    * (`evaluate_source_conditions`, `copy_object.rs:70-116`), over
+    * `etag` = hex MD5 and `last_modified` truncated to WHOLE SECONDS
+    * (`copy_object.rs:76-81`):
+    *
+    *  - `if_match` present OVERRIDES `if_unmodified_since`: fail unless the
+    *    etag matches (`"*"` matches any existing source; quotes stripped,
+    *    `etag_matches` `copy_object.rs:59-68`);
+    *  - `if_match` absent: `if_unmodified_since` fails when
+    *    last_modified > threshold;
+    *  - `if_none_match` present OVERRIDES `if_modified_since`: fail when
+    *    the etag DOES match;
+    *  - `if_none_match` absent: `if_modified_since` fails when
+    *    last_modified <= threshold.
+    *
+    * `requests(req_id, bucket, key, src_version, if_match, if_none_match,
+    * if_modified_s, if_unmodified_s)` — string/epoch-second columns, all
+    * nullable. Output: (req_id, verdict, source_version, etag,
+    * last_modified_s); the source fields only accompany OK verdicts (a
+    * failed copy returns no result data).
+    */
+  def copyVerdicts(versions: DataFrame, requests: DataFrame): DataFrame = {
+    val w = Window.partitionBy("bucket", "key")
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    val heads = versions
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("bucket"), col("key"),
+        col("version_ulid").as("h_version"), col("is_delete_marker").as("h_marker"),
+        col("hash").as("h_etag"), (col("created_at_ms") / 1000).cast("long").as("h_lm"))
+    val byVersion = versions.select(
+      col("bucket"), col("key"), col("version_ulid").as("src_version"),
+      col("is_delete_marker").as("v_marker"), col("hash").as("v_etag"),
+      (col("created_at_ms") / 1000).cast("long").as("v_lm"))
+    val r = requests
+      .join(byVersion, Seq("bucket", "key", "src_version"), "left")
+      .join(heads, Seq("bucket", "key"), "left")
+      .withColumn("etag",
+        when(col("src_version").isNotNull, col("v_etag")).otherwise(col("h_etag")))
+      .withColumn("lm",
+        when(col("src_version").isNotNull, col("v_lm")).otherwise(col("h_lm")))
+      .withColumn("src_v",
+        when(col("src_version").isNotNull, col("src_version")).otherwise(col("h_version")))
+    val stripQ = (c: String) => regexp_replace(col(c), "^\"|\"$", "")
+    val matches = (c: String) =>
+      col(c) === "*" || stripQ(c) === col("etag")
+    val resolveErr =
+      when(col("src_version").isNotNull && col("v_etag").isNull, "NoSuchVersion")
+        .when(col("src_version").isNotNull && col("v_marker"), "DeleteMarker")
+        .when(col("src_version").isNull && col("h_version").isNull, "NoSuchKey")
+        .when(col("src_version").isNull && col("h_marker"), "NoSuchKey")
+    val precondFail =
+      when(col("if_match").isNotNull, !matches("if_match"))
+        .otherwise(col("if_unmodified_s").isNotNull && col("lm") > col("if_unmodified_s")) ||
+        when(col("if_none_match").isNotNull, matches("if_none_match"))
+          .otherwise(col("if_modified_s").isNotNull && col("lm") <= col("if_modified_s"))
+    r.withColumn("verdict",
+      coalesce(resolveErr, when(precondFail, "PreconditionFailed"), lit("OK")))
+      .select(col("req_id"), col("verdict"),
+        when(col("verdict") === "OK", col("src_v")).as("source_version"),
+        when(col("verdict") === "OK", col("etag")).as("etag"),
+        when(col("verdict") === "OK", col("lm")).as("last_modified_s"))
+  }
+}

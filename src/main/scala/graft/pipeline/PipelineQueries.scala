@@ -738,6 +738,83 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // temperature-scaled source mixture (α = 1/2): the corpus is skewed
+    // deterministically (each source keeps doc_id % (srcnum%7+1) == 0, so
+    // source sizes span 7×), then sampled to shares ∝ isqrt(n) with the
+    // smallest source binding at rate 1000‰ — small sources are protected,
+    // big sources downsample toward √n, the standard multilingual balance
+    "ds4_temperature_mix" -> { (s, d) =>
+      val dsk = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .filter(expr("(doc_id div 20) % " +
+          "(cast(substr(source, 4, 10) as bigint) % 7 + 1) = 0"))
+      val kept = TextAnalysis.temperatureResample(dsk, "source", "doc_id",
+          SplitSalt)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      TextAnalysis.temperatureRates(dsk, "source")
+        .join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy(col("source"))
+    },
+
+    // budget-constrained epoch plan: per-source token budgets under a
+    // 1.5×-corpus global budget with a 2-epoch per-source repeat cap —
+    // exact water-filling, capped surplus redistributed by temperature
+    // weight; small sources hit the cap, large ones split the remainder
+    "ds5_epoch_plan" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .filter(expr("(doc_id div 20) % " +
+          "(cast(substr(source, 4, 10) as bigint) % 7 + 1) = 0"))
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("n_tokens"))
+      TextAnalysis.epochPlan(tok, "source", budgetNum = 3, budgetDen = 2,
+          maxEpochs = 2)
+        .orderBy(col("source"))
+    },
+
+    // SFT conversation flattening: events as dialog turns (view/signup =
+    // user prompts, click/purchase = assistant replies, error rows dropped
+    // upstream), consecutive same-role turns merged, reply-first
+    // conversations dropped, 8-turn truncation, ChatML render hashed
+    "sft1_chat_flatten" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id").as("conv_id"),
+          col("event_id").as("turn_idx"),
+          when(col("event_type").isin("view", "signup"), "user")
+            .otherwise("assistant").as("role"),
+          concat(col("event_type"), lit("#"), col("event_id")).as("content"))
+      TextAnalysis.chatFlatten(ev, minTurns = 2, maxTurns = 8)
+        .orderBy("conv_id")
+    },
+
+    // composed language-balanced corpus prep: n-gram langid -> temperature
+    // mixture over the DETECTED language (α=1/2 protects the small
+    // languages) -> deterministic split; per-(lang, split) counts with the
+    // applied rate, the multilingual pre-training sampling chain
+    "pl4_lang_balanced" -> { (s, d) =>
+      // the (doc_id, lang) projection feeds THREE consumers (rate counts,
+      // the keep join, the final rate join); without a barrier each one
+      // re-evaluates the 4-language HOF marker scan over the full text
+      // column (~3x tx3's whole cost). Cache the tiny projection once.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langPredOf(col("text")).as("lang"))
+        .persist()
+      graft.Caches.track(docs)
+      val kept = TextAnalysis.temperatureResample(docs, "lang", "doc_id",
+        SplitSalt)
+      // split under a DIFFERENT salt: reusing the keep-decision hash would
+      // make the split conditional on surviving the sampler (rate<1000 langs
+      // would have empty high-slot splits) — independent decisions need
+      // independent hash spaces
+      val split = TextAnalysis.deterministicSplit(kept, "doc_id",
+        SplitSalt + ":split", SplitValPm, SplitTestPm)
+      split.groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(TextAnalysis.temperatureRates(docs, "lang")
+          .select(col("lang"), col("rate_permille")), Seq("lang"))
+        .orderBy(col("lang"), col("split"))
+    },
+
     // boilerplate strip: rebuild every corpus doc from its non-repeated
     // chunks (consumer of the dd9 detector, full-coverage chunk grid)
     "dd11_boilerplate_strip" -> { (s, d) =>
@@ -2493,6 +2570,160 @@ object PipelineQueries {
          |       COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
          |FROM r LEFT JOIN k ON k.source = r.source
          |ORDER BY r.source""".stripMargin,
+
+    // temperature mixture: same binding-source algebra as ds2 with the
+    // weight column replaced by isqrt(n) — floor(sqrt(double)) is exact
+    // below 2^51 in both engines, and the rate/keep arithmetic is integer
+    "ds4_temperature_mix" ->
+      s"""WITH dsk AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE (doc_id // 20) % (CAST(substr(source, 4) AS BIGINT) % 7 + 1) = 0),
+         |c AS (SELECT source, COUNT(*) AS n FROM dsk GROUP BY source),
+         |wt AS (SELECT source, n,
+         |         CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+         |       FROM c),
+         |b AS (SELECT n AS bn, w AS bw FROM wt
+         |      ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE), source LIMIT 1),
+         |r AS (SELECT wt.source, wt.n AS n_in, wt.w AS w_temp,
+         |             (1000 * b.bn * wt.w) // (b.bw * wt.n) AS rate_permille
+         |      FROM wt, b),
+         |k AS (SELECT d.source, COUNT(*) AS n_kept
+         |      FROM dsk d JOIN r USING (source)
+         |      WHERE CAST(('0x' || substr(md5('$SplitSalt|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < r.rate_permille
+         |      GROUP BY d.source)
+         |SELECT r.source, r.n_in, r.w_temp, r.rate_permille,
+         |       COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM r LEFT JOIN k USING (source)
+         |ORDER BY r.source""".stripMargin,
+
+    // chat flatten: identical run-id algebra (lag + running sum), ordered
+    // string_agg for the merge and the ChatML render, hash compared
+    "sft1_chat_flatten" ->
+      """WITH t AS (
+        |  SELECT user_id AS conv_id, event_id AS turn_idx,
+        |         CASE WHEN event_type IN ('view','signup') THEN 'user'
+        |              ELSE 'assistant' END AS role,
+        |         event_type || '#' || event_id AS content
+        |  FROM events WHERE event_type <> 'error'),
+        |r AS (SELECT *,
+        |        CASE WHEN LAG(role) OVER w IS NULL OR LAG(role) OVER w <> role
+        |             THEN 1 ELSE 0 END AS new_run
+        |      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+        |r2 AS (SELECT *,
+        |         SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+        |           AS run_id
+        |       FROM r),
+        |m AS (SELECT conv_id, run_id, MIN(role) AS role,
+        |        string_agg(content, chr(10) ORDER BY turn_idx) AS content
+        |      FROM r2 GROUP BY 1, 2),
+        |f AS (SELECT *,
+        |        FIRST_VALUE(role) OVER (PARTITION BY conv_id ORDER BY run_id)
+        |          AS first_role,
+        |        COUNT(*) OVER (PARTITION BY conv_id) AS n_runs
+        |      FROM m),
+        |k AS (SELECT * FROM f
+        |      WHERE first_role = 'user' AND n_runs >= 2 AND run_id <= 8),
+        |g AS (SELECT conv_id, COUNT(*) AS n_turns,
+        |        CAST(SUM(CASE WHEN role='user' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_user,
+        |        CAST(SUM(CASE WHEN role='assistant' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_assistant,
+        |        string_agg('<|im_start|>'||role||chr(10)||content||'<|im_end|>',
+        |                   chr(10) ORDER BY run_id) AS text
+        |      FROM k GROUP BY 1)
+        |SELECT conv_id, n_turns, n_user, n_assistant,
+        |       CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5
+        |FROM g ORDER BY conv_id""".stripMargin,
+
+    // language-balanced chain: tx3's argmax langid CTE feeding ds4's
+    // binding-source temperature algebra feeding tx5's split slots
+    "pl4_lang_balanced" ->
+      s"""WITH lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN best = 0 THEN 'und'
+         |         WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+         |         WHEN c_fr = best THEN 'fr' ELSE 'es' END AS lang
+         |  FROM (
+         |    SELECT doc_id, c_en, c_de, c_fr, c_es,
+         |           greatest(c_en, c_de, c_fr, c_es) AS best
+         |    FROM (
+         |      SELECT doc_id,
+         |        CAST(len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS c_en,
+         |        CAST(len(list_filter(ts, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) AS BIGINT) AS c_de,
+         |        CAST(len(list_filter(ts, t -> list_contains(['le','la','les','et','est','une','dans'], t))) AS BIGINT) AS c_fr,
+         |        CAST(len(list_filter(ts, t -> list_contains(['el','los','las','es','una','para','con'], t))) AS BIGINT) AS c_es
+         |      FROM (SELECT doc_id,
+         |              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+         |            FROM documents) d) c) f),
+         |c AS (SELECT lang, COUNT(*) AS n FROM lang GROUP BY lang),
+         |wt AS (SELECT lang, n,
+         |         CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+         |       FROM c),
+         |b AS (SELECT n AS bn, w AS bw FROM wt
+         |      ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE), lang LIMIT 1),
+         |r AS (SELECT wt.lang, (1000 * b.bn * wt.w) // (b.bw * wt.n)
+         |        AS rate_permille FROM wt, b),
+         |kept AS (
+         |  SELECT l.doc_id, l.lang,
+         |    CAST(('0x' || substr(md5('$SplitSalt:split|' || CAST(l.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS slot2
+         |  FROM lang l JOIN r USING (lang)
+         |  WHERE CAST(('0x' || substr(md5('$SplitSalt|' || CAST(l.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < r.rate_permille),
+         |sp AS (SELECT lang,
+         |         CASE WHEN slot2 < $SplitValPm THEN 'val'
+         |              WHEN slot2 < ${SplitValPm + SplitTestPm} THEN 'test'
+         |              ELSE 'train' END AS split
+         |       FROM kept)
+         |SELECT sp.lang, sp.split, COUNT(*) AS n_kept, r.rate_permille
+         |FROM sp JOIN r USING (lang)
+         |GROUP BY sp.lang, sp.split, r.rate_permille
+         |ORDER BY sp.lang, sp.split""".stripMargin,
+
+    // epoch plan: identical closed-form water-filling — prefix-min capped
+    // set over the cap/w ordering, integer floor-division remainder split
+    "ds5_epoch_plan" ->
+      s"""WITH tok AS (
+         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE (doc_id // 20) % (CAST(substr(source, 4) AS BIGINT) % 7 + 1) = 0
+         |  GROUP BY source),
+         |wt AS (SELECT source, n_tokens,
+         |         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w,
+         |         n_tokens * 2 AS cap
+         |       FROM tok),
+         |x AS (SELECT *,
+         |        (CAST(SUM(n_tokens) OVER () AS BIGINT) * 3) // 2 AS budget,
+         |        COALESCE(CAST(SUM(cap) OVER (
+         |          ORDER BY CAST(cap AS DOUBLE)/CAST(w AS DOUBLE), source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |          0) AS c_before,
+         |        CAST(SUM(w) OVER (
+         |          ORDER BY CAST(cap AS DOUBLE)/CAST(w AS DOUBLE), source
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         |          AS w_from
+         |      FROM wt),
+         |y AS (SELECT *,
+         |        CASE WHEN cap * w_from <= w * (budget - c_before)
+         |             THEN 1 ELSE 0 END AS f
+         |      FROM x),
+         |z AS (SELECT *,
+         |        MIN(f) OVER (
+         |          ORDER BY CAST(cap AS DOUBLE)/CAST(w AS DOUBLE), source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |          AS capped
+         |      FROM y),
+         |a AS (SELECT *,
+         |        COALESCE(CAST(SUM(CASE WHEN capped THEN cap END) OVER () AS BIGINT), 0)
+         |          AS cap_used,
+         |        CAST(SUM(CASE WHEN NOT capped THEN w END) OVER () AS BIGINT)
+         |          AS w_unc
+         |      FROM z),
+         |fin AS (SELECT source, n_tokens, w AS w_temp, cap, capped,
+         |          CASE WHEN capped THEN cap
+         |               ELSE (w * (budget - cap_used)) // w_unc END AS alloc_tokens
+         |        FROM a)
+         |SELECT source, n_tokens, w_temp, cap, capped, alloc_tokens,
+         |       (1000 * alloc_tokens) // n_tokens AS epochs_permille
+         |FROM fin ORDER BY source""".stripMargin,
 
     // boilerplate strip: same chunk grid, detector tail rule on the boiler
     // side only (full-coverage rebuild), order-preserving string_agg

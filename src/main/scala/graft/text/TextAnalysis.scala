@@ -661,6 +661,154 @@ object TextAnalysis {
       .drop("rate_permille")
   }
 
+  /** Temperature-scaled source mixture (α = 1/2): target share ∝ n^α, the
+    * standard between-language/source balancing temperature (multilingual
+    * pretraining mixes sample p_i ∝ n_i^α with α ∈ [0.2, 0.7] to keep small
+    * sources from vanishing). Downsampling-only, so rate_i ∝ w_i / n_i with
+    * w_i = isqrt(n_i), scaled so the binding source (max w/n = the smallest
+    * source) keeps everything — the same exact-integer binding-source
+    * algebra as [[mixtureRates]], with the static weight column replaced by
+    * the data-derived temperature weight.
+    *
+    * isqrt via `floor(sqrt(double))` is EXACT for n < 2^51: IEEE sqrt is
+    * correctly rounded, perfect squares are hit exactly, and an irrational
+    * √n sits ≥ 1/(2√n+1) from the next integer while the rounding error is
+    * < √n·2⁻⁵², which only crosses once n > 2^51 — both engines agree
+    * bit-for-bit. Overflow: 1000·bn·w must fit a long → fine to ~10^12
+    * rows per source. */
+  def temperatureRates(docs: DataFrame, sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val wt = counts.withColumn("w",
+      floor(sqrt(col("n").cast("double"))).cast("long"))
+    val binding = wt
+      .orderBy((col("n").cast("double") / col("w").cast("double")).asc,
+        col(sourceCol))
+      .limit(1).select(col("n").as("bn"), col("w").as("bw"))
+    wt.crossJoin(broadcast(binding))
+      .withColumn("rate_permille", expr("(1000L * bn * w) div (bw * n)"))
+      .select(col(sourceCol), col("n").as("n_in"), col("w").as("w_temp"),
+        col("rate_permille"))
+  }
+
+  /** Apply [[temperatureRates]]: kept rows selected by the deterministic
+    * md5(salt|id) permille slot — repartition-invariant, like
+    * [[mixtureResample]]. */
+  def temperatureResample(docs: DataFrame, sourceCol: String, idCol: String,
+      salt: String): DataFrame = {
+    val rates = temperatureRates(docs, sourceCol)
+      .select(col(sourceCol), col("rate_permille"))
+    val slot = conv(substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(slot < col("rate_permille"))
+      .drop("rate_permille")
+  }
+
+  /** Budget-constrained epoch plan — exact water-filling over per-source
+    * token counts. Each source asks for a budget share ∝ its temperature
+    * weight w = isqrt(n_tokens), capped at `maxEpochs` passes over its own
+    * tokens (the "repeat small high-quality sources, but not forever" rule
+    * every large pretraining mix applies); capped surplus redistributes to
+    * the uncapped sources. The global budget is `totalTokens · budgetNum /
+    * budgetDen` (relation-derived, so the plan is scale-free).
+    *
+    * Closed form, no iteration: sorted by cap/w ascending, the capped set
+    * is a PREFIX — row i caps iff cap_i · W_i ≤ w_i · R_i where W_i sums w
+    * over rows ≥ i and R_i is the budget minus caps already granted to
+    * rows < i (the prefix-min guard makes the set prefix-closed even under
+    * double-ordering ties). Uncapped rows then split the final remainder R
+    * by exact integer floor division w·R div W.
+    *
+    * Scale: this is a PLANNER operator — the input is the per-source
+    * aggregate (metadata-sized, one row per source), so the single-frame
+    * windows are over at most a few thousand rows, like the compaction /
+    * range-partition planners. The only data-scale pass is the upstream
+    * token count. Overflow bound: cap·W and w·R must fit a long — with
+    * per-source tokens ≤ 4·10^12 and ≤ 10^4 sources both stay < 2^63. */
+  def epochPlan(tokens: DataFrame, sourceCol: String,
+      budgetNum: Int, budgetDen: Int, maxEpochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(
+      (col("cap").cast("double") / col("w").cast("double")).asc, col(sourceCol))
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tokens
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("tot", sum("n_tokens").over(all))
+      .withColumn("budget", expr(s"(tot * $budgetNum) div $budgetDen"))
+      .withColumn("c_before", coalesce(
+        sum("cap").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("w_from",
+        sum("w").over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("f",
+        (col("cap") * col("w_from") <= col("w") * (col("budget") - col("c_before")))
+          .cast("int"))
+      .withColumn("capped",
+        min("f").over(ord.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+      .withColumn("cap_used",
+        coalesce(sum(when(col("capped"), col("cap"))).over(all), lit(0L)))
+      .withColumn("w_unc", sum(when(!col("capped"), col("w"))).over(all))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap"))
+          .otherwise(expr("(w * (budget - cap_used)) div w_unc")))
+      .withColumn("epochs_permille",
+        expr("(1000L * alloc_tokens) div n_tokens"))
+      .select(col(sourceCol), col("n_tokens"), col("w").as("w_temp"),
+        col("cap"), col("capped"), col("alloc_tokens"), col("epochs_permille"))
+  }
+
+  /** SFT conversation flattening — the chat-to-training-text step of a
+    * fine-tuning data pipeline, as one relational pass:
+    *
+    *  1. consecutive same-role turns MERGE into one turn, contents joined
+    *     by newline (gaps-and-islands run ids: lag + running sum);
+    *  2. conversations whose first merged turn is not `user` are DROPPED
+    *     (a reply with no prompt teaches nothing);
+    *  3. conversations with fewer than `minTurns` merged turns are dropped;
+    *  4. turns beyond `maxTurns` TRUNCATE (context-length guard);
+    *  5. the survivors render to a ChatML-style template
+    *     `<|im_start|>role\ncontent<|im_end|>` joined by newline.
+    *
+    * Input `turns(conv_id, turn_idx, role, content)`; output one row per
+    * surviving conversation with turn/role counts, rendered length and the
+    * md5 of the rendered text (the hash, not the text — oracle-friendly
+    * and cheap to ship).
+    *
+    * Scale: one shuffle on conv_id; every window and the merge/render
+    * aggregations are bounded by a single conversation's turn count. The
+    * rendered text exists only inside the per-conversation aggregate —
+    * nothing conversation-sized crosses another shuffle. */
+  def chatFlatten(turns: DataFrame, minTurns: Int, maxTurns: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTurn = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val runs = turns
+      .withColumn("prev_role", lag("role", 1).over(byTurn))
+      .withColumn("new_run",
+        (col("prev_role").isNull || col("prev_role") =!= col("role")).cast("int"))
+      .withColumn("run_id", sum("new_run").over(byTurn))
+    val merged = runs.groupBy("conv_id", "run_id")
+      .agg(min("role").as("role"), // constant within a run
+        expr("array_join(transform(array_sort(collect_list(struct(turn_idx, content))), r -> r.content), '\n')")
+          .as("content"))
+    val byRun = Window.partitionBy("conv_id").orderBy("run_id")
+    val full = byRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged
+      .withColumn("first_role", first("role").over(full))
+      .withColumn("n_runs", count(lit(1)).over(full))
+      .filter(col("first_role") === "user" && col("n_runs") >= minTurns &&
+        col("run_id") <= maxTurns)
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        expr("array_join(transform(array_sort(collect_list(struct(run_id, role, content))), r -> concat('<|im_start|>', r.role, '\n', r.content, '<|im_end|>')), '\n')")
+          .as("text"))
+      .select(col("conv_id"), col("n_turns"), col("n_user"), col("n_assistant"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_md5"))
+  }
+
   /** PII detection + redaction report: per doc, counts of email and IPv4
     * literals and the md5 of the redacted text (emails first, then IPs —
     * fixed order so the hash is well-defined). The patterns stay inside the

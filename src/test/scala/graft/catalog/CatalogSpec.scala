@@ -171,6 +171,78 @@ class CatalogSpec extends SparkSpec {
     assert(Multipart.completeVerdicts(ups, pts, req(("u2", 1, 1, null, null))).count() == 0)
   }
 
+  test("DeleteObjects verdicts: tombstones, NoSuchVersion, head transition (delete_object.rs)") {
+    val vv = objects
+    def nv: java.lang.String = null
+    val reqs = Seq(
+      ("b1", "a/x/1.bin", nv, "T1"), // unversioned → tombstone
+      ("b1", "a/x/1.bin", "020", nv), // latest version → head transitions to 010
+      ("b1", "a/x/1.bin", "010", nv), // non-latest version
+      ("b1", "a/del.bin", "060", nv), // the tombstone itself → delete_marker true
+      ("b1", "a/x/1.bin", "999", nv), // phantom → NoSuchVersion
+      ("b1", "nope.bin", nv, "T2") // absent key, unversioned → still a marker
+    ).toDF("bucket", "key", "req_version", "tomb_version")
+    val out = ObjectOps.deleteVerdicts(vv, reqs).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)).getOrElse("-")) ->
+        (r.getString(3), r.get(4), Option(r.getString(5)).orNull,
+          r.get(6), Option(r.getString(7)).orNull)).toMap
+    assert(out(("b1", "a/x/1.bin", "-")) == ("OK", true, "T1", null, null))
+    assert(out(("b1", "a/x/1.bin", "020")) == ("OK", false, "020", true, "010"))
+    assert(out(("b1", "a/x/1.bin", "010")) == ("OK", false, "010", false, "020"))
+    // removing the delete-marker version reports delete_marker=true
+    // (VersionSummary::is_deleted) and restores 050 as head
+    assert(out(("b1", "a/del.bin", "060")) == ("OK", true, "060", true, "050"))
+    assert(out(("b1", "a/x/1.bin", "999")) == ("NoSuchVersion", null, null, null, null))
+    assert(out(("b1", "nope.bin", "-")) == ("OK", true, "T2", null, null))
+  }
+
+  test("CopyObject source conditions: resolution errors first, AWS precedence (copy_object.rs:70-116)") {
+    // created_at in ms so last_modified truncates to distinct whole seconds
+    val vv = objects.withColumn("created_at_ms", col("version_ord") * 1000)
+    def nv: java.lang.String = null
+    def nl: java.lang.Long = null
+    def req(rows: (String, String, String, String, String, String, java.lang.Long, java.lang.Long)*) =
+      rows.toDF("req_id", "bucket", "key", "src_version",
+        "if_match", "if_none_match", "if_modified_s", "if_unmodified_s")
+    def run(r: org.apache.spark.sql.DataFrame) =
+      ObjectOps.copyVerdicts(vv, r).collect()
+        .map(x => x.getString(0) -> x.getString(1)).toMap
+    val v = run(req(
+      ("r1", "b1", "a/x/1.bin", nv, nv, nv, nl, nl), // plain head → OK
+      ("r2", "b1", "a/del.bin", nv, nv, nv, nl, nl), // marker head → NoSuchKey
+      ("r3", "b1", "zzz.bin", nv, nv, nv, nl, nl), // absent key → NoSuchKey
+      ("r4", "b1", "a/del.bin", "050", nv, nv, nl, nl), // explicit live → OK
+      ("r5", "b1", "a/del.bin", "060", nv, nv, nl, nl), // explicit marker → DeleteMarker
+      ("r6", "b1", "a/del.bin", "999", nv, nv, nl, nl), // phantom → NoSuchVersion
+      ("r7", "b1", "a/x/1.bin", nv, "\"h2\"", nv, nl, nl), // quoted match → OK
+      ("r8", "b1", "a/x/1.bin", nv, "WRONG", nv, nl, nl),
+      ("r9", "b1", "a/x/1.bin", nv, "*", nv, nl, nl),
+      ("r10", "b1", "a/x/1.bin", nv, nv, "*", nl, nl), // none-match '*' on existing
+      ("r11", "b1", "a/x/1.bin", nv, nv, "nope", nl, nl),
+      // last_modified (20s) > if_unmodified (10s) → fail …
+      ("r12", "b1", "a/x/1.bin", nv, nv, nv, nl, 10L),
+      // … unless a correct if_match OVERRIDES it
+      ("r13", "b1", "a/x/1.bin", nv, "h2", nv, nl, 10L),
+      // last_modified (20s) <= if_modified (30s) → fail …
+      ("r14", "b1", "a/x/1.bin", nv, nv, nv, 30L, nl),
+      // … unless a non-matching if_none_match OVERRIDES it
+      ("r15", "b1", "a/x/1.bin", nv, nv, "nope", 30L, nl)))
+    assert(v("r1") == "OK" && v("r2") == "NoSuchKey" && v("r3") == "NoSuchKey")
+    assert(v("r4") == "OK" && v("r5") == "DeleteMarker" && v("r6") == "NoSuchVersion")
+    assert(v("r7") == "OK" && v("r8") == "PreconditionFailed" && v("r9") == "OK")
+    assert(v("r10") == "PreconditionFailed" && v("r11") == "OK")
+    assert(v("r12") == "PreconditionFailed" && v("r13") == "OK")
+    assert(v("r14") == "PreconditionFailed" && v("r15") == "OK")
+    // OK rows carry the resolved source; failures carry no result data
+    val rows = ObjectOps.copyVerdicts(vv, req(
+      ("r1", "b1", "a/x/1.bin", nv, nv, nv, nl, nl),
+      ("r8", "b1", "a/x/1.bin", nv, "WRONG", nv, nl, nl))).collect()
+      .map(x => x.getString(0) -> (Option(x.getString(2)).orNull,
+        Option(x.getString(3)).orNull, x.get(4))).toMap
+    assert(rows("r1") == ("020", "h2", 20L))
+    assert(rows("r8") == (null, null, null))
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))

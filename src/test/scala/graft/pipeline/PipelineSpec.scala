@@ -608,6 +608,82 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
   }
 
+  test("temperature mixture (α=1/2): shares ∝ isqrt(n), smallest source binds at 1000‰") {
+    // counts a:400 b:100 c:25 -> w = 20/10/5; binding = max w/n = c;
+    // rate_a = 1000*25*20/(5*400) = 250, rate_b = 1000*25*10/(5*100) = 500
+    val docs = (Seq.tabulate(400)(i => (i.toLong, "a")) ++
+      Seq.tabulate(100)(i => (1000L + i, "b")) ++
+      Seq.tabulate(25)(i => (2000L + i, "c"))).toDF("doc_id", "source")
+    val rates = TextAnalysis.temperatureRates(docs, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rates == Map("a" -> (20L, 250L), "b" -> (10L, 500L), "c" -> (5L, 1000L)),
+      s"closed-form temperature rates wrong: $rates")
+    // binding source is never downsampled; bigger sources thin toward √n
+    val kept = TextAnalysis.temperatureResample(docs, "source", "doc_id", "graft")
+    assert(kept.filter(col("source") === "c").count() == 25)
+    val keptA = kept.filter(col("source") === "a").count()
+    assert(keptA < 400, s"source a must downsample, kept $keptA")
+  }
+
+  test("epoch plan: exact water-filling — caps bind, surplus redistributes, budget respected") {
+    // tokens a:10000 b:10000 c:100; budget = 3/2 * 20100 = 30150;
+    // cap = 2n. c caps (2·100 = 200 token ask << its weight share);
+    // a and b split the remaining 29950 by equal weight w=100:
+    // floor(100·29950/200) = 14975 each, under their 20000 cap.
+    val tok = Seq(("a", 10000L), ("b", 10000L), ("c", 100L))
+      .toDF("source", "n_tokens")
+    val plan = TextAnalysis.epochPlan(tok, "source", budgetNum = 3,
+        budgetDen = 2, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(4), r.getLong(5), r.getLong(6))).toMap
+    assert(plan("c") == (true, 200L, 2000L), s"small source must cap: $plan")
+    assert(plan("a") == (false, 14975L, 1497L) && plan("b") == plan("a"),
+      s"uncapped split wrong: $plan")
+    // allocation never exceeds the budget, never exceeds any cap
+    val total = plan.values.map(_._2).sum
+    assert(total <= 30150L, s"over budget: $total")
+    // all-capped degenerate case: a huge budget caps everyone at maxEpochs
+    val all = TextAnalysis.epochPlan(tok, "source", budgetNum = 100,
+        budgetDen = 1, maxEpochs = 2)
+      .collect().map(r => (r.getBoolean(4), r.getLong(6))).toSeq
+    assert(all.forall(_ == (true, 2000L)), s"huge budget must cap all: $all")
+  }
+
+  test("chat flatten: same-role merge, reply-first drop, truncation, ChatML render") {
+    val turns = Seq(
+      // c1: user,user (merge) -> assistant -> user; survives with 3 runs
+      (1L, 1L, "user", "hi"), (1L, 2L, "user", "there"),
+      (1L, 3L, "assistant", "hello"), (1L, 4L, "user", "bye"),
+      // c2: starts with assistant -> dropped entirely
+      (2L, 1L, "assistant", "unprompted"), (2L, 2L, "user", "what"),
+      // c3: single merged run (user,user) -> under minTurns, dropped
+      (3L, 1L, "user", "a"), (3L, 2L, "user", "b"),
+      // c4: 4 runs, truncated to maxTurns=3
+      (4L, 1L, "user", "q1"), (4L, 2L, "assistant", "a1"),
+      (4L, 3L, "user", "q2"), (4L, 4L, "assistant", "a2")
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    val out = TextAnalysis.chatFlatten(turns, minTurns = 2, maxTurns = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(out.keySet == Set(1L, 4L), s"survivor set wrong: ${out.keySet}")
+    // c1: merged first turn "hi\nthere", 3 turns, 2 user / 1 assistant
+    val c1Text = "<|im_start|>user\nhi\nthere<|im_end|>\n" +
+      "<|im_start|>assistant\nhello<|im_end|>\n" +
+      "<|im_start|>user\nbye<|im_end|>"
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == (3L, 2L, 1L, c1Text.length.toLong, md5Hex(c1Text)),
+      s"c1 render wrong: ${out(1L)}")
+    // c4: truncated after run 3 -> 2 user, 1 assistant, a2 gone
+    val c4Text = "<|im_start|>user\nq1<|im_end|>\n" +
+      "<|im_start|>assistant\na1<|im_end|>\n" +
+      "<|im_start|>user\nq2<|im_end|>"
+    assert(out(4L) == (3L, 2L, 1L, c4Text.length.toLong, md5Hex(c4Text)),
+      s"c4 truncation wrong: ${out(4L)}")
+  }
+
   test("centroid affinity: single-seed scores its own vector 1.0, scoring scan is shuffle-free") {
     val e = Tables.embeddings(spark, sf0001)
     val scored = Ann.centroidAffinity(e, col("vec_id") === 3)
