@@ -329,6 +329,35 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Blob-reclaim GC sweep (blob/reclaim.rs): 200 planted candidates —
+    // vanished backends (b2) and retain strategies drop, in-grace rows stay
+    // NotDue, stale rows whose location is gone (the 150..199 band and the
+    // wrong-backend copies) drop, located copies still named by a live
+    // version pin (the exact-copy check: same hash on another backend does
+    // NOT pin), the unreferenced located band frees with its byte total
+    "rc1_reclaim_sweep" -> { (s, d) =>
+      import s.implicits._
+      val NowS = 1700000000L
+      val cand = s.range(0, 200).select(
+        md5(col("id").cast("string")).as("blake3"),
+        when(col("id") % 11 === 0, "b2")
+          .when(col("id") % 7 === 3,
+            when(col("id") % 2 === 0, "s3").otherwise("fs"))
+          .otherwise(when(col("id") % 2 === 0, "fs").otherwise("s3"))
+          .as("backend"),
+        (lit(NowS) - (col("id") * 73) % 7200).as("enqueued_s"))
+      val locs = s.range(0, 150).select(
+        md5(col("id").cast("string")).as("blake3"),
+        when(col("id") % 2 === 0, "fs").otherwise("s3").as("backend"),
+        (col("id") * 1000 + 17).as("size"))
+      val strat = Seq(("fs", 900L), ("s3", 3600L)).toDF("backend", "grace_s")
+      val refs = ObjectTables.objects(s, d).filter(!col("is_delete_marker"))
+        .select(col("hash").as("blake3")).distinct()
+        .join(locs.select("blake3", "backend"), Seq("blake3"))
+      Reclaim.sweepVerdicts(cand, locs, strat, refs, NowS)
+        .orderBy("backend", "verdict")
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -558,6 +587,44 @@ object CatalogQueries {
          |       CASE WHEN verdict='OK' THEN sum_size END AS object_size,
          |       CASE WHEN verdict='OK' THEN n_req END AS n_parts
          |FROM v ORDER BY upload_id""".stripMargin,
+
+    "rc1_reclaim_sweep" ->
+      s"""WITH ${ObjectTables.objectsCte},
+         |cand AS (SELECT md5(CAST(r AS VARCHAR)) AS blake3,
+         |    CASE WHEN r%11=0 THEN 'b2'
+         |         WHEN r%7=3 THEN CASE WHEN r%2=0 THEN 's3' ELSE 'fs' END
+         |         ELSE CASE WHEN r%2=0 THEN 'fs' ELSE 's3' END END AS backend,
+         |    1700000000 - (r*73)%7200 AS enqueued_s
+         |  FROM range(0,200) t(r)),
+         |locs AS (SELECT md5(CAST(r AS VARCHAR)) AS blake3,
+         |    CASE WHEN r%2=0 THEN 'fs' ELSE 's3' END AS backend,
+         |    CAST(r*1000+17 AS BIGINT) AS size
+         |  FROM range(0,150) t(r)),
+         |strat(backend, grace_s) AS (VALUES
+         |  ('fs', CAST(900 AS BIGINT)), ('s3', CAST(3600 AS BIGINT))),
+         |refs AS (SELECT DISTINCT l.blake3, l.backend
+         |         FROM (SELECT DISTINCT hash FROM objects
+         |               WHERE NOT is_delete_marker) o
+         |         JOIN locs l ON l.blake3 = o.hash),
+         |j AS (SELECT c.backend, c.enqueued_s, s.grace_s, l.size AS loc_size,
+         |        (r.blake3 IS NOT NULL) AS is_pinned
+         |      FROM cand c
+         |      LEFT JOIN strat s USING (backend)
+         |      LEFT JOIN locs l ON l.blake3=c.blake3 AND l.backend=c.backend
+         |      LEFT JOIN refs r ON r.blake3=c.blake3 AND r.backend=c.backend),
+         |v AS (SELECT backend,
+         |        CASE WHEN grace_s IS NULL THEN 'Dropped'
+         |             WHEN enqueued_s + grace_s > 1700000000 THEN 'NotDue'
+         |             WHEN loc_size IS NULL THEN 'Dropped'
+         |             WHEN is_pinned THEN 'Pinned'
+         |             ELSE 'Freed' END AS verdict,
+         |        loc_size
+         |      FROM j)
+         |SELECT backend, verdict, COUNT(*) AS n,
+         |       CAST(SUM(CASE WHEN verdict='Freed' THEN loc_size ELSE 0 END)
+         |            AS BIGINT) AS freed_bytes
+         |FROM v GROUP BY 1, 2
+         |ORDER BY backend, verdict""".stripMargin,
 
     "cat13_delete_objects" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},

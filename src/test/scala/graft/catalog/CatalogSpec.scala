@@ -243,6 +243,43 @@ class CatalogSpec extends SparkSpec {
     assert(rows("r8") == (null, null, null))
   }
 
+  test("reclaim sweep: strategy/grace precede location, exact-copy pin, freed bytes (blob/reclaim.rs)") {
+    val now = 1000L
+    val locs = Seq(
+      ("h1", "fs", 100L), ("h2", "fs", 200L), ("h3", "fs", 300L),
+      ("h3", "s3", 333L) // second copy of h3 on s3
+    ).toDF("blake3", "backend", "size")
+    val strat = Seq(("fs", java.lang.Long.valueOf(50L)),
+      ("s3", null.asInstanceOf[java.lang.Long])).toDF("backend", "grace_s")
+    // h1 is referenced on fs only
+    val refs = Seq(("h1", "fs"), ("h3", "fs")).toDF("blake3", "backend")
+    val cand = Seq(
+      ("h1", "fs", 900L), // due, located, referenced -> Pinned
+      ("h2", "fs", 900L), // due, located, unreferenced -> Freed 200
+      ("h2", "fs", 990L), // grace 50: 990+50 > 1000 -> NotDue
+      ("h9", "fs", 990L), // NotDue BEFORE the missing-location check
+      ("h9", "fs", 900L), // due but no location -> Dropped
+      ("h3", "s3", 100L), // retain strategy (NULL grace) -> Dropped even if ancient
+      ("h1", "b2", 900L), // vanished backend -> Dropped
+      ("h2", "s3", 900L)  // retain again -> Dropped (not Freed)
+    ).toDF("blake3", "backend", "enqueued_s")
+    val out = Reclaim.sweepVerdicts(cand, locs, strat, refs, now)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("fs", "Pinned")) == (1L, 0L))
+    assert(out(("fs", "Freed")) == (1L, 200L))
+    assert(out(("fs", "NotDue")) == (2L, 0L), s"NotDue must precede location: $out")
+    assert(out(("fs", "Dropped")) == (1L, 0L))
+    assert(out(("s3", "Dropped")) == (2L, 0L), s"retain must drop: $out")
+    assert(out(("b2", "Dropped")) == (1L, 0L))
+    // the s3 copy of h3 is NOT pinned by the fs reference (exact-copy check)
+    val c2 = Seq(("h3", "s3", 100L)).toDF("blake3", "backend", "enqueued_s")
+    val s2 = Seq(("s3", 50L)).toDF("backend", "grace_s")
+    val v2 = Reclaim.sweepVerdicts(c2, locs, s2, refs, now).collect().head
+    assert(v2.getString(1) == "Freed" && v2.getLong(3) == 333L,
+      s"cross-backend reference must not pin: $v2")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
