@@ -965,4 +965,28 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("dot"), col("cosine"))
   }
+
+  /** Quality-aware canonical selection: within every near-dup cluster keep
+    * the HIGHEST-quality member (smaller doc_id on ties — so an exact copy
+    * never displaces its original), the retention policy production dedup
+    * applies instead of keeping an arbitrary cluster member.
+    *
+    * `labels(doc_id, canonical_id)` (e.g. [[dedupComponents]]),
+    * `quality(doc_id, logit_u)` (e.g. the qf2 frozen linear classifier).
+    * Returns one row per MULTI-member cluster: (canonical_id, n_members,
+    * kept_doc, kept_logit). Singletons pass through a dedup untouched, so
+    * they carry no pick. One join + one per-cluster window, both
+    * partitioned on the cluster key; window size = cluster size. */
+  def canonicalPick(labels: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col("logit_u").desc, col("doc_id").asc)
+    labels.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("canonical_id")))
+      .filter(col("rk") === 1 && col("n_members") >= 2)
+      .select(col("canonical_id"), col("n_members"),
+        col("doc_id").as("kept_doc"), col("logit_u").as("kept_logit"))
+  }
 }

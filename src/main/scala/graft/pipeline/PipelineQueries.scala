@@ -6,6 +6,7 @@ import graft.multimodal.Multimodal
 import graft.similarity.Ann
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators for the driver gate: dedup family, ANN
@@ -256,6 +257,26 @@ object PipelineQueries {
     "dd8_dedup_components" -> { (s, d) =>
       Dedup.dedupComponents(Dedup.minhashLshPairs(corpus(s, d)))
         .orderBy(col("doc_id"))
+    },
+
+    // canonical pick: within every near-dup cluster (dd8's components over
+    // the LSH pair graph) keep the HIGHEST-QUALITY member by qf2's frozen
+    // integer logit (doc_id tie-break) — the "dedup keeps the best copy,
+    // not a random one" retention policy production pipelines apply
+    "dd17_canonical_pick" -> { (s, d) =>
+      val c = corpus(s, d)
+      val labels = Dedup.dedupComponents(Dedup.minhashLshPairs(c))
+      val toks = TextAnalysis.tokens(col("text"))
+      val q = c.select(col("doc_id"),
+        size(toks).as("n_tok"),
+        size(filter(toks, t => t.isin(Tx20Stop: _*))).as("n_stop"),
+        length(col("text")).as("n_chars"))
+        .withColumn("mwl_u", expr("(n_chars * 1000) div greatest(n_tok, 1)"))
+        .withColumn("logit_u", expr(
+          s"$Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok + " +
+            s"$Qf2WChar * n_chars + $Qf2WMwl * mwl_u"))
+        .select(col("doc_id"), col("logit_u"))
+      Dedup.canonicalPick(labels, q).orderBy("canonical_id")
     },
 
     "dd3_ngram_jaccard" -> { (s, d) =>
@@ -1479,6 +1500,43 @@ object PipelineQueries {
          |  SELECT u.x, r.m FROM und u JOIN reach r ON r.node = u.y)
          |SELECT node AS doc_id, MIN(m) AS canonical_id FROM reach
          |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // canonical pick: dd8's recursive reachability labels joined to qf2's
+    // integer logit over the same corpus, QUALIFY-style window pick
+    "dd17_canonical_pick" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |und AS (SELECT a AS x, b AS y FROM lshpairs
+         |        UNION ALL SELECT b, a FROM lshpairs),
+         |reach(node, m) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+         |  UNION
+         |  SELECT u.x, r.m FROM und u JOIN reach r ON r.node = u.y),
+         |labels AS (SELECT node AS doc_id, MIN(m) AS canonical_id FROM reach
+         |           GROUP BY node),
+         |f AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                    t -> t <> '')) AS n_tok,
+         |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                    t -> t IN (${Tx20Stop.map(w => s"'$w'").mkString(",")}))) AS n_stop,
+         |    length(text) AS n_chars
+         |  FROM corpus),
+         |q AS (SELECT doc_id,
+         |        $Qf2Bias + $Qf2WStop * n_stop + $Qf2WTok * n_tok +
+         |          $Qf2WChar * n_chars +
+         |          $Qf2WMwl * ((n_chars * 1000) // greatest(n_tok, 1)) AS logit_u
+         |      FROM f),
+         |m AS (SELECT l.canonical_id, l.doc_id, q.logit_u
+         |      FROM labels l JOIN q USING (doc_id))
+         |SELECT canonical_id, n_members, doc_id AS kept_doc,
+         |       logit_u AS kept_logit
+         |FROM (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY canonical_id
+         |                           ORDER BY logit_u DESC, doc_id) AS rk,
+         |        COUNT(*) OVER (PARTITION BY canonical_id) AS n_members
+         |      FROM m) t
+         |WHERE rk = 1 AND n_members >= 2
+         |ORDER BY canonical_id""".stripMargin,
 
     // full oracle for the SimHash gate: 60-bit md5-prefix token hashes,
     // 60 tf-weighted bit votes, 4x15-bit pigeonhole chunks, popcount dist

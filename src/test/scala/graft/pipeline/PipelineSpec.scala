@@ -684,6 +684,20 @@ class PipelineSpec extends SparkSpec {
       s"c4 truncation wrong: ${out(4L)}")
   }
 
+  test("canonical pick: best quality wins, smaller doc_id on ties, singletons pass silently") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (10L, 10L), (11L, 10L), // cluster 10: quality tie
+      (20L, 20L) // singleton
+    ).toDF("doc_id", "canonical_id")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), // 2 and 3 tie at 9
+      (10L, 7L), (11L, 7L), (20L, 1L)).toDF("doc_id", "logit_u")
+    val out = Dedup.canonicalPick(labels, quality).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (3L, 2L, 9L), s"best-quality tie must keep doc 2: $out")
+    assert(out(10L) == (2L, 10L, 7L), s"tie-break must keep the smaller id: $out")
+    assert(!out.contains(20L), "singleton clusters carry no pick")
+  }
+
   test("centroid affinity: single-seed scores its own vector 1.0, scoring scan is shuffle-free") {
     val e = Tables.embeddings(spark, sf0001)
     val scored = Ann.centroidAffinity(e, col("vec_id") === 3)
