@@ -949,6 +949,14 @@ object PipelineQueries {
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
+    // T5 span-corruption plan: 15% target rate, 3-token spans, hash-placed
+    // candidates unioned to real coverage via the interval-merge primitive
+    "tx26_span_plan" -> { (s, d) =>
+      TextAnalysis.spanCorruptionPlan(Tables.documents(s, d),
+          ratePermille = 150, spanLen = 3, salt = SplitSalt)
+        .orderBy("doc_id")
+    },
+
     "tx4_fingerprint" -> { (s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d), k = 16).orderBy(col("doc_id"))
     },
@@ -3153,6 +3161,41 @@ object PipelineQueries {
          |                           t -> t <> '')) AS BIGINT) AS n_tokens
          |    FROM documents) c) t
          |ORDER BY doc_id""".stripMargin,
+
+    // span plan: same hash placement + gaps-and-islands interval union
+    "tx26_span_plan" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                         t -> t <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |b2 AS (SELECT doc_id, n_tok,
+         |         greatest(1, ((n_tok * 150) // 1000) // 3) AS n_cand
+         |       FROM base WHERE n_tok >= 3),
+         |cand AS (
+         |  SELECT doc_id, n_tok, n_cand,
+         |    CAST(('0x' || substr(md5('$SplitSalt|' || doc_id || '#' || i), 1, 15)) AS BIGINT)
+         |      % (n_tok - 2) AS s
+         |  FROM (SELECT doc_id, n_tok, n_cand, UNNEST(range(0, n_cand)) AS i
+         |        FROM b2) t),
+         |iv AS (SELECT doc_id, n_tok, n_cand, s, s + 3 AS e FROM cand),
+         |m AS (SELECT *,
+         |        MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS meb
+         |      FROM iv),
+         |f AS (SELECT *, CASE WHEN meb IS NULL OR s > meb THEN 1 ELSE 0 END AS ni
+         |      FROM m),
+         |g AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e)
+         |        AS island FROM f),
+         |isl AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+         |        FROM g GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |          CAST(SUM(e - s) AS BIGINT) AS n_masked
+         |        FROM isl GROUP BY 1)
+         |SELECT a.doc_id, b.n_tok, b.n_cand, a.n_spans, a.n_masked,
+         |       (1000 * a.n_masked) // b.n_tok AS mask_permille
+         |FROM agg a JOIN b2 b USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     "tx5_split" ->
       s"""SELECT doc_id,

@@ -809,6 +809,47 @@ object TextAnalysis {
         md5(col("text")).as("text_md5"))
   }
 
+  /** T5-style span-corruption plan: deterministic masked-span placement
+    * for denoising pretraining, as a relation. Per doc, target
+    * `ratePermille` of the tokens masked in spans of `spanLen`; candidate
+    * span starts are hash-placed (md5(salt|doc#i) — reproducible across
+    * runs, partitionings and engines, like every sampling decision here),
+    * then overlapping candidates UNION via [[graft.relational.Intervals]]
+    * so the plan reports the real masked coverage and span count (the
+    * sentinel-token count of the T5 encoding = n_spans). Docs shorter than
+    * one span carry no plan.
+    *
+    * Scale: the explode is ≤ n_tok/spanLen/~7 rows per doc (sub-token
+    * volume), the merge windows are bounded by a doc's candidate count,
+    * everything partitions on doc_id. */
+  def spanCorruptionPlan(docs: DataFrame, ratePermille: Int, spanLen: Int,
+      salt: String): DataFrame = {
+    require(ratePermille > 0 && ratePermille <= 1000 && spanLen > 0)
+    val base = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= spanLen)
+      .withColumn("n_target", expr(s"(n_tok * $ratePermille) div 1000"))
+      .withColumn("n_cand", greatest(lit(1L), expr(s"n_target div $spanLen")))
+    val cands = base
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_cand") - 1)).as("i"))
+      .withColumn("start",
+        conv(substring(md5(concat(lit(salt + "|"), col("doc_id"), lit("#"),
+          col("i"))), 1, 15), 16, 10).cast("long") %
+          (col("n_tok") - spanLen + 1))
+      .withColumn("end", col("start") + spanLen)
+    val merged = graft.relational.Intervals.merge(
+      cands.select(col("doc_id").as("key"), col("start"), col("end")))
+    merged.groupBy(col("key").as("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).as("n_masked"))
+      .join(base.select(col("doc_id"), col("n_tok"), col("n_cand")),
+        Seq("doc_id"))
+      .withColumn("mask_permille", expr("(1000 * n_masked) div n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("n_cand"), col("n_spans"),
+        col("n_masked"), col("mask_permille"))
+  }
+
   /** PII detection + redaction report: per doc, counts of email and IPv4
     * literals and the md5 of the redacted text (emails first, then IPs —
     * fixed order so the hash is well-defined). The patterns stay inside the

@@ -684,6 +684,19 @@ class PipelineSpec extends SparkSpec {
       s"c4 truncation wrong: ${out(4L)}")
   }
 
+  test("interval merge: overlap and touch collapse, gaps split, duplicates count") {
+    val iv = Seq(
+      (1L, 0L, 3L), (1L, 2L, 5L), // overlap -> [0,5)
+      (1L, 5L, 7L), // touching (start == prior end) -> merges into [0,7)
+      (1L, 9L, 11L), // gap -> own island
+      (2L, 4L, 6L), (2L, 4L, 6L) // exact duplicates -> one island, n_src 2
+    ).toDF("key", "start", "end")
+    val out = graft.relational.Intervals.merge(iv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 0L, 7L, 3L), (1L, 9L, 11L, 1L), (2L, 4L, 6L, 2L)),
+      s"islands wrong: $out")
+  }
+
   test("canonical pick: best quality wins, smaller doc_id on ties, singletons pass silently") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
       (10L, 10L), (11L, 10L), // cluster 10: quality tie
