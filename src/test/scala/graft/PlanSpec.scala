@@ -339,4 +339,41 @@ class PlanSpec extends SparkSpec {
       s"bloom filter arithmetic missing from the plan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("rc1: strategy catalog broadcasts; no cartesian anywhere in the sweep") {
+    val p = plan("rc1_reclaim_sweep")
+    assert(p.contains("BroadcastHashJoin"), s"strategies should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ds4: temperature rates ride a broadcast onto the corpus scan") {
+    val p = plan("ds4_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rates should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cat13/cat14: request joins hash-partition against the materialized versions store") {
+    val p13 = plan("cat13_delete_objects")
+    assert(p13.contains("graft-store"), s"expected materialized versions scan:\n$p13")
+    assert(!p13.contains("CartesianProduct") && !p13.contains("BroadcastNestedLoopJoin"), p13)
+    val p14 = plan("cat14_copy_conditions")
+    assert(p14.contains("graft-store"), s"expected materialized versions scan:\n$p14")
+    assert(!p14.contains("CartesianProduct") && !p14.contains("BroadcastNestedLoopJoin"), p14)
+  }
+
+  test("ds5/tx26: planner windows never move the corpus — only metadata-sized relations") {
+    // ds5's water-filling windows run on the per-source aggregate
+    val p5 = plan("ds5_epoch_plan")
+    val aggIdx = p5.indexOf("HashAggregate")
+    val winIdx = p5.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"epoch-plan windows must sit ABOVE the token aggregate:\n$p5")
+    // tx26's interval windows partition on doc_id (parallel), never a
+    // single global frame
+    val p26 = plan("tx26_span_plan")
+    assert(!p26.contains("Window [") ||
+      !p26.substring(p26.indexOf("Window")).take(200).contains("partitionBy=[]"),
+      s"span-plan windows must partition on doc_id:\n$p26")
+    assert(!p26.contains("CartesianProduct"), p26)
+  }
 }
