@@ -31,6 +31,36 @@ object StreamingQueries {
   private def ev(s: SparkSession, d: String): DataFrame = Projector.events(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // durable-queue lag probes (queue_lag.rs): three planted queues — a
+    // ULID-aged outbox deep enough to trip the 8x1024 scan cap, a
+    // due-prefixed materialization queue (half its jobs due at the probe
+    // instant), and a depth-only dead-letter queue (age 0 by contract)
+    "ql1_queue_lag" -> { (s, d) =>
+      val NowMs = 1700000007000L
+      val nullL = lit(null).cast("long")
+      val l = graft.Tables.lineitem(s, d)
+      val outbox = l.select(
+        lit("outbox").as("queue"),
+        lpad((col("l_orderkey") * 10 + col("l_linenumber")).cast("string"),
+          12, "0").as("key"),
+        (lit(1700000000000L) + col("l_orderkey") * 10 + col("l_linenumber"))
+          .as("enqueued_ms"),
+        nullL.as("due_at_ms"))
+      val matq = graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(
+          lit("materialization").as("queue"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("key"),
+          nullL.as("enqueued_ms"),
+          (lit(1700000000000L) + col("o_orderkey")).as("due_at_ms"))
+      val dead = graft.Tables.customer(s, d).select(
+        lit("dead_letters").as("queue"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("key"),
+        nullL.as("enqueued_ms"), nullL.as("due_at_ms"))
+      QueueLag.snapshots(outbox.unionByName(matq).unionByName(dead), NowMs)
+        .orderBy("queue")
+    },
+
     // clock-skew classification (defer future, keep past — never drop)
     "ev1_clock_skew" -> { (s, d) =>
       ev(s, d)
@@ -314,6 +344,35 @@ object StreamingQueries {
        |  WHERE l.doc IS NULL OR NOT l.is_del)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // queue lag: same bounded rank window + conditional age/due aggregates
+    "ql1_queue_lag" ->
+      """WITH q AS (
+        |  SELECT 'outbox' AS queue,
+        |         lpad(CAST(l_orderkey*10 + l_linenumber AS VARCHAR), 12, '0') AS key,
+        |         1700000000000 + l_orderkey*10 + l_linenumber AS enqueued_ms,
+        |         CAST(NULL AS BIGINT) AS due_at_ms
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'materialization', lpad(CAST(o_orderkey AS VARCHAR), 12, '0'),
+        |         NULL, 1700000000000 + o_orderkey
+        |  FROM orders WHERE o_orderkey%4=0
+        |  UNION ALL
+        |  SELECT 'dead_letters', lpad(CAST(c_custkey AS VARCHAR), 12, '0'),
+        |         NULL, NULL
+        |  FROM customer),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY queue ORDER BY key) AS rn,
+        |        COUNT(*) OVER (PARTITION BY queue) AS total
+        |      FROM q),
+        |s AS (SELECT * FROM r WHERE rn <= 8192)
+        |SELECT queue, COUNT(*) AS depth, MAX(total) > 8192 AS depth_capped,
+        |  COALESCE(1700000007000 - MIN(enqueued_ms),
+        |           1700000007000 - MIN(CASE WHEN due_at_ms <= 1700000007000
+        |                                    THEN due_at_ms END),
+        |           0) AS oldest_age_ms,
+        |  COUNT(CASE WHEN due_at_ms <= 1700000007000 THEN 1 END) AS due
+        |FROM s GROUP BY queue ORDER BY queue""".stripMargin,
+
     "ev1_clock_skew" ->
       s"""WITH $evCte
          |SELECT event_type,

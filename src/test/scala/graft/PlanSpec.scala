@@ -361,6 +361,16 @@ class PlanSpec extends SparkSpec {
     assert(!p14.contains("CartesianProduct") && !p14.contains("BroadcastNestedLoopJoin"), p14)
   }
 
+  test("ql1: scan-cap rank rewrites to a map-side WindowGroupLimit (no full per-queue sort)") {
+    val p = plan("ql1_queue_lag")
+    // without the Partial group limit every row of a queue funnels into ONE
+    // partition for a full sort — the sf10 probe measured 174 s; with it
+    // only top-scanCap rows per queue per map task reach the shuffle
+    assert(p.contains("WindowGroupLimit"), s"rank-limit rewrite missing:\n$p")
+    assert(p.contains("Partial"), s"expected a map-side partial group limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals should broadcast:\n$p")
+  }
+
   test("ds5/tx26: planner windows never move the corpus — only metadata-sized relations") {
     // ds5's water-filling windows run on the per-source aggregate
     val p5 = plan("ds5_epoch_plan")

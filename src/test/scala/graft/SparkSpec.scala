@@ -11,6 +11,10 @@ object SparkSpec {
       .appName("graft-test")
       .withExtensions(GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
+      // rank-limit windows (heads, pages, queue probes) must rewrite to
+      // map-side WindowGroupLimits; the default threshold (1000) is below
+      // the 8192 queue-probe scan cap (QueueLag.PageSize*PageLimit)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "16384")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

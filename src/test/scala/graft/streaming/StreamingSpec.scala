@@ -548,4 +548,32 @@ class StreamingSpec extends SparkSpec {
     assert(live == Set((1L, "A", 10L, 30L), (1L, "B", 30L, 40L),
       (2L, "X", 15L, 35L)))
   }
+
+  test("queue lag: bounded scan caps depth, due/age semantics per flavor, empty queue absent") {
+    def nl: java.lang.Long = null
+    val rows = Seq(
+      // outbox: 4 rows, ages from enqueue; cap 3 scans keys k1..k3 only
+      ("outbox", "k1", java.lang.Long.valueOf(100L), nl),
+      ("outbox", "k2", java.lang.Long.valueOf(50L), nl), // younger key sorts later? no: scan is KEY order
+      ("outbox", "k3", java.lang.Long.valueOf(200L), nl),
+      ("outbox", "k4", java.lang.Long.valueOf(10L), nl), // beyond cap: invisible
+      // materialization: due iff due_at <= 1000
+      ("mat", "m1", nl, java.lang.Long.valueOf(900L)),
+      ("mat", "m2", nl, java.lang.Long.valueOf(1000L)),
+      ("mat", "m3", nl, java.lang.Long.valueOf(1500L)),
+      // depth-only
+      ("dead", "d1", nl, nl)
+    ).toDF("queue", "key", "enqueued_ms", "due_at_ms")
+    val out = QueueLag.snapshots(rows, nowMs = 1000L, scanCap = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4))).toMap
+    // depth capped at 3; k4's age never observed (the scan stopped)
+    assert(out("outbox") == (3L, true, 950L, 0L), s"outbox: $out")
+    // 2 of 3 due; age from the oldest DUE job (900), not the undue 1500
+    assert(out("mat") == (3L, false, 100L, 2L), s"mat: $out")
+    assert(out("dead") == (1L, false, 0L, 0L), s"dead: $out")
+    // an empty queue has no input rows and therefore no snapshot row —
+    // the caller's queue catalog materializes zero rows if needed
+    assert(!out.contains("ghost"))
+  }
 }
