@@ -358,6 +358,31 @@ object CatalogQueries {
         .orderBy("backend", "verdict")
     },
 
+    // Unread-notification badge counts (notifications/unread.rs): five big
+    // inboxes with unread rates 3-15% (the slow-rate ones cap on the
+    // 2000-row examine window, the fast ones on the 100-count badge cap)
+    // plus three small fully-scanned inboxes that report exact counts
+    "nf1_unread_counts" -> { (s, d) =>
+      Notifications.unreadCounts(NotificationTables.inbox(s, d))
+        .orderBy("recipient")
+    },
+
+    // Inbox page (notifications/list.rs): newest-first with id tie-break
+    // (u2's newest timestamp class holds ~a dozen notifications, so the
+    // tie-break orders the page), limit+1 truncation look-ahead with the
+    // last-returned cursor trailer, and a strictly-after tuple resume
+    // exercising BOTH disjuncts (same-timestamp larger id, older timestamp)
+    "nf2_list_notifications" -> { (s, d) =>
+      val inbox = NotificationTables.inbox(s, d)
+      Notifications.listPage(inbox, "u2", None, None, limit = 5)
+        .withColumn("page", lit("p1"))
+        .unionByName(
+          Notifications.listPage(inbox, "u2", Some(1700004997000L),
+            Some("000000104997"), limit = 8)
+            .withColumn("page", lit("p2")))
+        .orderBy(col("page"), col("created_at_ms").desc, col("notification_id"))
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -587,6 +612,54 @@ object CatalogQueries {
          |       CASE WHEN verdict='OK' THEN sum_size END AS object_size,
          |       CASE WHEN verdict='OK' THEN n_req END AS n_parts
          |FROM v ORDER BY upload_id""".stripMargin,
+
+    "nf1_unread_counts" ->
+      s"""WITH ${NotificationTables.inboxCte},
+         |totals AS (SELECT recipient, COUNT(*) AS total FROM inbox GROUP BY 1),
+         |scanned AS (
+         |  SELECT * FROM inbox
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY recipient
+         |            ORDER BY created_at_ms DESC, notification_id)
+         |          <= ${Notifications.UnreadScanMaxRows}),
+         |u AS (SELECT recipient,
+         |        COUNT(CASE WHEN read_at_ms IS NULL THEN 1 END) AS u
+         |      FROM scanned GROUP BY 1)
+         |SELECT u.recipient,
+         |       least(u.u, ${Notifications.UnreadCountCap}) AS n_unread,
+         |       u.u > ${Notifications.UnreadCountCap}
+         |         OR t.total > ${Notifications.UnreadScanMaxRows} AS capped
+         |FROM u JOIN totals t USING (recipient)
+         |ORDER BY recipient""".stripMargin,
+
+    "nf2_list_notifications" -> {
+      def page(label: String, where: String, lim: Int): String =
+        s"""${label}b AS (SELECT * FROM ib $where
+           |  ORDER BY created_at_ms DESC, notification_id LIMIT ${lim + 1}),
+           |${label}r AS (SELECT *,
+           |    ROW_NUMBER() OVER (ORDER BY created_at_ms DESC, notification_id) AS rn,
+           |    COUNT(*) OVER () AS n
+           |  FROM ${label}b),
+           |$label AS (SELECT created_at_ms, notification_id,
+           |    read_at_ms IS NOT NULL AS read,
+           |    n = ${lim + 1} AS is_truncated,
+           |    CASE WHEN n = ${lim + 1} THEN
+           |      MAX(CASE WHEN rn = $lim THEN created_at_ms END) OVER () END
+           |      AS next_cursor_ts,
+           |    CASE WHEN n = ${lim + 1} THEN
+           |      MAX(CASE WHEN rn = $lim THEN notification_id END) OVER () END
+           |      AS next_cursor_id,
+           |    '$label' AS page
+           |  FROM ${label}r WHERE rn <= $lim)""".stripMargin
+      s"""WITH ${NotificationTables.inboxCte},
+         |ib AS (SELECT * FROM inbox WHERE recipient = 'u2'),
+         |${page("p1", "", 5)},
+         |${page("p2",
+          """WHERE created_at_ms < 1700004997000
+            |   OR (created_at_ms = 1700004997000
+            |       AND notification_id > '000000104997')""".stripMargin, 8)}
+         |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |ORDER BY page, created_at_ms DESC, notification_id""".stripMargin
+    },
 
     "rc1_reclaim_sweep" ->
       s"""WITH ${ObjectTables.objectsCte},

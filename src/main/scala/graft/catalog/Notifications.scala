@@ -1,0 +1,91 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Notification-inbox read operators (reference
+  * `operations/src/notifications/{unread,list}.rs`). The inbox keyspace is
+  * keyed `(recipient, u64::MAX − created_at_ms, notification_id)`
+  * (`core/src/structs/notification.rs:232-246`), so every scan runs NEWEST
+  * FIRST with the notification id as the ascending tie-break — the order
+  * both operators below reproduce.
+  */
+object Notifications {
+
+  val UnreadCountCap = 100 // unread.rs:11
+  val UnreadScanMaxRows = 2000 // unread.rs:12
+  val ListMaxLimit = 200 // list.rs:15
+
+  /** Badge-style unread count per recipient, with the reference's TWO caps
+    * (`unread.rs:90-140`): the count saturates at [[UnreadCountCap]] (the
+    * "99+" badge — the 101st unread stops the scan with `capped`), and the
+    * scan examines at most [[UnreadScanMaxRows]] rows (a mostly-read inbox
+    * cannot make the badge probe unbounded; stopping with rows left also
+    * reports `capped`).
+    *
+    * `inbox(recipient, created_at_ms, notification_id, read_at_ms)` —
+    * `read_at_ms` null = unread. Output (recipient, n_unread, capped).
+    *
+    * Scale: the scan-window rank filter rewrites to a map-side
+    * WindowGroupLimit (≤ scan-cap rows per recipient on the wire); totals
+    * are a map-side partial aggregate, broadcast back. */
+  def unreadCounts(inbox: DataFrame): DataFrame = {
+    val totals = inbox.groupBy(col("recipient")).agg(count(lit(1)).as("total"))
+    val w = Window.partitionBy("recipient")
+      .orderBy(col("created_at_ms").desc, col("notification_id"))
+    inbox
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= UnreadScanMaxRows)
+      .groupBy(col("recipient"))
+      .agg(count(when(col("read_at_ms").isNull, 1)).as("u"))
+      .join(broadcast(totals), Seq("recipient"))
+      .select(col("recipient"),
+        least(col("u"), lit(UnreadCountCap.toLong)).as("n_unread"),
+        (col("u") > UnreadCountCap || col("total") > UnreadScanMaxRows)
+          .as("capped"))
+  }
+
+  /** One inbox page (`list.rs:64-175`): newest first, limit clamped to
+    * 1..[[ListMaxLimit]], cursor `(created_at_ms, notification_id)` resumes
+    * STRICTLY AFTER in key order (older timestamp, or same timestamp and a
+    * larger id — the inverted-timestamp encoding makes both one byte-wise
+    * `>`), truncation detected by the reference's limit+1 look-ahead and
+    * the next cursor is the LAST RETURNED row's identity.
+    *
+    * Output rows: (created_at_ms, notification_id, read, is_truncated,
+    * next_cursor_ts, next_cursor_id) — the cursor trailer repeats on every
+    * row of the page, like the other paged listings here. */
+  def listPage(inbox: DataFrame, recipient: String, cursorTs: Option[Long],
+      cursorId: Option[String], limit: Int): DataFrame = {
+    val lim = limit.max(1).min(ListMaxLimit)
+    val afterCursor = (cursorTs, cursorId) match {
+      case (Some(ts), Some(id)) =>
+        col("created_at_ms") < ts ||
+          (col("created_at_ms") === ts && col("notification_id") > id)
+      case _ => lit(true)
+    }
+    // limit+1 look-ahead as a bounded TakeOrdered; every window below runs
+    // over at most lim+1 rows
+    val page = inbox
+      .filter(col("recipient") === recipient && afterCursor)
+      .orderBy(col("created_at_ms").desc, col("notification_id"))
+      .limit(lim + 1)
+    val w = Window.orderBy(col("created_at_ms").desc, col("notification_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    page
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("is_truncated", col("n") === lim + 1)
+      .withColumn("next_cursor_ts",
+        when(col("is_truncated"),
+          max(when(col("rn") === lim, col("created_at_ms"))).over(full)))
+      .withColumn("next_cursor_id",
+        when(col("is_truncated"),
+          max(when(col("rn") === lim, col("notification_id"))).over(full)))
+      .filter(col("rn") <= lim)
+      .select(col("created_at_ms"), col("notification_id"),
+        col("read_at_ms").isNotNull.as("read"),
+        col("is_truncated"), col("next_cursor_ts"), col("next_cursor_id"))
+  }
+}

@@ -280,6 +280,29 @@ class CatalogSpec extends SparkSpec {
       s"cross-backend reference must not pin: $v2")
   }
 
+  test("notifications: badge caps at 100, exact at 100, examine window caps deep inboxes") {
+    import org.apache.spark.sql.functions.{lit => l}
+    def mk(recipient: String, n: Int, unread: Int) =
+      spark.range(0, n).select(
+        l(recipient).as("recipient"),
+        (l(1000000L) + col("id")).as("created_at_ms"),
+        lpad(col("id").cast("string"), 12, "0").as("notification_id"),
+        when(col("id") < unread, l(null).cast("long"))
+          .otherwise(l(5L)).as("read_at_ms"))
+    val inbox = mk("a", 150, 101) // 101 unread -> badge caps at 100
+      .unionByName(mk("b", 150, 100)) // exactly 100 -> exact, NOT capped
+      .unionByName(mk("c", 2500, 30)) // deep mostly-read -> examine cap
+      .unionByName(mk("d", 2500, 0)) // deep all-read -> 0 but capped
+    val out = Notifications.unreadCounts(inbox).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("a") == (100L, true), s"101st unread must cap: $out")
+    assert(out("b") == (100L, false), s"exactly 100 is exact: $out")
+    // c's 30 unread are its OLDEST rows; the newest-first 2000-row examine
+    // window never reaches them — count 0, capped (the badge stays honest)
+    assert(out("c") == (0L, true), s"deep inbox caps on the examine window: $out")
+    assert(out("d") == (0L, true), s"all-read deep inbox still reports capped: $out")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
