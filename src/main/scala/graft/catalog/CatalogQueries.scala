@@ -383,6 +383,21 @@ object CatalogQueries {
         .orderBy(col("page"), col("created_at_ms").desc, col("notification_id"))
     },
 
+    // Retention prune plan (notifications/prune.rs): the probe instant sits
+    // 30d + 2500s past the fixture epoch, so half of each big inbox's
+    // Transient rows are expired, the surviving transient tail caps at the
+    // 500-newest rank, Direct rows (90d TTL) all keep, and the small c*
+    // inboxes expire their transients wholesale
+    "nf3_prune_plan" -> { (s, d) =>
+      val inbox = NotificationTables.inbox(s, d)
+        .withColumn("class",
+          when(col("notification_id").cast("long") % 7 < 2, "Direct")
+            .otherwise("Transient"))
+      Notifications.prunePlan(inbox,
+          nowMs = 1700000000000L + Notifications.TransientTtlMs + 2500000L)
+        .orderBy("recipient", "class", "verdict")
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -659,6 +674,38 @@ object CatalogQueries {
             |       AND notification_id > '000000104997')""".stripMargin, 8)}
          |SELECT * FROM p1 UNION ALL SELECT * FROM p2
          |ORDER BY page, created_at_ms DESC, notification_id""".stripMargin
+    },
+
+    "nf3_prune_plan" -> {
+      val now = 1700000000000L + Notifications.TransientTtlMs + 2500000L
+      s"""WITH ${NotificationTables.inboxCte},
+         |ib AS (SELECT *,
+         |         CASE WHEN CAST(notification_id AS BIGINT)%7 < 2
+         |              THEN 'Direct' ELSE 'Transient' END AS class
+         |       FROM inbox),
+         |x AS (SELECT *,
+         |        created_at_ms + CASE WHEN class='Direct'
+         |          THEN ${Notifications.DirectTtlMs}
+         |          ELSE ${Notifications.TransientTtlMs} END <= $now AS expired
+         |      FROM ib),
+         |r AS (SELECT *,
+         |        SUM(CASE WHEN class='Transient' AND NOT expired THEN 1
+         |                 ELSE 0 END)
+         |          OVER (PARTITION BY recipient
+         |                ORDER BY created_at_ms DESC, notification_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS t_rank
+         |      FROM x),
+         |v AS (SELECT recipient, class,
+         |        CASE WHEN expired THEN 'expired'
+         |             WHEN class='Transient'
+         |                  AND t_rank > ${Notifications.TransientPerUserCap}
+         |               THEN 'capped'
+         |             ELSE 'kept' END AS verdict
+         |      FROM r)
+         |SELECT recipient, class, verdict, COUNT(*) AS n
+         |FROM v GROUP BY 1, 2, 3
+         |ORDER BY recipient, class, verdict""".stripMargin
     },
 
     "rc1_reclaim_sweep" ->

@@ -46,6 +46,45 @@ object Notifications {
           .as("capped"))
   }
 
+  val DirectTtlMs = 90L * 24 * 3600 * 1000 // notification.rs:11
+  val TransientTtlMs = 30L * 24 * 3600 * 1000 // notification.rs:12
+  val TransientPerUserCap = 500 // notification.rs:13
+
+  /** Retention prune plan (`prune.rs:194-266`, `sweep_primary_keyspace`):
+    * walking each recipient's inbox NEWEST first,
+    *
+    *  - a record past its class TTL (Direct 90 d, Transient 30 d;
+    *    `expires_at_ms = created + ttl`, `notification.rs:172-174`) is
+    *    `expired`;
+    *  - a NON-expired Transient record beyond the recipient's 500-newest
+    *    transient rank is `capped` (expired rows do not consume cap slots —
+    *    the sweep counts `transient_seen` only on the non-expired branch);
+    *  - everything else is `kept`.
+    *
+    * `inbox(recipient, created_at_ms, notification_id, class)`. Output
+    * (recipient, class, verdict, n). Like the reference's sweep this is a
+    * full-keyspace pass by design (GC); the rank is one running
+    * conditional sum per recipient, no second shuffle. */
+  def prunePlan(inbox: DataFrame, nowMs: Long): DataFrame = {
+    val ttl = when(col("class") === "Direct", DirectTtlMs)
+      .otherwise(TransientTtlMs)
+    val w = Window.partitionBy("recipient")
+      .orderBy(col("created_at_ms").desc, col("notification_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    inbox
+      .withColumn("expired", col("created_at_ms") + ttl <= nowMs)
+      .withColumn("t_rank",
+        sum(when(col("class") === "Transient" && !col("expired"), 1L)
+          .otherwise(0L)).over(w))
+      .withColumn("verdict",
+        when(col("expired"), "expired")
+          .when(col("class") === "Transient" &&
+            col("t_rank") > TransientPerUserCap, "capped")
+          .otherwise("kept"))
+      .groupBy(col("recipient"), col("class"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** One inbox page (`list.rs:64-175`): newest first, limit clamped to
     * 1..[[ListMaxLimit]], cursor `(created_at_ms, notification_id)` resumes
     * STRICTLY AFTER in key order (older timestamp, or same timestamp and a

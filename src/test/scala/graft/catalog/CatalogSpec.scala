@@ -303,6 +303,31 @@ class CatalogSpec extends SparkSpec {
     assert(out("d") == (0L, true), s"all-read deep inbox still reports capped: $out")
   }
 
+  test("prune plan: cap binds at the 501st fresh transient, expired rows report separately (prune.rs:236-255)") {
+    // 502 fresh transients -> exactly 2 capped (ranks 501, 502); 2 ancient
+    // rows -> expired, never double-counted as capped (in the reference's
+    // walk expired rows `continue` before the transient_seen increment —
+    // and since expiry is monotone in created_at within a class, expired
+    // transients always sort after every fresh one, so the two branches
+    // can never contend for the same slot)
+    val now = 1000000L
+    val fresh = spark.range(0, 502).select(
+      lit("r").as("recipient"),
+      (lit(now) - col("id")).as("created_at_ms"), // newest first by id
+      lpad(col("id").cast("string"), 12, "0").as("notification_id"),
+      lit("Transient").as("class"))
+    // two ancient rows that sort OLDEST — expired, after the cap boundary
+    val expired = spark.range(0, 2).select(
+      lit("r").as("recipient"),
+      (lit(now) - Notifications.TransientTtlMs - 10 - col("id")).as("created_at_ms"),
+      lpad((col("id") + 900).cast("string"), 12, "0").as("notification_id"),
+      lit("Transient").as("class"))
+    val out = Notifications.prunePlan(fresh.unionByName(expired), now)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(out == Map("kept" -> 500L, "capped" -> 2L, "expired" -> 2L),
+      s"verdict counts wrong: $out")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
