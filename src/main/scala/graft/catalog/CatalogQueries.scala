@@ -412,6 +412,28 @@ object CatalogQueries {
       val deltas = obj.filter(col("version_ord") % 10 <= 2)
         .select(col("group_id"), lit(1L).as("d_blobs"), col("size").as("d_bytes"))
       UsageStats.applyDeltas(base, deltas).orderBy(col("group_id"))
+    },
+
+    // outbound replication destinations for a probe batch: the admission
+    // rule over sync relationships + the map_sync_key prefix rewrite
+    // (relationships.rs target_of); foreign-source / Once / Paused / local-
+    // target / marker-declining rows and prefix misses all contribute nothing
+    "rs1_replica_targets" -> { (s, d) =>
+      Replication.replicaTargets(ReplicationTables.probes(s, d),
+          ReplicationTables.relationships(s), ReplicationTables.LocalNode)
+        .orderBy(col("p_bucket"), col("p_key"), col("node_id"),
+          col("t_bucket"), col("t_key"))
+    },
+
+    // the /blobs/locations merge: four candidate phases -> 64-destination
+    // arrival cap -> per-destination Present/Pending/NotStored verdicts with
+    // the holder-only drop rule, plus the queued-scan/cap/path limit trailer
+    "rs2_blob_locations" -> { (s, d) =>
+      Replication.blobLocations(ReplicationTables.probes(s, d),
+          ReplicationTables.relationships(s), ReplicationTables.bucketTargets(s),
+          ReplicationTables.jobs(s, d), ReplicationTables.LocalNode)
+        .orderBy(col("p_bucket"), col("p_key"), col("local").desc,
+          col("node_id"), col("bucket"), col("key"))
     }
   )
 
@@ -881,6 +903,155 @@ object CatalogQueries {
         |  UNION ALL SELECT 's3_mutated', FALSE, n, sm FROM s1
         |  UNION ALL SELECT 's4_hit_after', TRUE, n, sm FROM s1
         |  UNION ALL SELECT 's5_ttl_expired', FALSE, n, sm FROM s1
-        |) ORDER BY step""".stripMargin
+        |) ORDER BY step""".stripMargin,
+
+    "rs1_replica_targets" ->
+      s"""WITH ${ObjectTables.objectsCte},
+         |${ReplicationTables.relationshipsCte},
+         |${ReplicationTables.probesCte},
+         |relj AS (
+         |  SELECT p.p_bucket, p.p_key, r.target_node, r.target_bucket,
+         |    r.target_prefix,
+         |    CASE WHEN r.source_prefix IS NULL THEN p.p_key
+         |         WHEN starts_with(p.p_key, r.source_prefix)
+         |           THEN substr(p.p_key, length(r.source_prefix) + 1)
+         |         ELSE NULL END AS sfx
+         |  FROM probes p JOIN rels r ON r.source_bucket = p.p_bucket
+         |  WHERE r.mode IN ('Continuous','Reference') AND r.state = 'Enabled'
+         |    AND r.source_node = 'n0' AND r.target_node <> 'n0'
+         |    AND (NOT p.p_dm OR r.replicate_deletes)),
+         |mapped AS (
+         |  SELECT p_bucket, p_key, target_node AS node_id,
+         |    target_bucket AS t_bucket,
+         |    CASE WHEN sfx IS NULL THEN NULL
+         |         WHEN target_prefix IS NULL THEN regexp_replace(sfx, '^/+', '')
+         |         WHEN ends_with(target_prefix, '/') AND starts_with(sfx, '/')
+         |           THEN target_prefix || substr(sfx, 2)
+         |         WHEN NOT ends_with(target_prefix, '/') AND sfx <> ''
+         |              AND NOT starts_with(sfx, '/')
+         |           THEN target_prefix || '/' || sfx
+         |         ELSE target_prefix || sfx END AS t_key
+         |  FROM relj)
+         |SELECT DISTINCT p_bucket, p_key, node_id, t_bucket, t_key
+         |FROM mapped WHERE t_key IS NOT NULL
+         |ORDER BY p_bucket, p_key, node_id, t_bucket, t_key""".stripMargin,
+
+    "rs2_blob_locations" ->
+      s"""WITH ${ObjectTables.objectsCte},
+         |${ReplicationTables.relationshipsCte},
+         |${ReplicationTables.bucketTargetsCte},
+         |${ReplicationTables.jobsCte},
+         |${ReplicationTables.probesCte},
+         |relj AS (
+         |  SELECT p.p_bucket, p.p_key, r.target_node, r.target_bucket,
+         |    r.target_prefix,
+         |    CASE WHEN r.source_prefix IS NULL THEN p.p_key
+         |         WHEN starts_with(p.p_key, r.source_prefix)
+         |           THEN substr(p.p_key, length(r.source_prefix) + 1)
+         |         ELSE NULL END AS sfx
+         |  FROM probes p JOIN rels r ON r.source_bucket = p.p_bucket
+         |  WHERE r.mode IN ('Continuous','Reference') AND r.state = 'Enabled'
+         |    AND r.source_node = 'n0' AND r.target_node <> 'n0'
+         |    AND (NOT p.p_dm OR r.replicate_deletes)),
+         |rel_t AS (
+         |  SELECT DISTINCT p_bucket, p_key, target_node AS node_id,
+         |    target_bucket AS bucket,
+         |    CASE WHEN target_prefix IS NULL THEN regexp_replace(sfx, '^/+', '')
+         |         WHEN ends_with(target_prefix, '/') AND starts_with(sfx, '/')
+         |           THEN target_prefix || substr(sfx, 2)
+         |         WHEN NOT ends_with(target_prefix, '/') AND sfx <> ''
+         |              AND NOT starts_with(sfx, '/')
+         |           THEN target_prefix || '/' || sfx
+         |         ELSE target_prefix || sfx END AS key,
+         |    1 AS phase, TRUE AS expected
+         |  FROM relj WHERE sfx IS NOT NULL),
+         |cfg_t AS (
+         |  SELECT DISTINCT p.p_bucket, p.p_key, c.target_node AS node_id,
+         |    c.cfg_target_bucket AS bucket, p.p_key AS key,
+         |    2 AS phase, TRUE AS expected
+         |  FROM probes p JOIN cfg c ON c.cfg_bucket = p.p_bucket
+         |  WHERE c.target_node <> 'n0' AND (NOT p.p_dm OR c.cfg_markers)),
+         |win AS (SELECT * FROM jobs ORDER BY job_key LIMIT 1024),
+         |q_t AS (
+         |  SELECT DISTINCT p.p_bucket, p.p_key, w.j_node AS node_id,
+         |    p.p_bucket AS bucket, p.p_key AS key, 3 AS phase, TRUE AS expected
+         |  FROM probes p JOIN win w ON w.decodable AND w.j_bucket = p.p_bucket
+         |    AND (NOT p.p_dm OR w.j_markers)
+         |    AND (w.j_kind = 'Bucket'
+         |         OR (w.j_kind = 'Prefix' AND starts_with(p.p_key, w.j_prefix))
+         |         OR (w.j_kind = 'Object' AND w.j_key = p.p_key)
+         |         OR (w.j_kind = 'Version' AND w.j_key = p.p_key
+         |             AND w.j_version = p.p_version))
+         |  WHERE w.j_node <> 'n0'),
+         |hold_t AS (
+         |  SELECT p.p_bucket, p.p_key, 'n' || n AS node_id,
+         |    p.p_bucket AS bucket, p.p_key AS key, 4 AS phase, FALSE AS expected
+         |  FROM probes p, range(1, 9) t(n)
+         |  WHERE NOT p.p_dm
+         |    AND CAST(('0x' || substr(md5(concat_ws('|', p.p_hash, 'n' || n)),
+         |                             1, 15)) AS BIGINT) % 3 = 0),
+         |arr AS (
+         |  SELECT p_bucket, p_key, node_id, bucket, key,
+         |    MIN(phase) AS phase, MAX(expected) AS expected
+         |  FROM (SELECT * FROM rel_t UNION ALL SELECT * FROM cfg_t
+         |        UNION ALL SELECT * FROM q_t UNION ALL SELECT * FROM hold_t)
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_bucket, p_key
+         |            ORDER BY phase, node_id, bucket, key) AS arrival
+         |  FROM arr),
+         |maxed AS (
+         |  SELECT *, MAX(arrival) OVER (PARTITION BY p_bucket, p_key) > 64
+         |              AS capped
+         |  FROM ranked),
+         |cand AS (SELECT * FROM maxed WHERE arrival <= 64),
+         |allrows AS (
+         |  SELECT p.p_bucket, p.p_key, p.p_version, p.p_dm, 'n0' AS node_id,
+         |    p.p_bucket AS bucket, p.p_key AS key, TRUE AS expected,
+         |    FALSE AS capped, TRUE AS is_local
+         |  FROM probes p
+         |  UNION ALL
+         |  SELECT c.p_bucket, c.p_key, p.p_version, p.p_dm, c.node_id,
+         |    c.bucket, c.key, c.expected, c.capped, FALSE
+         |  FROM cand c JOIN probes p USING (p_bucket, p_key)),
+         |cls AS (
+         |  SELECT *,
+         |    CAST(('0x' || substr(md5(concat_ws('|', node_id, bucket, key,
+         |                                       p_version)), 1, 15))
+         |         AS BIGINT) % 5 < 2 AS held
+         |  FROM allrows),
+         |st AS (
+         |  SELECT *,
+         |    CASE WHEN held THEN 'Present' WHEN p_dm THEN 'NotStored'
+         |         ELSE 'Pending' END AS state,
+         |    CASE WHEN NOT held THEN NULL
+         |         WHEN CAST(('0x' || substr(md5(concat_ws('|', node_id, key)),
+         |                                   1, 15)) AS BIGINT) % 2 = 0
+         |           THEN 'NodeManaged' ELSE 'GroupBackend' END AS storage,
+         |    (NOT is_local AND NOT held AND NOT expected) AS dropped
+         |  FROM cls),
+         |fl AS (
+         |  SELECT *,
+         |    MAX(CASE WHEN dropped THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY p_bucket, p_key, node_id) = 1 AS node_answered
+         |  FROM st),
+         |fl2 AS (
+         |  SELECT *,
+         |    MAX(CASE WHEN node_answered THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY p_bucket, p_key) = 1 AS path_unknown,
+         |    MAX(CASE WHEN capped THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY p_bucket, p_key) = 1 AS capped2
+         |  FROM fl),
+         |qf AS (
+         |  SELECT (SELECT CAST(SUM(CASE WHEN NOT decodable THEN 1 ELSE 0 END)
+         |                      AS BIGINT) FROM win) AS q_skipped,
+         |         (SELECT COUNT(*) FROM jobs) > 1024 AS q_truncated)
+         |SELECT p_bucket, p_key, p_version AS version_id, is_local AS local,
+         |  node_id, bucket, key, state, storage, q_truncated, q_skipped,
+         |  capped2 AS capped, path_unknown,
+         |  (NOT q_truncated AND q_skipped = 0 AND NOT capped2
+         |   AND NOT path_unknown) AS complete
+         |FROM fl2, qf WHERE NOT dropped
+         |ORDER BY p_bucket, p_key, local DESC, node_id, bucket, key""".stripMargin
   )
 }

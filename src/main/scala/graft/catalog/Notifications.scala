@@ -68,20 +68,23 @@ object Notifications {
   def prunePlan(inbox: DataFrame, nowMs: Long): DataFrame = {
     val ttl = when(col("class") === "Direct", DirectTtlMs)
       .otherwise(TransientTtlMs)
+    val base = inbox.withColumn("expired", col("created_at_ms") + ttl <= nowMs)
+    // only NON-expired Transient rows need a rank (they alone contend for
+    // cap slots), so only they pay the per-recipient shuffle+sort; expired
+    // and Direct rows classify map-side. In the big-inbox regime most of the
+    // keyspace is expired backlog — the exact rows a full-sort would waste
+    // the most on.
+    val freshT = base.filter(col("class") === "Transient" && !col("expired"))
     val w = Window.partitionBy("recipient")
       .orderBy(col("created_at_ms").desc, col("notification_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    inbox
-      .withColumn("expired", col("created_at_ms") + ttl <= nowMs)
-      .withColumn("t_rank",
-        sum(when(col("class") === "Transient" && !col("expired"), 1L)
-          .otherwise(0L)).over(w))
-      .withColumn("verdict",
-        when(col("expired"), "expired")
-          .when(col("class") === "Transient" &&
-            col("t_rank") > TransientPerUserCap, "capped")
-          .otherwise("kept"))
-      .groupBy(col("recipient"), col("class"), col("verdict"))
+    val ranked = freshT.withColumn("verdict",
+      when(row_number().over(w) > TransientPerUserCap, "capped")
+        .otherwise("kept"))
+    val rest = base.filter(col("class") =!= "Transient" || col("expired"))
+      .withColumn("verdict", when(col("expired"), "expired").otherwise("kept"))
+    val cols = Seq(col("recipient"), col("class"), col("verdict"))
+    ranked.select(cols: _*).unionByName(rest.select(cols: _*))
+      .groupBy(cols: _*)
       .agg(count(lit(1)).as("n"))
   }
 

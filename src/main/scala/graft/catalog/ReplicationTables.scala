@@ -1,0 +1,175 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Closed-form fixtures for the replica-location-summary gates (rs1/rs2),
+  * with exact DuckDB CTE twins. Sync relationships / bucket replication
+  * configs / the job queue mirror the reference structures
+  * (`core/src/structs/sync_relationship.rs`, `replication/queue.rs`); shapes
+  * are derived from `range()` / `orders` so the oracle rebuilds them.
+  */
+object ReplicationTables {
+
+  /** Local node id used by the gates. */
+  val LocalNode = "n0"
+
+  /** sync relationships: 48 rows spanning every admission branch — foreign
+    * sources (excluded), `Once` mode (excluded), Paused/Failed state
+    * (excluded), local target (excluded), marker-declining rows, and the
+    * three source-prefix shapes (NULL / bare / dir) × three target-prefix
+    * shapes that drive [[Replication.mapSyncKey]]'s seam rules. Moduli use
+    * `r`, `r div 2..4` so the branches decorrelate. */
+  def relationships(spark: SparkSession): DataFrame =
+    spark.range(0, 48).select(
+      col("id").as("rel_id"),
+      when(col("id") % 8 === 7, "n9").otherwise(LocalNode).as("source_node"),
+      concat(lit("bkt-"), (col("id") % 4).cast("string")).as("source_bucket"),
+      when((col("id") / 4).cast("long") % 4 === 1, "data/A")
+        .when((col("id") / 4).cast("long") % 4 === 2, "data/R/")
+        .when((col("id") / 4).cast("long") % 4 === 3, "other/")
+        .otherwise(lit(null)).cast("string").as("source_prefix"),
+      when(col("id") % 12 === 5, LocalNode)
+        .otherwise(concat(lit("n"), (col("id") % 6 + 1).cast("string")))
+        .as("target_node"),
+      concat(lit("mir-"), (col("id") % 3).cast("string")).as("target_bucket"),
+      when((col("id") / 3).cast("long") % 3 === 1, "mirror")
+        .when((col("id") / 3).cast("long") % 3 === 2, "mirror/")
+        .otherwise(lit(null)).cast("string").as("target_prefix"),
+      when(col("id") % 3 === 0, "Continuous")
+        .when(col("id") % 3 === 1, "Reference")
+        .otherwise("Once").as("mode"),
+      when((col("id") / 2).cast("long") % 5 === 3, "Paused")
+        .when((col("id") / 2).cast("long") % 5 === 4, "Failed")
+        .otherwise("Enabled").as("state"),
+      ((col("id") / 5).cast("long") % 2 === 0).as("replicate_deletes"))
+
+  val relationshipsCte: String =
+    """rels AS (
+      |  SELECT r AS rel_id,
+      |    CASE WHEN r%8=7 THEN 'n9' ELSE 'n0' END AS source_node,
+      |    'bkt-' || (r%4) AS source_bucket,
+      |    CASE (r//4)%4 WHEN 1 THEN 'data/A' WHEN 2 THEN 'data/R/'
+      |         WHEN 3 THEN 'other/' ELSE NULL END AS source_prefix,
+      |    CASE WHEN r%12=5 THEN 'n0' ELSE 'n' || (r%6 + 1) END AS target_node,
+      |    'mir-' || (r%3) AS target_bucket,
+      |    CASE (r//3)%3 WHEN 1 THEN 'mirror' WHEN 2 THEN 'mirror/'
+      |         ELSE NULL END AS target_prefix,
+      |    CASE r%3 WHEN 0 THEN 'Continuous' WHEN 1 THEN 'Reference'
+      |         ELSE 'Once' END AS mode,
+      |    CASE (r//2)%5 WHEN 3 THEN 'Paused' WHEN 4 THEN 'Failed'
+      |         ELSE 'Enabled' END AS state,
+      |    (r//5)%2=0 AS replicate_deletes
+      |  FROM range(0,48) t(r)
+      |)""".stripMargin
+
+  /** bucket-configured replication targets (`configured_targets`,
+    * `api/src/routes/blobs.rs:629-642`): per-bucket (node, target bucket)
+    * pairs with the marker-replication flag; one row targets the local node
+    * (excluded at merge time). */
+  def bucketTargets(spark: SparkSession): DataFrame =
+    spark.range(0, 12).select(
+      concat(lit("bkt-"), (col("id") % 4).cast("string")).as("cfg_bucket"),
+      when(col("id") % 10 === 7, LocalNode)
+        .otherwise(concat(lit("n"), (col("id") % 5 + 1).cast("string")))
+        .as("target_node"),
+      concat(lit("tgt-"), (col("id") % 2).cast("string"))
+        .as("cfg_target_bucket"),
+      (col("id") % 2 === 0).as("cfg_markers"))
+
+  val bucketTargetsCte: String =
+    """cfg AS (
+      |  SELECT 'bkt-' || (c%4) AS cfg_bucket,
+      |    CASE WHEN c%10=7 THEN 'n0' ELSE 'n' || (c%5 + 1) END AS target_node,
+      |    'tgt-' || (c%2) AS cfg_target_bucket,
+      |    c%2=0 AS cfg_markers
+      |  FROM range(0,12) t(c)
+      |)""".stripMargin
+
+  /** queued replication jobs keyed by job ULID (one per order): deep enough
+    * at every SF to trip the 4×256 scan cap, with undecodable rows
+    * (`decodable` false) sprinkled in and all four scope-target kinds. */
+  def jobs(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir).select(col("o_orderkey"))
+    o.select(
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("job_key"),
+      concat(lit("bkt-"), (col("o_orderkey") % 5).cast("string")).as("j_bucket"),
+      when(col("o_orderkey") % 4 === 0, "Bucket")
+        .when(col("o_orderkey") % 4 === 1, "Prefix")
+        .when(col("o_orderkey") % 4 === 2, "Object")
+        .otherwise("Version").as("j_kind"),
+      when((col("o_orderkey") / 4).cast("long") % 3 === 0, "data/A/")
+        .when((col("o_orderkey") / 4).cast("long") % 3 === 1, "data/A/f1/")
+        .otherwise("data/R/").as("j_prefix"),
+      concat(lit("data/A/f"), (col("o_orderkey") % 40).cast("string"),
+        lit("/o"), (col("o_orderkey") % 500).cast("string"), lit(".bin"))
+        .as("j_key"),
+      lpad((col("o_orderkey") * 10 + 1).cast("string"), 12, "0").as("j_version"),
+      concat(lit("n"), (col("o_orderkey") % 8).cast("string")).as("j_node"),
+      (col("o_orderkey") % 3 =!= 0).as("j_markers"),
+      (col("o_orderkey") % 97 =!= 0).as("decodable"))
+  }
+
+  val jobsCte: String =
+    """jobs AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS job_key,
+      |    'bkt-' || (o_orderkey%5) AS j_bucket,
+      |    CASE o_orderkey%4 WHEN 0 THEN 'Bucket' WHEN 1 THEN 'Prefix'
+      |         WHEN 2 THEN 'Object' ELSE 'Version' END AS j_kind,
+      |    CASE (o_orderkey//4)%3 WHEN 0 THEN 'data/A/' WHEN 1 THEN 'data/A/f1/'
+      |         ELSE 'data/R/' END AS j_prefix,
+      |    'data/A/f' || (o_orderkey%40) || '/o' || (o_orderkey%500) || '.bin' AS j_key,
+      |    lpad(CAST(o_orderkey*10 + 1 AS VARCHAR), 12, '0') AS j_version,
+      |    'n' || (o_orderkey%8) AS j_node,
+      |    o_orderkey%3 <> 0 AS j_markers,
+      |    o_orderkey%97 <> 0 AS decodable
+      |  FROM orders
+      |)""".stripMargin
+
+  /** Probe batch: the five smallest `bkt-1` keys under `data/A/f1/` plus the
+    * smallest key whose HEAD is a delete marker (so the marker branches
+    * fire), each resolved to its head version — the (bucket, key, version,
+    * marker, hash) tuple `/blobs/locations` resolves before fanning out. */
+  def probes(spark: SparkSession, dir: String): DataFrame = {
+    val obj = ObjectTables.objects(spark, dir).filter(col("bucket") === "bkt-1")
+    // first 5 distinct keys under the prefix: pushed filter + TakeOrdered —
+    // never a full-bucket head window
+    val base = obj.filter(col("key").startsWith("data/A/f1/"))
+      .select(col("key")).distinct().orderBy(col("key")).limit(5)
+    // smallest key whose HEAD is a marker: one partial-aggregate pass
+    // (max_by over version order), no sort
+    val mk = obj.groupBy(col("key"))
+      .agg(max_by(col("is_delete_marker"), col("version_ord")).as("dm"))
+      .filter(col("dm")).agg(min(col("key")).as("key"))
+      .filter(col("key").isNotNull)
+    // head resolution only on the selected keys' version slices
+    val w = Window.partitionBy(col("key")).orderBy(col("version_ord").desc)
+    obj.join(broadcast(base.union(mk.select(col("key"))).distinct()), Seq("key"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("bucket").as("p_bucket"), col("key").as("p_key"),
+        col("version_ulid").as("p_version"),
+        col("is_delete_marker").as("p_dm"), col("hash").as("p_hash"))
+  }
+
+  val probesCte: String =
+    """pk AS (
+      |  SELECT key FROM (SELECT DISTINCT key FROM objects
+      |                   WHERE bucket = 'bkt-1' AND key LIKE 'data/A/f1/%'
+      |                   ORDER BY key LIMIT 5)
+      |  UNION
+      |  SELECT key FROM (
+      |    SELECT MIN(key) AS key FROM (
+      |      SELECT key, arg_max(is_delete_marker, version_ord) AS dm
+      |      FROM objects WHERE bucket = 'bkt-1' GROUP BY key)
+      |    WHERE dm)
+      |  WHERE key IS NOT NULL),
+      |probes AS (
+      |  SELECT bucket AS p_bucket, key AS p_key, version_ulid AS p_version,
+      |         is_delete_marker AS p_dm, hash AS p_hash
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+      |                                     ORDER BY version_ord DESC) AS rn
+      |        FROM objects
+      |        WHERE bucket = 'bkt-1' AND key IN (SELECT key FROM pk))
+      |  WHERE rn = 1)""".stripMargin
+}

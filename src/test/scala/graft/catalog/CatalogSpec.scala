@@ -328,6 +328,101 @@ class CatalogSpec extends SparkSpec {
       s"verdict counts wrong: $out")
   }
 
+  test("map_sync_key: seam rules, prefix miss kills the target, leading-slash trim (version_replication.rs:473-494)") {
+    val cases = Seq(
+      // key, source_prefix, target_prefix -> expected
+      ("data/A/x.bin", null, null, "data/A/x.bin"),
+      ("///x.bin", null, null, "x.bin"), // ALL leading slashes trimmed
+      ("data/A/x.bin", "data/A", null, "x.bin"), // suffix "/x.bin" trimmed
+      ("data/A/x.bin", "data/A", "mirror", "mirror/x.bin"), // bare + "/suffix"
+      ("data/A/x.bin", "data/A", "mirror/", "mirror/x.bin"), // dir + "/suffix"
+      ("data/A/x.bin", "data/A/", "mirror", "mirror/x.bin"), // bare + bare -> glued /
+      ("data/A/x.bin", "data/A/", "mirror/", "mirror/x.bin"), // dir + bare
+      ("data/A", "data/A", "mirror", "mirror"), // empty suffix -> verbatim
+      ("data/R/x.bin", "data/A", "mirror", null), // prefix miss -> NO target
+      ("data/A/x.bin", null, "mirror", "mirror/data/A/x.bin"))
+    val df = cases.toDF("key", "sp", "tp", "want")
+      .withColumn("got", Replication.mapSyncKey(col("key"), col("sp"), col("tp")))
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("want"),
+        s"map_sync_key(${r.getAs[String]("key")}, ${r.getAs[String]("sp")}, " +
+          s"${r.getAs[String]("tp")}) = ${r.getAs[String]("got")}, " +
+          s"want ${r.getAs[String]("want")}")
+    }
+  }
+
+  test("blob locations: 64-destination cap keeps first arrivals, capped flag, holder drop rule (blobs.rs:56,601-647)") {
+    // one probe; 80 queued nodes -> 80 phase-3 destinations, cap keeps the
+    // 64 smallest node ids; the local row never counts against the cap
+    val probe = Seq(("b", "k", "v1", false, "hx"))
+      .toDF("p_bucket", "p_key", "p_version", "p_dm", "p_hash")
+    val rels = ReplicationTables.relationships(spark).filter(lit(false))
+    val cfg = ReplicationTables.bucketTargets(spark).filter(lit(false))
+    val jobs = spark.range(0, 80).select(
+      lpad(col("id").cast("string"), 12, "0").as("job_key"),
+      lit("b").as("j_bucket"), lit("Bucket").as("j_kind"),
+      lit("").as("j_prefix"), lit("").as("j_key"), lit("").as("j_version"),
+      concat(lit("q"), lpad(col("id").cast("string"), 3, "0")).as("j_node"),
+      lit(true).as("j_markers"), lit(true).as("decodable"))
+    val out = Replication.blobLocations(probe, rels, cfg, jobs, "n0",
+      holderNodes = 0)
+    val rows = out.collect()
+    assert(rows.count(!_.getAs[Boolean]("local")) == 64,
+      s"cap should keep 64 peers, got ${rows.length - 1}")
+    assert(rows.forall(_.getAs[Boolean]("capped")), "capped flag not set")
+    assert(!rows.exists(_.getAs[String]("node_id") == "q064"),
+      "arrival order not respected: q064 survived the cap")
+    assert(rows.forall(!_.getAs[Boolean]("complete")))
+
+    // holder-only candidates that do not hold this version drop from the
+    // answer and flag HolderPathUnknown; expected non-held peers stay Pending
+    val probe2 = Seq(("b", "k", "v1", false, "hz"))
+      .toDF("p_bucket", "p_key", "p_version", "p_dm", "p_hash")
+    val out2 = Replication.blobLocations(probe2, rels, cfg,
+      jobs.filter(lit(false)), "n0", holderNodes = 8)
+    val rows2 = out2.collect()
+    val peers2 = rows2.filter(!_.getAs[Boolean]("local"))
+    assert(peers2.forall(_.getAs[String]("state") == "Present"),
+      "a surviving holder-only candidate must hold the version")
+    if (rows2.exists(_.getAs[Boolean]("path_unknown")))
+      assert(rows2.forall(_.getAs[Boolean]("path_unknown")))
+  }
+
+  test("queued covers: Version kind needs the version match, marker-declining job skips marker probes (queued.rs:78-92)") {
+    val probes = Seq(
+      ("b", "k1", "00000000001", false, "h"),
+      ("b", "k2", "00000000002", true, "h")) // marker head probe
+      .toDF("p_bucket", "p_key", "p_version", "p_dm", "p_hash")
+    val jobs = Seq(
+      // job_key, bucket, kind, prefix, key, version, node, markers, decodable
+      ("j1", "b", "Version", "", "k1", "00000000001", "nA", true, true),
+      ("j2", "b", "Version", "", "k1", "00000000009", "nB", true, true),
+      ("j3", "b", "Object", "", "k2", "", "nC", false, true), // declines markers
+      ("j4", "b", "Object", "", "k2", "", "nD", true, true),
+      ("j5", "b", "Object", "", "k1", "", "nE", true, false)) // undecodable
+      .toDF("job_key", "j_bucket", "j_kind", "j_prefix", "j_key", "j_version",
+        "j_node", "j_markers", "decodable")
+    val nodes = Replication.queuedNodes(probes, jobs).collect()
+      .map(r => (r.getAs[String]("p_key"), r.getAs[String]("node_id")))
+      .toSet
+    assert(nodes == Set(
+      ("k1", "nA"), // version matched; nB's version mismatch excluded
+      ("k2", "nD")), // marker probe: nC declines markers, nD accepts
+      s"covers set wrong: $nodes")
+  }
+
+  test("queued scan flags: skipped counts only inside the 1024-row window, truncated past it") {
+    val jobs = spark.range(0, 1500).select(
+      lpad(col("id").cast("string"), 12, "0").as("job_key"),
+      (col("id") % 100 =!= 0).as("decodable"))
+    val f = Replication.queuedScanFlags(jobs).collect().head
+    // undecodable ids 0,100,...,1000 are inside the window (11); 1100+ not
+    assert(f.getAs[Long]("skipped") == 11L, s"skipped=${f.get(0)}")
+    assert(f.getAs[Boolean]("truncated"))
+    val f2 = Replication.queuedScanFlags(jobs.limit(1024)).collect().head
+    assert(!f2.getAs[Boolean]("truncated"))
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
