@@ -425,6 +425,30 @@ object CatalogQueries {
           col("t_bucket"), col("t_key"))
     },
 
+    // user identity merge over the OIDC subject index: users sharing a
+    // subject within a realm fold to the min-id canonical with unioned
+    // subjects and loser-ids-as-aliases; the same subject in ANOTHER realm
+    // never merges. Blocks of 8 users share a realm; div-2/div-3 subject
+    // windows chain inside a block and break at its edge.
+    "us3_subject_merge" -> { (s, d) =>
+      val c = graft.Tables.customer(s, d).select(col("c_custkey"))
+      def uid = concat(lit("u"), lpad(col("c_custkey").cast("string"), 8, "0"))
+      def realm = concat(lit("r"),
+        ((col("c_custkey") / 8).cast("long") % 3).cast("string"))
+      val subjects = c.select(uid.as("user_id"), realm.as("realm"),
+          concat(lit("oidc:"), (col("c_custkey") / 2).cast("long").cast("string"))
+            .as("subject"))
+        .unionByName(c.select(uid.as("user_id"), realm.as("realm"),
+          concat(lit("sso:"), (col("c_custkey") / 3).cast("long").cast("string"))
+            .as("subject")))
+      val aliases = c.filter(col("c_custkey") % 5 === 0)
+        .select(uid.as("user_id"),
+          concat(lit("x"), lpad(col("c_custkey").cast("string"), 8, "0"))
+            .as("alias_id"))
+      Identity.subjectMerge(subjects, aliases)
+        .orderBy(col("realm"), col("canonical_id"))
+    },
+
     // the /blobs/locations merge: four candidate phases -> 64-destination
     // arrival cap -> per-destination Present/Pending/NotStored verdicts with
     // the holder-only drop rule, plus the queued-scan/cap/path limit trailer
@@ -904,6 +928,66 @@ object CatalogQueries {
         |  UNION ALL SELECT 's4_hit_after', TRUE, n, sm FROM s1
         |  UNION ALL SELECT 's5_ttl_expired', FALSE, n, sm FROM s1
         |) ORDER BY step""".stripMargin,
+
+    "us3_subject_merge" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS k,
+        |         'u' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS uid,
+        |         'r' || ((c_custkey//8)%3) AS realm
+        |  FROM customer),
+        |subj AS (
+        |  SELECT uid AS user_id, realm, 'oidc:' || (k//2) AS subject FROM c
+        |  UNION ALL
+        |  SELECT uid, realm, 'sso:' || (k//3) FROM c),
+        |al AS (
+        |  SELECT uid AS user_id,
+        |         'x' || lpad(CAST(k AS VARCHAR), 8, '0') AS alias_id
+        |  FROM c WHERE k%5 = 0),
+        |grp AS (SELECT realm, subject, MIN(user_id) AS a
+        |        FROM subj GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT DISTINCT g.a, s.user_id AS b
+        |  FROM subj s JOIN grp g ON s.realm = g.realm AND s.subject = g.subject
+        |  WHERE s.user_id <> g.a),
+        |und AS (SELECT a AS x, b AS y FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |reach(node, m) AS (
+        |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+        |  UNION
+        |  SELECT u.x, r.m FROM und u JOIN reach r ON r.node = u.y),
+        |labels AS (SELECT node AS user_id, MIN(m) AS canonical_id
+        |           FROM reach GROUP BY 1),
+        |allu AS (SELECT DISTINCT user_id, realm FROM subj),
+        |lab AS (
+        |  SELECT u.user_id, u.realm,
+        |         COALESCE(l.canonical_id, u.user_id) AS canonical_id
+        |  FROM allu u LEFT JOIN labels l USING (user_id)),
+        |mem AS (
+        |  SELECT realm, canonical_id, COUNT(*) AS n_members,
+        |         string_agg(user_id, ',' ORDER BY user_id) AS members_csv
+        |  FROM lab GROUP BY 1, 2),
+        |sj AS (
+        |  SELECT realm, canonical_id,
+        |         string_agg(subject, ',' ORDER BY subject) AS subjects_csv
+        |  FROM (SELECT DISTINCT s.realm, l.canonical_id, s.subject
+        |        FROM subj s JOIN lab l ON s.user_id = l.user_id)
+        |  GROUP BY 1, 2),
+        |ar AS (
+        |  SELECT l.canonical_id, a.alias_id
+        |  FROM al a JOIN lab l ON a.user_id = l.user_id
+        |  UNION
+        |  SELECT canonical_id, user_id FROM lab WHERE user_id <> canonical_id),
+        |ar2 AS (
+        |  SELECT canonical_id,
+        |         string_agg(alias_id, ',' ORDER BY alias_id) AS aliases_csv
+        |  FROM (SELECT DISTINCT canonical_id, alias_id FROM ar
+        |        WHERE alias_id <> canonical_id)
+        |  GROUP BY 1)
+        |SELECT m.realm, m.canonical_id, m.n_members, m.members_csv,
+        |       s2.subjects_csv, COALESCE(a2.aliases_csv, '') AS aliases_csv
+        |FROM mem m JOIN sj s2 USING (realm, canonical_id)
+        |LEFT JOIN ar2 a2 USING (canonical_id)
+        |ORDER BY realm, canonical_id""".stripMargin,
 
     "rs1_replica_targets" ->
       s"""WITH ${ObjectTables.objectsCte},

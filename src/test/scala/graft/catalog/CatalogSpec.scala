@@ -423,6 +423,38 @@ class CatalogSpec extends SparkSpec {
     assert(!f2.getAs[Boolean]("truncated"))
   }
 
+  test("subject merge: chain folds to min id, realm isolates, canonical never its own alias (user_subject_index.rs:236-280)") {
+    val subjects = Seq(
+      // u1-u2 share s1, u2-u3 share s2 -> one component {u1,u2,u3}
+      ("u1", "rA", "s1"), ("u2", "rA", "s1"),
+      ("u2", "rA", "s2"), ("u3", "rA", "s2"),
+      // SAME subject s1 in another realm: never merges
+      ("u4", "rB", "s1"),
+      // singleton
+      ("u5", "rA", "s9"))
+      .toDF("user_id", "realm", "subject")
+    val aliases = Seq(
+      ("u2", "x2"), // planted alias on a loser -> absorbed by canonical
+      ("u3", "u1")) // alias equal to the canonical id -> removed
+      .toDF("user_id", "alias_id")
+    val out = Identity.subjectMerge(subjects, aliases).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val c1 = out("u1")
+    assert(c1.getString(0) == "rA" && c1.getLong(2) == 3L)
+    assert(c1.getString(3) == "u1,u2,u3")
+    assert(c1.getString(4) == "s1,s2")
+    assert(c1.getString(5) == "u2,u3,x2", s"aliases: ${c1.getString(5)}")
+    assert(out("u4").getLong(2) == 1L && out("u4").getString(5) == "")
+    assert(out("u5").getLong(2) == 1L)
+
+    val rw = Identity.subjectIndexRewrite(subjects,
+        Identity.subjectMerge(subjects, aliases))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    assert(rw(("rA", "s1")) == "u1" && rw(("rA", "s2")) == "u1")
+    assert(rw(("rB", "s1")) == "u4") // realm-scoped rewrite
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
