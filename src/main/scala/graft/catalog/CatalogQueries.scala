@@ -425,6 +425,27 @@ object CatalogQueries {
           col("t_bucket"), col("t_key"))
     },
 
+    // job-store retention prune batch: due-ordered index walk with the
+    // 4x512-key deletion cap, entry-truncation stop, cleanup fences and
+    // malformed/orphan index hygiene; at this fixture the cap binds a few
+    // hundred rows into a ~9k-row due backlog
+    "jp1_job_prune" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val idx = o.select(
+        (lit(1700000000000L) + (col("o") % 2000) * 1000).as("expiry_ms"),
+        lpad(col("o").cast("string"), 12, "0").as("job_id"),
+        (col("o") % 211 === 0).as("malformed"),
+        (col("o") % 13 =!= 0).as("exists"),
+        (col("o") % 13 =!= 0 && col("o") % 211 =!= 0 && col("o") % 17 === 0)
+          .as("fenced"),
+        (col("o") % 5 + 1).cast("int").as("n_entries"),
+        (col("o") % 2 === 0).as("rocrate"),
+        (col("o") % 6 === 0).as("has_dedup"),
+        (col("o") % 3).cast("int").as("epochs"))
+      JobPrune.pruneBatch(idx, nowMs = 1700000000000L + 1200000L)
+        .orderBy(col("verdict"))
+    },
+
     // user identity merge over the OIDC subject index: users sharing a
     // subject within a realm fold to the min-id canonical with unioned
     // subjects and loser-ids-as-aliases; the same subject in ANOTHER realm
@@ -928,6 +949,96 @@ object CatalogQueries {
         |  UNION ALL SELECT 's4_hit_after', TRUE, n, sm FROM s1
         |  UNION ALL SELECT 's5_ttl_expired', FALSE, n, sm FROM s1
         |) ORDER BY step""".stripMargin,
+
+    "jp1_job_prune" -> {
+      val now = 1700000000000L + 1200000L
+      val mx = Long.MaxValue
+      s"""WITH idx AS (
+         |  SELECT 1700000000000 + (o_orderkey%2000)*1000 AS expiry_ms,
+         |         lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS job_id,
+         |         o_orderkey%211=0 AS malformed,
+         |         o_orderkey%13<>0 AS exists_r,
+         |         (o_orderkey%13<>0 AND o_orderkey%211<>0 AND o_orderkey%17=0)
+         |           AS fenced,
+         |         o_orderkey%5+1 AS n_entries,
+         |         o_orderkey%2=0 AS rocrate,
+         |         o_orderkey%6=0 AS has_dedup,
+         |         o_orderkey%3 AS epochs
+         |  FROM orders),
+         |due AS (SELECT * FROM idx WHERE expiry_ms <= $now),
+         |rows_ AS (
+         |  SELECT *,
+         |    CASE WHEN malformed THEN 'malformed'
+         |         WHEN NOT exists_r THEN 'orphan'
+         |         WHEN fenced THEN 'fenced' ELSE 'pruned' END AS kind,
+         |    CAST(CASE WHEN malformed THEN 1 WHEN NOT exists_r THEN 2
+         |         WHEN fenced THEN 0
+         |         ELSE n_entries + 7 + CASE WHEN rocrate THEN 1 ELSE 0 END
+         |              + CASE WHEN rocrate AND has_dedup THEN 1 ELSE 0 END
+         |              + epochs END AS BIGINT) AS d_full,
+         |    CASE WHEN malformed OR fenced THEN 0 ELSE 1 END AS p_inc
+         |  FROM due),
+         |st AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (ORDER BY expiry_ms, job_id) AS rank,
+         |    CAST(COALESCE(SUM(d_full) OVER (ORDER BY expiry_ms, job_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_prev,
+         |    CAST(SUM(p_inc) OVER (ORDER BY expiry_ms, job_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS p_after
+         |  FROM rows_),
+         |st2 AS (
+         |  SELECT *, GREATEST(2048 - cum_prev, 1) AS remaining,
+         |    cum_prev >= 2048 AS cap_stop,
+         |    (kind = 'pruned' AND n_entries > GREATEST(2048 - cum_prev, 1))
+         |      AS trunc_stop,
+         |    p_after >= 2048 AS p_stop
+         |  FROM st),
+         |stops AS (
+         |  SELECT MIN(CASE WHEN cap_stop THEN rank END) AS s_cap,
+         |         MIN(CASE WHEN trunc_stop AND NOT cap_stop THEN rank END)
+         |           AS s_tr,
+         |         MIN(CASE WHEN p_stop AND NOT cap_stop AND NOT trunc_stop
+         |                  THEN rank END) AS s_p
+         |  FROM st2),
+         |fut AS (SELECT MIN(expiry_ms) AS next_expiry FROM idx
+         |        WHERE expiry_ms > $now),
+         |tot AS (SELECT CAST(COALESCE(SUM(d_full), 0) AS BIGINT) AS d_total
+         |        FROM st2),
+         |sel AS (
+         |  SELECT st2.*, s_cap, s_tr, s_p,
+         |    LEAST(COALESCE(s_cap, $mx), COALESCE(s_tr, $mx),
+         |          COALESCE(s_p, $mx)) AS stop_rank
+         |  FROM st2, stops),
+         |sel2 AS (
+         |  SELECT *, CASE WHEN stop_rank = $mx THEN NULL
+         |    WHEN s_cap = stop_rank THEN 'cap'
+         |    WHEN s_tr = stop_rank THEN 'trunc' ELSE 'p' END AS stop_kind
+         |  FROM sel),
+         |proc AS (SELECT * FROM sel2
+         |         WHERE rank < stop_rank
+         |            OR (rank = stop_rank AND stop_kind IN ('trunc', 'p'))),
+         |v AS (
+         |  SELECT CASE WHEN rank = stop_rank AND stop_kind = 'trunc'
+         |              THEN 'truncated' ELSE kind END AS verdict,
+         |         CASE WHEN rank = stop_rank AND stop_kind = 'trunc'
+         |              THEN remaining ELSE d_full END AS n_del
+         |  FROM proc),
+         |vg AS (SELECT verdict, COUNT(*) AS n,
+         |              CAST(SUM(n_del) AS BIGINT) AS n_deletes
+         |       FROM v GROUP BY 1),
+         |tr AS (
+         |  SELECT (s_cap IS NOT NULL OR s_tr IS NOT NULL OR s_p IS NOT NULL
+         |          OR (next_expiry IS NOT NULL AND d_total >= 2048))
+         |           AS has_more,
+         |         next_expiry
+         |  FROM stops, fut, tot)
+         |SELECT verdict, n, n_deletes, has_more,
+         |  CAST(CASE WHEN has_more THEN NULL ELSE next_expiry - $now END
+         |       AS BIGINT) AS next_due_after_ms
+         |FROM vg, tr ORDER BY verdict""".stripMargin
+    },
 
     "us3_subject_merge" ->
       """WITH RECURSIVE c AS (

@@ -423,6 +423,56 @@ class CatalogSpec extends SparkSpec {
     assert(!f2.getAs[Boolean]("truncated"))
   }
 
+  test("job prune batch: truncation partial, fences free, cap excludes, exact-fill arms has_more (jobs/prune.rs:52-137)") {
+    // (expiry_ms, job_id, malformed, exists, fenced, n_entries); plain jobs:
+    // no rocrate/dedup/epochs -> fixed deletes = 7
+    def idx(rows: (Long, String, Boolean, Boolean, Boolean, Int)*) =
+      rows.toDF("expiry_ms", "job_id", "malformed", "exists", "fenced",
+          "n_entries")
+        .withColumn("rocrate", lit(false))
+        .withColumn("has_dedup", lit(false))
+        .withColumn("epochs", lit(0))
+    def run(df: org.apache.spark.sql.DataFrame, now: Long) =
+      JobPrune.pruneBatch(df, now, pageSize = 4).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+
+    // cap 16: pruned(3+7=10) -> fenced(0) -> e=9 > remaining 6 -> truncated
+    // contributes 6 and stops; the orphan after it is never scanned
+    val a = run(idx(
+      (100L, "j1", false, true, false, 3),
+      (200L, "j2", false, true, true, 1),
+      (300L, "j3", false, true, false, 9),
+      (400L, "j4", false, false, false, 1)), now = 1000L)
+    assert(a("pruned") == ((1L, 10L, true, -1L)), s"a=$a")
+    assert(a("fenced") == ((1L, 0L, true, -1L)))
+    assert(a("truncated") == ((1L, 6L, true, -1L)))
+    assert(!a.contains("orphan"))
+
+    // due slice under cap + a future row: timer armed, no more work
+    val b = run(idx(
+      (100L, "j1", false, true, false, 1),
+      (6000L, "j9", false, true, false, 1)), now = 1000L)
+    assert(b("pruned") == ((1L, 8L, false, 5000L)), s"b=$b")
+
+    // exact fill (8+8 = cap 16) with a not-due row waiting: the cap check
+    // runs BEFORE the expiry check, so has_more and NO timer
+    val c = run(idx(
+      (100L, "j1", false, true, false, 1),
+      (200L, "j2", false, true, false, 1),
+      (6000L, "j9", false, true, false, 1)), now = 1000L)
+    assert(c("pruned") == ((2L, 16L, true, -1L)), s"c=$c")
+
+    // a row reached with the cap already full is excluded entirely
+    val dres = run(idx(
+      (100L, "j1", false, true, false, 1),
+      (200L, "j2", false, true, false, 1),
+      (300L, "j3", true, true, false, 1)), now = 1000L)
+    assert(dres("pruned") == ((2L, 16L, true, -1L)) && !dres.contains("malformed"),
+      s"d=$dres")
+  }
+
   test("subject merge: chain folds to min id, realm isolates, canonical never its own alias (user_subject_index.rs:236-280)") {
     val subjects = Seq(
       // u1-u2 share s1, u2-u3 share s2 -> one component {u1,u2,u3}
