@@ -1048,6 +1048,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // C4 line-level cleaning over deterministically derived 7-token lines:
+    // md5-slot terminal punctuation (~25% of lines fail the punct rule),
+    // sprinkled 'javascript' markers, doc-level lorem-ipsum / curly-brace
+    // policy plants on doc_id%41 / %43
+    "tx27_c4_rules" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val lines = base
+        .withColumn("i",
+          explode(sequence(lit(0), size(col("ts")) - 1, lit(7))))
+        .withColumn("chunk", slice(col("ts"), col("i") + 1, lit(7)))
+        .withColumn("slot",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+            col("i").cast("string"))), 1, 15), 16, 10).cast("long"))
+        .select(col("doc_id"), concat(
+          when(col("slot") % 17 === 0, "javascript ").otherwise(""),
+          array_join(col("chunk"), " "),
+          when(col("doc_id") % 41 === 0 && col("i") === 0, " lorem ipsum")
+            .when(col("doc_id") % 43 === 0 && col("i") === 0, " {")
+            .otherwise(""),
+          element_at(array(lit(""), lit("."), lit("!"), lit("?")),
+            (col("slot") % 4 + 1).cast("int"))).as("line_text"))
+      TextAnalysis.c4Rules(lines).orderBy(col("doc_id"))
+    },
+
     // per-doc tf-idf keyword extraction, f32-quantized score key
     "tx14_keywords" -> { (s, d) =>
       TextAnalysis.tfidfKeywords(Tables.documents(s, d), k = Tx14K)
@@ -3087,6 +3113,50 @@ object PipelineQueries {
          |FROM cov ORDER BY doc_id""".stripMargin,
 
     // same exact-integer rule algebra; doubles only in the reported ratios
+    "tx27_c4_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |l0 AS (
+        |  SELECT doc_id, ts, UNNEST(range(0, len(ts), 7)) AS i
+        |  FROM toks WHERE len(ts) > 0),
+        |l1 AS (
+        |  SELECT doc_id, i, ts[i+1:i+7] AS chunk,
+        |    CAST(('0x' || substr(md5(doc_id || '#' || i), 1, 15)) AS BIGINT)
+        |      AS slot
+        |  FROM l0),
+        |ln AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN slot % 17 = 0 THEN 'javascript ' ELSE '' END)
+        |    || array_to_string(chunk, ' ')
+        |    || (CASE WHEN doc_id%41 = 0 AND i = 0 THEN ' lorem ipsum'
+        |             WHEN doc_id%43 = 0 AND i = 0 THEN ' {'
+        |             ELSE '' END)
+        |    || (['', '.', '!', '?'][(slot % 4) + 1]) AS line_text
+        |  FROM l1),
+        |lw AS (
+        |  SELECT doc_id, line_text,
+        |    len(list_filter(string_split_regex(lower(line_text), '[^a-z0-9]+'),
+        |                    t -> t <> '')) AS n_words
+        |  FROM ln),
+        |cl AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines,
+        |    CAST(SUM(CASE WHEN regexp_matches(line_text, '[.!?"]$')
+        |                   AND n_words >= 5
+        |                   AND NOT contains(lower(line_text), 'javascript')
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    MAX(CASE WHEN contains(lower(line_text), 'lorem ipsum')
+        |              OR contains(line_text, '{') THEN 1 ELSE 0 END) = 1
+        |      AS policy_hit
+        |  FROM lw GROUP BY 1)
+        |SELECT doc_id, n_lines, n_kept, policy_hit,
+        |  CASE WHEN policy_hit THEN 'drop_policy'
+        |       WHEN n_kept < 5 THEN 'drop_short'
+        |       ELSE 'keep' END AS verdict
+        |FROM cl ORDER BY doc_id""".stripMargin,
+
     "tx20_gopher_rules" ->
       s"""SELECT doc_id, n AS n_words,
          |  CASE WHEN n > 0 THEN CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_word_len,

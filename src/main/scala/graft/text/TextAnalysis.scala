@@ -102,6 +102,34 @@ object TextAnalysis {
       (r1 && r2 && r3 && r4 && r5).as("keep"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the "clean"
+    * in Colossal Clean Crawled Corpus) over a `lines(doc_id, line_text)`
+    * relation: a line is KEPT only when it ends in terminal punctuation
+    * (`.` `!` `?` `"`), has at least five words, and does not contain
+    * `javascript`; a doc is dropped outright when any line carries a
+    * policy marker (`lorem ipsum`, a curly brace — source-code tell), and
+    * otherwise dropped when fewer than `minKeptLines` lines survive (the
+    * paper's sentence-count floor). Output per doc: line counts, the
+    * policy flag, and verdict keep / drop_policy / drop_short.
+    *
+    * One line-keyed aggregation — the rules are codegen'd expressions on
+    * the scan; nothing shuffles except the per-doc rollup. */
+  def c4Rules(lines: DataFrame, minKeptLines: Int = 5): DataFrame = {
+    val t = col("line_text")
+    val nWords = size(tokens(t))
+    val keepLine = t.rlike("[.!?\"]$") && nWords >= 5 &&
+      !lower(t).contains("javascript")
+    val policy = lower(t).contains("lorem ipsum") || t.contains("{")
+    lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(keepLine, 1L).otherwise(0L)).as("n_kept"),
+        (max(when(policy, 1).otherwise(0)) === 1).as("policy_hit"))
+      .withColumn("verdict",
+        when(col("policy_hit"), "drop_policy")
+          .when(col("n_kept") < minKeptLines, "drop_short")
+          .otherwise("keep"))
+  }
+
   /** Gopher CHAR-level repetition metrics — the paper's second rule family
     * ([[repetitionStats]] reports the COUNT fraction; Gopher's actual
     * thresholds are over characters): per doc,

@@ -788,6 +788,30 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank-1 not group-limited:\n$plan")
   }
 
+  test("C4 rules: punct/word-count/javascript line gates, policy markers drop the doc") {
+    val good = "alpha beta gamma delta epsilon."
+    val lines = (
+      (1 to 5).map(i => (1L, s"line $i alpha beta gamma delta.")) ++ Seq(
+        // d2: five keepable lines but a curly brace anywhere -> drop_policy
+        (2L, "int main() { return 0; }") ,
+        (2L, good), (2L, good), (2L, good), (2L, good), (2L, good),
+        // d3: every line fails a different line rule -> drop_short
+        (3L, "no terminal punctuation here at all"), // punct
+        (3L, "too short."), // < 5 words
+        (3L, "javascript is required to view this page."), // marker
+        (3L, good), // one survivor is not enough
+        // d4: lorem ipsum -> drop_policy even with enough good lines
+        (4L, "lorem ipsum dolor sit amet consetetur."),
+        (4L, good), (4L, good), (4L, good), (4L, good), (4L, good))
+      ).toDF("doc_id", "line_text")
+    val out = TextAnalysis.c4Rules(lines).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(4))).toMap
+    assert(out(1L) == ((5L, "keep")))
+    assert(out(2L)._2 == "drop_policy")
+    assert(out(3L) == ((1L, "drop_short")))
+    assert(out(4L)._2 == "drop_policy")
+  }
+
   test("gopher rules: each rule fails on its designed violation, clean doc keeps") {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val clean = "the quick brown fox jumps over that lazy sleeping dog " +
