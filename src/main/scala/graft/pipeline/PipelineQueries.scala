@@ -383,6 +383,16 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rk"))
     },
 
+    // contrastive hard-negative mining: top-5 most-similar DIFFERENT-label
+    // candidates per anchor, 0.95-cosine dup ceiling filters presumed
+    // unlabeled positives before ranking
+    "ann13_hard_negatives" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.hardNegatives(e, e.filter(col("vec_id") % Ann4Every === 0),
+          k = 5, dupCeiling = 0.95)
+        .orderBy(col("q_id"), col("rk"))
+    },
+
     // IVF-bucketed batch k-NN join — the knnJoin scale path: each query
     // ranks only its nprobe probed cells' members
     "ann8_knn_join_ivf" -> { (s, d) =>
@@ -1868,6 +1878,30 @@ object PipelineQueries {
          |  FROM n c, qs q
          |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
          |WHERE rk <= $Ann4K ORDER BY q_id, rk""".stripMargin,
+
+    // hard-negative mining: ann4's arithmetic + label filter and the
+    // 0.95 dup ceiling BEFORE the per-anchor rank
+    "ann13_hard_negatives" ->
+      s"""WITH q0 AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q0),
+         |qs AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, n2 AS qn2
+         |       FROM n WHERE vec_id % $Ann4Every = 0 AND n2 > 0),
+         |sc AS (
+         |  SELECT q.q_id, c.vec_id, c.label,
+         |    CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |      / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS cosine
+         |  FROM n c, qs q
+         |  WHERE c.vec_id <> q.q_id AND c.n2 > 0 AND c.label <> q.q_label)
+         |SELECT q_id, vec_id, label, cosine, rk FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+         |  FROM sc WHERE cosine < 0.95) t
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // exact chain (ann4's) + IVF chain (ann8's) as CTEs; recall counts the
     // intersection per probe

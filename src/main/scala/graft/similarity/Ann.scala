@@ -100,6 +100,42 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  /** Contrastive hard-negative mining: for every anchor, the `k` MOST
+    * similar candidates whose label differs (the informative negatives a
+    * contrastive/triplet trainer wants), after dropping candidates at or
+    * above `dupCeiling` cosine — near-identical vectors across labels are
+    * presumed mislabeled duplicates / unlabeled positives, the standard
+    * false-negative filter in hard-negative pipelines.
+    *
+    * Same plan shape as [[knnJoin]] (anchors broadcast, corpus scans once,
+    * per-anchor rank-limit window → WindowGroupLimit): the label filter and
+    * the ceiling run BEFORE ranking, so the k slots go to valid negatives
+    * only. For corpus-scale anchor sets, chunk anchors or mine within
+    * [[knnJoinIvf]] cells exactly like the kNN scale path. */
+  def hardNegatives(embeddings: DataFrame, anchors: DataFrame, k: Int,
+      dupCeiling: Double): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val cand = quantized(embeddings.select(col("vec_id"), col("embedding")))
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("n2") > 0)
+    val q = quantized(anchors.select(col("vec_id"), col("embedding")))
+      .join(anchors.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("n2") > 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+      .filter(col("cosine") < dupCeiling)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
+  }
+
   /** IVF-bucketed kNN JOIN — the scale path for [[knnJoin]]. Exact kNN
     * join is Θ(|queries| · |corpus|) dot products by contract (the
     * round-5 sf1 probe measured exactly that growth); here every query

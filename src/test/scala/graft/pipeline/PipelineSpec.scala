@@ -788,6 +788,22 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank-1 not group-limited:\n$plan")
   }
 
+  test("hard negatives: same-label skipped, near-dup ceiling excluded, rank over valid negatives only") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), // anchor
+      (2L, Seq(0.999f, 0.01f), 1), // other label but cosine≈1 -> dup-ceiling
+      (3L, Seq(0.9f, 0.1f), 0), // nearest overall but SAME label
+      (4L, Seq(0.8f, 0.6f), 1), // rank 1
+      (5L, Seq(0.5f, 0.86f), 2)) // rank 2
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(e, e.filter(col("vec_id") === 1), k = 5,
+        dupCeiling = 0.95)
+      .orderBy(col("rk")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 5L),
+      s"got ${out.map(_.getLong(1)).toSeq}")
+    assert(out.forall(_.getInt(2) != 0), "a same-label row leaked through")
+  }
+
   test("C4 rules: punct/word-count/javascript line gates, policy markers drop the doc") {
     val good = "alpha beta gamma delta epsilon."
     val lines = (
