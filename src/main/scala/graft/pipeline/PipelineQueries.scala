@@ -818,6 +818,22 @@ object PipelineQueries {
         .orderBy("conv_id")
     },
 
+    // DPO preference pairs: events as scored completions per user-prompt,
+    // best-vs-rest with an 800-micro-unit ambiguity margin
+    "sft2_pref_pairs" -> { (s, d) =>
+      val r = Tables.events(s, d).select(
+        col("user_id").as("prompt_id"),
+        col("event_id").as("response_id"),
+        (when(col("event_type") === "purchase", 3000L)
+          .when(col("event_type") === "click", 2000L)
+          .when(col("event_type") === "signup", 1500L)
+          .when(col("event_type") === "view", 1000L)
+          .otherwise(0L) +
+          round(col("value") * 100).cast("long")).as("reward_u"))
+      TextAnalysis.preferencePairs(r, minMarginU = 800L)
+        .orderBy(col("prompt_id"), col("rejected_id"))
+    },
+
     // composed language-balanced corpus prep: n-gram langid -> temperature
     // mixture over the DETECTED language (α=1/2 protects the small
     // languages) -> deterministic split; per-(lang, split) counts with the
@@ -2724,6 +2740,31 @@ object PipelineQueries {
 
     // chat flatten: identical run-id algebra (lag + running sum), ordered
     // string_agg for the merge and the ChatML render, hash compared
+    "sft2_pref_pairs" ->
+      """WITH r AS (
+        |  SELECT user_id AS prompt_id, event_id AS response_id,
+        |    CAST(CASE event_type WHEN 'purchase' THEN 3000
+        |         WHEN 'click' THEN 2000 WHEN 'signup' THEN 1500
+        |         WHEN 'view' THEN 1000 ELSE 0 END
+        |      + CAST(round(value * 100) AS BIGINT) AS BIGINT) AS reward_u
+        |  FROM events),
+        |c AS (
+        |  SELECT *,
+        |    FIRST_VALUE(response_id) OVER (PARTITION BY prompt_id
+        |      ORDER BY reward_u DESC, response_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS chosen_id,
+        |    FIRST_VALUE(reward_u) OVER (PARTITION BY prompt_id
+        |      ORDER BY reward_u DESC, response_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS chosen_reward
+        |  FROM r)
+        |SELECT prompt_id, chosen_id, response_id AS rejected_id,
+        |       CAST(chosen_reward - reward_u AS BIGINT) AS margin_u
+        |FROM c
+        |WHERE response_id <> chosen_id AND chosen_reward - reward_u >= 800
+        |ORDER BY prompt_id, rejected_id""".stripMargin,
+
     "sft1_chat_flatten" ->
       """WITH t AS (
         |  SELECT user_id AS conv_id, event_id AS turn_idx,

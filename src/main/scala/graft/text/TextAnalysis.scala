@@ -785,6 +785,33 @@ object TextAnalysis {
         col("cap"), col("capped"), col("alloc_tokens"), col("epochs_permille"))
   }
 
+  /** Preference-pair assembly — the DPO/RLHF dataset-prep step: given
+    * scored completions `responses(prompt_id, response_id, reward_u)`
+    * (integer micro-unit rewards), each prompt pairs its BEST completion
+    * (max reward, smallest id tie-break) against every other completion at
+    * least `minMarginU` below it — the best-vs-rest scheme; closer-than-
+    * margin pairs are too ambiguous to teach from and prompts with a single
+    * completion emit nothing. Output (prompt_id, chosen_id, rejected_id,
+    * margin_u), one row per surviving pair.
+    *
+    * One prompt-keyed window (full-frame first_value picks the champion on
+    * the same shuffle the pairing filter rides); nothing quadratic — the
+    * pair set is linear in the response count. */
+  def preferencePairs(responses: DataFrame, minMarginU: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("prompt_id"))
+      .orderBy(col("reward_u").desc, col("response_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    responses
+      .withColumn("chosen_id", first(col("response_id")).over(w))
+      .withColumn("chosen_reward", first(col("reward_u")).over(w))
+      .filter(col("response_id") =!= col("chosen_id") &&
+        col("chosen_reward") - col("reward_u") >= minMarginU)
+      .select(col("prompt_id"), col("chosen_id"),
+        col("response_id").as("rejected_id"),
+        (col("chosen_reward") - col("reward_u")).as("margin_u"))
+  }
+
   /** SFT conversation flattening — the chat-to-training-text step of a
     * fine-tuning data pipeline, as one relational pass:
     *

@@ -788,6 +788,20 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank-1 not group-limited:\n$plan")
   }
 
+  test("preference pairs: best-vs-rest, margin floor, id tie-break, singleton prompts silent") {
+    val r = Seq(
+      (1L, 10L, 3000L), (1L, 11L, 3000L), // tie: smaller id is champion
+      (1L, 12L, 2500L), // margin 500 < 800 -> too ambiguous, dropped
+      (1L, 13L, 1000L), // margin 2000 -> pair
+      (2L, 20L, 5000L)) // singleton prompt -> nothing
+      .toDF("prompt_id", "response_id", "reward_u")
+    val out = TextAnalysis.preferencePairs(r, minMarginU = 800L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    // the reward-tied runner-up is a 0-margin pair: dropped by the floor
+    assert(out == Set((1L, 10L, 13L, 2000L)), s"got $out")
+  }
+
   test("hard negatives: same-label skipped, near-dup ceiling excluded, rank over valid negatives only") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f), 0), // anchor
