@@ -386,4 +386,51 @@ class PlanSpec extends SparkSpec {
       s"span-plan windows must partition on doc_id:\n$p26")
     assert(!p26.contains("CartesianProduct"), p26)
   }
+
+  test("rs1/rs2: config relations broadcast; queued-scan window is TakeOrdered; no cartesian over the corpus") {
+    val p1 = plan("rs1_replica_targets")
+    assert(p1.contains("BroadcastExchange"),
+      s"relationships must broadcast onto the probes:\n$p1")
+    val p2 = plan("rs2_blob_locations")
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"the 1024-row queued scan cap must plan as TakeOrdered:\n$p2")
+    assert(p2.contains("BroadcastExchange"), p2)
+    assert(!p2.contains("CartesianProduct"),
+      s"only the bounded holder/nodeset cross may be nested-loop:\n$p2")
+  }
+
+  test("jp1: a deep backlog scans a TakeOrdered prefix, never a global sort") {
+    // the prefix path engages when the due slice exceeds 4×cap rows — build
+    // one deep enough directly (the sf0.001 gate input takes the small path)
+    import org.apache.spark.sql.functions._
+    val idx = spark.range(0, 20000).select(
+      col("id").as("expiry_ms"),
+      lpad(col("id").cast("string"), 12, "0").as("job_id"),
+      lit(false).as("malformed"), lit(true).as("exists"),
+      lit(false).as("fenced"), lit(3).as("n_entries"),
+      lit(false).as("rocrate"), lit(false).as("has_dedup"),
+      lit(0).as("epochs"))
+    val df = graft.catalog.JobPrune.pruneBatch(idx, nowMs = 30000L)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), s"prefix bound missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann13: anchors broadcast; per-anchor rank is a WindowGroupLimit") {
+    val p = plan("ann13_hard_negatives")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit rewrite missing (full per-anchor sort):\n$p")
+  }
+
+  test("sft2/tx27: one keyed shuffle each — pairing/rollup rides a single Exchange") {
+    val pS = plan("sft2_pref_pairs")
+    assert(pS.sliding("Exchange".length).count(_ == "Exchange") <= 4, // incl. AQE reads
+      s"preference pairs should need one prompt-keyed shuffle:\n$pS")
+    assert(!pS.contains("CartesianProduct"), pS)
+    val pC = plan("tx27_c4_rules")
+    assert(!pC.contains("CartesianProduct") && !pC.contains("SortMergeJoin"),
+      s"C4 rollup must not join at all:\n$pC")
+  }
 }
