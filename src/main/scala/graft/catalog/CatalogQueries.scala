@@ -398,6 +398,25 @@ object CatalogQueries {
         .orderBy("recipient", "class", "verdict")
     },
 
+    // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
+    // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
+    // legal ~1/97 subset, u1/c0 mark by time watermark
+    "nf4_mark_read" -> { (s, d) =>
+      val inbox = NotificationTables.inbox(s, d)
+      val ids = inbox.filter(
+          (col("recipient") === "u0" &&
+            col("notification_id").cast("long") % 7 === 3) ||
+          (col("recipient") === "u2" &&
+            col("notification_id").cast("long") % 97 === 3))
+        .select(col("recipient"), col("notification_id"))
+      val times = (s.range(1).select(lit("u1").as("recipient"),
+          lit(1700000000000L + 2500000L).as("up_to_ms")))
+        .unionByName(s.range(1).select(lit("c0").as("recipient"),
+          lit(1700000000000L + 700000L).as("up_to_ms")))
+      Notifications.markRead(inbox, ids, times, nowMs = 1700000009999L)
+        .orderBy(col("recipient"))
+    },
+
     "cat8_usage_delta" -> { (s, d) =>
       val live = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val obj = ObjectTables.objects(s, d)
@@ -949,6 +968,45 @@ object CatalogQueries {
         |  UNION ALL SELECT 's4_hit_after', TRUE, n, sm FROM s1
         |  UNION ALL SELECT 's5_ttl_expired', FALSE, n, sm FROM s1
         |) ORDER BY step""".stripMargin,
+
+    "nf4_mark_read" ->
+      s"""WITH ${NotificationTables.inboxCte},
+         |ids AS (
+         |  SELECT recipient, notification_id FROM inbox
+         |  WHERE (recipient = 'u0' AND CAST(notification_id AS BIGINT)%7 = 3)
+         |     OR (recipient = 'u2' AND CAST(notification_id AS BIGINT)%97 = 3)),
+         |times AS (
+         |  SELECT 'u1' AS recipient, 1700002500000 AS up_to_ms
+         |  UNION ALL SELECT 'c0', 1700000700000),
+         |idn AS (SELECT recipient, COUNT(*) AS n_ids FROM ids GROUP BY 1),
+         |req AS (SELECT recipient FROM idn
+         |        UNION SELECT recipient FROM times),
+         |j AS (
+         |  SELECT i.recipient, i.read_at_ms,
+         |    (d.notification_id IS NOT NULL
+         |     OR (t.up_to_ms IS NOT NULL AND i.created_at_ms <= t.up_to_ms))
+         |      AS hit
+         |  FROM inbox i
+         |  JOIN req r ON i.recipient = r.recipient
+         |  LEFT JOIN ids d ON i.recipient = d.recipient
+         |    AND i.notification_id = d.notification_id
+         |  LEFT JOIN times t ON i.recipient = t.recipient),
+         |agg AS (
+         |  SELECT recipient,
+         |    CAST(SUM(CASE WHEN read_at_ms IS NULL AND hit THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS would_mark,
+         |    CAST(SUM(CASE WHEN read_at_ms IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS unread_before
+         |  FROM j GROUP BY 1)
+         |SELECT a.recipient,
+         |  CASE WHEN COALESCE(n.n_ids, 0) > ${Notifications.MarkReadMaxIds}
+         |       THEN 'too_many_ids' ELSE 'ok' END AS verdict,
+         |  CAST(CASE WHEN COALESCE(n.n_ids, 0) > ${Notifications.MarkReadMaxIds}
+         |       THEN 0 ELSE a.would_mark END AS BIGINT) AS marked,
+         |  CAST(a.unread_before - CASE WHEN COALESCE(n.n_ids, 0) > ${Notifications.MarkReadMaxIds}
+         |       THEN 0 ELSE a.would_mark END AS BIGINT) AS unread_after
+         |FROM agg a LEFT JOIN idn n ON a.recipient = n.recipient
+         |ORDER BY a.recipient""".stripMargin,
 
     "jp1_job_prune" -> {
       val now = 1700000000000L + 1200000L

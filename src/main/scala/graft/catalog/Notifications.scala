@@ -88,6 +88,50 @@ object Notifications {
       .agg(count(lit(1)).as("n"))
   }
 
+  val MarkReadMaxIds = 512 // mark_read.rs:18
+
+  /** MarkRead (`mark_read.rs:129-196`): walk one recipient's inbox and
+    * stamp `read_at_ms = now` on every UNREAD row that is either named by
+    * id or at-or-before the `up_to_ms` watermark; already-read rows are
+    * untouched (an id naming one still consumes its slot in the
+    * reference's early-stop counter — observable results are identical).
+    * A request naming more than [[MarkReadMaxIds]] ids fails before the
+    * scan (`too_many_ids`, nothing marked).
+    *
+    * Batch form over request relations `reqIds(recipient,
+    * notification_id)` / `reqTimes(recipient, up_to_ms)`: output one row
+    * per requesting recipient — (recipient, verdict, marked,
+    * unread_after). The inbox scan prunes to requesting recipients
+    * (broadcast semi-join) and everything else is one recipient-keyed
+    * aggregate. */
+  def markRead(inbox: DataFrame, reqIds: DataFrame, reqTimes: DataFrame,
+      nowMs: Long): DataFrame = {
+    val idCount = reqIds.groupBy(col("recipient"))
+      .agg(count(lit(1)).as("n_ids"))
+    val recips = idCount.select(col("recipient"))
+      .union(reqTimes.select(col("recipient"))).distinct()
+    val marked = inbox
+      .join(broadcast(recips), Seq("recipient"))
+      .join(reqIds.withColumn("by_id", lit(true)),
+        Seq("recipient", "notification_id"), "left_outer")
+      .join(broadcast(reqTimes), Seq("recipient"), "left_outer")
+      .withColumn("hit", coalesce(col("by_id"), lit(false)) ||
+        (col("up_to_ms").isNotNull && col("created_at_ms") <= col("up_to_ms")))
+      .withColumn("newly", col("read_at_ms").isNull && col("hit"))
+      .groupBy(col("recipient"))
+      .agg(sum(when(col("newly"), 1L).otherwise(0L)).as("would_mark"),
+        sum(when(col("read_at_ms").isNull, 1L).otherwise(0L))
+          .as("unread_before"))
+    marked.join(broadcast(idCount), Seq("recipient"), "left_outer")
+      .withColumn("n_ids", coalesce(col("n_ids"), lit(0L)))
+      .withColumn("verdict",
+        when(col("n_ids") > MarkReadMaxIds, "too_many_ids").otherwise("ok"))
+      .withColumn("marked",
+        when(col("verdict") === "ok", col("would_mark")).otherwise(0L))
+      .select(col("recipient"), col("verdict"), col("marked"),
+        (col("unread_before") - col("marked")).as("unread_after"))
+  }
+
   /** One inbox page (`list.rs:64-175`): newest first, limit clamped to
     * 1..[[ListMaxLimit]], cursor `(created_at_ms, notification_id)` resumes
     * STRICTLY AFTER in key order (older timestamp, or same timestamp and a

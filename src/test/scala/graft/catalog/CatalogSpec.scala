@@ -303,6 +303,29 @@ class CatalogSpec extends SparkSpec {
     assert(out("d") == (0L, true), s"all-read deep inbox still reports capped: $out")
   }
 
+  test("mark read: unread-only transitions, id+watermark union, 512-id cap fails whole request (mark_read.rs:17-18,170-183)") {
+    val inbox = Seq(
+      ("r", 100L, "n1", None), // unread, named -> marks
+      ("r", 200L, "n2", Some(250L)), // already read, named -> no-op
+      ("r", 300L, "n3", None), // unread, under watermark -> marks
+      ("r", 900L, "n4", None)) // unread, above watermark, unnamed -> stays
+      .toDF("recipient", "created_at_ms", "notification_id", "read_at_ms")
+    val ids = Seq(("r", "n1"), ("r", "n2")).toDF("recipient", "notification_id")
+    val times = Seq(("r", 400L)).toDF("recipient", "up_to_ms")
+    val out = Notifications.markRead(inbox, ids, times, nowMs = 1000L)
+      .collect().head
+    assert(out.getString(1) == "ok" && out.getLong(2) == 2L &&
+      out.getLong(3) == 1L, s"got $out")
+
+    // over the id cap: the whole request fails, nothing marks
+    val many = spark.range(0, 513).select(lit("r").as("recipient"),
+      concat(lit("x"), col("id").cast("string")).as("notification_id"))
+    val err = Notifications.markRead(inbox, many, times.filter(lit(false)),
+      nowMs = 1000L).collect().head
+    assert(err.getString(1) == "too_many_ids" && err.getLong(2) == 0L &&
+      err.getLong(3) == 3L, s"got $err")
+  }
+
   test("prune plan: cap binds at the 501st fresh transient, expired rows report separately (prune.rs:236-255)") {
     // 502 fresh transients -> exactly 2 capped (ranks 501, 502); 2 ancient
     // rows -> expired, never double-counted as capped (in the reference's
