@@ -398,6 +398,44 @@ object CatalogQueries {
         .orderBy("recipient", "class", "verdict")
     },
 
+    // GA4GH DRS bulk resolution: every locator grammar (canonical W3ID,
+    // W3ID-wrapped + bare versioned ARNs, ch ARNs), wrong-scope and
+    // malformed probes; caller reads grp-0/grp-1 only (bkt-2 denies)
+    "drs1_bulk_resolve" -> { (s, d) =>
+      val o = ObjectTables.objects(s, d)
+      val w3 = Drs.W3idPrefix
+      def arnS3(node: String) = concat(lit(s"arn:aruna:rlm:$node:s3/"),
+        col("bucket"), lit("/"), col("key"), lit("@"), col("version_ulid"))
+      // one store scan builds the whole batch: the residue picks ~1/72 of
+      // the capped window, the grammar variant branches on the residue
+      val m = col("version_ord") % 503
+      val picked = o.filter(col("version_ord") < 600000 &&
+        m.isin(7, 20, 33, 46, 59, 72))
+      val reqs = picked
+        .select(
+          when(m === 7, when(col("version_ord") % 2 === 0,
+              concat(lit(w3), arnS3("n0"))).otherwise(arnS3("n0")))
+            .when(m === 20, arnS3("n9"))
+            .when(m === 33, concat(lit("arn:aruna:rlm:n0:s3/"), col("bucket"),
+              lit("/"), col("key"), lit("@999999999999")))
+            .when(m === 46, concat(lit(w3), col("hash"), col("hash")))
+            .when(m === 59, concat(lit("arn:aruna:rlm:n0:ch/"), col("hash"),
+              col("hash")))
+            .otherwise(concat(lit("arn:aruna:xx:n0:ch/"), col("hash"),
+              col("hash"))).as("object_id"))
+        .unionByName {
+          import s.implicits._
+          Seq(w3 + "deadbeef", "arn:aruna:rlm:n0:s3/bkt-1", "gs://nope")
+            .toDF("object_id")
+        }
+        .distinct()
+      val readable = s.range(0, 2)
+        .select(concat(lit("grp-"), col("id").cast("string")).as("group_id"))
+      Drs.bulkResolve(reqs, o, ObjectTables.buckets(s, d), readable,
+          localRealm = "rlm", localNode = "n0")
+        .orderBy(col("object_id"))
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -968,6 +1006,146 @@ object CatalogQueries {
         |  UNION ALL SELECT 's4_hit_after', TRUE, n, sm FROM s1
         |  UNION ALL SELECT 's5_ttl_expired', FALSE, n, sm FROM s1
         |) ORDER BY step""".stripMargin,
+
+    "drs1_bulk_resolve" -> {
+      val w3 = Drs.W3idPrefix
+      val n = w3.length
+      s"""WITH ${ObjectTables.objectsCte},
+         |${ObjectTables.bucketsCte},
+         |reqs AS (
+         |  SELECT DISTINCT object_id FROM (
+         |    SELECT CASE WHEN version_ord%2=0 THEN '$w3' ELSE '' END ||
+         |      'arn:aruna:rlm:n0:s3/'||bucket||'/'||key||'@'||version_ulid
+         |      AS object_id
+         |    FROM objects WHERE version_ord%503 = 7 AND version_ord < 600000
+         |    UNION ALL
+         |    SELECT 'arn:aruna:rlm:n9:s3/'||bucket||'/'||key||'@'||version_ulid
+         |    FROM objects WHERE version_ord%503 = 20 AND version_ord < 600000
+         |    UNION ALL
+         |    SELECT 'arn:aruna:rlm:n0:s3/'||bucket||'/'||key||'@999999999999'
+         |    FROM objects WHERE version_ord%503 = 33 AND version_ord < 600000
+         |    UNION ALL
+         |    SELECT '$w3'||hash||hash FROM objects WHERE version_ord%503 = 46 AND version_ord < 600000
+         |    UNION ALL
+         |    SELECT 'arn:aruna:rlm:n0:ch/'||hash||hash FROM objects
+         |    WHERE version_ord%503 = 59 AND version_ord < 600000
+         |    UNION ALL
+         |    SELECT 'arn:aruna:xx:n0:ch/'||hash||hash FROM objects
+         |    WHERE version_ord%503 = 72 AND version_ord < 600000
+         |    UNION ALL SELECT '${w3}deadbeef'
+         |    UNION ALL SELECT 'arn:aruna:rlm:n0:s3/bkt-1'
+         |    UNION ALL SELECT 'gs://nope')),
+         |readable AS (SELECT 'grp-'||r AS group_id FROM range(0,2) t(r)),
+         |p1 AS (
+         |  SELECT object_id,
+         |    CASE WHEN starts_with(object_id, '$w3')
+         |         THEN substr(object_id, ${n + 1}) ELSE object_id END AS body,
+         |    starts_with(object_id, '$w3') AS is_w3
+         |  FROM reqs),
+         |p2 AS (
+         |  SELECT *,
+         |    is_w3 AND regexp_matches(body, '^[0-9a-f]{64}$$') AS hex64,
+         |    regexp_matches(body, '^arn:aruna:([^:]+):([^:]+):(s3|ch)/(.+)$$')
+         |      AS is_arn,
+         |    regexp_extract(body, '^arn:aruna:([^:]+):([^:]+):(s3|ch)/(.+)$$', 1) AS a_realm,
+         |    regexp_extract(body, '^arn:aruna:([^:]+):([^:]+):(s3|ch)/(.+)$$', 2) AS a_node,
+         |    regexp_extract(body, '^arn:aruna:([^:]+):([^:]+):(s3|ch)/(.+)$$', 3) AS a_kind,
+         |    regexp_extract(body, '^arn:aruna:([^:]+):([^:]+):(s3|ch)/(.+)$$', 4) AS a_path
+         |  FROM p1),
+         |p3 AS (
+         |  SELECT object_id,
+         |    CASE WHEN hex64 THEN 'hash'
+         |         WHEN is_arn AND a_kind='s3'
+         |              AND regexp_matches(a_path, '^([^/]+)/(.+)@([^@/]+)$$')
+         |           THEN 'versioned'
+         |         WHEN is_arn AND a_kind='ch'
+         |              AND regexp_matches(a_path, '^[0-9a-f]{64}$$')
+         |           THEN 'hash'
+         |         ELSE 'bad' END AS kind,
+         |    CASE WHEN is_arn THEN a_realm END AS p_realm,
+         |    CASE WHEN is_arn THEN a_node END AS p_node,
+         |    CASE WHEN hex64 THEN substr(body, 1, 32)
+         |         WHEN is_arn AND a_kind='ch'
+         |              AND regexp_matches(a_path, '^[0-9a-f]{64}$$')
+         |           THEN substr(a_path, 1, 32) END AS p_hash,
+         |    CASE WHEN is_arn AND a_kind='s3' THEN
+         |      regexp_extract(a_path, '^([^/]+)/(.+)@([^@/]+)$$', 1) END AS p_bucket,
+         |    CASE WHEN is_arn AND a_kind='s3' THEN
+         |      regexp_extract(a_path, '^([^/]+)/(.+)@([^@/]+)$$', 2) END AS p_key,
+         |    CASE WHEN is_arn AND a_kind='s3' THEN
+         |      regexp_extract(a_path, '^([^/]+)/(.+)@([^@/]+)$$', 3) END AS p_version
+         |  FROM p2),
+         |v AS (
+         |  SELECT p.object_id, p.p_bucket, p.p_key, p.p_version, p.p_hash,
+         |    p.p_realm, p.p_node, o.version_ord, o.is_delete_marker,
+         |    b.group_id, r.group_id IS NOT NULL AS can_read
+         |  FROM p3 p
+         |  LEFT JOIN objects o ON o.bucket = p.p_bucket AND o.key = p.p_key
+         |    AND o.version_ulid = p.p_version
+         |  LEFT JOIN buckets b ON b.bucket = p.p_bucket
+         |  LEFT JOIN readable r ON r.group_id = b.group_id
+         |  WHERE p.kind = 'versioned'),
+         |vres AS (
+         |  SELECT object_id,
+         |    CASE WHEN NOT (p_realm IS NULL
+         |                   OR (p_realm='rlm' AND p_node='n0'))
+         |              OR group_id IS NULL OR version_ord IS NULL
+         |              OR is_delete_marker OR version_ord%101 = 0
+         |           THEN 'not_found'
+         |         WHEN NOT can_read THEN 'denied'
+         |         ELSE 'found' END AS outcome,
+         |    p_bucket, p_key, p_version, p_hash
+         |  FROM v),
+         |h AS (
+         |  SELECT p.object_id, p.p_hash, o.bucket, o.key, o.version_ulid,
+         |    o.version_ord, (r.group_id IS NOT NULL) AS can_read
+         |  FROM p3 p
+         |  LEFT JOIN (SELECT * FROM objects WHERE NOT is_delete_marker) o
+         |    ON o.hash = p.p_hash
+         |  LEFT JOIN buckets b ON b.bucket = o.bucket
+         |  LEFT JOIN readable r ON r.group_id = b.group_id
+         |  WHERE p.kind = 'hash'
+         |    AND (p.p_realm IS NULL OR (p.p_realm='rlm' AND p.p_node='n0'))),
+         |hagg AS (
+         |  SELECT object_id, p_hash, COUNT(version_ord) AS n_map,
+         |    MIN(CASE WHEN can_read AND version_ord%101 <> 0
+         |                  AND version_ord%89 <> 0
+         |             THEN bucket||chr(9)||key||chr(9)||version_ulid END)
+         |      AS best
+         |  FROM h GROUP BY 1, 2),
+         |hres AS (
+         |  SELECT object_id,
+         |    CASE WHEN n_map = 0 THEN 'not_found'
+         |         WHEN best IS NOT NULL THEN 'found'
+         |         ELSE 'denied' END AS outcome,
+         |    string_split(best, chr(9))[1] AS p_bucket,
+         |    string_split(best, chr(9))[2] AS p_key,
+         |    string_split(best, chr(9))[3] AS p_version, p_hash
+         |  FROM hagg),
+         |hscope AS (
+         |  SELECT object_id, 'not_found' AS outcome,
+         |    CAST(NULL AS VARCHAR) AS p_bucket, CAST(NULL AS VARCHAR) AS p_key,
+         |    CAST(NULL AS VARCHAR) AS p_version, p_hash
+         |  FROM p3 WHERE kind = 'hash'
+         |    AND NOT (p_realm IS NULL OR (p_realm='rlm' AND p_node='n0'))),
+         |bad AS (
+         |  SELECT object_id, 'bad_request' AS outcome,
+         |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |    CAST(NULL AS VARCHAR), p_hash
+         |  FROM p3 WHERE kind = 'bad'),
+         |allres AS (
+         |  SELECT * FROM vres UNION ALL SELECT * FROM hres
+         |  UNION ALL SELECT * FROM hscope UNION ALL SELECT * FROM bad)
+         |SELECT object_id, outcome,
+         |  CASE WHEN outcome='found' THEN p_bucket END AS bucket,
+         |  CASE WHEN outcome='found' THEN p_key END AS key,
+         |  CASE WHEN outcome='found' THEN p_version END AS version_id,
+         |  CASE WHEN outcome <> 'found' THEN NULL
+         |       WHEN p_hash IS NOT NULL THEN '$w3'||p_hash||p_hash
+         |       ELSE '$w3'||'arn:aruna:rlm:n0:s3/'||p_bucket||'/'||p_key
+         |            ||'@'||p_version END AS canonical_w3id
+         |FROM allres ORDER BY object_id""".stripMargin
+    },
 
     "nf4_mark_read" ->
       s"""WITH ${NotificationTables.inboxCte},

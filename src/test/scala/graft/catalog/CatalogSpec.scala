@@ -303,6 +303,49 @@ class CatalogSpec extends SparkSpec {
     assert(out("d") == (0L, true), s"all-read deep inbox still reports capped: $out")
   }
 
+  test("drs resolve: locator grammar, versioned ladder, hash first-success, denied-vs-notfound end state (drs.rs:490-683)") {
+    val h32 = "a" * 32
+    val g32 = "b" * 32
+    val objs = Seq(
+      // bucket, key, version_ord, version_ulid, marker, hash
+      ("bA", "k1", 10L, "010", false, h32), // resolvable, readable
+      ("bA", "k1", 89L, "089", false, h32), // stale as a hash mapping (%89)
+      ("bB", "k2", 11L, "011", false, g32), // readable=false bucket
+      ("bA", "k3", 202L, "202", false, g32), // no stored location (%101)
+      ("bA", "k4", 12L, "012", true, h32)) // delete marker
+      .toDF("bucket", "key", "version_ord", "version_ulid",
+        "is_delete_marker", "hash")
+    val buckets = Seq(("bA", "g1"), ("bB", "g2")).toDF("bucket", "group_id")
+    val readable = Seq("g1").toDF("group_id")
+    val w3 = Drs.W3idPrefix
+    val reqs = Seq(
+      s"${w3}arn:aruna:rlm:n0:s3/bA/k1@010", // w3id-wrapped versioned
+      "arn:aruna:rlm:n0:s3/bB/k2@011", // readable=false -> denied
+      "arn:aruna:rlm:n0:s3/bA/k3@202", // no location -> not_found
+      "arn:aruna:rlm:n0:s3/bA/k4@012", // marker -> not_found
+      "arn:aruna:rlm:n1:s3/bA/k1@010", // wrong node -> not_found
+      w3 + h32 + h32, // hash: 010 found (089 stale, 012 marker)
+      "arn:aruna:rlm:n0:ch/" + g32 + g32, // mappings exist, none survive
+      w3 + ("c" * 64), // unknown hash -> not_found
+      w3 + "deadbeef") // bad
+      .toDF("object_id")
+    val out = Drs.bulkResolve(reqs, objs, buckets, readable, "rlm", "n0")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.getString(4)).getOrElse(""))).toMap
+    assert(out(s"${w3}arn:aruna:rlm:n0:s3/bA/k1@010")._1 == "found")
+    assert(out("arn:aruna:rlm:n0:s3/bB/k2@011")._1 == "denied")
+    assert(out("arn:aruna:rlm:n0:s3/bA/k3@202")._1 == "not_found")
+    assert(out("arn:aruna:rlm:n0:s3/bA/k4@012")._1 == "not_found")
+    assert(out("arn:aruna:rlm:n1:s3/bA/k1@010")._1 == "not_found")
+    assert(out(w3 + h32 + h32) == (("found", "010")),
+      s"hash pick: ${out(w3 + h32 + h32)}")
+    // g32's mappings: one unreadable, one location-less -> hash provably on
+    // node but nothing serves it: DENIED, not not_found (drs.rs:676-681)
+    assert(out("arn:aruna:rlm:n0:ch/" + g32 + g32)._1 == "denied")
+    assert(out(w3 + ("c" * 64))._1 == "not_found")
+    assert(out(w3 + "deadbeef")._1 == "bad_request")
+  }
+
   test("mark read: unread-only transitions, id+watermark union, 512-id cap fails whole request (mark_read.rs:17-18,170-183)") {
     val inbox = Seq(
       ("r", 100L, "n1", None), // unread, named -> marks
