@@ -436,6 +436,74 @@ object CatalogQueries {
         .orderBy(col("object_id"))
     },
 
+    // Bulk authorization decisions: request batch spans every ladder arm
+    // (direct deny, narrow grant, public read incl. the foreign-everyone
+    // and public-WRITE inert probes, token restrictions, cross-realm
+    // scope miss, anonymous), rules from a 6-group x 6-role fixture
+    "au1_permission_decisions" -> { (s, d) =>
+      val o = ObjectTables.objects(s, d)
+      val ord = col("version_ord")
+      val g = ord % 6
+      val realm = concat(lit("r"),
+        when(ord % 13 === 0, (g + 1) % 2).otherwise(g % 2).cast("string"))
+      val b = ord % 5
+      val path = concat(lit("/"), realm, lit("/g/grp-"), g.cast("string"),
+        when(b === 0, concat(lit("/meta/doc"), (ord % 10).cast("string")))
+          .when(b === 1, concat(lit("/data/f"), (ord % 8).cast("string")))
+          .when(b === 2, concat(lit("/meta/doc"), g.cast("string")))
+          .when(b === 3, lit("/meta/doc7"))
+          .otherwise(concat(lit("/data/sub/f"), (ord % 8).cast("string"))))
+      val reqs = o.filter(ord % 211 === 3 && ord < 600000)
+        .select(
+          when(ord % 9 === 8, "anon")
+            .otherwise(concat(lit("u"), (ord % 9).cast("string"))).as("caller"),
+          realm.as("realm"),
+          concat(lit("grp-"), g.cast("string")).as("group_id"),
+          path.as("path"),
+          when(ord % 3 === 0, "WRITE").otherwise("READ").as("required"))
+        .distinct()
+      val gk = s.range(0, 6).select(col("id").as("g"))
+        .crossJoin(s.range(0, 6).select(col("id").as("k")))
+      val realmOf = concat(lit("r"), (col("g") % 2).cast("string"))
+      val scope = concat(lit("/"), realmOf, lit("/g/grp-"),
+        col("g").cast("string"))
+      val roles = gk.select(
+        (col("g") * 10 + col("k")).as("role_id"),
+        realmOf.as("realm"),
+        concat(lit("grp-"), col("g").cast("string")).as("group_id"),
+        when(col("k") === 0, concat(scope, lit("/meta/**")))
+          .when(col("k") === 1, concat(scope, lit("/**")))
+          .when(col("k") === 2,
+            concat(scope, lit("/meta/doc"), col("g").cast("string")))
+          .when(col("k") === 3, concat(scope, lit("/meta/doc7")))
+          .when(col("k") === 4, concat(scope, lit("/data/*")))
+          .otherwise(concat(scope, lit("/**"))).as("pattern"),
+        when(col("k") === 2, "DENY")
+          .when(col("k") === 1 || col("k") === 5, "WRITE")
+          .otherwise("READ").as("permission"))
+      val direct = gk.crossJoin(s.range(0, 8).select(col("id").as("j")))
+        .filter((col("j") + col("g") + col("k") * 2) % 5 === 0)
+        .select((col("g") * 10 + col("k")).as("role_id"),
+          concat(lit("u"), col("j").cast("string")).as("user_id"))
+      // k=4 always assigns everyone@r0: public for even groups (realm r0),
+      // the foreign-everyone inert probe for odd ones (realm r1); k=5
+      // assigns the home realm's everyone but says WRITE (inert)
+      val assigns = direct
+        .unionByName(s.range(0, 6).select((col("id") * 10 + 4).as("role_id"),
+          lit("everyone@r0").as("user_id")))
+        .unionByName(s.range(0, 6).select((col("id") * 10 + 5).as("role_id"),
+          concat(lit("everyone@r"), (col("id") % 2).cast("string"))
+            .as("user_id")))
+      val restr = {
+        import s.implicits._
+        Seq(("u1", "/r0/g/*/meta/**", "READ"), ("u1", "/r1/**", "WRITE"),
+          ("u2", "**", "WRITE"), ("u2", "/r0/g/grp-2/**", "DENY"),
+          ("u3", "/r0/**", "READ")).toDF("caller", "pattern", "permission")
+      }
+      Authz.decide(reqs, roles, assigns, restr)
+        .orderBy("caller", "realm", "group_id", "path", "required")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1146,6 +1214,111 @@ object CatalogQueries {
          |            ||'@'||p_version END AS canonical_w3id
          |FROM allres ORDER BY object_id""".stripMargin
     },
+
+    "au1_permission_decisions" ->
+      s"""WITH ${ObjectTables.objectsCte},
+         |reqs AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN version_ord%9 = 8 THEN 'anon'
+         |         ELSE 'u'||(version_ord%9) END AS caller,
+         |    'r'||(CASE WHEN version_ord%13 = 0 THEN ((version_ord%6)+1)%2
+         |               ELSE (version_ord%6)%2 END) AS realm,
+         |    'grp-'||(version_ord%6) AS group_id,
+         |    '/r'||(CASE WHEN version_ord%13 = 0 THEN ((version_ord%6)+1)%2
+         |                ELSE (version_ord%6)%2 END)
+         |      ||'/g/grp-'||(version_ord%6)||
+         |      CASE version_ord%5
+         |        WHEN 0 THEN '/meta/doc'||(version_ord%10)
+         |        WHEN 1 THEN '/data/f'||(version_ord%8)
+         |        WHEN 2 THEN '/meta/doc'||(version_ord%6)
+         |        WHEN 3 THEN '/meta/doc7'
+         |        ELSE '/data/sub/f'||(version_ord%8) END AS path,
+         |    CASE WHEN version_ord%3 = 0 THEN 'WRITE' ELSE 'READ' END
+         |      AS required
+         |  FROM objects WHERE version_ord%211 = 3 AND version_ord < 600000),
+         |roles AS (
+         |  SELECT g*10+k AS role_id, 'r'||(g%2) AS realm,
+         |    'grp-'||g AS group_id,
+         |    '/r'||(g%2)||'/g/grp-'||g||
+         |      CASE k WHEN 0 THEN '/meta/**' WHEN 1 THEN '/**'
+         |             WHEN 2 THEN '/meta/doc'||g WHEN 3 THEN '/meta/doc7'
+         |             WHEN 4 THEN '/data/*' ELSE '/**' END AS pattern,
+         |    CASE WHEN k = 2 THEN 'DENY' WHEN k IN (1, 5) THEN 'WRITE'
+         |         ELSE 'READ' END AS permission
+         |  FROM range(0,6) t(g), range(0,6) s(k)),
+         |assigns AS (
+         |  SELECT g*10+k AS role_id, 'u'||j AS user_id
+         |  FROM range(0,6) t(g), range(0,6) s(k), range(0,8) u(j)
+         |  WHERE (j + g + k*2)%5 = 0
+         |  UNION ALL SELECT g*10+4, 'everyone@r0' FROM range(0,6) t(g)
+         |  UNION ALL SELECT g*10+5, 'everyone@r'||(g%2) FROM range(0,6) t(g)),
+         |restr AS (
+         |  SELECT * FROM (VALUES ('u1','/r0/g/*/meta/**','READ'),
+         |    ('u1','/r1/**','WRITE'), ('u2','**','WRITE'),
+         |    ('u2','/r0/g/grp-2/**','DENY'), ('u3','/r0/**','READ'))
+         |    t(caller, pattern, permission)),
+         |dm AS (
+         |  SELECT q.caller, q.realm, q.group_id, q.path, q.required,
+         |    bool_or(ro.permission='DENY') AS deny,
+         |    bool_or(ro.permission='WRITE') AS w,
+         |    bool_or(ro.permission='READ') AS rd
+         |  FROM reqs q
+         |  JOIN roles ro ON ro.realm=q.realm AND ro.group_id=q.group_id
+         |  JOIN assigns a ON a.role_id=ro.role_id AND a.user_id=q.caller
+         |  WHERE q.caller <> 'anon' AND regexp_matches(q.path,
+         |    '^'||replace(replace(replace(ro.pattern,'**',chr(1)),
+         |      '*','[^/]*'),chr(1),'.*')||'$$')
+         |  GROUP BY 1,2,3,4,5),
+         |pm AS (
+         |  SELECT q.caller, q.realm, q.group_id, q.path, q.required,
+         |    bool_or(ro.permission='READ') AS prd
+         |  FROM reqs q
+         |  JOIN roles ro ON ro.realm=q.realm AND ro.group_id=q.group_id
+         |  JOIN assigns a ON a.role_id=ro.role_id
+         |    AND a.user_id='everyone@'||ro.realm
+         |  WHERE q.caller <> 'anon' AND ro.permission='READ'
+         |    AND regexp_matches(q.path,
+         |      '^'||replace(replace(replace(ro.pattern,'**',chr(1)),
+         |        '*','[^/]*'),chr(1),'.*')||'$$')
+         |  GROUP BY 1,2,3,4,5),
+         |rm AS (
+         |  SELECT q.caller, q.realm, q.group_id, q.path, q.required,
+         |    bool_or(t.permission='DENY') AS deny,
+         |    bool_or(t.permission='WRITE') AS w,
+         |    bool_or(t.permission='READ') AS rd
+         |  FROM reqs q JOIN restr t ON t.caller=q.caller
+         |  WHERE regexp_matches(q.path,
+         |    '^'||replace(replace(replace(t.pattern,'**',chr(1)),
+         |      '*','[^/]*'),chr(1),'.*')||'$$')
+         |  GROUP BY 1,2,3,4,5),
+         |hr AS (SELECT DISTINCT caller FROM restr),
+         |dec AS (
+         |  SELECT q.*,
+         |    CASE
+         |      WHEN q.caller = 'anon' THEN 'no_grant'
+         |      WHEN COALESCE(dm.deny, FALSE) THEN 'deny_rule'
+         |      WHEN NOT (COALESCE(dm.w, FALSE) OR (q.required='READ'
+         |           AND (COALESCE(dm.rd, FALSE) OR COALESCE(pm.prd, FALSE))))
+         |        THEN 'no_grant'
+         |      WHEN hr.caller IS NULL THEN 'allowed'
+         |      WHEN COALESCE(rm.deny, FALSE) THEN 'restriction_deny'
+         |      WHEN COALESCE(rm.w, FALSE) OR (q.required='READ'
+         |           AND COALESCE(rm.rd, FALSE)) THEN 'allowed'
+         |      ELSE 'restriction_blocks' END AS verdict
+         |  FROM reqs q
+         |  LEFT JOIN dm ON dm.caller=q.caller AND dm.realm=q.realm
+         |    AND dm.group_id=q.group_id AND dm.path=q.path
+         |    AND dm.required=q.required
+         |  LEFT JOIN pm ON pm.caller=q.caller AND pm.realm=q.realm
+         |    AND pm.group_id=q.group_id AND pm.path=q.path
+         |    AND pm.required=q.required
+         |  LEFT JOIN rm ON rm.caller=q.caller AND rm.realm=q.realm
+         |    AND rm.group_id=q.group_id AND rm.path=q.path
+         |    AND rm.required=q.required
+         |  LEFT JOIN hr ON hr.caller=q.caller)
+         |SELECT caller, realm, group_id, path, required, verdict,
+         |  verdict = 'allowed' AS allowed
+         |FROM dec ORDER BY caller, realm, group_id, path, required""".stripMargin,
 
     "nf4_mark_read" ->
       s"""WITH ${NotificationTables.inboxCte},

@@ -54,13 +54,16 @@ object Watch {
   @transient private lazy val patternCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
 
+  /** Cached compile of a glob (shared with [[graft.catalog.Authz]], whose
+    * rule patterns are equally small-and-static per broadcast). */
+  def patternFor(glob: String): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(glob,
+      g => java.util.regex.Pattern.compile(globToRegex(g)))
+
   val globMatch: UserDefinedFunction =
     udf { (path: String, glob: String) =>
-      path != null && glob != null && {
-        val p = patternCache.computeIfAbsent(glob,
-          g => java.util.regex.Pattern.compile(globToRegex(g)))
-        p.matcher(path).matches()
-      }
+      path != null && glob != null &&
+        patternFor(glob).matcher(path).matches()
     }
 
   /** Deliveries: events × broadcast(watches) where the watch's kind mask has

@@ -433,4 +433,15 @@ class PlanSpec extends SparkSpec {
     assert(!pC.contains("CartesianProduct") && !pC.contains("SortMergeJoin"),
       s"C4 rollup must not join at all:\n$pC")
   }
+
+  test("drs1/au1: probe keys and rule docs broadcast — the store side never sort-merges") {
+    val pD = plan("drs1_bulk_resolve")
+    assert(pD.contains("BroadcastHashJoin"), pD)
+    assert(!pD.contains("SortMergeJoin"),
+      s"DRS resolve must not shuffle the version store:\n$pD")
+    val pA = plan("au1_permission_decisions")
+    assert(pA.contains("BroadcastHashJoin"), pA)
+    assert(!pA.contains("SortMergeJoin") && !pA.contains("CartesianProduct"),
+      s"authz decisions must ride broadcast rule arrays:\n$pA")
+  }
 }

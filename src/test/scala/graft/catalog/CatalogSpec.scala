@@ -571,6 +571,79 @@ class CatalogSpec extends SparkSpec {
     assert(rw(("rB", "s1")) == "u4") // realm-scoped rewrite
   }
 
+  test("authz ladder: deny wins, narrow grant, write implies read, public read-only, foreign everyone inert, restrictions whitelist, anon empty (permission_rules.rs:110-158,470-473)") {
+    val roles = Seq(
+      (1L, "r0", "gA", "/r0/g/gA/meta/**", "READ"),
+      (2L, "r0", "gA", "/r0/g/gA/meta/secret", "DENY"),
+      (3L, "r0", "gA", "/r0/g/gA/data/only", "READ"), // narrow grant
+      (4L, "r0", "gA", "/r0/g/gA/w/**", "WRITE"),
+      (5L, "r0", "gA", "/r0/g/gA/pub/*", "READ"), // public (everyone@r0)
+      (6L, "r0", "gA", "/r0/g/gA/pubw/**", "WRITE"), // public WRITE: inert
+      (7L, "r0", "gA", "/r0/g/gA/foreign/**", "READ")) // everyone@r1: inert
+      .toDF("role_id", "realm", "group_id", "pattern", "permission")
+    val assigns = Seq(
+      (1L, "u0"), (2L, "u0"), (3L, "u0"), (4L, "u0"),
+      (5L, "everyone@r0"), (6L, "everyone@r0"), (7L, "everyone@r1"))
+      .toDF("role_id", "user_id")
+    val restr = Seq(("u9", "/r0/g/gA/meta/**", "READ"))
+      .toDF("caller", "pattern", "permission")
+    def reqs(rows: (String, String, String)*) =
+      rows.toSeq.map { case (c, p, req) => (c, "r0", "gA", p, req) }
+        .toDF("caller", "realm", "group_id", "path", "required")
+    val out = Authz.decide(reqs(
+      ("u0", "/r0/g/gA/meta/secret", "READ"), // deny beats meta/** READ
+      ("u0", "/r0/g/gA/meta/open", "READ"),
+      ("u0", "/r0/g/gA/meta/open", "WRITE"), // READ grant != WRITE
+      ("u0", "/r0/g/gA/data/only", "READ"),
+      ("u0", "/r0/g/gA/data/other", "READ"), // narrow grant stays narrow
+      ("u0", "/r0/g/gA/w/x", "WRITE"),
+      ("u0", "/r0/g/gA/w/x", "READ"), // WRITE implies READ
+      ("u1", "/r0/g/gA/pub/doc", "READ"), // public grants READ to anyone
+      ("u1", "/r0/g/gA/pub/doc", "WRITE"),
+      ("u1", "/r0/g/gA/pubw/doc", "WRITE"), // public WRITE inert
+      ("u1", "/r0/g/gA/pubw/doc", "READ"),
+      ("u1", "/r0/g/gA/foreign/doc", "READ"), // foreign everyone inert
+      ("u1", "/r0/g/gA/pub/sub/doc", "READ"), // '*' does not cross '/'
+      ("anon", "/r0/g/gA/pub/doc", "READ")), // anon holds no rules
+      roles, assigns, restr)
+      .collect().map(r => (r.getString(0), r.getString(3), r.getString(4)) ->
+        r.getString(5)).toMap
+    assert(out(("u0", "/r0/g/gA/meta/secret", "READ")) == "deny_rule")
+    assert(out(("u0", "/r0/g/gA/meta/open", "READ")) == "allowed")
+    assert(out(("u0", "/r0/g/gA/meta/open", "WRITE")) == "no_grant")
+    assert(out(("u0", "/r0/g/gA/data/only", "READ")) == "allowed")
+    assert(out(("u0", "/r0/g/gA/data/other", "READ")) == "no_grant")
+    assert(out(("u0", "/r0/g/gA/w/x", "WRITE")) == "allowed")
+    assert(out(("u0", "/r0/g/gA/w/x", "READ")) == "allowed")
+    assert(out(("u1", "/r0/g/gA/pub/doc", "READ")) == "allowed")
+    assert(out(("u1", "/r0/g/gA/pub/doc", "WRITE")) == "no_grant")
+    assert(out(("u1", "/r0/g/gA/pubw/doc", "WRITE")) == "no_grant")
+    assert(out(("u1", "/r0/g/gA/pubw/doc", "READ")) == "no_grant")
+    assert(out(("u1", "/r0/g/gA/foreign/doc", "READ")) == "no_grant")
+    assert(out(("u1", "/r0/g/gA/pub/sub/doc", "READ")) == "no_grant")
+    assert(out(("anon", "/r0/g/gA/pub/doc", "READ")) == "no_grant")
+
+    // restrictions: whitelist on top of a WRITE-everything grant
+    val roles2 = Seq((1L, "r0", "gA", "/r0/g/gA/**", "WRITE"))
+      .toDF("role_id", "realm", "group_id", "pattern", "permission")
+    val assigns2 = Seq((1L, "u9")).toDF("role_id", "user_id")
+    val out2 = Authz.decide(reqs(
+      ("u9", "/r0/g/gA/meta/doc", "READ"), // restriction READ passes READ
+      ("u9", "/r0/g/gA/meta/doc", "WRITE"), // ...but blocks WRITE
+      ("u9", "/r0/g/gA/data/doc", "READ")), // no matching restriction
+      roles2, assigns2, restr)
+      .collect().map(r => (r.getString(3), r.getString(4)) -> r.getString(5))
+      .toMap
+    assert(out2(("/r0/g/gA/meta/doc", "READ")) == "allowed")
+    assert(out2(("/r0/g/gA/meta/doc", "WRITE")) == "restriction_blocks")
+    assert(out2(("/r0/g/gA/data/doc", "READ")) == "restriction_blocks")
+    val restrDeny = Seq(("u9", "/r0/g/gA/**", "DENY"))
+      .toDF("caller", "pattern", "permission")
+    val out3 = Authz.decide(reqs(("u9", "/r0/g/gA/meta/doc", "READ")),
+      roles2, assigns2, restrDeny).collect()
+    assert(out3.head.getString(5) == "restriction_deny")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
