@@ -504,6 +504,56 @@ object CatalogQueries {
         .orderBy("caller", "realm", "group_id", "path", "required")
     },
 
+    // Mirror-repair sweep, two phases: (a) everything due -> the 64-cap
+    // binds, next_due suppressed; (b) a thin due prefix -> cap free,
+    // next_due = min future due. Verdicts span delete, never-resurrect
+    // (missing + Detached), bucket-not-found, access_denied, ensure-ok,
+    // and backoff reschedules incl. the shift cap at attempts>=7
+    "sm1_mirror_repair_sweep" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val repairs = o.filter(col("o") % 7 < 3).select(
+        lpad(col("o").cast("string"), 12, "0").as("rel_id"),
+        when(col("o") % 2 === 0, "Delete").otherwise("Reconcile").as("intent"),
+        (lit(1700000000000L) + (col("o") % 2000) * 100).as("due_at_ms"),
+        (col("o") % 9).cast("long").as("attempts"))
+      val rels = o.filter(col("o") % 13 =!= 0).select(
+        lpad(col("o").cast("string"), 12, "0").as("rel_id"),
+        when(col("o") % 11 === 0, "Detached").otherwise("Active").as("state"),
+        concat(lit("bkt-"), (col("o") % 5).cast("string")).as("target_bucket"),
+        concat(lit("u"), (col("o") % 4).cast("string")).as("created_by"))
+      val buckets = ObjectTables.buckets(s, d).select(col("bucket"))
+      val writable = s.range(0, 5).select(col("id").as("i"))
+        .crossJoin(s.range(0, 4).select(col("id").as("j")))
+        .filter((col("i") + col("j")) % 3 =!= 0)
+        .select(concat(lit("u"), col("j").cast("string")).as("user_id"),
+          concat(lit("bkt-"), col("i").cast("string")).as("bucket"))
+      def phase(tag: String, now: Long) =
+        MirrorRepair.sweep(repairs, rels, buckets, writable, now)
+          .withColumn("phase", lit(tag))
+      phase("a", 1700000000000L + 200000L)
+        .unionByName(phase("b", 1700000000000L + 500L))
+        .orderBy("phase", "rel_id")
+    },
+
+    // Intent-ledger fold: six-step staged-intent replays per relationship
+    // pin delete-supersedes-reconcile, clear-by-expected-intent, and the
+    // status-update resurrect guards
+    "sm2_mirror_intent_ledger" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val events = o.filter(col("o") % 3 === 0)
+        .select(col("o"), explode(sequence(lit(0), lit(5))).as("seq"))
+        .select(
+          lpad(col("o").cast("string"), 12, "0").as("rel_id"),
+          col("seq").cast("int").as("seq"),
+          element_at(array(lit("stage_reconcile"), lit("stage_delete"),
+            lit("status_update"), lit("clear_reconcile"),
+            lit("clear_delete")), ((col("o") + col("seq")) % 5 + 1).cast("int"))
+            .as("kind"),
+          element_at(array(lit("Active"), lit("Detached"), lit("missing"),
+            lit("Active")), (col("o") % 4 + 1).cast("int")).as("rel_state"))
+      MirrorRepair.ledgerFold(events).orderBy("rel_id")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1319,6 +1369,106 @@ object CatalogQueries {
          |SELECT caller, realm, group_id, path, required, verdict,
          |  verdict = 'allowed' AS allowed
          |FROM dec ORDER BY caller, realm, group_id, path, required""".stripMargin,
+
+    "sm1_mirror_repair_sweep" -> {
+      def phaseSql(tag: String, now: Long) =
+        s"""ph_$tag AS (
+           |  SELECT * FROM (SELECT rel_id, intent, due_at_ms, attempts
+           |    FROM repairs WHERE due_at_ms <= $now
+           |    ORDER BY due_at_ms, rel_id LIMIT 64)),
+           |st_$tag AS (
+           |  SELECT SUM(CASE WHEN due_at_ms <= $now THEN 1 ELSE 0 END)
+           |      AS n_due,
+           |    MIN(CASE WHEN due_at_ms > $now THEN due_at_ms END)
+           |      AS next_due
+           |  FROM repairs),
+           |v_$tag AS (
+           |  SELECT b.rel_id, b.intent, b.attempts,
+           |    CASE WHEN b.intent='Delete' THEN 'delete_local_and_mirror'
+           |         WHEN r.state IS NULL OR r.state='Detached'
+           |           THEN 'delete_mirror'
+           |         ELSE 'ensure_mirror' END AS action,
+           |    CASE WHEN b.intent='Delete' THEN NULL
+           |         WHEN r.state IS NULL OR r.state='Detached' THEN NULL
+           |         WHEN bk.bucket IS NULL THEN 'target bucket not found'
+           |         WHEN w.user_id IS NULL THEN 'access_denied' END
+           |      AS last_error
+           |  FROM ph_$tag b
+           |  LEFT JOIN rels r ON r.rel_id=b.rel_id
+           |  LEFT JOIN buckets bk ON bk.bucket=r.target_bucket
+           |  LEFT JOIN writable w ON w.user_id=r.created_by
+           |    AND w.bucket=r.target_bucket),
+           |out_$tag AS (
+           |  SELECT '$tag' AS phase, rel_id, intent, action, last_error,
+           |    CASE WHEN last_error IS NULL THEN 'cleared'
+           |         ELSE 'rescheduled' END AS outcome,
+           |    CASE WHEN last_error IS NULL THEN NULL
+           |         ELSE attempts + 1 END AS attempts_after,
+           |    CASE WHEN last_error IS NULL THEN NULL
+           |         ELSE $now + least(250 *
+           |           (1 << least(CAST(attempts AS INT) + 1, 7)), 30000) END
+           |      AS next_due_ms,
+           |    (SELECT n_due > 64 FROM st_$tag) AS has_more_due,
+           |    (SELECT CASE WHEN n_due > 64 THEN NULL
+           |            ELSE next_due - $now END FROM st_$tag)
+           |      AS next_due_after_ms
+           |  FROM v_$tag)""".stripMargin
+      s"""WITH repairs AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS rel_id,
+         |    CASE WHEN o_orderkey%2=0 THEN 'Delete' ELSE 'Reconcile' END
+         |      AS intent,
+         |    1700000000000 + (o_orderkey%2000)*100 AS due_at_ms,
+         |    CAST(o_orderkey%9 AS BIGINT) AS attempts
+         |  FROM orders WHERE o_orderkey%7 < 3),
+         |rels AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS rel_id,
+         |    CASE WHEN o_orderkey%11=0 THEN 'Detached' ELSE 'Active' END
+         |      AS state,
+         |    'bkt-'||(o_orderkey%5) AS target_bucket,
+         |    'u'||(o_orderkey%4) AS created_by
+         |  FROM orders WHERE o_orderkey%13 <> 0),
+         |buckets AS (SELECT 'bkt-'||r AS bucket FROM range(0,4) t(r)),
+         |writable AS (
+         |  SELECT 'u'||j AS user_id, 'bkt-'||i AS bucket
+         |  FROM range(0,5) t(i), range(0,4) u(j) WHERE (i+j)%3 <> 0),
+         |${phaseSql("a", 1700000000000L + 200000L)},
+         |${phaseSql("b", 1700000000000L + 500L)}
+         |SELECT * FROM (SELECT * FROM out_a UNION ALL SELECT * FROM out_b)
+         |ORDER BY phase, rel_id""".stripMargin
+    },
+
+    "sm2_mirror_intent_ledger" -> {
+      val step =
+        """CASE
+          |      WHEN e.kind='stage_delete' THEN 'Delete'
+          |      WHEN e.kind='stage_reconcile' AND s.st<>'Delete'
+          |        THEN 'Reconcile'
+          |      WHEN e.kind='clear_reconcile' AND s.st='Reconcile'
+          |        THEN 'none'
+          |      WHEN e.kind='clear_delete' AND s.st='Delete' THEN 'none'
+          |      WHEN e.kind='status_update' AND s.st<>'Delete'
+          |        AND e.rel_state NOT IN ('Detached','missing')
+          |        THEN 'Reconcile'
+          |      ELSE s.st END AS st""".stripMargin
+      val steps = (0 to 5).map { i =>
+        s"""s${i + 1} AS (
+           |  SELECT s.rel_id, $step
+           |  FROM s$i s JOIN e ON e.rel_id=s.rel_id AND e.seq=$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS rel_id,
+         |    CAST(seq AS INT) AS seq,
+         |    CASE (o_orderkey + seq)%5
+         |      WHEN 0 THEN 'stage_reconcile' WHEN 1 THEN 'stage_delete'
+         |      WHEN 2 THEN 'status_update' WHEN 3 THEN 'clear_reconcile'
+         |      ELSE 'clear_delete' END AS kind,
+         |    CASE o_orderkey%4 WHEN 0 THEN 'Active' WHEN 1 THEN 'Detached'
+         |      WHEN 2 THEN 'missing' ELSE 'Active' END AS rel_state
+         |  FROM orders, range(0,6) t(seq) WHERE o_orderkey%3 = 0),
+         |s0 AS (SELECT DISTINCT rel_id, 'none' AS st FROM e),
+         |$steps
+         |SELECT rel_id, st AS pending FROM s6 ORDER BY rel_id""".stripMargin
+    },
 
     "nf4_mark_read" ->
       s"""WITH ${NotificationTables.inboxCte},

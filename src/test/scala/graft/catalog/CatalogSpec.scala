@@ -644,6 +644,89 @@ class CatalogSpec extends SparkSpec {
     assert(out3.head.getString(5) == "restriction_deny")
   }
 
+  test("mirror repair: backoff table, sweep ladder, cap + next-due trailer (sync_mirror_repair.rs:368-612; queue_backoff.rs:4-12)") {
+    // queue_retry_after_ms policy values (queue_backoff.rs test table)
+    val backoff = spark.range(0, 10).toDF("a")
+      .select(MirrorRepair.retryAfterMs(col("a")).as("ms"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(backoff == Seq(250L, 500L, 1000L, 2000L, 4000L, 8000L, 16000L,
+      30000L, 30000L, 30000L))
+
+    val now = 1000L
+    val repairs = Seq(
+      ("r1", "Reconcile", 900L, 0L), // live rel, writable -> ensure ok
+      ("r2", "Reconcile", 900L, 2L), // detached -> delete_mirror, never resurrect
+      ("r3", "Reconcile", 900L, 1L), // rel missing -> delete_mirror
+      ("r4", "Reconcile", 900L, 3L), // bucket missing -> fail
+      ("r5", "Reconcile", 900L, 9L), // no WRITE -> fail, backoff capped
+      ("r6", "Delete", 1000L, 0L), // delete processes local+mirror
+      ("r7", "Reconcile", 1500L, 0L)) // future -> next_due source
+      .toDF("rel_id", "intent", "due_at_ms", "attempts")
+    val rels = Seq(
+      ("r1", "Active", "bA", "u0"), ("r2", "Detached", "bA", "u0"),
+      ("r4", "Active", "bMissing", "u0"), ("r5", "Active", "bA", "u9"),
+      ("r6", "Active", "bA", "u0"))
+      .toDF("rel_id", "state", "target_bucket", "created_by")
+    val buckets = Seq("bA").toDF("bucket")
+    val writable = Seq(("u0", "bA")).toDF("user_id", "bucket")
+    val out = MirrorRepair.sweep(repairs, rels, buckets, writable, now)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("r1").getString(2) == "ensure_mirror" &&
+      out("r1").getString(4) == "cleared")
+    assert(out("r2").getString(2) == "delete_mirror" &&
+      out("r2").getString(4) == "cleared")
+    assert(out("r3").getString(2) == "delete_mirror")
+    assert(out("r4").getString(3) == "target bucket not found" &&
+      out("r4").getLong(5) == 4L && // attempts+1
+      out("r4").getLong(6) == now + 4000L) // 250*2^4
+    assert(out("r5").getString(3) == "access_denied" &&
+      out("r5").getLong(6) == now + 30000L) // shift capped
+    assert(out("r6").getString(2) == "delete_local_and_mirror")
+    assert(!out.contains("r7"), "future record must not process")
+    assert(!out("r1").getBoolean(7)) // cap did not bind
+    assert(out("r1").getLong(8) == 500L) // next_due_after = 1500 - 1000
+
+    // 65 due records: cap binds, trailer suppresses next_due
+    val many = spark.range(0, 65).select(
+      lpad(col("id").cast("string"), 3, "0").as("rel_id"),
+      lit("Delete").as("intent"), lit(900L).as("due_at_ms"),
+      lit(0L).as("attempts"))
+    val capped = MirrorRepair.sweep(many, rels.limit(0), buckets,
+      writable, now).collect()
+    assert(capped.length == 64 && capped.forall(_.getBoolean(7)))
+    assert(capped.forall(_.isNullAt(8)))
+  }
+
+  test("mirror intent ledger: delete supersedes reconcile, status guards, clear by expected intent (sync_mirror_repair.rs:141-214,673-745)") {
+    def fold(evs: (String, String)*): String = {
+      val df = evs.zipWithIndex
+        .map { case ((k, st), i) => ("r", i, k, st) }
+        .toDF("rel_id", "seq", "kind", "rel_state")
+      MirrorRepair.ledgerFold(df).collect().head.getString(1)
+    }
+    // delete_supersedes_reconcile
+    assert(fold(("stage_delete", "Active"),
+      ("stage_reconcile", "Active")) == "Delete")
+    // delete_blocks_status
+    assert(fold(("stage_delete", "Active"),
+      ("status_update", "Active")) == "Delete")
+    // status_stages_reconcile
+    assert(fold(("status_update", "Active")) == "Reconcile")
+    // status never resurrects detached/missing
+    assert(fold(("status_update", "Detached")) == "none")
+    assert(fold(("status_update", "missing")) == "none")
+    // clear only on the expected intent; delete_clear_preserved
+    assert(fold(("stage_delete", "Active"),
+      ("clear_reconcile", "Active")) == "Delete")
+    assert(fold(("stage_reconcile", "Active"),
+      ("clear_delete", "Active")) == "Reconcile")
+    assert(fold(("stage_delete", "Active"),
+      ("clear_delete", "Active")) == "none")
+    // a cleared delete no longer blocks a fresh reconcile
+    assert(fold(("stage_delete", "Active"), ("clear_delete", "Active"),
+      ("stage_reconcile", "Active")) == "Reconcile")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
