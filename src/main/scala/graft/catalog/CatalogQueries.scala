@@ -554,6 +554,48 @@ object CatalogQueries {
       MirrorRepair.ledgerFold(events).orderBy("rel_id")
     },
 
+    // CORS decision batch: preflight first-match ladder (origin wildcard
+    // case-sensitive, headers case-insensitive, empty-allowed rejects any
+    // requested header), actual-request origin+method match, no-config
+    // buckets 403/pass-through. bkt-0 pins first-match order: rule 0 wins
+    // GET-no-headers, rule 1 catches the content-type preflight rule 0
+    // rejects
+    "cors1_preflight_match" -> { (s, d) =>
+      import s.implicits._
+      val rules = Seq(
+        ("bkt-0", 0, Seq("https://app.example.com"), Seq("GET", "HEAD"),
+          Seq.empty[String], Seq("etag"), Option(300)),
+        ("bkt-0", 1, Seq("https://*.example.com"), Seq("GET", "PUT"),
+          Seq("content-type", "x-amz-*"), Seq.empty[String], Option(600)),
+        ("bkt-1", 0, Seq("*"), Seq("GET"), Seq("*"),
+          Seq("etag", "x-amz-request-id"), Option.empty[Int]),
+        ("bkt-2", 0, Seq("https://app.example.com", "http://localhost:3000"),
+          Seq("PUT", "POST", "DELETE"), Seq("authorization", "content-type"),
+          Seq.empty[String], Option(3600)),
+        ("bkt-2", 1, Seq("https://*.partner.io"), Seq("GET", "HEAD", "POST"),
+          Seq("content-type"), Seq("etag"), Option(120)),
+        ("bkt-3", 0, Seq("https://*"), Seq("GET"), Seq.empty[String],
+          Seq.empty[String], Option.empty[Int]))
+        .toDF("bucket", "rule_idx", "allowed_origins", "allowed_methods",
+          "allowed_headers", "expose_headers", "max_age")
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val reqs = o.filter(col("o") % 97 === 1).select(
+        col("o").as("req_id"),
+        concat(lit("bkt-"), (col("o") % 5).cast("string")).as("bucket"),
+        element_at(array(lit("https://app.example.com"),
+          lit("https://sub.example.com"), lit("https://evil.com"),
+          lit("http://localhost:3000"), lit("https://x.partner.io")),
+          (col("o") % 11 % 5 + 1).cast("int")).as("origin"),
+        element_at(array(lit("GET"), lit("PUT"), lit("POST"), lit("PATCH")),
+          (col("o") % 4 + 1).cast("int")).as("method"),
+        element_at(array(lit(null).cast("string"), lit(""),
+          lit("Content-Type"), lit("Content-Type, X-Amz-Meta-Foo"),
+          lit(" Authorization ,, content-type "), lit("X-Custom")),
+          (col("o") % 13 % 6 + 1).cast("int")).as("headers_raw"),
+        (col("o") % 2 === 0).as("preflight"))
+      Cors.decide(reqs, rules).orderBy("req_id")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1468,6 +1510,98 @@ object CatalogQueries {
          |s0 AS (SELECT DISTINCT rel_id, 'none' AS st FROM e),
          |$steps
          |SELECT rel_id, st AS pending FROM s6 ORDER BY rel_id""".stripMargin
+    },
+
+    "cors1_preflight_match" -> {
+      // wildcard_match (cors.rs:242-256): '*' | literal | split at FIRST
+      // '*' -> prefix/suffix with the no-overlap length check
+      def wc(a: String, v: String) =
+        s"""($a = '*' OR (instr($a,'*') = 0 AND $a = $v)
+           | OR (instr($a,'*') > 0
+           |   AND starts_with($v, substring($a, 1, instr($a,'*')-1))
+           |   AND ends_with($v, substring($a, instr($a,'*')+1))
+           |   AND len($v) >= len($a)-1))""".stripMargin
+      s"""WITH rules AS (
+         |  SELECT bucket, rule_idx,
+         |    string_split(origins_s,'|') AS origins,
+         |    string_split(methods_s,'|') AS methods,
+         |    CASE WHEN headers_s = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(headers_s,'|') END AS headers,
+         |    CASE WHEN expose_s = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(expose_s,'|') END AS expose,
+         |    CAST(max_age AS INT) AS max_age
+         |  FROM (VALUES
+         |    ('bkt-0',0,'https://app.example.com','GET|HEAD','','etag',300),
+         |    ('bkt-0',1,'https://*.example.com','GET|PUT',
+         |     'content-type|x-amz-*','',600),
+         |    ('bkt-1',0,'*','GET','*','etag|x-amz-request-id',NULL),
+         |    ('bkt-2',0,'https://app.example.com|http://localhost:3000',
+         |     'PUT|POST|DELETE','authorization|content-type','',3600),
+         |    ('bkt-2',1,'https://*.partner.io','GET|HEAD|POST',
+         |     'content-type','etag',120),
+         |    ('bkt-3',0,'https://*','GET','','',NULL))
+         |   t(bucket, rule_idx, origins_s, methods_s, headers_s, expose_s,
+         |     max_age)),
+         |reqs AS (
+         |  SELECT o_orderkey AS req_id,
+         |    'bkt-'||(o_orderkey%5) AS bucket,
+         |    CASE o_orderkey%11%5
+         |      WHEN 0 THEN 'https://app.example.com'
+         |      WHEN 1 THEN 'https://sub.example.com'
+         |      WHEN 2 THEN 'https://evil.com'
+         |      WHEN 3 THEN 'http://localhost:3000'
+         |      ELSE 'https://x.partner.io' END AS origin,
+         |    CASE o_orderkey%4 WHEN 0 THEN 'GET' WHEN 1 THEN 'PUT'
+         |      WHEN 2 THEN 'POST' ELSE 'PATCH' END AS method,
+         |    CASE o_orderkey%13%6 WHEN 0 THEN NULL WHEN 1 THEN ''
+         |      WHEN 2 THEN 'Content-Type'
+         |      WHEN 3 THEN 'Content-Type, X-Amz-Meta-Foo'
+         |      WHEN 4 THEN ' Authorization ,, content-type '
+         |      ELSE 'X-Custom' END AS headers_raw,
+         |    o_orderkey%2 = 0 AS preflight
+         |  FROM orders WHERE o_orderkey%97 = 1),
+         |req2 AS (
+         |  SELECT *, list_filter(list_transform(
+         |    string_split(coalesce(headers_raw,''),','),
+         |    h -> lower(trim(h))), h -> h <> '') AS hdrs
+         |  FROM reqs),
+         |cand AS (
+         |  SELECT q.req_id, r.rule_idx, r.origins, r.methods, r.headers,
+         |    r.expose, r.max_age,
+         |    row_number() OVER (PARTITION BY q.req_id ORDER BY r.rule_idx)
+         |      AS rn
+         |  FROM req2 q JOIN rules r ON r.bucket = q.bucket
+         |  WHERE len(list_filter(r.origins, a -> ${wc("a", "q.origin")}))
+         |      > 0
+         |    AND len(list_filter(r.methods,
+         |      m -> upper(m) = upper(q.method))) > 0
+         |    AND (NOT q.preflight OR len(list_filter(q.hdrs,
+         |      h -> len(r.headers) > 0 AND len(list_filter(r.headers,
+         |        a -> ${wc("lower(a)", "h")})) > 0)) = len(q.hdrs)))
+         |SELECT q.req_id, q.bucket, q.origin, q.method, q.preflight,
+         |  c.rule_idx IS NOT NULL AS matched,
+         |  CAST(c.rule_idx AS INT) AS rule_idx,
+         |  CASE WHEN c.rule_idx IS NULL THEN NULL
+         |       WHEN list_contains(c.origins,'*') THEN '*'
+         |       ELSE q.origin END AS allow_origin,
+         |  CASE WHEN c.rule_idx IS NULL THEN NULL
+         |       ELSE array_to_string(c.methods, ',') END AS allow_methods,
+         |  CASE WHEN c.rule_idx IS NULL THEN NULL
+         |       WHEN q.preflight AND len(q.hdrs) > 0
+         |         THEN array_to_string(q.hdrs, ',')
+         |       WHEN len(c.headers) > 0 THEN array_to_string(c.headers, ',')
+         |       ELSE NULL END AS allow_headers,
+         |  CASE WHEN c.rule_idx IS NULL OR len(c.expose) = 0 THEN NULL
+         |       ELSE array_to_string(c.expose, ',') END AS expose_headers,
+         |  CASE WHEN c.rule_idx IS NULL THEN NULL ELSE c.max_age END
+         |    AS max_age,
+         |  CAST(CASE WHEN q.preflight
+         |         THEN CASE WHEN c.rule_idx IS NOT NULL THEN 204 ELSE 403
+         |              END
+         |         ELSE 200 END AS INT) AS status,
+         |  (NOT q.preflight AND c.rule_idx IS NOT NULL) AS inject_cors
+         |FROM req2 q LEFT JOIN cand c ON c.req_id = q.req_id AND c.rn = 1
+         |ORDER BY q.req_id""".stripMargin
     },
 
     "nf4_mark_read" ->

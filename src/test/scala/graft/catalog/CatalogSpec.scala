@@ -727,6 +727,79 @@ class CatalogSpec extends SparkSpec {
       ("stage_reconcile", "Active")) == "Reconcile")
   }
 
+  test("CORS matcher: wildcard split, case rules, first-match, header echo (api/src/s3/cors.rs:52-256)") {
+    // wildcard_match table: '*', literal, first-* split with the
+    // no-overlap length check (cors.rs:242-256)
+    val wcCases = Seq(
+      ("*", "anything", true),
+      ("https://example.org", "https://example.org", true),
+      ("https://example.org", "https://example.com", false),
+      ("https://*.example.org", "https://bucket.example.org", true),
+      ("https://*.example.org", "https://example.org", false), // len check
+      ("https://*", "https://x", true),
+      ("a*a", "a", false), // prefix+suffix may not overlap (len 1 < 2)
+      ("a*a", "aa", true), // exactly prefix+suffix, no overlap
+      ("a*a", "aba", true))
+    val wcDf = wcCases.map { case (p, v, _) => (p, v) }
+      .toDF("p", "v")
+      .select(Cors.wildcardMatch(col("p"), col("v")).as("m"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(wcDf == wcCases.map(_._3))
+
+    def run(reqs: Seq[(Long, String, String, String, String, Boolean)],
+        rules: Seq[(String, Int, Seq[String], Seq[String], Seq[String],
+          Seq[String], Option[Int])]) =
+      Cors.decide(
+        reqs.toDF("req_id", "bucket", "origin", "method", "headers_raw",
+          "preflight"),
+        rules.toDF("bucket", "rule_idx", "allowed_origins",
+          "allowed_methods", "allowed_headers", "expose_headers", "max_age"))
+        .collect()
+
+    // matches_preflight_rules_with_case_insensitive_header_checks
+    val r1 = run(
+      Seq((1L, "b", "https://bucket.example.org", "PUT",
+        "Content-Type, X-Amz-Meta-Test", true)),
+      Seq(("b", 0, Seq("https://*.example.org"), Seq("GET", "PUT"),
+        Seq("content-type", "x-amz-meta-*"), Seq.empty, Some(300)))).head
+    assert(r1.getAs[Boolean]("matched"))
+    assert(r1.getAs[String]("allow_origin") == "https://bucket.example.org")
+    assert(r1.getAs[String]("allow_headers") ==
+      "content-type,x-amz-meta-test") // requested echoes back, lowercased
+    assert(r1.getAs[Int]("max_age") == 300)
+
+    // matches_actual_rules_with_wildcard_origin: '*' answers '*'
+    val r2 = run(
+      Seq((1L, "b", "https://example.org", "GET", null, false)),
+      Seq(("b", 0, Seq("*"), Seq("GET"), Seq.empty, Seq("etag"),
+        None))).head
+    assert(r2.getAs[String]("allow_origin") == "*")
+    assert(r2.getAs[String]("expose_headers") == "etag")
+    assert(r2.getAs[Boolean]("inject_cors"))
+
+    // rejects_preflight_when_requested_header_is_not_allowed; and an
+    // empty allowed_headers list rejects ANY requested header
+    val r3 = run(
+      Seq((1L, "b", "https://example.org", "PUT", "x-custom-header", true),
+        (2L, "b", "https://example.org", "PUT", "content-type", true)),
+      Seq(("b", 0, Seq("https://example.org"), Seq("PUT"),
+        Seq("content-type"), Seq.empty, None),
+        ("b", 1, Seq("https://example.org"), Seq("PUT"),
+          Seq.empty, Seq.empty, None)))
+    assert(!r3.find(_.getLong(0) == 1L).get.getAs[Boolean]("matched"))
+    assert(r3.find(_.getLong(0) == 1L).get.getAs[Int]("status") == 403)
+    assert(r3.find(_.getLong(0) == 2L).get.getAs[Int]("rule_idx") == 0)
+
+    // first-match by config order, not best-match
+    val r4 = run(
+      Seq((1L, "b", "https://a.example.org", "GET", null, true)),
+      Seq(("b", 0, Seq("https://*"), Seq("GET"), Seq.empty, Seq.empty,
+        Some(1)),
+        ("b", 1, Seq("https://a.example.org"), Seq("GET"), Seq.empty,
+          Seq.empty, Some(2)))).head
+    assert(r4.getAs[Int]("rule_idx") == 0 && r4.getAs[Int]("max_age") == 1)
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
