@@ -596,6 +596,54 @@ object CatalogQueries {
       Cors.decide(reqs, rules).orderBy("req_id")
     },
 
+    // Placement-holder resolution: s1 = replica-3 plain walk (loc-d's
+    // only weighted member is a User node -> W_loc 0, location skipped);
+    // s2 = replica-2 distinct-locations with filter(tier=ssd) +
+    // multiply(region=x, 3000) affinity and pins/exclusions for every
+    // o%3==0 subject (n03 pin leads, n09 excluded-beats-pinned)
+    "pm1_placement_holders" -> { (s, d) =>
+      import s.implicits._
+      val nodes = Seq(
+        ("n01", "Server", "loc-a", 100, false, false, "ssd", "x"),
+        ("n02", "Server", "loc-a", 200, false, false, "hdd", "x"),
+        ("n03", "Server", "loc-a", 100, false, false, "ssd", "y"),
+        ("n04", "Server", "loc-b", 300, false, false, "ssd", "y"),
+        ("n05", "Server", "loc-b", 100, true, false, "ssd", "x"),
+        ("n06", "Management", "loc-b", 150, false, false, "hdd", "y"),
+        ("n07", "Server", "loc-c", 100, false, true, "ssd", "x"),
+        ("n08", "Server", "loc-c", 50, false, false, "hdd", "x"),
+        ("n09", "Server", "loc-c", 200, false, false, "ssd", "y"),
+        ("n10", "User", "loc-d", 900, false, false, "ssd", "x"),
+        ("n11", "Server", "loc-d", 0, false, false, "ssd", "y"),
+        ("n12", "Local", "loc-e", 100, false, false, "hdd", "x"))
+        .toDF("node_id", "kind", "location", "weight", "full", "draining",
+          "tier", "region")
+        .select(col("node_id"), col("kind"), col("location"), col("weight"),
+          col("full"), col("draining"),
+          map(lit("tier"), col("tier"), lit("region"), col("region"))
+            .as("labels"))
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 199 === 7)
+      val subs = o.select(
+        concat(lit("subj-"), col("o").cast("string")).as("subject"))
+      val s1 = Placement.resolveHolders(subs, nodes,
+        Placement.Strategy(Some(3), distinctLocations = false))
+        .withColumn("scenario", lit("s1"))
+      val ov = o.filter(col("o") % 3 === 0).select(
+        concat(lit("subj-"), col("o").cast("string")).as("subject"),
+        array(lit("n03"), lit("n09")).as("pinned"),
+        array(lit("n09")).as("excluded"))
+      val s2 = Placement.resolveHolders(subs, nodes,
+        Placement.Strategy(Some(2), distinctLocations = true,
+          affinity = Seq(("tier", "ssd", "filter", 0),
+            ("region", "x", "multiply", 3000))), ov)
+        .withColumn("scenario", lit("s2"))
+      s1.unionByName(s2)
+        .select(col("scenario"), col("subject"), col("rank"),
+          col("node_id"), col("location"), col("via"))
+        .orderBy("scenario", "subject", "rank")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1602,6 +1650,146 @@ object CatalogQueries {
          |  (NOT q.preflight AND c.rule_idx IS NOT NULL) AS inject_cors
          |FROM req2 q LEFT JOIN cand c ON c.req_id = q.req_id AND c.rn = 1
          |ORDER BY q.req_id""".stripMargin
+    },
+
+    "pm1_placement_holders" -> {
+      // exact fixed-point ratio key: floor((q48 << 64) / w) as a 40-digit
+      // zero-padded decimal (see Placement.scala scaladoc for the
+      // exactness argument)
+      def key(score: String, w: String) =
+        s"lpad((($score::UHUGEINT << 64) // $w::UHUGEINT)::VARCHAR, 40, '0')"
+      s"""WITH RECURSIVE nodes AS (
+         |  SELECT * FROM (VALUES
+         |    ('n01','Server','loc-a',100,false,false,'ssd','x'),
+         |    ('n02','Server','loc-a',200,false,false,'hdd','x'),
+         |    ('n03','Server','loc-a',100,false,false,'ssd','y'),
+         |    ('n04','Server','loc-b',300,false,false,'ssd','y'),
+         |    ('n05','Server','loc-b',100,true,false,'ssd','x'),
+         |    ('n06','Management','loc-b',150,false,false,'hdd','y'),
+         |    ('n07','Server','loc-c',100,false,true,'ssd','x'),
+         |    ('n08','Server','loc-c',50,false,false,'hdd','x'),
+         |    ('n09','Server','loc-c',200,false,false,'ssd','y'),
+         |    ('n10','User','loc-d',900,false,false,'ssd','x'),
+         |    ('n11','Server','loc-d',0,false,false,'ssd','y'),
+         |    ('n12','Local','loc-e',100,false,false,'hdd','x'))
+         |   t(node_id, kind, location, weight, isfull, draining, tier,
+         |     region)),
+         |subs AS (
+         |  SELECT 'subj-'||o_orderkey AS subject, o_orderkey AS o
+         |  FROM orders WHERE o_orderkey%199 = 7),
+         |tgt AS (
+         |  SELECT DISTINCT 'L' AS role, location AS tid FROM nodes
+         |  UNION ALL SELECT DISTINCT 'N', node_id FROM nodes),
+         |hx AS (
+         |  SELECT s.subject, t.role, t.tid,
+         |    (('0x'||substr(md5('aruna-placement-rendezvous-v3|'||t.role
+         |      ||'|'||s.subject||'|'||t.tid),1,16))::UBIGINT | 1)::UHUGEINT
+         |      AS h
+         |  FROM subs s, tgt t),
+         |qr AS (
+         |  SELECT subject, role, tid,
+         |    (64 - length(bin(h::UBIGINT)))::BIGINT AS z,
+         |    h << (64 - length(bin(h::UBIGINT)))::UHUGEINT AS x,
+         |    CAST(0 AS UHUGEINT) AS f, 0 AS i
+         |  FROM hx
+         |  UNION ALL
+         |  SELECT subject, role, tid, z,
+         |    CASE WHEN (x*x) >> 127 = 1 THEN (x*x) >> 64
+         |         ELSE (x*x) >> 63 END,
+         |    f*2 + ((x*x) >> 127), i+1
+         |  FROM qr WHERE i < 48),
+         |sc AS (
+         |  SELECT subject, role, tid,
+         |    (((z+1)::UHUGEINT << 48) - f)::BIGINT AS q48
+         |  FROM qr WHERE i = 48),
+         |n1 AS (
+         |  SELECT node_id, location, weight::BIGINT AS eff_w,
+         |    (kind <> 'User') AS sync_ok,
+         |    (NOT isfull AND NOT draining AND weight > 0) AS avail
+         |  FROM nodes),
+         |w1 AS (
+         |  SELECT location,
+         |    SUM(CASE WHEN sync_ok THEN eff_w ELSE 0 END)::BIGINT AS w_loc
+         |  FROM n1 GROUP BY 1),
+         |r1 AS (
+         |  SELECT s.subject, n.node_id, n.location,
+         |    row_number() OVER (PARTITION BY s.subject ORDER BY
+         |      ${key("lsc.q48", "w.w_loc")}, lsc.q48, n.location,
+         |      ${key("nsc.q48", "n.eff_w")}, nsc.q48, n.node_id) AS rnk
+         |  FROM subs s
+         |  JOIN n1 n ON n.sync_ok AND n.avail
+         |  JOIN w1 w ON w.location = n.location AND w.w_loc > 0
+         |  JOIN sc lsc ON lsc.subject = s.subject AND lsc.role = 'L'
+         |    AND lsc.tid = n.location
+         |  JOIN sc nsc ON nsc.subject = s.subject AND nsc.role = 'N'
+         |    AND nsc.tid = n.node_id),
+         |n2 AS (
+         |  SELECT node_id, location,
+         |    (CASE WHEN region = 'x' THEN weight*3000//1000
+         |          ELSE weight END)::BIGINT AS eff_w,
+         |    (kind <> 'User') AS sync_ok, (tier = 'ssd') AS passes,
+         |    isfull, draining
+         |  FROM nodes),
+         |n2a AS (
+         |  SELECT *, (NOT isfull AND NOT draining AND eff_w > 0) AS avail
+         |  FROM n2),
+         |w2 AS (
+         |  SELECT location,
+         |    SUM(CASE WHEN sync_ok AND passes THEN eff_w ELSE 0 END)::BIGINT
+         |      AS w_loc
+         |  FROM n2a GROUP BY 1),
+         |ovr AS (SELECT subject FROM subs WHERE o%3 = 0),
+         |pin2 AS (
+         |  SELECT v.subject, n.node_id, n.location,
+         |    CAST(row_number() OVER (PARTITION BY v.subject ORDER BY p.pos)
+         |      AS INT) AS pin_rank
+         |  FROM ovr v
+         |  JOIN (VALUES ('n03',1),('n09',2)) p(node_id, pos) ON TRUE
+         |  JOIN n2a n ON n.node_id = p.node_id
+         |  WHERE n.sync_ok AND n.avail AND p.node_id NOT IN ('n09')),
+         |pin2c AS (SELECT * FROM pin2 WHERE pin_rank <= 2),
+         |pstat AS (
+         |  SELECT subject, CAST(COUNT(*) AS INT) AS n_pins,
+         |    list(location) AS pin_locs
+         |  FROM pin2c GROUP BY 1),
+         |c2 AS (
+         |  SELECT s.subject, n.node_id, n.location, w.w_loc, n.eff_w,
+         |    COALESCE(ps.n_pins, 0) AS n_pins,
+         |    lsc.q48 AS l_score, nsc.q48 AS n_score
+         |  FROM subs s
+         |  LEFT JOIN pstat ps ON ps.subject = s.subject
+         |  JOIN n2a n ON n.sync_ok AND n.avail AND n.passes
+         |  JOIN w2 w ON w.location = n.location AND w.w_loc > 0
+         |  JOIN sc lsc ON lsc.subject = s.subject AND lsc.role = 'L'
+         |    AND lsc.tid = n.location
+         |  JOIN sc nsc ON nsc.subject = s.subject AND nsc.role = 'N'
+         |    AND nsc.tid = n.node_id
+         |  WHERE NOT (s.subject IN (SELECT subject FROM ovr)
+         |      AND n.node_id IN ('n03','n09'))
+         |    AND NOT (ps.pin_locs IS NOT NULL
+         |      AND list_contains(ps.pin_locs, n.location))),
+         |in2 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY subject, location
+         |    ORDER BY ${key("n_score", "eff_w")}, n_score, node_id)
+         |    AS in_loc
+         |  FROM c2),
+         |r2 AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY subject
+         |    ORDER BY ${key("l_score", "w_loc")}, l_score, location)
+         |    AS INT) AS walk_rank
+         |  FROM in2 WHERE in_loc = 1)
+         |SELECT * FROM (
+         |  SELECT 's1' AS scenario, subject, CAST(rnk AS INT) AS rank,
+         |    node_id, location, 'walk' AS via
+         |  FROM r1 WHERE rnk <= 3
+         |  UNION ALL
+         |  SELECT 's2', subject, walk_rank + n_pins, node_id, location,
+         |    'walk'
+         |  FROM r2 WHERE walk_rank + n_pins <= 2
+         |  UNION ALL
+         |  SELECT 's2', subject, pin_rank, node_id, location, 'pin'
+         |  FROM pin2c)
+         |ORDER BY scenario, subject, rank""".stripMargin
     },
 
     "nf4_mark_read" ->

@@ -800,6 +800,104 @@ class CatalogSpec extends SparkSpec {
     assert(r4.getAs[Int]("rule_idx") == 0 && r4.getAs[Int]("max_age") == 1)
   }
 
+  test("placement selector: Q48 exact vectors, golden rank order, rendezvous invariants (selector.rs)") {
+    val Q48One = 1L << 48
+    // neg_log2_exact_vectors
+    assert(Placement.negLog2Q48(1L << 62) == 2 * Q48One)
+    assert(Placement.negLog2Q48(Long.MinValue) == Q48One) // 1<<63 as u64
+    assert(Placement.negLog2Q48(1L) == 64 * Q48One)
+    val mx = Placement.negLog2Q48(-1L) // u64::MAX
+    assert(mx > 0 && mx < Q48One)
+    // float-reference parity to 1e-9 (selector.rs neg_log2_matches_float)
+    var worst = 0.0
+    (1L to 4096L).foreach { c =>
+      val h = java.util.Arrays.hashCode(Array(c)) .toLong * 2654435761L | 1L
+      val fixed = Placement.negLog2Q48(h).toDouble / math.pow(2, 48)
+      val u = if (h >= 0) h.toDouble else h.toDouble + math.pow(2, 64)
+      val ref = -(math.log(u / math.pow(2, 64)) / math.log(2))
+      worst = math.max(worst, math.abs(fixed - ref))
+    }
+    assert(worst < 1e-9, s"worst=$worst")
+    // monotone: larger u64 -> smaller neg-log
+    assert(Placement.negLog2Q48(3L) >= Placement.negLog2Q48(7L))
+
+    // rank_weighted_golden_order (selector.rs): blake3 path, byte-for-byte
+    val ids = (1 to 6).map(i => Array.fill[Byte](32)(i.toByte))
+    val weights = Seq(100L, 100L, 100L, 300L, 50L, 200L)
+    val order = Placement.rankWeighted(Placement.RoleNode,
+      "golden-subject".getBytes("UTF-8"), ids.zip(weights))
+    assert(order == Seq(0, 5, 3, 4, 2, 1))
+
+    // zero weight ranks after positive; removal preserves relative order
+    val cands = Seq(("a", 0L), ("b", 50L), ("c", 100L), ("d", 25L))
+      .map { case (s, w) => (s.getBytes("UTF-8"), w) }
+    val o2 = Placement.rankWeighted(Placement.RoleNode, "s".getBytes, cands)
+    assert(o2.last == 0, "zero-weight candidate must rank last")
+    val full = o2.map(i => new String(cands(i)._1))
+    val reduced = Placement.rankWeighted(Placement.RoleNode, "s".getBytes,
+      cands.patch(1, Nil, 1)).map(i =>
+      new String(cands.patch(1, Nil, 1)(i)._1))
+    assert(reduced == full.filter(_ != "b"))
+  }
+
+  test("placement resolver: pins lead, exclusion beats pin, distinct locations, W_loc ignores availability (resolver.rs:88-162,268-270)") {
+    def nodes(rows: (String, String, String, Int, Boolean, Boolean,
+        Map[String, String])*) =
+      rows.toDF("node_id", "kind", "location", "weight", "full",
+        "draining", "labels")
+    val view = nodes(
+      ("n1", "Server", "a", 100, false, false, Map("tier" -> "ssd")),
+      ("n2", "Server", "a", 100, true, false, Map("tier" -> "ssd")),
+      ("n3", "Server", "b", 100, false, false, Map("tier" -> "hdd")),
+      ("n4", "Server", "b", 100, false, true, Map("tier" -> "ssd")),
+      ("n5", "User", "c", 900, false, false, Map("tier" -> "ssd")),
+      ("n6", "Server", "c", 100, false, false, Map("tier" -> "ssd")))
+    val subs = Seq("s1").toDF("subject")
+
+    // replica None takes every eligible node (n1, n3, n6)
+    val all = Placement.resolveHolders(subs, view,
+      Placement.Strategy(None, distinctLocations = false))
+      .collect().map(_.getString(2)).toSet
+    assert(all == Set("n1", "n3", "n6"))
+
+    // pins lead in override order; exclusion wins over a pin; a full
+    // node's pin is unavailable
+    val ov = Seq(("s1", Seq("n6", "n2", "n3"), Seq("n3")))
+      .toDF("subject", "pinned", "excluded")
+    val pinned = Placement.resolveHolders(subs, view,
+      Placement.Strategy(Some(2), distinctLocations = false), ov)
+      .orderBy("rank").collect()
+    assert(pinned.map(_.getString(2)).head == "n6")
+    assert(pinned.head.getString(4) == "pin")
+    assert(pinned.length == 2 &&
+      !pinned.map(_.getString(2)).contains("n3") &&
+      !pinned.map(_.getString(2)).contains("n2"))
+
+    // distinct_locations: one holder per location, pin locations seen
+    val ov2 = Seq(("s1", Seq("n6"), Seq.empty[String]))
+      .toDF("subject", "pinned", "excluded")
+    val dl = Placement.resolveHolders(subs, view,
+      Placement.Strategy(Some(3), distinctLocations = true), ov2)
+      .orderBy("rank").collect()
+    assert(dl.map(_.getString(2)).head == "n6")
+    val locs = dl.map(_.getString(3))
+    assert(locs.distinct.length == locs.length, "locations must be distinct")
+
+    // filter affinity restricts to matching labels (tier=ssd -> n1, n6)
+    val filt = Placement.resolveHolders(subs, view,
+      Placement.Strategy(None, distinctLocations = false,
+        affinity = Seq(("tier", "ssd", "filter", 0))))
+      .collect().map(_.getString(2)).toSet
+    assert(filt == Set("n1", "n6"))
+
+    // multiply affinity: permille 0 zeroes the weight -> unavailable
+    val mul = Placement.resolveHolders(subs, view,
+      Placement.Strategy(None, distinctLocations = false,
+        affinity = Seq(("tier", "hdd", "multiply", 0))))
+      .collect().map(_.getString(2)).toSet
+    assert(mul == Set("n1", "n6"), "hdd node zeroed out")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
