@@ -644,6 +644,67 @@ object CatalogQueries {
         .orderBy("scenario", "subject", "rank")
     },
 
+    // Job-queue drain batch: per-class budget walk over the due index
+    // (claims, saturated skips, foreign/orphan drops, fresh-cancel
+    // terminalization, the both-budgets-spent cut) + the expired-lease
+    // sweep (requeue-with-backoff, attempt-cap terminalization,
+    // reconcile routing, renewed-lease and claim-less skips, 128-row
+    // page cap) with the due/lease-head trailer
+    "jd1_job_drain" -> { (s, d) =>
+      val now = 1700000000000L
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 3 === 1)
+      val jid = lpad(col("o").cast("string"), 12, "0")
+      val state = when(col("o") % 17 === 0, "Claimed")
+        .when(col("o") % 17 === 1, "Running")
+        .when(col("o") % 17 === 2, "Failed")
+        .when(col("o") % 17 === 3, "Cancelled")
+        .when(col("o") % 17 === 4, "Succeeded")
+        .otherwise("Queued")
+      val extCls = col("o") % 5 < 2
+      val records = o.select(jid.as("job_id"), state.as("state"),
+        when(col("o") % 23 === 0, "other").otherwise("self").as("owner"),
+        when(extCls, "ExternalAttempt").otherwise("InProcess")
+          .as("exec_class"),
+        (col("o") % 19 === 0).as("cancel_requested"),
+        (col("o") % 38 === 0).as("has_run"),
+        when(extCls && col("o") % 7 === 0, "submitted")
+          .as("attempt_intent"),
+        (col("o") % 6).cast("long").as("attempts"),
+        when(state.isin("Claimed", "Running"),
+          when(col("o") % 4 < 3, lit(now) - 1000 - col("o") % 100)
+            .otherwise(lit(now) + 50000L)).cast("long")
+          .as("lease_expires_at_ms"),
+        when(col("o") % 29 === 0, "TerminalCleanup").otherwise("Execution")
+          .as("payload"))
+      // orphan/claimless/renewed-stale index rows get timestamps EARLY in
+      // the scan order (and bounded densities) so each verdict arm lands
+      // inside the budget cut / 128-row page the reference actually scans
+      val due = o.filter(col("o") % 8 === 5)
+        .select(when(col("o") % 11 === 0, lit(now) + 100000L)
+          .otherwise(lit(now) - 5000 + (col("o") % 100) * 10).cast("long")
+          .as("due_ts"), jid.as("job_id"))
+        .unionByName(o.filter(col("o") % 527 === 31)
+          .select((lit(now) - 4990).cast("long").as("due_ts"),
+            lpad((col("o") + 9000000).cast("string"), 12, "0")
+              .as("job_id")))
+      val leases = o.filter(col("o") % 17 <= 2 && col("o") % 4 < 3)
+        .select((lit(now) - 1000 - col("o") % 100).cast("long")
+          .as("lease_ts"), jid.as("job_id"))
+        .unionByName(o.filter(col("o") % 176 === 3 && col("o") % 17 <= 1)
+          .select((lit(now) - 1150).cast("long").as("lease_ts"),
+            jid.as("job_id")))
+        .unionByName(o.filter(col("o") % 510 === 22)
+          .select((lit(now) - 1180).cast("long").as("lease_ts"),
+            jid.as("job_id")))
+        .unionByName(o.filter(col("o") % 701 === 3)
+          .select((lit(now) - 1200).cast("long").as("lease_ts"),
+            lpad((col("o") + 9500000).cast("string"), 12, "0")
+              .as("job_id")))
+      JobDrain.drain(due, leases, records, "self", ipBudget = 6,
+        extBudget = 3, nowMs = now).orderBy("phase", "pos")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1790,6 +1851,150 @@ object CatalogQueries {
          |  SELECT 's2', subject, pin_rank, node_id, location, 'pin'
          |  FROM pin2c)
          |ORDER BY scenario, subject, rank""".stripMargin
+    },
+
+    "jd1_job_drain" -> {
+      val now = 1700000000000L
+      s"""WITH recs AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS job_id,
+         |    CASE o_orderkey%17 WHEN 0 THEN 'Claimed' WHEN 1 THEN 'Running'
+         |      WHEN 2 THEN 'Failed' WHEN 3 THEN 'Cancelled'
+         |      WHEN 4 THEN 'Succeeded' ELSE 'Queued' END AS state,
+         |    CASE WHEN o_orderkey%23 = 0 THEN 'other' ELSE 'self' END
+         |      AS owner,
+         |    CASE WHEN o_orderkey%5 < 2 THEN 'ExternalAttempt'
+         |         ELSE 'InProcess' END AS exec_class,
+         |    o_orderkey%19 = 0 AS cancel_requested,
+         |    o_orderkey%38 = 0 AS has_run,
+         |    CASE WHEN o_orderkey%5 < 2 AND o_orderkey%7 = 0
+         |         THEN 'submitted' END AS attempt_intent,
+         |    CAST(o_orderkey%6 AS BIGINT) AS attempts,
+         |    CASE WHEN o_orderkey%17 IN (0, 1) THEN
+         |      CASE WHEN o_orderkey%4 < 3
+         |           THEN $now - 1000 - o_orderkey%100
+         |           ELSE $now + 50000 END END AS lease_expires_at_ms,
+         |    CASE WHEN o_orderkey%29 = 0 THEN 'TerminalCleanup'
+         |         ELSE 'Execution' END AS payload
+         |  FROM orders WHERE o_orderkey%3 = 1),
+         |due AS (
+         |  SELECT CASE WHEN o_orderkey%11 = 0 THEN $now + 100000
+         |         ELSE $now - 5000 + (o_orderkey%100)*10 END AS due_ts,
+         |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS job_id
+         |  FROM orders WHERE o_orderkey%3 = 1 AND o_orderkey%8 = 5
+         |  UNION ALL
+         |  SELECT $now - 4990,
+         |    lpad(CAST(o_orderkey + 9000000 AS VARCHAR), 12, '0')
+         |  FROM orders WHERE o_orderkey%3 = 1 AND o_orderkey%527 = 31),
+         |leases AS (
+         |  SELECT $now - 1000 - o_orderkey%100 AS lease_ts,
+         |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS job_id
+         |  FROM orders WHERE o_orderkey%3 = 1 AND o_orderkey%17 <= 2
+         |    AND o_orderkey%4 < 3
+         |  UNION ALL
+         |  SELECT $now - 1150, lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+         |  FROM orders WHERE o_orderkey%3 = 1 AND o_orderkey%176 = 3
+         |    AND o_orderkey%17 <= 1
+         |  UNION ALL
+         |  SELECT $now - 1180, lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+         |  FROM orders WHERE o_orderkey%3 = 1 AND o_orderkey%510 = 22
+         |  UNION ALL
+         |  SELECT $now - 1200,
+         |    lpad(CAST(o_orderkey + 9500000 AS VARCHAR), 12, '0')
+         |  FROM orders WHERE o_orderkey%3 = 1 AND o_orderkey%701 = 3),
+         |walked AS (
+         |  SELECT d.due_ts, d.job_id, r.state, r.owner, r.exec_class,
+         |    r.cancel_requested, r.has_run, r.attempt_intent,
+         |    row_number() OVER w AS pos,
+         |    SUM(CASE WHEN r.state = 'Queued' AND r.owner = 'self'
+         |          AND NOT (r.cancel_requested AND NOT r.has_run
+         |            AND r.attempt_intent IS NULL)
+         |          AND r.exec_class = 'InProcess' THEN 1 ELSE 0 END)
+         |      OVER (w ROWS UNBOUNDED PRECEDING) AS ip_rn,
+         |    SUM(CASE WHEN r.state = 'Queued' AND r.owner = 'self'
+         |          AND NOT (r.cancel_requested AND NOT r.has_run
+         |            AND r.attempt_intent IS NULL)
+         |          AND r.exec_class = 'ExternalAttempt' THEN 1 ELSE 0 END)
+         |      OVER (w ROWS UNBOUNDED PRECEDING) AS ext_rn
+         |  FROM due d LEFT JOIN recs r ON r.job_id = d.job_id
+         |  WHERE d.due_ts <= $now
+         |  WINDOW w AS (ORDER BY d.due_ts, d.job_id)),
+         |cv AS (
+         |  SELECT *,
+         |    CASE WHEN state IS NULL THEN 'orphan_dropped'
+         |      WHEN owner <> 'self' THEN 'foreign_dropped'
+         |      WHEN state <> 'Queued' THEN 'not_eligible'
+         |      WHEN cancel_requested AND NOT has_run
+         |        AND attempt_intent IS NULL THEN 'cancelled_fresh'
+         |      WHEN exec_class = 'InProcess' THEN
+         |        CASE WHEN ip_rn <= 6 THEN 'claimed'
+         |             ELSE 'skipped_saturated' END
+         |      ELSE CASE WHEN ext_rn <= 3 THEN 'claimed'
+         |           ELSE 'skipped_saturated' END END AS verdict
+         |  FROM walked),
+         |cut AS (
+         |  SELECT MIN(CASE WHEN verdict = 'claimed'
+         |    AND least(ip_rn, 6) = 6 AND least(ext_rn, 3) = 3
+         |    THEN pos END) AS cut_pos FROM cv),
+         |claims AS (
+         |  SELECT 'claim' AS phase, pos, job_id, verdict,
+         |    CAST(NULL AS BIGINT) AS attempts_after,
+         |    CASE WHEN verdict = 'claimed' THEN $now + 60000 END
+         |      AS due_after_ms
+         |  FROM cv, cut WHERE cut_pos IS NULL OR pos <= cut_pos),
+         |lj AS (
+         |  SELECT l.lease_ts, l.job_id, r.state, r.exec_class,
+         |    r.attempt_intent, r.attempts, r.lease_expires_at_ms,
+         |    r.payload,
+         |    row_number() OVER (ORDER BY l.lease_ts, l.job_id) AS pos
+         |  FROM leases l LEFT JOIN recs r ON r.job_id = l.job_id
+         |  WHERE l.lease_ts <= $now),
+         |lv AS (
+         |  SELECT *,
+         |    CASE WHEN state IS NULL THEN 'orphan_healed'
+         |      WHEN state IN ('Failed','Cancelled','Succeeded')
+         |        THEN 'skipped'
+         |      WHEN lease_expires_at_ms IS NULL THEN 'skipped'
+         |      WHEN lease_expires_at_ms > $now THEN 'skipped'
+         |      WHEN exec_class = 'ExternalAttempt'
+         |        AND attempt_intent IS NOT NULL THEN 'reconciled'
+         |      WHEN attempts + 1 >= 5 AND payload <> 'TerminalCleanup'
+         |        THEN 'failed_capped'
+         |      ELSE 'requeued' END AS verdict
+         |  FROM lj),
+         |p1 AS (
+         |  SELECT COUNT(*) = 128 AND
+         |    SUM(CASE WHEN verdict = 'reconciled' THEN 1 ELSE 0 END)
+         |      = COUNT(*) AS page2
+         |  FROM lv WHERE pos <= 128),
+         |sweeps AS (
+         |  SELECT 'lease' AS phase, pos, job_id, verdict,
+         |    CASE WHEN verdict IN ('requeued','failed_capped')
+         |      THEN attempts + 1 END AS attempts_after,
+         |    CASE WHEN verdict = 'requeued' THEN $now +
+         |      least(250 * (1 << least(CAST(attempts AS INT) + 1, 7)),
+         |        30000) END AS due_after_ms
+         |  FROM lv, p1 WHERE pos <= 128 OR (page2 AND pos <= 256)),
+         |trailer AS (
+         |  SELECT
+         |    COALESCE((SELECT MAX(CASE WHEN verdict = 'skipped_saturated'
+         |       THEN TRUE ELSE FALSE END) FROM claims), FALSE)
+         |      AS deferred_saturated,
+         |    least(
+         |      greatest((SELECT MIN(due_ts) FROM due) - $now, 0),
+         |      CASE WHEN greatest(
+         |          (SELECT MIN(lease_ts) FROM leases) - $now, 0) = 0
+         |        THEN 20000
+         |        ELSE greatest(
+         |          (SELECT MIN(lease_ts) FROM leases) - $now, 0) END)
+         |      AS next_due_after_ms)
+         |SELECT u.phase, CAST(u.pos AS INT) AS pos, u.job_id, u.verdict,
+         |  CAST(u.attempts_after AS BIGINT) AS attempts_after,
+         |  CAST(u.due_after_ms AS BIGINT) AS due_after_ms,
+         |  t.deferred_saturated,
+         |  CAST(t.next_due_after_ms AS BIGINT) AS next_due_after_ms
+         |FROM (SELECT * FROM claims UNION ALL SELECT * FROM sweeps) u,
+         |  trailer t
+         |ORDER BY u.phase, u.pos""".stripMargin
     },
 
     "nf4_mark_read" ->

@@ -898,6 +898,96 @@ class CatalogSpec extends SparkSpec {
     assert(mul == Set("n1", "n6"), "hdd node zeroed out")
   }
 
+  test("job drain: budget walk, fresh-cancel, lease sweep ladder (jobs/drain.rs tests re-expressed)") {
+    val now = 10000L
+    def rec(id: String, state: String = "Queued", owner: String = "self",
+        cls: String = "InProcess", cancel: Boolean = false,
+        hasRun: Boolean = false, intent: String = null, attempts: Long = 0L,
+        lease: java.lang.Long = null, payload: String = "Execution") =
+      (id, state, owner, cls, cancel, hasRun, intent, attempts,
+        lease, payload)
+    val cols = Seq("job_id", "state", "owner", "exec_class",
+      "cancel_requested", "has_run", "attempt_intent", "attempts",
+      "lease_expires_at_ms", "payload")
+    def run(due: Seq[(Long, String)], leases: Seq[(Long, String)],
+        records: Seq[(String, String, String, String, Boolean, Boolean,
+          String, Long, java.lang.Long, String)],
+        ip: Int = 8, ext: Int = 8) =
+      JobDrain.drain(due.toDF("due_ts", "job_id"),
+        leases.toDF("lease_ts", "job_id"), records.toDF(cols: _*),
+        "self", ip, ext, now)
+        .collect().map(r => (r.getString(2), r.getString(3), r)).toSeq
+
+    // claims_up_to_capacity + skips_saturated_class: 3 due in-process
+    // jobs against budget 2 -> 2 claims, 1 saturated skip, deferred flag
+    val r1 = run(
+      due = Seq((100L, "j1"), (200L, "j2"), (300L, "j3"), (400L, "x1")),
+      leases = Nil,
+      records = Seq(rec("j1"), rec("j2"), rec("j3"),
+        rec("x1", cls = "ExternalAttempt")),
+      ip = 2)
+    assert(r1.filter(_._2 == "claimed").map(_._1) == Seq("j1", "j2", "x1"))
+    assert(r1.find(_._1 == "j3").get._2 == "skipped_saturated")
+    assert(r1.head._3.getAs[Boolean]("deferred_saturated"))
+
+    // the scan STOPS once both budgets are spent: rows after the cut are
+    // not processed (j3 after x1's claim emptied the last slot)
+    val r2 = run(
+      due = Seq((100L, "j1"), (200L, "x1"), (300L, "j3")),
+      leases = Nil,
+      records = Seq(rec("j1"), rec("j3"),
+        rec("x1", cls = "ExternalAttempt")),
+      ip = 1, ext = 1)
+    assert(r2.map(_._1).toSet == Set("j1", "x1"))
+
+    // empty_budget_defers: nothing processed, flag set
+    val r3 = run(due = Seq((100L, "j1")), leases = Nil,
+      records = Seq(rec("j1")), ip = 0, ext = 0)
+    assert(r3.isEmpty)
+
+    // drops_foreign_rows + future rows end the scan + fresh cancel
+    val r4 = run(
+      due = Seq((100L, "f1"), (200L, "c1"), (99000L, "j9")),
+      leases = Nil,
+      records = Seq(rec("f1", owner = "other"),
+        rec("c1", cancel = true), rec("j9")))
+    assert(r4.find(_._1 == "f1").get._2 == "foreign_dropped")
+    assert(r4.find(_._1 == "c1").get._2 == "cancelled_fresh")
+    assert(!r4.exists(_._1 == "j9"), "future row must not process")
+    // a cancel AFTER a run (has_run) claims normally (claim_job guard)
+    val r5 = run(due = Seq((100L, "c2")), leases = Nil,
+      records = Seq(rec("c2", cancel = true, hasRun = true)))
+    assert(r5.find(_._1 == "c2").get._2 == "claimed")
+
+    // expired_lease_requeued with backoff; attempt cap terminalizes;
+    // TerminalCleanup exempt; external intent reconciled; future/renewed
+    // lease kept; orphan row heals
+    val r6 = run(
+      due = Nil,
+      leases = Seq((100L, "e1"), (110L, "e2"), (120L, "e3"),
+        (130L, "e4"), (140L, "e5"), (150L, "gone")),
+      records = Seq(
+        rec("e1", state = "Running", attempts = 1L, lease = 100L),
+        rec("e2", state = "Running", attempts = 4L, lease = 110L),
+        rec("e3", state = "Running", attempts = 4L, lease = 120L,
+          payload = "TerminalCleanup"),
+        rec("e4", state = "Running", cls = "ExternalAttempt",
+          intent = "submitted", attempts = 0L, lease = 130L),
+        rec("e5", state = "Running", attempts = 0L, lease = 99000L)))
+    val byId = r6.map(t => t._1 -> t).toMap
+    assert(byId("e1")._2 == "requeued" &&
+      byId("e1")._3.getAs[Long]("attempts_after") == 2L &&
+      byId("e1")._3.getAs[Long]("due_after_ms") == now + 1000L) // 250*2^2
+    assert(byId("e2")._2 == "failed_capped" &&
+      byId("e2")._3.getAs[Long]("attempts_after") == 5L)
+    assert(byId("e3")._2 == "requeued", "TerminalCleanup exempt from cap")
+    assert(byId("e4")._2 == "reconciled")
+    assert(byId("e5")._2 == "skipped", "renewed lease kept")
+    assert(byId("gone")._2 == "orphan_healed")
+    // trailer: lease head is already-due -> re-arm floor 20s
+    assert(byId("e1")._3.getAs[Long]("next_due_after_ms") == 20000L)
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
