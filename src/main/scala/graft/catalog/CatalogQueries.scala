@@ -2,7 +2,7 @@ package graft.catalog
 
 import graft.index.IriIndex
 import graft.sparql.RdfTables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -703,6 +703,66 @@ object CatalogQueries {
               .as("job_id")))
       JobDrain.drain(due, leases, records, "self", ipBudget = 6,
         extBudget = 3, nowMs = now).orderBy("phase", "pos")
+    },
+
+    // Connector-input validation batch: 13 fault scenarios x 5 kinds
+    // drive every arm of the first-fail ladder (blank name, unsupported
+    // kind, empty/unknown keys, missing required, respelled endpoints
+    // from the reference's own test table, unsafe bucket, bool parse,
+    // skip-signature-vs-credentials, signed-S3-needs-static-keys) plus
+    // the anonymous-S3 and secretless-Http positive paths
+    "cv1_connector_validation" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 89 === 2)
+      val kindC = element_at(array(lit("Http"), lit("S3"), lit("Webdav"),
+        lit("Ftp"), lit("ArunaNative")), (col("o") % 5 + 1).cast("int"))
+      val f = col("o") % 13
+      def kv(k: String, v: Column) = struct(lit(k).as("k"), v.as("v"))
+      val respelled = element_at(array(lit("https://2852039166"),
+        lit("https://0xa9fea9fe"), lit("https://169.254.169.254."),
+        lit("https://127.1"), lit("https://0251.0376.0251.0376"),
+        lit("https://S3.example.com")), (col("o") % 6 + 1).cast("int"))
+      val endpointV = when(f === 6, respelled)
+        .when(kindC === "S3", lit("https://s3.example.com"))
+        .otherwise(concat(lit("https://files"), (col("o") % 7)
+          .cast("string"), lit(".example.com")))
+      val bucketV = when(f === 7,
+        concat(lit("b@d"), (col("o") % 10).cast("string")))
+        .otherwise(concat(lit("b"), (col("o") % 50).cast("string")))
+      val pub0 = when(kindC === "S3", array(kv("bucket", bucketV),
+        kv("endpoint", endpointV),
+        kv("region", when(f === 4, lit("")).otherwise(lit("eu-central-1")))))
+        .otherwise(array(kv("endpoint", endpointV),
+          kv("root", when(f === 4, lit(" ")).otherwise(lit("/data")))))
+      val pub1 = when(f === 3, filter(pub0, x => x.getField("k") =!=
+        when(kindC === "S3", "bucket").otherwise("endpoint")))
+        .otherwise(pub0)
+      val pub2 = when(f === 1,
+        concat(pub1, array(kv("zeta_extra", lit("x"))))).otherwise(pub1)
+      val pub = when(f === 8 && kindC === "S3",
+        concat(pub2, array(kv("skip_signature", lit("banana")))))
+        .when((f === 9 || f === 11) && kindC === "S3",
+          concat(pub2, array(kv("skip_signature", lit("true")))))
+        .otherwise(pub2)
+      val sec0 = when(kindC === "S3", array(
+        kv("access_key_id", concat(lit("AK"), col("o").cast("string"))),
+        kv("secret_access_key",
+          when(f === 5, lit("")).otherwise(lit("SK")))))
+        .when(kindC === "Ftp", array(kv("user", lit("u")),
+          kv("password", lit("p"))))
+        .when(kindC === "ArunaNative", array(kv("bearer_token", lit("t"))))
+        .otherwise(array(kv("username", lit("u")),
+          kv("password", when(f === 5, lit(" ")).otherwise(lit("p")))))
+      val sec1 = when(f === 2,
+        concat(sec0, array(kv("zzz_bad", lit("y"))))).otherwise(sec0)
+      val sec = when(f === 10 || f === 11,
+        filter(sec1, _ => lit(false))).otherwise(sec1)
+      Connectors.validate(o.select(col("o").as("req_id"),
+        when(f === 0, lit("  "))
+          .otherwise(concat(lit("conn-"), col("o").cast("string")))
+          .as("name"),
+        kindC.as("kind"), pub.as("pub"), sec.as("sec")))
+        .orderBy("req_id")
     },
 
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
@@ -1851,6 +1911,157 @@ object CatalogQueries {
          |  SELECT 's2', subject, pin_rank, node_id, location, 'pin'
          |  FROM pin2c)
          |ORDER BY scenario, subject, rank""".stripMargin
+    },
+
+    "cv1_connector_validation" -> {
+      val canonical =
+        """(regexp_matches(endpoint,
+          |   '^https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9/._-]*)?$$')
+          | AND NOT regexp_matches(host, '^[0-9]+$$')
+          | AND NOT regexp_matches(lower(host), '^0x[0-9a-f]+$$')
+          | AND NOT regexp_matches(host, '\\.$$')
+          | AND NOT regexp_matches(host, '[A-Z]')
+          | AND NOT (regexp_matches(host, '^[0-9.]+$$') AND NOT
+          |   regexp_matches(host,
+          |     '^(0|[1-9][0-9]{0,2})(\\.(0|[1-9][0-9]{0,2})){3}$$')))"""
+          .stripMargin
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS o, o_orderkey%13 AS f,
+         |    CASE o_orderkey%5 WHEN 0 THEN 'Http' WHEN 1 THEN 'S3'
+         |      WHEN 2 THEN 'Webdav' WHEN 3 THEN 'Ftp'
+         |      ELSE 'ArunaNative' END AS kind,
+         |    CASE o_orderkey%6
+         |      WHEN 0 THEN 'https://2852039166'
+         |      WHEN 1 THEN 'https://0xa9fea9fe'
+         |      WHEN 2 THEN 'https://169.254.169.254.'
+         |      WHEN 3 THEN 'https://127.1'
+         |      WHEN 4 THEN 'https://0251.0376.0251.0376'
+         |      ELSE 'https://S3.example.com' END AS respelled
+         |  FROM orders WHERE o_orderkey%89 = 2),
+         |vals AS (
+         |  SELECT *,
+         |    CASE WHEN f = 6 THEN respelled
+         |      WHEN kind = 'S3' THEN 'https://s3.example.com'
+         |      ELSE 'https://files'||(o%7)||'.example.com' END AS ept,
+         |    CASE WHEN f = 7 THEN 'b@d'||(o%10) ELSE 'b'||(o%50) END
+         |      AS bkt
+         |  FROM base),
+         |cfg AS (
+         |  SELECT o, f, kind,
+         |    CASE WHEN f = 0 THEN '  ' ELSE 'conn-'||o END AS name,
+         |    list_concat(list_concat(
+         |      CASE WHEN kind = 'S3' THEN
+         |        list_filter([struct_pack(k := 'bucket', v := bkt),
+         |          struct_pack(k := 'endpoint', v := ept),
+         |          struct_pack(k := 'region', v := CASE WHEN f = 4 THEN ''
+         |            ELSE 'eu-central-1' END)],
+         |          x -> NOT (f = 3 AND x.k = 'bucket'))
+         |      ELSE
+         |        list_filter([struct_pack(k := 'endpoint', v := ept),
+         |          struct_pack(k := 'root', v := CASE WHEN f = 4 THEN ' '
+         |            ELSE '/data' END)],
+         |          x -> NOT (f = 3 AND x.k = 'endpoint')) END,
+         |      CASE WHEN f = 1
+         |        THEN [struct_pack(k := 'zeta_extra', v := 'x')]
+         |        ELSE [] END),
+         |      CASE WHEN kind = 'S3' AND f = 8
+         |        THEN [struct_pack(k := 'skip_signature', v := 'banana')]
+         |        WHEN kind = 'S3' AND f IN (9, 11)
+         |        THEN [struct_pack(k := 'skip_signature', v := 'true')]
+         |        ELSE [] END) AS pub,
+         |    CASE WHEN f IN (10, 11) THEN
+         |        list_filter([struct_pack(k := 'x', v := 'x')], x -> FALSE)
+         |      ELSE list_concat(
+         |        CASE WHEN kind = 'S3' THEN
+         |          [struct_pack(k := 'access_key_id', v := 'AK'||o),
+         |           struct_pack(k := 'secret_access_key',
+         |             v := CASE WHEN f = 5 THEN '' ELSE 'SK' END)]
+         |        WHEN kind = 'Ftp' THEN
+         |          [struct_pack(k := 'user', v := 'u'),
+         |           struct_pack(k := 'password', v := 'p')]
+         |        WHEN kind = 'ArunaNative' THEN
+         |          [struct_pack(k := 'bearer_token', v := 't')]
+         |        ELSE
+         |          [struct_pack(k := 'username', v := 'u'),
+         |           struct_pack(k := 'password',
+         |             v := CASE WHEN f = 5 THEN ' ' ELSE 'p' END)] END,
+         |        CASE WHEN f = 2
+         |          THEN [struct_pack(k := 'zzz_bad', v := 'y')]
+         |          ELSE [] END) END AS sec
+         |  FROM vals),
+         |derived AS (
+         |  SELECT *,
+         |    list_transform(pub, x -> x.k) AS pkeys,
+         |    list_transform(sec, x -> x.k) AS skeys,
+         |    list_aggregate(list_transform(list_filter(pub,
+         |      x -> trim(x.v) = ''), x -> x.k), 'min') AS empty_pub,
+         |    list_aggregate(list_transform(list_filter(sec,
+         |      x -> trim(x.v) = ''), x -> x.k), 'min') AS empty_sec,
+         |    CASE WHEN kind = 'S3' THEN ['bucket','endpoint']
+         |         ELSE ['endpoint'] END AS req_keys,
+         |    CASE WHEN kind = 'S3'
+         |        THEN ['bucket','endpoint','region','root','skip_signature']
+         |      WHEN kind = 'ArunaNative'
+         |        THEN ['endpoint','realm_id','default_node_id']
+         |      ELSE ['endpoint','root'] END AS allowed_pub,
+         |    CASE WHEN kind = 'S3'
+         |        THEN ['access_key_id','secret_access_key']
+         |      WHEN kind = 'Ftp' THEN ['user','password']
+         |      WHEN kind = 'ArunaNative'
+         |        THEN ['bearer_token','access_key','secret_key']
+         |      ELSE ['username','password','token'] END AS allowed_sec,
+         |    (list_filter(pub, x -> x.k = 'endpoint'))[1].v AS endpoint,
+         |    (list_filter(pub, x -> x.k = 'bucket'))[1].v AS bucket,
+         |    (list_filter(pub, x -> x.k = 'skip_signature'))[1].v AS skip
+         |  FROM cfg),
+         |d2 AS (
+         |  SELECT *,
+         |    list_aggregate(list_filter(pkeys,
+         |      k -> NOT list_contains(allowed_pub, k)), 'min')
+         |      AS unknown_pub,
+         |    list_aggregate(list_filter(skeys,
+         |      k -> NOT list_contains(allowed_sec, k)), 'min')
+         |      AS unknown_sec,
+         |    (list_filter(req_keys,
+         |      k -> NOT list_contains(pkeys, k)))[1] AS missing_req,
+         |    regexp_extract(coalesce(endpoint, ''),
+         |      '^https?://([^/:]+)', 1) AS host,
+         |    COALESCE(skip = 'true', FALSE) AS anon,
+         |    list_contains(skeys, 'access_key_id')
+         |      AND list_contains(skeys, 'secret_access_key') AS has_creds
+         |  FROM derived),
+         |v AS (
+         |  SELECT o AS req_id, name, kind,
+         |    CASE
+         |      WHEN trim(name) = '' THEN ['empty_name', NULL]
+         |      WHEN kind IN ('Ftp','ArunaNative')
+         |        THEN ['unsupported_kind', kind]
+         |      WHEN empty_pub IS NOT NULL
+         |        THEN ['empty_public_value', empty_pub]
+         |      WHEN empty_sec IS NOT NULL
+         |        THEN ['empty_secret_value', empty_sec]
+         |      WHEN unknown_pub IS NOT NULL
+         |        THEN ['unknown_public_key', unknown_pub]
+         |      WHEN unknown_sec IS NOT NULL
+         |        THEN ['unknown_secret_key', unknown_sec]
+         |      WHEN missing_req IS NOT NULL
+         |        THEN ['missing_required_public_key', missing_req]
+         |      WHEN endpoint IS NOT NULL AND NOT $canonical
+         |        THEN ['ambiguous_endpoint', endpoint]
+         |      WHEN bucket IS NOT NULL
+         |          AND regexp_matches(bucket, '[/\\\\?#@]')
+         |        THEN ['unsafe_bucket', bucket]
+         |      WHEN skip IS NOT NULL AND skip NOT IN ('true','false')
+         |        THEN ['invalid_bool_value', 'skip_signature']
+         |      WHEN anon AND len(sec) > 0
+         |        THEN ['credentials_with_skip_signature', NULL]
+         |      WHEN kind = 'S3' AND NOT anon AND NOT has_creds
+         |        THEN ['missing_credentials', NULL]
+         |      ELSE ['ok', NULL] END AS vd
+         |  FROM d2)
+         |SELECT req_id, name, kind, vd[1] AS verdict, vd[2] AS detail,
+         |  vd[1] = 'ok' AS valid
+         |FROM v ORDER BY req_id""".stripMargin
     },
 
     "jd1_job_drain" -> {

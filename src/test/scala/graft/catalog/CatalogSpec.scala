@@ -988,6 +988,80 @@ class CatalogSpec extends SparkSpec {
     assert(byId("e1")._3.getAs[Long]("next_due_after_ms") == 20000L)
   }
 
+  test("connector validation: reference test table (connectors/validation.rs tests; endpoint.rs tests)") {
+    // endpoint.rs: rejects_respelled_hosts / accepts_plain_endpoints
+    val respelled = Seq("2852039166", "0xa9fea9fe", "169.254.169.254.",
+      "127.1", "2851995650", "0251.0376.0251.0376")
+      .map(h => s"https://$h")
+    val plain = Seq("https://s3.example.com", "https://s3.example.com/",
+      "https://minio.example.com:9000", "https://s3.example.com/prefix",
+      "http://169.254.169.254")
+    val eps = (respelled.map((_, false)) ++ plain.map((_, true)))
+    val got = eps.map(_._1).toDF("e")
+      .select(col("e"), Connectors.isCanonical(col("e")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    eps.foreach { case (e, want) =>
+      assert(got(e) == want, s"isCanonical($e) should be $want")
+    }
+    assert(Seq("b/ad", "b\\ad", "b?ad", "b#ad", "b@ad").forall { b =>
+      Seq(b).toDF("b").select(Connectors.breaksAuthority(col("b")))
+        .collect().head.getBoolean(0)
+    })
+
+    def run(name: String, kind: String, pub: Seq[(String, String)],
+        sec: Seq[(String, String)]): (String, String) = {
+      val df = Seq((1L, name, kind)).toDF("req_id", "name", "kind")
+        .withColumn("pub",
+          if (pub.isEmpty) filter(array(struct(lit("x").as("k"),
+            lit("x").as("v"))), _ => lit(false))
+          else array(pub.map { case (k, v) =>
+            struct(lit(k).as("k"), lit(v).as("v")) }: _*))
+        .withColumn("sec",
+          if (sec.isEmpty) filter(array(struct(lit("x").as("k"),
+            lit("x").as("v"))), _ => lit(false))
+          else array(sec.map { case (k, v) =>
+            struct(lit(k).as("k"), lit(v).as("v")) }: _*))
+      val r = Connectors.validate(df).collect().head
+      (r.getString(3), r.getString(4))
+    }
+    val okS3 = Seq("bucket" -> "b", "endpoint" -> "https://s3.example.com")
+    val creds = Seq("access_key_id" -> "ak", "secret_access_key" -> "sk")
+
+    assert(run("  ", "S3", okS3, creds)._1 == "empty_name")
+    assert(run("c", "Ftp", Seq("endpoint" -> "https://x.example.com"),
+      Nil)._1 == "unsupported_kind")
+    assert(run("c", "S3", okS3 :+ ("color" -> "red"), creds) ==
+      ("unknown_public_key", "color"))
+    assert(run("c", "S3", Seq("endpoint" -> "https://s3.example.com"),
+      creds) == ("missing_required_public_key", "bucket"))
+    assert(run("c", "Http", Seq("endpoint" -> "https://x.example.com"),
+      Seq("apikey" -> "k")) == ("unknown_secret_key", "apikey"))
+    // accepts_skip_signature: anonymous S3 without credentials is valid
+    assert(run("c", "S3", okS3 :+ ("skip_signature" -> "true"),
+      Nil)._1 == "ok")
+    // skip_forbids_credentials
+    assert(run("c", "S3", okS3 :+ ("skip_signature" -> "true"),
+      creds)._1 == "credentials_with_skip_signature")
+    // signed_requires_credentials (+ explicit false)
+    assert(run("c", "S3", okS3 :+ ("skip_signature" -> "false"),
+      Nil)._1 == "missing_credentials")
+    assert(run("c", "S3", okS3, Nil)._1 == "missing_credentials")
+    // requires_both_keys
+    assert(run("c", "S3", okS3,
+      Seq("access_key_id" -> "ak"))._1 == "missing_credentials")
+    // empty values precede key checks; bool parse; unsafe bucket
+    assert(run("c", "S3", okS3 :+ ("region" -> " "), creds) ==
+      ("empty_public_value", "region"))
+    assert(run("c", "S3", okS3 :+ ("skip_signature" -> "yes"),
+      creds)._1 == "invalid_bool_value")
+    assert(run("c", "S3", Seq("bucket" -> "b@d",
+      "endpoint" -> "https://s3.example.com"), creds)._1 ==
+      "unsafe_bucket")
+    // Http needs no secrets at all
+    assert(run("c", "Http", Seq("endpoint" -> "https://x.example.com"),
+      Nil)._1 == "ok")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
