@@ -765,6 +765,42 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Resource-event notification routing: member-added fans out to the
+    // affected user plus group admins (minus affected/actor), self-adds
+    // suppress the direct record, removals notify the affected user only,
+    // node-onboarded reaches every realm admin
+    "nr1_event_routing" -> { (s, d) =>
+      val gu = s.range(0, 8).select(col("id").as("g"))
+        .crossJoin(s.range(0, 10).select(col("id").as("u")))
+      val groupRoles = gu.select(
+        concat(lit("g"), col("g").cast("string")).as("group_id"),
+        when((col("g") + col("u")) % 4 === 0, "admin").otherwise("member")
+          .as("role_name"),
+        concat(lit("u"), col("u").cast("string")).as("user_id"))
+      val realmRoles = s.range(0, 2).select(col("id").as("r"))
+        .crossJoin(s.range(0, 10).select(col("id").as("u")))
+        .select(concat(lit("r"), col("r").cast("string")).as("realm_id"),
+          when(col("u") % 3 === 0, "realm_admin").otherwise("viewer")
+            .as("role_name"),
+          concat(lit("u"), col("u").cast("string")).as("user_id"))
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 67 === 5)
+      val affected = concat(lit("u"), (col("o") % 9).cast("string"))
+      val events = o.select(col("o").as("event_id"),
+        element_at(array(lit("member_added"), lit("member_removed"),
+          lit("node_onboarded")), (col("o") % 3 + 1).cast("int"))
+          .as("kind"),
+        concat(lit("g"), (col("o") % 8).cast("string")).as("group_id"),
+        concat(lit("r"), (col("o") % 2).cast("string")).as("realm_id"),
+        affected.as("affected_user"),
+        when(col("o") % 13 === 0, affected)
+          .otherwise(concat(lit("u"), ((col("o") % 9 + 3) % 9)
+            .cast("string"))).as("actor_user_id"),
+        (lit(1700000000000L) + col("o")).as("occurred_at_ms"))
+      Notifications.routeResourceEvents(events, groupRoles, realmRoles)
+        .orderBy("event_id", "notif_kind", "recipient")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1911,6 +1947,51 @@ object CatalogQueries {
          |  SELECT 's2', subject, pin_rank, node_id, location, 'pin'
          |  FROM pin2c)
          |ORDER BY scenario, subject, rank""".stripMargin
+    },
+
+    "nr1_event_routing" -> {
+      val base =
+        """ev AS (
+          |  SELECT o_orderkey AS event_id,
+          |    CASE o_orderkey%3 WHEN 0 THEN 'member_added'
+          |      WHEN 1 THEN 'member_removed'
+          |      ELSE 'node_onboarded' END AS kind,
+          |    'g'||(o_orderkey%8) AS group_id,
+          |    'r'||(o_orderkey%2) AS realm_id,
+          |    'u'||(o_orderkey%9) AS affected_user,
+          |    CASE WHEN o_orderkey%13 = 0 THEN 'u'||(o_orderkey%9)
+          |         ELSE 'u'||((o_orderkey%9 + 3)%9) END AS actor_user_id,
+          |    1700000000000 + o_orderkey AS occurred_at_ms
+          |  FROM orders WHERE o_orderkey%67 = 5),
+          |ga AS (
+          |  SELECT DISTINCT 'g'||g AS group_id, 'u'||u AS user_id
+          |  FROM range(0,8) t(g), range(0,10) s(u) WHERE (g+u)%4 = 0),
+          |ra AS (
+          |  SELECT DISTINCT 'r'||r AS realm_id, 'u'||u AS user_id
+          |  FROM range(0,2) t(r), range(0,10) s(u) WHERE u%3 = 0)"""
+          .stripMargin
+      s"""WITH $base
+         |SELECT * FROM (
+         |  SELECT event_id, affected_user AS recipient,
+         |    CASE WHEN kind = 'member_added' THEN 'added_to_group'
+         |         ELSE 'removed_from_group' END AS notif_kind,
+         |    'Direct' AS class, occurred_at_ms
+         |  FROM ev
+         |  WHERE kind IN ('member_added','member_removed')
+         |    AND affected_user <> actor_user_id
+         |  UNION ALL
+         |  SELECT e.event_id, a.user_id, 'group_member_added', 'Direct',
+         |    e.occurred_at_ms
+         |  FROM ev e JOIN ga a ON a.group_id = e.group_id
+         |  WHERE e.kind = 'member_added'
+         |    AND a.user_id <> e.affected_user
+         |    AND a.user_id <> e.actor_user_id
+         |  UNION ALL
+         |  SELECT e.event_id, a.user_id, 'node_onboarded', 'Direct',
+         |    e.occurred_at_ms
+         |  FROM ev e JOIN ra a ON a.realm_id = e.realm_id
+         |  WHERE e.kind = 'node_onboarded')
+         |ORDER BY event_id, notif_kind, recipient""".stripMargin
     },
 
     "cv1_connector_validation" -> {

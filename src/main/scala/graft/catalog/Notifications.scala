@@ -142,6 +142,59 @@ object Notifications {
     * Output rows: (created_at_ms, notification_id, read, is_truncated,
     * next_cursor_ts, next_cursor_id) — the cursor trailer repeats on every
     * row of the page, like the other paged listings here. */
+  /** Resource-event → notification fan-out (`routing.rs:37-113`).
+    *
+    * Pinned semantics:
+    *  - `member_added`: a Direct `added_to_group` to the affected user
+    *    UNLESS it was a self-add (`affected == actor`), plus a Direct
+    *    `group_member_added` to every group admin EXCEPT the affected
+    *    user and the actor;
+    *  - `member_removed`: only the affected user is notified (again not
+    *    on self-removal) — admins deliberately get nothing;
+    *  - `node_onboarded`: every realm admin, no exclusions.
+    *
+    * Admin sets are role-name-filtered, sorted, deduped
+    * (`group_admin_user_ids` / `realm_admin_user_ids`, `routing.rs:8-30`).
+    *
+    * Scale shape: events fan out against the ADMIN relations
+    * (authorization docs — config-sized, broadcast); the event batch
+    * itself never shuffles.
+    *
+    * `events(event_id, kind, group_id, realm_id, affected_user,
+    * actor_user_id, occurred_at_ms)`;
+    * `groupRoles(group_id, role_name, user_id)`;
+    * `realmRoles(realm_id, role_name, user_id)`.
+    */
+  def routeResourceEvents(events: DataFrame, groupRoles: DataFrame,
+      realmRoles: DataFrame): DataFrame = {
+    val gAdmins = groupRoles.filter(col("role_name") === "admin")
+      .select(col("group_id"), col("user_id")).distinct()
+    val rAdmins = realmRoles.filter(col("role_name") === "realm_admin")
+      .select(col("realm_id"), col("user_id")).distinct()
+
+    val direct = events
+      .filter(col("kind").isin("member_added", "member_removed") &&
+        col("affected_user") =!= col("actor_user_id"))
+      .select(col("event_id"),
+        col("affected_user").as("recipient"),
+        when(col("kind") === "member_added", "added_to_group")
+          .otherwise("removed_from_group").as("notif_kind"),
+        lit("Direct").as("class"), col("occurred_at_ms"))
+    val adminAdds = events.filter(col("kind") === "member_added")
+      .join(broadcast(gAdmins), Seq("group_id"))
+      .filter(col("user_id") =!= col("affected_user") &&
+        col("user_id") =!= col("actor_user_id"))
+      .select(col("event_id"), col("user_id").as("recipient"),
+        lit("group_member_added").as("notif_kind"),
+        lit("Direct").as("class"), col("occurred_at_ms"))
+    val onboarded = events.filter(col("kind") === "node_onboarded")
+      .join(broadcast(rAdmins), Seq("realm_id"))
+      .select(col("event_id"), col("user_id").as("recipient"),
+        lit("node_onboarded").as("notif_kind"),
+        lit("Direct").as("class"), col("occurred_at_ms"))
+    direct.unionByName(adminAdds).unionByName(onboarded)
+  }
+
   def listPage(inbox: DataFrame, recipient: String, cursorTs: Option[Long],
       cursorId: Option[String], limit: Int): DataFrame = {
     val lim = limit.max(1).min(ListMaxLimit)

@@ -1062,6 +1062,43 @@ class CatalogSpec extends SparkSpec {
       Nil)._1 == "ok")
   }
 
+  test("event routing: self-add admin-only, affected-admin membership record, removal targets affected only (notifications/routing.rs tests)") {
+    val roles = Seq(("g1", "admin", "a1"), ("g1", "admin", "a2"),
+      ("g1", "admin", "a1"), // duplicate assignment dedupes
+      ("g1", "member", "m1"))
+      .toDF("group_id", "role_name", "user_id")
+    val realmRoles = Seq(("r1", "realm_admin", "a1"), ("r1", "viewer", "v1"))
+      .toDF("realm_id", "role_name", "user_id")
+    def route(kind: String, affected: String, actor: String) =
+      Notifications.routeResourceEvents(
+        Seq((1L, kind, "g1", "r1", affected, actor, 5L))
+          .toDF("event_id", "kind", "group_id", "realm_id",
+            "affected_user", "actor_user_id", "occurred_at_ms"),
+        roles, realmRoles)
+        .collect().map(r => (r.getString(1), r.getString(2))).sorted.toSeq
+
+    // added_event_targets_affected_user_and_admins
+    assert(route("member_added", "m2", "m1") ==
+      Seq(("a1", "group_member_added"), ("a2", "group_member_added"),
+        ("m2", "added_to_group")))
+    // self_add_produces_admin_records_only
+    assert(route("member_added", "m2", "m2") ==
+      Seq(("a1", "group_member_added"), ("a2", "group_member_added")))
+    // affected_admin_gets_membership_not_admin_record (a1 affected:
+    // excluded from the admin fan-out, gets only added_to_group)
+    assert(route("member_added", "a1", "m1") ==
+      Seq(("a1", "added_to_group"), ("a2", "group_member_added")))
+    // actor admin excluded from admin fan-out
+    assert(route("member_added", "m2", "a2") ==
+      Seq(("a1", "group_member_added"), ("m2", "added_to_group")))
+    // removed_event_targets_affected_user_only
+    assert(route("member_removed", "m1", "a1") ==
+      Seq(("m1", "removed_from_group")))
+    // node_onboarded reaches realm admins only
+    assert(route("node_onboarded", "x", "x") ==
+      Seq(("a1", "node_onboarded")))
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
