@@ -801,6 +801,70 @@ object CatalogQueries {
         .orderBy("event_id", "notif_kind", "recipient")
     },
 
+    // Hidden-blob sweep: upload liveness (claimed-by-active vs unclaimed
+    // expiry), referenced-set union (artifacts of ANY job + checkpoint
+    // refs of ACTIVE rocrate jobs + live upload keys), and the orphan
+    // ladder (referenced / active-namespace / no-mtime / grace / deleted)
+    "hb1_hidden_sweep" -> { (s, d) =>
+      val now = 1700000000000L
+      val old = now - 7200000L
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val o3 = o.filter(col("o") % 3 === 0)
+      val jid = concat(lit("j"), col("o").cast("string"))
+      val state = when(col("o") % 17 === 0, "Claimed")
+        .when(col("o") % 17 === 1, "Running")
+        .when(col("o") % 17 === 2, "Failed")
+        .when(col("o") % 17 === 3, "Cancelled")
+        .when(col("o") % 17 === 4, "Succeeded")
+        .otherwise("Queued")
+      val jobs = o3.select(jid.as("job_id"), state.as("state"),
+        (col("o") % 4 === 0).as("is_rocrate"),
+        when(col("o") % 9 === 0, concat(lit("ha-"), col("o").cast("string")))
+          .as("artifact_key"))
+      val ckRefs = o3.filter(col("o") % 12 === 0)
+        .select(jid.as("job_id"),
+          explode(array(lit("0"), lit("1"))).as("i"), col("o"))
+        .select(col("job_id"),
+          concat(lit("hc-"), col("o").cast("string"), lit("-"), col("i"))
+            .as("hidden_key"))
+      val o5 = o.filter(col("o") % 5 === 0)
+      val uploads = o5.select(
+        concat(lit("up-"), col("o").cast("string")).as("upload_id"),
+        concat(lit("hu-"), col("o").cast("string")).as("hidden_key"),
+        when(col("o") % 15 === 0, jid)
+          .when(col("o") % 15 === 5,
+            concat(lit("j"), (col("o") + 9000000).cast("string")))
+          .as("claimed_by"),
+        when(col("o") % 10 < 5, lit(now) + 60000L)
+          .otherwise(lit(now) - 60000L).cast("long").as("expires_at_ms"))
+      val hidden =
+        o.filter(col("o") % 9 === 0).select(
+          concat(lit("ha-"), col("o").cast("string")).as("hidden_key"),
+          lit(null).cast("string").as("namespace_job_id"),
+          lit(old).as("modified_at_ms"))
+        .unionByName(o3.filter(col("o") % 12 === 0).select(
+          concat(lit("hc-"), col("o").cast("string"), lit("-0"))
+            .as("hidden_key"),
+          jid.as("namespace_job_id"), lit(old).as("modified_at_ms")))
+        .unionByName(o5.select(
+          concat(lit("hu-"), col("o").cast("string")).as("hidden_key"),
+          lit(null).cast("string").as("namespace_job_id"),
+          lit(old).as("modified_at_ms")))
+        .unionByName(o.filter(col("o") % 7 === 0).select(
+          concat(lit("ho-"), col("o").cast("string")).as("hidden_key"),
+          lit(null).cast("string").as("namespace_job_id"),
+          when(col("o") % 21 === 0, lit(null).cast("long"))
+            .when(col("o") % 14 === 0, lit(now) - 1000L)
+            .otherwise(lit(old)).as("modified_at_ms")))
+        // namespace-owned but unreferenced: the checkpoint is about to be
+        // written — survives only while the owning rocrate job is active
+        .unionByName(o3.filter(col("o") % 12 === 0).select(
+          concat(lit("hn-"), col("o").cast("string")).as("hidden_key"),
+          jid.as("namespace_job_id"), lit(old).as("modified_at_ms")))
+      HiddenSweep.sweep(jobs, ckRefs, uploads, hidden, now)
+        .orderBy("phase", "id", "verdict")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1947,6 +2011,94 @@ object CatalogQueries {
          |  SELECT 's2', subject, pin_rank, node_id, location, 'pin'
          |  FROM pin2c)
          |ORDER BY scenario, subject, rank""".stripMargin
+    },
+
+    "hb1_hidden_sweep" -> {
+      val now = 1700000000000L
+      val old = now - 7200000L
+      s"""WITH jobs AS (
+         |  SELECT 'j'||o_orderkey AS job_id,
+         |    CASE o_orderkey%17 WHEN 0 THEN 'Claimed' WHEN 1 THEN 'Running'
+         |      WHEN 2 THEN 'Failed' WHEN 3 THEN 'Cancelled'
+         |      WHEN 4 THEN 'Succeeded' ELSE 'Queued' END AS state,
+         |    o_orderkey%4 = 0 AS is_rocrate,
+         |    CASE WHEN o_orderkey%9 = 0 THEN 'ha-'||o_orderkey END
+         |      AS artifact_key,
+         |    o_orderkey AS o
+         |  FROM orders WHERE o_orderkey%3 = 0),
+         |active AS (
+         |  SELECT job_id FROM jobs
+         |  WHERE state NOT IN ('Failed','Cancelled','Succeeded')),
+         |active_rc AS (
+         |  SELECT job_id FROM jobs
+         |  WHERE state NOT IN ('Failed','Cancelled','Succeeded')
+         |    AND is_rocrate),
+         |ck AS (
+         |  SELECT 'j'||o_orderkey AS job_id,
+         |    'hc-'||o_orderkey||'-'||i AS hidden_key
+         |  FROM orders, (VALUES ('0'),('1')) t(i)
+         |  WHERE o_orderkey%3 = 0 AND o_orderkey%12 = 0),
+         |ups AS (
+         |  SELECT 'up-'||o_orderkey AS upload_id,
+         |    'hu-'||o_orderkey AS hidden_key,
+         |    CASE WHEN o_orderkey%15 = 0 THEN 'j'||o_orderkey
+         |         WHEN o_orderkey%15 = 5 THEN 'j'||(o_orderkey+9000000)
+         |    END AS claimed_by,
+         |    CASE WHEN o_orderkey%10 < 5 THEN $now + 60000
+         |         ELSE $now - 60000 END AS expires_at_ms
+         |  FROM orders WHERE o_orderkey%5 = 0),
+         |upsv AS (
+         |  SELECT u.*,
+         |    CASE WHEN u.claimed_by IS NOT NULL
+         |      THEN a.job_id IS NOT NULL
+         |      ELSE u.expires_at_ms > $now END AS live
+         |  FROM ups u LEFT JOIN active a ON a.job_id = u.claimed_by),
+         |referenced AS (
+         |  SELECT DISTINCT hidden_key FROM (
+         |    SELECT artifact_key AS hidden_key FROM jobs
+         |    WHERE artifact_key IS NOT NULL
+         |    UNION ALL
+         |    SELECT c.hidden_key FROM ck c
+         |    JOIN active_rc a ON a.job_id = c.job_id
+         |    UNION ALL
+         |    SELECT hidden_key FROM upsv WHERE live)),
+         |hid AS (
+         |  SELECT 'ha-'||o_orderkey AS hidden_key,
+         |    CAST(NULL AS VARCHAR) AS namespace_job_id,
+         |    $old AS modified_at_ms
+         |  FROM orders WHERE o_orderkey%9 = 0
+         |  UNION ALL
+         |  SELECT 'hc-'||o_orderkey||'-0', 'j'||o_orderkey, $old
+         |  FROM orders WHERE o_orderkey%3 = 0 AND o_orderkey%12 = 0
+         |  UNION ALL
+         |  SELECT 'hu-'||o_orderkey, NULL, $old
+         |  FROM orders WHERE o_orderkey%5 = 0
+         |  UNION ALL
+         |  SELECT 'ho-'||o_orderkey, NULL,
+         |    CASE WHEN o_orderkey%21 = 0 THEN NULL
+         |         WHEN o_orderkey%14 = 0 THEN $now - 1000
+         |         ELSE $old END
+         |  FROM orders WHERE o_orderkey%7 = 0
+         |  UNION ALL
+         |  SELECT 'hn-'||o_orderkey, 'j'||o_orderkey, $old
+         |  FROM orders WHERE o_orderkey%3 = 0 AND o_orderkey%12 = 0)
+         |SELECT * FROM (
+         |  SELECT 'upload' AS phase, upload_id AS id, hidden_key,
+         |    CASE WHEN live AND claimed_by IS NOT NULL THEN 'live_claimed'
+         |         WHEN live THEN 'live_unclaimed'
+         |         ELSE 'deleted' END AS verdict
+         |  FROM upsv
+         |  UNION ALL
+         |  SELECT 'entry', h.hidden_key, h.hidden_key,
+         |    CASE WHEN r.hidden_key IS NOT NULL THEN 'kept_referenced'
+         |      WHEN a.job_id IS NOT NULL THEN 'kept_active_namespace'
+         |      WHEN h.modified_at_ms IS NULL THEN 'kept_no_mtime'
+         |      WHEN h.modified_at_ms > $now - 3600000 THEN 'kept_grace'
+         |      ELSE 'orphan_deleted' END
+         |  FROM hid h
+         |  LEFT JOIN referenced r ON r.hidden_key = h.hidden_key
+         |  LEFT JOIN active_rc a ON a.job_id = h.namespace_job_id)
+         |ORDER BY phase, id, verdict""".stripMargin
     },
 
     "nr1_event_routing" -> {

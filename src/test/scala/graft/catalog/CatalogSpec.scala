@@ -1099,6 +1099,50 @@ class CatalogSpec extends SparkSpec {
       Seq(("a1", "node_onboarded")))
   }
 
+  test("hidden sweep: upload liveness, referenced union, orphan ladder (blob/hidden.rs:161-224)") {
+    val now = 10000000L
+    val jobs = Seq(
+      ("jA", "Running", true, null), // active rocrate
+      ("jT", "Failed", true, "ha-art"), // terminal, artifact still refs
+      ("jP", "Queued", false, null)) // active plain
+      .toDF("job_id", "state", "is_rocrate", "artifact_key")
+    val ck = Seq(("jA", "hc-a"), ("jT", "hc-t")) // jT terminal -> hc-t NOT referenced
+      .toDF("job_id", "hidden_key")
+    val uploads = Seq(
+      ("u1", "hu-1", "jA", 0L), // claimed by active -> live (expiry ignored)
+      ("u2", "hu-2", "jT", now + 99999L), // claimed by terminal -> dead
+      ("u3", "hu-3", null, now + 1L), // unclaimed, unexpired -> live
+      ("u4", "hu-4", null, now)) // unclaimed, expired -> dead
+      .toDF("upload_id", "hidden_key", "claimed_by", "expires_at_ms")
+    val old = now - 7200000L
+    val hidden = Seq(
+      ("ha-art", null, Some(old)), // referenced via terminal job's artifact
+      ("hc-a", null, Some(old)), // referenced via active rocrate checkpoint
+      ("hc-t", null, Some(old)), // checkpoint of TERMINAL job -> orphan
+      ("hu-1", null, Some(old)), // live upload -> referenced
+      ("hu-4", null, Some(old)), // dead upload -> orphan
+      ("hn-x", "jA", Some(old)), // unreferenced, namespace active rocrate
+      ("hn-p", "jP", Some(old)), // namespace active but NOT rocrate
+      ("hg-1", null, Some(now - 1000L)), // young -> grace
+      ("hg-2", null, Option.empty[Long])) // no mtime -> kept
+      .toDF("hidden_key", "namespace_job_id", "modified_at_ms")
+    val out = HiddenSweep.sweep(jobs, ck, uploads, hidden, now)
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(out("u1") == "live_claimed")
+    assert(out("u2") == "deleted")
+    assert(out("u3") == "live_unclaimed")
+    assert(out("u4") == "deleted")
+    assert(out("ha-art") == "kept_referenced")
+    assert(out("hc-a") == "kept_referenced")
+    assert(out("hc-t") == "orphan_deleted")
+    assert(out("hu-1") == "kept_referenced")
+    assert(out("hu-4") == "orphan_deleted")
+    assert(out("hn-x") == "kept_active_namespace")
+    assert(out("hn-p") == "orphan_deleted")
+    assert(out("hg-1") == "kept_grace")
+    assert(out("hg-2") == "kept_no_mtime")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
