@@ -865,6 +865,60 @@ object CatalogQueries {
         .orderBy("phase", "id", "verdict")
     },
 
+    // Storage-routing resolution batch: the exact/longest-prefix/group-
+    // default/operator-rule ladder with binding named backends (unknown /
+    // full abort), group-backend registration + egress checks, reserved
+    // classes that MISS for tenant rules but resolve for operator rules,
+    // all-full class misses, and the node-default fallback
+    "rt1_storage_routing" -> { (s, d) =>
+      import s.implicits._
+      val catalog = Seq(
+        ("default", Option.empty[String], true, false),
+        ("ssd-a", Some("hot"), true, false),
+        ("ssd-b", Some("hot"), true, true),
+        ("cold-1", Some("cold"), true, false),
+        ("arch-1", Some("archive"), false, false),
+        ("cap-1", Some("capped"), true, true))
+        .toDF("name", "clazz", "allow_tenants", "full")
+      val groupBackends = Seq(("grp-0", "gb-1"), ("grp-1", "gb-1"))
+        .toDF("group_id", "backend_id")
+      val bucketRules = Seq(
+        ("bkt-0", 0, "data/a/x.bin", true, "node", "ssd-a"),
+        ("bkt-0", 1, "data/a/", false, "class", "hot"),
+        ("bkt-0", 2, "data/", false, "class", "archive"),
+        ("bkt-0", 3, "", false, "node", "cold-1"),
+        ("bkt-1", 0, "data/b/", false, "node", "missing-x"),
+        ("bkt-1", 1, "", false, "group", "gb-1"),
+        ("bkt-2", 0, "data/", false, "group", "gb-9"),
+        ("bkt-2", 1, "data/c/", false, "node", "cap-1"),
+        ("bkt-3", 0, "zz", true, "class", "capped"),
+        ("bkt-3", 1, "data/", false, "class", "capped"))
+        .toDF("bucket", "rule_idx", "key_prefix", "exact", "kind", "target")
+      val groupDefaults = Seq(("grp-0", "class", "cold"),
+        ("grp-1", "node", "ssd-a"))
+        .toDF("group_id", "kind", "target")
+      val nodeRules = Seq(
+        (0, Some("grp-2"), Option.empty[String], Option.empty[String],
+          "class", "hot"),
+        (1, Option.empty[String], Some("bkt-4"), Some("ops/"),
+          "class", "archive"),
+        (2, Option.empty[String], Some("bkt-5"), Option.empty[String],
+          "node", "cap-1"))
+        .toDF("rule_idx", "group_id", "bucket", "key_prefix", "kind",
+          "target")
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 71 === 3)
+      val reqs = o.select(col("o").as("req_id"),
+        concat(lit("grp-"), (col("o") % 4).cast("string")).as("group_id"),
+        concat(lit("bkt-"), (col("o") % 6).cast("string")).as("bucket"),
+        element_at(array(lit("data/a/x.bin"), lit("data/a/y"),
+          lit("data/b/z"), lit("data/c/k"), lit("data/q"), lit("ops/r"),
+          lit("zz")), (col("o") % 7 + 1).cast("int")).as("key"))
+      Routing.resolve(reqs, bucketRules, groupDefaults, nodeRules,
+        catalog, groupBackends, defaultName = "default")
+        .orderBy("req_id")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -2012,6 +2066,122 @@ object CatalogQueries {
          |  FROM pin2c)
          |ORDER BY scenario, subject, rank""".stripMargin
     },
+
+    "rt1_storage_routing" ->
+      s"""WITH cat AS (
+         |  SELECT * FROM (VALUES
+         |    ('default', NULL, true, false),
+         |    ('ssd-a', 'hot', true, false),
+         |    ('ssd-b', 'hot', true, true),
+         |    ('cold-1', 'cold', true, false),
+         |    ('arch-1', 'archive', false, false),
+         |    ('cap-1', 'capped', true, true))
+         |   t(name, clazz, allow_tenants, isfull)),
+         |gb AS (SELECT * FROM (VALUES ('grp-0','gb-1'), ('grp-1','gb-1'))
+         |  t(group_id, backend_id)),
+         |br AS (
+         |  SELECT * FROM (VALUES
+         |    ('bkt-0', 0, 'data/a/x.bin', true, 'node', 'ssd-a'),
+         |    ('bkt-0', 1, 'data/a/', false, 'class', 'hot'),
+         |    ('bkt-0', 2, 'data/', false, 'class', 'archive'),
+         |    ('bkt-0', 3, '', false, 'node', 'cold-1'),
+         |    ('bkt-1', 0, 'data/b/', false, 'node', 'missing-x'),
+         |    ('bkt-1', 1, '', false, 'group', 'gb-1'),
+         |    ('bkt-2', 0, 'data/', false, 'group', 'gb-9'),
+         |    ('bkt-2', 1, 'data/c/', false, 'node', 'cap-1'),
+         |    ('bkt-3', 0, 'zz', true, 'class', 'capped'),
+         |    ('bkt-3', 1, 'data/', false, 'class', 'capped'))
+         |   t(bucket, rule_idx, key_prefix, exact, kind, target)),
+         |gd AS (SELECT * FROM (VALUES ('grp-0','class','cold'),
+         |  ('grp-1','node','ssd-a')) t(group_id, kind, target)),
+         |nru AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 'grp-2', NULL, NULL, 'class', 'hot'),
+         |    (1, NULL, 'bkt-4', 'ops/', 'class', 'archive'),
+         |    (2, NULL, 'bkt-5', NULL, 'node', 'cap-1'))
+         |   t(rule_idx, r_group, r_bucket, r_prefix, kind, target)),
+         |ct AS (SELECT clazz, MIN(name) AS c_backend FROM cat
+         |  WHERE NOT isfull AND clazz IS NOT NULL AND allow_tenants
+         |  GROUP BY 1),
+         |co AS (SELECT clazz, MIN(name) AS c_backend FROM cat
+         |  WHERE NOT isfull AND clazz IS NOT NULL GROUP BY 1),
+         |reqs AS (
+         |  SELECT o_orderkey AS req_id,
+         |    'grp-'||(o_orderkey%4) AS group_id,
+         |    'bkt-'||(o_orderkey%6) AS bucket,
+         |    CASE o_orderkey%7 WHEN 0 THEN 'data/a/x.bin'
+         |      WHEN 1 THEN 'data/a/y' WHEN 2 THEN 'data/b/z'
+         |      WHEN 3 THEN 'data/c/k' WHEN 4 THEN 'data/q'
+         |      WHEN 5 THEN 'ops/r' ELSE 'zz' END AS key
+         |  FROM orders WHERE o_orderkey%71 = 3),
+         |cands AS (
+         |  SELECT q.req_id, q.group_id, r.kind, r.target,
+         |    0 AS tier, CAST(r.rule_idx AS BIGINT) AS a,
+         |    CAST(0 AS BIGINT) AS b, FALSE AS op
+         |  FROM reqs q JOIN br r ON r.bucket = q.bucket
+         |  WHERE r.exact AND r.key_prefix = q.key
+         |  UNION ALL
+         |  SELECT q.req_id, q.group_id, r.kind, r.target,
+         |    1, -len(r.key_prefix), r.rule_idx, FALSE
+         |  FROM reqs q JOIN br r ON r.bucket = q.bucket
+         |  WHERE NOT r.exact AND starts_with(q.key, r.key_prefix)
+         |  UNION ALL
+         |  SELECT q.req_id, q.group_id, g.kind, g.target, 2, 0, 0, FALSE
+         |  FROM reqs q JOIN gd g ON g.group_id = q.group_id
+         |  UNION ALL
+         |  SELECT q.req_id, q.group_id, r.kind, r.target, 3,
+         |    -((CASE WHEN r.r_group IS NOT NULL THEN 1 ELSE 0 END +
+         |       CASE WHEN r.r_bucket IS NOT NULL THEN 1 ELSE 0 END +
+         |       CASE WHEN r.r_prefix IS NOT NULL THEN 1 ELSE 0 END)
+         |       * 100000 + COALESCE(len(r.r_prefix), 0)),
+         |    r.rule_idx, TRUE
+         |  FROM reqs q JOIN nru r ON
+         |    (r.r_group IS NULL OR r.r_group = q.group_id)
+         |    AND (r.r_bucket IS NULL OR r.r_bucket = q.bucket)
+         |    AND (r.r_prefix IS NULL OR starts_with(q.key, r.r_prefix))),
+         |judged AS (
+         |  SELECT c.*,
+         |    CASE WHEN c.kind = 'node' THEN
+         |        CASE WHEN n.name IS NULL THEN 'error:unknown_backend:'
+         |          WHEN n.isfull THEN 'error:backend_full:'
+         |          ELSE 'ok::'||c.target END
+         |      WHEN c.kind = 'group' THEN
+         |        CASE WHEN g.backend_id IS NULL
+         |            THEN 'error:unknown_group_backend:'
+         |          ELSE 'ok::group:'||c.target END
+         |      ELSE CASE
+         |        WHEN c.op AND o2.c_backend IS NOT NULL
+         |          THEN 'ok::'||o2.c_backend
+         |        WHEN NOT c.op AND t2.c_backend IS NOT NULL
+         |          THEN 'ok::'||t2.c_backend
+         |        ELSE 'miss::' END END AS oc
+         |  FROM cands c
+         |  LEFT JOIN cat n ON n.name = c.target AND c.kind = 'node'
+         |  LEFT JOIN gb g ON g.backend_id = c.target
+         |    AND g.group_id = c.group_id AND c.kind = 'group'
+         |  LEFT JOIN ct t2 ON t2.clazz = c.target AND c.kind = 'class'
+         |  LEFT JOIN co o2 ON o2.clazz = c.target AND c.kind = 'class'),
+         |decided AS (
+         |  SELECT req_id, oc,
+         |    row_number() OVER (PARTITION BY req_id ORDER BY tier, a, b)
+         |      AS rn
+         |  FROM judged WHERE oc NOT LIKE 'miss%'),
+         |resolved AS (
+         |  SELECT q.req_id, q.group_id, q.bucket, q.key,
+         |    COALESCE(d.oc, 'ok::default') AS oc
+         |  FROM reqs q
+         |  LEFT JOIN decided d ON d.req_id = q.req_id AND d.rn = 1)
+         |SELECT r.req_id, r.group_id, r.bucket, r.key,
+         |  CASE WHEN r.oc LIKE 'ok%' THEN 'ok' ELSE 'error' END AS verdict,
+         |  CASE WHEN r.oc LIKE 'error%'
+         |    THEN string_split(r.oc, ':')[2] END AS error,
+         |  CASE WHEN r.oc LIKE 'ok%'
+         |    THEN substring(r.oc, 5) END AS backend,
+         |  c.clazz AS storage_class
+         |FROM resolved r
+         |LEFT JOIN cat c ON c.name = substring(r.oc, 5)
+         |  AND r.oc LIKE 'ok%'
+         |ORDER BY r.req_id""".stripMargin,
 
     "hb1_hidden_sweep" -> {
       val now = 1700000000000L

@@ -1143,6 +1143,78 @@ class CatalogSpec extends SparkSpec {
     assert(out("hg-2") == "kept_no_mtime")
   }
 
+  test("storage routing: ladder order, binding vs preference, reserved classes, egress (core routing.rs:330-517)") {
+    val catalog = Seq(
+      ("default", Option.empty[String], true, false),
+      ("a-hot", Some("hot"), true, false),
+      ("b-hot", Some("hot"), true, false),
+      ("full-1", Some("cap"), true, true),
+      ("res-1", Some("archive"), false, false))
+      .toDF("name", "clazz", "allow_tenants", "full")
+    val gb = Seq(("g1", "gbx")).toDF("group_id", "backend_id")
+    def run(key: String, group: String,
+        brs: Seq[(String, Int, String, Boolean, String, String)],
+        gds: Seq[(String, String, String)] = Nil,
+        nrs: Seq[(Int, Option[String], Option[String], Option[String],
+          String, String)] = Nil,
+        egress: Boolean = true) = {
+      val r = Routing.resolve(
+        Seq((1L, group, "b", key)).toDF("req_id", "group_id", "bucket",
+          "key"),
+        brs.toDF("bucket", "rule_idx", "key_prefix", "exact", "kind",
+          "target"),
+        gds.toDF("group_id", "kind", "target"),
+        nrs.toDF("rule_idx", "group_id", "bucket", "key_prefix", "kind",
+          "target"),
+        catalog, gb, "default", egress).collect().head
+      (r.getString(4), r.getString(5), r.getString(6))
+    }
+    // exact beats longer prefix; class resolves FIRST name order (a-hot)
+    assert(run("k1", "g1", Seq(
+      ("b", 0, "k1", true, "class", "hot"),
+      ("b", 1, "k1", false, "node", "default"))) == ("ok", null, "a-hot"))
+    // longest prefix wins; record order breaks length ties
+    assert(run("xy/z", "g1", Seq(
+      ("b", 0, "x", false, "node", "default"),
+      ("b", 1, "xy/", false, "node", "a-hot"),
+      ("b", 2, "xy/", false, "node", "b-hot"))) == ("ok", null, "a-hot"))
+    // named backend is BINDING: a full one aborts even with fallbacks below
+    assert(run("k", "g1", Seq(
+      ("b", 0, "k", false, "node", "full-1"),
+      ("b", 1, "", false, "node", "a-hot")))._2 == "backend_full")
+    assert(run("k", "g1", Seq(
+      ("b", 0, "k", false, "node", "nope")))._2 == "unknown_backend")
+    // a class MISS falls through (all-cap class full; reserved for tenant)
+    assert(run("k", "g1", Seq(
+      ("b", 0, "k", false, "class", "cap"),
+      ("b", 1, "k", false, "class", "archive"),
+      ("b", 2, "", false, "node", "b-hot"))) == ("ok", null, "b-hot"))
+    // operator rules MAY bind reserved classes
+    assert(run("ops/k", "g1", Nil, Nil,
+      Seq((0, None, Some("b"), Some("ops/"), "class", "archive"))) ==
+      ("ok", null, "res-1"))
+    // group backend: registration is per-group; egress kill-switch
+    assert(run("k", "g1", Seq(
+      ("b", 0, "k", false, "group", "gbx"))) == ("ok", null, "group:gbx"))
+    assert(run("k", "g2", Seq(
+      ("b", 0, "k", false, "group", "gbx")))._2 ==
+      "unknown_group_backend")
+    assert(run("k", "g1", Seq(
+      ("b", 0, "k", false, "group", "gbx")), egress = false)._2 ==
+      "group_egress_disabled")
+    // group default (tier 2) beats operator rules (tier 3); specificity
+    // orders operator rules (2 fields beat 1)
+    assert(run("k", "g1", Nil, Seq(("g1", "node", "b-hot")),
+      Seq((0, Some("g1"), Some("b"), None, "node", "a-hot"))) ==
+      ("ok", null, "b-hot"))
+    assert(run("k", "g1", Nil, Nil, Seq(
+      (0, Some("g1"), None, None, "node", "b-hot"),
+      (1, Some("g1"), Some("b"), None, "node", "a-hot"))) ==
+      ("ok", null, "a-hot"))
+    // nothing matches -> node default
+    assert(run("k", "g3", Nil) == ("ok", null, "default"))
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
