@@ -919,6 +919,43 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Onboarding-secret claim verdicts: reserve vs consume ladders over
+    // the lifecycle store (steal-expired-reservation, mid-handshake
+    // expiry escape, idempotent re-consume, wrong-hash/expired/foreign
+    // claims)
+    "ob1_onboarding_claims" -> { (s, d) =>
+      val now = 1700000000000L
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val o3 = o.filter(col("o") % 3 === 2)
+      val eid = lpad(col("o").cast("string"), 12, "0")
+      val store = o3.select(eid.as("enrollment_id"),
+        concat(lit("h"), (col("o") % 1000).cast("string"))
+          .as("secret_hash"),
+        when(col("o") % 5 === 0, lit(now) - 10000L)
+          .otherwise(lit(now) + 600000L).cast("long").as("expires_at"),
+        element_at(array(lit("Available"), lit("Reserved"),
+          lit("Finalizing"), lit("Consumed")),
+          (col("o") % 4 + 1).cast("int")).as("state"),
+        when(col("o") % 4 =!= 0,
+          concat(lit("n"), (col("o") % 3).cast("string")))
+          .as("state_node"),
+        when(col("o") % 4 === 1,
+          when(col("o") % 7 < 4, lit(now) + 30000L)
+            .otherwise(lit(now) - 30000L)).cast("long")
+          .as("state_expires_at"))
+      val reqs = o3.select(col("o").as("req_id"),
+        when(col("o") % 23 === 0,
+          lpad((col("o") + 9000000).cast("string"), 12, "0"))
+          .otherwise(eid).as("enrollment_id"),
+        when(col("o") % 2 === 0, "reserve").otherwise("consume").as("op"),
+        concat(lit("n"), (col("o") % 11 % 3).cast("string")).as("node_id"),
+        when(col("o") % 17 === 0, lit("bad"))
+          .otherwise(concat(lit("h"), (col("o") % 1000).cast("string")))
+          .as("secret_hash"))
+      Onboarding.decide(reqs, store, nowMs = now,
+        reservationExpiresAt = now + 120000L).orderBy("req_id")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -2065,6 +2102,83 @@ object CatalogQueries {
          |  SELECT 's2', subject, pin_rank, node_id, location, 'pin'
          |  FROM pin2c)
          |ORDER BY scenario, subject, rank""".stripMargin
+    },
+
+    "ob1_onboarding_claims" -> {
+      val now = 1700000000000L
+      s"""WITH store AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+         |      AS enrollment_id,
+         |    'h'||(o_orderkey%1000) AS s_hash,
+         |    CASE WHEN o_orderkey%5 = 0 THEN ${now - 10000L}
+         |         ELSE ${now + 600000L} END AS expires_at,
+         |    CASE o_orderkey%4 WHEN 0 THEN 'Available'
+         |      WHEN 1 THEN 'Reserved' WHEN 2 THEN 'Finalizing'
+         |      ELSE 'Consumed' END AS state,
+         |    CASE WHEN o_orderkey%4 <> 0 THEN 'n'||(o_orderkey%3) END
+         |      AS state_node,
+         |    CASE WHEN o_orderkey%4 = 1 THEN
+         |      CASE WHEN o_orderkey%7 < 4 THEN ${now + 30000L}
+         |           ELSE ${now - 30000L} END END AS state_expires_at
+         |  FROM orders WHERE o_orderkey%3 = 2),
+         |reqs AS (
+         |  SELECT o_orderkey AS req_id,
+         |    CASE WHEN o_orderkey%23 = 0
+         |      THEN lpad(CAST(o_orderkey + 9000000 AS VARCHAR), 12, '0')
+         |      ELSE lpad(CAST(o_orderkey AS VARCHAR), 12, '0') END
+         |      AS enrollment_id,
+         |    CASE WHEN o_orderkey%2 = 0 THEN 'reserve' ELSE 'consume' END
+         |      AS op,
+         |    'n'||(o_orderkey%11%3) AS node_id,
+         |    CASE WHEN o_orderkey%17 = 0 THEN 'bad'
+         |         ELSE 'h'||(o_orderkey%1000) END AS secret_hash
+         |  FROM orders WHERE o_orderkey%3 = 2),
+         |j AS (
+         |  SELECT q.*, s.s_hash, s.expires_at, s.state, s.state_node,
+         |    s.state_expires_at,
+         |    s.state_node = q.node_id AS same,
+         |    s.expires_at < $now AS rec_exp,
+         |    s.state_expires_at < $now AS res_exp,
+         |    s.s_hash <> q.secret_hash AS hash_bad
+         |  FROM reqs q LEFT JOIN store s
+         |    ON s.enrollment_id = q.enrollment_id),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN op = 'reserve' THEN
+         |      CASE WHEN s_hash IS NULL THEN 'not_found'
+         |        WHEN hash_bad THEN 'invalid_secret'
+         |        WHEN state = 'Available' THEN
+         |          CASE WHEN rec_exp THEN 'expired' ELSE 'reserved' END
+         |        WHEN state = 'Reserved' AND COALESCE(same, FALSE)
+         |          THEN 'reserved'
+         |        WHEN state = 'Reserved' THEN
+         |          CASE WHEN NOT res_exp THEN 'already_claimed'
+         |            WHEN rec_exp THEN 'expired' ELSE 'reserved' END
+         |        WHEN state IN ('Finalizing','Consumed')
+         |          AND COALESCE(same, FALSE) THEN 'ok_idempotent'
+         |        ELSE 'already_claimed' END
+         |    ELSE
+         |      CASE WHEN s_hash IS NULL THEN 'not_found'
+         |        WHEN rec_exp AND NOT (
+         |          (state = 'Reserved' AND COALESCE(same, FALSE)
+         |            AND NOT res_exp)
+         |          OR (state IN ('Finalizing','Consumed')
+         |            AND COALESCE(same, FALSE))) THEN 'expired'
+         |        WHEN hash_bad THEN 'invalid_secret'
+         |        WHEN state = 'Available' THEN 'consumed'
+         |        WHEN state IN ('Reserved','Finalizing')
+         |          AND COALESCE(same, FALSE) THEN 'consumed'
+         |        WHEN state = 'Consumed' AND COALESCE(same, FALSE)
+         |          THEN 'ok_idempotent'
+         |        ELSE 'already_claimed' END END AS verdict
+         |  FROM j)
+         |SELECT req_id, enrollment_id, op, node_id, verdict,
+         |  CASE WHEN op = 'consume' AND verdict = 'consumed' THEN TRUE
+         |       WHEN op = 'consume' AND verdict = 'ok_idempotent'
+         |         THEN FALSE END AS consumed_now,
+         |  CAST(CASE WHEN verdict = 'reserved' THEN ${now + 120000L} END
+         |    AS BIGINT) AS reserved_until_ms
+         |FROM v ORDER BY req_id""".stripMargin
     },
 
     "rt1_storage_routing" ->

@@ -1,0 +1,92 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Onboarding-secret claim verdicts (reference
+  * `operations/src/{reserve,consume}_onboarding_secret.rs` +
+  * `onboarding_secret_state.rs`).
+  *
+  * Secret lifecycle: Available → Reserved(node, expires) →
+  * Finalizing(node) → Consumed(node) (`core/src/onboarding.rs:44-49`).
+  *
+  * RESERVE ladder (`read_record`/`availability`, `reserve_:85-146`):
+  * missing record → not_found; hash mismatch → invalid_secret; then by
+  * state — Available: expired record → expired, else reserve; Reserved
+  * by the SAME node: re-reserve (extends, no expiry check); Reserved by
+  * another node: unexpired reservation → already_claimed, expired
+  * reservation over an expired record → expired, else the reservation is
+  * stolen; Finalizing/Consumed by the same node → idempotent success
+  * WITHOUT a write; by another node → already_claimed.
+  *
+  * CONSUME ladder (`consume_:157-245`): missing → not_found; an EXPIRED
+  * record stays consumable only mid-handshake — state Reserved by the
+  * same node with an UNEXPIRED reservation, or Finalizing/Consumed by the
+  * same node — anything else → expired (checked BEFORE the hash, unlike
+  * reserve); hash mismatch → invalid_secret; then Available / Reserved
+  * (same) / Finalizing (same) → consumed now; Consumed by the same node →
+  * idempotent success with `consumed_now = false`
+  * (`claims_secret_idempotently_for_same_node`); any state held by
+  * another node → already_claimed.
+  *
+  * Scale shape: one equi-join of the request batch against the secret
+  * store by enrollment id (both control-plane-sized), pure CASE ladder
+  * after — no windows, no driver loop.
+  */
+object Onboarding {
+
+  /** `requests(req_id, enrollment_id, op, node_id, secret_hash)` with op
+    * reserve|consume; `store(enrollment_id, secret_hash, expires_at,
+    * state, state_node, state_expires_at)` with state Available |
+    * Reserved | Finalizing | Consumed. */
+  def decide(requests: DataFrame, store: DataFrame, nowMs: Long,
+      reservationExpiresAt: Long): DataFrame = {
+    val st = store.select(col("enrollment_id"),
+      col("secret_hash").as("s_hash"), col("expires_at"),
+      col("state"), col("state_node"), col("state_expires_at"))
+    val j = requests.join(st, Seq("enrollment_id"), "left_outer")
+
+    val same = col("state_node") === col("node_id")
+    val recordExpired = col("expires_at") < nowMs
+    val resExpired = col("state_expires_at") < nowMs
+    val hashBad = col("s_hash") =!= col("secret_hash")
+
+    val reserveVerdict =
+      when(col("s_hash").isNull, "not_found")
+        .when(hashBad, "invalid_secret")
+        .when(col("state") === "Available",
+          when(recordExpired, "expired").otherwise("reserved"))
+        .when(col("state") === "Reserved" && same, "reserved")
+        .when(col("state") === "Reserved",
+          when(!resExpired, "already_claimed")
+            .when(recordExpired, "expired")
+            .otherwise("reserved"))
+        .when(col("state").isin("Finalizing", "Consumed") && same,
+          "ok_idempotent")
+        .otherwise("already_claimed")
+
+    // an expired record is only consumable mid-handshake by its own node
+    val expiredEscape =
+      (col("state") === "Reserved" && same && !resExpired) ||
+        (col("state").isin("Finalizing", "Consumed") && same)
+    val consumeVerdict =
+      when(col("s_hash").isNull, "not_found")
+        .when(recordExpired && !expiredEscape, "expired")
+        .when(hashBad, "invalid_secret")
+        .when(col("state") === "Available", "consumed")
+        .when(col("state").isin("Reserved", "Finalizing") && same,
+          "consumed")
+        .when(col("state") === "Consumed" && same, "ok_idempotent")
+        .otherwise("already_claimed")
+
+    val verdict = when(col("op") === "reserve", reserveVerdict)
+      .otherwise(consumeVerdict)
+    j.select(col("req_id"), col("enrollment_id"), col("op"),
+      col("node_id"), verdict.as("verdict"),
+      when(col("op") === "consume" && verdict === "consumed", true)
+        .when(col("op") === "consume" && verdict === "ok_idempotent", false)
+        .as("consumed_now"),
+      when(verdict === "reserved", lit(reservationExpiresAt))
+        .cast("long").as("reserved_until_ms"))
+  }
+}

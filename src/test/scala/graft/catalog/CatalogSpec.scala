@@ -1,6 +1,7 @@
 package graft.catalog
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 class CatalogSpec extends SparkSpec {
@@ -1213,6 +1214,63 @@ class CatalogSpec extends SparkSpec {
       ("ok", null, "a-hot"))
     // nothing matches -> node default
     assert(run("k", "g3", Nil) == ("ok", null, "default"))
+  }
+
+  test("onboarding claims: idempotent consume, reservation steal, expiry escapes (reserve/consume_onboarding_secret.rs tests)") {
+    val now = 1000L
+    def store(state: String, node: String, recExp: Long = 9999L,
+        resExp: java.lang.Long = null) =
+      Seq(("e1", "h1", recExp, state, node, resExp))
+        .toDF("enrollment_id", "secret_hash", "expires_at", "state",
+          "state_node", "state_expires_at")
+    def run(op: String, node: String, hash: String, st: DataFrame) =
+      Onboarding.decide(
+        Seq((1L, "e1", op, node, hash))
+          .toDF("req_id", "enrollment_id", "op", "node_id", "secret_hash"),
+        st, now, now + 100L).collect().head
+    def v(op: String, node: String, hash: String, st: DataFrame): String =
+      run(op, node, hash, st).getString(4)
+
+    // claims_secret_idempotently_for_same_node: consumed_now true then false
+    val avail = store("Available", null)
+    val r1 = run("consume", "nA", "h1", avail)
+    assert(r1.getString(4) == "consumed" && r1.getBoolean(5))
+    val r2 = run("consume", "nA", "h1", store("Consumed", "nA"))
+    assert(r2.getString(4) == "ok_idempotent" && !r2.getBoolean(5))
+    assert(v("consume", "nB", "h1", store("Consumed", "nA")) ==
+      "already_claimed")
+
+    // reserve: steal an EXPIRED foreign reservation, refuse a live one
+    assert(v("reserve", "nB", "h1",
+      store("Reserved", "nA", resExp = 500L)) == "reserved")
+    assert(v("reserve", "nB", "h1",
+      store("Reserved", "nA", resExp = 2000L)) == "already_claimed")
+    // ...but not when the record itself expired
+    assert(v("reserve", "nB", "h1",
+      store("Reserved", "nA", recExp = 500L, resExp = 400L)) == "expired")
+    // same-node re-reserve skips the record-expiry check entirely
+    assert(v("reserve", "nA", "h1",
+      store("Reserved", "nA", recExp = 500L, resExp = 2000L)) == "reserved")
+
+    // consume on an expired record: only the mid-handshake holder escapes
+    assert(v("consume", "nA", "h1",
+      store("Reserved", "nA", recExp = 500L, resExp = 2000L)) == "consumed")
+    assert(v("consume", "nA", "h1",
+      store("Reserved", "nA", recExp = 500L, resExp = 400L)) == "expired")
+    assert(v("consume", "nA", "h1",
+      store("Finalizing", "nA", recExp = 500L)) == "consumed")
+    assert(v("consume", "nB", "h1",
+      store("Available", null, recExp = 500L)) == "expired")
+    // consume checks expiry BEFORE the hash; reserve checks hash first
+    assert(v("consume", "nB", "bad",
+      store("Available", null, recExp = 500L)) == "expired")
+    assert(v("reserve", "nB", "bad",
+      store("Available", null, recExp = 500L)) == "invalid_secret")
+    // reserve idempotence on Finalizing/Consumed by the same node
+    assert(v("reserve", "nA", "h1", store("Finalizing", "nA")) ==
+      "ok_idempotent")
+    assert(v("reserve", "nB", "h1", store("Finalizing", "nA")) ==
+      "already_claimed")
   }
 
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
