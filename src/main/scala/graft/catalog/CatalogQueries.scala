@@ -956,6 +956,40 @@ object CatalogQueries {
         reservationExpiresAt = now + 120000L).orderBy("req_id")
     },
 
+    // HeadObject resolution batch: versioned reads (hit / twisted-ulid
+    // miss / delete-marker), unversioned head walks (marker-hidden keys,
+    // missing keys), multipart part_count on resolved versions
+    "cat15_head_object" -> { (s, d) =>
+      val versions = ObjectTables.versionsStore(s, d)
+      val summaries = versions.filter(col("version_ord") % 7 === 0)
+        .select(col("version_ulid"),
+          (col("size") / 8192 + 1).cast("int").as("part_count"))
+      val vSel = versions.filter(col("version_ord") % 57 === 0)
+        .select(concat(lit("v0:"), col("bucket"), lit("/"), col("key"),
+          lit("@"), col("version_ulid")).as("req_id"),
+          col("bucket"), col("key"), col("version_ulid").as("version_id"))
+      val vMiss = versions.filter(col("version_ord") % 59 === 0)
+        .select(concat(lit("v1:"), col("bucket"), lit("/"), col("key"),
+          lit("@"), col("version_ulid")).as("req_id"),
+          col("bucket"), col("key"),
+          lpad((col("version_ord") - col("version_ord") % 10 + 9)
+            .cast("string"), 12, "0").as("version_id"))
+      val hSel = versions.filter(col("version_ord") % 51 === 0)
+        .select(concat(lit("h0:"), col("bucket"), lit("/"), col("key"))
+          .as("req_id"), col("bucket"), col("key"),
+          lit(null).cast("string").as("version_id"))
+        .distinct()
+      val hMiss = versions.filter(col("version_ord") % 101 === 0)
+        .select(concat(lit("h1:"), col("bucket"), lit("/"), col("key"))
+          .as("req_id"), col("bucket"),
+          concat(col("key"), lit(".nope")).as("key"),
+          lit(null).cast("string").as("version_id"))
+        .distinct()
+      ObjectOps.headObjects(versions,
+        vSel.unionByName(vMiss).unionByName(hSel).unionByName(hMiss),
+        summaries).orderBy("req_id")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1433,6 +1467,68 @@ object CatalogQueries {
          |FROM j
          |ORDER BY bucket, key, COALESCE(req_version, ''),
          |         COALESCE(result_version, '')""".stripMargin,
+
+    "cat15_head_object" ->
+      s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
+         |hd AS (SELECT * FROM versions
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket, key
+         |                 ORDER BY version_ord DESC, hash DESC) = 1),
+         |summ AS (
+         |  SELECT version_ulid,
+         |    CAST(size//8192 + 1 AS INT) AS part_count
+         |  FROM versions WHERE version_ord%7 = 0),
+         |req AS (
+         |  SELECT 'v0:'||bucket||'/'||key||'@'||version_ulid AS req_id,
+         |    bucket, key, version_ulid AS version_id
+         |  FROM versions WHERE version_ord%57 = 0
+         |  UNION ALL
+         |  SELECT 'v1:'||bucket||'/'||key||'@'||version_ulid, bucket, key,
+         |    lpad(CAST(version_ord - version_ord%10 + 9 AS VARCHAR), 12,
+         |      '0')
+         |  FROM versions WHERE version_ord%59 = 0
+         |  UNION ALL
+         |  SELECT DISTINCT 'h0:'||bucket||'/'||key, bucket, key, NULL
+         |  FROM versions WHERE version_ord%51 = 0
+         |  UNION ALL
+         |  SELECT DISTINCT 'h1:'||bucket||'/'||key, bucket, key||'.nope',
+         |    NULL
+         |  FROM versions WHERE version_ord%101 = 0),
+         |x AS (
+         |  SELECT r.req_id, r.version_id,
+         |    bv.is_delete_marker AS v_marker, bv.hash AS v_etag,
+         |    bv.size AS v_size,
+         |    hh.version_ulid AS h_version,
+         |    hh.is_delete_marker AS h_marker, hh.hash AS h_etag,
+         |    hh.size AS h_size
+         |  FROM req r
+         |  LEFT JOIN versions bv ON bv.bucket = r.bucket
+         |    AND bv.key = r.key AND bv.version_ulid = r.version_id
+         |  LEFT JOIN hd hh ON hh.bucket = r.bucket AND hh.key = r.key),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN version_id IS NOT NULL AND v_etag IS NULL
+         |        THEN 'no_such_version'
+         |      WHEN version_id IS NOT NULL AND v_marker
+         |        THEN 'delete_marker'
+         |      WHEN version_id IS NULL AND h_version IS NULL
+         |        THEN 'no_such_key'
+         |      WHEN version_id IS NULL AND h_marker THEN 'no_such_key'
+         |      ELSE 'ok' END AS verdict,
+         |    COALESCE(version_id, h_version) AS resolved
+         |  FROM x)
+         |SELECT v.req_id, v.verdict,
+         |  CASE WHEN v.verdict = 'ok' THEN v.resolved END
+         |    AS resolved_version,
+         |  CASE WHEN v.verdict = 'ok' THEN
+         |    CASE WHEN v.version_id IS NOT NULL THEN v.v_etag
+         |         ELSE v.h_etag END END AS etag,
+         |  CASE WHEN v.verdict = 'ok' THEN
+         |    CASE WHEN v.version_id IS NOT NULL THEN v.v_size
+         |         ELSE v.h_size END END AS size,
+         |  s.part_count
+         |FROM v LEFT JOIN summ s ON s.version_ulid = v.resolved
+         |  AND v.verdict = 'ok'
+         |ORDER BY v.req_id""".stripMargin,
 
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},

@@ -116,6 +116,66 @@ object ObjectOps {
     * last_modified_s); the source fields only accompany OK verdicts (a
     * failed copy returns no result data).
     */
+  /** HeadObject resolution batch (`head_object.rs:140-400`).
+    *
+    * Pinned ladder: a VERSIONED read misses as `no_such_version`
+    * (`head_object.rs:200-203`), resolves a delete marker as
+    * `delete_marker` (`read_version`, `:272` — the explicit-version arm);
+    * an UNVERSIONED read walks the current-version pointer — a missing
+    * head is `no_such_key`, and a delete-marker head also answers
+    * `no_such_key` (`:274` — the marker hides the key). An `ok` verdict
+    * carries the resolved version id, etag, size, and the multipart
+    * summary's part count when the resolved version has one
+    * (`ReadMultipartSummary`, `:360-375`).
+    *
+    * `requests(req_id, bucket, key, version_id)` (null = unversioned);
+    * `summaries(version_ulid, part_count)`. One (bucket, key[, version])
+    * equi-join against the versions keyspace + the per-key head window.
+    */
+  def headObjects(versions: DataFrame, requests: DataFrame,
+      summaries: DataFrame): DataFrame = {
+    val w = Window.partitionBy("bucket", "key")
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    val heads = versions
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("bucket"), col("key"),
+        col("version_ulid").as("h_version"),
+        col("is_delete_marker").as("h_marker"),
+        col("hash").as("h_etag"), col("size").as("h_size"))
+    val byV = versions.select(col("bucket"), col("key"),
+      col("version_ulid").as("version_id"),
+      col("is_delete_marker").as("v_marker"), col("hash").as("v_etag"),
+      col("size").as("v_size"))
+    val r = requests
+      .join(byV, Seq("bucket", "key", "version_id"), "left_outer")
+      .join(heads, Seq("bucket", "key"), "left_outer")
+    val explicit = col("version_id").isNotNull
+    val verdict =
+      when(explicit && col("v_etag").isNull, "no_such_version")
+        .when(explicit && col("v_marker"), "delete_marker")
+        .when(!explicit && col("h_version").isNull, "no_such_key")
+        .when(!explicit && col("h_marker"), "no_such_key")
+        .otherwise("ok")
+    val resolved = when(explicit, col("version_id"))
+      .otherwise(col("h_version"))
+    // the summary keyspace is data-plane-sized (one row per multipart
+    // object) — no broadcast hint, AQE picks the strategy
+    r.withColumn("verdict", verdict)
+      .join(summaries.select(
+          col("version_ulid").as("__rv"), col("part_count")),
+        resolved === col("__rv") && verdict === "ok", "left_outer")
+      .select(col("req_id"), col("verdict"),
+        when(verdict === "ok", resolved).as("resolved_version"),
+        when(verdict === "ok",
+          when(explicit, col("v_etag")).otherwise(col("h_etag")))
+          .as("etag"),
+        when(verdict === "ok",
+          when(explicit, col("v_size")).otherwise(col("h_size")))
+          .as("size"),
+        col("part_count"))
+  }
+
   def copyVerdicts(versions: DataFrame, requests: DataFrame): DataFrame = {
     val w = Window.partitionBy("bucket", "key")
       .orderBy(col("version_ord").desc, col("hash").desc)

@@ -1273,6 +1273,32 @@ class CatalogSpec extends SparkSpec {
       "already_claimed")
   }
 
+  test("head object: version ladder, marker-hidden heads, part count (head_object.rs:200-375)") {
+    val versions = Seq(
+      ("b", "k1", 10L, "v10", false, "e10", 100L),
+      ("b", "k1", 20L, "v20", true, "e20", 0L), // marker head hides k1
+      ("b", "k2", 30L, "v30", false, "e30", 300L),
+      ("b", "k3", 40L, "v40", true, "e40", 0L),
+      ("b", "k3", 50L, "v50", false, "e50", 500L)) // live head over marker
+      .toDF("bucket", "key", "version_ord", "version_ulid",
+        "is_delete_marker", "hash", "size")
+    val summaries = Seq(("v30", 5)).toDF("version_ulid", "part_count")
+    def run(key: String, vid: String) = ObjectOps.headObjects(versions,
+      Seq(("r", "b", key, Option(vid)))
+        .toDF("req_id", "bucket", "key", "version_id"),
+      summaries).collect().head
+    assert(run("k1", "v10").getString(1) == "ok") // versioned read under marker
+    assert(run("k1", "v99").getString(1) == "no_such_version")
+    assert(run("k1", "v20").getString(1) == "delete_marker") // explicit marker
+    assert(run("k1", null).getString(1) == "no_such_key") // marker head hides
+    assert(run("k3", null).getString(1) == "ok") // live head over old marker
+    assert(run("kX", null).getString(1) == "no_such_key")
+    val ok = run("k2", null)
+    assert(ok.getString(2) == "v30" && ok.getString(3) == "e30" &&
+      ok.getLong(4) == 300L && ok.getInt(5) == 5) // part_count joined
+    assert(run("k1", "v10").isNullAt(5)) // non-multipart -> null
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
