@@ -990,6 +990,29 @@ object CatalogQueries {
         summaries).orderBy("req_id")
     },
 
+    // Byte-range resolution batch: the bytes= grammar (start-end with end
+    // clamp, open start, suffix with saturation), invalid ranges
+    // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
+    // and missing keys
+    "rg1_range_resolve" -> { (s, d) =>
+      val versions = ObjectTables.versionsStore(s, d)
+      val sel = versions.filter(col("version_ord") % 53 === 0)
+      val raw = element_at(array(lit("bytes=2-5"), lit("bytes=0-"),
+        lit("bytes=-4"), lit("bytes=5-2"), lit("bytes=999999-"),
+        lit("bytes=10-999999"), lit("garbage"),
+        lit(null).cast("string"), lit("bytes=-0")),
+        (col("version_ord") % 9 + 1).cast("int"))
+      val reqs = sel.select(
+        concat(lit("r:"), col("bucket"), lit("/"), col("key"), lit("@"),
+          col("version_ord").cast("string")).as("req_id"),
+        col("bucket"), col("key"), raw.as("range_raw"))
+        .unionByName(sel.filter(col("version_ord") % 106 === 0).select(
+          concat(lit("m:"), col("bucket"), lit("/"), col("key")).as("req_id"),
+          col("bucket"), concat(col("key"), lit(".gone")).as("key"),
+          lit("bytes=0-1").as("range_raw")))
+      ObjectOps.resolveRanges(versions, reqs).orderBy("req_id")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1467,6 +1490,75 @@ object CatalogQueries {
          |FROM j
          |ORDER BY bucket, key, COALESCE(req_version, ''),
          |         COALESCE(result_version, '')""".stripMargin,
+
+    "rg1_range_resolve" ->
+      s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
+         |hd AS (SELECT * FROM versions
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket, key
+         |                 ORDER BY version_ord DESC, hash DESC) = 1),
+         |sel AS (SELECT * FROM versions WHERE version_ord%53 = 0),
+         |req AS (
+         |  SELECT 'r:'||bucket||'/'||key||'@'||version_ord AS req_id,
+         |    bucket, key,
+         |    CASE version_ord%9 WHEN 0 THEN 'bytes=2-5'
+         |      WHEN 1 THEN 'bytes=0-' WHEN 2 THEN 'bytes=-4'
+         |      WHEN 3 THEN 'bytes=5-2' WHEN 4 THEN 'bytes=999999-'
+         |      WHEN 5 THEN 'bytes=10-999999' WHEN 6 THEN 'garbage'
+         |      WHEN 7 THEN NULL ELSE 'bytes=-0' END AS range_raw
+         |  FROM sel
+         |  UNION ALL
+         |  SELECT 'm:'||bucket||'/'||key, bucket, key||'.gone',
+         |    'bytes=0-1'
+         |  FROM sel WHERE version_ord%106 = 0),
+         |j AS (
+         |  SELECT r.req_id, r.bucket, r.key, r.range_raw,
+         |    h.is_delete_marker AS h_marker, h.size AS len
+         |  FROM req r LEFT JOIN hd h ON h.bucket = r.bucket
+         |    AND h.key = r.key),
+         |p AS (
+         |  SELECT *,
+         |    CASE WHEN range_raw IS NULL THEN 'none'
+         |      WHEN regexp_matches(range_raw, '^bytes=[0-9]+-[0-9]+$$')
+         |        THEN 'start_end'
+         |      WHEN regexp_matches(range_raw, '^bytes=[0-9]+-$$')
+         |        THEN 'start'
+         |      WHEN regexp_matches(range_raw, '^bytes=-[0-9]+$$')
+         |        THEN 'suffix'
+         |      ELSE 'ignored' END AS form,
+         |    TRY_CAST(regexp_extract(range_raw, '^bytes=([0-9]+)-', 1)
+         |      AS BIGINT) AS a,
+         |    TRY_CAST(regexp_extract(range_raw, '^bytes=[0-9]+-([0-9]+)$$', 1)
+         |      AS BIGINT) AS b,
+         |    TRY_CAST(regexp_extract(range_raw, '^bytes=-([0-9]+)$$', 1)
+         |      AS BIGINT) AS sfx
+         |  FROM j),
+         |q AS (
+         |  SELECT *,
+         |    CASE WHEN form IN ('start_end','start') THEN a
+         |      WHEN form = 'suffix' THEN greatest(len - sfx, 0) END
+         |      AS rstart,
+         |    CASE WHEN form = 'start_end' THEN least(b, len - 1) + 1
+         |      WHEN form IN ('start','suffix') THEN len END AS rend,
+         |    (len = 0 AND form IN ('start_end','start','suffix'))
+         |      OR (form = 'start_end' AND (a > b OR a >= len))
+         |      OR (form = 'start' AND a >= len)
+         |      OR (form = 'suffix' AND sfx = 0) AS invalid
+         |  FROM p),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN len IS NULL OR h_marker THEN 'no_such_key'
+         |      WHEN invalid THEN 'invalid_range'
+         |      WHEN form IN ('start_end','start','suffix') THEN 'partial'
+         |      ELSE 'full' END AS verdict
+         |  FROM q)
+         |SELECT req_id, bucket, key, verdict,
+         |  CASE WHEN verdict = 'partial' THEN rstart END AS start,
+         |  CASE WHEN verdict = 'partial' THEN rend - 1 END AS end_incl,
+         |  CASE WHEN verdict = 'partial' THEN rend - rstart
+         |       WHEN verdict = 'full' THEN len END AS content_length,
+         |  CASE WHEN verdict = 'partial' THEN
+         |    'bytes '||rstart||'-'||(rend-1)||'/'||len END AS content_range
+         |FROM v ORDER BY req_id""".stripMargin,
 
     "cat15_head_object" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},

@@ -176,6 +176,69 @@ object ObjectOps {
         col("part_count"))
   }
 
+  /** Byte-range resolution (`ObjectRangeRequest::resolve`,
+    * `get_object.rs:85-131`) over the current object heads.
+    *
+    * Grammar (the `Range: bytes=` header forms): `bytes=a-b` (StartEnd),
+    * `bytes=a-` (Start), `bytes=-n` (Suffix). Resolution: a zero-length
+    * object rejects every range; StartEnd rejects `start > end` or
+    * `start >= len` and CLAMPS the end to `len-1`; Start rejects
+    * `start >= len`; Suffix rejects length 0 and saturates to the whole
+    * object. `content_range` is `bytes s-e/len`. Any other syntax is
+    * IGNORED (full read, no Content-Range), and requests without a range
+    * read fully. Resolution against a marker-hidden or missing key is
+    * `no_such_key` (the HeadObject walk).
+    *
+    * `requests(req_id, bucket, key, range_raw)`. */
+  def resolveRanges(versions: DataFrame, requests: DataFrame): DataFrame = {
+    val w = Window.partitionBy("bucket", "key")
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    val heads = versions
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("bucket"), col("key"),
+        col("is_delete_marker").as("h_marker"), col("size").as("len"))
+    val r = requests.join(heads, Seq("bucket", "key"), "left_outer")
+    val raw = col("range_raw")
+    val se = "^bytes=([0-9]+)-([0-9]+)$"
+    val st = "^bytes=([0-9]+)-$"
+    val sx = "^bytes=-([0-9]+)$"
+    val form = when(raw.isNull, "none")
+      .when(raw.rlike(se), "start_end")
+      .when(raw.rlike(st), "start")
+      .when(raw.rlike(sx), "suffix")
+      .otherwise("ignored")
+    val a = when(form === "start_end", regexp_extract(raw, se, 1))
+      .when(form === "start", regexp_extract(raw, st, 1)).cast("long")
+    val b = when(form === "start_end", regexp_extract(raw, se, 2))
+      .cast("long")
+    val sfx = when(form === "suffix", regexp_extract(raw, sx, 1))
+      .cast("long")
+    val start = when(form === "start_end" || form === "start", a)
+      .when(form === "suffix", greatest(col("len") - sfx, lit(0L)))
+    val endEx = when(form === "start_end",
+      least(b, col("len") - 1) + 1)
+      .when(form === "start" || form === "suffix", col("len"))
+    val invalid = (col("len") === 0 && form.isin("start_end", "start",
+      "suffix")) ||
+      (form === "start_end" && (a > b || a >= col("len"))) ||
+      (form === "start" && a >= col("len")) ||
+      (form === "suffix" && sfx === 0)
+    val ranged = form.isin("start_end", "start", "suffix") && !invalid
+    val verdict = when(col("len").isNull || col("h_marker"), "no_such_key")
+      .when(invalid, "invalid_range")
+      .when(ranged, "partial")
+      .otherwise("full")
+    r.select(col("req_id"), col("bucket"), col("key"), verdict.as("verdict"),
+      when(verdict === "partial", start).as("start"),
+      when(verdict === "partial", endEx - 1).as("end_incl"),
+      when(verdict === "partial", endEx - start)
+        .when(verdict === "full", col("len")).as("content_length"),
+      when(verdict === "partial", concat(lit("bytes "), start, lit("-"),
+        endEx - 1, lit("/"), col("len")))
+        .as("content_range"))
+  }
+
   def copyVerdicts(versions: DataFrame, requests: DataFrame): DataFrame = {
     val w = Window.partitionBy("bucket", "key")
       .orderBy(col("version_ord").desc, col("hash").desc)

@@ -1299,6 +1299,42 @@ class CatalogSpec extends SparkSpec {
     assert(run("k1", "v10").isNullAt(5)) // non-multipart -> null
   }
 
+  test("range resolve: grammar, clamps, saturation, invalids (get_object.rs:99-131)") {
+    val versions = Seq(
+      ("b", "k", 1L, "v1", false, "e", 10L), // len 10
+      ("b", "z", 2L, "v2", false, "e", 0L)) // len 0
+      .toDF("bucket", "key", "version_ord", "version_ulid",
+        "is_delete_marker", "hash", "size")
+    def run(key: String, raw: String) = ObjectOps.resolveRanges(versions,
+      Seq(("r", "b", key, Option(raw)))
+        .toDF("req_id", "bucket", "key", "range_raw")).collect().head
+    def ok(raw: String) = {
+      val r = run("k", raw)
+      assert(r.getString(3) == "partial", raw)
+      (r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))
+    }
+    // reference: StartEnd{2,5} on len 10 -> bytes 2-5/10, length 4
+    assert(ok("bytes=2-5") == (2L, 5L, 4L, "bytes 2-5/10"))
+    // end clamps to len-1
+    assert(ok("bytes=8-999") == (8L, 9L, 2L, "bytes 8-9/10"))
+    assert(ok("bytes=3-") == (3L, 9L, 7L, "bytes 3-9/10"))
+    // suffix saturates to the whole object
+    assert(ok("bytes=-4") == (6L, 9L, 4L, "bytes 6-9/10"))
+    assert(ok("bytes=-999") == (0L, 9L, 10L, "bytes 0-9/10"))
+    // unsatisfiable_range_errors
+    assert(run("k", "bytes=5-2").getString(3) == "invalid_range")
+    assert(run("k", "bytes=10-").getString(3) == "invalid_range")
+    assert(run("k", "bytes=10-12").getString(3) == "invalid_range")
+    assert(run("k", "bytes=-0").getString(3) == "invalid_range")
+    // zero-length object rejects every range, even a syntactic no-op
+    assert(run("z", "bytes=0-0").getString(3) == "invalid_range")
+    // unknown syntax is ignored -> full read; absent range -> full
+    assert(run("k", "bytes=five").getString(3) == "full")
+    val full = run("k", null)
+    assert(full.getString(3) == "full" && full.getLong(6) == 10L)
+    assert(run("nope", "bytes=0-1").getString(3) == "no_such_key")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
