@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
 object FunctionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Structured-ULID parse/validate: canonical Crockford decode (strict
+    // alphabet, 26 chars, first char 0..7), reserved-handle and
+    // bucket-range checks, fields unpacked on ok rows. The oracle replays
+    // the generating fields (encode∘decode must be the identity for the
+    // verdicts to line up); absolute encoding bytes are pinned by the
+    // spec's golden vectors.
+    "sid1_structured_ids" -> { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 43 === 7)
+      val t = lit(1700000000000L) + col("o") % 86400000
+      val h = when(col("o") % 97 === 0, 0)
+        .otherwise((col("o") % 1048574 + 1).cast("int"))
+      val b = (col("o") % 128).cast("int")
+      val n = col("o") * 2654435761L % 281474976710656L
+      val sidOk = StructuredUlid.encodeCol(t, h.cast("int"),
+        b, n.cast("long"))
+      val sid = when(col("o") % 11 === 8, substring(sidOk, 1, 25))
+        .when(col("o") % 11 === 9,
+          concat(substring(sidOk, 1, 4), lit("U"), substring(sidOk, 6, 21)))
+        .when(col("o") % 11 === 10,
+          concat(lit("9"), substring(sidOk, 2, 25)))
+        .otherwise(sidOk)
+      StructuredUlid.validate(o.select(col("o").as("req_id"),
+        sid.as("sid"), lit(64).as("bucket_count")))
+        .orderBy("req_id")
+    },
+
     // multi-digest (PutObject write path shape): md5 + sha256 per document
     "h1_multihash" -> { (s, d) =>
       Tables.documents(s, d)
@@ -122,6 +149,30 @@ object FunctionQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "sid1_structured_ids" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS req_id, o_orderkey%11 AS m,
+        |    1700000000000 + o_orderkey%86400000 AS t,
+        |    CASE WHEN o_orderkey%97 = 0 THEN 0
+        |         ELSE o_orderkey%1048574 + 1 END AS h,
+        |    o_orderkey%128 AS b,
+        |    (o_orderkey * 2654435761) % 281474976710656 AS n
+        |  FROM orders WHERE o_orderkey%43 = 7)
+        |SELECT req_id,
+        |  CASE WHEN m = 8 THEN 'invalid_length'
+        |    WHEN m = 9 THEN 'invalid_char'
+        |    WHEN m = 10 THEN 'overflow'
+        |    WHEN h = 0 THEN 'reserved_handle'
+        |    WHEN b >= 64 THEN 'bucket_out_of_range'
+        |    ELSE 'ok' END AS verdict,
+        |  CASE WHEN m < 8 AND h <> 0 AND b < 64 THEN t END
+        |    AS timestamp_ms,
+        |  CAST(CASE WHEN m < 8 AND h <> 0 AND b < 64 THEN h END AS INT)
+        |    AS handle,
+        |  CAST(CASE WHEN m < 8 AND h <> 0 AND b < 64 THEN b END AS INT)
+        |    AS bucket,
+        |  CASE WHEN m < 8 AND h <> 0 AND b < 64 THEN n END AS nonce
+        |FROM o ORDER BY req_id""".stripMargin,
     "h2_crc_family" -> crcSql,
 
     "h3_blake3_kat" -> Blake3Kat.oracleSql,

@@ -150,4 +150,38 @@ class FunctionsSpec extends AnyFunSuite {
     // oversized page rejected
     assert(Autoindex.parse("x" * (Autoindex.MaxPageBytes + 1)).isEmpty)
   }
+
+  test("structured ULID: layout pack/unpack, canonical decode rules (structured_id/layout.rs, mod.rs:128-139)") {
+    import StructuredUlid._
+    // zero packs to the all-zero canonical form
+    assert(encode(BigInt(0)) == "0" * 26)
+    // layout round-trip at the field extremes (REQ-META-ID-FORMAT-001)
+    val cases = Seq[(Long, Int, Int, Long)](
+      (0L, 1, 0, 0L),
+      (281474976710655L, 1048575, 4095, 281474976710655L), // all max
+      (1700000000000L, 7, 64, 123456789L))
+    cases.foreach { case (t, h, b, n) =>
+      val v = pack(t, h, b, n)
+      assert(unpack(v) == ((t, h, b, n)))
+      assert(decode(encode(v)) == Right(v)) // codec round-trip
+    }
+    // the max value's first char is '7': a canonical encoding never
+    // starts above 7, so '8…' and 'Z…' are overflow
+    val max = (BigInt(1) << 128) - 1
+    assert(encode(max).head == '7')
+    assert(decode("8" + encode(max).tail) == Left("overflow"))
+    // strict alphabet: I, L, O, U all rejected (no Crockford aliases)
+    Seq('I', 'L', 'O', 'U').foreach { c =>
+      assert(decode(c + "0" * 25) == Left("invalid_char"), c)
+    }
+    // case-insensitive parse
+    assert(decode(encode(pack(5L, 5, 5, 5L)).toLowerCase) ==
+      Right(pack(5L, 5, 5, 5L)))
+    assert(decode("0" * 25) == Left("invalid_length"))
+    assert(decode("0" * 27) == Left("invalid_length"))
+    // timestamp ordering is preserved by the string sort (ULID property)
+    val a = encode(pack(1000L, 9, 9, (BigInt(1) << 48).toLong - 1))
+    val bb = encode(pack(1001L, 1, 0, 0L))
+    assert(a < bb)
+  }
 }
