@@ -1013,6 +1013,32 @@ object CatalogQueries {
       ObjectOps.resolveRanges(versions, reqs).orderBy("req_id")
     },
 
+    // Composite-checksum verification: the checksum-of-checksums
+    // aggregation (ordered per-part digests -> one digest + '-N') with
+    // the declared-value grammar (last-dash split, digit suffix) and the
+    // count/digest mismatch ladder
+    "ck1_composite_checksums" -> { (s, d) =>
+      val parts = ObjectTables.parts(s, d).select(col("upload_id"),
+        col("part_number"), col("hash").as("digest_hex"))
+      val comps = Checksums.composites(parts)
+        .withColumn("uo", col("upload_id").cast("long"))
+        .filter(col("uo") % 89 === 4)
+      val decl = comps.select(col("upload_id"),
+        when(col("uo") % 6 === 0,
+          concat(col("composite"), lit("-"), col("n_parts")))
+          .when(col("uo") % 6 === 1,
+            concat(col("composite"), lit("-"), col("n_parts") + 1))
+          .when(col("uo") % 6 === 2, concat(col("composite"), lit("-")))
+          .when(col("uo") % 6 === 3, concat(col("composite"), lit("-x")))
+          .when(col("uo") % 6 === 4, col("composite"))
+          .otherwise(lit("deadbeefdeadbeefdeadbeefdeadbeef"))
+          .as("declared"))
+        .unionByName(comps.filter(col("uo") % 13 === 4).select(
+          concat(lit("zz"), col("upload_id")).as("upload_id"),
+          col("composite").as("declared")))
+      Checksums.verify(parts, decl).orderBy("upload_id", "declared")
+    },
+
     // MarkRead verdict batch: u0 names ~1/7 of its 12k-row inbox by id
     // (over the 512-id cap -> too_many_ids, nothing marked), u2 names a
     // legal ~1/97 subset, u1/c0 mark by time watermark
@@ -1490,6 +1516,48 @@ object CatalogQueries {
          |FROM j
          |ORDER BY bucket, key, COALESCE(req_version, ''),
          |         COALESCE(result_version, '')""".stripMargin,
+
+    "ck1_composite_checksums" ->
+      s"""WITH ${ObjectTables.partsCte},
+         |comps AS (
+         |  SELECT upload_id,
+         |    md5(string_agg(hash, '' ORDER BY part_number)) AS composite,
+         |    CAST(COUNT(*) AS INT) AS n_parts,
+         |    CAST(upload_id AS BIGINT) AS uo
+         |  FROM parts GROUP BY upload_id),
+         |sel AS (SELECT * FROM comps WHERE uo%89 = 4),
+         |decl AS (
+         |  SELECT upload_id,
+         |    CASE uo%6
+         |      WHEN 0 THEN composite||'-'||n_parts
+         |      WHEN 1 THEN composite||'-'||(n_parts+1)
+         |      WHEN 2 THEN composite||'-'
+         |      WHEN 3 THEN composite||'-x'
+         |      WHEN 4 THEN composite
+         |      ELSE 'deadbeefdeadbeefdeadbeefdeadbeef' END AS declared
+         |  FROM sel
+         |  UNION ALL
+         |  SELECT 'zz'||upload_id, composite FROM sel WHERE uo%13 = 4),
+         |j AS (
+         |  SELECT d.upload_id, d.declared, c.composite, c.n_parts,
+         |    CASE WHEN d.declared LIKE '%-%' THEN
+         |      regexp_extract(d.declared, '^(.*)-([^-]*)$$', 2) END
+         |      AS suffix,
+         |    CASE WHEN d.declared LIKE '%-%' THEN
+         |      regexp_extract(d.declared, '^(.*)-([^-]*)$$', 1)
+         |      ELSE d.declared END AS decl_digest
+         |  FROM decl d LEFT JOIN comps c ON c.upload_id = d.upload_id)
+         |SELECT upload_id, declared, composite, n_parts,
+         |  CASE WHEN composite IS NULL THEN 'no_such_upload'
+         |    WHEN suffix IS NOT NULL
+         |      AND NOT regexp_matches(suffix, '^[0-9]+$$')
+         |      THEN 'invalid_digest'
+         |    WHEN suffix IS NOT NULL
+         |      AND TRY_CAST(suffix AS INT) <> n_parts
+         |      THEN 'checksum_mismatch'
+         |    WHEN decl_digest <> composite THEN 'checksum_mismatch'
+         |    ELSE 'ok' END AS verdict
+         |FROM j ORDER BY upload_id, declared""".stripMargin,
 
     "rg1_range_resolve" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},

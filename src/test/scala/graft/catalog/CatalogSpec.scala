@@ -1335,6 +1335,37 @@ class CatalogSpec extends SparkSpec {
     assert(run("nope", "bytes=0-1").getString(3) == "no_such_key")
   }
 
+  test("composite checksums: raw-bytes golden vector, -N grammar (complete_multipart_upload.rs:1465-1503; checksum.rs:261-268,400-422)") {
+    // the classic two-part md5 composite ("hello" + "world" parts)
+    assert(Checksums.compositeMd5Hex(Seq(
+      "5d41402abc4b2a76b9719d911017c592",
+      "7d793037a0760186574b0282f2f435e7")) ==
+      "065947336a2f2a95ba8899f3675c3be6")
+    // single part still hashes the digest (composite != part digest)
+    assert(Checksums.compositeMd5Hex(
+      Seq("5d41402abc4b2a76b9719d911017c592")) !=
+      "5d41402abc4b2a76b9719d911017c592")
+
+    val parts = Seq(("u1", 2, "bb"), ("u1", 1, "aa"), ("u1", 10, "cc"))
+      .toDF("upload_id", "part_number", "digest_hex")
+    def v(declared: String): String = Checksums.verify(parts,
+      Seq(("u1", declared)).toDF("upload_id", "declared"))
+      .collect().head.getString(4)
+    val comp = Checksums.verify(parts,
+      Seq(("u1", "x")).toDF("upload_id", "declared"))
+      .collect().head.getString(2)
+    // numeric part order (1,2,10), not lexicographic
+    assert(v(comp + "-3") == "ok")
+    assert(v(comp) == "ok") // no count declared -> count check skipped
+    assert(v(comp + "-2") == "checksum_mismatch") // wrong count
+    assert(v(comp + "-") == "invalid_digest") // empty suffix
+    assert(v(comp + "-3x") == "invalid_digest") // non-digit suffix
+    assert(v("ffff-3") == "checksum_mismatch") // digest mismatch
+    assert(Checksums.verify(parts,
+      Seq(("uX", comp)).toDF("upload_id", "declared"))
+      .collect().head.getString(4) == "no_such_upload")
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
