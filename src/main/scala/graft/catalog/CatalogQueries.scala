@@ -990,6 +990,33 @@ object CatalogQueries {
         summaries).orderBy("req_id")
     },
 
+    // Fully-paged ListObjectVersions (list_object_versions.rs): four
+    // sections — (a) delimiter grouping with the shared max_keys budget
+    // truncating ON a common prefix (null version marker), (b) resume past
+    // that whole group via the delimiter-suffixed key marker, (c) the plain
+    // version walk with delete markers, marker-latest heads, Reference
+    // cached-metadata rows and the missing-location Materialized skip,
+    // truncating mid-key, (d) (key_marker, version_id_marker) tuple resume
+    // emitting only the marker key's older versions
+    "cat16_list_versions_paged" -> { (s, d) =>
+      val vv = ObjectTables.versionsStore(s, d)
+      val loc = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
+      def sect(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("sect", lit(tag))
+      sect("a", Listing.listObjectVersionsPaged(vv, loc, "bkt-1", "data/R/",
+          delimiter = Some("/"), maxKeys = 25))
+        .unionByName(sect("b", Listing.listObjectVersionsPaged(vv, loc,
+          "bkt-1", "data/R/", delimiter = Some("/"),
+          keyMarker = Some("data/R/f30/"), maxKeys = 25)))
+        .unionByName(sect("c", Listing.listObjectVersionsPaged(vv, loc,
+          "bkt-1", "data/R/f13/", maxKeys = 40)))
+        .unionByName(sect("d", Listing.listObjectVersionsPaged(vv, loc,
+          "bkt-1", "data/R/f13/", keyMarker = Some("data/R/f13/o184.bin"),
+          versionIdMarker = Some("000000046845"), maxKeys = 12)))
+        .orderBy(col("sect"), col("name"),
+          coalesce(col("version_ulid"), lit("")))
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -1689,6 +1716,86 @@ object CatalogQueries {
          |FROM v LEFT JOIN summ s ON s.version_ulid = v.resolved
          |  AND v.verdict = 'ok'
          |ORDER BY v.req_id""".stripMargin,
+
+    "cat16_list_versions_paged" -> {
+      // one section of the paged ListObjectVersions oracle: head window,
+      // state ladder + location join, delimiter grouping, marker resume,
+      // bounded page + last-row trailer
+      def sect(tag: String, prefix: String, delim: Boolean,
+          km: Option[String], vm: Option[String], maxK: Int): String = {
+        val L = prefix.length
+        val cp = if (delim)
+          s"CASE WHEN strpos(substr(key, ${L + 1}), '/') > 0 THEN '$prefix' || " +
+            s"substr(substr(key, ${L + 1}), 1, strpos(substr(key, ${L + 1}), '/')) END"
+        else "CAST(NULL AS VARCHAR)"
+        val marker = (km, vm) match {
+          case (Some(k), Some(v)) =>
+            s"(coalesce(cp, key) > '$k' OR (cp IS NULL AND key = '$k' AND version_ulid < '$v'))"
+          case (Some(k), None) => s"coalesce(cp, key) > '$k'"
+          case _ => "TRUE"
+        }
+        s"""${tag}v AS (
+           |  SELECT v.*, (ROW_NUMBER() OVER (PARTITION BY bucket, key
+           |           ORDER BY version_ord DESC, hash DESC)) = 1 AS is_latest,
+           |         $cp AS cp
+           |  FROM versions v WHERE bucket='bkt-1' AND key LIKE '$prefix%'),
+           |${tag}l AS (
+           |  SELECT sv.*, l.backend AS loc_backend,
+           |         NOT is_delete_marker AND version_ord%7=3 AS is_ref,
+           |         NOT is_delete_marker AND NOT version_ord%7=3 AS is_mat
+           |  FROM ${tag}v sv LEFT JOIN loc l ON sv.hash = l.blake3
+           |  WHERE (is_delete_marker OR version_ord%7=3 OR l.backend IS NOT NULL)
+           |    AND $marker),
+           |${tag}e AS (
+           |  SELECT 'CommonPrefix' AS kind, cp AS name,
+           |         CAST(NULL AS VARCHAR) AS version_ulid,
+           |         CAST(NULL AS BOOLEAN) AS is_latest,
+           |         CAST(NULL AS BIGINT) AS size,
+           |         CAST(NULL AS VARCHAR) AS backend,
+           |         CAST(NULL AS BOOLEAN) AS cached_meta,
+           |         CAST(NULL AS BIGINT) AS created_at_ms,
+           |         CAST(NULL AS BIGINT) AS ord
+           |  FROM (SELECT DISTINCT cp FROM ${tag}l WHERE cp IS NOT NULL)
+           |  UNION ALL
+           |  SELECT CASE WHEN is_delete_marker THEN 'DeleteMarker'
+           |              ELSE 'Version' END,
+           |         key, version_ulid, is_latest,
+           |         CASE WHEN NOT is_delete_marker THEN size END,
+           |         CASE WHEN is_mat THEN loc_backend END,
+           |         CASE WHEN NOT is_delete_marker THEN is_ref END,
+           |         created_at_ms, version_ord
+           |  FROM ${tag}l WHERE cp IS NULL),
+           |${tag}p AS (SELECT * FROM ${tag}e
+           |            ORDER BY name, ord DESC NULLS LAST LIMIT $maxK),
+           |${tag}n AS (SELECT COUNT(*) AS t FROM ${tag}e),
+           |${tag}k AS (SELECT name, version_ulid FROM ${tag}p
+           |            ORDER BY name DESC, ord ASC NULLS FIRST LIMIT 1),
+           |${tag}_out AS (
+           |  SELECT p.kind, p.name, p.version_ulid, p.is_latest, p.size,
+           |         p.backend, p.cached_meta, p.created_at_ms,
+           |         n.t > $maxK AS is_truncated,
+           |         CASE WHEN n.t > $maxK THEN k.name END AS next_key_marker,
+           |         CASE WHEN n.t > $maxK THEN k.version_ulid END
+           |           AS next_version_id_marker,
+           |         '$tag' AS sect
+           |  FROM ${tag}p p, ${tag}n n, ${tag}k k)""".stripMargin
+      }
+      s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
+         |${ObjectTables.blobsCte},
+         |loc AS (SELECT blake3, backend FROM blobs
+         |        WHERE NOT staging AND NOT partial),
+         |${sect("a", "data/R/", delim = true, None, None, 25)},
+         |${sect("b", "data/R/", delim = true, Some("data/R/f30/"), None, 25)},
+         |${sect("c", "data/R/f13/", delim = false, None, None, 40)},
+         |${
+        sect("d", "data/R/f13/", delim = false,
+          Some("data/R/f13/o184.bin"), Some("000000046845"), 12)
+      }
+         |SELECT * FROM (
+         |  SELECT * FROM a_out UNION ALL SELECT * FROM b_out
+         |  UNION ALL SELECT * FROM c_out UNION ALL SELECT * FROM d_out)
+         |ORDER BY sect, name, coalesce(version_ulid, '')""".stripMargin
+    },
 
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},

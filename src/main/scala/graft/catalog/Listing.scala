@@ -77,6 +77,110 @@ object Listing {
       .limit(maxKeys)
   }
 
+  /** One fully-paged ListObjectVersions page (reference
+    * `operations/src/s3/list_object_versions.rs`). Semantics pinned from the
+    * reference's head-driven walk:
+    *
+    *  - the head pointer INCLUDES delete-marker heads — unlike the V2/head
+    *    walk where a marker hides the key, ListObjectVersions emits markers
+    *    with `is_latest` (`list_object_versions.rs:452-480`);
+    *  - per key, versions order newest→oldest (`created_at` DESC with the
+    *    head-first same-millisecond tie-break, `:451-459`; the fixture's
+    *    `version_ord` is unique per key so plain DESC is exact);
+    *  - version state ladder (`:474-509`): Deleted → DeleteMarker item;
+    *    Reference → Version with cached source metadata and NO location;
+    *    Materialized → Version joined to the blob-locations keyspace, and a
+    *    materialized version whose location row is MISSING is skipped as a
+    *    data inconsistency rather than emitted partially (`:556-559`);
+    *  - delimiter grouping via [[commonPrefixOf]]; common prefixes share the
+    *    `max_keys` budget with version items (`:589-606`);
+    *  - `(key_marker, version_id_marker)` tuple resume (`:253-267`):
+    *    key-marker alone skips the whole marker key (and any group ≤ it);
+    *    with a version-id marker the marker key's OLDER versions still emit
+    *    (valid markers come from a previous page, so `ulid < marker` is the
+    *    exact "after the marker in DESC order" set); a key marker ending in
+    *    the delimiter resumes past its whole common prefix (`:247-251`);
+    *  - trailer (`:599-616`): `is_truncated`, `next_key_marker` +
+    *    `next_version_id_marker` = the LAST emitted entry (null version
+    *    marker when the page ends on a common prefix).
+    *
+    * Scale: bucket+prefix predicates push into the versions scan (the
+    * keyspace analog of the reference's prefix-bounded LSM iter); the head
+    * window is per-(bucket,key) map-side under the clustered store layout;
+    * the location join is hash-equi against the content-addressed keyspace
+    * (data-plane-sized — deliberately NO broadcast hint, AQE decides); the
+    * page is a bounded TakeOrdered + ≤max_keys trailer window, no global
+    * sort. */
+  def listObjectVersionsPaged(versions: DataFrame, locations: DataFrame,
+      bucket: String, prefix: String = "", delimiter: Option[String] = None,
+      keyMarker: Option[String] = None, versionIdMarker: Option[String] = None,
+      maxKeys: Int = DefaultMaxKeys): DataFrame = {
+    val wHead = Window.partitionBy(col("bucket"), col("key"))
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    var v = versions.filter(col("bucket") === bucket)
+    if (prefix.nonEmpty) v = v.filter(col("key").startsWith(prefix))
+    val headed = v.withColumn("is_latest", row_number().over(wHead) === 1)
+    // fixture state machine (deterministic stand-in for BlobVersionState):
+    // marker → Deleted; ord%7==3 → Reference (cached metadata); else
+    // Materialized (location row required)
+    val isRef = !col("is_delete_marker") && col("version_ord") % 7 === 3
+    val isMat = !col("is_delete_marker") && !(col("version_ord") % 7 === 3)
+    val loc = locations.select(col("blake3").as("hash"),
+      col("backend").as("__loc_backend"))
+    val located = headed.join(loc, Seq("hash"), "left")
+      .withColumn("__ref", isRef)
+      .withColumn("__mat", isMat)
+      .filter(!col("__mat") || col("__loc_backend").isNotNull)
+    val withCp = delimiter match {
+      case Some(d) => located.withColumn("cp", commonPrefixOf(col("key"), prefix, d))
+      case None    => located.withColumn("cp", lit(null).cast("string"))
+    }
+    val name = coalesce(col("cp"), col("key"))
+    val marked = (keyMarker, versionIdMarker) match {
+      case (Some(km), Some(vm)) =>
+        withCp.filter(name > km ||
+          (col("cp").isNull && col("key") === km && col("version_ulid") < vm))
+      case (Some(km), None) => withCp.filter(name > km)
+      case _ => withCp
+    }
+    val prefixes = marked.filter(col("cp").isNotNull)
+      .select(col("cp").as("name")).distinct()
+      .select(lit("CommonPrefix").as("kind"), col("name"),
+        lit(null).cast("string").as("version_ulid"),
+        lit(null).cast("boolean").as("is_latest"),
+        lit(null).cast("long").as("size"),
+        lit(null).cast("string").as("backend"),
+        lit(null).cast("boolean").as("cached_meta"),
+        lit(null).cast("long").as("created_at_ms"),
+        lit(null).cast("long").as("__ord"))
+    val items = marked.filter(col("cp").isNull)
+      .select(
+        when(col("is_delete_marker"), "DeleteMarker").otherwise("Version").as("kind"),
+        col("key").as("name"), col("version_ulid"), col("is_latest"),
+        when(!col("is_delete_marker"), col("size")).as("size"),
+        when(col("__mat"), col("__loc_backend")).as("backend"),
+        when(!col("is_delete_marker"), col("__ref")).as("cached_meta"),
+        col("created_at_ms"), col("version_ord").as("__ord"))
+    val entries = prefixes.unionByName(items)
+    val total = entries.agg(count(lit(1)).as("__n"))
+    // page + trailer: ≤ max_keys rows by construction, so the
+    // single-partition windows are bounded
+    val page = entries.orderBy(col("name"), col("__ord").desc_nulls_last)
+      .limit(maxKeys)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy(lit(0))
+      .orderBy(col("name"), col("__ord").desc_nulls_last)
+    page.crossJoin(broadcast(total))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("is_truncated", col("__n") > maxKeys)
+      .withColumn("next_key_marker", when(col("is_truncated"),
+        max(when(col("__rn") === maxKeys, col("name"))).over(wAll)))
+      .withColumn("next_version_id_marker", when(col("is_truncated"),
+        max(when(col("__rn") === maxKeys, col("version_ulid"))).over(wAll)))
+      .drop("__n", "__rn", "__ord")
+  }
+
   /** Case-insensitive bucket substring search, excluding `ws-` workspaces. */
   def searchBuckets(buckets: DataFrame, q: String): DataFrame =
     buckets

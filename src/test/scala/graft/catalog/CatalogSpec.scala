@@ -49,6 +49,60 @@ class CatalogSpec extends SparkSpec {
     assert(v == Seq(Seq("DeleteMarker", "060", true), Seq("Version", "050", false)))
   }
 
+  test("paged ListObjectVersions: marker-latest emitted, location skip, " +
+    "tuple resume, shared budget trailer (list_object_versions.rs)") {
+    // ord%7==3 → Reference (no location needed); others Materialized
+    val vers = Seq(
+      // multi-version key: 22 newer (head, materialized), 11 older (ord%7!=3)
+      ("b1", "a/m.bin", 22L, "022", false, "h1", 10L),
+      ("b1", "a/m.bin", 11L, "011", false, "h1", 10L),
+      // marker-latest key: ListObjectVersions EMITS it with is_latest
+      ("b1", "a/del.bin", 40L, "040", true, "h1", 10L),
+      ("b1", "a/del.bin", 30L, "030", false, "h1", 10L),
+      // materialized with MISSING location → skipped entirely
+      ("b1", "a/skip.bin", 50L, "050", false, "hmiss", 10L),
+      // Reference state (ord%7==3): survives despite missing location
+      ("b1", "a/ref.bin", 59L, "059", false, "hmiss", 10L),
+      // grouped under g/
+      ("b1", "a/g/1.bin", 60L, "060", false, "h1", 10L)
+    ).toDF("bucket", "key", "version_ord", "version_ulid", "is_delete_marker",
+      "hash", "size")
+      .withColumn("created_at_ms", col("version_ord"))
+    val locs = Seq(("h1", "fs")).toDF("blake3", "backend")
+
+    val all = Listing.listObjectVersionsPaged(vers, locs, "b1", "a/",
+      delimiter = Some("/"), maxKeys = 10)
+      .select("kind", "name", "version_ulid", "is_latest", "backend",
+        "cached_meta").collect().map(_.toSeq).toSeq
+    assert(all == Seq(
+      Seq("DeleteMarker", "a/del.bin", "040", true, null, null),
+      Seq("Version", "a/del.bin", "030", false, "fs", false),
+      Seq("CommonPrefix", "a/g/", null, null, null, null),
+      Seq("Version", "a/m.bin", "022", true, "fs", false),
+      Seq("Version", "a/m.bin", "011", false, "fs", false),
+      // a/ref.bin survives with cached metadata and NO backend;
+      // a/skip.bin is absent (materialized, no location row)
+      Seq("Version", "a/ref.bin", "059", true, null, true)))
+
+    // budget truncation ending mid-key → (key, version) tuple markers
+    val page = Listing.listObjectVersionsPaged(vers, locs, "b1", "a/",
+      delimiter = Some("/"), maxKeys = 4).collect()
+    assert(page.length == 4 && page.forall(_.getAs[Boolean]("is_truncated")))
+    assert(page.head.getAs[String]("next_key_marker") == "a/m.bin" &&
+      page.head.getAs[String]("next_version_id_marker") == "022")
+    // tuple resume emits only the marker key's OLDER versions, then the rest
+    val resumed = Listing.listObjectVersionsPaged(vers, locs, "b1", "a/",
+      delimiter = Some("/"), keyMarker = Some("a/m.bin"),
+      versionIdMarker = Some("022"), maxKeys = 10)
+      .select("name", "version_ulid").collect().map(_.toSeq).toSeq
+    assert(resumed == Seq(Seq("a/m.bin", "011"), Seq("a/ref.bin", "059")))
+    // delimiter-suffixed key marker skips the whole group
+    val pastGroup = Listing.listObjectVersionsPaged(vers, locs, "b1", "a/",
+      delimiter = Some("/"), keyMarker = Some("a/g/"), maxKeys = 10)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(pastGroup == Seq("a/m.bin", "a/m.bin", "a/ref.bin"))
+  }
+
   test("bucket search: case-insensitive, ws- excluded (search_buckets.rs:88,144)") {
     val b = Seq("Prod-Data", "ws-scratch", "archive").toDF("bucket")
     assert(Listing.searchBuckets(b, "A").collect().map(_.getString(0)).toSeq
