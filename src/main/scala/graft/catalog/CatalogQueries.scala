@@ -1017,6 +1017,62 @@ object CatalogQueries {
           coalesce(col("version_ulid"), lit("")))
     },
 
+    // Batch user resolution (resolve_users.rs): duplicate request ids
+    // collapse, unknown ids and foreign-realm users drop silently, and only
+    // the safe-attribute allowlist is projected — the stored email column
+    // must never appear in resolve output
+    "ru1_resolve_users" -> { (s, d) =>
+      val reqs = graft.Tables.orders(s, d).filter(col("o_orderkey") % 13 === 0)
+        .select(when(col("o_orderkey") % 11 === 0,
+          lpad((col("o_custkey") + 9000000).cast("string"), 12, "0"))
+          .otherwise(lpad(col("o_custkey").cast("string"), 12, "0"))
+          .as("user_id"))
+      Directory.resolveUsers(Directory.users(s, d), reqs, "realm-0")
+        .orderBy("user_id")
+    },
+
+    // User-attribute validation ladder (user_update_validation.rs): per-user
+    // first-failing-key verdict over planted charset / length / control-char
+    // / count-cap violations
+    "uv1_attr_validation" -> { (s, d) =>
+      Directory.validateAttrs(Directory.attrs(s, d)).orderBy("user_id")
+    },
+
+    // Paged realm-scoped user listing (list_users.rs): limit+1 probe
+    // deciding is_truncated, cursor = last user id, strictly-after resume,
+    // and the limit clamp to >= 1
+    "lu1_list_users" -> { (s, d) =>
+      val u = Directory.users(s, d)
+      Directory.listUsers(u, "realm-1", 15).withColumn("sect", lit("a"))
+        .unionByName(Directory.listUsers(u, "realm-1", 15,
+          startAfter = Some("000000000100")).withColumn("sect", lit("b")))
+        .unionByName(Directory.listUsers(u, "realm-1", 0)
+          .withColumn("sect", lit("c")))
+        .orderBy("sect", "user_id")
+    },
+
+    // Offset-paged group listing (list_groups.rs): scan limit =
+    // offset+limit, skip/take in group-id order, limit-0 empty page,
+    // beyond-end empty page
+    "lg1_list_groups" -> { (s, d) =>
+      val g = Directory.groups(s, d)
+      Directory.listGroups(g, 12, 0).withColumn("sect", lit("a"))
+        .unionByName(Directory.listGroups(g, 15, 20).withColumn("sect", lit("b")))
+        .unionByName(Directory.listGroups(g, 10, 1000000)
+          .withColumn("sect", lit("c")))
+        .unionByName(Directory.listGroups(g, 0, 5).withColumn("sect", lit("d")))
+        .orderBy("sect", "group_id")
+    },
+
+    // Metadata-document listing (list_metadata_documents.rs): the group's
+    // registry rows anti-joined against DELETED lifecycle records — live
+    // Created lifecycle rows must not suppress anything
+    "lm1_list_documents" -> { (s, d) =>
+      Directory.listDocuments(graft.sparql.RdfTables.registry(s, d),
+        Directory.lifecycle(s, d), "grp-7")
+        .orderBy("document_id")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -1797,6 +1853,84 @@ object CatalogQueries {
          |ORDER BY sect, name, coalesce(version_ulid, '')""".stripMargin
     },
 
+    "ru1_resolve_users" ->
+      s"""WITH ${Directory.usersCte},
+         |req AS (
+         |  SELECT DISTINCT CASE WHEN o_orderkey%11=0
+         |      THEN lpad(CAST(o_custkey+9000000 AS VARCHAR), 12, '0')
+         |      ELSE lpad(CAST(o_custkey AS VARCHAR), 12, '0') END AS user_id
+         |  FROM orders WHERE o_orderkey%13=0)
+         |SELECT u.user_id, u.name, u.orcid, u.affiliation, u.department
+         |FROM users u JOIN req r USING (user_id)
+         |WHERE u.realm='realm-0' ORDER BY u.user_id""".stripMargin,
+
+    "uv1_attr_validation" ->
+      s"""WITH ${Directory.attrsCte},
+         |v AS (
+         |  SELECT user_id, key,
+         |    CASE WHEN NOT (length(key) BETWEEN 1 AND 128
+         |                   AND regexp_full_match(key, '[A-Za-z0-9._:-]+'))
+         |           THEN 'invalid_key:'||key
+         |         WHEN strlen(value) > 4096
+         |              OR regexp_matches(value, '[\\x00-\\x1f\\x7f]')
+         |           THEN 'invalid_value:'||key END AS err
+         |  FROM attrs)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_attrs,
+         |  coalesce(min_by(err, key) FILTER (WHERE err IS NOT NULL),
+         |           CASE WHEN COUNT(*) > 128 THEN 'too_many_attributes' END,
+         |           'ok') AS verdict
+         |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "lu1_list_users" -> {
+      def sect(tag: String, cursor: Option[String], limit: Int): String = {
+        val cond = "realm='realm-1'" +
+          cursor.map(c => s" AND user_id > '$c'").getOrElse("")
+        s"""${tag}p AS (SELECT user_id, name FROM users WHERE $cond
+           |            ORDER BY user_id LIMIT $limit),
+           |${tag}n AS (SELECT COUNT(*) AS t FROM users WHERE $cond),
+           |${tag}_out AS (
+           |  SELECT p.user_id, p.name, n.t > $limit AS is_truncated,
+           |    CASE WHEN n.t > $limit
+           |         THEN (SELECT MAX(user_id) FROM ${tag}p) END
+           |      AS next_start_after,
+           |    '$tag' AS sect
+           |  FROM ${tag}p p, ${tag}n n)""".stripMargin
+      }
+      s"""WITH ${Directory.usersCte},
+         |${sect("a", None, 15)},
+         |${sect("b", Some("000000000100"), 15)},
+         |${sect("c", None, 1)}
+         |SELECT * FROM (
+         |  SELECT * FROM a_out UNION ALL SELECT * FROM b_out
+         |  UNION ALL SELECT * FROM c_out)
+         |ORDER BY sect, user_id""".stripMargin
+    },
+
+    "lg1_list_groups" -> {
+      def sect(tag: String, limit: Int, offset: Int): String =
+        s"""${tag}_out AS (
+           |  SELECT group_id, name, realm, '$tag' AS sect FROM groups
+           |  ORDER BY group_id LIMIT $limit OFFSET $offset)""".stripMargin
+      s"""WITH ${Directory.groupsCte},
+         |${sect("a", 12, 0)},
+         |${sect("b", 15, 20)},
+         |${sect("c", 10, 1000000)},
+         |${sect("d", 0, 5)}
+         |SELECT * FROM (
+         |  SELECT * FROM a_out UNION ALL SELECT * FROM b_out
+         |  UNION ALL SELECT * FROM c_out UNION ALL SELECT * FROM d_out)
+         |ORDER BY sect, group_id""".stripMargin
+    },
+
+    "lm1_list_documents" ->
+      s"""WITH ${graft.sparql.RdfTables.registryCte}, ${Directory.lifecycleCte}
+         |SELECT document_id, graph_iri, document_path, public
+         |FROM registry r
+         |WHERE group_id='grp-7'
+         |  AND NOT EXISTS (SELECT 1 FROM lifecycle l
+         |                  WHERE l.status='Deleted'
+         |                    AND l.graph_iri = r.graph_iri)
+         |ORDER BY document_id""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions
