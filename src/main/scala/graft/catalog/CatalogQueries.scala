@@ -1073,6 +1073,72 @@ object CatalogQueries {
         .orderBy("document_id")
     },
 
+    // GetObjectAttributes batch (get_object_attributes.rs): headObjects'
+    // resolution ladder, then Materialized-missing-location => FAILED (not
+    // the listing's skip), Reference cached metadata, checksum_type from the
+    // multipart summary (FullObject default), include_parts part fold
+    "goa1_object_attributes" -> { (s, d) =>
+      val vv = ObjectTables.versionsStore(s, d)
+      val loc = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
+      val mp = vv.filter(col("version_ord") % 7 === 0)
+      val summaries = mp.select(col("version_ulid"),
+        when(col("version_ord") % 14 === 0, "Composite")
+          .otherwise("FullObject").as("checksum_type"))
+      val pc = (col("size") / 8192 + 1).cast("int")
+      val parts = mp
+        .select(col("version_ulid"), col("size"), pc.as("pc"),
+          explode(sequence(lit(1), pc)).as("part_number"))
+        .select(col("version_ulid"), col("part_number"),
+          when(col("part_number") < col("pc"), 8192L)
+            .otherwise(col("size") - lit(8192L) * (col("pc") - 1))
+            .as("part_size"))
+      val nullV = lit(null).cast("string")
+      val e0 = vv.filter(col("version_ord") % 57 === 0).select(
+        concat(lit("e0:"), col("bucket"), lit("/"), col("key"), lit("@"),
+          col("version_ulid")).as("req_id"),
+        col("bucket"), col("key"), col("version_ulid").as("version_id"),
+        (col("version_ord") % 2 === 0).as("include_parts"))
+      val e1 = vv.filter(col("version_ord") % 59 === 0).select(
+        concat(lit("e1:"), col("bucket"), lit("/"), col("key"), lit("@"),
+          col("version_ulid")).as("req_id"),
+        col("bucket"), col("key"),
+        lpad((col("version_ord") - col("version_ord") % 10 + 9)
+          .cast("string"), 12, "0").as("version_id"),
+        lit(true).as("include_parts"))
+      val h0 = vv.filter(col("version_ord") % 51 === 0).select(
+        concat(lit("h0:"), col("bucket"), lit("/"), col("key")).as("req_id"),
+        col("bucket"), col("key"), nullV.as("version_id"),
+        lit(true).as("include_parts")).distinct()
+      val h1 = vv.filter(col("version_ord") % 101 === 0).select(
+        concat(lit("h1:"), col("bucket"), lit("/"), col("key")).as("req_id"),
+        col("bucket"), concat(col("key"), lit(".nope")).as("key"),
+        nullV.as("version_id"), lit(false).as("include_parts")).distinct()
+      ObjectOps.getObjectAttributes(vv, loc, summaries, parts,
+        e0.unionByName(e1).unionByName(h0).unionByName(h1))
+        .orderBy("req_id")
+    },
+
+    // Blob-holder resolution (blob_holders.rs): one publish per distinct
+    // hash over the locations keyspace (backend copies dedup), holder lists
+    // realm-filtered, self-excluded, TTL-expired-invisible, byte-sorted
+    "bh1_blob_holders" -> { (s, d) =>
+      val blobs = ObjectTables.blobs(s, d)
+      val locations = blobs.select(col("blake3"))
+        .unionByName(blobs.filter(
+          substring(col("blake3"), 1, 1).isin("0", "1", "2", "3"))
+          .select(col("blake3")))
+      val dht = graft.Tables.orders(s, d).select(
+        md5((col("o_custkey") % 100).cast("string")).as("blake3"),
+        concat(lit("n"), lpad((col("o_orderkey") % 17).cast("string"), 2, "0"))
+          .as("node_id"),
+        concat(lit("realm-"), (col("o_orderkey") % 2).cast("string")).as("realm"),
+        (lit(1700000000000L) +
+          when(col("o_orderkey") % 5 === 0, -1000L).otherwise(90000L))
+          .as("expires_at_ms"))
+      Holders.blobHolders(locations, dht, "realm-0", "n05",
+        nowMs = 1700000000000L).orderBy("blake3")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -1931,6 +1997,118 @@ object CatalogQueries {
          |                  WHERE l.status='Deleted'
          |                    AND l.graph_iri = r.graph_iri)
          |ORDER BY document_id""".stripMargin,
+    "goa1_object_attributes" ->
+      s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
+         |${ObjectTables.blobsCte},
+         |loc AS (SELECT blake3, backend FROM blobs
+         |        WHERE NOT staging AND NOT partial),
+         |hd AS (SELECT * FROM versions
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket, key
+         |                 ORDER BY version_ord DESC, hash DESC) = 1),
+         |summ AS (SELECT version_ulid,
+         |           CASE WHEN version_ord%14=0 THEN 'Composite'
+         |                ELSE 'FullObject' END AS checksum_type
+         |         FROM versions WHERE version_ord%7=0),
+         |pts AS (SELECT version_ulid, CAST(COUNT(*) AS BIGINT) AS np,
+         |          CAST(SUM(CASE WHEN pn < size//8192+1 THEN 8192
+         |                   ELSE size - 8192*(size//8192) END) AS BIGINT) AS pb
+         |        FROM versions, range(1, 20) t(pn)
+         |        WHERE version_ord%7=0 AND pn <= size//8192 + 1 GROUP BY 1),
+         |req AS (
+         |  SELECT 'e0:'||bucket||'/'||key||'@'||version_ulid AS req_id,
+         |    bucket, key, version_ulid AS version_id,
+         |    version_ord%2=0 AS include_parts
+         |  FROM versions WHERE version_ord%57=0
+         |  UNION ALL
+         |  SELECT 'e1:'||bucket||'/'||key||'@'||version_ulid, bucket, key,
+         |    lpad(CAST(version_ord - version_ord%10 + 9 AS VARCHAR), 12, '0'),
+         |    TRUE
+         |  FROM versions WHERE version_ord%59=0
+         |  UNION ALL
+         |  SELECT DISTINCT 'h0:'||bucket||'/'||key, bucket, key, NULL, TRUE
+         |  FROM versions WHERE version_ord%51=0
+         |  UNION ALL
+         |  SELECT DISTINCT 'h1:'||bucket||'/'||key, bucket, key||'.nope',
+         |    NULL, FALSE
+         |  FROM versions WHERE version_ord%101=0),
+         |x AS (
+         |  SELECT r.req_id, r.version_id, r.include_parts,
+         |    bv.is_delete_marker AS v_marker, bv.hash AS v_hash,
+         |    bv.version_ord AS v_ord, bv.created_at_ms AS v_cat,
+         |    hh.version_ulid AS h_version, hh.is_delete_marker AS h_marker,
+         |    hh.hash AS h_hash, hh.version_ord AS h_ord,
+         |    hh.created_at_ms AS h_cat
+         |  FROM req r
+         |  LEFT JOIN versions bv ON bv.bucket = r.bucket AND bv.key = r.key
+         |    AND bv.version_ulid = r.version_id
+         |  LEFT JOIN hd hh ON hh.bucket = r.bucket AND hh.key = r.key),
+         |y AS (
+         |  SELECT *,
+         |    CASE WHEN version_id IS NOT NULL THEN v_hash ELSE h_hash END AS s_hash,
+         |    CASE WHEN version_id IS NOT NULL THEN v_ord ELSE h_ord END AS s_ord,
+         |    CASE WHEN version_id IS NOT NULL THEN v_cat ELSE h_cat END AS s_cat,
+         |    CASE WHEN version_id IS NOT NULL THEN version_id
+         |         ELSE h_version END AS rv,
+         |    CASE WHEN version_id IS NOT NULL AND v_hash IS NULL
+         |           THEN 'no_such_version'
+         |         WHEN version_id IS NOT NULL AND v_marker THEN 'delete_marker'
+         |         WHEN version_id IS NULL AND h_version IS NULL
+         |           THEN 'no_such_key'
+         |         WHEN version_id IS NULL AND h_marker THEN 'no_such_key'
+         |    END AS resolve
+         |  FROM x),
+         |z AS (
+         |  SELECT y.*, l.backend AS loc_backend, s.checksum_type AS sct,
+         |    p.np, p.pb, y.s_ord%7=3 AS is_ref
+         |  FROM y
+         |  LEFT JOIN loc l ON y.s_hash = l.blake3 AND y.resolve IS NULL
+         |  LEFT JOIN summ s ON y.rv = s.version_ulid AND y.resolve IS NULL
+         |  LEFT JOIN pts p ON y.rv = p.version_ulid AND y.resolve IS NULL
+         |    AND y.include_parts),
+         |f AS (
+         |  SELECT *, coalesce(resolve,
+         |    CASE WHEN NOT is_ref AND loc_backend IS NULL THEN 'failed' END,
+         |    'ok') AS verdict
+         |  FROM z)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='ok' THEN rv END AS resolved_version,
+         |  CASE WHEN verdict='ok' AND NOT is_ref THEN loc_backend END AS backend,
+         |  CASE WHEN verdict='ok' THEN is_ref END AS cached_meta,
+         |  CASE WHEN verdict='ok' THEN s_cat END AS created_at_ms,
+         |  CASE WHEN verdict='ok' THEN coalesce(sct, 'FullObject') END
+         |    AS checksum_type,
+         |  CASE WHEN verdict='ok' AND include_parts AND sct IS NOT NULL
+         |       THEN coalesce(np, 0) END AS n_parts,
+         |  CASE WHEN verdict='ok' AND include_parts AND sct IS NOT NULL
+         |       THEN pb END AS parts_bytes
+         |FROM f ORDER BY req_id""".stripMargin,
+
+    "bh1_blob_holders" ->
+      s"""WITH ${ObjectTables.blobsCte},
+         |locations AS (
+         |  SELECT blake3 FROM blobs
+         |  UNION ALL
+         |  SELECT blake3 FROM blobs
+         |  WHERE substr(blake3, 1, 1) IN ('0', '1', '2', '3')),
+         |pub AS (SELECT blake3, CAST(COUNT(*) AS BIGINT) AS n_copies
+         |        FROM locations GROUP BY 1),
+         |dht AS (SELECT md5(CAST(o_custkey%100 AS VARCHAR)) AS blake3,
+         |          'n'||lpad(CAST(o_orderkey%17 AS VARCHAR), 2, '0') AS node_id,
+         |          'realm-'||(o_orderkey%2) AS realm,
+         |          1700000000000 + CASE WHEN o_orderkey%5=0 THEN -1000
+         |                               ELSE 90000 END AS expires_at_ms
+         |        FROM orders),
+         |live AS (SELECT blake3,
+         |           array_to_string(list(DISTINCT node_id ORDER BY node_id),
+         |             ',') AS holders,
+         |           CAST(COUNT(DISTINCT node_id) AS BIGINT) AS n_holders
+         |         FROM dht
+         |         WHERE realm='realm-0' AND node_id <> 'n05'
+         |           AND expires_at_ms > 1700000000000
+         |         GROUP BY 1)
+         |SELECT p.blake3, p.n_copies, coalesce(l.holders, '') AS holders,
+         |       coalesce(l.n_holders, 0) AS n_holders
+         |FROM pub p LEFT JOIN live l USING (blake3) ORDER BY p.blake3""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions

@@ -176,6 +176,77 @@ object ObjectOps {
         col("part_count"))
   }
 
+  /** GetObjectAttributes batch (`get_object_attributes.rs`). Resolution
+    * follows [[headObjects]] (explicit-version vs head walk, NoSuchVersion /
+    * DeleteMarker / NoSuchKey ladder, `get_object_attributes.rs:162-242`);
+    * then the version-state ladder: Materialized REQUIRES its location row —
+    * a missing location is a `failed` lookup here
+    * (`get_object_attributes.rs:365-369`), NOT the silent skip the version
+    * LISTING applies; Reference carries cached source metadata and no
+    * location. The multipart summary of the resolved version decides
+    * `checksum_type` (FullObject default, `:375-379`); `include_parts` folds
+    * the per-version part rows to (n_parts, parts_bytes), part-number order
+    * (`:350-361`).
+    *
+    * Scale: one (bucket,key[,version]) equi-join for resolution, hash-equi
+    * location join, version-equi summary/parts joins — all data-plane-sized
+    * relations, no broadcast hints; the parts fold is pre-aggregated
+    * map-side before its join. */
+  def getObjectAttributes(versions: DataFrame, locations: DataFrame,
+      summaries: DataFrame, parts: DataFrame, requests: DataFrame): DataFrame = {
+    val w = Window.partitionBy("bucket", "key")
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    val vCols = Seq("version_ulid", "is_delete_marker", "hash", "size",
+      "version_ord", "created_at_ms")
+    val heads = versions
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("bucket") +: col("key") +:
+        vCols.map(c => col(c).as(s"h_$c")): _*)
+    val byV = versions.select(col("bucket") +: col("key") +:
+      col("version_ulid").as("version_id") +:
+      vCols.map(c => col(c).as(s"v_$c")): _*)
+    val r = requests
+      .join(byV, Seq("bucket", "key", "version_id"), "left_outer")
+      .join(heads, Seq("bucket", "key"), "left_outer")
+    val explicit = col("version_id").isNotNull
+    def sel(c: String) = when(explicit, col(s"v_$c")).otherwise(col(s"h_$c"))
+    val resolve =
+      when(explicit && col("v_hash").isNull, "no_such_version")
+        .when(explicit && col("v_is_delete_marker"), "delete_marker")
+        .when(!explicit && col("h_version_ulid").isNull, "no_such_key")
+        .when(!explicit && col("h_is_delete_marker"), "no_such_key")
+    val isRef = sel("version_ord") % 7 === 3
+    val resolvedV = when(explicit, col("version_id"))
+      .otherwise(col("h_version_ulid"))
+    val loc = locations.select(col("blake3").as("__lh"),
+      col("backend").as("__loc_backend"))
+    val partsAgg = parts.groupBy(col("version_ulid").as("__pv"))
+      .agg(count(lit(1)).as("__np"), sum(col("part_size")).as("__pb"))
+    val joined = r
+      .withColumn("__resolve", resolve)
+      .join(loc, sel("hash") === col("__lh") && resolve.isNull, "left_outer")
+      .join(summaries.select(col("version_ulid").as("__sv"),
+          col("checksum_type").as("__sct")),
+        resolvedV === col("__sv") && resolve.isNull, "left_outer")
+      .join(partsAgg, resolvedV === col("__pv") && resolve.isNull &&
+        col("include_parts"), "left_outer")
+    val verdict = coalesce(col("__resolve"),
+      when(!isRef && col("__loc_backend").isNull, "failed"),
+      lit("ok"))
+    val ok = verdict === "ok"
+    joined.select(col("req_id"), verdict.as("verdict"),
+      when(ok, resolvedV).as("resolved_version"),
+      when(ok && !isRef, col("__loc_backend")).as("backend"),
+      when(ok, isRef).as("cached_meta"),
+      when(ok, sel("created_at_ms")).as("created_at_ms"),
+      when(ok, coalesce(col("__sct"), lit("FullObject"))).as("checksum_type"),
+      when(ok && col("include_parts") && col("__sv").isNotNull,
+        coalesce(col("__np"), lit(0L))).as("n_parts"),
+      when(ok && col("include_parts") && col("__sv").isNotNull,
+        col("__pb")).as("parts_bytes"))
+  }
+
   /** Byte-range resolution (`ObjectRangeRequest::resolve`,
     * `get_object.rs:85-131`) over the current object heads.
     *
