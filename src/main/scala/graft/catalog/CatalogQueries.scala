@@ -1139,6 +1139,46 @@ object CatalogQueries {
         nowMs = 1700000000000L).orderBy("blake3")
     },
 
+    // Document-sync outbox drain plan (document_sync_outbox.rs +
+    // task_incoming.rs:577-860): FIFO key order with the admin
+    // origin-sequence arm, per-topic held/exists verdict ladder
+    // (undeliverable / deferred incl. unknown-config topic / publish),
+    // 300s stuck telemetry, live-holder peer re-resolution and sorted-peer
+    // publish groups with 512-record FIFO sub-batches
+    "dso1_outbox_drain" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d)
+      val t = col("o_custkey") % 23
+      val ob = o.select(
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("outbox_id"),
+        element_at(array(lit("admin"), lit("delete"), lit("upsert")),
+          (col("o_orderkey") % 3 + 1).cast("int")).as("kind"),
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit("node-"), (col("o_custkey") % 5).cast("string")))
+          .as("origin_node"),
+        when(col("o_orderkey") % 3 === 0, (col("o_orderkey") % 100))
+          .cast("long").as("origin_seq"),
+        concat(lit("doc:"), (col("o_custkey") % 200).cast("string")).as("target"),
+        concat(lit("topic-"), lpad(t.cast("string"), 2, "0")).as("topic"),
+        (col("o_orderkey") % 5 =!= 4).as("uses_shard"),
+        when(col("o_orderkey") % 13 === 0, "")
+          .otherwise(concat_ws(",", sort_array(array_distinct(array(
+            concat(lit("p"), (col("o_custkey") % 7).cast("string")),
+            concat(lit("p"), (col("o_custkey") % 3).cast("string")))))))
+          .as("peers"),
+        when(t % 4 === 0,
+          concat(lit("h"), (t % 5).cast("string"), lit(",h9")))
+          .otherwise(lit("")).as("live_holders"),
+        (lit(1700000000000L) + (col("o_orderkey") % 7) * 60000).as("enq_ms"))
+      // topic 22 deliberately ABSENT: unknown config row defers, never
+      // declares undeliverable
+      val ts = s.range(0, 22).select(
+        concat(lit("topic-"), lpad(col("id").cast("string"), 2, "0")).as("topic"),
+        (col("id") % 5 =!= 0).as("held"),
+        (col("id") % 5 > 1).as("exists"))
+      SyncOutbox.drainPlan(ob, ts, nowMs = 1700000400000L)
+        .orderBy("outbox_id", "target")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -2109,6 +2149,49 @@ object CatalogQueries {
          |SELECT p.blake3, p.n_copies, coalesce(l.holders, '') AS holders,
          |       coalesce(l.n_holders, 0) AS n_holders
          |FROM pub p LEFT JOIN live l USING (blake3) ORDER BY p.blake3""".stripMargin,
+    "dso1_outbox_drain" ->
+      """WITH ob AS (
+        |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS outbox_id,
+        |    CASE o_orderkey%3 WHEN 0 THEN 'admin' WHEN 1 THEN 'delete'
+        |         ELSE 'upsert' END AS kind,
+        |    CASE WHEN o_orderkey%3=0 THEN 'node-'||(o_custkey%5) END
+        |      AS origin_node,
+        |    CASE WHEN o_orderkey%3=0 THEN CAST(o_orderkey%100 AS BIGINT) END
+        |      AS origin_seq,
+        |    'doc:'||(o_custkey%200) AS target,
+        |    'topic-'||lpad(CAST(o_custkey%23 AS VARCHAR), 2, '0') AS topic,
+        |    o_orderkey%5<>4 AS uses_shard,
+        |    CASE WHEN o_orderkey%13=0 THEN ''
+        |         ELSE array_to_string(list_sort(list_distinct(
+        |           ['p'||(o_custkey%7), 'p'||(o_custkey%3)])), ',') END AS peers,
+        |    CASE WHEN (o_custkey%23)%4=0
+        |         THEN 'h'||((o_custkey%23)%5)||',h9' ELSE '' END AS live_holders,
+        |    1700000000000 + (o_orderkey%7)*60000 AS enq_ms
+        |  FROM orders),
+        |ts AS (SELECT 'topic-'||lpad(CAST(r AS VARCHAR), 2, '0') AS topic,
+        |              r%5<>0 AS held, r%5>1 AS topic_exists
+        |       FROM range(0, 22) t(r)),
+        |v AS (
+        |  SELECT ob.*, ts.held, ts.topic_exists,
+        |    CASE WHEN NOT uses_shard THEN 'publish'
+        |         WHEN held IS NOT NULL AND NOT held THEN 'undeliverable'
+        |         WHEN topic_exists IS NULL OR NOT topic_exists THEN 'deferred'
+        |         ELSE 'publish' END AS verdict,
+        |    greatest(0, 1700000400000 - enq_ms) AS age,
+        |    CASE WHEN uses_shard AND peers <> '' AND live_holders <> ''
+        |         THEN live_holders ELSE peers END AS rp
+        |  FROM ob LEFT JOIN ts USING (topic)),
+        |f AS (
+        |  SELECT *, verdict='deferred' AND age >= 300000 AS stuck,
+        |    CASE WHEN verdict='publish' THEN rp END AS group_key
+        |  FROM v)
+        |SELECT outbox_id, kind, target, topic, verdict, stuck, group_key,
+        |  CASE WHEN group_key IS NOT NULL THEN
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY group_key
+        |      ORDER BY kind, coalesce(origin_node, ''),
+        |               coalesce(origin_seq, 0), outbox_id, target) - 1) // 512
+        |      AS BIGINT) END AS subbatch
+        |FROM f ORDER BY outbox_id, target""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions
