@@ -14,6 +14,34 @@ object CatalogQueries {
 
   private val ConformsTo = RdfTables.ConformsTo
 
+  /** Replication-queue insert log fixture (rq1/rq2): ~57 re-enqueues per
+    * identity so the preferred-record fold has real work. */
+  private def replInserts(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d).select(
+      concat(lit("m"), (col("o_orderkey") % 3).cast("string"),
+        lit(":bkt-"), (col("o_custkey") % 4).cast("string"),
+        lit(":t"), (col("o_custkey") % 11).cast("string"),
+        lit(":"), (col("o_orderkey") % 2).cast("string")).as("ident"),
+      (col("o_orderkey") % 5).cast("long").as("attempts"),
+      (lit(1700000000000L) +
+        (((col("o_custkey") % 4) * 3 + (col("o_custkey") % 11) * 5 +
+          col("o_orderkey") % 3 + (col("o_orderkey") % 2) * 7) % 13) * 40000 +
+        (col("o_custkey") % 3) * 1000).as("due_at_ms"),
+      col("o_orderkey").cast("long").as("seq"))
+
+  private val replInsertsCte: String =
+    """ins AS (
+      |  SELECT 'm'||(o_orderkey%3)||':bkt-'||(o_custkey%4)||':t'||
+      |           (o_custkey%11)||':'||(o_orderkey%2) AS ident,
+      |         CAST(o_orderkey%5 AS BIGINT) AS attempts,
+      |         1700000000000 +
+      |           (((o_custkey%4)*3 + (o_custkey%11)*5 + o_orderkey%3 +
+      |             (o_orderkey%2)*7) % 13) * 40000 +
+      |           (o_custkey%3)*1000 AS due_at_ms,
+      |         CAST(o_orderkey AS BIGINT) AS seq
+      |  FROM orders
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cat1_list_v2_prefixes" -> { (s, d) =>
       Listing.listObjectsV2(ObjectTables.objects(s, d), "bkt-1", "data/A/",
@@ -1179,6 +1207,21 @@ object CatalogQueries {
         .orderBy("outbox_id", "target")
     },
 
+    // Blob-replication queue fold (queue.rs:374-406): identity-keyed
+    // re-enqueues collapse to the preferred record — max (attempts, due),
+    // earliest write on a full tie
+    "rq1_replication_queue_fold" -> { (s, d) =>
+      ReplQueue.storeFold(replInserts(s, d)).orderBy("ident")
+    },
+
+    // Due-drain page over the folded queue (queue.rs:1916-2010): key-order
+    // walk, 64-job cap with has_more_due, and the min-future-due wake-up
+    // hint bounded by the page cutoff
+    "rq2_replication_due_scan" -> { (s, d) =>
+      ReplQueue.dueScan(ReplQueue.storeFold(replInserts(s, d)),
+        nowMs = 1700000240000L).orderBy("ident")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -2192,6 +2235,29 @@ object CatalogQueries {
         |               coalesce(origin_seq, 0), outbox_id, target) - 1) // 512
         |      AS BIGINT) END AS subbatch
         |FROM f ORDER BY outbox_id, target""".stripMargin,
+    "rq1_replication_queue_fold" ->
+      s"""WITH $replInsertsCte,
+         |st AS (SELECT ident, attempts, due_at_ms, seq FROM ins
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY ident
+         |         ORDER BY attempts DESC, due_at_ms DESC, seq ASC) = 1)
+         |SELECT * FROM st ORDER BY ident""".stripMargin,
+
+    "rq2_replication_due_scan" ->
+      s"""WITH $replInsertsCte,
+         |st AS (SELECT ident, attempts, due_at_ms, seq FROM ins
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY ident
+         |         ORDER BY attempts DESC, due_at_ms DESC, seq ASC) = 1),
+         |due AS (SELECT * FROM st WHERE due_at_ms <= 1700000240000),
+         |pg AS (SELECT * FROM due ORDER BY ident LIMIT 64),
+         |meta AS (SELECT (SELECT COUNT(*) FROM due) AS n,
+         |                (SELECT MAX(ident) FROM pg) AS cutoff),
+         |hint AS (SELECT MIN(due_at_ms) AS next_due_at_ms
+         |         FROM st, meta
+         |         WHERE due_at_ms > 1700000240000
+         |           AND (n <= 64 OR ident < cutoff))
+         |SELECT pg.ident, pg.attempts, pg.due_at_ms, pg.seq,
+         |       m.n > 64 AS has_more_due, h.next_due_at_ms
+         |FROM pg, meta m, hint h ORDER BY pg.ident""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions
