@@ -65,6 +65,28 @@ object SourceQueries {
         .createTempDirectory("graft-jsonl-").toString
       docs.write.mode("overwrite").json(path)
       s.read.schema(docs.schema).json(path).orderBy("doc_id")
+    },
+
+    // Staging-source listing (list_source.rs + opendal.rs list_operator):
+    // one-level vs recursive walks with intermediate directories, the
+    // files_only drop BEFORE offset/limit counting, offset/limit paging
+    // with truncated + next_offset, root never listed
+    "sl1_staging_list" -> { (s, d) =>
+      val files = graft.catalog.ObjectTables.objects(s, d)
+        .filter(col("bucket") === "bkt-2")
+        .groupBy(col("key"))
+        .agg(max("size").as("size"), max("created_at_ms").as("modified_ms"))
+        .select(col("key").as("path"), col("size"), col("modified_ms"))
+      def sect(tag: String, df: DataFrame) = df.withColumn("sect", lit(tag))
+      sect("a", StagingList.listSource(files, "data/", 0, 10,
+          recursive = false, filesOnly = false))
+        .unionByName(sect("b", StagingList.listSource(files, "data/N/", 0, 30,
+          recursive = true, filesOnly = false)))
+        .unionByName(sect("c", StagingList.listSource(files, "data/N/", 25, 20,
+          recursive = true, filesOnly = true)))
+        .unionByName(sect("d", StagingList.listSource(files, "data/N/f3/", 0, 5,
+          recursive = false, filesOnly = false)))
+        .orderBy("sect", "path")
     }
   )
 
@@ -87,6 +109,58 @@ object SourceQueries {
         |CROSS JOIN (VALUES ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
         |                   ('http://schema.org/name'),
         |                   ('http://schema.org/contentSize')) t(p)
-        |GROUP BY p ORDER BY p""".stripMargin
+        |GROUP BY p ORDER BY p""".stripMargin,
+
+    // the dir-inference SQL is fixture-depth-specialized (max one
+    // intermediate level under each section root); the Spark operator is
+    // depth-generic
+    "sl1_staging_list" -> {
+      def sect(tag: String, p: String, off: Int, lim: Int,
+          oneLevelLeaf: Boolean, filesOnly: Boolean): String = {
+        val lp = p.length
+        val fileCond =
+          if (oneLevelLeaf) s"strpos(substr(path, ${lp + 1}), '/') = 0"
+          else "TRUE"
+        val dirPart =
+          if (filesOnly) ""
+          else
+            s"""  UNION ALL
+               |  SELECT DISTINCT regexp_extract(d, '([^/]+)$$', 1) AS name,
+               |    '$p'||d AS path, 'Directory' AS kind,
+               |    CAST(NULL AS BIGINT) AS size,
+               |    CAST(NULL AS BIGINT) AS modified_ms
+               |  FROM (SELECT split_part(substr(path, ${lp + 1}), '/', 1) AS d
+               |        FROM files
+               |        WHERE path LIKE '$p%'
+               |          AND strpos(substr(path, ${lp + 1}), '/') > 0)
+               |""".stripMargin
+        s"""${tag}e AS (
+           |  SELECT regexp_extract(path, '([^/]+)$$', 1) AS name, path,
+           |    'File' AS kind, size, modified_ms
+           |  FROM files WHERE path LIKE '$p%' AND $fileCond
+           |$dirPart),
+           |${tag}p AS (SELECT * FROM ${tag}e
+           |            ORDER BY path LIMIT $lim OFFSET $off),
+           |${tag}n AS (SELECT COUNT(*) AS t FROM ${tag}e),
+           |${tag}_out AS (
+           |  SELECT p.*, n.t > ${off + lim} AS truncated,
+           |    CASE WHEN n.t > ${off + lim}
+           |         THEN CAST(${off + lim} AS BIGINT) END AS next_offset,
+           |    '$tag' AS sect
+           |  FROM ${tag}p p, ${tag}n n)""".stripMargin
+      }
+      s"""WITH ${graft.catalog.ObjectTables.objectsCte},
+         |files AS (SELECT key AS path, CAST(MAX(size) AS BIGINT) AS size,
+         |                 MAX(created_at_ms) AS modified_ms
+         |          FROM objects WHERE bucket='bkt-2' GROUP BY key),
+         |${sect("a", "data/", 0, 10, oneLevelLeaf = true, filesOnly = false)},
+         |${sect("b", "data/N/", 0, 30, oneLevelLeaf = false, filesOnly = false)},
+         |${sect("c", "data/N/", 25, 20, oneLevelLeaf = false, filesOnly = true)},
+         |${sect("d", "data/N/f3/", 0, 5, oneLevelLeaf = true, filesOnly = false)}
+         |SELECT * FROM (
+         |  SELECT * FROM a_out UNION ALL SELECT * FROM b_out
+         |  UNION ALL SELECT * FROM c_out UNION ALL SELECT * FROM d_out)
+         |ORDER BY sect, path""".stripMargin
+    }
   )
 }
