@@ -1222,6 +1222,51 @@ object CatalogQueries {
         nowMs = 1700000240000L).orderBy("ident")
     },
 
+    // UploadPartCopy verdicts (upload_part_copy.rs): destination-first
+    // check order (NoSuchUpload, bucket/key mismatch BEFORE status,
+    // UploadNotOpen), then the source resolution ladder, pre-parsed range
+    // satisfiability, plain if-match, and the range/blob content_length
+    "upc1_upload_part_copy" -> { (s, d) =>
+      val vv = ObjectTables.versionsStore(s, d)
+      val up = ObjectTables.uploads(s, d)
+      val sample = vv.filter(col("version_ord") % 61 === 0)
+        .withColumn("uid",
+          lpad(((col("version_ord") - col("version_ord") % 10) / 10)
+            .cast("long").cast("string"), 12, "0"))
+        .withColumn("cls", (col("version_ord") / 61).cast("long") % 9)
+      val wu = sample.join(
+        up.select(col("upload_id").as("uid"), col("bucket").as("u_bucket"),
+          col("key").as("u_key")), Seq("uid"))
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("long")
+      val reqs = wu.select(
+        concat(lit("c"), col("cls"), lit(":"), col("uid"), lit("@"),
+          col("version_ulid")).as("req_id"),
+        when(col("cls") === 0,
+          lpad((col("version_ord") + 900000000L).cast("string"), 12, "0"))
+          .otherwise(col("uid")).as("upload_id"),
+        col("u_bucket").as("dest_bucket"),
+        when(col("cls") === 1, concat(col("u_key"), lit(".x")))
+          .otherwise(col("u_key")).as("dest_key"),
+        col("bucket").as("src_bucket"),
+        when(col("cls") === 6, concat(col("key"), lit(".gone")))
+          .otherwise(col("key")).as("src_key"),
+        when(col("cls").isin(3, 4, 5),
+          col("version_ulid"))
+          .when(col("cls") === 7,
+            lpad((col("version_ord") - col("version_ord") % 10 + 9)
+              .cast("string"), 12, "0"))
+          .otherwise(nullS).as("src_version"),
+        when(col("cls") === 3, 2L).when(col("cls") === 4, 200000L)
+          .when(col("cls") === 5, 50L).otherwise(nullL).as("r_start"),
+        when(col("cls") === 3, 5L).when(col("cls") === 5, 10L)
+          .otherwise(nullL).as("r_end"),
+        when(col("cls") === 2, col("hash"))
+          .when(col("cls") === 8, lit("deadbeef")).otherwise(nullS)
+          .as("if_match"))
+      ObjectOps.uploadPartCopyVerdicts(up, vv, reqs).orderBy("req_id")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -2258,6 +2303,85 @@ object CatalogQueries {
          |SELECT pg.ident, pg.attempts, pg.due_at_ms, pg.seq,
          |       m.n > 64 AS has_more_due, h.next_due_at_ms
          |FROM pg, meta m, hint h ORDER BY pg.ident""".stripMargin,
+    "upc1_upload_part_copy" ->
+      s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
+         |${ObjectTables.uploadsCte},
+         |hd AS (SELECT * FROM versions
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket, key
+         |                 ORDER BY version_ord DESC, hash DESC) = 1),
+         |sample AS (
+         |  SELECT v.*, lpad(CAST((version_ord - version_ord%10)//10
+         |           AS VARCHAR), 12, '0') AS uid,
+         |         (version_ord//61)%9 AS cls
+         |  FROM versions v WHERE version_ord%61=0),
+         |wu AS (SELECT s.*, u.bucket AS u_bucket, u.key AS u_key, u.status
+         |       FROM sample s JOIN uploads u ON u.upload_id = s.uid),
+         |req AS (
+         |  SELECT 'c'||cls||':'||uid||'@'||version_ulid AS req_id,
+         |    CASE WHEN cls=0 THEN lpad(CAST(version_ord + 900000000
+         |           AS VARCHAR), 12, '0') ELSE uid END AS upload_id,
+         |    u_bucket AS dest_bucket,
+         |    CASE WHEN cls=1 THEN u_key||'.x' ELSE u_key END AS dest_key,
+         |    bucket AS src_bucket,
+         |    CASE WHEN cls=6 THEN key||'.gone' ELSE key END AS src_key,
+         |    CASE WHEN cls IN (3,4,5) THEN version_ulid
+         |         WHEN cls=7 THEN lpad(CAST(version_ord - version_ord%10 + 9
+         |           AS VARCHAR), 12, '0') END AS src_version,
+         |    CASE WHEN cls=3 THEN 2 WHEN cls=4 THEN 200000
+         |         WHEN cls=5 THEN 50 END AS r_start,
+         |    CASE WHEN cls=3 THEN 5 WHEN cls=5 THEN 10 END AS r_end,
+         |    CASE WHEN cls=2 THEN hash WHEN cls=8 THEN 'deadbeef' END
+         |      AS if_match
+         |  FROM wu),
+         |x AS (
+         |  SELECT r.*, u.bucket AS ub, u.key AS uk, u.status AS ust,
+         |    bv.is_delete_marker AS v_marker, bv.hash AS v_hash,
+         |    bv.size AS v_size, bv.created_at_ms AS v_cat,
+         |    hh.version_ulid AS h_version, hh.is_delete_marker AS h_marker,
+         |    hh.hash AS h_hash, hh.size AS h_size, hh.created_at_ms AS h_cat
+         |  FROM req r
+         |  LEFT JOIN uploads u ON u.upload_id = r.upload_id
+         |  LEFT JOIN versions bv ON bv.bucket = r.src_bucket
+         |    AND bv.key = r.src_key AND bv.version_ulid = r.src_version
+         |  LEFT JOIN hd hh ON hh.bucket = r.src_bucket
+         |    AND hh.key = r.src_key),
+         |y AS (
+         |  SELECT *,
+         |    src_version IS NOT NULL AS expl,
+         |    CASE WHEN src_version IS NOT NULL THEN v_size ELSE h_size END
+         |      AS len,
+         |    CASE WHEN src_version IS NOT NULL THEN v_hash ELSE h_hash END
+         |      AS etag
+         |  FROM x),
+         |f AS (
+         |  SELECT *,
+         |    CASE WHEN ub IS NULL THEN 'no_such_upload'
+         |      WHEN ub <> dest_bucket OR uk <> dest_key THEN 'target_mismatch'
+         |      WHEN ust <> 'Open' THEN 'upload_not_open'
+         |      WHEN expl AND v_hash IS NULL THEN 'no_such_version'
+         |      WHEN expl AND v_marker THEN 'delete_marker'
+         |      WHEN NOT expl AND h_version IS NULL THEN 'no_such_key'
+         |      WHEN NOT expl AND h_marker THEN 'no_such_key'
+         |      WHEN r_start IS NOT NULL AND (r_start >= len
+         |        OR (r_end IS NOT NULL AND r_start > r_end))
+         |        THEN 'invalid_range'
+         |      WHEN if_match IS NOT NULL AND if_match <> etag
+         |        THEN 'precondition_failed'
+         |      ELSE 'ok' END AS verdict
+         |  FROM y)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='ok' THEN
+         |    CASE WHEN r_start IS NULL THEN len
+         |         WHEN r_end IS NOT NULL
+         |           THEN least(r_end, len - 1) - r_start + 1
+         |         ELSE len - r_start END END AS content_length,
+         |  CASE WHEN verdict='ok' THEN
+         |    CASE WHEN expl THEN src_version ELSE h_version END END
+         |    AS source_version,
+         |  CASE WHEN verdict='ok' THEN
+         |    CASE WHEN expl THEN v_cat ELSE h_cat END END
+         |    AS source_last_modified
+         |FROM f ORDER BY req_id""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions

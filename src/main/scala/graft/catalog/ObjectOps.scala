@@ -247,6 +247,77 @@ object ObjectOps {
         col("__pb")).as("parts_bytes"))
   }
 
+  /** UploadPartCopy verdict batch (`upload_part_copy.rs:50-180`). The
+    * reference's check order is pinned exactly:
+    *
+    *  1. destination upload validation (`:137-180`): NoSuchUpload, then
+    *     bucket/key TargetMismatch (BEFORE the status check — a mismatched
+    *     Completed upload reports the mismatch), then UploadNotOpen;
+    *  2. source GetObject (`:56-69`): version/head resolution ladder and
+    *     the PRE-PARSED range's satisfiability — start ≥ len or start > end
+    *     is InvalidRange (unlike the GET header grammar where unparseable
+    *     syntax is ignored, rg1);
+    *  3. source conditions (`:93-103`): evaluated after the GET — this gate
+    *     pins the plain if-match arm; the full AWS precedence matrix is
+    *     cat14's contract (same `evaluate_source_conditions`);
+    *  4. `content_length` = resolved range length, else the whole blob
+    *     (`:105-109`); `source_version_id` + `source_last_modified` echo.
+    *
+    * Scale: one broadcast-free upload-id equi-join (the upload keyspace is
+    * data-plane-sized) + the headObjects resolution joins. */
+  def uploadPartCopyVerdicts(uploads: DataFrame, versions: DataFrame,
+      requests: DataFrame): DataFrame = {
+    val up = uploads.select(col("upload_id"),
+      col("bucket").as("u_bucket"), col("key").as("u_key"), col("status"))
+    val w = Window.partitionBy("bucket", "key")
+      .orderBy(col("version_ord").desc, col("hash").desc)
+    val heads = versions
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("bucket").as("src_bucket"), col("key").as("src_key"),
+        col("version_ulid").as("h_version"),
+        col("is_delete_marker").as("h_marker"),
+        col("hash").as("h_hash"), col("size").as("h_size"),
+        col("created_at_ms").as("h_cat"))
+    val byV = versions.select(col("bucket").as("src_bucket"),
+      col("key").as("src_key"), col("version_ulid").as("src_version"),
+      col("is_delete_marker").as("v_marker"), col("hash").as("v_hash"),
+      col("size").as("v_size"), col("created_at_ms").as("v_cat"))
+    val r = requests
+      .join(up, Seq("upload_id"), "left_outer")
+      .join(byV, Seq("src_bucket", "src_key", "src_version"), "left_outer")
+      .join(heads, Seq("src_bucket", "src_key"), "left_outer")
+    val explicit = col("src_version").isNotNull
+    def sel(v: String, h: String) = when(explicit, col(v)).otherwise(col(h))
+    val len = sel("v_size", "h_size")
+    val etag = sel("v_hash", "h_hash")
+    val rangeInvalid = col("r_start").isNotNull &&
+      (col("r_start") >= len ||
+        (col("r_end").isNotNull && col("r_start") > col("r_end")))
+    val verdict =
+      when(col("u_bucket").isNull, "no_such_upload")
+        .when(col("u_bucket") =!= col("dest_bucket") ||
+          col("u_key") =!= col("dest_key"), "target_mismatch")
+        .when(col("status") =!= "Open", "upload_not_open")
+        .when(explicit && col("v_hash").isNull, "no_such_version")
+        .when(explicit && col("v_marker"), "delete_marker")
+        .when(!explicit && col("h_version").isNull, "no_such_key")
+        .when(!explicit && col("h_marker"), "no_such_key")
+        .when(rangeInvalid, "invalid_range")
+        .when(col("if_match").isNotNull && col("if_match") =!= etag,
+          "precondition_failed")
+        .otherwise("ok")
+    val contentLength = when(col("r_start").isNull, len)
+      .when(col("r_end").isNotNull,
+        least(col("r_end"), len - 1) - col("r_start") + 1)
+      .otherwise(len - col("r_start"))
+    val ok = verdict === "ok"
+    r.select(col("req_id"), verdict.as("verdict"),
+      when(ok, contentLength).as("content_length"),
+      when(ok, when(explicit, col("src_version")).otherwise(col("h_version")))
+        .as("source_version"),
+      when(ok, sel("v_cat", "h_cat")).as("source_last_modified"))
+  }
+
   /** Byte-range resolution (`ObjectRangeRequest::resolve`,
     * `get_object.rs:85-131`) over the current object heads.
     *
