@@ -1267,6 +1267,91 @@ object CatalogQueries {
       ObjectOps.uploadPartCopyVerdicts(up, vv, reqs).orderBy("req_id")
     },
 
+    // Realm-placement mutation validation (mutate_realm_placement.rs):
+    // draining freezes node attributes (vs current entry or the
+    // default/100/not-full/no-labels defaults for new nodes), zero
+    // replica_count rejection, default-strategy and binding ladders with
+    // the group->realm metadata-binding fallback and the blob-class skip,
+    // referenced-strategy removal block, named-override strategy check
+    "mp1_placement_mutations" -> { (s, d) =>
+      val nodes = s.range(0, 10).select(
+        concat(lit("nd"), col("id").cast("string")).as("node_id"),
+        when(col("id") % 4 === 0, "default")
+          .otherwise(concat(lit("loc-"), (col("id") % 3).cast("string")))
+          .as("location"),
+        when(col("id") % 5 === 0, 100L).otherwise(col("id") + 100)
+          .as("weight"),
+        (col("id") % 7 === 0).as("full"),
+        when(col("id") % 3 === 0, "")
+          .otherwise(concat(lit("L"), (col("id") % 3).cast("string")))
+          .as("labels_sig"))
+      val strategies = s.range(1, 9).select(
+        concat(lit("s0"), col("id").cast("string")).as("strategy_id"),
+        (col("id") % 4).as("replica_count"))
+      val mb = Seq(("realm", "s01"), ("realm", "s03"), ("group:2", "s02"))
+      val metaBindings = s.createDataFrame(mb).toDF("scope", "strategy_id")
+      val referenced = s.createDataFrame(
+        Seq(Tuple1("s01"), Tuple1("s02"), Tuple1("s03"), Tuple1("s04")))
+        .toDF("strategy_id")
+      val o = graft.Tables.orders(s, d)
+      val c = col("o_custkey")
+      val cls = col("o_orderkey") % 12
+      val i = c % 10
+      val curLoc = when(i % 4 === 0, "default")
+        .otherwise(concat(lit("loc-"), (i % 3).cast("string")))
+      val curW = when(i % 5 === 0, 100L).otherwise(i + 100)
+      val curFull = i % 7 === 0
+      val curLabels = when(i % 3 === 0, "")
+        .otherwise(concat(lit("L"), (i % 3).cast("string")))
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("long")
+      val muts = o.select(
+        concat(lit("m"), col("o_orderkey").cast("string")).as("mut_id"),
+        when(cls <= 4, "upsert_node")
+          .when(cls === 5, "upsert_strategy")
+          .when(cls.isin(6, 7), "set_default_strategy")
+          .when(cls.isin(8, 9), "set_binding")
+          .when(cls === 10, "remove_strategy")
+          .otherwise("set_override").as("kind"),
+        when(cls.isin(0, 1, 4), concat(lit("nd"), i.cast("string")))
+          .when(cls.isin(2, 3), concat(lit("new"), (c % 20).cast("string")))
+          .otherwise(nullS).as("node_id"),
+        when(cls.isin(0, 1, 4), curLoc)
+          .when(cls.isin(2, 3), lit("default")).otherwise(nullS)
+          .as("n_location"),
+        when(cls === 0, curW).when(cls === 1, curW + 1)
+          .when(cls === 2, 100L).when(cls === 3, 150L)
+          .when(cls === 4, curW + 5).otherwise(nullL).as("n_weight"),
+        when(cls.isin(0, 1, 4), curFull)
+          .when(cls.isin(2, 3), lit(false)).otherwise(lit(null))
+          .cast("boolean").as("n_full"),
+        when(cls.isin(0, 1, 4), curLabels)
+          .when(cls.isin(2, 3), lit("")).otherwise(nullS).as("n_labels"),
+        when(cls <= 3, true).when(cls === 4, false).otherwise(lit(null))
+          .cast("boolean").as("n_draining"),
+        when(cls === 5,
+          concat(lit("s0"), (c % 8 + 1).cast("string")))
+          .when(cls === 6, "s99")
+          .when(cls === 7, when(c % 2 === 0, "s01").otherwise("s02"))
+          .when(cls === 8,
+            when(c % 3 === 0, "s02").when(c % 3 === 1, "s03")
+              .otherwise("s02"))
+          .when(cls === 9, when(c % 2 === 0, "s05").otherwise("s99"))
+          .when(cls === 10,
+            element_at(array(lit("s01"), lit("s02"), lit("s04"), lit("s06")),
+              (c % 4 + 1).cast("int")))
+          .otherwise(when(c % 3 === 0, "s99").when(c % 3 === 1, nullS)
+            .otherwise(lit("s05"))).as("strategy_id"),
+        when(cls === 5, c % 4).otherwise(nullL).as("replica_count"),
+        when(cls.isin(6, 7), "realm")
+          .when(cls === 8,
+            when(c % 3 === 0, "group:2").when(c % 3 === 1, "group:5")
+              .otherwise("group:5"))
+          .when(cls === 9, "class:blob").otherwise(nullS).as("scope"))
+      PlacementAdmin.mutationVerdicts(nodes, strategies, metaBindings,
+        referenced, muts).orderBy("mut_id")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -2382,6 +2467,112 @@ object CatalogQueries {
          |    CASE WHEN expl THEN v_cat ELSE h_cat END END
          |    AS source_last_modified
          |FROM f ORDER BY req_id""".stripMargin,
+    "mp1_placement_mutations" ->
+      """WITH nodes AS (
+        |  SELECT 'nd'||r AS node_id,
+        |    CASE WHEN r%4=0 THEN 'default' ELSE 'loc-'||(r%3) END AS c_location,
+        |    CAST(CASE WHEN r%5=0 THEN 100 ELSE 100+r END AS BIGINT) AS c_weight,
+        |    r%7=0 AS c_full,
+        |    CASE WHEN r%3=0 THEN '' ELSE 'L'||(r%3) END AS c_labels
+        |  FROM range(0,10) t(r)),
+        |strategies AS (SELECT 's0'||r AS strategy_id FROM range(1,9) t(r)),
+        |mbind AS (SELECT * FROM (VALUES ('realm','s01'), ('realm','s03'),
+        |          ('group:2','s02')) t(scope, strategy_id)),
+        |refstr AS (SELECT * FROM (VALUES ('s01'),('s02'),('s03'),('s04'))
+        |           t(strategy_id)),
+        |muts AS (
+        |  SELECT 'm'||o_orderkey AS mut_id,
+        |    o_orderkey%12 AS cls, o_custkey AS c, o_custkey%10 AS i,
+        |    CASE WHEN o_orderkey%12<=4 THEN 'upsert_node'
+        |         WHEN o_orderkey%12=5 THEN 'upsert_strategy'
+        |         WHEN o_orderkey%12 IN (6,7) THEN 'set_default_strategy'
+        |         WHEN o_orderkey%12 IN (8,9) THEN 'set_binding'
+        |         WHEN o_orderkey%12=10 THEN 'remove_strategy'
+        |         ELSE 'set_override' END AS kind
+        |  FROM orders),
+        |mm AS (
+        |  SELECT mut_id, kind, cls, c, i,
+        |    CASE WHEN cls IN (0,1,4) THEN 'nd'||i
+        |         WHEN cls IN (2,3) THEN 'new'||(c%20) END AS node_id,
+        |    CASE WHEN cls IN (0,1,4) THEN
+        |           CASE WHEN i%4=0 THEN 'default' ELSE 'loc-'||(i%3) END
+        |         WHEN cls IN (2,3) THEN 'default' END AS n_location,
+        |    CAST(CASE WHEN cls=0 THEN
+        |           CASE WHEN i%5=0 THEN 100 ELSE 100+i END
+        |         WHEN cls=1 THEN
+        |           CASE WHEN i%5=0 THEN 100 ELSE 100+i END + 1
+        |         WHEN cls=2 THEN 100 WHEN cls=3 THEN 150
+        |         WHEN cls=4 THEN
+        |           CASE WHEN i%5=0 THEN 100 ELSE 100+i END + 5
+        |         END AS BIGINT) AS n_weight,
+        |    CASE WHEN cls IN (0,1,4) THEN i%7=0
+        |         WHEN cls IN (2,3) THEN FALSE END AS n_full,
+        |    CASE WHEN cls IN (0,1,4) THEN
+        |           CASE WHEN i%3=0 THEN '' ELSE 'L'||(i%3) END
+        |         WHEN cls IN (2,3) THEN '' END AS n_labels,
+        |    CASE WHEN cls<=3 THEN TRUE WHEN cls=4 THEN FALSE END
+        |      AS n_draining,
+        |    CASE WHEN cls=5 THEN 's0'||(c%8+1)
+        |         WHEN cls=6 THEN 's99'
+        |         WHEN cls=7 THEN CASE WHEN c%2=0 THEN 's01' ELSE 's02' END
+        |         WHEN cls=8 THEN CASE WHEN c%3=0 THEN 's02'
+        |              WHEN c%3=1 THEN 's03' ELSE 's02' END
+        |         WHEN cls=9 THEN CASE WHEN c%2=0 THEN 's05' ELSE 's99' END
+        |         WHEN cls=10 THEN ['s01','s02','s04','s06'][CAST(c%4+1 AS INT)]
+        |         ELSE CASE WHEN c%3=0 THEN 's99' WHEN c%3=1 THEN NULL
+        |              ELSE 's05' END END AS strategy_id,
+        |    CASE WHEN cls=5 THEN CAST(c%4 AS BIGINT) END AS replica_count,
+        |    CASE WHEN cls IN (6,7) THEN 'realm'
+        |         WHEN cls=8 THEN CASE WHEN c%3=0 THEN 'group:2'
+        |              ELSE 'group:5' END
+        |         WHEN cls=9 THEN 'class:blob' END AS scope
+        |  FROM muts),
+        |j AS (
+        |  SELECT m.*, n.c_location, n.c_weight, n.c_full, n.c_labels,
+        |    s.strategy_id IS NOT NULL AS s_exists,
+        |    mbx.scope IS NOT NULL AS mb_exists,
+        |    mbr.strategy_id IS NOT NULL AS mb_realm_exists,
+        |    rf.strategy_id IS NOT NULL AS s_referenced
+        |  FROM mm m
+        |  LEFT JOIN nodes n USING (node_id)
+        |  LEFT JOIN strategies s ON s.strategy_id = m.strategy_id
+        |  LEFT JOIN mbind mbx ON mbx.scope = m.scope
+        |    AND mbx.strategy_id = m.strategy_id
+        |  LEFT JOIN (SELECT DISTINCT strategy_id FROM mbind
+        |             WHERE scope='realm') mbr
+        |    ON mbr.strategy_id = m.strategy_id
+        |  LEFT JOIN refstr rf ON rf.strategy_id = m.strategy_id)
+        |SELECT mut_id, kind,
+        |  CASE kind
+        |    WHEN 'upsert_node' THEN
+        |      CASE WHEN n_draining AND NOT (
+        |        coalesce(n_location,'default') = coalesce(c_location,'default')
+        |        AND coalesce(n_weight,100) = coalesce(c_weight,100)
+        |        AND coalesce(n_full,FALSE) = coalesce(c_full,FALSE)
+        |        AND coalesce(n_labels,'') = coalesce(c_labels,''))
+        |        THEN 'draining_frozen' ELSE 'ok' END
+        |    WHEN 'upsert_strategy' THEN
+        |      CASE WHEN replica_count=0 THEN 'zero_replica_count'
+        |           ELSE 'ok' END
+        |    WHEN 'set_default_strategy' THEN
+        |      CASE WHEN NOT s_exists THEN 'missing_strategy'
+        |        WHEN NOT (mb_exists OR (scope LIKE 'group:%'
+        |          AND mb_realm_exists)) THEN 'no_metadata_binding'
+        |        ELSE 'ok' END
+        |    WHEN 'set_binding' THEN
+        |      CASE WHEN NOT s_exists THEN 'missing_strategy'
+        |        WHEN scope LIKE 'class:%' AND scope <> 'class:metadata'
+        |          THEN 'ok'
+        |        WHEN NOT (mb_exists OR (scope LIKE 'group:%'
+        |          AND mb_realm_exists)) THEN 'no_metadata_binding'
+        |        ELSE 'ok' END
+        |    WHEN 'remove_strategy' THEN
+        |      CASE WHEN s_referenced THEN 'strategy_referenced'
+        |           ELSE 'ok' END
+        |    ELSE CASE WHEN strategy_id IS NOT NULL AND NOT s_exists
+        |         THEN 'missing_strategy' ELSE 'ok' END
+        |  END AS verdict
+        |FROM j ORDER BY mut_id""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions
