@@ -1352,6 +1352,25 @@ object CatalogQueries {
         referenced, muts).orderBy("mut_id")
     },
 
+    // Persisted task-timer fold (task_persistence.rs): Reset overwrites,
+    // Shorten only ever moves due earlier, Cancel deletes, and the
+    // drain-family keys never persist Reset/Shorten (they re-arm from
+    // their durable queues) while Cancel still applies
+    "tp1_timer_fold" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d)
+      val keyId = col("o_custkey") % 20
+      val log = o.select(
+        concat(lit("task-"), lpad(keyId.cast("string"), 2, "0")).as("key"),
+        (keyId < 7).as("durable"),
+        element_at(array(lit("cancel"), lit("reset"), lit("shorten"),
+          lit("shorten"), lit("shorten")),
+          (col("o_orderkey") % 5 + 1).cast("int")).as("kind"),
+        (lit(1700000000000L) + (col("o_orderkey") % 97) * 1000)
+          .as("due_at_ms"),
+        col("o_orderkey").cast("long").as("seq"))
+      TaskTimers.fold(log).orderBy("key")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -2573,6 +2592,30 @@ object CatalogQueries {
         |         THEN 'missing_strategy' ELSE 'ok' END
         |  END AS verdict
         |FROM j ORDER BY mut_id""".stripMargin,
+    "tp1_timer_fold" ->
+      """WITH log AS (
+        |  SELECT 'task-'||lpad(CAST(o_custkey%20 AS VARCHAR), 2, '0') AS key,
+        |    o_custkey%20 < 7 AS durable,
+        |    ['cancel','reset','shorten','shorten','shorten']
+        |      [CAST(o_orderkey%5+1 AS INT)] AS kind,
+        |    1700000000000 + (o_orderkey%97)*1000 AS due_at_ms,
+        |    CAST(o_orderkey AS BIGINT) AS seq
+        |  FROM orders),
+        |eff AS (SELECT * FROM log WHERE kind='cancel' OR NOT durable),
+        |g1 AS (SELECT key,
+        |         coalesce(MAX(seq) FILTER (WHERE kind='cancel'), -1) AS cseq
+        |       FROM eff GROUP BY key),
+        |tail AS (SELECT e.* FROM eff e JOIN g1 USING (key)
+        |         WHERE e.seq > g1.cseq AND e.kind <> 'cancel'),
+        |g2 AS (SELECT key, MAX(seq) FILTER (WHERE kind='reset') AS rseq
+        |       FROM tail GROUP BY key)
+        |SELECT t.key, MIN(t.due_at_ms) AS due_at_ms
+        |FROM tail t JOIN g2 USING (key)
+        |WHERE (g2.rseq IS NOT NULL AND
+        |        ((t.kind='reset' AND t.seq = g2.rseq) OR
+        |         (t.kind='shorten' AND t.seq > g2.rseq)))
+        |   OR (g2.rseq IS NULL AND t.kind='shorten')
+        |GROUP BY t.key ORDER BY t.key""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions
