@@ -1371,6 +1371,34 @@ object CatalogQueries {
       TaskTimers.fold(log).orderBy("key")
     },
 
+    // Node-info heartbeat utilization (node_info.rs): held-document counts
+    // via the (strategy, shard) held-bucket semi-join with NIL placements
+    // held everywhere, and the per-core load permille with half-up
+    // rounding, 1000 clamp and the zero-core guard
+    "ni1_node_heartbeat" -> { (s, d) =>
+      val nodes = s.createDataFrame(Seq(
+        ("nv0", 4L, 500000L), ("nv1", 4L, 8000000L), ("nv2", 0L, 1000000L),
+        ("nv3", 8L, 2400000L), ("nv4", 2L, 3000000L)))
+        .toDF("node_id", "cores", "load1_u")
+      val held = s.range(0, 5).select(
+        concat(lit("nv"), col("id").cast("string")).as("node_id"),
+        col("id").as("k"))
+        .select(col("node_id"), explode(array(
+          struct(lit("sA").as("strategy_id"), (col("k") % 8).as("shard")),
+          struct(lit("sA").as("strategy_id"), ((col("k") + 1) % 8).as("shard")),
+          struct(lit("sB").as("strategy_id"), ((col("k") * 2) % 8).as("shard"))))
+          .as("h"))
+        .select(col("node_id"), col("h.strategy_id"), col("h.shard"))
+      val reg = graft.sparql.RdfTables.registry(s, d)
+        .withColumn("doc", col("document_id").cast("long"))
+        .select(
+          when(col("doc") % 11 === 0, lit(null).cast("string"))
+            .otherwise(when(col("doc") % 2 === 0, "sA").otherwise("sB"))
+            .as("strategy_id"),
+          (col("doc") % 8).as("shard"))
+      NodeInfoStats.heartbeat(nodes, held, reg).orderBy("node_id")
+    },
+
     // Byte-range resolution batch: the bytes= grammar (start-end with end
     // clamp, open start, suffix with saturation), invalid ranges
     // (start>end, start>=len, -0), ignored garbage syntax, marker-hidden
@@ -2616,6 +2644,41 @@ object CatalogQueries {
         |         (t.kind='shorten' AND t.seq > g2.rseq)))
         |   OR (g2.rseq IS NULL AND t.kind='shorten')
         |GROUP BY t.key ORDER BY t.key""".stripMargin,
+    "ni1_node_heartbeat" ->
+      s"""WITH ${graft.sparql.RdfTables.registryCte},
+         |nodes AS (SELECT * FROM (VALUES
+         |  ('nv0', CAST(4 AS BIGINT), CAST(500000 AS BIGINT)),
+         |  ('nv1', CAST(4 AS BIGINT), CAST(8000000 AS BIGINT)),
+         |  ('nv2', CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)),
+         |  ('nv3', CAST(8 AS BIGINT), CAST(2400000 AS BIGINT)),
+         |  ('nv4', CAST(2 AS BIGINT), CAST(3000000 AS BIGINT)))
+         |  t(node_id, cores, load1_u)),
+         |held AS (
+         |  SELECT 'nv'||k AS node_id, 'sA' AS strategy_id,
+         |         CAST(k%8 AS BIGINT) AS shard FROM range(0,5) t(k)
+         |  UNION ALL SELECT 'nv'||k, 'sA', CAST((k+1)%8 AS BIGINT)
+         |    FROM range(0,5) t(k)
+         |  UNION ALL SELECT 'nv'||k, 'sB', CAST((k*2)%8 AS BIGINT)
+         |    FROM range(0,5) t(k)),
+         |reg AS (
+         |  SELECT CASE WHEN CAST(document_id AS BIGINT)%11=0 THEN NULL
+         |           WHEN CAST(document_id AS BIGINT)%2=0 THEN 'sA'
+         |           ELSE 'sB' END AS strategy_id,
+         |         CAST(document_id AS BIGINT)%8 AS shard
+         |  FROM registry),
+         |niln AS (SELECT COUNT(*) AS n FROM reg WHERE strategy_id IS NULL),
+         |matched AS (
+         |  SELECT h.node_id, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM reg r JOIN held h ON r.strategy_id = h.strategy_id
+         |    AND r.shard = h.shard
+         |  GROUP BY h.node_id)
+         |SELECT n.node_id,
+         |  CAST(coalesce(m.m, 0) + x.n AS BIGINT) AS held_docs,
+         |  CAST(CASE WHEN n.cores = 0 THEN 0
+         |    ELSE least(1000, (n.load1_u*1000 + n.cores*500000) //
+         |      (n.cores*1000000)) END AS BIGINT) AS load_permille
+         |FROM nodes n LEFT JOIN matched m USING (node_id), niln x
+         |ORDER BY n.node_id""".stripMargin,
     "cat14_copy_conditions" ->
       s"""WITH ${ObjectTables.objectsCte}, ${ObjectTables.versionsCte},
          |hd AS (SELECT * FROM versions
