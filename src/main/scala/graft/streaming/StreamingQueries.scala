@@ -289,6 +289,37 @@ object StreamingQueries {
       graft.crdt.OrSet.fold(ops).orderBy(col("subject"), col("predicate"))
     },
 
+    // Admin-document MV-register fold (admin_document_reducer.rs): resolve a
+    // causally-delivered admin event log to its per-(doc, path) causal
+    // frontier — converged value + representative dot, or the dot-sorted
+    // conflict candidate list. Clock entries are strictly-prior window
+    // counts (causally consistent by construction) minus a deterministic
+    // 0/1 hold-back that manufactures concurrent, mutually-unobserved edits
+    "adr1_admin_reducer" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+      val base = o.select(
+        col("o_orderkey").cast("long").as("pos"),
+        (col("o_custkey") % 8).cast("long").as("doc"),
+        concat(lit("p"), (col("o_orderkey") % 5).cast("string")).as("path"),
+        (col("o_orderkey") % 3).cast("int").as("oidx"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), (col("o_orderkey") % 2).cast("string")))
+          .as("value"))
+      val wDoc = Window.partitionBy("doc").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wSeq = Window.partitionBy("doc", "oidx").orderBy("pos")
+      def obs(j: Int) = greatest(lit(0L),
+        coalesce(sum(when(col("oidx") === j, 1L)).over(wDoc), lit(0L)) -
+          (col("pos") + j) % 7)
+      val events = base
+        .withColumn("seq", row_number().over(wSeq).cast("long"))
+        .withColumn("obs0", obs(0))
+        .withColumn("obs1", obs(1))
+        .withColumn("obs2", obs(2))
+      graft.crdt.AdminReducer.frontier(events).orderBy("doc", "path")
+    },
+
     // registry projection: latest applicable event per user-document
     "ev5_projection" -> { (s, d) =>
       val (applicable, _) = Projector.partition(
@@ -572,6 +603,51 @@ object StreamingQueries {
         |  SELECT 'graph:'||doc_id, 'doc:'||doc_id, 'status', 'ok'
         |  FROM documents WHERE doc_id%5=0
         |) t ORDER BY subject, predicate""".stripMargin,
+
+    // frontier = events no other same-path event observes (dominance
+    // NOT EXISTS); converged when the frontier holds one distinct value
+    "adr1_admin_reducer" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS pos,
+        |         CAST(o_custkey % 8 AS BIGINT) AS doc,
+        |         'p' || CAST(o_orderkey % 5 AS VARCHAR) AS path,
+        |         CAST(o_orderkey % 3 AS INT) AS oidx,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE 'v' || CAST(o_orderkey % 2 AS VARCHAR) END AS value
+        |  FROM orders),
+        |ev AS (
+        |  SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc, oidx ORDER BY pos)
+        |         AS BIGINT) AS seq,
+        |    GREATEST(0, CAST(coalesce(SUM(CASE WHEN oidx=0 THEN 1 END) OVER w,
+        |      0) AS BIGINT) - (pos + 0) % 7) AS obs0,
+        |    GREATEST(0, CAST(coalesce(SUM(CASE WHEN oidx=1 THEN 1 END) OVER w,
+        |      0) AS BIGINT) - (pos + 1) % 7) AS obs1,
+        |    GREATEST(0, CAST(coalesce(SUM(CASE WHEN oidx=2 THEN 1 END) OVER w,
+        |      0) AS BIGINT) - (pos + 2) % 7) AS obs2
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY doc ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |surv AS (
+        |  SELECT e1.* FROM ev e1
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM ev e2
+        |    WHERE e2.doc = e1.doc AND e2.path = e1.path AND e2.pos <> e1.pos
+        |      AND ((CASE e1.oidx WHEN 0 THEN e2.obs0 WHEN 1 THEN e2.obs1
+        |            ELSE e2.obs2 END) >= e1.seq
+        |           OR (e2.oidx = e1.oidx AND e2.seq > e1.seq))))
+        |SELECT doc, path,
+        |  COUNT(DISTINCT coalesce(value,'<removed>')) > 1 AS conflicted,
+        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CASE WHEN COUNT(DISTINCT coalesce(value,'<removed>')) = 1
+        |       THEN MAX(value) END AS value,
+        |  CASE WHEN COUNT(DISTINCT coalesce(value,'<removed>')) = 1
+        |       THEN CAST(MIN(pos) AS BIGINT) END AS rep_pos,
+        |  CASE WHEN COUNT(DISTINCT coalesce(value,'<removed>')) > 1
+        |       THEN string_agg(CAST(pos AS VARCHAR)||':'||CAST(oidx AS VARCHAR)
+        |         ||':'||CAST(seq AS VARCHAR)||':'||coalesce(value,'<removed>'),
+        |         ',' ORDER BY pos) END AS candidates
+        |FROM surv GROUP BY doc, path ORDER BY doc, path""".stripMargin,
 
     "ev5_projection" ->
       s"""WITH $evCte
