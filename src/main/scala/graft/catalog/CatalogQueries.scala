@@ -1352,6 +1352,32 @@ object CatalogQueries {
         referenced, muts).orderBy("mut_id")
     },
 
+    // Dangling-strategy reference repair (admin_document_reducer.rs:300-339):
+    // realm rA keeps live strategies {S0,S2,S3,S5} so dangling refs repair
+    // to the min live id S0; realm rB has none live so its default clears,
+    // bindings are removed and overrides null out
+    "adr2_strategy_repair" -> { (s, d) =>
+      val strategies = s.range(0, 6).filter(col("id") % 3 =!= 1)
+        .select(lit("rA").as("realm"),
+          concat(lit("S"), col("id")).as("strategy_id"))
+      val defaults = s.createDataFrame(Seq(("rA", "S1"), ("rB", "S9")))
+        .toDF("realm", "strategy_id")
+      val bindings = s.range(0, 8)
+        .select(lit("rA").as("realm"), concat(lit("b"), col("id")).as("scope"),
+          concat(lit("S"), col("id") % 7).as("strategy_id"))
+        .unionByName(s.range(0, 3).select(lit("rB").as("realm"),
+          concat(lit("b"), col("id")).as("scope"), lit("S0").as("strategy_id")))
+      val overrides = s.range(0, 6)
+        .select(lit("rA").as("realm"), concat(lit("o"), col("id")).as("subject"),
+          when(col("id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("S"), col("id") % 5)).as("strategy_id"))
+        .unionByName(s.createDataFrame(Seq(
+            ("rB", "o0", "S0"), ("rB", "o1", null.asInstanceOf[String])))
+          .toDF("realm", "subject", "strategy_id"))
+      PlacementAdmin.repairStrategyRefs(strategies, defaults, bindings,
+        overrides).orderBy("realm", "kind", "key")
+    },
+
     // Persisted task-timer fold (task_persistence.rs): Reset overwrites,
     // Shorten only ever moves due earlier, Cancel deletes, and the
     // drain-family keys never persist Reset/Shorten (they re-arm from
@@ -2620,6 +2646,64 @@ object CatalogQueries {
         |         THEN 'missing_strategy' ELSE 'ok' END
         |  END AS verdict
         |FROM j ORDER BY mut_id""".stripMargin,
+    "adr2_strategy_repair" ->
+      """WITH live AS (SELECT 'rA' AS realm, 'S'||k AS strategy_id
+        |             FROM range(0,6) t(k) WHERE k%3<>1),
+        |fb AS (SELECT realm, MIN(strategy_id) AS fb FROM live GROUP BY realm),
+        |defaults AS (SELECT * FROM (VALUES ('rA','S1'),('rB','S9'))
+        |             t(realm, strategy_id)),
+        |bindings AS (
+        |  SELECT 'rA' AS realm, 'b'||k AS scope, 'S'||(k%7) AS strategy_id
+        |  FROM range(0,8) t(k)
+        |  UNION ALL SELECT 'rB', 'b'||k, 'S0' FROM range(0,3) t(k)),
+        |ovr AS (
+        |  SELECT 'rA' AS realm, 'o'||k AS subject,
+        |         CASE WHEN k%3=0 THEN NULL ELSE 'S'||(k%5) END AS strategy_id
+        |  FROM range(0,6) t(k)
+        |  UNION ALL SELECT * FROM (VALUES ('rB','o0','S0'),('rB','o1',NULL))
+        |    t(realm, subject, strategy_id)),
+        |ed AS (SELECT d.realm, d.strategy_id, f.fb,
+        |         l.strategy_id IS NOT NULL AS is_live
+        |       FROM defaults d LEFT JOIN fb f ON f.realm = d.realm
+        |       LEFT JOIN live l ON l.realm = d.realm
+        |         AND l.strategy_id = d.strategy_id),
+        |eb AS (SELECT b.realm, b.scope, b.strategy_id, f.fb,
+        |         l.strategy_id IS NOT NULL AS is_live
+        |       FROM bindings b LEFT JOIN fb f ON f.realm = b.realm
+        |       LEFT JOIN live l ON l.realm = b.realm
+        |         AND l.strategy_id = b.strategy_id),
+        |eo AS (SELECT o.realm, o.subject, o.strategy_id, f.fb,
+        |         l.strategy_id IS NOT NULL AS is_live
+        |       FROM ovr o LEFT JOIN fb f ON f.realm = o.realm
+        |       LEFT JOIN live l ON l.realm = o.realm
+        |         AND l.strategy_id = o.strategy_id)
+        |SELECT realm, kind, key, old_strategy, new_strategy, action FROM (
+        |  SELECT realm, 'default' AS kind, '-' AS key,
+        |    strategy_id AS old_strategy,
+        |    CASE WHEN fb IS NULL THEN NULL
+        |         WHEN strategy_id IS NULL OR NOT is_live THEN fb
+        |         ELSE strategy_id END AS new_strategy,
+        |    CASE WHEN fb IS NULL THEN 'cleared'
+        |         WHEN strategy_id IS NULL OR NOT is_live THEN 'repaired'
+        |         ELSE 'kept' END AS action
+        |  FROM ed
+        |  UNION ALL
+        |  SELECT realm, 'binding', scope, strategy_id,
+        |    CASE WHEN fb IS NULL THEN NULL
+        |         WHEN NOT is_live THEN fb ELSE strategy_id END,
+        |    CASE WHEN fb IS NULL THEN 'removed'
+        |         WHEN NOT is_live THEN 'repaired' ELSE 'kept' END
+        |  FROM eb
+        |  UNION ALL
+        |  SELECT realm, 'override', subject, strategy_id,
+        |    CASE WHEN fb IS NULL OR strategy_id IS NULL THEN NULL
+        |         WHEN NOT is_live THEN fb ELSE strategy_id END,
+        |    CASE WHEN strategy_id IS NULL THEN 'kept'
+        |         WHEN fb IS NULL THEN 'nulled'
+        |         WHEN NOT is_live THEN 'repaired' ELSE 'kept' END
+        |  FROM eo) u
+        |ORDER BY realm, kind, key""".stripMargin,
+
     "tp1_timer_fold" ->
       """WITH log AS (
         |  SELECT 'task-'||lpad(CAST(o_custkey%20 AS VARCHAR), 2, '0') AS key,

@@ -90,4 +90,62 @@ object PlacementAdmin {
         .otherwise("ok")
     j.select(col("mut_id"), col("kind"), verdict.as("verdict"))
   }
+
+  /** Dangling-strategy reference repair (reference
+    * `core/src/admin_document_reducer.rs:300-339`
+    * `repair_realm_config_placement_references`): after strategy removals,
+    * per realm
+    *  - the fallback is the FIRST live strategy id (`BTreeSet::first` — the
+    *    minimum, `:309`);
+    *  - with no live strategy the default clears, every strategy binding is
+    *    removed outright, and every override's strategy nulls (`:311-318`);
+    *  - otherwise a missing-or-dangling default, a dangling binding, and a
+    *    dangling non-null override each repair to the fallback
+    *    (`:320-338`); null overrides stay null.
+    * `placement_bindings` are intentionally exempt: immutable, they fail
+    * closed at resolve instead (`:301-303`).
+    *
+    * Inputs: `strategies(realm, strategy_id)` (the live set),
+    * `defaults(realm, strategy_id)`, `bindings(realm, scope, strategy_id)`,
+    * `overrides(realm, subject, strategy_id)`. Returns one row per
+    * reference: `(realm, kind, key, old_strategy, new_strategy, action)`
+    * with action ∈ kept | repaired | cleared | removed | nulled.
+    *
+    * Scale: config-plane relations — every side broadcasts; no data-sized
+    * input exists. */
+  def repairStrategyRefs(strategies: DataFrame, defaults: DataFrame,
+      bindings: DataFrame, overrides: DataFrame): DataFrame = {
+    val live = strategies.select(col("realm"), col("strategy_id"),
+      lit(true).as("s_live"))
+    val fallback = strategies.groupBy("realm")
+      .agg(min("strategy_id").as("fb"))
+    def enrich(refs: DataFrame) = refs
+      .join(broadcast(fallback), Seq("realm"), "left_outer")
+      .join(broadcast(live), Seq("realm", "strategy_id"), "left_outer")
+    val old = col("strategy_id")
+    val isLive = col("s_live").isNotNull
+    val noneLive = col("fb").isNull
+
+    val d = enrich(defaults).select(col("realm"), lit("default").as("kind"),
+      lit("-").as("key"), old.as("old_strategy"),
+      when(noneLive, lit(null).cast("string"))
+        .when(old.isNull || !isLive, col("fb")).otherwise(old)
+        .as("new_strategy"),
+      when(noneLive, "cleared").when(old.isNull || !isLive, "repaired")
+        .otherwise("kept").as("action"))
+    val b = enrich(bindings).select(col("realm"), lit("binding").as("kind"),
+      col("scope").as("key"), old.as("old_strategy"),
+      when(noneLive, lit(null).cast("string"))
+        .when(!isLive, col("fb")).otherwise(old).as("new_strategy"),
+      when(noneLive, "removed").when(!isLive, "repaired").otherwise("kept")
+        .as("action"))
+    val o = enrich(overrides).select(col("realm"), lit("override").as("kind"),
+      col("subject").as("key"), old.as("old_strategy"),
+      when(noneLive || old.isNull, lit(null).cast("string"))
+        .when(!isLive, col("fb")).otherwise(old).as("new_strategy"),
+      when(old.isNull, "kept")
+        .when(noneLive, "nulled")
+        .when(!isLive, "repaired").otherwise("kept").as("action"))
+    d.unionByName(b).unionByName(o)
+  }
 }

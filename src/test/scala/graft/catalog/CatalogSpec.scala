@@ -1420,6 +1420,36 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getString(4) == "no_such_upload")
   }
 
+  test("strategy-ref repair ladder (admin_document_reducer.rs:300-339)") {
+    val live = Seq(("rA", "S0"), ("rA", "S2")).toDF("realm", "strategy_id")
+    val defaults = Seq(("rA", "S9"), ("rB", "S0"),
+      ("rC", null.asInstanceOf[String])).toDF("realm", "strategy_id")
+    val bindings = Seq(("rA", "b0", "S2"), ("rA", "b1", "S7"),
+      ("rB", "b0", "S0")).toDF("realm", "scope", "strategy_id")
+    val overrides = Seq(("rA", "o0", "S9"), ("rA", "o1", null),
+      ("rB", "o0", "S0"), ("rB", "o1", null))
+      .toDF("realm", "subject", "strategy_id")
+    val got = PlacementAdmin.repairStrategyRefs(live, defaults, bindings,
+        overrides)
+      .orderBy("realm", "kind", "key").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      // rA: fallback = min live id S0
+      ("rA", "binding", "b0", "S2", "S2", "kept"),
+      ("rA", "binding", "b1", "S7", "S0", "repaired"),
+      ("rA", "default", "-", "S9", "S0", "repaired"),
+      ("rA", "override", "o0", "S9", "S0", "repaired"),
+      ("rA", "override", "o1", null, null, "kept"),
+      // rB: no live strategies -> clear / remove / null
+      ("rB", "binding", "b0", "S0", null, "removed"),
+      ("rB", "default", "-", "S0", null, "cleared"),
+      ("rB", "override", "o0", "S0", null, "nulled"),
+      ("rB", "override", "o1", null, null, "kept"),
+      // rC: a missing default also repairs... to nothing live here
+      ("rC", "default", "-", null, null, "cleared")))
+  }
+
   test("usage delta apply == direct rebuild (UsageCounterUpdate::step)") {
     val base = Seq(("g1", 2L, 300L)).toDF("group_id", "stored_blobs", "stored_bytes")
     val deltas = Seq(("g1", 1L, 100L), ("g1", 1L, 50L), ("g2", 1L, 10L))
