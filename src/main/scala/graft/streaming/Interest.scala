@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watch-interest digest rebuild — the debounced per-realm publisher the
+  * reference runs over its watch subscriptions
+  * (`operations/src/notifications/watch/interest.rs:148-258`
+  * `publish_watch_interest`, `:298-322` `build_realm_digest`;
+  * `core/src/structs/notification_watch.rs:465-487`
+  * `WatchInterestDigest::from_subscriptions`;
+  * `operations/src/notifications/watch/authorization.rs:536-580`
+  * `filter_authorized_watch_subscriptions`).
+  *
+  * Contract:
+  *  - only realms with a pending dirty marker rebuild (`interest.rs:161-172`);
+  *  - a realm's digest is built from subscriptions whose owner is still
+  *    assigned to this node AND whose authorization evaluates Authorized —
+  *    Denied drops the subscription, Unavailable additionally sets the
+  *    realm's `check_failed` retry flag (`authorization.rs:561-571`);
+  *  - identical path prefixes dedup by OR-ing their event masks and entries
+  *    sort by prefix (`notification_watch.rs:465-478`);
+  *  - an EMPTY digest still publishes so peers drop stale interest
+  *    (`interest.rs:151-152`): empty realms emit one null-prefix row;
+  *  - a digest is written only when it changed; an unchanged digest with no
+  *    pending marker is skipped entirely (`interest.rs:216-218`);
+  *  - dirty markers clear only while their generation is unchanged — a
+  *    concurrent CRUD that bumped the generation keeps its retry signal
+  *    (`interest.rs:346-350`).
+  *
+  * Scale: subscriptions group-shuffle once on `(realm, path_prefix)`;
+  * markers / current digests / pending flags are config-plane relations and
+  * broadcast. Nothing is corpus-sized.
+  */
+object Interest {
+
+  /** Rebuild digests for the dirty realms.
+    *
+    * `subs(realm, path_prefix, event_mask, owner_node, authz)` with
+    * `authz` ∈ ok | denied | unavailable; `markers(realm, gen_observed,
+    * gen_now)`; `current(realm, digest_sig)` — the previously published
+    * digest's canonical signature; `pending(realm)` — realms with an
+    * unconsumed pending marker; `localNode` — this node's id.
+    *
+    * Returns one row per digest entry — plus a null-prefix row for an
+    * empty digest — with the realm verdict columns:
+    * `(realm, path_prefix, event_mask, published, check_failed, n_dropped,
+    * n_cleared)`. */
+  def publish(subs: DataFrame, markers: DataFrame, current: DataFrame,
+      pending: DataFrame, localNode: String): DataFrame = {
+    val dirtyRealms = markers.select(col("realm")).distinct()
+
+    val held = subs.filter(col("owner_node") === localNode)
+    val authorized = held.filter(col("authz") === "ok")
+    val entries = authorized
+      .groupBy("realm", "path_prefix")
+      .agg(expr("bit_or(event_mask)").cast("long").as("event_mask"))
+
+    // realm-level flags from the full (pre-filter) subscription view
+    val realmFlags = subs
+      .groupBy("realm")
+      .agg(
+        max(when(col("owner_node") === localNode &&
+          col("authz") === "unavailable", true).otherwise(false))
+          .as("check_failed"),
+        sum(when(col("owner_node") =!= localNode ||
+          col("authz").isin("denied", "unavailable"), 1L).otherwise(0L))
+          .as("n_dropped"))
+
+    val sig = entries
+      .groupBy("realm")
+      .agg(array_join(transform(array_sort(collect_list(struct(
+          col("path_prefix"),
+          concat_ws(":", col("path_prefix"), col("event_mask")).as("s")))),
+        x => x.getField("s")), ",").as("new_sig"))
+
+    val cleared = markers
+      .groupBy("realm")
+      .agg(sum(when(col("gen_observed") === col("gen_now"), 1L)
+        .otherwise(0L)).as("n_cleared"))
+
+    val realmState = dirtyRealms
+      .join(broadcast(sig), Seq("realm"), "left_outer")
+      .join(broadcast(current), Seq("realm"), "left_outer")
+      .join(broadcast(pending.select(col("realm"),
+        lit(true).as("has_pending"))), Seq("realm"), "left_outer")
+      .join(broadcast(realmFlags), Seq("realm"), "left_outer")
+      .join(broadcast(cleared), Seq("realm"), "left_outer")
+      .select(col("realm"),
+        // empty digest canonicalizes to the empty signature
+        (coalesce(col("new_sig"), lit("")) =!=
+          coalesce(col("digest_sig"), lit("<absent>"))).as("changed"),
+        coalesce(col("has_pending"), lit(false)).as("has_pending"),
+        coalesce(col("check_failed"), lit(false)).as("check_failed"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("n_cleared"), lit(0L)).as("n_cleared"))
+      // an unchanged digest with no pending marker publishes nothing, but
+      // its observed markers still clear (interest.rs:216-218 `continue`
+      // vs the unconditional clear_consumed_markers at `:254`)
+      .withColumn("published", col("changed") || col("has_pending"))
+
+    realmState
+      .join(entries, Seq("realm"), "left_outer")
+      .select(col("realm"), col("path_prefix"),
+        coalesce(col("event_mask"), lit(0L)).as("event_mask"),
+        col("published"), col("check_failed"), col("n_dropped"),
+        col("n_cleared"))
+  }
+}

@@ -289,6 +289,35 @@ object StreamingQueries {
       graft.crdt.OrSet.fold(ops).orderBy(col("subject"), col("predicate"))
     },
 
+    // Watch-interest digest rebuild (notifications/watch/interest.rs): only
+    // dirty-marker realms rebuild; locally-held + authorized subscriptions
+    // merge per path prefix by mask-OR; r4 exercises the empty-digest +
+    // unchanged-skip path, r2/r5 the generation-bumped marker retention
+    "wi1_interest_digest" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val subs = o.filter(col("o_orderkey") % 7 =!= 4).select(
+        concat(lit("r"), (col("o_orderkey") % 7).cast("string")).as("realm"),
+        concat(lit("/p"), (col("o_orderkey") % 4).cast("string"))
+          .as("path_prefix"),
+        expr("CAST(shiftleft(1, CAST(o_orderkey % 4 AS INT)) AS BIGINT)")
+          .as("event_mask"),
+        when(col("o_orderkey") % 5 === 0, "other").otherwise("self")
+          .as("owner_node"),
+        when(col("o_orderkey") % 11 === 0, "denied")
+          .when(col("o_orderkey") % 11 === 1, "unavailable")
+          .otherwise("ok").as("authz"))
+      val markers = s.range(0, 6).select(
+        concat(lit("r"), col("id").cast("string")).as("realm"),
+        col("id").as("gen_observed"),
+        (col("id") + when(col("id") % 3 === 2, 1L).otherwise(0L))
+          .as("gen_now"))
+      val current = s.createDataFrame(Seq(("r0", "<stale>"), ("r4", "")))
+        .toDF("realm", "digest_sig")
+      val pending = s.createDataFrame(Seq(Tuple1("r3"))).toDF("realm")
+      Interest.publish(subs, markers, current, pending, localNode = "self")
+        .orderBy("realm", "path_prefix")
+    },
+
     // Admin-document MV-register fold (admin_document_reducer.rs): resolve a
     // causally-delivered admin event log to its per-(doc, path) causal
     // frontier — converged value + representative dot, or the dot-sorted
@@ -603,6 +632,60 @@ object StreamingQueries {
         |  SELECT 'graph:'||doc_id, 'doc:'||doc_id, 'status', 'ok'
         |  FROM documents WHERE doc_id%5=0
         |) t ORDER BY subject, predicate""".stripMargin,
+
+    "wi1_interest_digest" ->
+      """WITH subs AS (
+        |  SELECT 'r'||(o_orderkey%7) AS realm,
+        |    '/p'||(o_orderkey%4) AS path_prefix,
+        |    CAST(1<<(o_orderkey%4) AS BIGINT) AS event_mask,
+        |    CASE WHEN o_orderkey%5=0 THEN 'other' ELSE 'self' END AS owner_node,
+        |    CASE o_orderkey%11 WHEN 0 THEN 'denied' WHEN 1 THEN 'unavailable'
+        |      ELSE 'ok' END AS authz
+        |  FROM orders WHERE o_orderkey%7 <> 4),
+        |markers AS (
+        |  SELECT 'r'||k AS realm, CAST(k AS BIGINT) AS gen_observed,
+        |    CAST(k + CASE WHEN k%3=2 THEN 1 ELSE 0 END AS BIGINT) AS gen_now
+        |  FROM range(0,6) t(k)),
+        |cur AS (SELECT * FROM (VALUES ('r0','<stale>'), ('r4',''))
+        |        t(realm, digest_sig)),
+        |pend AS (SELECT 'r3' AS realm),
+        |entries AS (
+        |  SELECT realm, path_prefix,
+        |         CAST(bit_or(event_mask) AS BIGINT) AS event_mask
+        |  FROM subs WHERE owner_node='self' AND authz='ok'
+        |  GROUP BY realm, path_prefix),
+        |flags AS (
+        |  SELECT realm,
+        |    coalesce(MAX(owner_node='self' AND authz='unavailable'), false)
+        |      AS check_failed,
+        |    CAST(coalesce(SUM(CASE WHEN owner_node<>'self'
+        |      OR authz IN ('denied','unavailable') THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_dropped
+        |  FROM subs GROUP BY realm),
+        |sig AS (SELECT realm, string_agg(path_prefix||':'||event_mask, ','
+        |          ORDER BY path_prefix) AS new_sig
+        |        FROM entries GROUP BY realm),
+        |cleared AS (SELECT realm, CAST(SUM(CASE WHEN gen_observed=gen_now
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cleared
+        |  FROM markers GROUP BY realm),
+        |rs AS (
+        |  SELECT d.realm,
+        |    coalesce(s.new_sig,'') <> coalesce(c.digest_sig,'<absent>')
+        |      AS changed,
+        |    p.realm IS NOT NULL AS has_pending,
+        |    coalesce(f.check_failed, false) AS check_failed,
+        |    coalesce(f.n_dropped, 0) AS n_dropped,
+        |    coalesce(cl.n_cleared, 0) AS n_cleared
+        |  FROM (SELECT DISTINCT realm FROM markers) d
+        |  LEFT JOIN sig s USING (realm) LEFT JOIN cur c USING (realm)
+        |  LEFT JOIN pend p USING (realm) LEFT JOIN flags f USING (realm)
+        |  LEFT JOIN cleared cl USING (realm))
+        |SELECT r.realm, e.path_prefix,
+        |  coalesce(e.event_mask, 0) AS event_mask,
+        |  (changed OR has_pending) AS published, check_failed, n_dropped,
+        |  n_cleared
+        |FROM rs r LEFT JOIN entries e USING (realm)
+        |ORDER BY realm, path_prefix""".stripMargin,
 
     // frontier = events no other same-path event observes (dominance
     // NOT EXISTS); converged when the frontier holds one distinct value

@@ -576,4 +576,45 @@ class StreamingSpec extends SparkSpec {
     // the caller's queue catalog materializes zero rows if needed
     assert(!out.contains("ghost"))
   }
+
+  test("watch-interest digest: mask-OR dedup, drop accounting, empty publish, unchanged skip, gen-bumped markers survive") {
+    val subs = Seq(
+      // r0: two same-prefix subs OR to mask 3; a foreign-owner sub drops
+      ("r0", "/a", 1L, "self", "ok"),
+      ("r0", "/a", 2L, "self", "ok"),
+      ("r0", "/b", 4L, "other", "ok"),
+      // r1: denied drops silently; unavailable drops AND flags the retry
+      ("r1", "/c", 1L, "self", "denied"),
+      ("r1", "/d", 2L, "self", "unavailable"),
+      // r3: digest identical to the currently-published one
+      ("r3", "/x", 4L, "self", "ok")
+    ).toDF("realm", "path_prefix", "event_mask", "owner_node", "authz")
+    val markers = Seq(
+      ("r0", 1L, 1L),  // unchanged generation -> clears
+      ("r1", 2L, 3L),  // concurrent CRUD bumped it -> retained
+      ("r2", 5L, 5L),  // dirty realm with no subs at all
+      ("r3", 7L, 7L)
+    ).toDF("realm", "gen_observed", "gen_now")
+    val current = Seq(("r0", "<old>"), ("r3", "/x:4"))
+      .toDF("realm", "digest_sig")
+    val pending = Seq(Tuple1("r9")).toDF("realm") // no dirty realm pending
+    val got = Interest
+      .publish(subs, markers, current, pending, localNode = "self")
+      .orderBy("realm", "path_prefix").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("∅"),
+        r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getLong(5),
+        r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // r0: one merged entry, changed vs <old>, one foreign drop, cleared
+      ("r0", "/a", 3L, true, false, 1L, 1L),
+      // r1: all subs dropped -> EMPTY digest still publishes (peers must
+      // drop stale interest); check_failed from the unavailable authz;
+      // bumped generation keeps the marker (n_cleared 0)
+      ("r1", "∅", 0L, true, true, 2L, 0L),
+      // r2: no subs, no prior digest ("" vs <absent> = changed) -> publish
+      ("r2", "∅", 0L, true, false, 0L, 1L),
+      // r3: digest unchanged and nothing pending -> skipped entirely,
+      // but its observed markers still clear
+      ("r3", "/x", 4L, false, false, 0L, 1L)), got.toSeq.mkString("\n"))
+  }
 }
