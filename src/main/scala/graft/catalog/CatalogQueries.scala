@@ -1574,8 +1574,128 @@ object CatalogQueries {
           ReplicationTables.jobs(s, d), ReplicationTables.LocalNode)
         .orderBy(col("p_bucket"), col("p_key"), col("local").desc,
           col("node_id"), col("bucket"), col("key"))
+    },
+
+    // Materialization-queue drain: the full per-document ladder — ordering
+    // blocks, status obsolescence, missing events, deleted graphs, the
+    // terminal/transient/application failure taxonomy, park-at-10 with
+    // dead-letter backoff, guarded status writes, per-graph sync dedup
+    "mz1_materialization_drain" -> { (s, d) =>
+      MaterializationQueue.drain(mqJobs(s, d), mqStatus(s, d),
+          mqEvents(s, d), mqLifecycle(s, d), mqDeadLetters(s, d),
+          nowMs = MqNow)
+        .orderBy("doc_id", "event_id")
+    },
+
+    // Dead-letter requeue sweep: not-due letters wait, vanished events and
+    // superseded documents drop their letters, the rest requeue with a
+    // one-failure budget and their park count carried
+    "mz2_dead_letter_requeue" -> { (s, d) =>
+      MaterializationQueue.requeueDeadLetters(mz2DeadLetters(s, d),
+          mqStatus(s, d), mqEvents(s, d), nowMs = MqNow)
+        .orderBy("doc_id", "event_id")
     }
   )
+
+  /** Materialization-queue fixtures (mz1/mz2): ≤384 (doc, event) jobs with
+    * deterministic due/attempt/failure spreads, a per-document status mix
+    * (pending/materialized/failed at varying events), ~5% missing create
+    * events, one deleted graph in nine, and a sprinkling of pre-existing
+    * dead letters — enough collisions to hit every ladder arm. */
+  private val MqNow = 1000000L
+
+  private def mqBase(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d).select(
+      (col("o_orderkey") % 64).cast("long").as("doc_id"),
+      expr("CAST((o_orderkey div 64) % 6 AS BIGINT)").as("event_id"))
+      .distinct()
+
+  private def mqJobs(s: SparkSession, d: String): DataFrame =
+    mqBase(s, d)
+      .withColumn("h", col("doc_id") * 7 + col("event_id") * 3)
+      .select(col("doc_id"), col("event_id"),
+        when(col("h") % 5 === 4, lit(MqNow) + (col("h") % 7 + 1) * 1000L)
+          .otherwise(lit(MqNow) - (col("h") % 11) * 1000L).as("due_at_ms"),
+        (col("h") % 4).as("attempts"),
+        when(col("h") % 13 === 0, 9L).when(col("h") % 13 === 1, 10L)
+          .otherwise(col("h") % 3).as("failures"),
+        when(col("h") % 17 === 2, 2L).otherwise(0L).as("parks"))
+
+  private def mqEvents(s: SparkSession, d: String): DataFrame =
+    mqBase(s, d)
+      .filter((col("doc_id") * 5 + col("event_id")) % 19 =!= 0)
+      .select(col("doc_id"), col("event_id"),
+        concat(lit("g"), (col("doc_id") % 40).cast("string")).as("graph_iri"),
+        concat(lit("p"),
+          ((col("doc_id") + col("event_id")) % 5).cast("string")).as("peers"),
+        when((col("doc_id") + col("event_id") * 2) % 9 === 0, "terminal")
+          .when((col("doc_id") + col("event_id") * 2) % 9 === 1, "transient")
+          .when(((col("doc_id") + col("event_id") * 2) % 9).isin(2L, 3L),
+            "application")
+          .otherwise("ok").as("apply_outcome"))
+
+  private def mqStatus(s: SparkSession, d: String): DataFrame =
+    mqBase(s, d).select("doc_id").distinct()
+      .filter(col("doc_id") % 4 =!= 3)
+      .select(col("doc_id"), (col("doc_id") % 6).as("event_id"),
+        (col("doc_id") % 5).as("attempts"),
+        when(col("doc_id") % 3 === 0, "pending")
+          .when(col("doc_id") % 3 === 1, "materialized")
+          .otherwise("failed").as("state"))
+
+  private def mqLifecycle(s: SparkSession, d: String): DataFrame =
+    mqBase(s, d).select((col("doc_id") % 40).as("g")).distinct()
+      .select(concat(lit("g"), col("g").cast("string")).as("graph_iri"),
+        (col("g") % 9 === 3).as("deleted"))
+
+  private def mqDeadLetters(s: SparkSession, d: String): DataFrame =
+    mqBase(s, d).select("doc_id").distinct()
+      .filter(col("doc_id") % 16 === 5)
+      .select(col("doc_id"), ((col("doc_id") + 1) % 6).as("event_id"),
+        lit(2L).as("parks"))
+
+  private def mz2DeadLetters(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d).select(
+      (col("o_orderkey") % 48).cast("long").as("doc_id"),
+      expr("CAST((o_orderkey div 48) % 4 AS BIGINT)").as("event_id"))
+      .distinct()
+      .select(col("doc_id"), col("event_id"),
+        ((col("doc_id") + col("event_id")) % 3 + 1).as("parks"),
+        when((col("doc_id") * 3 + col("event_id")) % 7 === 0,
+          lit(MqNow) + 5000L).otherwise(lit(MqNow) - 5000L)
+          .as("requeue_at_ms"))
+
+  /** DuckDB mirror of the mz1/mz2 fixtures. */
+  private val mqCtes =
+    """mqb AS (SELECT DISTINCT CAST(o_orderkey % 64 AS BIGINT) AS doc_id,
+      |               CAST((o_orderkey // 64) % 6 AS BIGINT) AS event_id
+      |        FROM orders),
+      |mqjobs AS (
+      |  SELECT doc_id, event_id,
+      |    CASE WHEN h%5=4 THEN 1000000 + (h%7+1)*1000
+      |         ELSE 1000000 - (h%11)*1000 END AS due_at_ms,
+      |    h%4 AS attempts,
+      |    CASE WHEN h%13=0 THEN 9 WHEN h%13=1 THEN 10 ELSE h%3 END AS failures,
+      |    CASE WHEN h%17=2 THEN 2 ELSE 0 END AS parks
+      |  FROM (SELECT doc_id, event_id, doc_id*7 + event_id*3 AS h FROM mqb)),
+      |mqev AS (
+      |  SELECT doc_id, event_id, 'g'||(doc_id%40) AS graph_iri,
+      |    CASE (doc_id + event_id*2) % 9 WHEN 0 THEN 'terminal'
+      |         WHEN 1 THEN 'transient' WHEN 2 THEN 'application'
+      |         WHEN 3 THEN 'application' ELSE 'ok' END AS apply_outcome
+      |  FROM mqb WHERE (doc_id*5 + event_id) % 19 <> 0),
+      |mqst AS (
+      |  SELECT doc_id, doc_id%6 AS st_event, doc_id%5 AS st_attempts,
+      |    CASE doc_id%3 WHEN 0 THEN 'pending' WHEN 1 THEN 'materialized'
+      |         ELSE 'failed' END AS st_state
+      |  FROM (SELECT DISTINCT doc_id FROM mqb) WHERE doc_id%4 <> 3),
+      |mqlc AS (
+      |  SELECT 'g'||g AS graph_iri, g%9 = 3 AS deleted
+      |  FROM (SELECT DISTINCT doc_id%40 AS g FROM mqb)),
+      |mqdl AS (
+      |  SELECT doc_id, (doc_id+1)%6 AS event_id, 2 AS parks
+      |  FROM (SELECT DISTINCT doc_id FROM mqb) WHERE doc_id%16 = 5)"""
+      .stripMargin
 
   private val ctes =
     s"${ObjectTables.objectsCte},\n${ObjectTables.blobsCte},\n${ObjectTables.bucketsCte},\n" +
@@ -4390,6 +4510,146 @@ object CatalogQueries {
          |  (NOT q_truncated AND q_skipped = 0 AND NOT capped2
          |   AND NOT path_unknown) AS complete
          |FROM fl2, qf WHERE NOT dropped
-         |ORDER BY p_bucket, p_key, local DESC, node_id, bucket, key""".stripMargin
+         |ORDER BY p_bucket, p_key, local DESC, node_id, bucket, key""".stripMargin,
+
+    "mz1_materialization_drain" ->
+      s"""WITH $mqCtes,
+         |ann AS (
+         |  SELECT j.doc_id, j.event_id, j.due_at_ms, j.attempts, j.failures,
+         |         j.parks, s.st_event, s.st_attempts, s.st_state,
+         |         e.graph_iri, e.apply_outcome,
+         |         e.graph_iri IS NOT NULL AS ev_ok,
+         |         COALESCE(l.deleted, false) AS g_deleted, d.parks AS dl_parks
+         |  FROM mqjobs j
+         |  LEFT JOIN mqst s USING (doc_id)
+         |  LEFT JOIN mqev e USING (doc_id, event_id)
+         |  LEFT JOIN mqlc l ON e.graph_iri = l.graph_iri
+         |  LEFT JOIN mqdl d ON j.doc_id = d.doc_id AND j.event_id = d.event_id),
+         |a2 AS (
+         |  SELECT *,
+         |    COALESCE(st_state IN ('materialized','failed'), false) AS st_final,
+         |    COALESCE(st_event >= event_id
+         |      AND st_state IN ('materialized','failed'), false) AS obsolete_final
+         |  FROM ann),
+         |a3 AS (
+         |  SELECT *, NOT obsolete_final AND COALESCE(st_event = event_id
+         |    AND st_attempts > attempts, false) AS retry_advanced
+         |  FROM a2),
+         |a4 AS (
+         |  SELECT *, ev_ok AND NOT obsolete_final
+         |    AND (due_at_ms > 1000000 OR retry_advanced) AS blocking
+         |  FROM a3),
+         |a5 AS (
+         |  SELECT *,
+         |    COALESCE(MAX(CASE WHEN blocking THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = 1,
+         |      false) AS blocked,
+         |    due_at_ms <= 1000000 AS is_due,
+         |    failures + CASE WHEN apply_outcome = 'application'
+         |                    THEN 1 ELSE 0 END AS fail_next
+         |  FROM a4),
+         |a6 AS (
+         |  SELECT *, CASE WHEN blocked THEN 'blocked'
+         |    WHEN obsolete_final THEN 'obsolete_final'
+         |    WHEN retry_advanced THEN 'retry_advanced'
+         |    WHEN NOT ev_ok THEN 'event_missing'
+         |    WHEN g_deleted THEN 'graph_deleted'
+         |    WHEN apply_outcome = 'ok' THEN 'materialized'
+         |    WHEN apply_outcome = 'terminal' THEN 'failed_terminal'
+         |    WHEN fail_next >= 10 THEN 'parked'
+         |    ELSE 'rescheduled' END AS prelim
+         |  FROM a5),
+         |a7 AS (
+         |  SELECT *, MIN(CASE WHEN is_due
+         |      AND prelim IN ('blocked','rescheduled','parked')
+         |      THEN event_id END) OVER (PARTITION BY doc_id) AS stop_ev
+         |  FROM a6),
+         |a8 AS (
+         |  SELECT *, CASE WHEN stop_ev IS NOT NULL AND event_id > stop_ev
+         |                 THEN 'not_attempted' ELSE prelim END AS verdict
+         |  FROM a7 WHERE is_due),
+         |a9 AS (
+         |  SELECT *,
+         |    CASE WHEN verdict = 'materialized' THEN 'materialized'
+         |         WHEN verdict IN ('failed_terminal','graph_deleted','parked')
+         |           THEN 'failed'
+         |         WHEN verdict = 'rescheduled' THEN 'pending' END AS new_state,
+         |    CASE WHEN verdict = 'parked'
+         |         THEN greatest(COALESCE(dl_parks, 0), parks) + 1
+         |         END AS new_parks
+         |  FROM a8)
+         |SELECT doc_id, event_id, verdict,
+         |  verdict NOT IN ('blocked','not_attempted','retry_advanced')
+         |    AS attempted,
+         |  new_state,
+         |  CAST(CASE WHEN new_state IS NOT NULL THEN attempts + 1 END
+         |       AS BIGINT) AS new_attempts,
+         |  CAST(CASE WHEN verdict IN ('rescheduled','parked') THEN fail_next
+         |            WHEN new_state IS NOT NULL THEN failures END
+         |       AS BIGINT) AS new_failures,
+         |  CAST(CASE WHEN verdict = 'rescheduled' THEN 1000000 +
+         |    least(30000, 250 * (1 << CAST(least(attempts + 1, 7) AS INT)))
+         |    END AS BIGINT) AS next_due_at_ms,
+         |  CAST(new_parks AS BIGINT) AS new_parks,
+         |  CAST(CASE WHEN verdict = 'parked' THEN 1000000 +
+         |    least(3600000, 60000 * (1 << CAST(least(new_parks - 1, 7) AS INT)))
+         |    END AS BIGINT) AS requeue_at_ms,
+         |  verdict IN ('materialized','failed_terminal','graph_deleted',
+         |    'event_missing','obsolete_final','parked','retry_advanced')
+         |    AS job_deleted,
+         |  verdict IN ('materialized','failed_terminal','graph_deleted',
+         |    'event_missing','obsolete_final','parked') AS sidecar_deleted,
+         |  CASE WHEN verdict IN ('materialized','failed_terminal',
+         |         'graph_deleted','parked')
+         |       THEN NOT (COALESCE(st_event > event_id, false)
+         |         OR COALESCE(st_event = event_id
+         |              AND st_attempts >= attempts + 1, false)
+         |         OR COALESCE(st_event = event_id AND st_final, false))
+         |       WHEN verdict = 'rescheduled'
+         |       THEN NOT (COALESCE(st_event > event_id, false)
+         |         OR COALESCE(st_event = event_id
+         |              AND st_attempts > attempts + 1, false))
+         |       ELSE false END AS status_written,
+         |  verdict = 'materialized' AND doc_id*4096 + event_id =
+         |    MAX(CASE WHEN verdict = 'materialized'
+         |        THEN doc_id*4096 + event_id END)
+         |      OVER (PARTITION BY graph_iri) AS sync_scheduled
+         |FROM a9 ORDER BY doc_id, event_id""".stripMargin,
+
+    "mz2_dead_letter_requeue" ->
+      s"""WITH $mqCtes,
+         |dlb AS (SELECT DISTINCT CAST(o_orderkey % 48 AS BIGINT) AS doc_id,
+         |               CAST((o_orderkey // 48) % 4 AS BIGINT) AS event_id
+         |        FROM orders),
+         |dl2 AS (SELECT doc_id, event_id,
+         |         (doc_id + event_id) % 3 + 1 AS parks,
+         |         CASE WHEN (doc_id*3 + event_id) % 7 = 0
+         |              THEN 1005000 ELSE 995000 END AS requeue_at_ms
+         |        FROM dlb),
+         |ann AS (SELECT x.*, s.st_event, s.st_state,
+         |               e.graph_iri IS NOT NULL AS ev_ok
+         |        FROM dl2 x LEFT JOIN mqst s USING (doc_id)
+         |        LEFT JOIN mqev e USING (doc_id, event_id)),
+         |a2 AS (SELECT *,
+         |        COALESCE(st_event >= event_id
+         |          AND st_state IN ('materialized','failed')
+         |          AND (st_event > event_id OR st_state = 'materialized'),
+         |          false) AS superseded
+         |       FROM ann),
+         |a3 AS (SELECT *, CASE WHEN requeue_at_ms > 1000000 THEN 'waiting'
+         |         WHEN NOT ev_ok THEN 'dropped_missing_event'
+         |         WHEN superseded THEN 'superseded'
+         |         ELSE 'requeued' END AS verdict
+         |       FROM a2)
+         |SELECT doc_id, event_id, verdict,
+         |  verdict <> 'waiting' AS letter_deleted,
+         |  CAST(CASE WHEN verdict = 'requeued' THEN 0 END AS BIGINT)
+         |    AS job_attempts,
+         |  CAST(CASE WHEN verdict = 'requeued' THEN 9 END AS BIGINT)
+         |    AS job_failures,
+         |  CAST(CASE WHEN verdict = 'requeued' THEN parks END AS BIGINT)
+         |    AS job_parks
+         |FROM a3 ORDER BY doc_id, event_id""".stripMargin
   )
 }
