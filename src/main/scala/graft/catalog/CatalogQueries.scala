@@ -1594,6 +1594,51 @@ object CatalogQueries {
       MaterializationQueue.requeueDeadLetters(mz2DeadLetters(s, d),
           mqStatus(s, d), mqEvents(s, d), nowMs = MqNow)
         .orderBy("doc_id", "event_id")
+    },
+
+    // Graph-prune tombstone intake: first-deleted-wins graph dedup, prune
+    // when the store still holds the graph, IRI-index rows of the deleted
+    // documents cleaned in the same pass
+    "gp1_prune_tombstones" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val tmb = o.select(col("o").cast("long").as("seq"),
+        concat(lit("g"), (col("o") % 80).cast("string")).as("graph_iri"),
+        (col("o") % 240 + 1000).cast("long").as("document_id"),
+        (col("o") % 5 =!= 0).as("deleted"))
+      val sg = s.range(0, 80).filter(col("id") % 3 =!= 1)
+        .select(concat(lit("g"), col("id").cast("string")).as("graph_iri"))
+      val idx = o
+        .filter((col("o") % 240 + 1000 + col("o") % 11) % 3 =!= 0)
+        .select((col("o") % 240 + 1000).cast("long").as("document_id"),
+          concat(lit("r"), (col("o") % 11).cast("string")).as("ref_iri"))
+        .distinct()
+      GraphPrune.tombstones(tmb, sg, idx).orderBy("graph_iri")
+    },
+
+    // Graph-prune drain page: 128-cap key-order scan with the wake-up
+    // hint, per-graph group ladder — raced-recreate drop, prune, or the
+    // representative-job backoff reschedule
+    "gp2_prune_drain" -> { (s, d) =>
+      val base = graft.Tables.orders(s, d).select(
+        (col("o_orderkey") % 160).cast("long").as("k"),
+        expr("CAST((o_orderkey div 160) % 2 AS BIGINT)").as("seq"))
+        .distinct()
+        .withColumn("h", col("k") * 3 + col("seq") * 5)
+      val jobs = base.select(
+        concat(lit("g"), col("k").cast("string")).as("graph_iri"),
+        col("seq"),
+        when(col("h") % 4 === 0, lit(MqNow) + (col("h") % 9 + 1) * 500L)
+          .otherwise(lit(MqNow) - (col("h") % 7) * 100L).as("due_at_ms"),
+        (col("h") % 6).as("attempts"))
+      val ks = base.select("k").distinct()
+      val lifecycle = ks.select(
+        concat(lit("g"), col("k").cast("string")).as("graph_iri"),
+        (col("k") % 5 =!= 2).as("deleted"))
+      val store = ks.select(
+        concat(lit("g"), col("k").cast("string")).as("graph_iri"),
+        (col("k") % 7 =!= 3).as("prune_ok"))
+      GraphPrune.drain(jobs, lifecycle, store, nowMs = MqNow)
+        .orderBy("graph_iri")
     }
   )
 
@@ -4650,6 +4695,77 @@ object CatalogQueries {
          |    AS job_failures,
          |  CAST(CASE WHEN verdict = 'requeued' THEN parks END AS BIGINT)
          |    AS job_parks
-         |FROM a3 ORDER BY doc_id, event_id""".stripMargin
+         |FROM a3 ORDER BY doc_id, event_id""".stripMargin,
+
+    "gp1_prune_tombstones" ->
+      """WITH tmb AS (
+        |  SELECT o_orderkey AS seq, 'g'||(o_orderkey%80) AS graph_iri,
+        |         CAST(o_orderkey%240 + 1000 AS BIGINT) AS document_id,
+        |         (o_orderkey%5) <> 0 AS deleted
+        |  FROM orders),
+        |sg AS (SELECT 'g'||k AS graph_iri FROM range(0,80) t(k)
+        |       WHERE k%3 <> 1),
+        |idx AS (SELECT DISTINCT CAST(o_orderkey%240 + 1000 AS BIGINT)
+        |          AS document_id, 'r'||(o_orderkey%11) AS ref_iri
+        |        FROM orders
+        |        WHERE (o_orderkey%240 + 1000 + o_orderkey%11) % 3 <> 0),
+        |pg AS (SELECT graph_iri, COUNT(*) AS n_tombstones,
+        |         CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_deleted,
+        |         arg_min(document_id, seq) FILTER (WHERE deleted)
+        |           AS document_id
+        |       FROM tmb GROUP BY graph_iri),
+        |en AS (SELECT * FROM pg WHERE n_deleted > 0),
+        |ic AS (SELECT document_id, COUNT(*) AS nn FROM idx
+        |       GROUP BY document_id)
+        |SELECT e.graph_iri, e.document_id,
+        |  CAST(n_tombstones AS BIGINT) AS n_tombstones, n_deleted,
+        |  s.graph_iri IS NOT NULL AS pruned,
+        |  CAST(COALESCE(ic.nn, 0) AS BIGINT) AS n_iri_rows_pruned
+        |FROM en e LEFT JOIN sg s USING (graph_iri)
+        |LEFT JOIN ic USING (document_id)
+        |ORDER BY graph_iri""".stripMargin,
+
+    "gp2_prune_drain" ->
+      """WITH gpj AS (
+        |  SELECT k, seq, k*3 + seq*5 AS h FROM (
+        |    SELECT DISTINCT CAST(o_orderkey % 160 AS BIGINT) AS k,
+        |           CAST((o_orderkey // 160) % 2 AS BIGINT) AS seq
+        |    FROM orders)),
+        |jobs AS (
+        |  SELECT 'g'||k AS graph_iri, seq, k,
+        |    CASE WHEN h%4=0 THEN 1000000 + (h%9+1)*500
+        |         ELSE 1000000 - (h%7)*100 END AS due_at_ms,
+        |    h%6 AS attempts
+        |  FROM gpj),
+        |due AS (SELECT * FROM jobs WHERE due_at_ms <= 1000000),
+        |page AS (SELECT * FROM due ORDER BY graph_iri, seq LIMIT 128),
+        |nmeta AS (SELECT COUNT(*) AS n FROM due),
+        |cut AS (SELECT graph_iri AS cg, seq AS cs FROM page
+        |        ORDER BY graph_iri DESC, seq DESC LIMIT 1),
+        |hint AS (SELECT MIN(due_at_ms) AS next_due_at_ms
+        |         FROM jobs j, nmeta, cut
+        |         WHERE j.due_at_ms > 1000000
+        |           AND (n <= 128 OR j.graph_iri < cg
+        |                OR (j.graph_iri = cg AND j.seq < cs))),
+        |grp AS (SELECT graph_iri, MIN(k) AS k, COUNT(*) AS n_jobs,
+        |               MAX(attempts) AS rep_att
+        |        FROM page GROUP BY graph_iri),
+        |g2 AS (SELECT graph_iri, n_jobs, rep_att,
+        |         CASE WHEN k%5 = 2 THEN 'dropped_not_deleted'
+        |              WHEN k%7 <> 3 THEN 'pruned'
+        |              ELSE 'rescheduled' END AS verdict
+        |       FROM grp)
+        |SELECT graph_iri, CAST(n_jobs AS BIGINT) AS n_jobs, verdict,
+        |  CAST(CASE WHEN verdict = 'dropped_not_deleted' THEN 0 ELSE 1 END
+        |       AS BIGINT) AS processed,
+        |  CAST(CASE WHEN verdict = 'rescheduled' THEN rep_att + 1 END
+        |       AS BIGINT) AS new_attempts,
+        |  CAST(CASE WHEN verdict = 'rescheduled' THEN 1000000 +
+        |    least(30000, 250 * (1 << CAST(least(rep_att + 1, 7) AS INT)))
+        |    END AS BIGINT) AS new_due_at_ms,
+        |  (SELECT n FROM nmeta) > 128 AS has_more_due,
+        |  (SELECT next_due_at_ms FROM hint) AS next_due_at_ms
+        |FROM g2 ORDER BY graph_iri""".stripMargin
   )
 }
