@@ -1615,6 +1615,94 @@ object CatalogQueries {
       GraphPrune.tombstones(tmb, sg, idx).orderBy("graph_iri")
     },
 
+    // Incoming-replication negotiation: hop/realm/permission rejections,
+    // already-replicated short-circuits, adopt-local-copy vs need-bytes,
+    // full-backend refusal only when bytes are needed, replaced-bytes
+    // accounting and the create-before-permissions bucket rule
+    "ivr1_incoming_negotiation" -> { (s, d) =>
+      val m = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 96).cast("long").as("m")).distinct()
+      val manifests = m.select(
+        concat(lit("bk"), (col("m") % 12).cast("string")).as("bucket"),
+        concat(lit("k"), col("m").cast("string")).as("key"),
+        (col("m") % 4).as("version_id"),
+        when(col("m") % 5 === 0, "delete_marker")
+          .when(col("m") % 5 === 1, "reference")
+          .otherwise("materialized").as("kind"),
+        when(col("m") % 17 === 3, 5L).otherwise(col("m") % 3)
+          .as("hop_count"),
+        when(col("m") % 19 === 4, "other").otherwise("r1").as("realm"),
+        when(col("m") % 23 === 5, "other")
+          .when(col("m") % 2 === 0, "r1").as("writer_realm"),
+        concat(lit("h"), (col("m") % 40).cast("string")).as("hash"),
+        concat(lit("s"), (col("m") % 7).cast("string")).as("ref_sig"),
+        concat(lit("b"), ((col("m") % 12) % 4).cast("string"))
+          .as("route_backend"))
+      val buckets = s.range(0, 12).filter(col("id") % 5 =!= 4)
+        .select(concat(lit("bk"), col("id").cast("string")).as("bucket"))
+      val perms = s.range(0, 12).select(
+        concat(lit("bk"), col("id").cast("string")).as("bucket"),
+        (col("id") % 7 =!= 2).as("can_write"),
+        (col("id") % 11 =!= 3).as("writer_ok"))
+      val versions = m.filter(col("m") % 7 < 4).select(
+        concat(lit("bk"), (col("m") % 12).cast("string")).as("bucket"),
+        concat(lit("k"), col("m").cast("string")).as("key"),
+        (col("m") % 4).as("version_id"),
+        when((col("m") * 5) % 4 === 1, "deleted")
+          .when((col("m") * 5) % 4 === 2, "reference")
+          .otherwise("materialized").as("state"),
+        concat(lit("h"), when(col("m") % 6 === 0, col("m") % 40)
+          .otherwise((col("m") + 1) % 40).cast("string")).as("hash"),
+        concat(lit("s"), when(col("m") % 8 === 0, col("m") % 7)
+          .otherwise((col("m") + 2) % 7).cast("string")).as("ref_sig"),
+        (col("m") + 100L).as("ref_len"))
+      val locs = s.range(0, 40).select(col("id").as("x"))
+        .crossJoin(s.range(0, 4).select(col("id").as("b")))
+        .filter((col("x") + col("b") * 7) % 5 < 2)
+        .select(concat(lit("h"), col("x").cast("string")).as("hash"),
+          concat(lit("b"), col("b").cast("string")).as("backend"),
+          (col("x") * 10 + 1000L).as("size"))
+      val backends = s.range(0, 4).select(
+        concat(lit("b"), col("id").cast("string")).as("backend"),
+        (col("id") === 2).as("full"))
+      IncomingReplication.negotiate(manifests, buckets, perms, versions,
+          locs, backends, localRealm = "r1")
+        .orderBy("bucket", "key", "version_id")
+    },
+
+    // Head-transition ladder: non-current items never touch the pointer,
+    // missing generation fails, (generation, version) strictly-greater or
+    // equal advances, liveness delta for usage accounting
+    "ivr2_head_transition" -> { (s, d) =>
+      val n = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 80).cast("long").as("n")).distinct()
+      val applies = n.select(
+        concat(lit("hb"), (col("n") % 10).cast("string")).as("bucket"),
+        concat(lit("hk"), col("n").cast("string")).as("key"),
+        (col("n") % 5).as("version_id"),
+        when(col("n") % 9 === 7, lit(null).cast("long"))
+          .otherwise(col("n") % 4).as("generation"),
+        when(col("n") % 3 === 0, "delete_marker").otherwise("materialized")
+          .as("kind"),
+        (col("n") % 6 =!= 5).as("current_version"))
+      val pointers = n.filter(col("n") % 5 =!= 4).select(
+        concat(lit("hb"), (col("n") % 10).cast("string")).as("bucket"),
+        concat(lit("hk"), col("n").cast("string")).as("key"),
+        when(col("n") % 10 === 6, col("n") % 5).otherwise((col("n") + 2) % 5)
+          .as("ptr_version"),
+        when(col("n") % 10 === 6, col("n") % 4).otherwise((col("n") * 3) % 4)
+          .as("ptr_generation"))
+      val curStates = n.filter(col("n") % 5 =!= 4).select(
+        concat(lit("hb"), (col("n") % 10).cast("string")).as("bucket"),
+        concat(lit("hk"), col("n").cast("string")).as("key"),
+        when(col("n") % 10 === 6, col("n") % 5).otherwise((col("n") + 2) % 5)
+          .as("version_id"),
+        when(col("n") % 2 === 0, "materialized").otherwise("deleted")
+          .as("state"))
+      IncomingReplication.headTransition(applies, pointers, curStates)
+        .orderBy("bucket", "key", "version_id")
+    },
+
     // Graph-prune drain page: 128-cap key-order scan with the wake-up
     // hint, per-graph group ladder — raced-recreate drop, prune, or the
     // representative-job backoff reschedule
@@ -4725,6 +4813,136 @@ object CatalogQueries {
         |FROM en e LEFT JOIN sg s USING (graph_iri)
         |LEFT JOIN ic USING (document_id)
         |ORDER BY graph_iri""".stripMargin,
+
+    "ivr1_incoming_negotiation" ->
+      """WITH mseq AS (SELECT DISTINCT CAST(o_orderkey % 96 AS BIGINT) AS m
+        |              FROM orders),
+        |man AS (SELECT m, 'bk'||(m%12) AS bucket, 'k'||m AS key,
+        |  m%4 AS version_id,
+        |  CASE m%5 WHEN 0 THEN 'delete_marker' WHEN 1 THEN 'reference'
+        |       ELSE 'materialized' END AS kind,
+        |  CASE WHEN m%17=3 THEN 5 ELSE m%3 END AS hop_count,
+        |  CASE WHEN m%19=4 THEN 'other' ELSE 'r1' END AS realm,
+        |  CASE WHEN m%23=5 THEN 'other' WHEN m%2=0 THEN 'r1' END
+        |    AS writer_realm,
+        |  'h'||(m%40) AS hash, 's'||(m%7) AS ref_sig,
+        |  'b'||((m%12)%4) AS route_backend FROM mseq),
+        |bkt AS (SELECT 'bk'||j AS bucket FROM range(0,12) t(j)
+        |        WHERE j%5 <> 4),
+        |prm AS (SELECT 'bk'||j AS bucket, j%7 <> 2 AS can_write,
+        |               j%11 <> 3 AS writer_ok FROM range(0,12) t(j)),
+        |ver AS (SELECT 'bk'||(m%12) AS bucket, 'k'||m AS key,
+        |  m%4 AS version_id,
+        |  CASE (m*5)%4 WHEN 1 THEN 'deleted' WHEN 2 THEN 'reference'
+        |       ELSE 'materialized' END AS ex_state,
+        |  'h'||(CASE WHEN m%6=0 THEN m%40 ELSE (m+1)%40 END) AS ex_hash,
+        |  's'||(CASE WHEN m%8=0 THEN m%7 ELSE (m+2)%7 END) AS ex_ref_sig,
+        |  m + 100 AS ex_ref_len FROM mseq WHERE m%7 < 4),
+        |locs AS (SELECT 'h'||x AS hash, 'b'||b AS backend,
+        |                x*10 + 1000 AS size
+        |         FROM range(0,40) t(x), range(0,4) u(b)
+        |         WHERE (x + b*7)%5 < 2),
+        |bks AS (SELECT 'b'||j AS backend, j = 2 AS full
+        |        FROM range(0,4) t(j)),
+        |exb AS (SELECT hash AS ex_hash, MAX(size) AS ex_blob_size
+        |        FROM locs GROUP BY hash),
+        |ann AS (SELECT man.*, b.bucket IS NOT NULL AS bkt_exists,
+        |  p.can_write, p.writer_ok, v.ex_state, v.ex_hash, v.ex_ref_sig,
+        |  v.ex_ref_len, l.size AS probe_size, k.full AS backend_full,
+        |  e.ex_blob_size
+        | FROM man
+        | LEFT JOIN bkt b USING (bucket)
+        | LEFT JOIN prm p USING (bucket)
+        | LEFT JOIN ver v USING (bucket, key, version_id)
+        | LEFT JOIN locs l ON man.hash = l.hash
+        |   AND man.route_backend = l.backend
+        | LEFT JOIN bks k ON man.route_backend = k.backend
+        | LEFT JOIN exb e ON v.ex_hash = e.ex_hash),
+        |a2 AS (SELECT *,
+        |  COALESCE(ex_ref_sig = ref_sig, false) AS same_ref,
+        |  kind = 'materialized' AND probe_size IS NULL
+        |    AND NOT COALESCE(ex_state = 'materialized' AND ex_hash = hash,
+        |      false) AS need_bytes_probe
+        |  FROM ann),
+        |a3 AS (SELECT *,
+        |  CASE WHEN hop_count > 4 THEN 'hop_limit'
+        |       WHEN realm <> 'r1' THEN 'realm_mismatch'
+        |       WHEN writer_realm IS NOT NULL AND writer_realm <> 'r1'
+        |         THEN 'realm_mismatch'
+        |       WHEN NOT COALESCE(can_write, false) THEN 'write_permission'
+        |       WHEN NOT COALESCE(writer_ok, false) THEN 'writer_access'
+        |       WHEN need_bytes_probe AND COALESCE(backend_full, false)
+        |         THEN 'backend_full' END AS reason
+        |  FROM a2),
+        |a4 AS (SELECT *, CASE WHEN reason IS NOT NULL THEN 'rejected'
+        |   WHEN kind='reference' AND ex_state='reference' AND same_ref
+        |     THEN 'already_replicated'
+        |   WHEN kind='materialized' AND ex_state='materialized'
+        |     AND ex_hash=hash THEN 'already_replicated'
+        |   WHEN kind='delete_marker' AND ex_state='deleted'
+        |     THEN 'already_replicated'
+        |   WHEN kind IN ('reference','delete_marker')
+        |     THEN 'need_version_only'
+        |   WHEN probe_size IS NOT NULL THEN 'need_version_only'
+        |   ELSE 'need_blob_and_version' END AS verdict FROM a3)
+        |SELECT bucket, key, CAST(version_id AS BIGINT) AS version_id,
+        |  verdict, reason,
+        |  (NOT COALESCE(bkt_exists, false)) AND (reason IS NULL
+        |    OR reason IN ('write_permission','writer_access','backend_full'))
+        |    AS bucket_created,
+        |  CAST(CASE WHEN verdict IN ('need_version_only',
+        |      'need_blob_and_version') THEN
+        |    CASE WHEN ex_state='materialized' THEN COALESCE(ex_blob_size,0)
+        |         WHEN ex_state='reference' THEN COALESCE(ex_ref_len,0)
+        |         ELSE 0 END END AS BIGINT) AS replaced_logical_bytes
+        |FROM a4 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "ivr2_head_transition" ->
+      """WITH nseq AS (SELECT DISTINCT CAST(o_orderkey % 80 AS BIGINT) AS n
+        |              FROM orders),
+        |app AS (SELECT n, 'hb'||(n%10) AS bucket, 'hk'||n AS key,
+        |  n%5 AS version_id,
+        |  CASE WHEN n%9=7 THEN NULL ELSE n%4 END AS generation,
+        |  CASE WHEN n%3=0 THEN 'delete_marker' ELSE 'materialized' END
+        |    AS kind,
+        |  n%6 <> 5 AS current_version FROM nseq),
+        |ptr AS (SELECT 'hb'||(n%10) AS bucket, 'hk'||n AS key,
+        |  CASE WHEN n%10=6 THEN n%5 ELSE (n+2)%5 END AS ptr_version,
+        |  CASE WHEN n%10=6 THEN n%4 ELSE (n*3)%4 END AS ptr_generation
+        |  FROM nseq WHERE n%5 <> 4),
+        |cst AS (SELECT 'hb'||(n%10) AS bucket, 'hk'||n AS key,
+        |  CASE WHEN n%10=6 THEN n%5 ELSE (n+2)%5 END AS version_id,
+        |  CASE WHEN n%2=0 THEN 'materialized' ELSE 'deleted' END AS state
+        |  FROM nseq WHERE n%5 <> 4),
+        |ann AS (SELECT a.*, p.ptr_version, p.ptr_generation,
+        |               c.state AS cur_state
+        | FROM app a LEFT JOIN ptr p USING (bucket, key)
+        | LEFT JOIN cst c ON a.bucket = c.bucket AND a.key = c.key
+        |   AND p.ptr_version = c.version_id),
+        |a2 AS (SELECT *, CASE WHEN NOT current_version THEN 'not_current'
+        |  WHEN generation IS NULL THEN 'missing_generation'
+        |  WHEN ptr_version IS NULL THEN 'pointer_set'
+        |  WHEN generation > ptr_generation OR (generation = ptr_generation
+        |       AND version_id >= ptr_version) THEN 'pointer_advanced'
+        |  ELSE 'pointer_kept' END AS outcome FROM ann),
+        |a3 AS (SELECT *, outcome IN ('pointer_set','pointer_advanced')
+        |         AS pointer_written FROM a2)
+        |SELECT bucket, key, CAST(version_id AS BIGINT) AS version_id,
+        |  outcome, pointer_written,
+        |  CAST(CASE WHEN pointer_written THEN version_id END AS BIGINT)
+        |    AS new_ptr_version,
+        |  CAST(CASE WHEN pointer_written THEN generation END AS BIGINT)
+        |    AS new_ptr_generation,
+        |  CASE WHEN pointer_written
+        |       THEN COALESCE(cur_state = 'materialized', false) END
+        |    AS previous_live,
+        |  CASE WHEN pointer_written THEN kind = 'materialized' END
+        |    AS next_live,
+        |  CAST(CASE WHEN pointer_written THEN
+        |    (CASE WHEN kind = 'materialized' THEN 1 ELSE 0 END) -
+        |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
+        |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
+        |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
 
     "gp2_prune_drain" ->
       """WITH gpj AS (
