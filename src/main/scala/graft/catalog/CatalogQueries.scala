@@ -1703,6 +1703,37 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // Metadata-write forward walk: rank-ordered holder attempts with the
+    // denied/reject/possibly-sent terminals, create-vs-update not-found
+    // accounting, the all-holders-miss rule and fail-closed empty routes
+    "fw1_forward_walk" -> { (s, d) =>
+      val r = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 72).cast("long").as("r")).distinct()
+      val requests = r.select(
+        concat(lit("q"), col("r").cast("string")).as("req_id"),
+        when(col("r") % 3 === 0, "create").when(col("r") % 3 === 1, "update")
+          .otherwise("delete").as("op"),
+        when(col("r") % 11 === 9, "local")
+          .when(col("r") % 11 === 10, "forward_empty")
+          .otherwise("forward").as("route"),
+        (col("r") % 5 === 1).as("local_miss"))
+      val attempts = r.filter(col("r") % 11 =!= 9 && col("r") % 11 =!= 10)
+        .crossJoin(s.range(0, 3).select(col("id").as("j")))
+        .filter(col("j") <= col("r") % 3)
+        .select(concat(lit("q"), col("r").cast("string")).as("req_id"),
+          col("j").as("rank"),
+          concat(lit("n"), ((col("r") + col("j")) % 9).cast("string"))
+            .as("node_id"),
+          element_at(array(lit("ok"), lit("denied_unauthorized"),
+            lit("denied_forbidden"), lit("not_found"), lit("unavailable"),
+            lit("reject"), lit("err_not_sent"), lit("err_possibly_sent"),
+            lit("local_self"), lit("not_found"), lit("not_found"),
+            lit("unavailable")),
+            ((col("r") * 5 + col("j") * 7) % 12 + 1).cast("int"))
+            .as("resp"))
+      ForwardWalk.fold(requests, attempts).orderBy("req_id")
+    },
+
     // Graph-prune drain page: 128-cap key-order scan with the wake-up
     // hint, per-graph group ladder — raced-recreate drop, prune, or the
     // representative-job backoff reschedule
@@ -4943,6 +4974,78 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "fw1_forward_walk" ->
+      """WITH rseq AS (SELECT DISTINCT CAST(o_orderkey % 72 AS BIGINT) AS r
+        |              FROM orders),
+        |req AS (SELECT 'q'||r AS req_id,
+        |  CASE r%3 WHEN 0 THEN 'create' WHEN 1 THEN 'update'
+        |       ELSE 'delete' END AS op,
+        |  CASE WHEN r%11=9 THEN 'local' WHEN r%11=10 THEN 'forward_empty'
+        |       ELSE 'forward' END AS route,
+        |  r%5 = 1 AS local_miss FROM rseq),
+        |att AS (SELECT 'q'||r AS req_id, j AS rank, 'n'||((r+j)%9)
+        |    AS node_id,
+        |  (['ok','denied_unauthorized','denied_forbidden','not_found',
+        |    'unavailable','reject','err_not_sent','err_possibly_sent',
+        |    'local_self','not_found','not_found','unavailable'])
+        |    [(r*5 + j*7)%12 + 1] AS resp
+        | FROM rseq, range(0,3) u(j)
+        | WHERE j <= r%3 AND r%11 NOT IN (9, 10)),
+        |walk AS (SELECT * FROM att WHERE resp <> 'local_self'),
+        |w2 AS (SELECT *, MIN(CASE WHEN resp IN ('ok','denied_unauthorized',
+        |    'denied_forbidden','reject','err_possibly_sent') THEN rank END)
+        |    OVER (PARTITION BY req_id) AS stop_rank FROM walk),
+        |w3 AS (SELECT *, stop_rank IS NULL OR rank <= stop_rank AS reached
+        |       FROM w2),
+        |pr AS (SELECT req_id,
+        |   COUNT(CASE WHEN reached THEN 1 END) AS n_att,
+        |   MAX(CASE WHEN rank = stop_rank THEN resp END) AS stop_resp,
+        |   MAX(CASE WHEN rank = stop_rank THEN node_id END) AS stop_node,
+        |   CAST(SUM(CASE WHEN reached AND resp = 'not_found'
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS nf_walk,
+        |   CAST(SUM(CASE WHEN reached AND resp IN ('unavailable',
+        |            'err_not_sent') THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS fail_other
+        | FROM w3 GROUP BY req_id),
+        |hc AS (SELECT req_id, COUNT(*) AS n_holders FROM att
+        |       GROUP BY req_id),
+        |f AS (SELECT q.req_id, q.op, q.route, q.local_miss,
+        |   COALESCE(hc.n_holders, 0) AS n_holders, pr.n_att, pr.stop_resp,
+        |   pr.stop_node,
+        |   COALESCE(pr.nf_walk, 0) +
+        |     CASE WHEN q.local_miss THEN 1 ELSE 0 END AS nf_total,
+        |   COALESCE(pr.fail_other, 0) + CASE WHEN q.op = 'create'
+        |     THEN COALESCE(pr.nf_walk, 0) ELSE 0 END AS n_fail
+        | FROM req q LEFT JOIN hc USING (req_id)
+        | LEFT JOIN pr USING (req_id)),
+        |f2 AS (SELECT *,
+        |  CASE WHEN route = 'local' THEN 'local'
+        |       WHEN route = 'forward_empty' THEN 'undeliverable'
+        |       WHEN stop_resp = 'ok' THEN 'accepted'
+        |       WHEN stop_resp = 'denied_unauthorized' THEN 'unauthorized'
+        |       WHEN stop_resp = 'denied_forbidden' THEN 'forbidden'
+        |       WHEN stop_resp IN ('reject','err_possibly_sent')
+        |         THEN 'undeliverable'
+        |       WHEN op IN ('update','delete') AND n_holders > 0
+        |         AND nf_total = n_holders THEN 'not_found'
+        |       ELSE 'undeliverable' END AS outcome
+        |  FROM f)
+        |SELECT req_id, outcome,
+        |  CASE WHEN outcome = 'accepted' THEN stop_node END AS accepted_by,
+        |  CAST(CASE WHEN route = 'forward' THEN COALESCE(n_att, 0) END
+        |       AS BIGINT) AS n_attempted,
+        |  CAST(CASE WHEN route = 'forward' THEN n_fail END AS BIGINT)
+        |    AS n_failures,
+        |  CASE WHEN route = 'local' THEN NULL
+        |       WHEN route = 'forward_empty' THEN 'config_unavailable'
+        |       WHEN stop_resp = 'reject' THEN 'rejected'
+        |       WHEN stop_resp = 'err_possibly_sent' THEN 'possibly_sent'
+        |       WHEN outcome = 'not_found' THEN 'all_not_found'
+        |       WHEN outcome = 'undeliverable' AND n_fail = 0
+        |         THEN 'no_holder'
+        |       WHEN outcome = 'undeliverable' THEN 'failures' END AS detail
+        |FROM f2 ORDER BY req_id""".stripMargin,
 
     "gp2_prune_drain" ->
       """WITH gpj AS (
