@@ -1703,6 +1703,32 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // Reference-metadata refresh apply: stale refreshes never roll back,
+    // non-reference and missing versions skip, created_at/created_by and
+    // user metadata survive the cached-metadata swap
+    "rrm1_reference_refresh" -> { (s, d) =>
+      val y = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 56).cast("long").as("y")).distinct()
+      val versions = y.filter(col("y") % 13 =!= 6).select(
+        concat(lit("rb"), (col("y") % 7).cast("string")).as("bucket"),
+        concat(lit("rk"), col("y").cast("string")).as("key"),
+        (col("y") % 3).as("version_id"),
+        when(col("y") % 4 === 0, "materialized").otherwise("reference")
+          .as("state"),
+        (col("y") % 5 * 150 + 5000L).as("last_refresh"),
+        (col("y") + 100L).as("created_at"),
+        concat(lit("mt"), (col("y") % 4).cast("string")).as("meta_tag"),
+        (col("y") * 10).as("content_length"))
+      val refreshes = y.select(
+        concat(lit("rb"), (col("y") % 7).cast("string")).as("bucket"),
+        concat(lit("rk"), col("y").cast("string")).as("key"),
+        (col("y") % 3).as("version_id"),
+        (col("y") % 9 * 100 + 5000L).as("refreshed_at"),
+        (col("y") * 7 + 3L).as("new_content_length"))
+      ObjectOps.refreshReference(versions, refreshes)
+        .orderBy("bucket", "key", "version_id")
+    },
+
     // Metadata-write forward walk: rank-ordered holder attempts with the
     // denied/reject/possibly-sent terminals, create-vs-update not-found
     // accounting, the all-holders-miss rule and fail-closed empty routes
@@ -4974,6 +5000,39 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "rrm1_reference_refresh" ->
+      """WITH yseq AS (SELECT DISTINCT CAST(o_orderkey % 56 AS BIGINT) AS y
+        |              FROM orders),
+        |ver AS (SELECT 'rb'||(y%7) AS bucket, 'rk'||y AS key,
+        |  y%3 AS version_id,
+        |  CASE WHEN y%4=0 THEN 'materialized' ELSE 'reference' END AS state,
+        |  y%5*150 + 5000 AS last_refresh, y + 100 AS created_at,
+        |  'mt'||(y%4) AS meta_tag, y*10 AS content_length
+        |  FROM yseq WHERE y%13 <> 6),
+        |ref AS (SELECT 'rb'||(y%7) AS bucket, 'rk'||y AS key,
+        |  y%3 AS version_id, y%9*100 + 5000 AS refreshed_at,
+        |  y*7 + 3 AS new_content_length FROM yseq),
+        |ann AS (SELECT r.*, v.state, v.last_refresh, v.created_at,
+        |               v.meta_tag, v.content_length
+        |        FROM ref r LEFT JOIN ver v USING (bucket, key, version_id)),
+        |a2 AS (SELECT *, CASE WHEN state IS NULL THEN 'missing_version'
+        |  WHEN state <> 'reference' THEN 'not_reference'
+        |  WHEN refreshed_at <= last_refresh THEN 'stale'
+        |  ELSE 'refreshed' END AS verdict FROM ann)
+        |SELECT bucket, key, CAST(version_id AS BIGINT) AS version_id,
+        |  verdict,
+        |  CAST(CASE WHEN verdict = 'refreshed' THEN refreshed_at
+        |       WHEN verdict = 'stale' THEN last_refresh END AS BIGINT)
+        |    AS last_refresh_out,
+        |  CAST(CASE WHEN verdict = 'refreshed' THEN new_content_length
+        |       WHEN verdict = 'stale' THEN content_length END AS BIGINT)
+        |    AS content_length_out,
+        |  CAST(CASE WHEN verdict IN ('refreshed','stale') THEN created_at
+        |       END AS BIGINT) AS created_at_out,
+        |  CASE WHEN verdict IN ('refreshed','stale') THEN meta_tag END
+        |    AS meta_tag_out
+        |FROM a2 ORDER BY bucket, key, version_id""".stripMargin,
 
     "fw1_forward_walk" ->
       """WITH rseq AS (SELECT DISTINCT CAST(o_orderkey % 72 AS BIGINT) AS r

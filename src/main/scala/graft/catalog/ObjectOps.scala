@@ -423,4 +423,53 @@ object ObjectOps {
         when(col("verdict") === "OK", col("etag")).as("etag"),
         when(col("verdict") === "OK", col("lm")).as("last_modified_s"))
   }
+
+  /** Reference-metadata refresh apply (reference
+    * `operations/src/s3/refresh_reference_metadata.rs:299-389`):
+    *
+    *  - a missing version row aborts silently (`:374-377`), a version that
+    *    is no longer a Reference skips (`:346-348` — the object was
+    *    materialized in the meantime);
+    *  - a refresh stamped at or before the stored `last_refresh` is STALE
+    *    and writes nothing (`refresh.refreshed_at <= last_refresh`,
+    *    `:349-350`) — out-of-order refreshers never roll metadata back;
+    *  - a newer refresh replaces the cached source metadata and
+    *    `last_refresh` while PRESERVING `created_at`, `created_by` and the
+    *    user metadata (`BlobVersion::reference(...).with_metadata`,
+    *    `:352-366`).
+    *
+    * The refresh job queue itself (identity key, preferred-record fold,
+    * 64-cap due drain, `:102-131,561+`) is the rq1/rq2-pinned mechanism.
+    *
+    * `versions(bucket, key, version_id, state, last_refresh, created_at,
+    * meta_tag, content_length)`; `refreshes(bucket, key, version_id,
+    * refreshed_at, new_content_length)`. Returns one row per refresh:
+    * `(bucket, key, version_id, verdict, last_refresh_out,
+    * content_length_out, created_at_out, meta_tag_out)`. */
+  def refreshReference(versions: DataFrame, refreshes: DataFrame)
+      : DataFrame = {
+    val v = versions.select(col("bucket"), col("key"), col("version_id"),
+      col("state"), col("last_refresh"), col("created_at"), col("meta_tag"),
+      col("content_length"))
+    refreshes
+      .join(v, Seq("bucket", "key", "version_id"), "left_outer")
+      .withColumn("verdict",
+        when(col("state").isNull, "missing_version")
+          .when(col("state") =!= "reference", "not_reference")
+          .when(col("refreshed_at") <= col("last_refresh"), "stale")
+          .otherwise("refreshed"))
+      .withColumn("last_refresh_out",
+        when(col("verdict") === "refreshed", col("refreshed_at"))
+          .when(col("verdict") === "stale", col("last_refresh")))
+      .withColumn("content_length_out",
+        when(col("verdict") === "refreshed", col("new_content_length"))
+          .when(col("verdict") === "stale", col("content_length")))
+      .withColumn("created_at_out", when(
+        col("verdict").isin("refreshed", "stale"), col("created_at")))
+      .withColumn("meta_tag_out", when(
+        col("verdict").isin("refreshed", "stale"), col("meta_tag")))
+      .select(col("bucket"), col("key"), col("version_id"), col("verdict"),
+        col("last_refresh_out"), col("content_length_out"),
+        col("created_at_out"), col("meta_tag_out"))
+  }
 }

@@ -1458,4 +1458,34 @@ class CatalogSpec extends SparkSpec {
       .orderBy("group_id").collect().map(_.toSeq).toSeq
     assert(merged == Seq(Seq("g1", 4L, 450L), Seq("g2", 1L, 10L)))
   }
+
+  test("reference refresh: stale never rolls back, equal timestamp is stale, preservation on refresh") {
+    val versions = Seq(
+      ("b", "k1", 0L, "reference", 100L, 7L, "mt", 10L),
+      ("b", "k2", 0L, "reference", 100L, 8L, "mt", 20L),
+      ("b", "k3", 0L, "materialized", 100L, 9L, "mt", 30L))
+      .toDF("bucket", "key", "version_id", "state", "last_refresh",
+        "created_at", "meta_tag", "content_length")
+    val refreshes = Seq(
+      ("b", "k1", 0L, 150L, 11L),  // newer -> applies, created_at kept
+      ("b", "k2", 0L, 100L, 12L),  // EQUAL timestamp -> stale
+      ("b", "k3", 0L, 150L, 13L),  // materialized meanwhile -> skip
+      ("b", "k4", 0L, 150L, 14L))  // no version row
+      .toDF("bucket", "key", "version_id", "refreshed_at",
+        "new_content_length")
+    val got = ObjectOps.refreshReference(versions, refreshes)
+      .collect().map(r => r.getString(1) -> r).toMap
+    val k1 = got("k1")
+    assert(k1.getAs[String]("verdict") == "refreshed" &&
+      k1.getAs[Long]("last_refresh_out") == 150L &&
+      k1.getAs[Long]("content_length_out") == 11L &&
+      k1.getAs[Long]("created_at_out") == 7L &&
+      k1.getAs[String]("meta_tag_out") == "mt", k1.toString)
+    val k2 = got("k2")
+    assert(k2.getAs[String]("verdict") == "stale" &&
+      k2.getAs[Long]("content_length_out") == 20L &&
+      k2.getAs[Long]("last_refresh_out") == 100L, k2.toString)
+    assert(got("k3").getAs[String]("verdict") == "not_reference")
+    assert(got("k4").getAs[String]("verdict") == "missing_version")
+  }
 }
