@@ -1703,6 +1703,36 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // Job submission fold: dedup-index short-circuit with the ghost-row
+    // repoint rule, plan-digest conflicts, per-user active cap with the
+    // zero-cap fast reject
+    "js1_submit_dedup" -> { (s, d) =>
+      val z = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 60).cast("long").as("z")).distinct()
+      val subs = z.select(
+        concat(lit("s"), col("z").cast("string")).as("sub_id"),
+        concat(lit("u"), (col("z") % 8).cast("string")).as("user_id"),
+        when(col("z") % 4 === 3, lit(null).cast("string"))
+          .otherwise(concat(lit("dk"), (col("z") % 20).cast("string")))
+          .as("dedup_key"),
+        concat(lit("pd"), (col("z") % 6).cast("string")).as("plan_digest"),
+        when(col("z") % 5 === 0, lit(null).cast("long"))
+          .when(col("z") % 5 === 1, 0L)
+          .otherwise(col("z") % 4 + 1).as("active_cap"))
+      val idx = s.range(0, 20).filter(col("id") % 3 =!= 2).select(
+        concat(lit("dk"), col("id").cast("string")).as("dedup_key"),
+        concat(lit("j"), col("id").cast("string")).as("job_id"),
+        concat(lit("pd"), (col("id") % 6).cast("string")).as("digest"),
+        (col("id") % 7 =!= 5).as("parseable"))
+      val jobs = s.range(0, 20).filter(col("id") % 5 =!= 4).select(
+        concat(lit("j"), col("id").cast("string")).as("job_id"),
+        (col("id") % 6 =!= 3).as("decodable"))
+      val active = s.range(0, 8).select(
+        concat(lit("u"), col("id").cast("string")).as("user_id"),
+        (col("id") % 5).as("n_active"))
+      JobSubmit.fold(subs, idx, jobs, active).orderBy("sub_id")
+    },
+
     // Reference-metadata refresh apply: stale refreshes never roll back,
     // non-reference and missing versions skip, created_at/created_by and
     // user metadata survive the cached-metadata swap
@@ -5000,6 +5030,44 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "js1_submit_dedup" ->
+      """WITH zseq AS (SELECT DISTINCT CAST(o_orderkey % 60 AS BIGINT) AS z
+        |              FROM orders),
+        |subs AS (SELECT 's'||z AS sub_id, 'u'||(z%8) AS user_id,
+        |  CASE WHEN z%4=3 THEN NULL ELSE 'dk'||(z%20) END AS dedup_key,
+        |  'pd'||(z%6) AS plan_digest,
+        |  CASE WHEN z%5=0 THEN NULL WHEN z%5=1 THEN 0
+        |       ELSE z%4 + 1 END AS active_cap
+        |  FROM zseq),
+        |idx AS (SELECT 'dk'||k AS dedup_key, 'j'||k AS idx_job,
+        |  'pd'||(k%6) AS idx_digest, k%7 <> 5 AS parseable
+        |  FROM range(0,20) t(k) WHERE k%3 <> 2),
+        |rec AS (SELECT 'j'||k AS idx_job, k%6 <> 3 AS decodable
+        |        FROM range(0,20) t(k) WHERE k%5 <> 4),
+        |act AS (SELECT 'u'||k AS user_id, k%5 AS n_active
+        |        FROM range(0,8) t(k)),
+        |ann AS (SELECT s.*, i.idx_job, i.idx_digest, i.parseable,
+        |               r.decodable, a.n_active
+        | FROM subs s LEFT JOIN idx i USING (dedup_key)
+        | LEFT JOIN rec r USING (idx_job) LEFT JOIN act a USING (user_id)),
+        |a2 AS (SELECT *,
+        |  COALESCE(parseable, false) AND COALESCE(decodable, false)
+        |    AS dedup_live,
+        |  active_cap IS NOT NULL AND (active_cap = 0
+        |    OR COALESCE(n_active, 0) >= active_cap) AS cap_hit
+        |  FROM ann),
+        |a3 AS (SELECT *,
+        |  CASE WHEN dedup_live AND plan_digest = idx_digest THEN 'existing'
+        |       WHEN dedup_live THEN 'plan_conflict'
+        |       WHEN cap_hit THEN 'active_limit'
+        |       ELSE 'created' END AS outcome FROM a2)
+        |SELECT sub_id, outcome,
+        |  CASE WHEN outcome IN ('existing','plan_conflict') THEN idx_job
+        |       END AS existing_job_id,
+        |  idx_job IS NOT NULL AND NOT dedup_live AS dedup_ghost,
+        |  outcome = 'created' AND dedup_key IS NOT NULL AS dedup_repointed
+        |FROM a3 ORDER BY sub_id""".stripMargin,
 
     "rrm1_reference_refresh" ->
       """WITH yseq AS (SELECT DISTINCT CAST(o_orderkey % 56 AS BIGINT) AS y

@@ -1488,4 +1488,32 @@ class CatalogSpec extends SparkSpec {
     assert(got("k3").getAs[String]("verdict") == "not_reference")
     assert(got("k4").getAs[String]("verdict") == "missing_version")
   }
+
+  test("job submit: dedup short-circuit vs conflict, ghost rows fall through, zero cap rejects") {
+    def ns: String = null
+    val subs = Seq(
+      ("s1", "u1", "dk1", "pdA", java.lang.Long.valueOf(5L)), // existing
+      ("s2", "u1", "dk1", "pdB", java.lang.Long.valueOf(5L)), // conflict
+      ("s3", "u1", "dk2", "pdA", java.lang.Long.valueOf(5L)), // ghost -> created
+      ("s4", "u2", ns, "pdA", java.lang.Long.valueOf(0L)),    // zero cap
+      ("s5", "u3", ns, "pdA", java.lang.Long.valueOf(2L)),    // at cap
+      ("s6", "u3", ns, "pdA", null.asInstanceOf[java.lang.Long])) // no cap
+      .toDF("sub_id", "user_id", "dedup_key", "plan_digest", "active_cap")
+    val idx = Seq(("dk1", "j1", "pdA", true), ("dk2", "j2", "pdA", true))
+      .toDF("dedup_key", "job_id", "digest", "parseable")
+    val jobs = Seq(("j1", true)).toDF("job_id", "decodable") // j2 is gone
+    val active = Seq(("u3", 2L)).toDF("user_id", "n_active")
+    val got = JobSubmit.fold(subs, idx, jobs, active)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getAs[String]("outcome") == "existing" &&
+      got("s1").getAs[String]("existing_job_id") == "j1")
+    assert(got("s2").getAs[String]("outcome") == "plan_conflict")
+    assert(got("s3").getAs[String]("outcome") == "created" &&
+      got("s3").getAs[Boolean]("dedup_ghost") &&
+      got("s3").getAs[Boolean]("dedup_repointed"))
+    assert(got("s4").getAs[String]("outcome") == "active_limit")
+    assert(got("s5").getAs[String]("outcome") == "active_limit")
+    assert(got("s6").getAs[String]("outcome") == "created" &&
+      !got("s6").getAs[Boolean]("dedup_repointed"))
+  }
 }
