@@ -1703,6 +1703,24 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // Shard-topic genesis ladder: rank-0 creates only with positive
+    // confirmation no genesis exists anywhere (split-brain avoidance),
+    // failed adopts withhold rather than fork, members pull and never mint
+    "pp1_genesis_ladder" -> { (s, d) =>
+      val t = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 88).cast("long").as("t")).distinct()
+      val topics = t.select(
+        concat(lit("tp"), col("t").cast("string")).as("topic_id"),
+        (col("t") % 3 =!= 0).as("rank0"),
+        (col("t") % 4).as("n_coholders"),
+        (col("t") % 5 === 0).as("exists_locally"),
+        (col("t") % 7 === 1).as("known_by_coholder"),
+        (col("t") % 11 === 2).as("unconfirmed"),
+        (col("t") % 13 === 3).as("group_unreachable"),
+        (col("t") % 17 =!= 5).as("lands"))
+      PlacementTopics.genesisLadder(topics).orderBy("topic_id")
+    },
+
     // Job submission fold: dedup-index short-circuit with the ghost-row
     // repoint rule, plan-digest conflicts, per-user active cap with the
     // zero-cap fast reject
@@ -5030,6 +5048,35 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "pp1_genesis_ladder" ->
+      """WITH tseq AS (SELECT DISTINCT CAST(o_orderkey % 88 AS BIGINT) AS t
+        |              FROM orders),
+        |tp AS (SELECT 'tp'||t AS topic_id, t%3 <> 0 AS rank0,
+        |  t%4 AS n_coholders, t%5 = 0 AS exists_locally,
+        |  t%7 = 1 AS known_by_coholder, t%11 = 2 AS unconfirmed,
+        |  t%13 = 3 AS group_unreachable, t%17 <> 5 AS lands FROM tseq),
+        |v AS (SELECT *,
+        |  CASE WHEN exists_locally THEN 'membership_topup'
+        |       WHEN rank0 AND n_coholders = 0 THEN 'create_sole'
+        |       WHEN rank0 AND known_by_coholder THEN
+        |         CASE WHEN lands THEN 'adopted' ELSE 'withheld_adopt' END
+        |       WHEN rank0 AND NOT group_unreachable AND NOT unconfirmed
+        |         THEN 'create_fresh'
+        |       WHEN rank0 THEN 'withheld_probe'
+        |       WHEN n_coholders = 0 THEN 'member_skip'
+        |       WHEN lands THEN 'pulled'
+        |       ELSE 'pull_pending' END AS verdict FROM tp),
+        |v2 AS (SELECT *,
+        |  verdict IN ('withheld_adopt','withheld_probe') AS withheld,
+        |  verdict = 'pull_pending' AS pull_pending FROM v),
+        |tr AS (SELECT COALESCE(MAX(CASE WHEN withheld THEN 1 ELSE 0 END), 0)
+        |         = 1 AS any_withheld,
+        |       COALESCE(MAX(CASE WHEN pull_pending THEN 1 ELSE 0 END), 0)
+        |         = 1 AS any_pull_pending FROM v2)
+        |SELECT topic_id, verdict, withheld, pull_pending,
+        |       any_withheld, any_pull_pending
+        |FROM v2, tr ORDER BY topic_id""".stripMargin,
 
     "js1_submit_dedup" ->
       """WITH zseq AS (SELECT DISTINCT CAST(o_orderkey % 60 AS BIGINT) AS z

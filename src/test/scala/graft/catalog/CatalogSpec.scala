@@ -1516,4 +1516,32 @@ class CatalogSpec extends SparkSpec {
     assert(got("s6").getAs[String]("outcome") == "created" &&
       !got("s6").getAs[Boolean]("dedup_repointed"))
   }
+
+  test("genesis ladder: rank-0 split-brain avoidance, failed adopts withhold, members never mint") {
+    val topics = Seq(
+      // (topic, rank0, n_co, exists, known, unconfirmed, unreachable, lands)
+      ("t1", true, 2L, true, false, false, false, true),   // topup
+      ("t2", true, 0L, false, false, false, false, true),  // sole -> create
+      ("t3", true, 2L, false, true, false, false, true),   // adopt lands
+      ("t4", true, 2L, false, true, false, false, false),  // adopt fails: WITHHELD, never create
+      ("t5", true, 2L, false, false, false, false, true),  // all confirmed unknown -> fresh
+      ("t6", true, 2L, false, false, true, false, true),   // refused summary -> withheld
+      ("t7", true, 2L, false, false, false, true, true),   // unreachable -> withheld
+      ("t8", false, 2L, false, false, false, false, true), // member pulls
+      ("t9", false, 2L, false, false, false, false, false),// pull pending
+      ("t10", false, 0L, false, false, false, false, true))// member, no co-holders
+      .toDF("topic_id", "rank0", "n_coholders", "exists_locally",
+        "known_by_coholder", "unconfirmed", "group_unreachable", "lands")
+    val got = PlacementTopics.genesisLadder(topics)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val want = Map("t1" -> "membership_topup", "t2" -> "create_sole",
+      "t3" -> "adopted", "t4" -> "withheld_adopt", "t5" -> "create_fresh",
+      "t6" -> "withheld_probe", "t7" -> "withheld_probe", "t8" -> "pulled",
+      "t9" -> "pull_pending", "t10" -> "member_skip")
+    want.foreach { case (t, v) =>
+      assert(got(t).getAs[String]("verdict") == v,
+        s"$t: ${got(t)}") }
+    assert(got("t1").getAs[Boolean]("any_withheld") &&
+      got("t1").getAs[Boolean]("any_pull_pending"))
+  }
 }
