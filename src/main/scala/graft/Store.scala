@@ -47,15 +47,27 @@ object Store {
   private val tables = new ConcurrentHashMap[String, DataFrame]()
 
   /** Build-once-per-(session, dir) table: `write` materializes to the given
-    * path; the returned frame is a plain parquet scan of it. */
+    * path; the returned frame is a plain parquet scan of it.
+    *
+    * NOT computeIfAbsent: a table's `write` may itself materialize another
+    * cached table (cat5/cat6's IRI index builds over the quads store), and
+    * a nested computeIfAbsent on the same ConcurrentHashMap throws
+    * "Recursive update" whenever the two keys land in one hash bin — which
+    * key set (and therefore which round) trips it is pure hash accident.
+    * Compute OUTSIDE the map, then putIfAbsent; a concurrent duplicate
+    * build is idempotent (same deterministic path, overwrite mode). */
   private def cached(spark: SparkSession, dir: String, name: String)(
       write: String => Unit): DataFrame = {
     val key = s"${System.identityHashCode(spark)}:$dir:$name"
-    tables.computeIfAbsent(key, { _ =>
+    val existing = tables.get(key)
+    if (existing != null) existing
+    else {
       val path = root.resolve(s"${Integer.toHexString(key.hashCode)}-$name").toString
       write(path)
-      spark.read.parquet(path)
-    })
+      val df = spark.read.parquet(path)
+      val raced = tables.putIfAbsent(key, df)
+      if (raced != null) raced else df
+    }
   }
 
   /** Public build-once-per-(session, dir) hook for gate-local materialized
@@ -107,7 +119,8 @@ object Store {
   def bucketedRel(spark: SparkSession, dir: String, table: String,
       key: String, buckets: Int = 16): DataFrame = {
     val k = s"${System.identityHashCode(spark)}:$dir:$table:$key:$buckets"
-    val name = bucketedNames.computeIfAbsent(k, { _ =>
+    // same non-reentrant pattern as `cached` (no nested computeIfAbsent)
+    val name = Option(bucketedNames.get(k)).getOrElse {
       val n = s"graft_rel_${table}_${bucketedNames.size()}_${Integer.toHexString(k.hashCode & 0x7fffffff)}"
       val path = root.resolve(s"bucketed-$n").toString
       Tables.read(spark, dir, table)
@@ -115,8 +128,8 @@ object Store {
         .bucketBy(buckets, key).sortBy(key)
         .option("path", path)
         .saveAsTable(n)
-      n
-    })
+      Option(bucketedNames.putIfAbsent(k, n)).getOrElse(n)
+    }
     spark.table(name)
   }
 
@@ -125,7 +138,8 @@ object Store {
     // name alone would silently serve the wrong dataset on a hash
     // collision, or the old bucketing on a buckets change
     val key = s"${System.identityHashCode(spark)}:$dir:$buckets"
-    val name = bucketedNames.computeIfAbsent(key, { _ =>
+    // same non-reentrant pattern as `cached` (no nested computeIfAbsent)
+    val name = Option(bucketedNames.get(key)).getOrElse {
       val n = s"graft_triples_sub_${bucketedNames.size()}_${Integer.toHexString(key.hashCode & 0x7fffffff)}"
       val path = root.resolve(s"bucketed-$n").toString
       RdfTables.quads(spark, dir)
@@ -136,8 +150,8 @@ object Store {
         .bucketBy(buckets, "subject").sortBy("subject")
         .option("path", path)
         .saveAsTable(n)
-      n
-    })
+      Option(bucketedNames.putIfAbsent(key, n)).getOrElse(n)
+    }
     spark.table(name)
   }
 

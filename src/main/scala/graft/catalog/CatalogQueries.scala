@@ -1703,6 +1703,105 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // Workflow output expansion: wildcard selections need a prefix, match
+    // caps, one stray path fails the whole selection, suffix-composed
+    // destination keys with the trailing-slash trim
+    "wo1_output_expand" -> { (s, d) =>
+      val v = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 44).cast("long").as("v")).distinct()
+      val sels = v.select(
+        concat(lit("sl"), col("v").cast("string")).as("sel_id"),
+        concat(lit("/out/p"), (col("v") % 4).cast("string"), lit("/f"),
+          col("v").cast("string")).as("container_path"),
+        (col("v") % 3 =!= 0).as("wildcard"),
+        when(col("v") % 3 =!= 0 && col("v") % 7 === 1,
+          lit(null).cast("string"))
+          .otherwise(concat(lit("/out/p"), (col("v") % 4).cast("string")))
+          .as("path_prefix"),
+        concat(lit("ob"), (col("v") % 5).cast("string")).as("dest_bucket"),
+        when(col("v") % 2 === 0,
+          concat(lit("res/"), col("v").cast("string"), lit("/")))
+          .otherwise(concat(lit("res/"), col("v").cast("string")))
+          .as("dest_key"))
+      val matches = v.filter(col("v") % 3 =!= 0)
+        .crossJoin(s.range(0, 5).select(col("id").as("j")))
+        .filter(col("j") < col("v") % 5)
+        .select(concat(lit("sl"), col("v").cast("string")).as("sel_id"),
+          when((col("v") * 7 + col("j")) % 13 === 2,
+            concat(lit("/outside/f"), col("j").cast("string")))
+            .otherwise(concat(lit("/out/p"), (col("v") % 4).cast("string"),
+              lit("/d"), col("j").cast("string"), lit("/f"),
+              col("j").cast("string"))).as("path"))
+      WorkflowOutputs.expand(sels, matches, maxMatches = 3L)
+        .orderBy("sel_id", "container_path_out")
+    },
+
+    // Workflow manifest merge: export rows win their (bucket, key) over a
+    // retried finalize's inventory, first-wins dedup, overflow trailer
+    "wo2_output_merge" -> { (s, d) =>
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      val inv = o.select((col("o") % 50).cast("long").as("u")).distinct()
+        .select(concat(lit("mb"), (col("u") % 4).cast("string"))
+          .as("bucket"),
+          concat(lit("mk"), (col("u") % 25).cast("string")).as("key"),
+          (col("u") * 3).as("size"), col("u").as("seq"))
+      val cap1 = o.select((col("o") % 30).cast("long").as("c")).distinct()
+        .select(concat(lit("mb"), (col("c") % 4).cast("string"))
+          .as("bucket"),
+          concat(lit("mk"), (col("c") % 25).cast("string")).as("key"),
+          concat(lit("/out/f"), col("c").cast("string"))
+            .as("container_path"),
+          (col("c") * 5 + 1).as("size"), (col("c") + 1000L).as("seq"))
+      val cap2 = o.select((col("o") % 15).cast("long").as("c")).distinct()
+        .select(concat(lit("mb"), (col("c") % 4).cast("string"))
+          .as("bucket"),
+          concat(lit("mk"), (col("c") % 25).cast("string")).as("key"),
+          concat(lit("/dup/f"), col("c").cast("string"))
+            .as("container_path"),
+          (col("c") * 5 + 1).as("size"), (col("c") + 2000L).as("seq"))
+      WorkflowOutputs.merge(inv, cap1.unionByName(cap2), maxObjects = 40L)
+        .orderBy("bucket", "key")
+    },
+
+    // Staging-reference materialization: bucket/connector guards, the
+    // same-source+metadata idempotent no-op, objects delta only when the
+    // previous head was not live, referenced-bytes always grows
+    "sr1_materialize_reference" -> { (s, d) =>
+      val w = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 70).cast("long").as("w")).distinct()
+      val reqs = w.select(
+        concat(lit("sb"), (col("w") % 7).cast("string")).as("bucket"),
+        concat(lit("sk"), col("w").cast("string")).as("key"),
+        concat(lit("src"), (col("w") % 5).cast("string")).as("src_sig"),
+        (col("w") * 11 + 50L).as("content_length"),
+        concat(lit("ct"), (col("w") % 3).cast("string")).as("content_type"),
+        concat(lit("e"), (col("w") % 9).cast("string")).as("etag"),
+        (col("w") % 13 + 7000L).as("last_modified"),
+        (col("w") % 17 =!= 4).as("bucket_ok"),
+        (col("w") % 19 =!= 6).as("connector_ok"))
+      val pointers = w.filter(col("w") % 3 =!= 1).select(
+        concat(lit("sb"), (col("w") % 7).cast("string")).as("bucket"),
+        concat(lit("sk"), col("w").cast("string")).as("key"),
+        (col("w") % 4).as("ptr_version"))
+      val versions = w.filter(col("w") % 3 =!= 1).select(
+        concat(lit("sb"), (col("w") % 7).cast("string")).as("bucket"),
+        concat(lit("sk"), col("w").cast("string")).as("key"),
+        (col("w") % 4).as("version_id"),
+        when(col("w") % 6 === 0, "deleted")
+          .when(col("w") % 6 === 2, "materialized")
+          .otherwise("reference").as("state"),
+        concat(lit("src"), when(col("w") % 8 === 0, (col("w") + 1) % 5)
+          .otherwise(col("w") % 5).cast("string")).as("src_sig"),
+        when(col("w") % 10 === 5, col("w") * 11 + 51L)
+          .otherwise(col("w") * 11 + 50L).as("content_length"),
+        concat(lit("ct"), (col("w") % 3).cast("string")).as("content_type"),
+        concat(lit("e"), when(col("w") % 12 === 9, (col("w") + 1) % 9)
+          .otherwise(col("w") % 9).cast("string")).as("etag"),
+        (col("w") % 13 + 7000L).as("last_modified"))
+      StagingReference.materialize(reqs, pointers, versions)
+        .orderBy("bucket", "key")
+    },
+
     // Shard-topic genesis ladder: rank-0 creates only with positive
     // confirmation no genesis exists anywhere (split-brain avoidance),
     // failed adopts withhold rather than fork, members pull and never mint
@@ -5048,6 +5147,125 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "wo1_output_expand" ->
+      """WITH vseq AS (SELECT DISTINCT CAST(o_orderkey % 44 AS BIGINT) AS v
+        |              FROM orders),
+        |sel AS (SELECT 'sl'||v AS sel_id,
+        |  '/out/p'||(v%4)||'/f'||v AS container_path,
+        |  v%3 <> 0 AS wildcard,
+        |  CASE WHEN v%3 <> 0 AND v%7 = 1 THEN NULL
+        |       ELSE '/out/p'||(v%4) END AS path_prefix,
+        |  'ob'||(v%5) AS dest_bucket,
+        |  CASE WHEN v%2 = 0 THEN 'res/'||v||'/' ELSE 'res/'||v END
+        |    AS dest_key
+        |  FROM vseq),
+        |mt AS (SELECT 'sl'||v AS sel_id,
+        |  CASE WHEN (v*7 + j)%13 = 2 THEN '/outside/f'||j
+        |       ELSE '/out/p'||(v%4)||'/d'||j||'/f'||j END AS path
+        |  FROM vseq, range(0,5) u(j) WHERE j < v%5 AND v%3 <> 0),
+        |exp AS (SELECT s.*, m.path FROM sel s LEFT JOIN mt m
+        |        USING (sel_id) WHERE s.wildcard),
+        |e2 AS (SELECT *,
+        |  COUNT(path) OVER (PARTITION BY sel_id) AS n_matches,
+        |  CASE WHEN path_prefix IS NOT NULL
+        |        AND path LIKE path_prefix||'/%'
+        |       THEN substring(path, length(path_prefix) + 2) END AS suffix
+        |  FROM exp),
+        |e3 AS (SELECT *,
+        |  CASE WHEN path_prefix IS NULL THEN 'missing_prefix'
+        |       WHEN n_matches > 3 THEN 'too_many_matches'
+        |       WHEN MAX(CASE WHEN path IS NOT NULL AND suffix IS NULL
+        |                THEN 1 ELSE 0 END) OVER (PARTITION BY sel_id) = 1
+        |         THEN 'outside_prefix'
+        |       ELSE 'ok' END AS sel_verdict
+        |  FROM e2)
+        |SELECT sel_id, path AS container_path_out, dest_bucket,
+        |  regexp_replace(dest_key, '/+$', '')||'/'||suffix AS dest_key_out,
+        |  'ok' AS verdict
+        |FROM e3 WHERE sel_verdict = 'ok' AND path IS NOT NULL
+        |UNION ALL
+        |SELECT DISTINCT sel_id, NULL, NULL, NULL, sel_verdict
+        |FROM e3 WHERE sel_verdict <> 'ok'
+        |UNION ALL
+        |SELECT sel_id, container_path, dest_bucket, dest_key, 'ok'
+        |FROM sel WHERE NOT wildcard
+        |ORDER BY sel_id, container_path_out""".stripMargin,
+
+    "wo2_output_merge" ->
+      """WITH inv AS (
+        |  SELECT 'mb'||(u%4) AS bucket, 'mk'||(u%25) AS key,
+        |         u*3 AS size, u AS seq
+        |  FROM (SELECT DISTINCT CAST(o_orderkey % 50 AS BIGINT) AS u
+        |        FROM orders)),
+        |cap AS (
+        |  SELECT 'mb'||(c%4) AS bucket, 'mk'||(c%25) AS key,
+        |         '/out/f'||c AS container_path, c*5 + 1 AS size,
+        |         c + 1000 AS seq
+        |  FROM (SELECT DISTINCT CAST(o_orderkey % 30 AS BIGINT) AS c
+        |        FROM orders)
+        |  UNION ALL
+        |  SELECT 'mb'||(c%4), 'mk'||(c%25), '/dup/f'||c, c*5 + 1, c + 2000
+        |  FROM (SELECT DISTINCT CAST(o_orderkey % 15 AS BIGINT) AS c
+        |        FROM orders)),
+        |ret AS (SELECT i.bucket, i.key, CAST(NULL AS VARCHAR)
+        |          AS container_path, i.size, i.seq,
+        |          'inventory' AS source
+        |        FROM inv i ANTI JOIN cap c USING (bucket, key)),
+        |allr AS (SELECT bucket, key, container_path, size, seq,
+        |                'export' AS source FROM cap
+        |         UNION ALL SELECT * FROM ret),
+        |dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, key
+        |         ORDER BY CASE WHEN source = 'inventory' THEN 0 ELSE 1 END,
+        |         seq) AS rn FROM allr),
+        |kept AS (SELECT * FROM dd WHERE rn = 1),
+        |n AS (SELECT COUNT(*) AS nn FROM kept)
+        |SELECT bucket, key, source, container_path,
+        |  CAST(size AS BIGINT) AS size, nn > 40 AS manifest_overflow
+        |FROM kept, n ORDER BY bucket, key""".stripMargin,
+
+    "sr1_materialize_reference" ->
+      """WITH wseq AS (SELECT DISTINCT CAST(o_orderkey % 70 AS BIGINT) AS w
+        |              FROM orders),
+        |req AS (SELECT 'sb'||(w%7) AS bucket, 'sk'||w AS key,
+        |  'src'||(w%5) AS src_sig, w*11 + 50 AS content_length,
+        |  'ct'||(w%3) AS content_type, 'e'||(w%9) AS etag,
+        |  w%13 + 7000 AS last_modified,
+        |  w%17 <> 4 AS bucket_ok, w%19 <> 6 AS connector_ok FROM wseq),
+        |ptr AS (SELECT 'sb'||(w%7) AS bucket, 'sk'||w AS key,
+        |  w%4 AS ptr_version FROM wseq WHERE w%3 <> 1),
+        |ver AS (SELECT 'sb'||(w%7) AS bucket, 'sk'||w AS key,
+        |  w%4 AS ptr_version,
+        |  CASE WHEN w%6=0 THEN 'deleted' WHEN w%6=2 THEN 'materialized'
+        |       ELSE 'reference' END AS ex_state,
+        |  'src'||(CASE WHEN w%8=0 THEN (w+1)%5 ELSE w%5 END) AS ex_src,
+        |  CASE WHEN w%10=5 THEN w*11 + 51 ELSE w*11 + 50 END AS ex_len,
+        |  'ct'||(w%3) AS ex_type,
+        |  'e'||(CASE WHEN w%12=9 THEN (w+1)%9 ELSE w%9 END) AS ex_etag,
+        |  w%13 + 7000 AS ex_lm FROM wseq WHERE w%3 <> 1),
+        |ann AS (SELECT r.*, p.ptr_version, v.ex_state, v.ex_src, v.ex_len,
+        |               v.ex_type, v.ex_etag, v.ex_lm
+        | FROM req r LEFT JOIN ptr p USING (bucket, key)
+        | LEFT JOIN ver v USING (bucket, key, ptr_version)),
+        |a2 AS (SELECT *,
+        |  COALESCE(ex_state = 'reference' AND ex_src = src_sig
+        |    AND ex_len = content_length AND ex_type = content_type
+        |    AND ex_etag = etag AND ex_lm = last_modified, false)
+        |    AS same_source,
+        |  COALESCE(ex_state IS NOT NULL AND ex_state <> 'deleted', false)
+        |    AS was_live
+        |  FROM ann),
+        |a3 AS (SELECT *, CASE WHEN NOT bucket_ok THEN 'bucket_guard'
+        |  WHEN NOT connector_ok THEN 'connector_changed'
+        |  WHEN same_source THEN 'unchanged'
+        |  ELSE 'created' END AS verdict FROM a2)
+        |SELECT bucket, key, verdict, verdict = 'created' AS changed,
+        |  CAST(CASE WHEN verdict = 'created' THEN
+        |    CASE WHEN was_live THEN 0 ELSE 1 END END AS BIGINT)
+        |    AS objects_delta,
+        |  CAST(CASE WHEN verdict = 'created' THEN content_length END
+        |       AS BIGINT) AS referenced_bytes_delta
+        |FROM a3 ORDER BY bucket, key""".stripMargin,
 
     "pp1_genesis_ladder" ->
       """WITH tseq AS (SELECT DISTINCT CAST(o_orderkey % 88 AS BIGINT) AS t
