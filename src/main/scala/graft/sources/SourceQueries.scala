@@ -87,6 +87,63 @@ object SourceQueries {
         .unionByName(sect("d", StagingList.listSource(files, "data/N/f3/", 0, 5,
           recursive = false, filesOnly = false)))
         .orderBy("sect", "path")
+    },
+
+    // RO-Crate import-archive layout ladder: root vs single-wrapper
+    // descriptor, the ELN wrapper requirement, stray top-level entries,
+    // wrapper stripping with payload/signature accounting
+    "ia1_archive_layout" -> { (s, d) =>
+      val arcs = Tables.orders(s, d)
+        .select((col("o_orderkey") % 40).cast("long").as("a")).distinct()
+        .withColumn("k", col("a") % 8)
+        .withColumn("wn", concat(lit("w"), col("a").cast("string")))
+      val meta = ArchiveLayout.MetadataPath
+      val sig = ArchiveLayout.SignaturePath
+      val ent = arcs
+        .crossJoin(s.range(0, 5).select(col("id").as("j")))
+        .select(
+          concat(lit("ar"), col("a").cast("string")).as("arc_id"),
+          (col("k") === 1 || (col("k") === 2 && col("a") % 4 < 2))
+            .as("eln"),
+          when(col("j") === 0 && col("k").isin(0L, 1L, 5L), meta)
+            .when(col("j") === 0 && col("k").isin(2L, 3L, 7L), col("wn"))
+            .when(col("j") === 0 && col("k") === 4, "data/f1")
+            .when(col("j") === 0 && col("k") === 6,
+              concat(lit("wA"), col("a").cast("string"), lit("/" + meta)))
+            .when(col("j") === 1 && col("k").isin(0L, 1L), "data/f1")
+            .when(col("j") === 1 && col("k").isin(2L, 3L, 5L, 7L),
+              concat(col("wn"), lit("/" + meta)))
+            .when(col("j") === 1 && col("k") === 4, "data/f2")
+            .when(col("j") === 1 && col("k") === 6,
+              concat(lit("wB"), col("a").cast("string"), lit("/" + meta)))
+            .when(col("j") === 2 && col("k").isin(0L, 1L),
+              when(col("a") % 2 === 0, sig).otherwise("data/f2"))
+            .when(col("j") === 2 && col("k").isin(2L, 3L, 5L, 7L),
+              concat(col("wn"), lit("/data/f1")))
+            .when(col("j") === 3 && col("k").isin(0L, 1L), "data")
+            .when(col("j") === 3 && col("k").isin(2L, 3L),
+              when(col("a") % 2 === 0, concat(col("wn"), lit("/" + sig)))
+                .otherwise(concat(col("wn"), lit("/data/f2"))))
+            .when(col("j") === 4 && col("k") === 3, "stray.txt")
+            .as("path"),
+          ((col("j") === 0 && col("k").isin(2L, 3L)) ||
+            (col("j") === 3 && col("k").isin(0L, 1L))).as("directory"))
+        .filter(col("path").isNotNull)
+      ArchiveLayout.inspect(ent).orderBy("arc_id")
+    },
+
+    // archive entry-path safety: backslash reject, ./-strip, slash
+    // collapse, relative-only with drive/dot-component/control rules
+    "ia2_archive_paths" -> { (s, d) =>
+      val raws = array(lit("a/b/c.txt"), lit("./x/y"), lit("././z"),
+        lit("dir/"), lit("a//b"), lit("a\\b"), lit("///"),
+        lit("/abs/path"), lit("a/../b"), lit("C:/win"), lit("a/./b"),
+        lit("a\u0001b"))
+      val paths = Tables.orders(s, d)
+        .select((col("o_orderkey") % 36).cast("long").as("p")).distinct()
+        .select(col("p").as("p_id"),
+          element_at(raws, (col("p") % 12 + 1).cast("int")).as("raw"))
+      ArchiveLayout.normalizePaths(paths).orderBy("p_id")
     }
   )
 
@@ -161,6 +218,103 @@ object SourceQueries {
          |  SELECT * FROM a_out UNION ALL SELECT * FROM b_out
          |  UNION ALL SELECT * FROM c_out UNION ALL SELECT * FROM d_out)
          |ORDER BY sect, path""".stripMargin
-    }
+    },
+
+    "ia1_archive_layout" ->
+      """WITH aseq AS (SELECT DISTINCT CAST(o_orderkey % 40 AS BIGINT) AS a
+        |              FROM orders),
+        |arcs AS (SELECT a, a%8 AS k, 'w'||a AS wn FROM aseq),
+        |ent AS (
+        |  SELECT 'ar'||a AS arc_id,
+        |    (k = 1 OR (k = 2 AND a%4 < 2)) AS eln,
+        |    CASE WHEN j=0 AND k IN (0,1,5) THEN 'ro-crate-metadata.json'
+        |         WHEN j=0 AND k IN (2,3,7) THEN wn
+        |         WHEN j=0 AND k=4 THEN 'data/f1'
+        |         WHEN j=0 AND k=6 THEN 'wA'||a||'/ro-crate-metadata.json'
+        |         WHEN j=1 AND k IN (0,1) THEN 'data/f1'
+        |         WHEN j=1 AND k IN (2,3,5,7)
+        |           THEN wn||'/ro-crate-metadata.json'
+        |         WHEN j=1 AND k=4 THEN 'data/f2'
+        |         WHEN j=1 AND k=6 THEN 'wB'||a||'/ro-crate-metadata.json'
+        |         WHEN j=2 AND k IN (0,1) THEN CASE WHEN a%2=0
+        |           THEN 'ro-crate-metadata.json.minisig' ELSE 'data/f2' END
+        |         WHEN j=2 AND k IN (2,3,5,7) THEN wn||'/data/f1'
+        |         WHEN j=3 AND k IN (0,1) THEN 'data'
+        |         WHEN j=3 AND k IN (2,3) THEN CASE WHEN a%2=0
+        |           THEN wn||'/ro-crate-metadata.json.minisig'
+        |           ELSE wn||'/data/f2' END
+        |         WHEN j=4 AND k=3 THEN 'stray.txt' END AS path,
+        |    ((j=0 AND k IN (2,3)) OR (j=3 AND k IN (0,1))) AS directory
+        |  FROM arcs, range(0,5) u(j)),
+        |e2 AS (SELECT * FROM ent WHERE path IS NOT NULL),
+        |b1 AS (SELECT *,
+        |   path = 'ro-crate-metadata.json' AS is_root,
+        |   regexp_matches(path, '^[^/]+/ro-crate-metadata\.json$')
+        |     AS is_wrap,
+        |   CASE WHEN regexp_matches(path,
+        |     '^[^/]+/ro-crate-metadata\.json$')
+        |     THEN split_part(path, '/', 1) END AS wrap_name
+        |  FROM e2),
+        |b2 AS (SELECT *,
+        |   SUM(CASE WHEN is_root THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY arc_id) AS root_cnt,
+        |   SUM(CASE WHEN is_wrap THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY arc_id) AS wrap_cnt,
+        |   MAX(wrap_name) OVER (PARTITION BY arc_id) AS wrapper
+        |  FROM b1),
+        |b3 AS (SELECT *,
+        |   MAX(CASE WHEN wrap_cnt = 1 AND ((path = wrapper
+        |        AND NOT directory) OR (path <> wrapper
+        |        AND NOT starts_with(path, wrapper||'/')))
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY arc_id) AS stray
+        |  FROM b2),
+        |b4 AS (SELECT *,
+        |   CASE WHEN root_cnt=1 AND wrap_cnt=0 THEN
+        |          CASE WHEN eln THEN 'eln_needs_wrapper'
+        |               ELSE 'ok_root' END
+        |        WHEN root_cnt=0 AND wrap_cnt=1 THEN
+        |          CASE WHEN stray=1 THEN 'stray_top_level'
+        |               ELSE 'ok_wrapper' END
+        |        WHEN root_cnt=0 AND wrap_cnt=0 THEN 'no_metadata'
+        |        ELSE 'ambiguous' END AS verdict
+        |  FROM b3),
+        |b5 AS (SELECT *,
+        |   CASE WHEN verdict='ok_root' THEN path
+        |        WHEN verdict='ok_wrapper' AND path <> wrapper
+        |          THEN substring(path, length(wrapper)+2) END AS eff
+        |  FROM b4)
+        |SELECT arc_id, MAX(verdict) AS verdict,
+        |  MAX(CASE WHEN verdict='ok_wrapper' THEN wrapper END) AS wrapper,
+        |  CAST(CASE WHEN MAX(verdict) IN ('ok_root','ok_wrapper') THEN
+        |    SUM(CASE WHEN eff IS NOT NULL AND NOT directory
+        |        AND eff NOT IN ('ro-crate-metadata.json',
+        |          'ro-crate-metadata.json.minisig')
+        |        THEN 1 ELSE 0 END) END AS BIGINT) AS n_payload,
+        |  CASE WHEN MAX(verdict) IN ('ok_root','ok_wrapper') THEN
+        |    MAX(CASE WHEN eff = 'ro-crate-metadata.json.minisig'
+        |        THEN 1 ELSE 0 END) = 1 END AS has_signature
+        |FROM b5 GROUP BY arc_id ORDER BY arc_id""".stripMargin,
+
+    "ia2_archive_paths" ->
+      """WITH pseq AS (SELECT DISTINCT CAST(o_orderkey % 36 AS BIGINT) AS p
+        |              FROM orders),
+        |raws AS (SELECT p AS p_id,
+        |  (['a/b/c.txt','./x/y','././z','dir/','a//b','a\b','///',
+        |    '/abs/path','a/../b','C:/win','a/./b','a'||chr(1)||'b'])
+        |    [CAST(p%12 + 1 AS INT)] AS raw
+        |  FROM pseq),
+        |n1 AS (SELECT *, regexp_replace(raw, '/+$', '') AS t1 FROM raws),
+        |n2 AS (SELECT *, regexp_replace(t1, '^(\./)+', '') AS t2 FROM n1),
+        |n3 AS (SELECT *, regexp_replace(t2, '/+', '/', 'g') AS t3 FROM n2),
+        |v AS (SELECT *, CASE WHEN contains(raw, '\') THEN 'unsafe_path'
+        |  WHEN t2 = '' THEN 'empty_path'
+        |  WHEN starts_with(t2, '/') THEN 'unsafe_relative'
+        |  WHEN regexp_matches(t3, '^[A-Za-z]:') THEN 'unsafe_relative'
+        |  WHEN regexp_matches(t3, '(^|/)\.\.?(/|$)') THEN 'unsafe_relative'
+        |  WHEN regexp_matches(t3, '[[:cntrl:]]') THEN 'control_char'
+        |  ELSE 'ok' END AS verdict FROM n3)
+        |SELECT p_id, verdict,
+        |  CASE WHEN verdict = 'ok' THEN t3 END AS normalized
+        |FROM v ORDER BY p_id""".stripMargin
   )
 }
