@@ -1703,6 +1703,34 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // DeleteBucket ladder: missing bucket, the three emptiness checks in
+    // order (objects, versions, open uploads filtered by bucket), and
+    // relationship cleanup counts on the delete path
+    "db1_delete_bucket" -> { (s, d) =>
+      val bx = s.range(0, 24).select(col("id").as("x"))
+      val requests = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 28).cast("long").as("b")).distinct()
+        .select(concat(lit("db"), col("b").cast("string")).as("bucket"))
+      val buckets = bx.select(
+        concat(lit("db"), col("x").cast("string")).as("bucket"))
+      def rows(cond: org.apache.spark.sql.Column, n: Int, tag: String) =
+        bx.filter(cond)
+          .crossJoin(s.range(0, n).select(col("id").as("i")))
+          .select(concat(lit("db"), col("x").cast("string")).as("bucket"),
+            concat(lit(tag), col("i").cast("string")).as("k"))
+      val heads = rows(col("x") % 5 === 1, 3, "k").toDF("bucket", "key")
+      val versions = rows(col("x") % 5 === 2, 2, "v")
+        .toDF("bucket", "key").withColumn("version_id", lit(1L))
+      val uploads = rows(col("x") % 5 === 3, 2, "up")
+        .select(col("k").as("upload_id"), col("bucket"))
+      val relsOut = rows(col("x") % 3 === 0, 2, "ro")
+        .toDF("bucket", "rel_id")
+      val relsIn = rows(col("x") % 4 === 0, 3, "ri")
+        .toDF("bucket", "rel_id")
+      ObjectOps.deleteBuckets(requests, buckets, heads, versions, uploads,
+        relsOut, relsIn).orderBy("bucket")
+    },
+
     // Workflow output expansion: wildcard selections need a prefix, match
     // caps, one stray path fails the whole selection, suffix-composed
     // destination keys with the trailing-slash trim
@@ -5147,6 +5175,40 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "db1_delete_bucket" ->
+      """WITH bx AS (SELECT k AS x FROM range(0,24) t(k)),
+        |req AS (SELECT DISTINCT 'db'||CAST(o_orderkey % 28 AS BIGINT)
+        |          AS bucket FROM orders),
+        |bkt AS (SELECT 'db'||x AS bucket FROM bx),
+        |heads AS (SELECT 'db'||x AS bucket, 'k'||i AS key
+        |          FROM bx, range(0,3) u(i) WHERE x%5 = 1),
+        |vers AS (SELECT 'db'||x AS bucket, 'v'||i AS key, 1 AS version_id
+        |         FROM bx, range(0,2) u(i) WHERE x%5 = 2),
+        |ups AS (SELECT 'up'||i AS upload_id, 'db'||x AS bucket
+        |        FROM bx, range(0,2) u(i) WHERE x%5 = 3),
+        |ro AS (SELECT 'db'||x AS bucket, 'ro'||i AS rel_id
+        |       FROM bx, range(0,2) u(i) WHERE x%3 = 0),
+        |ri AS (SELECT 'db'||x AS bucket, 'ri'||i AS rel_id
+        |       FROM bx, range(0,3) u(i) WHERE x%4 = 0),
+        |cnt AS (SELECT r.bucket,
+        |  b.bucket IS NOT NULL AS ex,
+        |  (SELECT COUNT(*) FROM heads h WHERE h.bucket = r.bucket) AS n_obj,
+        |  (SELECT COUNT(*) FROM vers v WHERE v.bucket = r.bucket) AS n_ver,
+        |  (SELECT COUNT(*) FROM ups u2 WHERE u2.bucket = r.bucket) AS n_up,
+        |  (SELECT COUNT(*) FROM ro WHERE ro.bucket = r.bucket) AS n_out,
+        |  (SELECT COUNT(*) FROM ri WHERE ri.bucket = r.bucket) AS n_in
+        | FROM req r LEFT JOIN bkt b USING (bucket)),
+        |v2 AS (SELECT *,
+        |  CASE WHEN NOT ex THEN 'not_found'
+        |       WHEN n_obj > 0 THEN 'not_empty_objects'
+        |       WHEN n_ver > 0 THEN 'not_empty_versions'
+        |       WHEN n_up > 0 THEN 'not_empty_uploads'
+        |       ELSE 'deleted' END AS verdict FROM cnt)
+        |SELECT bucket, verdict,
+        |  CAST(CASE WHEN verdict = 'deleted' THEN n_out + n_in END
+        |       AS BIGINT) AS n_rels_removed
+        |FROM v2 ORDER BY bucket""".stripMargin,
 
     "wo1_output_expand" ->
       """WITH vseq AS (SELECT DISTINCT CAST(o_orderkey % 44 AS BIGINT) AS v

@@ -424,6 +424,45 @@ object ObjectOps {
         when(col("verdict") === "OK", col("lm")).as("last_modified_s"))
   }
 
+  /** DeleteBucket emptiness ladder (reference
+    * `operations/src/s3/delete_bucket.rs:124-300`): a missing bucket is
+    * NotFound; any current object head, any version row under the
+    * bucket's prefix, or any OPEN multipart upload naming the bucket (the
+    * upload keyspace is scanned globally and filtered by bucket,
+    * `:206-212`) makes it NotEmpty — checked in that order; an empty
+    * bucket deletes, removing its sync relationships in both directions
+    * along the way. The reference collapses the three emptiness arms into
+    * one NotEmpty error; the distinguishing verdict here is
+    * observability, the set of rejected requests is identical.
+    *
+    * `requests(bucket)`; `buckets(bucket)`; `heads(bucket, key)`;
+    * `versions(bucket, key, version_id)`; `uploads(upload_id, bucket)`;
+    * `relsOut(bucket, rel_id)`; `relsIn(bucket, rel_id)`.
+    * Returns `(bucket, verdict, n_rels_removed)`. */
+  def deleteBuckets(requests: DataFrame, buckets: DataFrame,
+      heads: DataFrame, versions: DataFrame, uploads: DataFrame,
+      relsOut: DataFrame, relsIn: DataFrame): DataFrame = {
+    def cnt(df: DataFrame, name: String) = df.groupBy("bucket")
+      .agg(count(lit(1)).as(name))
+    requests
+      .join(buckets.select(col("bucket"), lit(true).as("__exists")),
+        Seq("bucket"), "left_outer")
+      .join(cnt(heads, "n_obj"), Seq("bucket"), "left_outer")
+      .join(cnt(versions, "n_ver"), Seq("bucket"), "left_outer")
+      .join(cnt(uploads, "n_up"), Seq("bucket"), "left_outer")
+      .join(cnt(relsOut, "n_out"), Seq("bucket"), "left_outer")
+      .join(cnt(relsIn, "n_in"), Seq("bucket"), "left_outer")
+      .withColumn("verdict",
+        when(!coalesce(col("__exists"), lit(false)), "not_found")
+          .when(coalesce(col("n_obj"), lit(0L)) > 0, "not_empty_objects")
+          .when(coalesce(col("n_ver"), lit(0L)) > 0, "not_empty_versions")
+          .when(coalesce(col("n_up"), lit(0L)) > 0, "not_empty_uploads")
+          .otherwise("deleted"))
+      .withColumn("n_rels_removed", when(col("verdict") === "deleted",
+        coalesce(col("n_out"), lit(0L)) + coalesce(col("n_in"), lit(0L))))
+      .select(col("bucket"), col("verdict"), col("n_rels_removed"))
+  }
+
   /** Reference-metadata refresh apply (reference
     * `operations/src/s3/refresh_reference_metadata.rs:299-389`):
     *

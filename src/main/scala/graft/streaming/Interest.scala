@@ -46,6 +46,35 @@ object Interest {
     * empty digest — with the realm verdict columns:
     * `(realm, path_prefix, event_mask, published, check_failed, n_dropped,
     * n_cleared)`. */
+  /** Watch-subscription create validation (reference
+    * `operations/src/notifications/watch/subscriptions.rs:139-260`;
+    * caps from `core/src/structs/notification_watch.rs:13-14`):
+    * field checks first — empty prefix, a leading slash ("emitted event
+    * paths carry no leading slash, so a leading-slash prefix could never
+    * match"), prefix over 1024 bytes, an empty mask, mask bits outside
+    * the four valid events (1|2|4|8) — then an invalid authorization
+    * binding, then the 50-per-user cap at insert time.
+    *
+    * `reqs(req_id, owner, path_prefix, event_mask, authz_valid)`;
+    * `existing(owner, n_subs)`. Returns `(req_id, verdict)` with verdict
+    * ∈ created | empty_prefix | leading_slash | prefix_too_long |
+    * empty_mask | invalid_mask | unauthorized | cap_exceeded. */
+  def validateSubscriptions(reqs: DataFrame, existing: DataFrame)
+      : DataFrame = reqs
+    .join(existing.select(col("owner"), col("n_subs")), Seq("owner"),
+      "left_outer")
+    .withColumn("verdict",
+      when(col("path_prefix") === "", "empty_prefix")
+        .when(col("path_prefix").startsWith("/"), "leading_slash")
+        .when(length(col("path_prefix")) > 1024, "prefix_too_long")
+        .when(col("event_mask") === 0, "empty_mask")
+        .when((col("event_mask").bitwiseAND(lit(~15L))) =!= 0,
+          "invalid_mask")
+        .when(!col("authz_valid"), "unauthorized")
+        .when(coalesce(col("n_subs"), lit(0L)) >= 50, "cap_exceeded")
+        .otherwise("created"))
+    .select(col("req_id"), col("verdict"))
+
   def publish(subs: DataFrame, markers: DataFrame, current: DataFrame,
       pending: DataFrame, localNode: String): DataFrame = {
     val dirtyRealms = markers.select(col("realm")).distinct()

@@ -318,6 +318,32 @@ object StreamingQueries {
         .orderBy("realm", "path_prefix")
     },
 
+    // Watch-subscription create validation: field ladder (empty/leading-
+    // slash/overlong prefix, empty/invalid mask), authorization binding,
+    // then the 50-per-user cap at insert time
+    "ws1_watch_sub_create" -> { (s, d) =>
+      val q = Tables.orders(s, d)
+        .select((col("o_orderkey") % 64).cast("long").as("q")).distinct()
+      val reqs = q.select(
+        concat(lit("r"), col("q").cast("string")).as("req_id"),
+        concat(lit("u"), (col("q") % 6).cast("string")).as("owner"),
+        when(col("q") % 9 === 0, "")
+          .when(col("q") % 9 === 1, "/lead/x")
+          .when(col("q") % 9 === 2, expr("repeat('p', 1025)"))
+          .otherwise(concat(lit("s3/g"), col("q").cast("string")))
+          .as("path_prefix"),
+        when(col("q") % 7 === 0, 0L).when(col("q") % 7 === 1, 16L)
+          .when(col("q") % 7 === 2, 19L)
+          .otherwise(col("q") % 15 + 1).as("event_mask"),
+        (col("q") % 11 =!= 5).as("authz_valid"))
+      val existing = s.range(0, 6).select(
+        concat(lit("u"), col("id").cast("string")).as("owner"),
+        when(col("id") === 0, 50L).when(col("id") === 1, 49L)
+          .when(col("id") === 3, 63L).otherwise(col("id") * 7)
+          .as("n_subs"))
+      Interest.validateSubscriptions(reqs, existing).orderBy("req_id")
+    },
+
     // Admin-document MV-register fold (admin_document_reducer.rs): resolve a
     // causally-delivered admin event log to its per-(doc, path) causal
     // frontier — converged value + representative dot, or the dot-sorted
@@ -632,6 +658,31 @@ object StreamingQueries {
         |  SELECT 'graph:'||doc_id, 'doc:'||doc_id, 'status', 'ok'
         |  FROM documents WHERE doc_id%5=0
         |) t ORDER BY subject, predicate""".stripMargin,
+
+    "ws1_watch_sub_create" ->
+      """WITH qseq AS (SELECT DISTINCT CAST(o_orderkey % 64 AS BIGINT) AS q
+        |              FROM orders),
+        |req AS (SELECT 'r'||q AS req_id, 'u'||(q%6) AS owner,
+        |  CASE WHEN q%9=0 THEN '' WHEN q%9=1 THEN '/lead/x'
+        |       WHEN q%9=2 THEN repeat('p', 1025)
+        |       ELSE 's3/g'||q END AS path_prefix,
+        |  CASE WHEN q%7=0 THEN 0 WHEN q%7=1 THEN 16 WHEN q%7=2 THEN 19
+        |       ELSE q%15 + 1 END AS event_mask,
+        |  q%11 <> 5 AS authz_valid FROM qseq),
+        |ex AS (SELECT 'u'||k AS owner,
+        |  CASE WHEN k=0 THEN 50 WHEN k=1 THEN 49 WHEN k=3 THEN 63
+        |       ELSE k*7 END AS n_subs FROM range(0,6) t(k))
+        |SELECT req_id,
+        |  CASE WHEN path_prefix = '' THEN 'empty_prefix'
+        |       WHEN starts_with(path_prefix, '/') THEN 'leading_slash'
+        |       WHEN length(path_prefix) > 1024 THEN 'prefix_too_long'
+        |       WHEN event_mask = 0 THEN 'empty_mask'
+        |       WHEN (event_mask & ~15) <> 0 THEN 'invalid_mask'
+        |       WHEN NOT authz_valid THEN 'unauthorized'
+        |       WHEN COALESCE(n_subs, 0) >= 50 THEN 'cap_exceeded'
+        |       ELSE 'created' END AS verdict
+        |FROM req LEFT JOIN ex USING (owner)
+        |ORDER BY req_id""".stripMargin,
 
     "wi1_interest_digest" ->
       """WITH subs AS (

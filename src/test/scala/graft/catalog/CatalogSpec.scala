@@ -1544,4 +1544,21 @@ class CatalogSpec extends SparkSpec {
     assert(got("t1").getAs[Boolean]("any_withheld") &&
       got("t1").getAs[Boolean]("any_pull_pending"))
   }
+
+  test("delete bucket: emptiness precedence objects > versions > uploads, rels removed only on delete") {
+    val req = Seq("b1", "b2", "b3").map(Tuple1(_)).toDF("bucket")
+    val bkt = Seq("b1", "b2").map(Tuple1(_)).toDF("bucket")
+    // b1 has BOTH an object head and versions: the object arm wins
+    val heads = Seq(("b1", "k")).toDF("bucket", "key")
+    val vers = Seq(("b1", "k", 1L)).toDF("bucket", "key", "version_id")
+    val ups = Seq.empty[(String, String)].toDF("upload_id", "bucket")
+    val ro = Seq(("b2", "r1"), ("b1", "r2")).toDF("bucket", "rel_id")
+    val ri = Seq(("b2", "r3")).toDF("bucket", "rel_id")
+    val got = ObjectOps.deleteBuckets(req, bkt, heads, vers, ups, ro, ri)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("b1").getAs[String]("verdict") == "not_empty_objects")
+    assert(got("b2").getAs[String]("verdict") == "deleted" &&
+      got("b2").getAs[Long]("n_rels_removed") == 2L)
+    assert(got("b3").getAs[String]("verdict") == "not_found")
+  }
 }

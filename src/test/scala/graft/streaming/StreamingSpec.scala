@@ -617,4 +617,20 @@ class StreamingSpec extends SparkSpec {
       // but its observed markers still clear
       ("r3", "/x", 4L, false, false, 0L, 1L)), got.toSeq.mkString("\n"))
   }
+
+  test("watch-subscription create: field ladder precedence, mixed invalid mask, cap boundary at 50") {
+    val reqs = Seq(
+      ("r1", "u1", "", 0L, false),          // empty prefix wins over all
+      ("r2", "u1", "s3/x", 9L, true),       // 1|8 valid -> created (49 subs)
+      ("r3", "u2", "s3/x", 15L, true),      // exactly at the 50 cap
+      ("r4", "u1", "s3/x", 24L, true),      // 8|16 -> invalid (mixed bits)
+      ("r5", "u1", "s3/x", 4L, false))      // fields pass, authz fails
+      .toDF("req_id", "owner", "path_prefix", "event_mask", "authz_valid")
+    val existing = Seq(("u1", 49L), ("u2", 50L)).toDF("owner", "n_subs")
+    val got = Interest.validateSubscriptions(reqs, existing)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("r1" -> "empty_prefix", "r2" -> "created",
+      "r3" -> "cap_exceeded", "r4" -> "invalid_mask",
+      "r5" -> "unauthorized"), got.toString)
+  }
 }
