@@ -1703,6 +1703,29 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // Handle-pool transfer slice: upper-ceil-half of the largest free
+    // band run, earliest run wins ties, sub-two-band runs transfer nothing
+    "hp1_pool_slice" -> { (s, d) =>
+      val sc = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 20).cast("long").as("sc")).distinct()
+      val spans = sc.select(col("sc").as("sc_id"), lit(0L).as("span_idx"),
+          lit(0L).as("span_start"),
+          ((col("sc") % 6 + 2) * 1024L).as("span_end"))
+        .unionByName(sc.select(col("sc").as("sc_id"),
+          lit(1L).as("span_idx"), lit(100000L).as("span_start"),
+          (lit(100000L) + (col("sc") % 4) * 1024L).as("span_end")))
+      val consumed = sc.select(col("sc").as("sc_id"),
+          (col("sc") % 3 * 1024L).as("c_start"),
+          (col("sc") % 3 * 1024L + 300L).as("c_end"))
+        .unionByName(sc.filter(col("sc") % 2 === 0)
+          .select(col("sc").as("sc_id"), lit(2048L).as("c_start"),
+            lit(4096L).as("c_end")))
+        .unionByName(sc.filter(col("sc") % 5 === 1)
+          .select(col("sc").as("sc_id"), lit(100000L).as("c_start"),
+            lit(101024L).as("c_end")))
+      HandlePool.transferSlices(spans, consumed).orderBy("sc_id")
+    },
+
     // DeleteBucket ladder: missing bucket, the three emptiness checks in
     // order (objects, versions, open uploads filtered by bucket), and
     // relationship cleanup counts on the delete path
@@ -5175,6 +5198,49 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "hp1_pool_slice" ->
+      """WITH scs AS (SELECT DISTINCT CAST(o_orderkey % 20 AS BIGINT) AS sc
+        |             FROM orders),
+        |spans AS (
+        |  SELECT sc AS sc_id, 0 AS span_idx, 0 AS span_start,
+        |         (sc%6 + 2) * 1024 AS span_end FROM scs
+        |  UNION ALL
+        |  SELECT sc, 1, 100000, 100000 + (sc%4) * 1024 FROM scs),
+        |cons AS (
+        |  SELECT sc AS sc_id, sc%3 * 1024 AS c_start,
+        |         sc%3 * 1024 + 300 AS c_end FROM scs
+        |  UNION ALL
+        |  SELECT sc, 2048, 4096 FROM scs WHERE sc%2 = 0
+        |  UNION ALL
+        |  SELECT sc, 100000, 101024 FROM scs WHERE sc%5 = 1),
+        |sp2 AS (SELECT *, (span_end - span_start) // 1024 AS nbands
+        |        FROM spans),
+        |bnd AS (SELECT x.sc_id, x.span_idx, u.b,
+        |         x.span_start + u.b * 1024 AS start,
+        |         u.b < x.nbands AND NOT EXISTS (
+        |           SELECT 1 FROM cons c WHERE c.sc_id = x.sc_id
+        |             AND c.c_start < x.span_start + u.b * 1024 + 1024
+        |             AND x.span_start + u.b * 1024 < c.c_end) AS free
+        |        FROM sp2 x, range(0,8) u(b) WHERE u.b <= x.nbands),
+        |f1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc_id, span_idx
+        |         ORDER BY b) AS rk FROM bnd),
+        |f2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc_id, span_idx
+        |         ORDER BY b) AS rk2 FROM f1 WHERE free),
+        |runs AS (SELECT sc_id, span_idx, rk - rk2 AS island,
+        |           MIN(start) AS run_start, COUNT(*) AS len
+        |         FROM f2 GROUP BY 1, 2, 3),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc_id
+        |           ORDER BY len DESC, span_idx, run_start) AS rn
+        |         FROM runs)
+        |SELECT s.sc AS sc_id,
+        |  CAST(CASE WHEN b.len >= 2
+        |       THEN b.run_start + ((b.len + 1) // 2) * 1024 END AS BIGINT)
+        |    AS slice_start,
+        |  CAST(CASE WHEN b.len >= 2
+        |       THEN b.run_start + b.len * 1024 END AS BIGINT) AS slice_end
+        |FROM scs s LEFT JOIN best b ON s.sc = b.sc_id AND b.rn = 1
+        |ORDER BY sc_id""".stripMargin,
 
     "db1_delete_bucket" ->
       """WITH bx AS (SELECT k AS x FROM range(0,24) t(k)),

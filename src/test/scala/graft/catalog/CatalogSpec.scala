@@ -1561,4 +1561,28 @@ class CatalogSpec extends SparkSpec {
       got("b2").getAs[Long]("n_rels_removed") == 2L)
     assert(got("b3").getAs[String]("verdict") == "not_found")
   }
+
+  test("pool slice: ceil-half upper cut, earliest run wins ties, <2 bands yields no pool") {
+    val spans = Seq(
+      // s1: two 3-band free runs (ties) -> the FIRST span's run wins;
+      // ceil(3/2)=2 -> upper cut at run_start + 2*1024
+      (1L, 0L, 0L, 3 * 1024L), (1L, 1L, 50000L, 50000L + 3 * 1024L),
+      // s2: one free band only -> no pool
+      (2L, 0L, 0L, 2 * 1024L),
+      // s3: a partial 1-byte overlap still blocks its band
+      (3L, 0L, 0L, 4 * 1024L))
+      .toDF("sc_id", "span_idx", "span_start", "span_end")
+    val consumed = Seq(
+      (2L, 1024L, 2048L),
+      (3L, 2047L, 2049L)) // touches bands 1 and 2 -> free run = band 0 + band 3? no: 0 and 3 are separate singleton runs
+      .toDF("sc_id", "c_start", "c_end")
+    val got = HandlePool.transferSlices(spans, consumed)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == (Some(2048L), Some(3 * 1024L)), got(1L).toString)
+    assert(got(2L) == (None, None))
+    // bands 1 (1024..2048) and 2 (2048..3072) both overlap [2047,2049):
+    // remaining free bands 0 and 3 are singleton runs -> no pool
+    assert(got(3L) == (None, None), got(3L).toString)
+  }
 }
