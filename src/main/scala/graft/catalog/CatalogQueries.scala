@@ -1703,6 +1703,49 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // RO-Crate export planning: external/unsupported omissions, quad-
+    // confirmed localPath choice, safe-zip-path rules with reserved-name
+    // filtering and blake3-synthesized fallbacks, dup/length failures
+    "ex1_export_plan" -> { (s, d) =>
+      val base = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 48).cast("long").as("e")).distinct()
+        .withColumn("es", col("e").cast("string"))
+        .withColumn("raw_path",
+          when(col("e") % 24 === 13,
+            concat(lit("docs/"), expr("repeat('L', 300)")))
+            .when(col("e") % 16 === 9, "docs/dup.txt")
+            .when(col("e") % 8 === 0,
+              concat(lit("docs/a"), col("es"), lit(".txt")))
+            .when(col("e") % 8 === 1,
+              concat(lit("./x/y"), col("es"), lit(".bin")))
+            .when(col("e") % 8 === 2, concat(lit("bad\\p"), col("es")))
+            .when(col("e") % 8 === 3, concat(lit("a//b"), col("es")))
+            .when(col("e") % 8 === 4, concat(lit("enc%2Fx"), col("es")))
+            .when(col("e") % 8 === 5, concat(lit("dir"), col("es"),
+              lit("/")))
+            .when(col("e") % 8 === 6, "ro-crate-metadata.json"))
+      val entities = base.select(
+        concat(lit("en"), col("es")).as("ent_id"),
+        (col("e") % 11 =!= 6).as("is_file"),
+        when(col("e") % 16 === 9 || col("e") % 24 === 13, "r1")
+          .when(col("e") % 6 === 0, "r1").when(col("e") % 6 === 1, "rX")
+          .as("exact_realm"),
+        (col("e") % 4 =!= 1).as("has_hash"),
+        when(col("e") % 9 === 0, "rX").when(col("e") % 9 === 1, "r1")
+          .as("hash_realm"),
+        col("raw_path"),
+        when(col("e") % 8 === 7,
+          concat(lit("fb/q"), col("es"), lit(".dat")))
+          .when(col("e") % 5 === 4, concat(lit("alt/q"), col("es")))
+          .otherwise(col("raw_path")).as("qp1"),
+        when(col("e") % 7 === 0, concat(lit("alt2/q"), col("es")))
+          .as("qp2"),
+        concat(md5(concat(lit("h"), col("es"))),
+          md5(concat(lit("g"), col("es")))).as("hash_hex"))
+      ExportPlan.plan(entities, localRealm = "r1", keyBytes = 200L)
+        .orderBy("ent_id")
+    },
+
     // Handle-pool transfer slice: upper-ceil-half of the largest free
     // band run, earliest run wins ties, sub-two-band runs transfer nothing
     "hp1_pool_slice" -> { (s, d) =>
@@ -5198,6 +5241,83 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "ex1_export_plan" ->
+      """WITH eseq AS (SELECT DISTINCT CAST(o_orderkey % 48 AS BIGINT) AS e
+        |              FROM orders),
+        |b0 AS (SELECT e,
+        |  CASE WHEN e%24 = 13 THEN 'docs/'||repeat('L', 300)
+        |       WHEN e%16 = 9 THEN 'docs/dup.txt'
+        |       WHEN e%8 = 0 THEN 'docs/a'||e||'.txt'
+        |       WHEN e%8 = 1 THEN './x/y'||e||'.bin'
+        |       WHEN e%8 = 2 THEN 'bad\p'||e
+        |       WHEN e%8 = 3 THEN 'a//b'||e
+        |       WHEN e%8 = 4 THEN 'enc%2Fx'||e
+        |       WHEN e%8 = 5 THEN 'dir'||e||'/'
+        |       WHEN e%8 = 6 THEN 'ro-crate-metadata.json' END AS raw_path
+        |  FROM eseq),
+        |ents AS (SELECT e, 'en'||e AS ent_id, e%11 <> 6 AS is_file,
+        |  CASE WHEN e%16 = 9 OR e%24 = 13 THEN 'r1'
+        |       WHEN e%6 = 0 THEN 'r1' WHEN e%6 = 1 THEN 'rX' END
+        |    AS exact_realm,
+        |  e%4 <> 1 AS has_hash,
+        |  CASE WHEN e%9 = 0 THEN 'rX' WHEN e%9 = 1 THEN 'r1' END
+        |    AS hash_realm,
+        |  raw_path,
+        |  CASE WHEN e%8 = 7 THEN 'fb/q'||e||'.dat'
+        |       WHEN e%5 = 4 THEN 'alt/q'||e
+        |       ELSE raw_path END AS qp1,
+        |  CASE WHEN e%7 = 0 THEN 'alt2/q'||e END AS qp2
+        |  FROM b0),
+        |a1 AS (SELECT *,
+        |  exact_realm IS NULL AND NOT has_hash AS external,
+        |  COALESCE(exact_realm = 'r1', false) OR (has_hash AND
+        |    (hash_realm IS NULL OR hash_realm = 'r1')) AS supported,
+        |  CASE WHEN raw_path IS NOT NULL
+        |        AND (raw_path = qp1 OR raw_path = qp2)
+        |       THEN raw_path ELSE qp1 END AS local_path
+        |  FROM ents),
+        |a2 AS (SELECT *,
+        |  regexp_replace(local_path, '^(\./)+', '') AS s FROM a1),
+        |a3 AS (SELECT *,
+        |  CASE WHEN local_path IS NULL THEN NULL
+        |       WHEN s = '' OR s LIKE '%/' OR contains(s, '\')
+        |         OR contains(lower(s), '%2f') OR contains(lower(s), '%5c')
+        |         OR starts_with(s, '/') OR contains(s, '//')
+        |         OR regexp_matches(s, '(^|/)\.\.?(/|$)') THEN NULL
+        |       WHEN s IN ('ro-crate-metadata.json',
+        |         'aruna-export-report.json') THEN NULL
+        |       ELSE s END AS explicit
+        |  FROM a2),
+        |a4 AS (SELECT *,
+        |  -- the blake3-synthesized path is unique per entity and can never
+        |  -- collide with an explicit path; a unique stand-in keys the
+        |  -- dedup window identically without recomputing blake3
+        |  COALESCE(explicit, 'synth:'||ent_id) AS path0,
+        |  is_file AND NOT external AND supported AS eligible
+        |  FROM a3),
+        |a5 AS (SELECT *,
+        |  eligible AND length(path0) > 200 AS too_long FROM a4),
+        |a6 AS (SELECT *,
+        |  eligible AND NOT too_long AND COUNT(*) OVER (PARTITION BY
+        |    CASE WHEN eligible AND NOT too_long THEN path0 END) > 1
+        |    AS dup
+        |  FROM a5),
+        |a7 AS (SELECT *,
+        |  CASE WHEN NOT is_file THEN 'not_file'
+        |       WHEN external THEN 'omitted_external'
+        |       WHEN NOT supported THEN 'omitted_unsupported'
+        |       WHEN too_long THEN 'path_too_long'
+        |       WHEN dup THEN 'dup_path'
+        |       ELSE 'planned' END AS verdict
+        |  FROM a6)
+        |SELECT ent_id, verdict,
+        |  CASE WHEN eligible THEN local_path END AS local_path,
+        |  CASE WHEN verdict = 'planned' AND explicit IS NOT NULL
+        |       THEN path0 END AS zip_path,
+        |  CASE WHEN verdict = 'planned' THEN explicit IS NULL END
+        |    AS path_synthesized
+        |FROM a7 ORDER BY ent_id""".stripMargin,
 
     "hp1_pool_slice" ->
       """WITH scs AS (SELECT DISTINCT CAST(o_orderkey % 20 AS BIGINT) AS sc

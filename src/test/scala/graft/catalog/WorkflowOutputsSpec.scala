@@ -83,4 +83,44 @@ class WorkflowOutputsSpec extends SparkSpec {
     assert(got("k4").getAs[String]("verdict") == "bucket_guard")
     assert(got("k5").getAs[String]("verdict") == "connector_changed")
   }
+
+  test("export plan: omission ladder, quad-confirmed path choice, safe-zip + reserved names, dup detection") {
+    def ns: String = null
+    val ents = Seq(
+      // external: no exact URL, no hash
+      ("e1", true, ns, false, ns, "docs/a", "docs/a", ns),
+      // foreign exact realm, hash bound to a foreign realm -> unsupported
+      ("e2", true, "rX", true, "rX", "docs/b", "docs/b", ns),
+      // raw path NOT confirmed by quads -> falls back to qp1
+      ("e3", true, "r1", false, ns, "raw/p", "quad/p", ns),
+      // confirmed raw with ./ prefix -> stripped explicit
+      ("e4", true, "r1", false, ns, "./d/e.txt", "./d/e.txt", ns),
+      // reserved name -> synthesized
+      ("e5", true, "r1", false, ns, "ro-crate-metadata.json",
+        "ro-crate-metadata.json", ns),
+      // two entities claim one explicit path
+      ("e6", true, "r1", false, ns, "dup/p", "dup/p", ns),
+      ("e7", true, "r1", false, ns, "dup/p", "dup/p", ns),
+      ("e8", false, "r1", false, ns, "x", "x", ns))
+      .map { case (id, f, ex, h, hr, rp, q1, q2) =>
+        (id, f, ex, h, hr, rp, q1, q2, "ab" * 32) }
+      .toDF("ent_id", "is_file", "exact_realm", "has_hash", "hash_realm",
+        "raw_path", "qp1", "qp2", "hash_hex")
+    val got = ExportPlan.plan(ents, "r1", 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("e1").getAs[String]("verdict") == "omitted_external")
+    assert(got("e2").getAs[String]("verdict") == "omitted_unsupported")
+    val e3 = got("e3")
+    assert(e3.getAs[String]("verdict") == "planned" &&
+      e3.getAs[String]("local_path") == "quad/p" &&
+      e3.getAs[String]("zip_path") == "quad/p", e3.toString)
+    assert(got("e4").getAs[String]("zip_path") == "d/e.txt")
+    val e5 = got("e5")
+    assert(e5.getAs[String]("verdict") == "planned" &&
+      e5.getAs[String]("zip_path") == null &&
+      e5.getAs[Boolean]("path_synthesized"), e5.toString)
+    assert(got("e6").getAs[String]("verdict") == "dup_path" &&
+      got("e7").getAs[String]("verdict") == "dup_path")
+    assert(got("e8").getAs[String]("verdict") == "not_file")
+  }
 }
