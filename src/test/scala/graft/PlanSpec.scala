@@ -444,4 +444,23 @@ class PlanSpec extends SparkSpec {
     assert(!pA.contains("SortMergeJoin") && !pA.contains("CartesianProduct"),
       s"authz decisions must ride broadcast rule arrays:\n$pA")
   }
+
+  test("mz1/ivr1: queue folds join broadcast control-plane relations, never a cartesian") {
+    // the materialization drain joins status/events/lifecycle/dead-letters
+    // on keys; at 100 TB the JOBS side is the only large relation, so every
+    // control-plane side must broadcast and the group windows partition
+    // by doc_id (no global single-partition window)
+    val pM = plan("mz1_materialization_drain")
+    assert(pM.contains("BroadcastHashJoin"), pM)
+    assert(!pM.contains("CartesianProduct") &&
+      !pM.contains("BroadcastNestedLoopJoin"),
+      s"materialization drain must stay equi-joined:\n$pM")
+    val pI = plan("ivr1_incoming_negotiation")
+    assert(pI.contains("BroadcastHashJoin"), pI)
+    // the fixture's 40x4 range-cross (blob-location generation) is the
+    // only permitted nested-loop: constant-bounded, no table on either
+    // side; the FOLD joins themselves must all be hash joins
+    assert(!pI.contains("CartesianProduct") && !pI.contains("SortMergeJoin"),
+      s"negotiation ladder must stay hash-joined:\n$pI")
+  }
 }
