@@ -1703,6 +1703,28 @@ object CatalogQueries {
         .orderBy("bucket", "key", "version_id")
     },
 
+    // Initial realm-admin claim: one-shot bootstrap ladder where doc-view
+    // assignment, reducer assignment and conflicted claim paths all
+    // refuse idempotently, and a foreign-target reducer state errors
+    "ca1_claim_admin" -> { (s, d) =>
+      val c = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 52).cast("long").as("c")).distinct()
+      val claims = c.select(
+        concat(lit("rm"), col("c").cast("string")).as("realm_id"),
+        (col("c") % 7 =!= 2).as("has_auth_doc"),
+        (col("c") % 9 =!= 3).as("has_role"),
+        when(col("c") % 5 === 1, col("c") % 3 + 1).otherwise(0L)
+          .as("n_assigned"),
+        // reducer state exists only for c%4 != 0
+        when(col("c") % 4 =!= 0, col("c") % 11 =!= 4)
+          .as("reducer_target_ok"),
+        when(col("c") % 4 =!= 0, col("c") % 13 === 5)
+          .as("reducer_assigned"),
+        when(col("c") % 4 =!= 0, col("c") % 17 === 8)
+          .as("reducer_conflict"))
+      Onboarding.claimInitialAdmin(claims).orderBy("realm_id")
+    },
+
     // RO-Crate export planning: external/unsupported omissions, quad-
     // confirmed localPath choice, safe-zip-path rules with reserved-name
     // filtering and blake3-synthesized fallbacks, dup/length failures
@@ -5241,6 +5263,29 @@ object CatalogQueries {
         |    (CASE WHEN COALESCE(cur_state = 'materialized', false)
         |          THEN 1 ELSE 0 END) END AS BIGINT) AS object_delta
         |FROM a3 ORDER BY bucket, key, version_id""".stripMargin,
+
+    "ca1_claim_admin" ->
+      """WITH cseq AS (SELECT DISTINCT CAST(o_orderkey % 52 AS BIGINT) AS c
+        |              FROM orders),
+        |cl AS (SELECT 'rm'||c AS realm_id,
+        |  c%7 <> 2 AS has_auth_doc, c%9 <> 3 AS has_role,
+        |  CASE WHEN c%5 = 1 THEN c%3 + 1 ELSE 0 END AS n_assigned,
+        |  CASE WHEN c%4 <> 0 THEN c%11 <> 4 END AS reducer_target_ok,
+        |  CASE WHEN c%4 <> 0 THEN c%13 = 5 END AS reducer_assigned,
+        |  CASE WHEN c%4 <> 0 THEN c%17 = 8 END AS reducer_conflict
+        |  FROM cseq)
+        |SELECT realm_id,
+        |  CASE WHEN NOT has_auth_doc THEN 'auth_doc_missing'
+        |       WHEN NOT has_role THEN 'role_missing'
+        |       WHEN n_assigned > 0 THEN 'already_assigned'
+        |       WHEN COALESCE(NOT reducer_target_ok, false)
+        |         THEN 'target_mismatch'
+        |       WHEN COALESCE(reducer_assigned, false)
+        |         THEN 'already_in_reducer'
+        |       WHEN COALESCE(reducer_conflict, false)
+        |         THEN 'conflicted_path'
+        |       ELSE 'claimed' END AS verdict
+        |FROM cl ORDER BY realm_id""".stripMargin,
 
     "ex1_export_plan" ->
       """WITH eseq AS (SELECT DISTINCT CAST(o_orderkey % 48 AS BIGINT) AS e

@@ -89,4 +89,38 @@ object Onboarding {
       when(verdict === "reserved", lit(reservationExpiresAt))
         .cast("long").as("reserved_until_ms"))
   }
+
+  /** Initial realm-admin claim (reference
+    * `operations/src/claim_initial_realm_admin.rs:157-265`): the one-shot
+    * bootstrap that seats the first realm admin. Ladder:
+    *
+    *  - the realm authorization document must exist and carry a
+    *    `realm_admin` role;
+    *  - the claim is idempotent-by-refusal: an already-assigned role (the
+    *    doc view), an existing reducer-state assignment, or a CONFLICT on
+    *    the role's assignment path all abort as already-claimed — a
+    *    conflicted path means two nodes raced the claim and neither may
+    *    win it retroactively;
+    *  - a reducer state bound to a DIFFERENT target is corrupt state and
+    *    errors rather than aborts (`TargetMismatch`).
+    *
+    * `claims(realm_id, has_auth_doc, has_role, n_assigned,
+    * reducer_target_ok, reducer_assigned, reducer_conflict)` — reducer
+    * columns NULL when no reducer state exists. Returns
+    * `(realm_id, verdict)` with verdict ∈ auth_doc_missing |
+    * role_missing | already_assigned | target_mismatch |
+    * already_in_reducer | conflicted_path | claimed. */
+  def claimInitialAdmin(claims: DataFrame): DataFrame = claims
+    .withColumn("verdict",
+      when(!col("has_auth_doc"), "auth_doc_missing")
+        .when(!col("has_role"), "role_missing")
+        .when(col("n_assigned") > 0, "already_assigned")
+        .when(coalesce(!col("reducer_target_ok"), lit(false)),
+          "target_mismatch")
+        .when(coalesce(col("reducer_assigned"), lit(false)),
+          "already_in_reducer")
+        .when(coalesce(col("reducer_conflict"), lit(false)),
+          "conflicted_path")
+        .otherwise("claimed"))
+    .select(col("realm_id"), col("verdict"))
 }
