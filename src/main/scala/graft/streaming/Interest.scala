@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Watch-interest digest rebuild — the debounced per-realm publisher the
@@ -46,6 +46,67 @@ object Interest {
     * empty digest — with the realm verdict columns:
     * `(realm, path_prefix, event_mask, published, check_failed, n_dropped,
     * n_cleared)`. */
+  /** Holder-side watch-event expansion (reference
+    * `operations/src/notifications/watch/expand.rs:19-170`
+    * `expand_watch_events`; `notifications/routing.rs:117-143`
+    * `route_watch_event`; `core/src/structs/notification_watch.rs:34-77`
+    * `watch_path_matches`/`parse_data_watch_resource_path`).
+    *
+    * Per (event, subscription) pair within a realm:
+    *  - subscriptions whose owner is no longer assigned to the local
+    *    holder are SKIPPED (and flagged stale so the caller retracts
+    *    interest);
+    *  - a subscription created AFTER the event never delivers
+    *    retroactively;
+    *  - the path matches on a plain prefix — or, for the three DATA kinds
+    *    only, through the group-alias rule: both sides parse as
+    *    `s3/{group}/{node}/{bucket}/{key}` (group non-nil, bucket
+    *    non-empty) and match on (node, bucket, key-prefix) with the GROUP
+    *    ignored — "treating a data path's group as an alias when its node
+    *    and bucket identify the same node-local bucket";
+    *  - the event kind must be inside the subscription's mask;
+    *  - an invalid authorization at stage time suppresses the record
+    *    (`denied`).
+    *
+    * `events(event_id, realm, kind_bit, path, occurred_at_ms)`;
+    * `subs(watch_id, realm, owner, path_prefix, event_mask,
+    * created_at_ms, held, authz_ok)`. Returns one row per candidate pair:
+    * `(event_id, watch_id, verdict, recipient)` with verdict ∈ delivered |
+    * not_held | created_after_event | path_mismatch | mask_mismatch |
+    * denied.
+    *
+    * Scale: the pair relation is (realm-events × realm-subscriptions) —
+    * the reference's own loop shape; subscriptions broadcast (50-per-user
+    * cap × realm users), events stream through map-side. */
+  def routeWatchEvents(events: DataFrame, subs: DataFrame): DataFrame = {
+    val NilUlid = "00000000000000000000000000"
+    val re = "^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$"
+    def seg(c: Column, i: Int) = regexp_extract(c, re, i)
+    def parses(c: Column) =
+      c.rlike(re) && seg(c, 1) =!= NilUlid && seg(c, 3) =!= ""
+    val dataKinds = Seq(2L, 4L, 8L)
+    val pairs = events.join(subs, Seq("realm"))
+    val aliasMatch = col("kind_bit").isin(dataKinds: _*) &&
+      parses(col("path")) && parses(col("path_prefix")) &&
+      seg(col("path"), 2) === seg(col("path_prefix"), 2) &&
+      seg(col("path"), 3) === seg(col("path_prefix"), 3) &&
+      seg(col("path"), 4).startsWith(seg(col("path_prefix"), 4))
+    pairs
+      .withColumn("path_ok",
+        col("path").startsWith(col("path_prefix")) || aliasMatch)
+      .withColumn("verdict",
+        when(!col("held"), "not_held")
+          .when(col("created_at_ms") > col("occurred_at_ms"),
+            "created_after_event")
+          .when(!col("path_ok"), "path_mismatch")
+          .when(col("event_mask").bitwiseAND(col("kind_bit")) === 0,
+            "mask_mismatch")
+          .when(!col("authz_ok"), "denied")
+          .otherwise("delivered"))
+      .select(col("event_id"), col("watch_id"), col("verdict"),
+        when(col("verdict") === "delivered", col("owner")).as("recipient"))
+  }
+
   /** Watch-subscription create validation (reference
     * `operations/src/notifications/watch/subscriptions.rs:139-260`;
     * caps from `core/src/structs/notification_watch.rs:13-14`):

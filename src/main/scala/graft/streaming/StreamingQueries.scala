@@ -318,6 +318,51 @@ object StreamingQueries {
         .orderBy("realm", "path_prefix")
     },
 
+    // Holder-side watch-event expansion: stale-owner skip, no retroactive
+    // delivery, prefix vs group-alias path matching for data kinds,
+    // mask gating and stage-time authorization suppression
+    "we1_watch_expand" -> { (s, d) =>
+      val ev = Tables.orders(s, d)
+        .select((col("o_orderkey") % 30).cast("long").as("e")).distinct()
+        .select(concat(lit("ev"), col("e").cast("string")).as("event_id"),
+          concat(lit("r"), (col("e") % 2).cast("string")).as("realm"),
+          expr("CAST(shiftleft(1, CAST(e % 4 AS INT)) AS BIGINT)")
+            .as("kind_bit"),
+          when(col("e") % 30 === 7, concat(
+            lit("s3/00000000000000000000000000/n"),
+            (col("e") % 3).cast("string"), lit("/bk"),
+            (col("e") % 5).cast("string"), lit("/dir"),
+            col("e").cast("string"), lit("/f.txt")))
+            .when(col("e") % 3 === 0, concat(lit("meta/g"),
+              (col("e") % 5).cast("string"), lit("/doc"),
+              col("e").cast("string")))
+            .otherwise(concat(lit("s3/G"), (col("e") % 4).cast("string"),
+              lit("/n"), (col("e") % 3).cast("string"), lit("/bk"),
+              (col("e") % 5).cast("string"), lit("/dir"),
+              col("e").cast("string"), lit("/f.txt"))).as("path"),
+          (col("e") % 5 * 100 + 800L).as("occurred_at_ms"))
+      val subs = Tables.orders(s, d)
+        .select((col("o_orderkey") % 24).cast("long").as("t")).distinct()
+        .select(concat(lit("w"), col("t").cast("string")).as("watch_id"),
+          concat(lit("r"), (col("t") % 2).cast("string")).as("realm"),
+          concat(lit("u"), (col("t") % 7).cast("string")).as("owner"),
+          when(col("t") % 4 === 0, concat(lit("meta/g"),
+            (col("t") % 5).cast("string")))
+            .when(col("t") % 4 === 1, concat(lit("s3/GX/n"),
+              (col("t") % 3).cast("string"), lit("/bk"),
+              (col("t") % 5).cast("string"), lit("/dir")))
+            .when(col("t") % 4 === 2, concat(lit("s3/G"),
+              (col("t") % 4).cast("string"), lit("/n0/bk1/x")))
+            .otherwise(concat(lit("other/"), col("t").cast("string")))
+            .as("path_prefix"),
+          (col("t") % 15 + 1).as("event_mask"),
+          (col("t") % 7 * 100 + 500L).as("created_at_ms"),
+          (col("t") % 6 =!= 5).as("held"),
+          (col("t") % 9 =!= 4).as("authz_ok"))
+      Interest.routeWatchEvents(ev, subs)
+        .orderBy("event_id", "watch_id")
+    },
+
     // Watch-subscription create validation: field ladder (empty/leading-
     // slash/overlong prefix, empty/invalid mask), authorization binding,
     // then the 50-per-user cap at insert time
@@ -658,6 +703,63 @@ object StreamingQueries {
         |  SELECT 'graph:'||doc_id, 'doc:'||doc_id, 'status', 'ok'
         |  FROM documents WHERE doc_id%5=0
         |) t ORDER BY subject, predicate""".stripMargin,
+
+    "we1_watch_expand" ->
+      """WITH eseq AS (SELECT DISTINCT CAST(o_orderkey % 30 AS BIGINT) AS e
+        |              FROM orders),
+        |tseq AS (SELECT DISTINCT CAST(o_orderkey % 24 AS BIGINT) AS t
+        |         FROM orders),
+        |ev AS (SELECT 'ev'||e AS event_id, 'r'||(e%2) AS realm,
+        |  CAST(1 << CAST(e%4 AS INT) AS BIGINT) AS kind_bit,
+        |  CASE WHEN e%30 = 7 THEN 's3/00000000000000000000000000/n'||
+        |         (e%3)||'/bk'||(e%5)||'/dir'||e||'/f.txt'
+        |       WHEN e%3 = 0 THEN 'meta/g'||(e%5)||'/doc'||e
+        |       ELSE 's3/G'||(e%4)||'/n'||(e%3)||'/bk'||(e%5)||'/dir'||e||
+        |         '/f.txt' END AS path,
+        |  e%5*100 + 800 AS occurred_at_ms FROM eseq),
+        |sub AS (SELECT 'w'||t AS watch_id, 'r'||(t%2) AS realm,
+        |  'u'||(t%7) AS owner,
+        |  CASE WHEN t%4 = 0 THEN 'meta/g'||(t%5)
+        |       WHEN t%4 = 1 THEN 's3/GX/n'||(t%3)||'/bk'||(t%5)||'/dir'
+        |       WHEN t%4 = 2 THEN 's3/G'||(t%4)||'/n0/bk1/x'
+        |       ELSE 'other/'||t END AS path_prefix,
+        |  t%15 + 1 AS event_mask, t%7*100 + 500 AS created_at_ms,
+        |  t%6 <> 5 AS held, t%9 <> 4 AS authz_ok FROM tseq),
+        |p AS (SELECT * FROM ev JOIN sub USING (realm)),
+        |p2 AS (SELECT *,
+        |  starts_with(path, path_prefix) OR (
+        |    kind_bit IN (2, 4, 8)
+        |    AND regexp_matches(path, '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$')
+        |    AND regexp_matches(path_prefix,
+        |      '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$')
+        |    AND regexp_extract(path, '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$',
+        |      1) <> '00000000000000000000000000'
+        |    AND regexp_extract(path_prefix,
+        |      '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$', 1)
+        |      <> '00000000000000000000000000'
+        |    AND regexp_extract(path, '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$',
+        |      2) = regexp_extract(path_prefix,
+        |      '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$', 2)
+        |    AND regexp_extract(path, '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$',
+        |      3) = regexp_extract(path_prefix,
+        |      '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$', 3)
+        |    AND starts_with(
+        |      regexp_extract(path, '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$', 4),
+        |      regexp_extract(path_prefix,
+        |        '^s3/([^/]+)/([^/]+)/([^/]+)/(.*)$', 4))
+        |  ) AS path_ok FROM p),
+        |p3 AS (SELECT *,
+        |  CASE WHEN NOT held THEN 'not_held'
+        |       WHEN created_at_ms > occurred_at_ms
+        |         THEN 'created_after_event'
+        |       WHEN NOT path_ok THEN 'path_mismatch'
+        |       WHEN (event_mask & kind_bit) = 0 THEN 'mask_mismatch'
+        |       WHEN NOT authz_ok THEN 'denied'
+        |       ELSE 'delivered' END AS verdict
+        |  FROM p2)
+        |SELECT event_id, watch_id, verdict,
+        |  CASE WHEN verdict = 'delivered' THEN owner END AS recipient
+        |FROM p3 ORDER BY event_id, watch_id""".stripMargin,
 
     "ws1_watch_sub_create" ->
       """WITH qseq AS (SELECT DISTINCT CAST(o_orderkey % 64 AS BIGINT) AS q

@@ -633,4 +633,32 @@ class StreamingSpec extends SparkSpec {
       "r3" -> "cap_exceeded", "r4" -> "invalid_mask",
       "r5" -> "unauthorized"), got.toString)
   }
+
+  test("watch expand: group-alias path rule, nil group never aliases, no retroactive delivery") {
+    val g = "01ARZ3NDEKTSV4RRFFQ69G5FAV"
+    val g2 = "01BX5ZZKBKACTAV9WEVGEMMVRZ"
+    val events = Seq(
+      ("e1", "r0", 2L, s"s3/$g/n1/bkA/dir/f.txt", 1000L),
+      ("e2", "r0", 1L, "meta/gX/doc1", 1000L),  // metadata kind: NO alias
+      ("e3", "r0", 2L, "s3/00000000000000000000000000/n1/bkA/dir/f.txt",
+        1000L))
+      .toDF("event_id", "realm", "kind_bit", "path", "occurred_at_ms")
+    val subs = Seq(
+      // different GROUP, same node+bucket+key-prefix -> alias delivers
+      ("w1", "r0", "u1", s"s3/$g2/n1/bkA/dir", 2L, 900L, true, true),
+      // same shape but subscribed to METADATA paths: no alias for kind 1
+      ("w2", "r0", "u2", s"s3/$g2/nX/bkA/", 1L, 900L, true, true),
+      // created after every event
+      ("w3", "r0", "u3", s"s3/$g/n1/bkA/", 2L, 2000L, true, true))
+      .toDF("watch_id", "realm", "owner", "path_prefix", "event_mask",
+        "created_at_ms", "held", "authz_ok")
+    val got = Interest.routeWatchEvents(events, subs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getString(2)).toMap
+    assert(got(("e1", "w1")) == "delivered")
+    // nil-group paths never parse -> the alias arm is closed
+    assert(got(("e3", "w1")) == "path_mismatch")
+    assert(got(("e2", "w2")) == "path_mismatch")
+    assert(got(("e1", "w3")) == "created_after_event")
+  }
 }
