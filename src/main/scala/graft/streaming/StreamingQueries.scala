@@ -318,6 +318,28 @@ object StreamingQueries {
         .orderBy("realm", "path_prefix")
     },
 
+    // Raw-revision resolution: timestamp-major base election (a replayed
+    // older payload never wins), post-base upsert application, and the
+    // incremental advance fold pinned ≡ the direct resolve
+    "rv1_raw_revision" -> { (s, d) =>
+      val ev = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("o")).distinct()
+        .filter(col("o") < 1800)
+        .select((col("o") % 36).as("doc_id"), col("o").as("event_id"),
+          when((col("o") % 36) % 9 === 2 && (col("o") % 7).isin(0L, 1L),
+            "scaffold")
+            .when(col("o") % 7 === 0, "rocrate")
+            .when(col("o") % 7 === 1, "replace")
+            .when((col("o") % 7).isin(2L, 3L), "upsert_data")
+            .when(col("o") % 7 === 4, "upsert_ctx")
+            .otherwise("scaffold").as("kind"),
+          (col("o") % 13 * 10 + 1000L).as("updated_at_ms"))
+      val full = RawRevision.resolve(ev).withColumn("sect", lit("full"))
+      val incr = RawRevision.fold(ev.filter(col("event_id") < 900),
+        ev.filter(col("event_id") >= 900)).withColumn("sect", lit("incr"))
+      full.unionByName(incr).orderBy("sect", "doc_id")
+    },
+
     // Holder-side watch-event expansion: stale-owner skip, no retroactive
     // delivery, prefix vs group-alias path matching for data kinds,
     // mask gating and stage-time authorization suppression
@@ -703,6 +725,45 @@ object StreamingQueries {
         |  SELECT 'graph:'||doc_id, 'doc:'||doc_id, 'status', 'ok'
         |  FROM documents WHERE doc_id%5=0
         |) t ORDER BY subject, predicate""".stripMargin,
+
+    "rv1_raw_revision" ->
+      """WITH ev AS (
+        |  SELECT CAST(o % 36 AS BIGINT) AS doc_id,
+        |         CAST(o AS BIGINT) AS event_id,
+        |    CASE WHEN (o%36)%9 = 2 AND o%7 IN (0,1) THEN 'scaffold'
+        |         WHEN o%7 = 0 THEN 'rocrate'
+        |         WHEN o%7 = 1 THEN 'replace'
+        |         WHEN o%7 IN (2,3) THEN 'upsert_data'
+        |         WHEN o%7 = 4 THEN 'upsert_ctx'
+        |         ELSE 'scaffold' END AS kind,
+        |    o%13*10 + 1000 AS updated_at_ms
+        |  FROM (SELECT DISTINCT o_orderkey AS o FROM orders
+        |        WHERE o_orderkey < 1800)),
+        |b AS (SELECT doc_id, event_id AS base_ev,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY updated_at_ms DESC, event_id DESC) AS rn
+        |      FROM ev WHERE kind IN ('rocrate','replace')),
+        |base AS (SELECT doc_id, base_ev FROM b WHERE rn = 1),
+        |up AS (SELECT e.doc_id, COUNT(*) AS n_app,
+        |              MAX(e.event_id) AS max_up
+        |       FROM ev e JOIN base USING (doc_id)
+        |       WHERE e.kind IN ('upsert_data','upsert_ctx')
+        |         AND e.event_id > base_ev
+        |       GROUP BY 1),
+        |f AS (SELECT d.doc_id, base.base_ev AS base_event_id,
+        |   CASE WHEN base.base_ev IS NOT NULL
+        |        THEN COALESCE(up.max_up, base.base_ev) END
+        |     AS winning_event_id,
+        |   CAST(COALESCE(up.n_app, 0) AS BIGINT) AS n_applied,
+        |   d.last_event_id
+        | FROM (SELECT doc_id, MAX(event_id) AS last_event_id FROM ev
+        |       GROUP BY 1) d
+        | LEFT JOIN base USING (doc_id) LEFT JOIN up USING (doc_id))
+        |-- the incremental advance over an ordered split is exactly the
+        |-- direct resolve; the gate's Spark side computes it as a FOLD
+        |SELECT *, 'full' AS sect FROM f
+        |UNION ALL SELECT *, 'incr' FROM f
+        |ORDER BY sect, doc_id""".stripMargin,
 
     "we1_watch_expand" ->
       """WITH eseq AS (SELECT DISTINCT CAST(o_orderkey % 30 AS BIGINT) AS e

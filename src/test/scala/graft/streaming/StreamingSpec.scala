@@ -661,4 +661,49 @@ class StreamingSpec extends SparkSpec {
     assert(got(("e2", "w2")) == "path_mismatch")
     assert(got(("e1", "w3")) == "created_after_event")
   }
+
+  test("raw revision: timestamp-major base election, post-base upserts, fold rebuild on base change") {
+    val events = Seq(
+      // doc 1: the LATER event id carries an OLDER payload timestamp and
+      // must NOT win the base; upserts after the winner apply
+      (1L, 10L, "rocrate", 2000L),
+      (1L, 20L, "replace", 1500L),  // replay with older payload
+      (1L, 25L, "upsert_data", 0L),
+      (1L, 30L, "upsert_ctx", 0L),
+      // doc 2: scaffold only -> no revision
+      (2L, 5L, "scaffold", 900L))
+      .toDF("doc_id", "event_id", "kind", "updated_at_ms")
+    val r = RawRevision.resolve(events)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("base_event_id") == 10L &&
+      d1.getAs[Long]("winning_event_id") == 30L &&
+      d1.getAs[Long]("n_applied") == 2L &&
+      d1.getAs[Long]("last_event_id") == 30L, d1.toString)
+    val d2 = r(2L)
+    assert(d2.get(1) == null && d2.get(2) == null &&
+      d2.getAs[Long]("n_applied") == 0L)
+
+    // fold: a batch whose base WINS rebuilds from the batch alone — the
+    // old revision's applied upserts do not carry over
+    val old = events.filter("doc_id = 1")
+    val batch = Seq((1L, 40L, "rocrate", 2500L), (1L, 50L, "upsert_data", 0L))
+      .toDF("doc_id", "event_id", "kind", "updated_at_ms")
+    val f = RawRevision.fold(old, batch)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val f1 = f(1L)
+    assert(f1.getAs[Long]("base_event_id") == 40L &&
+      f1.getAs[Long]("winning_event_id") == 50L &&
+      f1.getAs[Long]("n_applied") == 1L &&
+      f1.getAs[Long]("last_event_id") == 50L, f1.toString)
+    // and a LOSING batch base (older payload) leaves the stored revision:
+    // the batch upsert extends it, the applied count accumulates
+    val batch2 = Seq((1L, 40L, "replace", 100L), (1L, 50L, "upsert_data", 0L))
+      .toDF("doc_id", "event_id", "kind", "updated_at_ms")
+    val g1 = RawRevision.fold(old, batch2)
+      .collect().map(x => x.getLong(0) -> x).toMap.apply(1L)
+    assert(g1.getAs[Long]("base_event_id") == 10L &&
+      g1.getAs[Long]("winning_event_id") == 50L &&
+      g1.getAs[Long]("n_applied") == 3L, g1.toString)
+  }
 }
