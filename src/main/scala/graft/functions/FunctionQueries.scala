@@ -36,6 +36,36 @@ object FunctionQueries {
         .orderBy("req_id")
     },
 
+    // Egress deny-table screening: extra-deny beats the loopback toggle,
+    // the 16-row compiled IPv4 special-purpose table, range-edge probes
+    "eg1_egress_screen" -> { (s, d) =>
+      val ips = array(Seq(66051L, 168101125L, 1681916161L, 1686110207L,
+        1686110208L, 2130706433L, 2851997961L, 2886729727L, 2886729729L,
+        2887778303L, 2887778304L, 3221225477L, 3221225993L, 3227017985L,
+        3232246786L, 3323068415L, 3323134724L, 3325256711L, 3405803976L,
+        3758096635L, 4026531834L, 4026531841L, 4294967295L, 134744072L,
+        16843009L, 1572395042L).map(lit): _*)
+      val strs = array(Seq("0.1.2.3", "10.5.5.5", "100.64.1.1",
+        "100.127.255.255", "100.128.0.0", "127.0.0.1", "169.254.9.9",
+        "172.15.255.255", "172.16.0.1", "172.31.255.255", "172.32.0.0",
+        "192.0.0.5", "192.0.2.9", "192.88.99.1", "192.168.44.2",
+        "198.17.255.255", "198.19.3.4", "198.51.100.7", "203.0.113.200",
+        "224.0.0.251", "239.255.255.250", "240.0.0.1", "255.255.255.255",
+        "8.8.8.8", "1.1.1.1", "93.184.216.34").map(lit): _*)
+      val base = Tables.orders(s, d)
+        .select((col("o_orderkey") % 26).cast("long").as("i")).distinct()
+        .select(col("i"),
+          element_at(ips, (col("i") + 1).cast("int")).as("ip"),
+          element_at(strs, (col("i") + 1).cast("int")).as("ip_str"))
+      val addrs = base.withColumn("sect", lit("strict"))
+        .withColumn("loopback_ok_policy", lit(false))
+        .unionByName(base.withColumn("sect", lit("loopback"))
+          .withColumn("loopback_ok_policy", lit(true)))
+      // node-local extra deny: 8.8.8.0/24
+      Egress.screenV4(addrs, Seq((134744064L, 24)))
+        .orderBy("sect", "ip_str")
+    },
+
     // multi-digest (PutObject write path shape): md5 + sha256 per document
     "h1_multihash" -> { (s, d) =>
       Tables.documents(s, d)
@@ -149,6 +179,43 @@ object FunctionQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "eg1_egress_screen" ->
+      """WITH iseq AS (SELECT DISTINCT CAST(o_orderkey % 26 AS BIGINT) AS i
+        |              FROM orders),
+        |base AS (SELECT i,
+        |  ([66051, 168101125, 1681916161, 1686110207, 1686110208,
+        |    2130706433, 2851997961, 2886729727, 2886729729, 2887778303,
+        |    2887778304, 3221225477, 3221225993, 3227017985, 3232246786,
+        |    3323068415, 3323134724, 3325256711, 3405803976, 3758096635,
+        |    4026531834, 4026531841, 4294967295, 134744072, 16843009,
+        |    1572395042])[CAST(i+1 AS INT)] AS ip,
+        |  (['0.1.2.3','10.5.5.5','100.64.1.1','100.127.255.255',
+        |    '100.128.0.0','127.0.0.1','169.254.9.9','172.15.255.255',
+        |    '172.16.0.1','172.31.255.255','172.32.0.0','192.0.0.5',
+        |    '192.0.2.9','192.88.99.1','192.168.44.2','198.17.255.255',
+        |    '198.19.3.4','198.51.100.7','203.0.113.200','224.0.0.251',
+        |    '239.255.255.250','240.0.0.1','255.255.255.255','8.8.8.8',
+        |    '1.1.1.1','93.184.216.34'])[CAST(i+1 AS INT)] AS ip_str
+        |  FROM iseq),
+        |a AS (SELECT 'strict' AS sect, false AS lb, * FROM base
+        |      UNION ALL SELECT 'loopback', true, * FROM base),
+        |nets(net, p) AS (VALUES (0, 8), (167772160, 8), (1681915904, 10),
+        |  (2130706432, 8), (2851995648, 16), (2886729728, 12),
+        |  (3221225472, 24), (3221225984, 24), (3227017984, 24),
+        |  (3232235520, 16), (3323068416, 15), (3325256704, 24),
+        |  (3405803776, 24), (3758096384, 4), (4026531840, 4),
+        |  (4294967295, 32)),
+        |hit AS (SELECT a.sect, a.ip_str, a.ip, a.lb,
+        |   MAX(CASE WHEN (a.ip >> (32 - n.p)) = (n.net >> (32 - n.p))
+        |            THEN 1 ELSE 0 END) AS tbl
+        | FROM a, nets n GROUP BY 1, 2, 3, 4)
+        |SELECT sect, ip_str,
+        |  CASE WHEN (ip >> 8) = (134744064 >> 8) THEN 'blocked_extra'
+        |       WHEN lb AND (ip >> 24) = 127 THEN 'loopback_ok'
+        |       WHEN tbl = 1 THEN 'blocked_table'
+        |       ELSE 'allowed' END AS verdict
+        |FROM hit ORDER BY sect, ip_str""".stripMargin,
+
     "sid1_structured_ids" ->
       """WITH o AS (
         |  SELECT o_orderkey AS req_id, o_orderkey%11 AS m,
