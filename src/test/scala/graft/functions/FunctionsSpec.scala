@@ -184,4 +184,25 @@ class FunctionsSpec extends AnyFunSuite {
     val bb = encode(pack(1001L, 1, 0, 0L))
     assert(a < bb)
   }
+
+  test("entity JSON-LD validation ladder (update_metadata_document.rs:292-345)") {
+    def v(s: String) = EntityJson.verdict(s)
+    assert(v("""{"@id":"e1","@type":"Thing","name":"n"}""") == "ok")
+    assert(v("""{"id":"e1","type":["A","B"],"name":"n"}""") == "ok")
+    assert(v("""not json""") == "not_json")
+    assert(v("""["a"]""") == "not_object")
+    assert(v("""{"@graph":[],"@id":"e","@type":"T","name":"n"}""")
+      == "has_graph")
+    assert(v("""{"graph":{},"@id":"e","@type":"T","name":"n"}""")
+      == "has_graph")
+    // numeric and blank ids are NOT string ids
+    assert(v("""{"@id":7,"@type":"T","name":"n"}""") == "missing_id")
+    assert(v("""{"@id":"  ","@type":"T","name":"n"}""") == "missing_id")
+    assert(v("""{"@id":"e","name":"n"}""") == "missing_type")
+    assert(v("""{"@id":"e","@type":[],"name":"n"}""") == "bad_type")
+    assert(v("""{"@id":"e","@type":["A",3],"name":"n"}""") == "bad_type")
+    assert(v("""{"@id":"e","@type":{"k":1},"name":"n"}""") == "bad_type")
+    assert(v("""{"@id":"e","@type":"T"}""") == "missing_name")
+    assert(v("""{"@id":"e","@type":"T","name":""}""") == "missing_name")
+  }
 }
