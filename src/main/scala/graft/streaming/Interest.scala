@@ -107,6 +107,35 @@ object Interest {
         when(col("verdict") === "delivered", col("owner")).as("recipient"))
   }
 
+  /** Idempotent inbox upsert (reference
+    * `operations/src/notifications/inbox.rs:102-178`
+    * `upsert_inbox_records_in_transaction`): each record keys on
+    * (recipient, created_at_ms, notification_id); a key already in the
+    * inbox is silently skipped — re-expanded watch events never duplicate
+    * — and the outcome reports the written count plus the DISTINCT
+    * recipients actually written (the live-stream wake set). Batch-
+    * internal duplicates are NOT deduped: both check against the stored
+    * inbox only and both count (the second write is the same bytes).
+    *
+    * `records(notification_id, recipient, created_at_ms)`;
+    * `existing(notification_id, recipient, created_at_ms)`. Returns per
+    * record `(notification_id, recipient, inserted, n_written,
+    * n_recipients)` with batch trailers on every row. */
+  def upsertInbox(records: DataFrame, existing: DataFrame): DataFrame = {
+    val marked = records.join(
+      existing.select(col("notification_id"), col("recipient"),
+        col("created_at_ms"), lit(true).as("__dup")),
+      Seq("notification_id", "recipient", "created_at_ms"), "left_outer")
+      .withColumn("inserted", !coalesce(col("__dup"), lit(false)))
+    val trailer = marked.agg(
+      sum(when(col("inserted"), 1L).otherwise(0L)).as("n_written"),
+      countDistinct(when(col("inserted"), col("recipient")))
+        .as("n_recipients"))
+    marked.crossJoin(broadcast(trailer))
+      .select(col("notification_id"), col("recipient"), col("inserted"),
+        col("n_written"), col("n_recipients"))
+  }
+
   /** Watch-subscription create validation (reference
     * `operations/src/notifications/watch/subscriptions.rs:139-260`;
     * caps from `core/src/structs/notification_watch.rs:13-14`):

@@ -318,6 +318,25 @@ object StreamingQueries {
         .orderBy("realm", "path_prefix")
     },
 
+    // Idempotent inbox upsert: stored keys skip, batch duplicates both
+    // count, written + distinct-recipient trailers (the wake set)
+    "ib1_inbox_upsert" -> { (s, d) =>
+      val r = Tables.orders(s, d)
+        .select((col("o_orderkey") % 90).cast("long").as("r")).distinct()
+      val records = r.select(
+        concat(lit("nt"), (col("r") % 60).cast("string"))
+          .as("notification_id"),
+        concat(lit("u"), (col("r") % 9).cast("string")).as("recipient"),
+        (col("r") % 60 % 12 * 50 + 3000L).as("created_at_ms"))
+      val existing = r.filter(col("r") % 4 === 1).select(
+        concat(lit("nt"), (col("r") % 60).cast("string"))
+          .as("notification_id"),
+        concat(lit("u"), (col("r") % 9).cast("string")).as("recipient"),
+        (col("r") % 60 % 12 * 50 + 3000L).as("created_at_ms"))
+      Interest.upsertInbox(records, existing)
+        .orderBy("notification_id", "recipient")
+    },
+
     // Raw-revision resolution: timestamp-major base election (a replayed
     // older payload never wins), post-base upsert application, and the
     // incremental advance fold pinned ≡ the direct resolve
@@ -725,6 +744,28 @@ object StreamingQueries {
         |  SELECT 'graph:'||doc_id, 'doc:'||doc_id, 'status', 'ok'
         |  FROM documents WHERE doc_id%5=0
         |) t ORDER BY subject, predicate""".stripMargin,
+
+    "ib1_inbox_upsert" ->
+      """WITH rs AS (SELECT DISTINCT CAST(o_orderkey % 90 AS BIGINT) AS r
+        |            FROM orders),
+        |rec AS (SELECT 'nt'||(r%60) AS notification_id,
+        |        'u'||(r%9) AS recipient,
+        |        (r%60)%12*50 + 3000 AS created_at_ms, r FROM rs),
+        |ex AS (SELECT notification_id, recipient, created_at_ms
+        |       FROM rec WHERE r%4 = 1),
+        |m AS (SELECT rec.notification_id, rec.recipient,
+        |        e.notification_id IS NULL AS inserted
+        |      FROM rec LEFT JOIN ex e
+        |        ON rec.notification_id = e.notification_id
+        |        AND rec.recipient = e.recipient
+        |        AND rec.created_at_ms = e.created_at_ms),
+        |t AS (SELECT CAST(SUM(CASE WHEN inserted THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS n_written,
+        |      CAST(COUNT(DISTINCT CASE WHEN inserted THEN recipient END)
+        |        AS BIGINT) AS n_recipients FROM m)
+        |SELECT notification_id, recipient, inserted, n_written,
+        |       n_recipients
+        |FROM m, t ORDER BY notification_id, recipient""".stripMargin,
 
     "rv1_raw_revision" ->
       """WITH ev AS (

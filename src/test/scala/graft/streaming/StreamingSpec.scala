@@ -706,4 +706,22 @@ class StreamingSpec extends SparkSpec {
       g1.getAs[Long]("winning_event_id") == 50L &&
       g1.getAs[Long]("n_applied") == 3L, g1.toString)
   }
+
+  test("inbox upsert: stored keys skip, batch duplicates both count, distinct-recipient wake set") {
+    val records = Seq(
+      ("n1", "u1", 10L), ("n1", "u1", 10L), // batch-internal duplicate
+      ("n2", "u1", 20L),                    // already stored
+      ("n3", "u2", 30L))
+      .toDF("notification_id", "recipient", "created_at_ms")
+    val existing = Seq(("n2", "u1", 20L))
+      .toDF("notification_id", "recipient", "created_at_ms")
+    val got = Interest.upsertInbox(records, existing).collect()
+    val byId = got.groupBy(_.getString(0))
+    // both copies of the batch duplicate insert (the reference checks the
+    // STORED inbox only; the second write is the same bytes)
+    assert(byId("n1").forall(_.getAs[Boolean]("inserted")))
+    assert(!byId("n2").head.getAs[Boolean]("inserted"))
+    assert(got.head.getAs[Long]("n_written") == 3L &&
+      got.head.getAs[Long]("n_recipients") == 2L, got.mkString("\n"))
+  }
 }
