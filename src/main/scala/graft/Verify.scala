@@ -30,6 +30,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drain per-gate tracked persists/broadcasts (see Bench's warm-up
+      // note): 290 sequential gates in one JVM must not accumulate blocks
+      graft.Caches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

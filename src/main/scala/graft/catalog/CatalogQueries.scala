@@ -219,6 +219,121 @@ object CatalogQueries {
         .orderBy("upload_id")
     },
 
+    // AbortMultipartUpload verdict batch (abort_multipart_upload.rs): four
+    // request variants per picked upload — v0 well-formed (Ok on Open,
+    // UploadNotOpen on Completed/Aborted), v1 wrong key and v2 wrong
+    // bucket (UploadTargetMismatch, which must OUTRANK the status arm —
+    // v1/v2 picks span all three statuses), v3 phantom upload id
+    // (NoSuchUpload). Ok rows carry the cleanup accounting: parts found,
+    // records batch-deleted (parts + the upload record), bytes freed.
+    "cat17_abort_multipart" -> { (s, d) =>
+      val up = ObjectTables.uploads(s, d)
+      val pt = ObjectTables.parts(s, d)
+      val v = (col("upload_id").cast("long") / 13).cast("long") % 4
+      val req = up.filter(col("upload_id").cast("long") % 13 === 0)
+        .select(
+          when(v === 3, concat(lit("ZZ"), substring(col("upload_id"), 3, 10)))
+            .otherwise(col("upload_id")).as("upload_id"),
+          when(v === 2, concat(col("bucket"), lit("-x")))
+            .otherwise(col("bucket")).as("bucket"),
+          when(v === 1, concat(col("key"), lit(".wrong")))
+            .otherwise(col("key")).as("key"))
+      Multipart.abortVerdicts(up, pt, req).orderBy("upload_id")
+    },
+
+    // CreateBucket verdict batch (create_bucket.rs:113-127): catalog hits
+    // fail, in-batch duplicates fail for every request after the first in
+    // submission order, and each OK request folds +1 into its group's
+    // bucket usage counter (the UsageCounterUpdate accounting).
+    "cb1_create_bucket" -> { (s, d) =>
+      val y = (col("c_custkey") / 23).cast("long") % 5
+      val req = graft.Tables.customer(s, d)
+        .filter(col("c_custkey") % 23 === 0)
+        .select(col("c_custkey").as("seq"),
+          when(y === 0, concat(lit("bkt-"), (col("c_custkey") % 4).cast("string")))
+            .when(y === 1 || y === 3,
+              concat(lit("nb-"), (col("c_custkey") % 11).cast("string")))
+            .when(y === 2, concat(lit("nb-u"), col("c_custkey").cast("string")))
+            .otherwise(concat(lit("ws-new-"), (col("c_custkey") % 3).cast("string")))
+            .as("bucket"),
+          concat(lit("grp-"), (col("c_custkey") % 7).cast("string")).as("group_id"))
+      Creates.createBucketVerdicts(ObjectTables.buckets(s, d), req)
+        .orderBy("seq")
+    },
+
+    // CreateMultipartUpload request ladder (s3_service.rs:1801-1866):
+    // SSE rejection, empty/unconfined object keys, the five-algorithm
+    // checksum whitelist, then the opened record's checksum hint
+    // (Composite only for literal COMPOSITE), group resolution (bucket's
+    // group when bucket info resolved, else the caller's) and Open status.
+    "cmu1_create_multipart" -> { (s, d) =>
+      val m = (col("o_orderkey") / 43).cast("long") % 12
+      val o = col("o_orderkey")
+      val req = graft.Tables.orders(s, d).filter(o % 43 === 0)
+        .select(concat(lit("mu"), o.cast("string")).as("req_id"),
+          concat(lit("bkt-"), (o % 4).cast("string")).as("bucket"),
+          when(m === 4, "")
+            .when(m === 5, concat(lit("/abs/k"), o.cast("string")))
+            .when(m === 6, concat(lit("a/../k"), o.cast("string")))
+            .when(m === 7, "./.")
+            .otherwise(concat(lit("mp/k"), o.cast("string"), lit(".bin")))
+            .as("key"),
+          (m === 1).as("sse"), (m === 2).as("sse_kms"),
+          (m === 3).as("sse_customer"),
+          when(m === 8, "MD5").when(m === 9, "SHA256")
+            .when(m === 11, "CRC32C").otherwise(lit(null).cast("string"))
+            .as("checksum_algorithm"),
+          when(m === 9, "FULL_OBJECT").when(m === 10 || m === 11, "COMPOSITE")
+            .otherwise(lit(null).cast("string")).as("checksum_type"),
+          (o % 2 === 0).as("has_bucket_info"),
+          concat(lit("bg-"), (o % 5).cast("string")).as("bucket_group"),
+          concat(lit("ug-"), (o % 3).cast("string")).as("user_group"))
+      Creates.createMultipartVerdicts(req).orderBy("req_id")
+    },
+
+    // Realm document count (metadata/stats.rs:19-36): per-realm registry
+    // count excluding lifecycle-Deleted graphs, caller-visibility-blind;
+    // a node without a metadata subsystem answers NULL (None), a live
+    // subsystem over an empty realm answers 0 — the Option<u64> pin.
+    "rm1_realm_doc_count" -> { (s, d) =>
+      val reg = graft.sparql.RdfTables.registry(s, d)
+        .withColumn("realm_id", concat(lit("realm-"),
+          (col("document_id").cast("long") % 4).cast("string")))
+      val req = s.range(0, 6).select(
+        concat(lit("realm-"), col("id").cast("string")).as("realm_id"),
+        (col("id") % 5 =!= 4).as("has_metadata"))
+      Directory.realmDocumentCounts(reg, Directory.lifecycle(s, d), req)
+        .orderBy("realm_id")
+    },
+
+    // GetBucketInfo point-read batch (get_bucket_info.rs; also the
+    // resolution behind HeadBucket and GetBucketLocation,
+    // s3_service.rs:1102-1146): Found rows carry the record's group and
+    // its replication-config summary; catalog misses (including workspace
+    // buckets, which live outside the S3 bucket keyspace) are NotFound.
+    "bi1_bucket_info" -> { (s, d) =>
+      val req = s.range(0, 8).select(col("id").cast("int").as("req_seq"),
+        when(col("id") < 4, concat(lit("bkt-"), col("id").cast("string")))
+          .when(col("id") === 4, "bkt-9")
+          .when(col("id") === 5, "ws-tmp-0")
+          .when(col("id") === 6, "nb-x")
+          .otherwise("bkt-2").as("bucket"))
+      val rep = ReplicationTables.bucketTargets(s)
+        .groupBy(col("cfg_bucket")).agg(
+          countDistinct(col("target_node"), col("cfg_target_bucket"))
+            .as("n_rep"))
+        .withColumnRenamed("cfg_bucket", "bucket")
+      req.join(broadcast(ObjectTables.buckets(s, d)), Seq("bucket"), "left")
+        .join(broadcast(rep), Seq("bucket"), "left")
+        .select(col("req_seq"), col("bucket"),
+          when(col("group_id").isNull, "NotFound").otherwise("Found")
+            .as("verdict"),
+          col("group_id"),
+          when(col("group_id").isNotNull, coalesce(col("n_rep"), lit(0L)))
+            .as("n_replication_targets"))
+        .orderBy("req_seq")
+    },
+
     // Summary-cache semantics end-to-end (summary_cache.rs:33-110): one
     // summary per (graph, cursor); a cursor advance misses WITHOUT evicting
     // the old entry, then supersedes it on insert; remove-by-graph (the
@@ -1576,6 +1691,55 @@ object CatalogQueries {
           col("node_id"), col("bucket"), col("key"))
     },
 
+    // PutBucketReplication validation (s3_service.rs:300-375 +
+    // put_bucket_replication.rs): request batches of 1-3 XML rules walk
+    // the first-fail ladder — workspace source, per-rule ARN grammar
+    // (parse / not-s3 / realm / prefix / workspace target / self), all-
+    // disabled => NoEnabledTargets, catalog miss => NoSuchBucket — and
+    // admitted rules emit the bucket-target config rows (node, bucket,
+    // replicate_dm) that the rs1/rs2 location merge consumes.
+    "pbr1_put_replication" -> { (s, d) =>
+      val w = (col("o_orderkey") / 71).cast("long") % 8
+      val base = graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 71 === 0)
+        .select(
+          concat(lit("pr"), col("o_orderkey").cast("string")).as("req_id"),
+          when(w === 0, "ws-tmp-1")
+            .otherwise(concat(lit("bkt-"), (col("o_custkey") % 6).cast("string")))
+            .as("bucket"),
+          (w === 1).as("all_disabled"),
+          (col("o_orderkey") % 3 + 1).cast("int").as("nr"),
+          col("o_orderkey"))
+      val u = (col("o_orderkey") + col("rule_seq")) % 10
+      val nodeK = (col("o_orderkey") % 5).cast("string")
+      val tbK = (col("o_orderkey") % 7).cast("string")
+      val rules = base
+        .select(col("req_id"), col("bucket"), col("all_disabled"),
+          col("o_orderkey"),
+          explode(sequence(lit(1), col("nr"))).as("rule_seq"))
+        .select(col("req_id"), col("bucket"),
+          col("rule_seq").cast("int").as("rule_seq"),
+          when(col("all_disabled"), "Disabled").otherwise("Enabled")
+            .as("status"),
+          when(u === 0, concat(lit("arn:aruna:rlmA:n"), nodeK,
+              lit(":s3/tb-"), tbK))
+            .when(u === 1, lit("nonsense"))
+            .when(u === 2, lit("arn:aruna:rlmA:n3:ch/abcd"))
+            .when(u === 3, lit("arn:aruna:rlmB:n3:s3/tb-9"))
+            .when(u === 4, lit("arn:aruna:rlmA:n3:s3/tb-2/pre/fix"))
+            .when(u === 5, lit("arn:aruna:rlmA:n3:s3/ws-shadow"))
+            .when(u === 6, concat(lit("arn:aruna:rlmA:n0:s3/"), col("bucket")))
+            .when(u === 7, lit("arn:aruna:rlmA:n4:s3"))
+            .when(u === 8, lit("arn:aruna:rlmA:n5:s3/"))
+            .otherwise(concat(lit("arn:aruna:rlmA:n"), nodeK,
+              lit(":s3/tbm-"), tbK)).as("dest_arn"),
+          when(u === 9, "Enabled").when(u === 0, "Disabled")
+            .otherwise(lit(null).cast("string")).as("dm_status"))
+      Replication.putReplicationVerdicts(ObjectTables.buckets(s, d), rules,
+          localNode = "n0", localRealm = "rlmA")
+        .orderBy(col("req_id"), col("rule_seq").asc_nulls_first)
+    },
+
     // Materialization-queue drain: the full per-document ladder — ordering
     // blocks, status obsolescence, missing events, deleted graphs, the
     // terminal/transient/application failure taxonomy, park-at-10 with
@@ -2362,6 +2526,150 @@ object CatalogQueries {
          |       CASE WHEN verdict='OK' THEN sum_size END AS object_size,
          |       CASE WHEN verdict='OK' THEN n_req END AS n_parts
          |FROM v ORDER BY upload_id""".stripMargin,
+
+    "cat17_abort_multipart" ->
+      s"""WITH ${ObjectTables.uploadsCte}, ${ObjectTables.partsCte},
+         |req AS (
+         |  SELECT CASE WHEN v=3 THEN 'ZZ'||substring(upload_id,3,10)
+         |              ELSE upload_id END AS upload_id,
+         |         CASE WHEN v=2 THEN bucket||'-x' ELSE bucket END AS bucket,
+         |         CASE WHEN v=1 THEN key||'.wrong' ELSE key END AS key
+         |  FROM (SELECT *, (CAST(upload_id AS BIGINT)//13)%4 AS v
+         |        FROM uploads WHERE CAST(upload_id AS BIGINT)%13=0)),
+         |pa AS (SELECT upload_id, CAST(COUNT(*) AS BIGINT) AS np,
+         |         CAST(SUM(size) AS BIGINT) AS pbytes
+         |       FROM parts GROUP BY 1),
+         |j AS (SELECT r.upload_id,
+         |        CASE WHEN u.bucket IS NULL THEN 'NoSuchUpload'
+         |             WHEN u.bucket<>r.bucket OR u.key<>r.key
+         |               THEN 'UploadTargetMismatch'
+         |             WHEN u.status<>'Open' THEN 'UploadNotOpen'
+         |             ELSE 'Ok' END AS verdict,
+         |        CAST(least(COALESCE(pa.np, 0), ${Multipart.AbortPartScanLimit})
+         |          AS BIGINT) AS ok_np,
+         |        CAST(COALESCE(pa.pbytes, 0) AS BIGINT) AS pbytes
+         |      FROM req r
+         |      LEFT JOIN uploads u USING (upload_id)
+         |      LEFT JOIN pa USING (upload_id))
+         |SELECT upload_id, verdict,
+         |       CASE WHEN verdict='Ok' THEN ok_np END AS n_parts,
+         |       CASE WHEN verdict='Ok' THEN ok_np+1 END AS n_records_deleted,
+         |       CASE WHEN verdict='Ok' THEN pbytes END AS bytes_freed
+         |FROM j ORDER BY upload_id""".stripMargin,
+
+    "cb1_create_bucket" ->
+      s"""WITH ${ObjectTables.bucketsCte},
+         |req AS (
+         |  SELECT c_custkey AS seq,
+         |    CASE WHEN y=0 THEN 'bkt-'||(c_custkey%4)
+         |         WHEN y=1 OR y=3 THEN 'nb-'||(c_custkey%11)
+         |         WHEN y=2 THEN 'nb-u'||c_custkey
+         |         ELSE 'ws-new-'||(c_custkey%3) END AS bucket,
+         |    'grp-'||(c_custkey%7) AS group_id
+         |  FROM (SELECT *, (c_custkey//23)%5 AS y FROM customer
+         |        WHERE c_custkey%23=0)),
+         |v AS (
+         |  SELECT r.seq, r.bucket, r.group_id,
+         |    b.bucket IS NOT NULL AS in_cat,
+         |    ROW_NUMBER() OVER (PARTITION BY r.bucket ORDER BY r.seq) AS nth
+         |  FROM req r LEFT JOIN buckets b USING (bucket)),
+         |v2 AS (
+         |  SELECT seq, bucket, group_id,
+         |    CASE WHEN in_cat OR nth>1 THEN 'BucketAlreadyExists'
+         |         ELSE 'OK' END AS verdict
+         |  FROM v)
+         |SELECT seq, bucket, group_id, verdict,
+         |  CAST(SUM(CASE WHEN verdict='OK' THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY group_id) AS BIGINT) AS group_buckets_delta
+         |FROM v2 ORDER BY seq""".stripMargin,
+
+    "cmu1_create_multipart" ->
+      s"""WITH req AS (
+         |  SELECT 'mu'||o_orderkey AS req_id,
+         |    CASE WHEN m=4 THEN ''
+         |         WHEN m=5 THEN '/abs/k'||o_orderkey
+         |         WHEN m=6 THEN 'a/../k'||o_orderkey
+         |         WHEN m=7 THEN './.'
+         |         ELSE 'mp/k'||o_orderkey||'.bin' END AS key,
+         |    m=1 AS sse, m=2 AS sse_kms, m=3 AS sse_customer,
+         |    CASE WHEN m=8 THEN 'MD5' WHEN m=9 THEN 'SHA256'
+         |         WHEN m=11 THEN 'CRC32C' END AS alg,
+         |    CASE WHEN m=9 THEN 'FULL_OBJECT'
+         |         WHEN m=10 OR m=11 THEN 'COMPOSITE' END AS ctype,
+         |    o_orderkey%2=0 AS has_bucket_info,
+         |    'bg-'||(o_orderkey%5) AS bucket_group,
+         |    'ug-'||(o_orderkey%3) AS user_group
+         |  FROM (SELECT *, (o_orderkey//43)%12 AS m FROM orders
+         |        WHERE o_orderkey%43=0)),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN sse OR sse_kms OR sse_customer THEN 'SseNotSupported'
+         |         WHEN length(key)=0 THEN 'EmptyKey'
+         |         WHEN NOT (NOT starts_with(key,'/')
+         |               AND NOT regexp_matches(key, '[\\x00-\\x1f\\x7f\\x80-\\x9f]')
+         |               AND NOT contains('/'||key||'/', '/../')
+         |               AND regexp_matches(key, '(^|/)(\\.[^/]+|[^/.][^/]*)(/|${"$"})'))
+         |           THEN 'UnconfinedKey'
+         |         WHEN alg IS NOT NULL AND alg NOT IN
+         |             ('CRC32','CRC32C','CRC64NVME','SHA1','SHA256')
+         |           THEN 'UnsupportedChecksum'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM req)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' AND (alg IS NOT NULL OR ctype IS NOT NULL)
+         |       THEN alg END AS hint_algorithm,
+         |  CASE WHEN verdict='Ok' AND (alg IS NOT NULL OR ctype IS NOT NULL)
+         |       THEN CASE WHEN ctype='COMPOSITE' THEN 'Composite'
+         |                 ELSE 'FullObject' END END AS hint_checksum_type,
+         |  CASE WHEN verdict='Ok'
+         |       THEN CASE WHEN has_bucket_info THEN bucket_group
+         |                 ELSE user_group END END AS group_id,
+         |  CASE WHEN verdict='Ok' THEN 'Open' END AS status
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "rm1_realm_doc_count" ->
+      s"""WITH ${graft.sparql.RdfTables.registryCte}, ${Directory.lifecycleCte},
+         |reg AS (SELECT *,
+         |    'realm-'||(CAST(document_id AS BIGINT)%4) AS realm_id
+         |  FROM registry),
+         |del AS (SELECT DISTINCT graph_iri FROM lifecycle
+         |        WHERE status='Deleted'),
+         |counts AS (
+         |  SELECT realm_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM reg r
+         |  WHERE NOT EXISTS (SELECT 1 FROM del d
+         |                    WHERE d.graph_iri = r.graph_iri)
+         |  GROUP BY 1),
+         |req AS (SELECT 'realm-'||r AS realm_id, r%5<>4 AS has_metadata
+         |        FROM range(0,6) t(r))
+         |SELECT q.realm_id,
+         |       CASE WHEN has_metadata THEN COALESCE(n, 0) END AS n_documents
+         |FROM req q LEFT JOIN counts c USING (realm_id)
+         |ORDER BY realm_id""".stripMargin,
+
+    "bi1_bucket_info" ->
+      s"""WITH ${ObjectTables.bucketsCte}, ${ReplicationTables.bucketTargetsCte},
+         |req AS (
+         |  SELECT CAST(r AS INT) AS req_seq,
+         |    CASE WHEN r<4 THEN 'bkt-'||r WHEN r=4 THEN 'bkt-9'
+         |         WHEN r=5 THEN 'ws-tmp-0' WHEN r=6 THEN 'nb-x'
+         |         ELSE 'bkt-2' END AS bucket
+         |  FROM range(0,8) t(r)),
+         |rep AS (
+         |  SELECT cfg_bucket AS bucket,
+         |    CAST(COUNT(DISTINCT (target_node, cfg_target_bucket)) AS BIGINT)
+         |      AS n_rep
+         |  FROM cfg GROUP BY 1)
+         |SELECT q.req_seq, q.bucket,
+         |  CASE WHEN b.group_id IS NULL THEN 'NotFound' ELSE 'Found' END
+         |    AS verdict,
+         |  b.group_id,
+         |  CASE WHEN b.group_id IS NOT NULL THEN COALESCE(rep.n_rep, 0) END
+         |    AS n_replication_targets
+         |FROM req q
+         |LEFT JOIN buckets b USING (bucket)
+         |LEFT JOIN rep USING (bucket)
+         |ORDER BY req_seq""".stripMargin,
 
     "nf1_unread_counts" ->
       s"""WITH ${NotificationTables.inboxCte},
@@ -4964,6 +5272,85 @@ object CatalogQueries {
          |   AND NOT path_unknown) AS complete
          |FROM fl2, qf WHERE NOT dropped
          |ORDER BY p_bucket, p_key, local DESC, node_id, bucket, key""".stripMargin,
+
+    "pbr1_put_replication" ->
+      s"""WITH ${ObjectTables.bucketsCte},
+         |base AS (
+         |  SELECT 'pr'||o_orderkey AS req_id,
+         |    CASE WHEN w=0 THEN 'ws-tmp-1'
+         |         ELSE 'bkt-'||(o_custkey%6) END AS bucket,
+         |    w=1 AS all_disabled, o_orderkey%3+1 AS nr, o_orderkey
+         |  FROM (SELECT *, (o_orderkey//71)%8 AS w FROM orders
+         |        WHERE o_orderkey%71=0)),
+         |rules AS (
+         |  SELECT req_id, bucket, CAST(rule_seq AS INT) AS rule_seq,
+         |    CASE WHEN all_disabled THEN 'Disabled' ELSE 'Enabled' END AS status,
+         |    CASE (o_orderkey+rule_seq)%10
+         |      WHEN 0 THEN 'arn:aruna:rlmA:n'||(o_orderkey%5)||':s3/tb-'||(o_orderkey%7)
+         |      WHEN 1 THEN 'nonsense'
+         |      WHEN 2 THEN 'arn:aruna:rlmA:n3:ch/abcd'
+         |      WHEN 3 THEN 'arn:aruna:rlmB:n3:s3/tb-9'
+         |      WHEN 4 THEN 'arn:aruna:rlmA:n3:s3/tb-2/pre/fix'
+         |      WHEN 5 THEN 'arn:aruna:rlmA:n3:s3/ws-shadow'
+         |      WHEN 6 THEN 'arn:aruna:rlmA:n0:s3/'||bucket
+         |      WHEN 7 THEN 'arn:aruna:rlmA:n4:s3'
+         |      WHEN 8 THEN 'arn:aruna:rlmA:n5:s3/'
+         |      ELSE 'arn:aruna:rlmA:n'||(o_orderkey%5)||':s3/tbm-'||(o_orderkey%7)
+         |    END AS dest_arn,
+         |    CASE (o_orderkey+rule_seq)%10 WHEN 9 THEN 'Enabled'
+         |      WHEN 0 THEN 'Disabled' END AS dm_status
+         |  FROM base, range(1,4) t(rule_seq) WHERE rule_seq <= nr),
+         |parsed AS (
+         |  SELECT *,
+         |    regexp_extract(a_res, '^([^/]+)/(.+)$$', 1) AS a_type,
+         |    regexp_extract(a_res, '^([^/]+)/(.+)$$', 2) AS a_path
+         |  FROM (SELECT *,
+         |      regexp_extract(dest_arn, '^arn:aruna:([^:]+):([^:]+):(.+)$$', 0) AS a_whole,
+         |      regexp_extract(dest_arn, '^arn:aruna:([^:]+):([^:]+):(.+)$$', 1) AS a_realm,
+         |      regexp_extract(dest_arn, '^arn:aruna:([^:]+):([^:]+):(.+)$$', 2) AS a_node,
+         |      regexp_extract(dest_arn, '^arn:aruna:([^:]+):([^:]+):(.+)$$', 3) AS a_res
+         |    FROM rules WHERE status='Enabled')),
+         |coded AS (
+         |  SELECT *,
+         |    CASE WHEN a_whole='' THEN 'ArnParse'
+         |         WHEN a_type='' THEN 'ArnParse'
+         |         WHEN a_type NOT IN ('s3','ch') THEN 'ArnParse'
+         |         WHEN a_type='ch' THEN 'ArnNotS3'
+         |         WHEN a_realm<>'rlmA' THEN 'RealmMismatch'
+         |         WHEN contains(a_path, '/') THEN 'ArnPrefix'
+         |         WHEN starts_with(t_bucket, 'ws-') THEN 'WorkspaceTarget'
+         |         WHEN a_node='n0' AND t_bucket=bucket THEN 'SelfReplication'
+         |    END AS code
+         |  FROM (SELECT *, regexp_extract(a_path, '^([^/]+)', 1) AS t_bucket
+         |        FROM parsed)),
+         |perreq AS (
+         |  SELECT req_id, bucket,
+         |    arg_min(code, rule_seq) FILTER (WHERE code IS NOT NULL) AS fail_code,
+         |    MIN(rule_seq) FILTER (WHERE code IS NOT NULL) AS fail_seq,
+         |    COUNT(*) AS n_enabled
+         |  FROM coded GROUP BY 1, 2),
+         |reqs AS (
+         |  SELECT r.req_id, r.bucket, p.fail_code, p.fail_seq,
+         |    CASE WHEN starts_with(r.bucket, 'ws-') THEN 'WorkspaceSource'
+         |         WHEN p.fail_code IS NOT NULL THEN p.fail_code
+         |         WHEN p.n_enabled IS NULL THEN 'NoEnabledTargets'
+         |         WHEN b.bucket IS NULL THEN 'NoSuchBucket'
+         |         ELSE 'OK' END AS verdict
+         |  FROM (SELECT DISTINCT req_id, bucket FROM rules) r
+         |  LEFT JOIN perreq p USING (req_id, bucket)
+         |  LEFT JOIN buckets b ON b.bucket = r.bucket)
+         |SELECT c.req_id, c.bucket, c.rule_seq, 'OK' AS verdict,
+         |       c.a_node AS node_id, c.t_bucket AS target_bucket,
+         |       COALESCE(c.dm_status='Enabled', FALSE) AS replicate_dm
+         |FROM coded c
+         |WHERE c.code IS NULL
+         |  AND c.req_id IN (SELECT req_id FROM reqs WHERE verdict='OK')
+         |UNION ALL
+         |SELECT req_id, bucket,
+         |       CASE WHEN verdict=fail_code THEN fail_seq END AS rule_seq,
+         |       verdict, NULL, NULL, NULL
+         |FROM reqs WHERE verdict<>'OK'
+         |ORDER BY req_id, rule_seq NULLS FIRST""".stripMargin,
 
     "mz1_materialization_drain" ->
       s"""WITH $mqCtes,

@@ -230,4 +230,30 @@ object Directory {
       .join(broadcast(deleted), Seq("graph_iri"), "left_anti")
       .select("document_id", "graph_iri", "document_path", "public")
   }
+
+  /** Realm-wide live-document count (reference
+    * `operations/src/metadata/stats.rs:19-36`, `count_realm_documents`):
+    * the cached registry snapshot counted per realm, excluding
+    * lifecycle-Deleted graphs (the snapshot is maintained past deletes —
+    * the same anti-join [[listDocuments]] applies), NOT filtered by any
+    * caller's read visibility (the total discloses only volume). A node
+    * running without a metadata subsystem answers None — `n_documents` is
+    * NULL there and 0 for a live subsystem over an empty realm, keeping
+    * the reference's `Option<u64>` distinction.
+    *
+    * `registry` must carry `realm_id`; `requests(realm_id, has_metadata)`.
+    * Scale: one partial-aggregated count per realm (realm cardinality is
+    * config-sized), broadcast onto the request batch. */
+  def realmDocumentCounts(registry: DataFrame, lifecycle: DataFrame,
+      requests: DataFrame): DataFrame = {
+    val deleted = lifecycle.filter(col("status") === "Deleted")
+      .select("graph_iri").distinct()
+    val counts = registry
+      .join(broadcast(deleted), Seq("graph_iri"), "left_anti")
+      .groupBy("realm_id").agg(count(lit(1)).as("n"))
+    requests.join(broadcast(counts), Seq("realm_id"), "left")
+      .select(col("realm_id"),
+        when(col("has_metadata"), coalesce(col("n"), lit(0L)))
+          .as("n_documents"))
+  }
 }

@@ -81,6 +81,7 @@ object Drs {
         .as("p_key"),
       when(isArn && s3Ok, regexp_extract(arnPath, s3Re, 3)).otherwise(lit(null))
         .as("p_version")).persist()
+    graft.Caches.track(parsed)
 
     val scopeOk = (col("p_realm").isNull ||
       (col("p_realm") === localRealm && col("p_node") === localNode))

@@ -87,8 +87,10 @@ object JobDrain {
     // queue-sized intermediates persist: the claim walk re-reads them for
     // the per-class prefixes, the cut filter and the deferred flag.
     val dueHead = due.filter(col("due_ts") <= nowMs).persist()
+    graft.Caches.track(dueHead)
     val recDue = rec.join(broadcast(dueHead.select(col("job_id")).distinct),
       Seq("job_id"), "left_semi").persist()
+    graft.Caches.track(recDue)
     val dueRows = dueHead.join(broadcast(recDue), Seq("job_id"),
       "left_outer")
     val claimEligible = col("state") === "Queued" &&
@@ -162,6 +164,7 @@ object JobDrain {
     val leaseHead = leases.filter(col("lease_ts") <= nowMs)
       .orderBy(col("lease_ts"), col("job_id"))
       .limit(2 * DrainBatchSize).persist()
+    graft.Caches.track(leaseHead)
     val recLease = rec.join(
       broadcast(leaseHead.select(col("job_id")).distinct),
       Seq("job_id"), "left_semi")

@@ -256,6 +256,96 @@ object Replication {
         col("capped"), col("path_unknown"), col("complete"))
   }
 
+  /** PutBucketReplication validation ladder (reference
+    * `api/src/s3/s3_service.rs:300-375` `parse_replication_targets` + the
+    * operation's bucket check, `operations/src/s3/put_bucket_replication.rs:122`):
+    * the write-side twin of [[replicaTargets]]'s admission rule — it
+    * produces the bucket-target config that the location merge consumes.
+    *
+    * `rules(req_id, bucket, rule_seq, status, dest_arn, dm_status)` — one
+    * row per XML rule in document order (`rule_seq`); `dm_status` is the
+    * nullable DeleteMarkerReplication status. Per request, in order:
+    *
+    *  1. WorkspaceSource — a `ws-` bucket cannot be a replication source
+    *     (checked before any rule parses);
+    *  2. rules with status ≠ Enabled are skipped entirely (no validation);
+    *  3. each Enabled rule, in `rule_seq` order, first failure wins:
+    *     ArnParse (not `arn:aruna:realm:node:resource`, missing/empty
+    *     path, or unknown resource type — all `ArunaArn::parse` /
+    *     `ArunaArnType::parse` errors, `core/src/structs/replication.rs:
+    *     110-148,317-325`), ArnNotS3 (a well-formed `ch/` ARN), then
+    *     RealmMismatch, ArnPrefix (target must name a bucket, not a
+    *     prefix), WorkspaceTarget, SelfReplication (same node AND same
+    *     bucket — same bucket name on another node is legal);
+    *  4. NoEnabledTargets — no rule survived (all disabled);
+    *  5. NoSuchBucket — the source bucket is not in the catalog (the
+    *     operation's existence read; parse errors outrank it because the
+    *     API parses before driving the operation);
+    *  6. OK — each admitted rule becomes one config target
+    *     `(node_id, target_bucket, replicate_dm)` where `replicate_dm`
+    *     is true iff `dm_status` is present and Enabled.
+    *
+    * Output: OK requests emit one row per admitted rule (verdict "OK");
+    * failed requests one row with the failing `rule_seq` (null for
+    * request-level arms 1/4/5) and null target columns.
+    *
+    * Scale: the ARN grammar is pure codegen'd regexp on the rule scan, the
+    * request fold is one partial-aggregated groupBy on req_id, and the
+    * bucket catalog broadcasts — a config write-path batch never shuffles
+    * anything request-scale more than once. */
+  def putReplicationVerdicts(buckets: DataFrame, rules: DataFrame,
+      localNode: String, localRealm: String): DataFrame = {
+    val arnRe = "^arn:aruna:([^:]+):([^:]+):(.+)$"
+    val resRe = "^([^/]+)/(.+)$"
+    val parsed = rules.filter(col("status") === "Enabled")
+      .withColumn("a_whole", regexp_extract(col("dest_arn"), arnRe, 0))
+      .withColumn("a_realm", regexp_extract(col("dest_arn"), arnRe, 1))
+      .withColumn("a_node", regexp_extract(col("dest_arn"), arnRe, 2))
+      .withColumn("a_res", regexp_extract(col("dest_arn"), arnRe, 3))
+      .withColumn("a_type", regexp_extract(col("a_res"), resRe, 1))
+      .withColumn("a_path", regexp_extract(col("a_res"), resRe, 2))
+      .withColumn("t_bucket", regexp_extract(col("a_path"), "^([^/]+)", 1))
+      .withColumn("code",
+        when(col("a_whole") === "", "ArnParse")
+          .when(col("a_type") === "", "ArnParse") // missing or empty path
+          .when(!col("a_type").isin("s3", "ch"), "ArnParse")
+          .when(col("a_type") === "ch", "ArnNotS3")
+          .when(col("a_realm") =!= localRealm, "RealmMismatch")
+          .when(col("a_path").contains("/"), "ArnPrefix")
+          .when(col("t_bucket").startsWith("ws-"), "WorkspaceTarget")
+          .when(col("a_node") === localNode && col("t_bucket") === col("bucket"),
+            "SelfReplication"))
+    val perReq = parsed.groupBy("req_id", "bucket").agg(
+      min(when(col("code").isNotNull, struct(col("rule_seq"), col("code"))))
+        .as("first_fail"),
+      count(lit(1)).as("n_enabled"))
+    val reqs = rules.select("req_id", "bucket").distinct()
+      .join(perReq, Seq("req_id", "bucket"), "left")
+      .join(broadcast(buckets.select(col("bucket"),
+        lit(true).as("bucket_exists"))), Seq("bucket"), "left")
+      .withColumn("verdict",
+        when(col("bucket").startsWith("ws-"), "WorkspaceSource")
+          .when(col("first_fail").isNotNull, col("first_fail.code"))
+          .when(col("n_enabled").isNull, "NoEnabledTargets")
+          .when(col("bucket_exists").isNull, "NoSuchBucket")
+          .otherwise("OK"))
+    val nullS = lit(null).cast("string")
+    val failed = reqs.filter(col("verdict") =!= "OK")
+      .select(col("req_id"), col("bucket"),
+        when(col("verdict") === col("first_fail.code"),
+          col("first_fail.rule_seq")).as("rule_seq"),
+        col("verdict"), nullS.as("node_id"), nullS.as("target_bucket"),
+        lit(null).cast("boolean").as("replicate_dm"))
+    val accepted = parsed.filter(col("code").isNull)
+      .join(broadcast(reqs.filter(col("verdict") === "OK").select("req_id")),
+        Seq("req_id"), "left_semi")
+      .select(col("req_id"), col("bucket"), col("rule_seq"),
+        lit("OK").as("verdict"), col("a_node").as("node_id"),
+        col("t_bucket").as("target_bucket"),
+        coalesce(col("dm_status") === "Enabled", lit(false)).as("replicate_dm"))
+    accepted.unionByName(failed)
+  }
+
   /** Candidate holder nodes n1..nK (the realm's peer set). */
   private def nodeSet(k: Int): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active

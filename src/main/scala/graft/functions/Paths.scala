@@ -32,6 +32,21 @@ object Paths {
 
   val isConfinedUdf = udf((k: String) => k != null && isConfinedRelativePath(k))
 
+  /** [[isConfinedRelativePath]] as a pure codegen'd Column (no UDF): the
+    * object-key validation on a request-batch scan must stay inside
+    * whole-stage codegen. The "has a real segment" arm ("exists seg ∉
+    * {'', '.'}") is the lookahead-free regex `(^|/)(\.[^/]+|[^/.][^/]*)(/|$)`
+    * — a segment either not starting with a dot, or a dot followed by more
+    * (".." is already rejected by the traversal arm) — so the same pattern
+    * runs under Java regex AND DuckDB's RE2. Equivalence with the Scala
+    * predicate is pinned by PathsSpec. */
+  def confinedKeyCol(key: Column): Column =
+    (length(key) > 0) &&
+      !key.startsWith("/") &&
+      !key.rlike("[\\x00-\\x1f\\x7f\\x80-\\x9f]") &&
+      !concat(lit("/"), key, lit("/")).contains("/../") &&
+      key.rlike("(^|/)(\\.[^/]+|[^/.][^/]*)(/|$)")
+
   /** Metadata listing page clamps (`api.rs:67-75`): default 50, max 1000,
     * anonymous callers capped at 100. */
   def clampListingPage(requested: Option[Int], anonymous: Boolean): Int = {
