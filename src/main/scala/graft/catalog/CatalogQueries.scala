@@ -5126,6 +5126,7 @@ object CatalogQueries {
 
     "rs1_replica_targets" ->
       s"""WITH ${ObjectTables.objectsCte},
+         |${ObjectTables.versionsCte},
          |${ReplicationTables.relationshipsCte},
          |${ReplicationTables.probesCte},
          |relj AS (
@@ -5157,6 +5158,7 @@ object CatalogQueries {
 
     "rs2_blob_locations" ->
       s"""WITH ${ObjectTables.objectsCte},
+         |${ObjectTables.versionsCte},
          |${ReplicationTables.relationshipsCte},
          |${ReplicationTables.bucketTargetsCte},
          |${ReplicationTables.jobsCte},

@@ -194,6 +194,14 @@ object Replication {
       .groupBy(col("p_bucket"), col("p_key"), col("node_id"), col("bucket"),
         col("key"))
       .agg(min(col("phase")).as("phase"), max(col("expected")).as("expected"))
+    // NOTE (r8): the window chain below was measured AGAINST a rewrite that
+    // folded nodeW/probeW into groupBy aggregates + broadcast joins — the
+    // rewrite was ~30% SLOWER. All four windows cluster on (p_bucket,
+    // p_key) prefixes, so hashpartitioning(p_bucket, p_key) satisfies every
+    // ClusteredDistribution here and the whole chain runs in ONE exchange
+    // with per-window re-sorts of a request-scale relation; the aggregate
+    // version paid two extra persists and two broadcast-subquery jobs for
+    // exchanges that never existed. Keep the windows.
     val order = Window.partitionBy(col("p_bucket"), col("p_key"))
       .orderBy(col("phase"), col("node_id"), col("bucket"), col("key"))
     val probeW = Window.partitionBy(col("p_bucket"), col("p_key"))
