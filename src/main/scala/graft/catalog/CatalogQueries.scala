@@ -334,6 +334,130 @@ object CatalogQueries {
         .orderBy("req_seq")
     },
 
+    // PutObject admission + effects plan (put_object.rs — see
+    // graft.catalog.PutObject): MissingBody / IncompleteBody / checksum
+    // first-fail / bucket-guard TransactionConflict ladder, backend-scoped
+    // blake3 dedup (alias + duplicate-copy cleanup), was_live liveness read
+    // and pointer generation, the realm-wide quota gate with snapshot
+    // eligibility rules and sequential per-group admission, and the commit
+    // usage deltas (objects/logical vs stored-only-when-new-blob).
+    "po1_put_object" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val cls = o % 13
+      val size = when(cls === 7, 0L)
+        .otherwise((o % 100) * 1000 + 17).cast("long")
+      val blake3 = md5((o % 149).cast("string"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 29 === 3)
+        .select(
+          lpad(o.cast("string"), 12, "0").as("req_id"),
+          when(cls === 5, "bkt-9")
+            .otherwise(concat(lit("bkt-"), (col("o_custkey") % 4).cast("string")))
+            .as("bucket"),
+          when(cls === 6, "grp-9")
+            .otherwise(concat(lit("grp-"), ((col("o_custkey") % 4) % 3).cast("string")))
+            .as("requester_group"),
+          when(o % 3 === 0, concat(lit("data/"),
+            when(col("o_custkey") % 3 === 0, "R")
+              .when(col("o_custkey") % 3 === 1, "A").otherwise("N"),
+            lit("/f"), (o % 40).cast("string"),
+            lit("/o"), (o % 500).cast("string"), lit(".bin")))
+            .otherwise(concat(lit("put/o"), o.cast("string"), lit(".bin")))
+            .as("key"),
+          (cls =!= 0).as("has_body"),
+          size.as("size"),
+          when(cls === 1, size + 1)
+            .when(cls === 8, lit(null).cast("long"))
+            .otherwise(size).as("content_length"),
+          blake3.as("blake3"),
+          when(o % 2 === 0, "fs").otherwise("s3").as("backend"),
+          when(cls === 2, "CRC64NVME").when(cls.isin(3, 4, 9), "SHA256")
+            .otherwise(lit(null).cast("string")).as("exp1_algo"),
+          when(cls === 2, "x").when(cls === 3, "deadbeef")
+            .when(cls.isin(4, 9), md5(concat(lit("s:"), blake3)))
+            .otherwise(lit(null).cast("string")).as("exp1_digest"),
+          when(cls === 4, "CRC32").otherwise(lit(null).cast("string"))
+            .as("exp2_algo"),
+          when(cls === 4, "deadbeef").otherwise(lit(null).cast("string"))
+            .as("exp2_digest"))
+      val groups = ObjectTables.buckets(s, d).select("group_id").distinct()
+      val ovr = s.range(1, 3).select(
+        concat(lit("grp-"), col("id").cast("string")).as("group_id"),
+        when(col("id") === 1, 5000000L).as("quota_bytes"),
+        when(col("id") === 1, 100L).as("grace"),
+        lit(true).as("has_override"))
+      val usageLocal = s.range(0, 3).select(
+        concat(lit("grp-"), col("id").cast("string")).as("group_id"),
+        when(col("id") === 0, 9500000L).when(col("id") === 1, 4200000L)
+          .otherwise(1000000L).as("logical_bytes"))
+      val nodeUsage = s.range(0, 3).select(col("id").as("g"))
+        .crossJoin(s.range(0, 5).select(col("id").as("n")))
+        .select(
+          concat(lit("grp-"), col("g").cast("string")).as("group_id"),
+          concat(lit("nd-"), col("n").cast("string")).as("key_node"),
+          when(col("g") === 1 && col("n") === 2, "nd-9")
+            .otherwise(concat(lit("nd-"), col("n").cast("string")))
+            .as("embedded_node"),
+          (lit(100000L) * (col("n") + 1)).as("logical_bytes"))
+      PutObject.admissionPlan(s, reqs, ObjectTables.buckets(s, d),
+        ObjectTables.versionsStore(s, d), ObjectTables.blobs(s, d),
+        PutObject.ceilings(groups, ovr, 10000000L, 110L),
+        PutObject.baseUsage(usageLocal, nodeUsage,
+          Seq("nd-0", "nd-1", "nd-2", "nd-4"), "nd-0"))
+        .orderBy("req_id")
+    },
+
+    // SetRealmQuota validation ladder (set_realm_quota.rs:378-436 +
+    // write-path ordering :129-160): validate-before-document-read, ordered
+    // override scan (dup / grace<100 / grace-without-quota), dup user caps,
+    // RealmConfigNotFound, reducer TargetMismatch; Ok rows resolve the
+    // probe group's effective ceiling through the same realm.rs ladder
+    // po1's quota gate reads.
+    "sq1_set_quota" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val kls = o % 11
+      val base = graft.Tables.orders(s, d).filter(o % 31 === 5)
+      val reqs = base.select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(kls === 8, "realm-x").when(kls === 9, "realm-t")
+          .otherwise(concat(lit("realm-"), (o % 4).cast("string")))
+          .as("realm_id"),
+        when(kls === 0, 0L).when(kls === 1, 101L).otherwise(85L)
+          .as("warn_pct"),
+        when(kls === 2, 99L).otherwise(110L).as("grace_pct"),
+        (kls === 3).as("has_max_devices"),
+        when(o % 3 === 0, lit(null).cast("long"))
+          .otherwise(((o % 5) + 1) * 1000000L).as("default_quota_bytes"))
+      val ords = s.range(0, 3).select(col("id").as("ord"))
+      val ovr = base.select(lpad(o.cast("string"), 12, "0").as("req_id"),
+        o.as("__o"), kls.as("__k")).crossJoin(ords)
+        .select(col("req_id"), col("ord"),
+          when(col("__k") === 4 && col("ord") === 2,
+            concat(lit("g"), (col("__o") % 5).cast("string")))
+            .otherwise(concat(lit("g"),
+              ((col("__o") + col("ord")) % 5).cast("string"))).as("group_id"),
+          when(col("__k") === 6 && col("ord") === 1, lit(null).cast("long"))
+            .otherwise((col("ord") + 1) * 1000000L).as("quota_bytes"),
+          when(col("__k") === 5 && col("ord") === 1, 90L)
+            .when(col("__k") === 6 && col("ord") === 1, 120L)
+            .when(col("__k") === 10 && col("ord") === 2, 150L)
+            .otherwise(lit(null).cast("long")).as("grace"))
+      val caps = base.select(lpad(o.cast("string"), 12, "0").as("req_id"),
+        o.as("__o"), kls.as("__k"))
+        .crossJoin(s.range(0, 2).select(col("id").as("ord")))
+        .select(col("req_id"), col("ord"),
+          when(col("__k") === 7, "u-dup")
+            .otherwise(concat(lit("u"),
+              ((col("__o") + col("ord")) % 7).cast("string"))).as("user_id"))
+      val realms = s.range(0, 5).select(
+        when(col("id") === 4, "realm-t")
+          .otherwise(concat(lit("realm-"), col("id").cast("string")))
+          .as("realm_id"))
+      val reducers = s.range(0, 1).select(lit("realm-t").as("realm_id"),
+        lit("other-target").as("stored_target"))
+      SetQuota.verdicts(reqs, ovr, caps, realms, reducers, "g1")
+        .orderBy("req_id")
+    },
+
     // Summary-cache semantics end-to-end (summary_cache.rs:33-110): one
     // summary per (graph, cursor); a cursor advance misses WITHOUT evicting
     // the old entry, then supersedes it on insert; remove-by-graph (the
@@ -2670,6 +2794,238 @@ object CatalogQueries {
          |LEFT JOIN buckets b USING (bucket)
          |LEFT JOIN rep USING (bucket)
          |ORDER BY req_seq""".stripMargin,
+
+    "po1_put_object" ->
+      s"""WITH RECURSIVE ${ObjectTables.objectsCte},
+         |${ObjectTables.versionsCte},
+         |${ObjectTables.blobsCte},
+         |${ObjectTables.bucketsCte},
+         |reqs AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |    o_orderkey%13 AS cls,
+         |    CASE WHEN o_orderkey%13=5 THEN 'bkt-9'
+         |         ELSE 'bkt-'||(o_custkey%4) END AS bucket,
+         |    CASE WHEN o_orderkey%13=6 THEN 'grp-9'
+         |         ELSE 'grp-'||((o_custkey%4)%3) END AS requester_group,
+         |    CASE WHEN o_orderkey%3=0 THEN 'data/'||
+         |           (CASE WHEN o_custkey%3=0 THEN 'R'
+         |                 WHEN o_custkey%3=1 THEN 'A' ELSE 'N' END)||
+         |           '/f'||(o_orderkey%40)||'/o'||(o_orderkey%500)||'.bin'
+         |         ELSE 'put/o'||o_orderkey||'.bin' END AS key,
+         |    o_orderkey%13 <> 0 AS has_body,
+         |    CAST(CASE WHEN o_orderkey%13=7 THEN 0
+         |              ELSE (o_orderkey%100)*1000+17 END AS BIGINT) AS size,
+         |    md5(CAST(o_orderkey%149 AS VARCHAR)) AS blake3,
+         |    CASE WHEN o_orderkey%2=0 THEN 'fs' ELSE 's3' END AS backend
+         |  FROM orders WHERE o_orderkey%29 = 3),
+         |r2 AS (
+         |  SELECT *,
+         |    CASE WHEN cls=1 THEN size+1
+         |         WHEN cls=8 THEN NULL ELSE size END AS content_length,
+         |    CASE WHEN cls=2 THEN 'CRC64NVME'
+         |         WHEN cls IN (3,4,9) THEN 'SHA256' END AS exp1_algo,
+         |    CASE WHEN cls=2 THEN 'x' WHEN cls=3 THEN 'deadbeef'
+         |         WHEN cls IN (4,9) THEN md5('s:'||blake3) END AS exp1_digest,
+         |    CASE WHEN cls=4 THEN 'CRC32' END AS exp2_algo,
+         |    CASE WHEN cls=4 THEN 'deadbeef' END AS exp2_digest
+         |  FROM reqs),
+         |heads AS (
+         |  SELECT v.bucket, v.key, COUNT(*) AS vcount,
+         |         arg_max(v.is_delete_marker, v.version_ord) AS head_dm
+         |  FROM versions v
+         |  JOIN (SELECT DISTINCT bucket, key FROM r2) p
+         |    ON v.bucket=p.bucket AND v.key=p.key
+         |  GROUP BY 1, 2),
+         |pre0 AS (
+         |  SELECT r.*, b.group_id AS cat_group, h.vcount, h.head_dm,
+         |         (bl.blake3 IS NOT NULL) AS dedup_hit
+         |  FROM r2 r
+         |  LEFT JOIN buckets b ON r.bucket = b.bucket
+         |  LEFT JOIN heads h ON r.bucket = h.bucket AND r.key = h.key
+         |  LEFT JOIN blobs bl ON r.blake3 = bl.blake3 AND r.backend = bl.backend),
+         |pre1 AS (
+         |  SELECT *,
+         |    CASE WHEN NOT has_body THEN 'MissingBody'
+         |      WHEN content_length IS NOT NULL AND content_length <> size
+         |        THEN 'IncompleteBody'
+         |      WHEN exp1_algo IS NOT NULL AND exp1_algo NOT IN ('SHA256','CRC32')
+         |        THEN 'MissingExpectedChecksum:'||exp1_algo
+         |      WHEN exp1_algo='SHA256' AND exp1_digest <> md5('s:'||blake3)
+         |        THEN 'ChecksumMismatch:SHA256'
+         |      WHEN exp1_algo='CRC32' AND exp1_digest <> md5('c:'||blake3)
+         |        THEN 'ChecksumMismatch:CRC32'
+         |      WHEN exp2_algo IS NOT NULL AND exp2_algo NOT IN ('SHA256','CRC32')
+         |        THEN 'MissingExpectedChecksum:'||exp2_algo
+         |      WHEN exp2_algo='SHA256' AND exp2_digest <> md5('s:'||blake3)
+         |        THEN 'ChecksumMismatch:SHA256'
+         |      WHEN exp2_algo='CRC32' AND exp2_digest <> md5('c:'||blake3)
+         |        THEN 'ChecksumMismatch:CRC32'
+         |      WHEN cat_group IS NULL OR cat_group <> requester_group
+         |        THEN 'TransactionConflict'
+         |      ELSE 'Ok' END AS verdict0,
+         |    COALESCE(cat_group, 'none') AS grp
+         |  FROM pre0),
+         |ovr(group_id, quota_bytes, grace) AS (
+         |  VALUES ('grp-1', 5000000, 100), ('grp-2', NULL, NULL)),
+         |gc AS (
+         |  SELECT g.group_id,
+         |    CASE WHEN o.group_id IS NOT NULL
+         |         THEN CAST(o.quota_bytes * COALESCE(o.grace, 110) // 100 AS BIGINT)
+         |         ELSE CAST(10000000 * 110 // 100 AS BIGINT) END AS ceiling
+         |  FROM (SELECT DISTINCT group_id FROM buckets) g
+         |  LEFT JOIN ovr o USING (group_id)),
+         |ul(group_id, logical_bytes) AS (
+         |  VALUES ('grp-0', 9500000), ('grp-1', 4200000), ('grp-2', 1000000)),
+         |nu AS (
+         |  SELECT 'grp-'||g AS group_id, 'nd-'||n AS key_node,
+         |         CASE WHEN g=1 AND n=2 THEN 'nd-9' ELSE 'nd-'||n END
+         |           AS embedded_node,
+         |         CAST(100000*(n+1) AS BIGINT) AS logical_bytes
+         |  FROM range(0,3) t1(g), range(0,5) t2(n)),
+         |ub AS (
+         |  SELECT u.group_id,
+         |         CAST(u.logical_bytes + COALESCE(r.rb, 0) AS BIGINT)
+         |           AS base_usage
+         |  FROM ul u LEFT JOIN (
+         |    SELECT group_id, SUM(logical_bytes) AS rb FROM nu
+         |    WHERE key_node <> 'nd-0'
+         |      AND key_node IN ('nd-0','nd-1','nd-2','nd-4')
+         |      AND key_node = embedded_node
+         |    GROUP BY 1) r USING (group_id)),
+         |pre AS (
+         |  SELECT p.*, c.ceiling, u.base_usage,
+         |    (c.ceiling IS NOT NULL AND p.size > 0) AS gated,
+         |    ROW_NUMBER() OVER (PARTITION BY p.grp ORDER BY p.req_id) AS gseq
+         |  FROM pre1 p
+         |  LEFT JOIN gc c ON p.grp = c.group_id
+         |  LEFT JOIN ub u ON p.grp = u.group_id),
+         |fold AS (
+         |  SELECT grp, CAST(0 AS BIGINT) AS gseq, CAST(0 AS BIGINT) AS used
+         |  FROM (SELECT DISTINCT grp FROM pre)
+         |  UNION ALL
+         |  SELECT p.grp, f.gseq + 1,
+         |    f.used + CASE WHEN p.verdict0 = 'Ok'
+         |      AND NOT (p.gated AND
+         |               COALESCE(p.base_usage,0) + f.used + p.size > p.ceiling)
+         |      THEN p.size ELSE 0 END
+         |  FROM fold f JOIN pre p ON p.grp = f.grp AND p.gseq = f.gseq + 1),
+         |fin AS (
+         |  SELECT p.*, f.used,
+         |    CASE WHEN p.verdict0 = 'Ok' AND p.gated AND
+         |         COALESCE(p.base_usage,0) + f.used + p.size > p.ceiling
+         |         THEN 'QuotaExceeded' ELSE p.verdict0 END AS vr
+         |  FROM pre p JOIN fold f ON f.grp = p.grp AND f.gseq = p.gseq - 1)
+         |SELECT req_id, vr AS verdict,
+         |  CASE WHEN vr = 'Ok' THEN NOT dedup_hit END AS new_blob,
+         |  CASE WHEN vr = 'Ok' THEN COALESCE(NOT head_dm, FALSE) END
+         |    AS was_live,
+         |  CASE WHEN vr = 'Ok' THEN CAST(COALESCE(vcount,0)+1 AS BIGINT) END
+         |    AS generation,
+         |  (vr = 'Ok' AND dedup_hit) AS dup_cleanup,
+         |  (vr <> 'Ok' AND vr <> 'MissingBody') AS rollback_delete,
+         |  CAST(CASE WHEN vr = 'Ok' AND NOT COALESCE(NOT head_dm, FALSE)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS d_objects,
+         |  CAST(CASE WHEN vr = 'Ok' THEN size ELSE 0 END AS BIGINT)
+         |    AS d_logical,
+         |  CAST(CASE WHEN vr = 'Ok' AND NOT dedup_hit THEN 1 ELSE 0 END
+         |       AS BIGINT) AS d_stored_blobs,
+         |  CAST(CASE WHEN vr = 'Ok' AND NOT dedup_hit THEN size ELSE 0 END
+         |       AS BIGINT) AS d_stored_bytes,
+         |  CASE WHEN vr = 'QuotaExceeded' THEN ceiling END AS quota_limit,
+         |  CASE WHEN vr = 'QuotaExceeded'
+         |       THEN CAST(COALESCE(base_usage,0) + used + size AS BIGINT)
+         |       END AS quota_projected
+         |FROM fin ORDER BY req_id""".stripMargin,
+
+    "sq1_set_quota" ->
+      s"""WITH base AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |         o_orderkey AS o, o_orderkey%11 AS k
+         |  FROM orders WHERE o_orderkey%31 = 5),
+         |reqs AS (
+         |  SELECT req_id,
+         |    CASE WHEN k=8 THEN 'realm-x' WHEN k=9 THEN 'realm-t'
+         |         ELSE 'realm-'||(o%4) END AS realm_id,
+         |    CAST(CASE WHEN k=0 THEN 0 WHEN k=1 THEN 101 ELSE 85 END
+         |         AS BIGINT) AS warn_pct,
+         |    CAST(CASE WHEN k=2 THEN 99 ELSE 110 END AS BIGINT) AS grace_pct,
+         |    k=3 AS has_max_devices,
+         |    CAST(CASE WHEN o%3=0 THEN NULL ELSE ((o%5)+1)*1000000 END
+         |         AS BIGINT) AS default_quota_bytes
+         |  FROM base),
+         |ovr AS (
+         |  SELECT req_id, ord,
+         |    CASE WHEN k=4 AND ord=2 THEN 'g'||(o%5)
+         |         ELSE 'g'||((o+ord)%5) END AS group_id,
+         |    CAST(CASE WHEN k=6 AND ord=1 THEN NULL
+         |              ELSE (ord+1)*1000000 END AS BIGINT) AS quota_bytes,
+         |    CAST(CASE WHEN k=5 AND ord=1 THEN 90
+         |              WHEN k=6 AND ord=1 THEN 120
+         |              WHEN k=10 AND ord=2 THEN 150 END AS BIGINT) AS grace
+         |  FROM base, range(0,3) t(ord)),
+         |caps AS (
+         |  SELECT req_id, ord,
+         |    CASE WHEN k=7 THEN 'u-dup' ELSE 'u'||((o+ord)%7) END AS user_id
+         |  FROM base, range(0,2) t(ord)),
+         |realms AS (
+         |  SELECT CASE WHEN r=4 THEN 'realm-t' ELSE 'realm-'||r END
+         |           AS realm_id
+         |  FROM range(0,5) t(r)),
+         |ofail AS (
+         |  SELECT req_id,
+         |    CASE WHEN dup THEN 'InvalidQuota:dup_group_override'
+         |         WHEN grace IS NOT NULL AND grace < 100
+         |           THEN 'InvalidQuota:override_grace'
+         |         ELSE 'InvalidQuota:grace_without_quota' END AS ovr_reason
+         |  FROM (SELECT *,
+         |          ROW_NUMBER() OVER (PARTITION BY req_id, group_id
+         |                             ORDER BY ord) > 1 AS dup
+         |        FROM ovr)
+         |  WHERE dup OR (grace IS NOT NULL AND grace < 100)
+         |     OR (grace IS NOT NULL AND quota_bytes IS NULL)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY req_id ORDER BY ord) = 1),
+         |cfail AS (
+         |  SELECT DISTINCT req_id, 'InvalidQuota:dup_user_cap' AS cap_reason
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY req_id, user_id
+         |                                     ORDER BY ord) > 1 AS dup
+         |        FROM caps) WHERE dup),
+         |probe AS (
+         |  SELECT req_id, quota_bytes AS p_quota, grace AS p_grace,
+         |         TRUE AS p_has
+         |  FROM ovr WHERE group_id = 'g1'
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY req_id ORDER BY ord) = 1),
+         |fin AS (
+         |  SELECT r.req_id,
+         |    CASE WHEN r.warn_pct < 1 OR r.warn_pct > 100
+         |           THEN 'InvalidQuota:warn_threshold'
+         |         WHEN r.grace_pct < 100 THEN 'InvalidQuota:grace_factor'
+         |         WHEN r.has_max_devices THEN 'InvalidQuota:max_devices'
+         |         WHEN o.ovr_reason IS NOT NULL THEN o.ovr_reason
+         |         WHEN c.cap_reason IS NOT NULL THEN c.cap_reason
+         |         WHEN rl.realm_id IS NULL THEN 'RealmConfigNotFound'
+         |         WHEN rd.stored_target IS NOT NULL AND
+         |              rd.stored_target <> 'realm-config:'||r.realm_id
+         |           THEN 'TargetMismatch'
+         |         ELSE 'Ok' END AS verdict,
+         |    p.p_has, p.p_quota, p.p_grace, r.grace_pct,
+         |    r.default_quota_bytes
+         |  FROM reqs r
+         |  LEFT JOIN ofail o USING (req_id)
+         |  LEFT JOIN cfail c USING (req_id)
+         |  LEFT JOIN realms rl USING (realm_id)
+         |  LEFT JOIN (SELECT 'realm-t' AS realm_id,
+         |                    'other-target' AS stored_target) rd
+         |    USING (realm_id)
+         |  LEFT JOIN probe p USING (req_id))
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict = 'Ok' THEN CAST(3 AS BIGINT) END AS n_overrides,
+         |  CASE WHEN verdict = 'Ok' THEN
+         |    CASE WHEN p_has THEN
+         |           CAST(p_quota * COALESCE(p_grace, grace_pct) // 100
+         |                AS BIGINT)
+         |         ELSE CAST(default_quota_bytes * grace_pct // 100 AS BIGINT)
+         |    END END AS probe_ceiling
+         |FROM fin ORDER BY req_id""".stripMargin,
 
     "nf1_unread_counts" ->
       s"""WITH ${NotificationTables.inboxCte},
