@@ -406,6 +406,95 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // User-access credential ops (create/get/list/revoke_user_access.rs +
+    // blob.rs UserAccess): create key ladder (empty/too-long -> length,
+    // non-alnum; NO existence read - an existing key still admits), get
+    // with inclusive-expiry + revoked auth predicates, idempotent revoke
+    // (already-revoked keeps its stamp), identity-filtered list counting
+    // dead credentials too.
+    "ua1_user_access" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val creds = graft.Tables.customer(s, d).select(
+        concat(lit("AK"), lpad(col("c_custkey").cast("string"), 8, "0"))
+          .as("access_key"),
+        concat(lit("u"), (col("c_custkey") % 50).cast("string"))
+          .as("user_id"),
+        concat(lit("grp-"), (col("c_custkey") % 5).cast("string"))
+          .as("group_id"),
+        (lit(1700000000000L) + ((col("c_custkey") % 200) - 100) * 86400000L)
+          .as("expiry_ms"),
+        when(col("c_custkey") % 7 === 0,
+          lit(1699990000000L) + col("c_custkey") % 1000)
+          .otherwise(lit(null).cast("long")).as("revoked_at_ms"))
+      val existingKey = concat(lit("AK"),
+        lpad(((o % 149) + 1).cast("string"), 8, "0"))
+      val c2 = o % 5
+      val reqs = graft.Tables.orders(s, d).filter(o % 41 === 11).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(o % 4 === 0, "create").when(o % 4 === 1, "get")
+          .when(o % 4 === 2, "revoke").otherwise("list").as("op"),
+        when(o % 4 === 0,
+          when(c2 === 0, "").when(c2 === 1, repeat(lit("K"), 129))
+            .when(c2 === 2, "bad-key!")
+            .when(c2 === 3, existingKey)
+            .otherwise(concat(lit("ok"), o.cast("string"))))
+          .when(o % 4 === 1 || o % 4 === 2,
+            when(o % 3 === 0, existingKey)
+              .otherwise(concat(lit("AKX"), o.cast("string"))))
+          .otherwise(lit("x")).as("key_id"),
+        concat(lit("u"), (o % 60).cast("string")).as("user_id"),
+        (lit(1700000000000L) + (o % 5) * 1000).as("now_ms"))
+      UserAccess.verdicts(reqs, creds).orderBy("req_id")
+    },
+
+    // PutBucketCors admission (api cors.rs:21-38,107-186 + bucket_cors.rs
+    // Put path): zero-rules config arm, per-rule first-fail in declaration
+    // order (missing methods/origins, negative max_age, then value lists in
+    // struct order with trim/uppercase normalization), bucket NotFound; the
+    // admitted NORMALIZED config is fingerprinted (norm_sig) and is the
+    // rule shape cors1's decision engine consumes.
+    "bc1_put_bucket_cors" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val kls = o % 12
+      val base = graft.Tables.orders(s, d).filter(o % 37 === 7)
+        .select(lpad(o.cast("string"), 12, "0").as("req_id"),
+          kls.as("k"), o.as("o"))
+      val k = col("k")
+      def mv(ruleOrd: Int, field: String, valOrd: Int,
+          value: org.apache.spark.sql.Column,
+          cond: org.apache.spark.sql.Column) =
+        base.filter(cond).select(col("req_id"),
+          lit(ruleOrd.toLong).as("rule_ord"), lit(field).as("field"),
+          lit(valOrd.toLong).as("val_ord"), value.as("value"))
+      val vals = Seq(
+        mv(0, "method", 0, lit(" get "), k =!= 0),
+        mv(0, "method", 1, lit("Put"), k =!= 0),
+        mv(0, "origin", 0, lit(" https://a.example "), k =!= 0),
+        mv(0, "origin", 1, lit("*"), k =!= 0),
+        mv(1, "method", 0, when(k === 5, "  ").when(k === 6, "PATCH")
+          .otherwise("post"), k =!= 0 && k =!= 1),
+        mv(1, "method", 1, lit("delete"), k =!= 0 && k =!= 1),
+        mv(1, "origin", 0, when(k === 7 || k === 6, " ")
+          .otherwise("https://b.example"), k =!= 0 && k =!= 2),
+        mv(1, "allowed_header", 0, when(k === 8, " ").otherwise(" X-Ok "),
+          k === 8 || k === 11),
+        mv(1, "expose_header", 0, when(k === 9, " ").otherwise("ETag"),
+          k === 9 || k === 11)
+      ).reduce(_.unionAll(_))
+      val rules = base.filter(k =!= 0).select(col("req_id"),
+        lit(0L).as("rule_ord"),
+        when(k === 3, -1L).when(col("o") % 3 === 0, lit(null).cast("long"))
+          .otherwise(3600L).as("max_age"))
+        .unionAll(base.filter(k =!= 0).select(col("req_id"),
+          lit(1L).as("rule_ord"), lit(null).cast("long").as("max_age")))
+      val reqs = base.select(col("req_id"),
+        when(k === 10, "bkt-9")
+          .otherwise(concat(lit("bkt-"), (col("o") % 4).cast("string")))
+          .as("bucket"))
+      Cors.putCorsVerdicts(reqs, rules, vals, ObjectTables.buckets(s, d))
+        .orderBy("req_id")
+    },
+
     // SetRealmQuota validation ladder (set_realm_quota.rs:378-436 +
     // write-path ordering :129-160): validate-before-document-read, ordered
     // override scan (dup / grace<100 / grace-without-quota), dup user caps,
@@ -2935,6 +3024,183 @@ object CatalogQueries {
          |  CASE WHEN vr = 'QuotaExceeded'
          |       THEN CAST(COALESCE(base_usage,0) + used + size AS BIGINT)
          |       END AS quota_projected
+         |FROM fin ORDER BY req_id""".stripMargin,
+
+    "ua1_user_access" ->
+      s"""WITH creds AS (
+         |  SELECT 'AK'||lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+         |           AS access_key,
+         |         'u'||(c_custkey%50) AS user_id,
+         |         'grp-'||(c_custkey%5) AS group_id,
+         |         CAST(1700000000000 + ((c_custkey%200)-100)*86400000
+         |              AS BIGINT) AS expiry_ms,
+         |         CAST(CASE WHEN c_custkey%7=0
+         |                   THEN 1699990000000 + c_custkey%1000 END
+         |              AS BIGINT) AS revoked_at_ms
+         |  FROM customer),
+         |reqs AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |    CASE o_orderkey%4 WHEN 0 THEN 'create' WHEN 1 THEN 'get'
+         |         WHEN 2 THEN 'revoke' ELSE 'list' END AS op,
+         |    CASE WHEN o_orderkey%4 = 0 THEN
+         |           CASE o_orderkey%5
+         |                WHEN 0 THEN ''
+         |                WHEN 1 THEN repeat('K', 129)
+         |                WHEN 2 THEN 'bad-key!'
+         |                WHEN 3 THEN 'AK'||lpad(CAST((o_orderkey%149)+1
+         |                                            AS VARCHAR), 8, '0')
+         |                ELSE 'ok'||o_orderkey END
+         |         WHEN o_orderkey%4 IN (1, 2) THEN
+         |           CASE WHEN o_orderkey%3 = 0
+         |                THEN 'AK'||lpad(CAST((o_orderkey%149)+1
+         |                                     AS VARCHAR), 8, '0')
+         |                ELSE 'AKX'||o_orderkey END
+         |         ELSE 'x' END AS key_id,
+         |    'u'||(o_orderkey%60) AS user_id,
+         |    CAST(1700000000000 + (o_orderkey%5)*1000 AS BIGINT) AS now_ms
+         |  FROM orders WHERE o_orderkey%41 = 11),
+         |byuser AS (
+         |  SELECT user_id, COUNT(*) AS n_creds FROM creds GROUP BY 1),
+         |j AS (
+         |  SELECT r.*, c.user_id AS c_user, c.expiry_ms, c.revoked_at_ms,
+         |         u.n_creds
+         |  FROM reqs r
+         |  LEFT JOIN creds c ON r.key_id = c.access_key
+         |  LEFT JOIN byuser u ON r.user_id = u.user_id),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN op = 'create' THEN
+         |           CASE WHEN length(key_id) = 0 OR length(key_id) > 128
+         |                  THEN 'InvalidLength'
+         |                WHEN regexp_matches(key_id, '[^0-9A-Za-z]')
+         |                  THEN 'NotAlphanumeric'
+         |                ELSE 'Ok' END
+         |         WHEN op = 'list' THEN 'Ok'
+         |         WHEN c_user IS NULL THEN 'NotFound'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM j)
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op='create'
+         |       THEN now_ms + 31536000000 END AS new_expiry_ms,
+         |  CASE WHEN verdict='Ok' AND op='get'
+         |       THEN expiry_ms <= now_ms END AS expired,
+         |  CASE WHEN verdict='Ok' AND op='get'
+         |       THEN revoked_at_ms IS NOT NULL END AS revoked,
+         |  CASE WHEN verdict='Ok' AND op='revoke'
+         |       THEN revoked_at_ms IS NULL END AS revoked_now,
+         |  CASE WHEN verdict='Ok' AND op='revoke'
+         |       THEN COALESCE(revoked_at_ms, now_ms) END AS revoked_at_out,
+         |  CASE WHEN verdict='Ok' AND op='list'
+         |       THEN COALESCE(n_creds, 0) END AS n_creds
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "bc1_put_bucket_cors" ->
+      s"""WITH ${ObjectTables.bucketsCte},
+         |base AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |         o_orderkey AS o, o_orderkey%12 AS k
+         |  FROM orders WHERE o_orderkey%37 = 7),
+         |reqs AS (
+         |  SELECT req_id, CASE WHEN k=10 THEN 'bkt-9'
+         |                      ELSE 'bkt-'||(o%4) END AS bucket
+         |  FROM base),
+         |rules AS (
+         |  SELECT req_id, CAST(0 AS BIGINT) AS rule_ord,
+         |    CAST(CASE WHEN k=3 THEN -1 WHEN o%3=0 THEN NULL
+         |              ELSE 3600 END AS BIGINT) AS max_age
+         |  FROM base WHERE k<>0
+         |  UNION ALL
+         |  SELECT req_id, 1, NULL FROM base WHERE k<>0),
+         |vals AS (
+         |  SELECT req_id, 0 AS rule_ord, 'method' AS field, 0 AS val_ord,
+         |         ' get ' AS value FROM base WHERE k<>0
+         |  UNION ALL
+         |  SELECT req_id, 0, 'method', 1, 'Put' FROM base WHERE k<>0
+         |  UNION ALL
+         |  SELECT req_id, 0, 'origin', 0, ' https://a.example ' FROM base
+         |  WHERE k<>0
+         |  UNION ALL
+         |  SELECT req_id, 0, 'origin', 1, '*' FROM base WHERE k<>0
+         |  UNION ALL
+         |  SELECT req_id, 1, 'method', 0,
+         |         CASE WHEN k=5 THEN '  ' WHEN k=6 THEN 'PATCH'
+         |              ELSE 'post' END
+         |  FROM base WHERE k<>0 AND k<>1
+         |  UNION ALL
+         |  SELECT req_id, 1, 'method', 1, 'delete' FROM base
+         |  WHERE k<>0 AND k<>1
+         |  UNION ALL
+         |  SELECT req_id, 1, 'origin', 0,
+         |         CASE WHEN k=7 OR k=6 THEN ' '
+         |              ELSE 'https://b.example' END
+         |  FROM base WHERE k<>0 AND k<>2
+         |  UNION ALL
+         |  SELECT req_id, 1, 'allowed_header', 0,
+         |         CASE WHEN k=8 THEN ' ' ELSE ' X-Ok ' END
+         |  FROM base WHERE k=8 OR k=11
+         |  UNION ALL
+         |  SELECT req_id, 1, 'expose_header', 0,
+         |         CASE WHEN k=9 THEN ' ' ELSE 'ETag' END
+         |  FROM base WHERE k=9 OR k=11),
+         |vv AS (
+         |  SELECT *,
+         |    CASE field WHEN 'method' THEN 0 WHEN 'origin' THEN 1
+         |         WHEN 'allowed_header' THEN 2 ELSE 3 END AS field_rank,
+         |    CASE WHEN trim(value) = ''
+         |           THEN 'MalformedXML:empty_'||field
+         |         WHEN field='method' AND upper(trim(value)) NOT IN
+         |              ('GET','PUT','HEAD','POST','DELETE')
+         |           THEN 'MalformedXML:invalid_method' END AS vfail,
+         |    rule_ord||':'||field||':'||
+         |      (CASE WHEN field='method' THEN upper(trim(value))
+         |            ELSE trim(value) END) AS piece
+         |  FROM vals),
+         |perrule AS (
+         |  SELECT req_id, rule_ord,
+         |         bool_or(field='method') AS has_m,
+         |         bool_or(field='origin') AS has_o
+         |  FROM vv GROUP BY 1, 2),
+         |vfirst AS (
+         |  SELECT req_id, rule_ord, vfail FROM vv WHERE vfail IS NOT NULL
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY req_id, rule_ord
+         |            ORDER BY field_rank, val_ord) = 1),
+         |rulev AS (
+         |  SELECT r.req_id, r.rule_ord,
+         |    CASE WHEN NOT COALESCE(p.has_m, FALSE) OR
+         |              NOT COALESCE(p.has_o, FALSE)
+         |           THEN 'MalformedXML:methods_origins'
+         |         WHEN r.max_age < 0 THEN 'MalformedXML:negative_max_age'
+         |         ELSE f.vfail END AS rule_fail
+         |  FROM rules r
+         |  LEFT JOIN perrule p USING (req_id, rule_ord)
+         |  LEFT JOIN vfirst f USING (req_id, rule_ord)),
+         |reqv AS (
+         |  SELECT req_id, COUNT(*) AS n_rules FROM rulev GROUP BY 1),
+         |ffail AS (
+         |  SELECT req_id, rule_fail AS first_fail FROM rulev
+         |  WHERE rule_fail IS NOT NULL
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY req_id
+         |                             ORDER BY rule_ord) = 1),
+         |sig AS (
+         |  SELECT req_id, md5(string_agg(piece, '|'
+         |           ORDER BY rule_ord, field_rank, val_ord)) AS norm_sig
+         |  FROM vv GROUP BY 1),
+         |fin AS (
+         |  SELECT q.req_id,
+         |    CASE WHEN rv.n_rules IS NULL THEN 'MalformedXML:no_rules'
+         |         WHEN ff.first_fail IS NOT NULL THEN ff.first_fail
+         |         WHEN b.bucket IS NULL THEN 'NotFound'
+         |         ELSE 'Ok' END AS verdict,
+         |    rv.n_rules, sg.norm_sig
+         |  FROM reqs q
+         |  LEFT JOIN reqv rv USING (req_id)
+         |  LEFT JOIN ffail ff USING (req_id)
+         |  LEFT JOIN buckets b USING (bucket)
+         |  LEFT JOIN sig sg USING (req_id))
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict = 'Ok' THEN CAST(n_rules AS BIGINT) END
+         |    AS n_rules,
+         |  CASE WHEN verdict = 'Ok' THEN norm_sig END AS norm_sig
          |FROM fin ORDER BY req_id""".stripMargin,
 
     "sq1_set_quota" ->

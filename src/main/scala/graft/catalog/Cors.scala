@@ -110,4 +110,90 @@ object Cors {
         .otherwise(lit(200)).cast("int").as("status"),
       (!col("preflight") && matched).as("inject_cors"))
   }
+
+  /** The five methods a CORS rule may allow (`api/src/s3/cors.rs:10`). */
+  val ValidCorsMethods: Seq[String] =
+    Seq("GET", "PUT", "HEAD", "POST", "DELETE")
+
+  /** PutBucketCors admission — the WRITE side of [[decide]]'s config
+    * (`dto_to_bucket_cors`, `api/src/s3/cors.rs:21-38,107-186`, then the
+    * operation's bucket existence read, `operations/src/s3/bucket_cors.rs:
+    * 87-132`):
+    *
+    *  - zero rules → MalformedXML (config level, before any rule);
+    *  - rules convert IN DECLARATION ORDER, first failing rule decides
+    *    (`collect::<Result>` short-circuits); within a rule: missing
+    *    methods-or-origins, negative max_age, then each value list in
+    *    struct order — methods (trim; empty; uppercase ∉ the five-method
+    *    whitelist), origins (trim-empty), allowed_headers, expose_headers;
+    *  - the admitted config is the NORMALIZED one (trimmed values,
+    *    uppercased methods) — `norm_sig` fingerprints it so a
+    *    normalization drift diverges immediately;
+    *  - then the bucket record must exist (NotFound), and the config
+    *    round-trips into the rule shape [[decide]] consumes.
+    *
+    * `requests(req_id, bucket)`; `rules(req_id, rule_ord, max_age)`;
+    * `vals(req_id, rule_ord, field, val_ord, value)` with field ∈
+    * method | origin | allowed_header | expose_header.
+    *
+    * Scale: request-plane relations only — two batch-keyed aggregations
+    * and broadcast joins; the bucket catalog broadcasts. */
+  def putCorsVerdicts(requests: DataFrame, rules: DataFrame,
+      vals: DataFrame, buckets: DataFrame): DataFrame = {
+    val fieldRank = when(col("field") === "method", 0)
+      .when(col("field") === "origin", 1)
+      .when(col("field") === "allowed_header", 2).otherwise(3)
+    val norm = trim(col("value"))
+    val piece = concat(col("rule_ord").cast("string"), lit(":"),
+      col("field"), lit(":"),
+      when(col("field") === "method", upper(norm)).otherwise(norm))
+    val v = vals
+      .withColumn("__rank", fieldRank)
+      .withColumn("__fail",
+        when(norm === "", concat(lit("MalformedXML:empty_"), col("field")))
+          .when(col("field") === "method" &&
+            !upper(norm).isin(ValidCorsMethods: _*),
+            "MalformedXML:invalid_method"))
+      .withColumn("__piece", piece)
+
+    // per rule: list presence + first failing value in struct order
+    val perRule = v.groupBy("req_id", "rule_ord").agg(
+      max(col("field") === "method").as("has_method"),
+      max(col("field") === "origin").as("has_origin"),
+      min_by(col("__fail"), when(col("__fail").isNotNull,
+        struct(col("__rank"), col("val_ord")))).as("val_fail"))
+    val ruleV = rules.join(perRule, Seq("req_id", "rule_ord"), "left")
+      .withColumn("rule_fail",
+        when(!coalesce(col("has_method"), lit(false)) ||
+          !coalesce(col("has_origin"), lit(false)),
+          "MalformedXML:methods_origins")
+          .when(col("max_age") < 0, "MalformedXML:negative_max_age")
+          .otherwise(col("val_fail")))
+
+    // per request: rule count + first failing rule in declaration order
+    val perReq = ruleV.groupBy("req_id").agg(
+      count(lit(1)).as("n_rules"),
+      min_by(col("rule_fail"), when(col("rule_fail").isNotNull,
+        col("rule_ord"))).as("first_fail"))
+    val sig = v.groupBy("req_id").agg(
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("rule_ord"), col("__rank"),
+          col("val_ord"), col("__piece")))),
+        x => x.getField("__piece")), "|")).as("__sig"))
+
+    val verdict =
+      when(col("n_rules").isNull, "MalformedXML:no_rules")
+        .when(col("first_fail").isNotNull, col("first_fail"))
+        .when(col("in_catalog").isNull, "NotFound")
+        .otherwise("Ok")
+    requests
+      .join(broadcast(perReq), Seq("req_id"), "left")
+      .join(broadcast(buckets.select(col("bucket"),
+        lit(true).as("in_catalog"))), Seq("bucket"), "left")
+      .join(broadcast(sig), Seq("req_id"), "left")
+      .withColumn("verdict", verdict)
+      .select(col("req_id"), col("verdict"),
+        when(col("verdict") === "Ok", col("n_rules")).as("n_rules"),
+        when(col("verdict") === "Ok", col("__sig")).as("norm_sig"))
+  }
 }
