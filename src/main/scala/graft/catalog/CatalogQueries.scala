@@ -406,6 +406,90 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Group role & membership admin (add/remove_group_role,
+    // add/remove_user_to/from_group): validate-before-auth on add_role,
+    // reserved/nil-realm/public-non-READ payload arms, missing-auth-doc ==
+    // GroupNotFound on add vs AuthDocNotFound on the others, exact-named
+    // admin role undeletable, self-leave skipping the permission check,
+    // explicit vs implicit removal lists, and the last-admin guard.
+    "gm1_group_admin" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val cls = (o / 4).cast("long") % 9
+      val base = graft.Tables.orders(s, d).filter(o % 43 === 17)
+        .select(lpad(o.cast("string"), 12, "0").as("req_id"),
+          (o % 4).as("opn"), cls.as("cls"), o.as("o"))
+      val opName = when(col("opn") === 0, "add_role")
+        .when(col("opn") === 1, "remove_role")
+        .when(col("opn") === 2, "add_user").otherwise("remove_user")
+      val c = col("cls")
+      val grp = when(c === 6, "GX").when(c === 7, "G9").when(c === 8, "G7")
+        .otherwise(concat(lit("G"), (col("o") % 7).cast("string")))
+      val realm = concat(lit("realm-"), (col("o") % 3).cast("string"))
+      val userId = when(c === 0, "nil")
+        .when(col("opn") === 3 && c === 3,
+          concat(lit("adm"), (col("o") % 7).cast("string")))
+        .otherwise(concat(lit("m"), (col("o") % 12).cast("string")))
+      val reqs = base.select(col("req_id"), opName.as("op"),
+        grp.as("group_id"), realm.as("realm_id"),
+        when(col("opn") >= 2, userId).otherwise("x").as("user_id"),
+        when(col("opn") === 3 && c === 1, userId).otherwise("actor0")
+          .as("actor_id"),
+        (c =!= 5).as("authorized"),
+        when(col("opn") === 0,
+          when(c === 0, " admin ").when(c === 1, "user")
+            .otherwise(concat(lit("nr"), col("o").cast("string"))))
+          .otherwise("x").as("role_name"),
+        when(col("opn") === 1,
+          when(c === 0, "r-none").when(c === 1, "r-admin")
+            .otherwise("r-dev")).otherwise("x").as("role_id"),
+        (col("opn") === 3 && (col("o") % 2 === 0 || c === 2))
+          .as("has_role_list"))
+      val memberOps = base.filter(col("opn") >= 2)
+      val reqRoles = memberOps.select(col("req_id"), lit("r-dev").as("role_id"))
+        .unionAll(memberOps.filter(col("opn") === 2).select(col("req_id"),
+          when(col("cls") === 1, "r-none").otherwise("r-ops").as("role_id")))
+        .unionAll(memberOps.filter(col("opn") === 3).select(col("req_id"),
+          when(col("cls") === 2, "r-none").otherwise("r-admin").as("role_id")))
+      val addRole = base.filter(col("opn") === 0)
+      val reqUsers = addRole.select(col("req_id"), lit("m1").as("user_id"))
+        .unionAll(addRole.select(col("req_id"),
+          when(col("cls") === 2, "nil@realm-OTHER")
+            .when(col("cls") === 3 || col("cls") === 4,
+              concat(lit("nil@realm-"), (col("o") % 3).cast("string")))
+            .otherwise("m2").as("user_id")))
+      val reqPerms = addRole.select(col("req_id"), lit("READ").as("permission"))
+        .unionAll(addRole.filter(col("cls") =!= 4)
+          .select(col("req_id"), lit("WRITE").as("permission")))
+      val groups = s.range(0, 10).select(
+        concat(lit("G"), col("id").cast("string")).as("group_id"))
+      val authDocs = s.range(0, 9).select(
+        concat(lit("G"), col("id").cast("string")).as("group_id"))
+      val roleNames = s.createDataFrame(Seq(
+        ("r-admin", "admin"), ("r-dev", "dev"), ("r-ops", "ops")))
+        .toDF("role_id", "role_name")
+      val authRoles = authDocs.crossJoin(roleNames)
+      val g9 = s.range(0, 9).select(col("id").as("g"))
+      val assignments =
+        g9.select(concat(lit("G"), col("g").cast("string")).as("group_id"),
+          lit("r-admin").as("role_id"),
+          concat(lit("adm"), col("g").cast("string")).as("user_id"))
+        .unionAll(g9.filter(col("g") % 2 === 0).select(
+          concat(lit("G"), col("g").cast("string")).as("group_id"),
+          lit("r-admin").as("role_id"), lit("adm9").as("user_id")))
+        .unionAll(g9.crossJoin(s.range(0, 5).select(col("id").as("k")))
+          .select(concat(lit("G"), col("g").cast("string")).as("group_id"),
+            lit("r-dev").as("role_id"),
+            concat(lit("m"), col("k").cast("string")).as("user_id")))
+        .unionAll(g9.crossJoin(s.range(2, 7).select(col("id").as("k")))
+          .select(concat(lit("G"), col("g").cast("string")).as("group_id"),
+            lit("r-ops").as("role_id"),
+            concat(lit("m"), col("k").cast("string")).as("user_id")))
+      val reducers = s.range(0, 1).select(lit("G7").as("group_id"),
+        lit("corrupt").as("stored_target"))
+      GroupAdmin.decide(reqs, reqRoles, reqUsers, reqPerms, groups,
+        authDocs, authRoles, assignments, reducers).orderBy("req_id")
+    },
+
     // User-access credential ops (create/get/list/revoke_user_access.rs +
     // blob.rs UserAccess): create key ladder (empty/too-long -> length,
     // non-alnum; NO existence read - an existing key still admits), get
@@ -3025,6 +3109,217 @@ object CatalogQueries {
          |       THEN CAST(COALESCE(base_usage,0) + used + size AS BIGINT)
          |       END AS quota_projected
          |FROM fin ORDER BY req_id""".stripMargin,
+
+    "gm1_group_admin" ->
+      s"""WITH base AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |         o_orderkey%4 AS opn, (o_orderkey//4)%9 AS cls,
+         |         o_orderkey AS o
+         |  FROM orders WHERE o_orderkey%43 = 17),
+         |reqs AS (
+         |  SELECT req_id,
+         |    CASE opn WHEN 0 THEN 'add_role' WHEN 1 THEN 'remove_role'
+         |         WHEN 2 THEN 'add_user' ELSE 'remove_user' END AS op,
+         |    CASE WHEN cls=6 THEN 'GX' WHEN cls=7 THEN 'G9'
+         |         WHEN cls=8 THEN 'G7' ELSE 'G'||(o%7) END AS group_id,
+         |    'realm-'||(o%3) AS realm_id,
+         |    CASE WHEN opn>=2 THEN
+         |           CASE WHEN cls=0 THEN 'nil'
+         |                WHEN opn=3 AND cls=3 THEN 'adm'||(o%7)
+         |                ELSE 'm'||(o%12) END
+         |         ELSE 'x' END AS user_id,
+         |    CASE WHEN opn=3 AND cls=1 THEN
+         |           CASE WHEN cls=0 THEN 'nil' ELSE 'm'||(o%12) END
+         |         ELSE 'actor0' END AS actor_id,
+         |    cls<>5 AS authorized,
+         |    CASE WHEN opn=0 THEN
+         |           CASE WHEN cls=0 THEN ' admin ' WHEN cls=1 THEN 'user'
+         |                ELSE 'nr'||o END
+         |         ELSE 'x' END AS role_name,
+         |    CASE WHEN opn=1 THEN
+         |           CASE WHEN cls=0 THEN 'r-none' WHEN cls=1 THEN 'r-admin'
+         |                ELSE 'r-dev' END
+         |         ELSE 'x' END AS role_id,
+         |    (opn=3 AND (o%2=0 OR cls=2)) AS has_role_list,
+         |    opn, cls, o
+         |  FROM base),
+         |reqroles AS (
+         |  SELECT req_id, 'r-dev' AS role_id FROM base WHERE opn>=2
+         |  UNION ALL
+         |  SELECT req_id, CASE WHEN cls=1 THEN 'r-none' ELSE 'r-ops' END
+         |  FROM base WHERE opn=2
+         |  UNION ALL
+         |  SELECT req_id, CASE WHEN cls=2 THEN 'r-none' ELSE 'r-admin' END
+         |  FROM base WHERE opn=3),
+         |requsers AS (
+         |  SELECT req_id, 'm1' AS user_id FROM base WHERE opn=0
+         |  UNION ALL
+         |  SELECT req_id,
+         |    CASE WHEN cls=2 THEN 'nil@realm-OTHER'
+         |         WHEN cls=3 OR cls=4 THEN 'nil@realm-'||(o%3)
+         |         ELSE 'm2' END
+         |  FROM base WHERE opn=0),
+         |reqperms AS (
+         |  SELECT req_id, 'READ' AS permission FROM base WHERE opn=0
+         |  UNION ALL
+         |  SELECT req_id, 'WRITE' FROM base WHERE opn=0 AND cls<>4),
+         |grps AS (SELECT 'G'||r AS group_id FROM range(0,10) t(r)),
+         |docs AS (SELECT 'G'||r AS group_id FROM range(0,9) t(r)),
+         |rolenames(role_id, role_name) AS (VALUES
+         |  ('r-admin','admin'), ('r-dev','dev'), ('r-ops','ops')),
+         |authroles AS (SELECT d.group_id, n.role_id, n.role_name
+         |              FROM docs d, rolenames n),
+         |assign AS (
+         |  SELECT 'G'||g AS group_id, 'r-admin' AS role_id,
+         |         'adm'||g AS user_id FROM range(0,9) t(g)
+         |  UNION ALL
+         |  SELECT 'G'||g, 'r-admin', 'adm9' FROM range(0,9) t(g)
+         |  WHERE g%2=0
+         |  UNION ALL
+         |  SELECT 'G'||g, 'r-dev', 'm'||k FROM range(0,9) t(g),
+         |       range(0,5) u(k)
+         |  UNION ALL
+         |  SELECT 'G'||g, 'r-ops', 'm'||k FROM range(0,9) t(g),
+         |       range(2,7) u(k)),
+         |useragg AS (
+         |  SELECT u.req_id,
+         |    bool_or(u.user_id LIKE 'nil@%' AND
+         |            u.user_id <> 'nil@'||r.realm_id) AS bad_nil,
+         |    bool_or(u.user_id = 'nil@'||r.realm_id) AS is_public,
+         |    COUNT(*) AS n_assigned
+         |  FROM requsers u JOIN reqs r USING (req_id) GROUP BY 1),
+         |permagg AS (
+         |  SELECT req_id, bool_or(permission <> 'READ') AS non_read
+         |  FROM reqperms GROUP BY 1),
+         |listagg AS (
+         |  SELECT l.req_id,
+         |    bool_or(a.role_id IS NULL) AS list_miss,
+         |    COUNT(*) AS n_listed,
+         |    bool_or(l.role_id = 'r-admin') AS list_has_admin
+         |  FROM reqroles l
+         |  JOIN reqs r USING (req_id)
+         |  LEFT JOIN authroles a
+         |    ON a.group_id = r.group_id AND a.role_id = l.role_id
+         |  GROUP BY 1),
+         |admincnt AS (
+         |  SELECT a.group_id, COUNT(DISTINCT a.user_id) AS admin_n
+         |  FROM assign a JOIN authroles x
+         |    ON x.group_id = a.group_id AND x.role_id = a.role_id
+         |  WHERE x.role_name = 'admin' GROUP BY 1),
+         |peruser AS (
+         |  SELECT a.group_id, a.user_id, COUNT(*) AS member_roles,
+         |         bool_or(x.role_name = 'admin') AS in_admin
+         |  FROM assign a JOIN authroles x
+         |    ON x.group_id = a.group_id AND x.role_id = a.role_id
+         |  GROUP BY 1, 2),
+         |outsidelist AS (
+         |  SELECT DISTINCT r.req_id, TRUE AS outside_list
+         |  FROM assign a
+         |  JOIN reqs r ON a.group_id = r.group_id AND a.user_id = r.user_id
+         |    AND r.op = 'remove_user' AND r.has_role_list
+         |  LEFT JOIN reqroles l
+         |    ON l.req_id = r.req_id AND l.role_id = a.role_id
+         |  WHERE l.role_id IS NULL),
+         |fin AS (
+         |  SELECT r.*,
+         |    ua.bad_nil, ua.is_public, ua.n_assigned, pa.non_read,
+         |    la.list_miss, la.n_listed, la.list_has_admin,
+         |    g.group_id IS NOT NULL AS grp_ok,
+         |    dd.group_id IS NOT NULL AS doc_ok,
+         |    tr.role_name AS tgt_role_name,
+         |    tr.role_id IS NOT NULL AS tgt_role_known,
+         |    rd.stored_target, ac.admin_n,
+         |    pu.member_roles, COALESCE(pu.in_admin, FALSE) AS in_admin,
+         |    ol.outside_list,
+         |    rd.stored_target IS NOT NULL AND
+         |      rd.stored_target <> 'group:'||r.group_id AS mismatch,
+         |    r.actor_id = r.user_id AS self_leave,
+         |    pu.member_roles IS NOT NULL AS was_member
+         |  FROM reqs r
+         |  LEFT JOIN useragg ua USING (req_id)
+         |  LEFT JOIN permagg pa USING (req_id)
+         |  LEFT JOIN listagg la USING (req_id)
+         |  LEFT JOIN grps g ON g.group_id = r.group_id
+         |  LEFT JOIN docs dd ON dd.group_id = r.group_id
+         |  LEFT JOIN authroles tr
+         |    ON tr.group_id = r.group_id AND tr.role_id = r.role_id
+         |  LEFT JOIN (SELECT 'G7' AS group_id, 'corrupt' AS stored_target)
+         |    rd ON rd.group_id = r.group_id
+         |  LEFT JOIN admincnt ac ON ac.group_id = r.group_id
+         |  LEFT JOIN peruser pu
+         |    ON pu.group_id = r.group_id AND pu.user_id = r.user_id
+         |  LEFT JOIN outsidelist ol USING (req_id)),
+         |v AS (
+         |  SELECT *,
+         |    in_admin AND
+         |      (CASE WHEN has_role_list
+         |            THEN COALESCE(list_has_admin, FALSE)
+         |            ELSE in_admin END) AND admin_n = 1 AS last_admin,
+         |    CASE op
+         |      WHEN 'add_role' THEN
+         |        CASE WHEN trim(role_name) IN ('admin','user')
+         |               THEN 'ReservedRoleName'
+         |             WHEN COALESCE(bad_nil, FALSE)
+         |               THEN 'InvalidAssignedUser'
+         |             WHEN COALESCE(is_public, FALSE) AND
+         |                  COALESCE(non_read, FALSE)
+         |               THEN 'InvalidPublicRole'
+         |             WHEN NOT authorized THEN 'Unauthorized'
+         |             WHEN NOT grp_ok OR NOT doc_ok THEN 'GroupNotFound'
+         |             WHEN mismatch THEN 'TargetMismatch'
+         |             ELSE 'Ok' END
+         |      WHEN 'remove_role' THEN
+         |        CASE WHEN NOT authorized THEN 'Unauthorized'
+         |             WHEN NOT grp_ok THEN 'GroupNotFound'
+         |             WHEN NOT doc_ok THEN 'AuthDocNotFound'
+         |             WHEN NOT tgt_role_known THEN 'RoleNotFound'
+         |             WHEN tgt_role_name = 'admin'
+         |               THEN 'AdminRoleUndeletable'
+         |             WHEN mismatch THEN 'TargetMismatch'
+         |             ELSE 'Ok' END
+         |      WHEN 'add_user' THEN
+         |        CASE WHEN user_id = 'nil' THEN 'InvalidUserId'
+         |             WHEN NOT authorized THEN 'Unauthorized'
+         |             WHEN NOT doc_ok THEN 'AuthDocNotFound'
+         |             WHEN COALESCE(list_miss, FALSE) THEN 'RoleNotFound'
+         |             WHEN mismatch THEN 'TargetMismatch'
+         |             ELSE 'Ok' END
+         |      ELSE
+         |        CASE WHEN user_id = 'nil' THEN 'InvalidUserId'
+         |             WHEN NOT self_leave AND NOT authorized
+         |               THEN 'Unauthorized'
+         |             WHEN NOT doc_ok THEN 'AuthDocNotFound'
+         |             WHEN has_role_list AND COALESCE(list_miss, FALSE)
+         |               THEN 'RoleNotFound'
+         |             WHEN mismatch THEN 'TargetMismatch'
+         |             WHEN in_admin AND
+         |                  (CASE WHEN has_role_list
+         |                        THEN COALESCE(list_has_admin, FALSE)
+         |                        ELSE in_admin END) AND admin_n = 1
+         |               THEN 'LastAdmin'
+         |             ELSE 'Ok' END
+         |    END AS verdict
+         |  FROM fin)
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op IN ('add_user','remove_user')
+         |       THEN was_member END AS was_member,
+         |  CASE WHEN verdict='Ok' AND op='add_user'
+         |       THEN NOT was_member END AS newly_added,
+         |  CASE WHEN verdict='Ok' AND op='remove_user'
+         |       THEN CASE WHEN has_role_list
+         |                 THEN COALESCE(outside_list, FALSE)
+         |                 ELSE FALSE END END AS still_member,
+         |  CAST(CASE WHEN verdict='Ok' AND op='add_user' THEN n_listed
+         |            WHEN verdict='Ok' AND op='remove_user' THEN
+         |              CASE WHEN has_role_list THEN n_listed
+         |                   ELSE COALESCE(member_roles, 0) END
+         |       END AS BIGINT) AS n_roles,
+         |  CASE WHEN verdict='Ok' AND op='add_role'
+         |       THEN COALESCE(is_public, FALSE) END AS role_public,
+         |  CAST(CASE WHEN verdict='Ok' AND op='add_role'
+         |            THEN COALESCE(n_assigned, 0) END AS BIGINT)
+         |    AS n_assigned
+         |FROM v ORDER BY req_id""".stripMargin,
 
     "ua1_user_access" ->
       s"""WITH creds AS (
