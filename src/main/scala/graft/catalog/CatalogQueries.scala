@@ -406,6 +406,75 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // UpdateUser ladder (update_user.rs + user_update_validation.rs):
+    // realm isolation + actor==auth-user, restricted-self refusal,
+    // unrestricted self skipping the permission check, stored-id
+    // corruption guard, trimmed 1..=256-byte name, removals validated
+    // before sets (key then value per pair), 128-cap on the POST-update
+    // count, remove-before-set overlap, reducer TargetMismatch last.
+    "uu1_update_user" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val cls = (o / 3).cast("long") % 14
+      val t1 = (o % 149) + 1
+      val t2 = when(t1 % 53 === 0, t1 + 1).otherwise(t1)
+      val t3 = when(t2 === 149, 148L).otherwise(t2)
+      val tgtN = when(cls === 4, 999999L)
+        .when(cls === 5, ((o % 2) + 1) * 53)
+        .when(cls === 13, 149L).otherwise(t3)
+      val tgt = concat(lit("U"), lpad(tgtN.cast("string"), 6, "0"))
+      val base = graft.Tables.orders(s, d).filter(o % 47 === 19)
+        .select(lpad(o.cast("string"), 12, "0").as("req_id"),
+          cls.as("cls"), tgt.as("target_user"))
+      val c = col("cls")
+      val authUser = when(c === 2 || c === 12, col("target_user"))
+        .otherwise(lit("admin"))
+      val reqs = base.select(col("req_id"), col("target_user"),
+        when(c === 0, "r2").otherwise("r1").as("target_realm"),
+        lit("r1").as("auth_realm"), lit("r1").as("actor_realm"),
+        lit("r1").as("self_realm"),
+        authUser.as("auth_user"),
+        when(c === 1, "other").otherwise(authUser).as("actor_user"),
+        (c === 2).as("restricted"),
+        (c =!= 3 && c =!= 12).as("authorized"),
+        when(c === 6, "   ").when(c === 7, repeat(lit("N"), 257))
+          .when(c === 11, " New Name ")
+          .otherwise(lit(null).cast("string")).as("new_name"))
+      val rm = base.filter(c === 8).select(col("req_id"),
+        lit(0L).as("ord"), lit("bad key!").as("key"))
+        .unionAll(base.filter(c === 11).select(col("req_id"),
+          lit(0L).as("ord"), lit("b0").as("key")))
+        .unionAll(base.filter(c === 11).select(col("req_id"),
+          lit(1L).as("ord"), lit("rs").as("key")))
+      val st = base.filter(c === 9).select(col("req_id"),
+        lit(0L).as("ord"), lit("ok").as("key"), lit("\u0001x").as("value"))
+        .unionAll(base.filter(c === 10)
+          .crossJoin(s.range(0, 130).select(col("id").as("i")))
+          .select(col("req_id"), col("i").as("ord"),
+            concat(lit("k"), col("i").cast("string")).as("key"),
+            lit("v").as("value")))
+        .unionAll(base.filter(c === 11).select(col("req_id"),
+          lit(0L).as("ord"), lit("rs").as("key"), lit("v2").as("value")))
+        .unionAll(base.filter(c === 11).select(col("req_id"),
+          lit(1L).as("ord"), lit("nk").as("key"), lit("v3").as("value")))
+      val users = graft.Tables.customer(s, d).select(
+        concat(lit("U"), lpad(col("c_custkey").cast("string"), 6, "0"))
+          .as("user_id"),
+        when(col("c_custkey") % 53 === 0, "CORRUPT")
+          .otherwise(concat(lit("U"),
+            lpad(col("c_custkey").cast("string"), 6, "0"))).as("stored_id"),
+        col("c_name").as("name"))
+      val baseAttrs = graft.Tables.customer(s, d)
+        .crossJoin(s.range(0, 5).select(col("id").as("j")))
+        .filter(col("j") < (col("c_custkey") % 5) + 1)
+        .select(concat(lit("U"),
+          lpad(col("c_custkey").cast("string"), 6, "0")).as("user_id"),
+          concat(lit("b"), col("j").cast("string")).as("key"))
+      val reducers = s.range(0, 1).select(lit("U000149").as("user_id"),
+        lit("other").as("stored_target"))
+      UpdateUser.verdicts(reqs, rm, st, users, baseAttrs, reducers)
+        .orderBy("req_id")
+    },
+
     // Group role & membership admin (add/remove_group_role,
     // add/remove_user_to/from_group): validate-before-auth on add_role,
     // reserved/nil-realm/public-non-READ payload arms, missing-auth-doc ==
@@ -3109,6 +3178,142 @@ object CatalogQueries {
          |       THEN CAST(COALESCE(base_usage,0) + used + size AS BIGINT)
          |       END AS quota_projected
          |FROM fin ORDER BY req_id""".stripMargin,
+
+    "uu1_update_user" ->
+      s"""WITH base AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |         (o_orderkey//3)%14 AS cls, o_orderkey AS o
+         |  FROM orders WHERE o_orderkey%47 = 19),
+         |b2 AS (
+         |  SELECT *,
+         |    CASE WHEN t2 = 149 THEN 148 ELSE t2 END AS t3
+         |  FROM (SELECT *,
+         |          CASE WHEN t1%53 = 0 THEN t1+1 ELSE t1 END AS t2
+         |        FROM (SELECT *, (o%149)+1 AS t1 FROM base))),
+         |b3 AS (
+         |  SELECT req_id, cls, o,
+         |    'U'||lpad(CAST(CASE WHEN cls=4 THEN 999999
+         |                        WHEN cls=5 THEN ((o%2)+1)*53
+         |                        WHEN cls=13 THEN 149
+         |                        ELSE t3 END AS VARCHAR), 6, '0')
+         |      AS target_user
+         |  FROM b2),
+         |reqs AS (
+         |  SELECT req_id, cls, target_user,
+         |    CASE WHEN cls=0 THEN 'r2' ELSE 'r1' END AS target_realm,
+         |    CASE WHEN cls=2 OR cls=12 THEN target_user
+         |         ELSE 'admin' END AS auth_user,
+         |    CASE WHEN cls=1 THEN 'other'
+         |         WHEN cls=2 OR cls=12 THEN target_user
+         |         ELSE 'admin' END AS actor_user,
+         |    cls=2 AS restricted,
+         |    cls<>3 AND cls<>12 AS authorized,
+         |    CASE WHEN cls=6 THEN '   '
+         |         WHEN cls=7 THEN repeat('N', 257)
+         |         WHEN cls=11 THEN ' New Name ' END AS new_name
+         |  FROM b3),
+         |rm AS (
+         |  SELECT req_id, 0 AS ord, 'bad key!' AS key FROM reqs WHERE cls=8
+         |  UNION ALL
+         |  SELECT req_id, 0, 'b0' FROM reqs WHERE cls=11
+         |  UNION ALL
+         |  SELECT req_id, 1, 'rs' FROM reqs WHERE cls=11),
+         |st AS (
+         |  SELECT req_id, 0 AS ord, 'ok' AS key, chr(1)||'x' AS value
+         |  FROM reqs WHERE cls=9
+         |  UNION ALL
+         |  SELECT req_id, i, 'k'||i, 'v' FROM reqs, range(0,130) t(i)
+         |  WHERE cls=10
+         |  UNION ALL
+         |  SELECT req_id, 0, 'rs', 'v2' FROM reqs WHERE cls=11
+         |  UNION ALL
+         |  SELECT req_id, 1, 'nk', 'v3' FROM reqs WHERE cls=11),
+         |usr AS (
+         |  SELECT 'U'||lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS user_id,
+         |         CASE WHEN c_custkey%53=0 THEN 'CORRUPT'
+         |              ELSE 'U'||lpad(CAST(c_custkey AS VARCHAR), 6, '0')
+         |              END AS stored_id,
+         |         c_name AS name
+         |  FROM customer),
+         |battrs AS (
+         |  SELECT 'U'||lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS user_id,
+         |         'b'||j AS key
+         |  FROM customer, range(0,5) t(j) WHERE j < (c_custkey%5)+1),
+         |rmfail AS (
+         |  SELECT req_id, 'InvalidAttributeKey:'||key AS rm_fail FROM rm
+         |  WHERE NOT (length(key) BETWEEN 1 AND 128
+         |             AND regexp_full_match(key, '[A-Za-z0-9._:-]+'))
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY req_id ORDER BY ord) = 1),
+         |setfail AS (
+         |  SELECT req_id,
+         |    CASE WHEN NOT (length(key) BETWEEN 1 AND 128
+         |                   AND regexp_full_match(key, '[A-Za-z0-9._:-]+'))
+         |           THEN 'InvalidAttributeKey:'||key
+         |         WHEN strlen(value) > 4096
+         |              OR regexp_matches(value, '[\\x00-\\x1f\\x7f]')
+         |           THEN 'InvalidAttributeValue:'||key END AS set_fail
+         |  FROM st
+         |  WHERE NOT (length(key) BETWEEN 1 AND 128
+         |             AND regexp_full_match(key, '[A-Za-z0-9._:-]+'))
+         |     OR strlen(value) > 4096
+         |     OR regexp_matches(value, '[\\x00-\\x1f\\x7f]')
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY req_id ORDER BY ord) = 1),
+         |nb AS (
+         |  SELECT r.req_id, COUNT(*) AS n_base
+         |  FROM reqs r JOIN battrs a ON a.user_id = r.target_user
+         |  GROUP BY 1),
+         |aft AS (
+         |  SELECT req_id, COUNT(DISTINCT key) AS n_after FROM (
+         |    SELECT r.req_id, a.key
+         |    FROM reqs r JOIN battrs a ON a.user_id = r.target_user
+         |    WHERE NOT EXISTS (SELECT 1 FROM rm
+         |                      WHERE rm.req_id = r.req_id
+         |                        AND rm.key = a.key)
+         |    UNION ALL
+         |    SELECT req_id, key FROM st)
+         |  GROUP BY 1),
+         |fin AS (
+         |  SELECT r.*, u.stored_id, u.name AS stored_name,
+         |    rf.rm_fail, sf.set_fail,
+         |    COALESCE(af.n_after, n.n_base, 0) AS n_after,
+         |    rd.stored_target,
+         |    (r.target_realm <> 'r1' OR r.actor_user <> r.auth_user
+         |     OR (r.auth_user = r.target_user AND r.restricted)
+         |     OR (r.auth_user <> r.target_user AND NOT r.authorized))
+         |      AS unauth,
+         |    r.new_name IS NOT NULL AND
+         |      (trim(r.new_name) = '' OR strlen(trim(r.new_name)) > 256)
+         |      AS name_bad,
+         |    rd.stored_target IS NOT NULL AND
+         |      rd.stored_target <> 'user:'||r.target_user AS mismatch
+         |  FROM reqs r
+         |  LEFT JOIN usr u ON u.user_id = r.target_user
+         |  LEFT JOIN rmfail rf USING (req_id)
+         |  LEFT JOIN setfail sf USING (req_id)
+         |  LEFT JOIN aft af USING (req_id)
+         |  LEFT JOIN nb n USING (req_id)
+         |  LEFT JOIN (SELECT 'U000149' AS user_id,
+         |                    'other' AS stored_target) rd
+         |    ON rd.user_id = r.target_user),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN unauth THEN 'Unauthorized'
+         |         WHEN stored_id IS NULL THEN 'UserNotFound'
+         |         WHEN stored_id <> target_user THEN 'UserIdMismatch'
+         |         WHEN name_bad THEN 'InvalidUserName'
+         |         WHEN rm_fail IS NOT NULL THEN rm_fail
+         |         WHEN set_fail IS NOT NULL THEN set_fail
+         |         WHEN n_after > 128 THEN 'TooManyAttributes'
+         |         WHEN mismatch THEN 'TargetMismatch'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM fin)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN
+         |    CASE WHEN new_name IS NOT NULL THEN trim(new_name)
+         |         ELSE stored_name END END AS final_name,
+         |  CAST(CASE WHEN verdict='Ok' THEN n_after END AS BIGINT)
+         |    AS n_attrs
+         |FROM v ORDER BY req_id""".stripMargin,
 
     "gm1_group_admin" ->
       s"""WITH base AS (
