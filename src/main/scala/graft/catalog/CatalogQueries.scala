@@ -406,6 +406,65 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // CreateGroup admission (create_group.rs:81-116,354-362): owner cap
+    // from the quota user-cap ladder (override incl. explicit-unlimited,
+    // else realm default), zero-cap fast reject, cap-limited index scan.
+    "cg1_create_group" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val cls = o % 6
+      val owned = graft.Tables.customer(s, d).select(
+        concat(lit("u"), (col("c_custkey") % 40).cast("string"))
+          .as("user_id"),
+        concat(lit("og"), col("c_custkey").cast("string")).as("group_id"))
+      val caps = s.range(1, 4).select(
+        concat(lit("u"), col("id").cast("string")).as("user_id"),
+        when(col("id") === 2, 0L).when(col("id") === 3, 2L)
+          .otherwise(lit(null).cast("long")).as("max_groups"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 59 === 23).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(cls === 0, "u1").when(cls === 1, "u2").when(cls === 2, "u3")
+          .when(cls === 4, concat(lit("unew"), o.cast("string")))
+          .otherwise(concat(lit("u"), (o % 40).cast("string")))
+          .as("user_id"))
+      Creates.createGroupVerdicts(reqs, owned, caps, Some(3L))
+        .orderBy("req_id")
+    },
+
+    // GetMetadataDocument view ladder (get_metadata_document.rs:100-170):
+    // (group, document)-keyed registry read, Deleted-lifecycle hide
+    // (absent lifecycle fine), and the materialization cursor proof —
+    // only a status at EXACTLY the record's last_event_id proves the
+    // graph; matching non-Materialized is GraphNotFound, missing/stale
+    // serves unproven.
+    "gmd1_get_document" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val cls = o % 5
+      val doc = (o % 490).cast("long")
+      val registry = graft.sparql.RdfTables.registry(s, d)
+        .withColumn("last_event_id",
+          lpad(((col("document_id").cast("long") * 7) % 100000)
+            .cast("string"), 8, "0"))
+      val docs = graft.Tables.documents(s, d).select(
+        col("doc_id").cast("string").as("document_id"),
+        col("doc_id").as("n"))
+      val statuses = docs.filter(col("n") % 3 =!= 2).select(
+        col("document_id"),
+        lpad(when(col("n") % 5 === 1, (col("n") * 7 + 1) % 100000)
+          .otherwise((col("n") * 7) % 100000).cast("string"), 8, "0")
+          .as("status_event_id"),
+        when(col("n") % 11 === 4, "Pending").otherwise("Materialized")
+          .as("mat_state"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 61 === 31).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(cls === 0, "999999").otherwise(doc.cast("string"))
+          .as("document_id"),
+        when(cls === 1, "grp-x")
+          .otherwise(concat(lit("grp-"), (doc % 10).cast("string")))
+          .as("group_id"))
+      Directory.getDocuments(reqs, registry,
+        Directory.lifecycle(s, d), statuses).orderBy("req_id")
+    },
+
     // UpdateUser ladder (update_user.rs + user_update_validation.rs):
     // realm isolation + actor==auth-user, restricted-self refusal,
     // unrestricted self skipping the permission check, stored-id
@@ -3178,6 +3237,98 @@ object CatalogQueries {
          |       THEN CAST(COALESCE(base_usage,0) + used + size AS BIGINT)
          |       END AS quota_projected
          |FROM fin ORDER BY req_id""".stripMargin,
+
+    "cg1_create_group" ->
+      s"""WITH owned AS (
+         |  SELECT 'u'||(c_custkey%40) AS user_id,
+         |         'og'||c_custkey AS group_id
+         |  FROM customer),
+         |caps AS (
+         |  SELECT 'u'||r AS user_id,
+         |         CAST(CASE WHEN r=2 THEN 0 WHEN r=3 THEN 2 END AS BIGINT)
+         |           AS max_groups
+         |  FROM range(1,4) t(r)),
+         |cnts AS (SELECT user_id, COUNT(*) AS n_owned FROM owned
+         |         GROUP BY 1),
+         |reqs AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |    CASE o_orderkey%6 WHEN 0 THEN 'u1' WHEN 1 THEN 'u2'
+         |         WHEN 2 THEN 'u3'
+         |         WHEN 4 THEN 'unew'||o_orderkey
+         |         ELSE 'u'||(o_orderkey%40) END AS user_id
+         |  FROM orders WHERE o_orderkey%59 = 23),
+         |j AS (
+         |  SELECT r.req_id, r.user_id,
+         |    CASE WHEN c.user_id IS NOT NULL THEN c.max_groups
+         |         ELSE 3 END AS cap,
+         |    COALESCE(n.n_owned, 0) AS n
+         |  FROM reqs r
+         |  LEFT JOIN caps c ON c.user_id = r.user_id
+         |  LEFT JOIN cnts n ON n.user_id = r.user_id)
+         |SELECT req_id, user_id,
+         |  CASE WHEN cap IS NOT NULL AND n >= cap
+         |       THEN 'OwnedGroupLimitReached' ELSE 'Ok' END AS verdict,
+         |  CAST(cap AS BIGINT) AS limit,
+         |  CAST(CASE WHEN cap IS NOT NULL THEN least(n, cap)
+         |            ELSE n END AS BIGINT) AS owned_scanned
+         |FROM j ORDER BY req_id""".stripMargin,
+
+    "gmd1_get_document" ->
+      s"""WITH reg AS (
+         |  SELECT 'graph:'||doc_id AS graph_iri,
+         |         CAST(doc_id AS VARCHAR) AS document_id,
+         |         'grp-'||(doc_id%10) AS group_id,
+         |         doc_id%2=0 AS public,
+         |         lpad(CAST((doc_id*7)%100000 AS VARCHAR), 8, '0')
+         |           AS last_event_id
+         |  FROM documents),
+         |lc AS (
+         |  SELECT 'graph:'||doc_id AS graph_iri,
+         |         CASE WHEN doc_id%97=0 THEN 'Deleted'
+         |              ELSE 'Created' END AS status
+         |  FROM documents WHERE doc_id%97=0 OR doc_id%89=0),
+         |sts AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS document_id,
+         |         lpad(CAST(CASE WHEN doc_id%5=1 THEN (doc_id*7+1)%100000
+         |                        ELSE (doc_id*7)%100000 END AS VARCHAR),
+         |              8, '0') AS status_event_id,
+         |         CASE WHEN doc_id%11=4 THEN 'Pending'
+         |              ELSE 'Materialized' END AS mat_state
+         |  FROM documents WHERE doc_id%3 <> 2),
+         |reqs AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS req_id,
+         |    CASE WHEN o_orderkey%5=0 THEN '999999'
+         |         ELSE CAST(o_orderkey%490 AS VARCHAR) END AS document_id,
+         |    CASE WHEN o_orderkey%5=1 THEN 'grp-x'
+         |         ELSE 'grp-'||((o_orderkey%490)%10) END AS group_id
+         |  FROM orders WHERE o_orderkey%61 = 31),
+         |j AS (
+         |  SELECT r.req_id, g.graph_iri, g.public, g.last_event_id,
+         |         l.status, st.status_event_id, st.mat_state
+         |  FROM reqs r
+         |  LEFT JOIN reg g ON g.group_id = r.group_id
+         |    AND g.document_id = r.document_id
+         |  LEFT JOIN lc l ON l.graph_iri = g.graph_iri
+         |  LEFT JOIN sts st ON st.document_id = g.document_id
+         |    AND g.graph_iri IS NOT NULL),
+         |v AS (
+         |  SELECT *,
+         |    status_event_id IS NOT NULL AND
+         |      status_event_id = last_event_id AS cursor_match,
+         |    CASE WHEN graph_iri IS NULL THEN 'DocumentNotFound'
+         |         WHEN status = 'Deleted' THEN 'DocumentNotFound'
+         |         WHEN status_event_id IS NOT NULL AND
+         |              status_event_id = last_event_id AND
+         |              mat_state <> 'Materialized' THEN 'GraphNotFound'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM j)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN graph_iri END AS graph_iri,
+         |  CASE WHEN verdict='Ok' THEN public END AS public,
+         |  CASE WHEN verdict='Ok'
+         |       THEN cursor_match AND mat_state = 'Materialized' END
+         |    AS mat_proven
+         |FROM v ORDER BY req_id""".stripMargin,
 
     "uu1_update_user" ->
       s"""WITH base AS (

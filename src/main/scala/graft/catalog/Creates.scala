@@ -100,4 +100,36 @@ object Creates {
             .otherwise(col("user_group"))).as("group_id"),
         when(col("verdict") === "Ok", "Open").as("status"))
   }
+
+  /** CreateGroup admission (`create_group.rs:81-116,354-362`): the owner
+    * cap comes from the realm quota's `max_groups_for` ladder (sq1's
+    * user-cap overrides — per-user override else the realm default, None
+    * = unlimited). A zero cap rejects before any read; otherwise the
+    * owned-group index is scanned WITH LIMIT = cap and the create fails
+    * when the scan fills (`values.len() >= cap`). Output reports the
+    * limit that fired and the owned count the scan observed (capped at
+    * the limit — the reference never scans further).
+    *
+    * `requests(req_id, user_id)`; `owned(user_id, group_id)`;
+    * `caps(user_id, max_groups)`; `defaultCap` None = unlimited. */
+  def createGroupVerdicts(requests: DataFrame, owned: DataFrame,
+      caps: DataFrame, defaultCap: Option[Long]): DataFrame = {
+    val counts = owned.groupBy("user_id").agg(count(lit(1)).as("n_owned"))
+    val j = requests
+      .join(broadcast(caps.select(col("user_id"), col("max_groups"),
+        lit(true).as("has_cap"))), Seq("user_id"), "left")
+      .join(broadcast(counts), Seq("user_id"), "left")
+    val cap = when(col("has_cap"), col("max_groups"))
+      .otherwise(defaultCap.map(lit(_)).getOrElse(lit(null).cast("long")))
+    val nOwned = coalesce(col("n_owned"), lit(0L))
+    j.select(col("req_id"), col("user_id"),
+        cap.as("cap"), nOwned.as("__n"))
+      .select(col("req_id"), col("user_id"),
+        when(col("cap").isNotNull && col("__n") >= col("cap"),
+          "OwnedGroupLimitReached").otherwise("Ok").as("verdict"),
+        col("cap").as("limit"),
+        // the scan stops at the cap: observed = min(n, cap) when capped
+        when(col("cap").isNotNull, least(col("__n"), col("cap")))
+          .otherwise(col("__n")).as("owned_scanned"))
+  }
 }

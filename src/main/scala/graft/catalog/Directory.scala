@@ -256,4 +256,50 @@ object Directory {
         when(col("has_metadata"), coalesce(col("n"), lit(0L)))
           .as("n_documents"))
   }
+
+  /** GetMetadataDocument view resolution (`metadata/
+    * get_metadata_document.rs:118-170` — the read ladder BEFORE the
+    * RO-Crate export, which is jl2's contract):
+    *
+    *  1. the registry read is (group, document)-keyed — an unknown id OR
+    *     the wrong group is DocumentNotFound;
+    *  2. a graph-lifecycle record in Deleted state is DocumentNotFound
+    *     (an ABSENT lifecycle record is fine);
+    *  3. the materialization-status cursor proof (`:100-112`): registry
+    *     rows can replicate ahead of the document event, so only a status
+    *     recorded for EXACTLY this record's `last_event_id` proves
+    *     anything — a matching cursor in a non-Materialized state is
+    *     GraphNotFound; a missing or stale-cursor status serves the view
+    *     (unproven), a matching Materialized one serves it proven.
+    *
+    * Scale: registry/lifecycle/status are document-catalog relations; the
+    * request batch broadcasts into them. */
+  def getDocuments(requests: DataFrame, registry: DataFrame,
+      lifecycle: DataFrame, statuses: DataFrame): DataFrame = {
+    // probe the registry with the broadcast request keys (the registry is
+    // the corpus side), then hand the small hit set back to the batch
+    val hits = registry.join(broadcast(requests
+      .select("group_id", "document_id").distinct()),
+      Seq("group_id", "document_id"))
+    val j = requests
+      .join(broadcast(hits), Seq("group_id", "document_id"), "left")
+      .join(broadcast(lifecycle), Seq("graph_iri"), "left")
+      .join(broadcast(statuses), Seq("document_id"), "left")
+    val found = col("graph_iri").isNotNull
+    val cursorMatch = col("status_event_id").isNotNull &&
+      col("status_event_id") === col("last_event_id")
+    val verdict =
+      when(!found, "DocumentNotFound")
+        .when(col("status") === "Deleted", "DocumentNotFound")
+        .when(cursorMatch && col("mat_state") =!= "Materialized",
+          "GraphNotFound")
+        .otherwise("Ok")
+    val ok = col("verdict") === "Ok"
+    j.withColumn("verdict", verdict).select(
+      col("req_id"), col("verdict"),
+      when(ok, col("graph_iri")).as("graph_iri"),
+      when(ok, col("public")).as("public"),
+      when(ok, cursorMatch && col("mat_state") === "Materialized")
+        .as("mat_proven"))
+  }
 }
