@@ -114,7 +114,12 @@ object Creates {
     * `caps(user_id, max_groups)`; `defaultCap` None = unlimited. */
   def createGroupVerdicts(requests: DataFrame, owned: DataFrame,
       caps: DataFrame, defaultCap: Option[Long]): DataFrame = {
-    val counts = owned.groupBy("user_id").agg(count(lit(1)).as("n_owned"))
+    // the owned-group index is corpus-scale: probe it with broadcast
+    // request users; the per-user counts that come back are batch-bounded
+    val counts = owned
+      .join(broadcast(requests.select(col("user_id")).distinct()),
+        Seq("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_owned"))
     val j = requests
       .join(broadcast(caps.select(col("user_id"), col("max_groups"),
         lit(true).as("has_cap"))), Seq("user_id"), "left")

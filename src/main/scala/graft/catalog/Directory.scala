@@ -277,14 +277,20 @@ object Directory {
   def getDocuments(requests: DataFrame, registry: DataFrame,
       lifecycle: DataFrame, statuses: DataFrame): DataFrame = {
     // probe the registry with the broadcast request keys (the registry is
-    // the corpus side), then hand the small hit set back to the batch
+    // the corpus side), then hand the small hit set back to the batch;
+    // lifecycle/statuses are per-document keyspaces — probe them with the
+    // hit-set's keys too, never broadcast the corpus side
     val hits = registry.join(broadcast(requests
       .select("group_id", "document_id").distinct()),
       Seq("group_id", "document_id"))
+    val lifeHits = lifecycle.join(
+      broadcast(hits.select("graph_iri").distinct()), Seq("graph_iri"))
+    val statusHits = statuses.join(
+      broadcast(hits.select("document_id").distinct()), Seq("document_id"))
     val j = requests
       .join(broadcast(hits), Seq("group_id", "document_id"), "left")
-      .join(broadcast(lifecycle), Seq("graph_iri"), "left")
-      .join(broadcast(statuses), Seq("document_id"), "left")
+      .join(broadcast(lifeHits), Seq("graph_iri"), "left")
+      .join(broadcast(statusHits), Seq("document_id"), "left")
     val found = col("graph_iri").isNotNull
     val cursorMatch = col("status_event_id").isNotNull &&
       col("status_event_id") === col("last_event_id")

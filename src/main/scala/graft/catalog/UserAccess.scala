@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   *    reference's page loop filters on identity only; callers see dead
   *    credentials and their revocation state).
   *
-  * Scale: the credential keyspace is the corpus side; requests broadcast
-  * into it (point reads + one identity-grouped count). The reference's
-  * list is a full keyspace scan filtered client-side; here the identity
-  * filter pushes into the store scan — same results, index-served.
+  * Scale: the credential keyspace is the corpus side; request keys
+  * broadcast INTO it (point-read probe + an identity-grouped count over
+  * the probed identities only), and the bounded hit-sets join back
+  * broadcast. The reference's list is a full keyspace scan filtered
+  * client-side; here the identity filter pushes into the store scan —
+  * same results, index-served.
   */
 object UserAccess {
 
@@ -47,11 +49,22 @@ object UserAccess {
         length(col("key_id")) > AccessKeyMaxLen, "InvalidLength")
         .when(col("key_id").rlike("[^0-9A-Za-z]"), "NotAlphanumeric")
 
-    val byUser = creds.groupBy(col("user_id"))
+    // Probe the corpus-scale credential keyspace with broadcast request
+    // keys (the drs1/po1 shape); the resulting hit-sets are bounded by the
+    // request batch, so joining them back broadcast is safe at any scale.
+    val probeKeys = requests.select(col("key_id")).distinct()
+    val point = creds
+      .join(broadcast(probeKeys),
+        creds("access_key") === probeKeys("key_id"))
+      .select(col("key_id"), col("user_id").as("c_user"),
+        col("group_id").as("c_group"),
+        col("expiry_ms"), col("revoked_at_ms"))
+
+    val probeUsers = requests.filter(col("op") === "list")
+      .select(col("user_id")).distinct()
+    val byUser = creds.join(broadcast(probeUsers), Seq("user_id"))
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_creds"))
-    val point = creds.select(col("access_key").as("key_id"),
-      col("user_id").as("c_user"), col("group_id").as("c_group"),
-      col("expiry_ms"), col("revoked_at_ms"))
 
     val joined = requests
       .join(broadcast(point), Seq("key_id"), "left")

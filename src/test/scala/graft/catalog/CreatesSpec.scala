@@ -159,4 +159,55 @@ class CreatesSpec extends SparkSpec {
     val nodes = loc.map(_.getString(4)).toSet
     assert(Set("n7", "n8").subsetOf(nodes) && nodes.contains("n0"))
   }
+
+  test("createGroupVerdicts: override cap, default cap, zero cap, unlimited, " +
+    "cap-bounded scan (create_group.rs:81-116,354-362)") {
+    val owned = (1 to 5).map(i => ("u1", s"g$i")) ++
+      Seq(("u2", "gA"), ("u3", "gB"), ("u4", "gC"), ("u4", "gD"))
+    val caps = Seq(("u1", 3L), ("u2", 0L), ("u3", 10L))
+      .toDF("user_id", "max_groups")
+    val reqs = Seq(("r1", "u1"), ("r2", "u2"), ("r3", "u3"),
+      ("r4", "u4"), ("r5", "u9")).toDF("req_id", "user_id")
+    val out = Creates.createGroupVerdicts(reqs,
+      owned.toDF("user_id", "group_id"), caps, Some(2L))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), Option(r.get(3)), r.getLong(4)))).toMap
+    // u1: override cap 3 < 5 owned -> reject, scan stopped at the cap
+    assert(out("r1") == (("OwnedGroupLimitReached", Some(3L), 3L)))
+    // u2: zero cap rejects before any read
+    assert(out("r2") == (("OwnedGroupLimitReached", Some(0L), 0L)))
+    // u3: override 10, owns 1 -> Ok
+    assert(out("r3") == (("Ok", Some(10L), 1L)))
+    // u4: default cap 2, owns 2 -> full
+    assert(out("r4") == (("OwnedGroupLimitReached", Some(2L), 2L)))
+    // u9: owns nothing
+    assert(out("r5") == (("Ok", Some(2L), 0L)))
+  }
+
+  test("createGroupVerdicts with no default cap is unlimited") {
+    val owned = (1 to 50).map(i => ("u1", s"g$i")).toDF("user_id", "group_id")
+    val caps = Seq.empty[(String, Long)].toDF("user_id", "max_groups")
+    val out = Creates.createGroupVerdicts(
+      Seq(("r1", "u1")).toDF("req_id", "user_id"), owned, caps, None)
+      .collect().head
+    assert(out.getString(2) == "Ok" && out.isNullAt(3) && out.getLong(4) == 50L)
+  }
+
+  test("createGroupVerdicts plan: owned-group index probed, never " +
+    "broadcast whole") {
+    val owned = spark.range(100000).selectExpr(
+      "concat('u', id % 5000) AS user_id", "concat('g', id) AS group_id")
+    val caps = Seq(("u1", 3L)).toDF("user_id", "max_groups")
+    val out = Creates.createGroupVerdicts(
+      Seq(("r1", "u1"), ("r2", "u2")).toDF("req_id", "user_id"),
+      owned, caps, Some(100L))
+    assert(out.collect().length == 2)
+    val bad = out.queryExecution.executedPlan.collect {
+      case p if p.nodeName.contains("BroadcastExchange") &&
+        p.collectLeaves().exists(_.nodeName.contains("Range")) &&
+        !p.toString.contains("Join") => p
+    }
+    assert(bad.isEmpty,
+      s"owned-group index broadcast without a probe join:\n${bad.mkString}")
+  }
 }

@@ -75,4 +75,65 @@ class DirectorySpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq.sorted
     assert(out == Seq("1", "3")) // 2 deleted, 3 survives, 4 other group
   }
+
+  private lazy val docRegistry = Seq(
+    ("graph:1", "1", "grp-1", true, "00000007"),
+    ("graph:2", "2", "grp-1", false, "00000014"),
+    ("graph:3", "3", "grp-1", true, "00000021"),
+    ("graph:4", "4", "grp-1", true, "00000028")
+  ).toDF("graph_iri", "document_id", "group_id", "public", "last_event_id")
+
+  test("getDocuments: not-found / wrong-group / deleted / cursor-proof arms " +
+    "(get_metadata_document.rs:100-170)") {
+    val lc = Seq(("graph:2", "Deleted")).toDF("graph_iri", "status")
+    val sts = Seq(
+      ("1", "00000007", "Materialized"), // exact cursor, proven
+      ("3", "00000021", "Pending"),      // exact cursor, NOT materialized
+      ("4", "00000099", "Pending")       // stale cursor: proves nothing
+    ).toDF("document_id", "status_event_id", "mat_state")
+    val reqs = Seq(
+      ("r1", "grp-1", "1"),   // Ok, proven
+      ("r2", "grp-1", "2"),   // deleted
+      ("r3", "grp-1", "3"),   // cursor match + non-Materialized -> GraphNotFound
+      ("r4", "grp-1", "4"),   // stale cursor -> served unproven
+      ("r5", "grp-x", "1"),   // wrong group
+      ("r6", "grp-1", "999")  // unknown id
+    ).toDF("req_id", "group_id", "document_id")
+    val out = Directory.getDocuments(reqs, docRegistry, lc, sts)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(4))))).toMap
+    assert(out("r1") == (("Ok", Some("graph:1"), Some(true))))
+    assert(out("r2")._1 == "DocumentNotFound")
+    assert(out("r3")._1 == "GraphNotFound")
+    assert(out("r4") == (("Ok", Some("graph:4"), Some(false))))
+    assert(out("r5")._1 == "DocumentNotFound")
+    assert(out("r6")._1 == "DocumentNotFound")
+  }
+
+  test("getDocuments plan: registry/lifecycle/status keyspaces probed, " +
+    "never broadcast whole") {
+    val reg = spark.range(50000).selectExpr(
+      "concat('graph:', id) AS graph_iri",
+      "CAST(id AS STRING) AS document_id",
+      "concat('grp-', id % 10) AS group_id", "id % 2 = 0 AS public",
+      "lpad(CAST(id * 7 % 100000 AS STRING), 8, '0') AS last_event_id")
+    val lc = spark.range(50000).selectExpr(
+      "concat('graph:', id) AS graph_iri",
+      "CASE WHEN id % 97 = 0 THEN 'Deleted' ELSE 'Created' END AS status")
+    val sts = spark.range(50000).selectExpr(
+      "CAST(id AS STRING) AS document_id",
+      "lpad(CAST(id * 7 % 100000 AS STRING), 8, '0') AS status_event_id",
+      "'Materialized' AS mat_state")
+    val reqs = Seq(("r1", "grp-1", "1"), ("r2", "grp-2", "2"))
+      .toDF("req_id", "group_id", "document_id")
+    val out = Directory.getDocuments(reqs, reg, lc, sts)
+    assert(out.collect().length == 2)
+    val bad = out.queryExecution.executedPlan.collect {
+      case p if p.nodeName.contains("BroadcastExchange") &&
+        p.collectLeaves().exists(_.nodeName.contains("Range")) &&
+        !p.toString.contains("Join") => p
+    }
+    assert(bad.isEmpty,
+      s"document keyspace broadcast without a probe join:\n${bad.mkString}")
+  }
 }

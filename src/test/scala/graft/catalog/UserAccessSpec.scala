@@ -67,4 +67,26 @@ class UserAccessSpec extends SparkSpec {
     assert(out("r1").getLong(8) == 2L)
     assert(out("r2").getString(2) == "Ok" && out("r2").getLong(8) == 0L)
   }
+
+  test("plan: the credential keyspace is probed, never broadcast whole") {
+    // corpus side from range (shows as a Range leaf); a reverted
+    // broadcast(creds) would put the Range under a BroadcastExchange with
+    // no probe join inside it
+    val bigCreds = spark.range(100000).selectExpr(
+      "concat('AK', id) AS access_key", "concat('u', id % 1000) AS user_id",
+      "'g1' AS group_id", "id AS expiry_ms",
+      "CAST(NULL AS BIGINT) AS revoked_at_ms")
+    val reqs = Seq(("r1", "get", "AK7", "u1", 0L),
+      ("r2", "list", "x", "u2", 0L))
+      .toDF("req_id", "op", "key_id", "user_id", "now_ms")
+    val out = UserAccess.verdicts(reqs, bigCreds)
+    assert(out.collect().length == 2)
+    val bad = out.queryExecution.executedPlan.collect {
+      case p if p.nodeName.contains("BroadcastExchange") &&
+        p.collectLeaves().exists(_.nodeName.contains("Range")) &&
+        !p.toString.contains("Join") => p
+    }
+    assert(bad.isEmpty,
+      s"credential keyspace broadcast without a probe join:\n${bad.mkString}")
+  }
 }
