@@ -465,6 +465,115 @@ object CatalogQueries {
         Directory.lifecycle(s, d), statuses).orderBy("req_id")
     },
 
+    // UploadPart admission ladder (upload_part.rs:139-155,186-223,328-345):
+    // pin read + target/status validation, post-write cleanup arms (stream
+    // vs server fault distinct), content-length guard, ordered
+    // expected-checksum walk, the transactional re-read (same verdict
+    // strings WITH rollback), replaced-part cleanup + backend pin on Ok.
+    "up1_upload_part" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val m = (o / 17).cast("long") % 13
+      val sz = ((o % 1000) + 1) * 1024L
+      val rid = concat(lit("up"), lpad(o.cast("string"), 12, "0"))
+      val sha = md5(concat(lit("s:"), rid))
+      val up = ObjectTables.uploads(s, d).withColumn("backend",
+        concat(lit("be-"), (col("upload_id").cast("long") % 3).cast("string")))
+      val reqs = graft.Tables.orders(s, d).filter(o % 17 === 0).select(
+        rid.as("req_id"),
+        when(m === 0, "999999999999")
+          .otherwise(lpad(o.cast("string"), 12, "0")).as("upload_id"),
+        concat(lit("bkt-"), (col("o_custkey") % 4).cast("string"))
+          .as("bucket"),
+        when(m === 1, "wrong/key.bin")
+          .otherwise(concat(lit("mp/d"), (col("o_custkey") % 10).cast("string"),
+            lit("/u"), (o % 200).cast("string"), lit(".bin"))).as("key"),
+        ((o % 40) + 1).cast("int").as("part_number"),
+        (m =!= 3).as("has_body"),
+        (m === 4).as("stream_failed"),
+        (m === 5).as("blob_error"),
+        when(m <= 2, lit(null).cast("long"))
+          .when(m === 6, sz + 1).otherwise(sz).as("content_length"),
+        sz.as("size"),
+        when(m === 7, "CRC64NVME").when(m === 8 || m === 9, "SHA256")
+          .otherwise(lit(null).cast("string")).as("exp1_algo"),
+        when(m === 8, lit("deadbeef")).when(m === 9, sha)
+          .otherwise(lit(null).cast("string")).as("exp1_digest"),
+        when(m === 9, "CRC32").otherwise(lit(null).cast("string"))
+          .as("exp2_algo"),
+        when(m === 9, lit("badc0de")).otherwise(lit(null).cast("string"))
+          .as("exp2_digest"),
+        when(m === 10, "Aborted").when(m === 11, "Gone")
+          .otherwise(lit(null).cast("string")).as("concurrent_status"))
+      UploadPart.verdicts(reqs, up, ObjectTables.parts(s, d))
+        .orderBy("req_id")
+    },
+
+    // OIDC register-or-get fold (register_or_get_oidc_user.rs:154-345):
+    // structured subject key, index hit -> adopt (no announce), miss ->
+    // create under the request's fresh id, in-batch same-claim requests
+    // resolve first-wins (the second adopts the first's id).
+    "og1_oidc_register" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val c = col("c_custkey")
+      val idx = graft.Tables.customer(s, d).filter(c % 3 === 0).select(
+        Oidc.subjectKey(
+          concat(lit("https://idp-"), (c % 5).cast("string"), lit(".example")),
+          concat(lit("sub-"), c.cast("string"))).as("subject_key"),
+        concat(lit("U"), lpad(c.cast("string"), 8, "0")).as("user_id"))
+      val x = o % 1500
+      val reqs = graft.Tables.orders(s, d).filter(o % 31 === 0).select(
+        o.as("seq"),
+        concat(lit("rg"), lpad(o.cast("string"), 12, "0")).as("req_id"),
+        concat(lit("https://idp-"), (x % 5).cast("string"), lit(".example"))
+          .as("issuer"),
+        concat(lit("sub-"), x.cast("string")).as("sub"),
+        concat(lit("N"), lpad(o.cast("string"), 12, "0")).as("new_user_id"))
+      Oidc.registerOrGet(reqs, idx).orderBy("req_id")
+    },
+
+    // Canonical-subject walk (ensure_canonical_user_token_subject.rs):
+    // user read (absent/corrupt -> Unauthorized), empty claim list -> Ok
+    // with zero reads, ordered index walk stopping at the first absent or
+    // foreign-pointing row (Forbidden), n_checked = reads issued.
+    "ecs1_canonical_subject" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val c = col("c_custkey")
+      val cust = graft.Tables.customer(s, d)
+      val users = cust.select(
+        concat(lit("U"), lpad(c.cast("string"), 8, "0")).as("user_id"),
+        when(c % 97 === 0, concat(lit("X"), lpad(c.cast("string"), 8, "0")))
+          .otherwise(concat(lit("U"), lpad(c.cast("string"), 8, "0")))
+          .as("stored_id"))
+      val subj = cust.filter(c % 11 =!= 0)
+        .select(c, explode(sequence(lit(0L), c % 4)).as("ord"))
+        .select(
+          concat(lit("U"), lpad(c.cast("string"), 8, "0")).as("user_id"),
+          col("ord"),
+          Oidc.subjectKey(
+            concat(lit("https://idp-"), (c % 5).cast("string"),
+              lit(".example")),
+            concat(lit("sub-"), c.cast("string"), lit("-"),
+              col("ord").cast("string"))).as("subject_key"))
+      val idx = cust.filter(c % 11 =!= 0)
+        .select(c, explode(sequence(lit(0L), c % 4)).as("ord"))
+        .filter((c + col("ord")) % 13 =!= 0)
+        .select(
+          Oidc.subjectKey(
+            concat(lit("https://idp-"), (c % 5).cast("string"),
+              lit(".example")),
+            concat(lit("sub-"), c.cast("string"), lit("-"),
+              col("ord").cast("string"))).as("subject_key"),
+          when((c + col("ord")) % 17 === 0,
+            concat(lit("U"), lpad((c + 1).cast("string"), 8, "0")))
+            .otherwise(concat(lit("U"), lpad(c.cast("string"), 8, "0")))
+            .as("user_id"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 37 === 0).select(
+        concat(lit("ecs"), lpad(o.cast("string"), 12, "0")).as("req_id"),
+        concat(lit("U"), lpad((o % 1600).cast("string"), 8, "0"))
+          .as("user_id"))
+      Oidc.canonicalSubject(reqs, users, subj, idx).orderBy("req_id")
+    },
+
     // UpdateUser ladder (update_user.rs + user_update_validation.rs):
     // realm isolation + actor==auth-user, restricted-self refusal,
     // unrestricted self skipping the permission check, stored-id
@@ -3329,6 +3438,162 @@ object CatalogQueries {
          |       THEN cursor_match AND mat_state = 'Materialized' END
          |    AS mat_proven
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "up1_upload_part" ->
+      s"""WITH ${ObjectTables.uploadsCte}, ${ObjectTables.partsCte},
+         |up AS (SELECT uploads.*,
+         |         'be-'||(CAST(upload_id AS BIGINT)%3) AS backend
+         |       FROM uploads),
+         |req AS (
+         |  SELECT 'up'||lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN m=0 THEN '999999999999'
+         |         ELSE lpad(CAST(o_orderkey AS VARCHAR),12,'0') END
+         |      AS upload_id,
+         |    'bkt-'||(o_custkey%4) AS bucket,
+         |    CASE WHEN m=1 THEN 'wrong/key.bin'
+         |         ELSE 'mp/d'||(o_custkey%10)||'/u'||(o_orderkey%200)||'.bin'
+         |         END AS key,
+         |    CAST((o_orderkey%40)+1 AS INT) AS part_number,
+         |    m<>3 AS has_body, m=4 AS stream_failed, m=5 AS blob_error,
+         |    CASE WHEN m<=2 THEN NULL WHEN m=6 THEN sz+1 ELSE sz END
+         |      AS content_length,
+         |    sz AS size,
+         |    CASE WHEN m=7 THEN 'CRC64NVME'
+         |         WHEN m IN (8,9) THEN 'SHA256' END AS exp1_algo,
+         |    CASE WHEN m=8 THEN 'deadbeef'
+         |         WHEN m=9 THEN
+         |           md5('s:up'||lpad(CAST(o_orderkey AS VARCHAR),12,'0'))
+         |         END AS exp1_digest,
+         |    CASE WHEN m=9 THEN 'CRC32' END AS exp2_algo,
+         |    CASE WHEN m=9 THEN 'badc0de' END AS exp2_digest,
+         |    CASE WHEN m=10 THEN 'Aborted'
+         |         WHEN m=11 THEN 'Gone' END AS concurrent_status
+         |  FROM (SELECT *, (o_orderkey//17)%13 AS m,
+         |          CAST(((o_orderkey%1000)+1)*1024 AS BIGINT) AS sz
+         |        FROM orders WHERE o_orderkey%17=0)),
+         |j AS (
+         |  SELECT r.*, u.bucket AS u_bucket, u.key AS u_key,
+         |         u.status AS u_status, u.backend AS u_backend,
+         |         p.size AS old_size, p.part_number IS NOT NULL AS part_exists,
+         |         CASE WHEN r.exp1_algo='SHA256' THEN md5('s:'||r.req_id)
+         |              WHEN r.exp1_algo='CRC32' THEN md5('c:'||r.req_id) END
+         |           AS c1,
+         |         CASE WHEN r.exp2_algo='SHA256' THEN md5('s:'||r.req_id)
+         |              WHEN r.exp2_algo='CRC32' THEN md5('c:'||r.req_id) END
+         |           AS c2
+         |  FROM req r
+         |  LEFT JOIN up u USING (upload_id)
+         |  LEFT JOIN parts p USING (upload_id, part_number)),
+         |v AS (
+         |  SELECT *,
+         |    u_bucket IS NULL OR u_bucket<>bucket OR u_key<>key OR
+         |      u_status<>'Open' OR NOT has_body AS pre_write,
+         |    CASE WHEN u_bucket IS NULL THEN 'NoSuchUpload'
+         |         WHEN u_bucket<>bucket OR u_key<>key
+         |           THEN 'UploadTargetMismatch'
+         |         WHEN u_status<>'Open' THEN 'UploadNotOpen'
+         |         WHEN NOT has_body THEN 'MissingBody'
+         |         WHEN stream_failed THEN 'WriteFailed'
+         |         WHEN blob_error THEN 'BlobWriteFailed'
+         |         WHEN content_length IS NOT NULL AND content_length<>size
+         |           THEN 'IncompleteBody'
+         |         WHEN exp1_algo IS NOT NULL AND c1 IS NULL
+         |           THEN 'MissingExpectedChecksum:'||exp1_algo
+         |         WHEN exp1_algo IS NOT NULL AND c1<>exp1_digest
+         |           THEN 'ChecksumMismatch:'||exp1_algo
+         |         WHEN exp2_algo IS NOT NULL AND c2 IS NULL
+         |           THEN 'MissingExpectedChecksum:'||exp2_algo
+         |         WHEN exp2_algo IS NOT NULL AND c2<>exp2_digest
+         |           THEN 'ChecksumMismatch:'||exp2_algo
+         |         WHEN concurrent_status='Gone' THEN 'NoSuchUpload'
+         |         WHEN COALESCE(concurrent_status,u_status)<>'Open'
+         |           THEN 'UploadNotOpen'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM j)
+         |SELECT req_id, verdict,
+         |  verdict<>'Ok' AND NOT pre_write AS rollback_delete,
+         |  verdict='Ok' AND COALESCE(part_exists,false) AS replaced_cleanup,
+         |  CASE WHEN verdict='Ok' AND COALESCE(part_exists,false)
+         |       THEN old_size END AS replaced_size,
+         |  CASE WHEN verdict='Ok' THEN size END AS part_size,
+         |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "og1_oidc_register" ->
+      s"""WITH idx AS (
+         |  SELECT '{"kind":"oidc","issuer":"https://idp-'||(c_custkey%5)||
+         |           '.example","sub":"sub-'||c_custkey||'"}' AS subject_key,
+         |         'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') AS user_id
+         |  FROM customer WHERE c_custkey%3=0),
+         |req AS (
+         |  SELECT o_orderkey AS seq,
+         |    'rg'||lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    '{"kind":"oidc","issuer":"https://idp-'||((o_orderkey%1500)%5)||
+         |      '.example","sub":"sub-'||(o_orderkey%1500)||'"}'
+         |      AS subject_key,
+         |    'N'||lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS new_user_id
+         |  FROM orders WHERE o_orderkey%31=0),
+         |j AS (
+         |  SELECT r.*, i.user_id AS indexed_user,
+         |    ROW_NUMBER() OVER (PARTITION BY r.subject_key ORDER BY r.seq)
+         |      AS nth,
+         |    FIRST_VALUE(r.new_user_id) OVER (PARTITION BY r.subject_key
+         |      ORDER BY r.seq) AS first_new
+         |  FROM req r LEFT JOIN idx i USING (subject_key))
+         |SELECT req_id, subject_key,
+         |  CASE WHEN indexed_user IS NOT NULL OR nth>1 THEN 'Adopted'
+         |       ELSE 'Created' END AS mode,
+         |  COALESCE(indexed_user, CASE WHEN nth>1 THEN first_new END,
+         |    new_user_id) AS user_id,
+         |  indexed_user IS NULL AND nth=1 AS announce
+         |FROM j ORDER BY req_id""".stripMargin,
+
+    "ecs1_canonical_subject" ->
+      s"""WITH ords AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(ord)),
+         |users AS (
+         |  SELECT 'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') AS user_id,
+         |    CASE WHEN c_custkey%97=0
+         |         THEN 'X'||lpad(CAST(c_custkey AS VARCHAR),8,'0')
+         |         ELSE 'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') END
+         |      AS stored_id
+         |  FROM customer),
+         |subj AS (
+         |  SELECT 'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') AS user_id,
+         |    ord, c_custkey,
+         |    '{"kind":"oidc","issuer":"https://idp-'||(c_custkey%5)||
+         |      '.example","sub":"sub-'||c_custkey||'-'||ord||'"}'
+         |      AS subject_key
+         |  FROM customer CROSS JOIN ords
+         |  WHERE c_custkey%11<>0 AND ord <= c_custkey%4),
+         |idx AS (
+         |  SELECT subject_key,
+         |    CASE WHEN (c_custkey+ord)%17=0
+         |         THEN 'U'||lpad(CAST(c_custkey+1 AS VARCHAR),8,'0')
+         |         ELSE user_id END AS iuser
+         |  FROM subj WHERE (c_custkey+ord)%13<>0),
+         |walk AS (
+         |  SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+         |    MIN(CASE WHEN i.iuser IS NULL OR i.iuser<>s.user_id
+         |             THEN s.ord END) AS first_fail_ord
+         |  FROM subj s LEFT JOIN idx i ON s.subject_key=i.subject_key
+         |  GROUP BY 1),
+         |req AS (
+         |  SELECT 'ecs'||lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |         'U'||lpad(CAST(o_orderkey%1600 AS VARCHAR),8,'0')
+         |           AS user_id
+         |  FROM orders WHERE o_orderkey%37=0)
+         |SELECT r.req_id,
+         |  CASE WHEN u.stored_id IS NULL OR u.stored_id<>r.user_id
+         |         THEN 'Unauthorized'
+         |       WHEN w.first_fail_ord IS NOT NULL THEN 'Forbidden'
+         |       ELSE 'Ok' END AS verdict,
+         |  CASE WHEN u.stored_id IS NULL OR u.stored_id<>r.user_id THEN NULL
+         |       ELSE CAST(COALESCE(w.first_fail_ord+1, w.n_subjects, 0)
+         |                 AS BIGINT) END AS n_checked
+         |FROM req r
+         |LEFT JOIN users u USING (user_id)
+         |LEFT JOIN walk w ON w.user_id = r.user_id
+         |ORDER BY req_id""".stripMargin,
 
     "uu1_update_user" ->
       s"""WITH base AS (
