@@ -508,6 +508,113 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // CreateMetadataDocument admission (create_metadata_document.rs):
+    // payload-valid gate, registry existence, acceptance-fence idempotent
+    // replay vs conflict (exact-config match), in-batch first-wins fold,
+    // placement-from-id fail-closed arms, derived record fields.
+    "cmd1_create_document" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 41).cast("long") % 6
+      val x = o % 600
+      val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 600)
+      val did = concat(lit("D"), lpad(col("doc_id").cast("string"), 6, "0"))
+      val registry = docs.filter(col("doc_id") % 7 === 0)
+        .select(did.as("document_id"))
+      val acceptance = docs.filter(col("doc_id") % 13 === 0).select(
+        did.as("document_id"), lit("r1").as("a_realm"),
+        concat(lit("g"), (col("doc_id") % 5).cast("string")).as("a_group"),
+        concat(lit("p/"), col("doc_id").cast("string")).as("a_path"),
+        (col("doc_id") % 2 === 0).as("a_public"),
+        concat(lit("E"), lpad(col("doc_id").cast("string"), 8, "0"))
+          .as("a_event_id"))
+      val placements = docs.filter(col("doc_id") % 37 =!= 0).select(
+        did.as("document_id"),
+        when(col("doc_id") % 31 === 0, "Workspace").otherwise("Metadata")
+          .as("doc_class"),
+        when(col("doc_id") % 2 === 0, "Realm").otherwise("Group")
+          .as("scope_kind"),
+        when(col("doc_id") % 2 === 0,
+          when(col("doc_id") % 29 === 0, "r2").otherwise("r1"))
+          .otherwise(when(col("doc_id") % 23 === 0, "g-x")
+            .otherwise(concat(lit("g"), (col("doc_id") % 5).cast("string"))))
+          .as("scope_id"),
+        (col("doc_id") % 19 =!= 0).as("is_holder"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 41 === 0).select(
+        o.as("seq"),
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("D"), lpad(x.cast("string"), 6, "0")).as("document_id"),
+        lit("r1").as("realm_id"),
+        concat(lit("g"), (x % 5).cast("string")).as("group_id"),
+        when(k === 0, concat(lit("  /p/"), x.cast("string"), lit("/ ")))
+          .otherwise(concat(lit("p/"), x.cast("string")))
+          .as("document_path"),
+        when(k === 1, x % 2 =!= 0).otherwise(x % 2 === 0).as("public"),
+        (k =!= 2).as("payload_valid"),
+        (k === 3).as("skip_existing"))
+      MetadataDocs.createVerdicts(reqs, registry, acceptance, placements)
+        .orderBy("req_id")
+    },
+
+    // DeleteMetadataDocument verdicts (delete_metadata_document.rs):
+    // (group,document)-keyed read, in-batch second delete NotFound,
+    // tombstone + deleted_after_event_id + prune job + 3 outbox records.
+    "dmd1_delete_document" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val cls = (o / 53).cast("long") % 4
+      val doc = o % 97
+      val registry = graft.sparql.RdfTables.registry(s, d)
+        .withColumn("last_event_id",
+          lpad(((col("document_id").cast("long") * 7) % 100000)
+            .cast("string"), 8, "0"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 53 === 0).select(
+        o.as("seq"),
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(cls === 1, "grp-x")
+          .otherwise(concat(lit("grp-"), (doc % 10).cast("string")))
+          .as("group_id"),
+        when(cls === 0, "999999").otherwise(doc.cast("string"))
+          .as("document_id"))
+      MetadataDocs.deleteVerdicts(reqs, registry).orderBy("req_id")
+    },
+
+    // UpdateMetadataDocument non-payload ladder
+    // (update_metadata_document.rs:130-169,360-470): NotFound before
+    // validation, crate revalidation for ReplaceRoCrate, the real
+    // validate_entity_jsonld rules for the upserts (EntityJson UDF over
+    // constructed JSON), public flip + audit op + materialization drain.
+    "umd1_update_document" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 67).cast("long") % 11
+      val doc = o % 490
+      val registry = graft.sparql.RdfTables.registry(s, d)
+      val xs = o.cast("string")
+      val jsonld =
+        when(k === 2, concat(lit("{\"@id\":\"e-"), xs,
+          lit("\",\"@type\":\"Dataset\",\"name\":\"doc "), xs, lit("\"}")))
+          .when(k === 3, concat(lit("{\"@id\":\"e-"), xs,
+            lit("\",\"@type\":[\"Dataset\",\"Thing\"],\"name\":\"doc "),
+            xs, lit("\"}")))
+          .when(k === 4, "{oops")
+          .when(k === 5, "[1, 2]")
+          .when(k === 6, """{"@graph":[],"@id":"e","@type":"T","name":"n"}""")
+          .when(k === 7, """{"@id":"   ","@type":"T","name":"n"}""")
+          .when(k === 8, """{"@id":"e","name":"n"}""")
+          .when(k === 9, """{"@id":"e","@type":[],"name":"n"}""")
+          .when(k === 10, """{"@id":"e","@type":"T"}""")
+      val reqs = graft.Tables.orders(s, d).filter(o % 67 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("grp-"), (doc % 10).cast("string")).as("group_id"),
+        when(o % 13 === 0, "999999").otherwise(doc.cast("string"))
+          .as("document_id"),
+        (o % 3 === 0).as("public"),
+        when(k <= 1, "ReplaceRoCrate")
+          .when(k % 2 === 0, "UpsertDataEntity")
+          .otherwise("UpsertContextualEntity").as("mutation"),
+        jsonld.as("jsonld"),
+        (k =!= 1).as("crate_valid"))
+      MetadataDocs.updateVerdicts(reqs, registry).orderBy("req_id")
+    },
+
     // OIDC register-or-get fold (register_or_get_oidc_user.rs:154-345):
     // structured subject key, index hit -> adopt (no announce), miss ->
     // create under the request's fresh id, in-batch same-claim requests
@@ -3517,6 +3624,178 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "cmd1_create_document" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+         |reg AS (SELECT 'D'||lpad(CAST(doc_id AS VARCHAR),6,'0')
+         |          AS document_id FROM docs WHERE doc_id%7=0),
+         |acc AS (
+         |  SELECT 'D'||lpad(CAST(doc_id AS VARCHAR),6,'0') AS document_id,
+         |         'r1' AS a_realm, 'g'||(doc_id%5) AS a_group,
+         |         'p/'||doc_id AS a_path, doc_id%2=0 AS a_public,
+         |         'E'||lpad(CAST(doc_id AS VARCHAR),8,'0') AS a_event_id
+         |  FROM docs WHERE doc_id%13=0),
+         |plc AS (
+         |  SELECT 'D'||lpad(CAST(doc_id AS VARCHAR),6,'0') AS document_id,
+         |    CASE WHEN doc_id%31=0 THEN 'Workspace' ELSE 'Metadata' END
+         |      AS doc_class,
+         |    CASE WHEN doc_id%2=0 THEN 'Realm' ELSE 'Group' END AS scope_kind,
+         |    CASE WHEN doc_id%2=0 THEN
+         |           CASE WHEN doc_id%29=0 THEN 'r2' ELSE 'r1' END
+         |         ELSE CASE WHEN doc_id%23=0 THEN 'g-x'
+         |                   ELSE 'g'||(doc_id%5) END END AS scope_id,
+         |    doc_id%19<>0 AS is_holder
+         |  FROM docs WHERE doc_id%37<>0),
+         |req AS (
+         |  SELECT o_orderkey AS seq,
+         |    lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    'D'||lpad(CAST(x AS VARCHAR),6,'0') AS document_id,
+         |    'r1' AS realm_id, 'g'||(x%5) AS group_id,
+         |    CASE WHEN k=0 THEN '  /p/'||x||'/ ' ELSE 'p/'||x END
+         |      AS document_path,
+         |    CASE WHEN k=1 THEN x%2<>0 ELSE x%2=0 END AS public,
+         |    k<>2 AS payload_valid, k=3 AS skip_existing
+         |  FROM (SELECT *, (o_orderkey//41)%6 AS k, o_orderkey%600 AS x
+         |        FROM orders WHERE o_orderkey%41=0)),
+         |j AS (
+         |  SELECT r.*, trim(trim(r.document_path), '/') AS norm_path,
+         |    g.document_id IS NOT NULL AS in_registry,
+         |    a.a_realm, a.a_group, a.a_path, a.a_public, a.a_event_id,
+         |    p.doc_class, p.scope_kind, p.scope_id, p.is_holder
+         |  FROM req r
+         |  LEFT JOIN reg g USING (document_id)
+         |  LEFT JOIN acc a USING (document_id)
+         |  LEFT JOIN plc p USING (document_id)),
+         |v0 AS (
+         |  SELECT *,
+         |    CASE WHEN NOT payload_valid THEN 'InvalidInput'
+         |         WHEN in_registry AND NOT skip_existing
+         |           THEN 'DocumentAlreadyExists'
+         |         WHEN a_event_id IS NOT NULL THEN
+         |           CASE WHEN a_realm=realm_id AND a_group=group_id AND
+         |                     a_path=norm_path AND a_public=public
+         |                THEN 'OkReplayed' ELSE 'DocumentAlreadyExists' END
+         |         WHEN doc_class IS NULL OR doc_class<>'Metadata' OR NOT (
+         |           (scope_kind='Realm' AND scope_id=realm_id) OR
+         |           (scope_kind='Group' AND scope_id=group_id))
+         |           THEN 'PlacementBindingUnavailable'
+         |         WHEN NOT is_holder THEN 'OriginHoldsNoBucket'
+         |         ELSE 'Ok' END AS verdict0
+         |  FROM j),
+         |v1 AS (
+         |  SELECT *,
+         |    MIN(CASE WHEN verdict0='Ok' THEN seq END)
+         |      OVER (PARTITION BY document_id) AS first_ok_seq
+         |  FROM v0),
+         |v2 AS (
+         |  SELECT *,
+         |    MAX(CASE WHEN seq=first_ok_seq THEN realm_id END)
+         |      OVER (PARTITION BY document_id) AS w_realm,
+         |    MAX(CASE WHEN seq=first_ok_seq THEN group_id END)
+         |      OVER (PARTITION BY document_id) AS w_group,
+         |    MAX(CASE WHEN seq=first_ok_seq THEN norm_path END)
+         |      OVER (PARTITION BY document_id) AS w_path,
+         |    MAX(CASE WHEN seq=first_ok_seq THEN public END)
+         |      OVER (PARTITION BY document_id) AS w_public
+         |  FROM v1),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN first_ok_seq IS NOT NULL AND seq > first_ok_seq AND
+         |              verdict0 NOT IN ('InvalidInput',
+         |                'DocumentAlreadyExists', 'OkReplayed') THEN
+         |           CASE WHEN w_realm=realm_id AND w_group=group_id AND
+         |                     w_path=norm_path AND w_public=public
+         |                THEN 'OkReplayed' ELSE 'DocumentAlreadyExists' END
+         |         ELSE verdict0 END AS verdict
+         |  FROM v2)
+         |SELECT req_id, verdict, verdict='OkReplayed' AS replayed,
+         |  CASE WHEN verdict IN ('Ok','OkReplayed')
+         |       THEN 'https://w3id.org/aruna/'||document_id END AS graph_iri,
+         |  CASE WHEN verdict IN ('Ok','OkReplayed') THEN norm_path END
+         |    AS norm_path,
+         |  CASE WHEN verdict IN ('Ok','OkReplayed')
+         |       THEN '/'||realm_id||'/g/'||group_id||'/meta/'||norm_path||
+         |            '@'||document_id END AS permission_path,
+         |  CASE WHEN verdict='OkReplayed' THEN a_event_id END
+         |    AS replayed_event_id
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "dmd1_delete_document" ->
+      s"""WITH reg AS (
+         |  SELECT 'graph:'||doc_id AS graph_iri,
+         |         CAST(doc_id AS VARCHAR) AS document_id,
+         |         'grp-'||(doc_id%10) AS group_id,
+         |         lpad(CAST((doc_id*7)%100000 AS VARCHAR),8,'0')
+         |           AS last_event_id
+         |  FROM documents),
+         |req AS (
+         |  SELECT o_orderkey AS seq,
+         |    lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN cls=1 THEN 'grp-x'
+         |         ELSE 'grp-'||((o_orderkey%97)%10) END AS group_id,
+         |    CASE WHEN cls=0 THEN '999999'
+         |         ELSE CAST(o_orderkey%97 AS VARCHAR) END AS document_id
+         |  FROM (SELECT *, (o_orderkey//53)%4 AS cls FROM orders
+         |        WHERE o_orderkey%53=0)),
+         |j AS (
+         |  SELECT r.*, g.graph_iri, g.last_event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY r.group_id, r.document_id
+         |      ORDER BY r.seq) AS nth
+         |  FROM req r
+         |  LEFT JOIN reg g ON g.group_id=r.group_id
+         |    AND g.document_id=r.document_id),
+         |v AS (
+         |  SELECT *, CASE WHEN graph_iri IS NULL OR nth>1
+         |                 THEN 'DocumentNotFound' ELSE 'Ok' END AS verdict
+         |  FROM j)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN graph_iri END AS graph_iri,
+         |  CASE WHEN verdict='Ok' THEN last_event_id END
+         |    AS deleted_after_event_id,
+         |  CASE WHEN verdict='Ok' THEN 'Deleted' END AS tombstone_status,
+         |  verdict='Ok' AS prune_job,
+         |  CASE WHEN verdict='Ok' THEN CAST(3 AS BIGINT) END AS n_outbox
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "umd1_update_document" ->
+      s"""WITH ${graft.sparql.RdfTables.registryCte},
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    'grp-'||((o_orderkey%490)%10) AS group_id,
+         |    CASE WHEN o_orderkey%13=0 THEN '999999'
+         |         ELSE CAST(o_orderkey%490 AS VARCHAR) END AS document_id,
+         |    o_orderkey%3=0 AS public,
+         |    CASE WHEN k<=1 THEN 'ReplaceRoCrate'
+         |         WHEN k%2=0 THEN 'UpsertDataEntity'
+         |         ELSE 'UpsertContextualEntity' END AS mutation,
+         |    k
+         |  FROM (SELECT *, (o_orderkey//67)%11 AS k FROM orders
+         |        WHERE o_orderkey%67=0)),
+         |j AS (
+         |  SELECT r.*, g.graph_iri, g.public AS old_public
+         |  FROM req r LEFT JOIN registry g
+         |    ON g.group_id=r.group_id AND g.document_id=r.document_id),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN graph_iri IS NULL THEN 'DocumentNotFound'
+         |         WHEN k=1 THEN 'InvalidInput:crate'
+         |         WHEN k=4 THEN 'InvalidInput:not_json'
+         |         WHEN k=5 THEN 'InvalidInput:not_object'
+         |         WHEN k=6 THEN 'InvalidInput:has_graph'
+         |         WHEN k=7 THEN 'InvalidInput:missing_id'
+         |         WHEN k=8 THEN 'InvalidInput:missing_type'
+         |         WHEN k=9 THEN 'InvalidInput:bad_type'
+         |         WHEN k=10 THEN 'InvalidInput:missing_name'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM j)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN graph_iri END AS graph_iri,
+         |  CASE WHEN verdict='Ok' THEN public END AS public_out,
+         |  CASE WHEN verdict='Ok' THEN public<>old_public END
+         |    AS public_changed,
+         |  CASE WHEN verdict='Ok' THEN mutation END AS audit_op,
+         |  verdict='Ok' AS mat_drain
          |FROM v ORDER BY req_id""".stripMargin,
 
     "og1_oidc_register" ->
