@@ -508,6 +508,54 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // CreateRealm genesis plan (create_realm.rs:80-330; placement.rs;
+    // realm.rs:121-138,423-465): location trim/cap, weight clamp, root
+    // band pool + creator range + handle bindings, seeded strategies,
+    // realm_admin role, ordered admin-reducer event counts.
+    "crr1_create_realm" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 71).cast("long") % 6
+      val reqs = graft.Tables.orders(s, d).filter(o % 71 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("realm-"), (o % 9).cast("string")).as("realm_id"),
+        concat(lit("nd-"), (o % 5).cast("string")).as("node_id"),
+        concat(lit("desc "), o.cast("string")).as("description"),
+        when(k === 0, lit(null).cast("string"))
+          .when(k === 1, concat(lit("  eu-"), (o % 3).cast("string"),
+            lit("  ")))
+          .when(k === 2, lit("   "))
+          .when(k === 3, concat(lit("L"), lpad(lit("x"), 70, "x")))
+          .otherwise(concat(lit("us-"), (o % 4).cast("string")))
+          .as("node_location"),
+        when(k === 4, lit(0L)).when(k === 5, lit(2000000L))
+          .when(k === 1, lit(250L)).otherwise(lit(null).cast("long"))
+          .as("node_weight"),
+        when(o % 3 =!= 0, concat(lit("idp-"), (o % 7).cast("string")))
+          .otherwise(lit(null).cast("string")).as("oidc1_id"),
+        when(o % 4 === 0, concat(lit("adp-"), (o % 5).cast("string")))
+          .otherwise(lit(null).cast("string")).as("oidc2_id"))
+      Realms.createRealmPlan(reqs).orderBy("req_id")
+    },
+
+    // CreateToken verdicts (create_token.rs:46-160): Local rejection,
+    // strictly-after expiry, 12-calendar-month default, Server vs
+    // Management claim shape.
+    "ct1_create_token" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 73).cast("long") % 5
+      val iat = lit(1700000000L) + (o % 1000000)
+      val reqs = graft.Tables.orders(s, d).filter(o % 73 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k === 0, "Local").when(k === 1 || k === 2, "Management")
+          .otherwise("Server").as("capability"),
+        iat.as("iat_s"),
+        when(k === 1, iat + (o % 50000) + 1)   // valid explicit expiry
+          .when(k === 3, iat)                   // equal -> InvalidTimestamp
+          .when(k === 4, iat - 10)              // before -> InvalidTimestamp
+          .otherwise(lit(null).cast("long")).as("expiry_s"))
+      Realms.tokenVerdicts(reqs).orderBy("req_id")
+    },
+
     // CreateMetadataDocument admission (create_metadata_document.rs):
     // payload-valid gate, registry existence, acceptance-fence idempotent
     // replay vs conflict (exact-config match), in-batch first-wins fold,
@@ -3624,6 +3672,95 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "crr1_create_realm" ->
+      s"""WITH req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    'realm-'||(o_orderkey%9) AS realm_id,
+         |    CASE WHEN k=0 THEN NULL
+         |         WHEN k=1 THEN '  eu-'||(o_orderkey%3)||'  '
+         |         WHEN k=2 THEN '   '
+         |         WHEN k=3 THEN 'L'||repeat('x',70)
+         |         ELSE 'us-'||(o_orderkey%4) END AS node_location,
+         |    CASE WHEN k=4 THEN 0 WHEN k=5 THEN 2000000
+         |         WHEN k=1 THEN 250 END AS node_weight,
+         |    CASE WHEN o_orderkey%3<>0 THEN 'idp-'||(o_orderkey%7) END
+         |      AS oidc1_id,
+         |    CASE WHEN o_orderkey%4=0 THEN 'adp-'||(o_orderkey%5) END
+         |      AS oidc2_id
+         |  FROM (SELECT *, (o_orderkey//71)%6 AS k FROM orders
+         |        WHERE o_orderkey%71=0)),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN node_location IS NOT NULL AND
+         |              length(trim(node_location))>64
+         |         THEN 'NodeLocationTooLong' ELSE 'Ok' END AS verdict,
+         |    (CASE WHEN oidc1_id IS NOT NULL THEN 1 ELSE 0 END +
+         |     CASE WHEN oidc2_id IS NOT NULL THEN 1 ELSE 0 END) AS n_oidc
+         |  FROM req)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN COALESCE(trim(node_location),'') END
+         |    AS location_out,
+         |  CASE WHEN verdict='Ok' THEN CAST(
+         |    CASE WHEN node_weight IS NULL THEN 100
+         |         ELSE least(greatest(node_weight,1),10000) END
+         |    AS BIGINT) END AS weight_out,
+         |  CASE WHEN verdict='Ok' THEN CAST(3 AS BIGINT) END AS pool_start,
+         |  CASE WHEN verdict='Ok' THEN CAST(1047555 AS BIGINT) END
+         |    AS pool_end,
+         |  CASE WHEN verdict='Ok' THEN CAST(3 AS BIGINT) END AS range_start,
+         |  CASE WHEN verdict='Ok' THEN CAST(1027 AS BIGINT) END AS range_end,
+         |  CASE WHEN verdict='Ok' THEN CAST(3 AS BIGINT) END
+         |    AS jobcontrol_handle,
+         |  CASE WHEN verdict='Ok' THEN CAST(1 AS BIGINT) END
+         |    AS metadata_handle,
+         |  CASE WHEN verdict='Ok' THEN 'realm_admin' END AS admin_role,
+         |  CASE WHEN verdict='Ok' THEN '/'||realm_id||'/admin/**' END
+         |    AS admin_perm_path,
+         |  CASE WHEN verdict='Ok' THEN CAST(2 AS BIGINT) END AS n_strategies,
+         |  CASE WHEN verdict='Ok' THEN CAST(4 AS BIGINT) END
+         |    AS n_everywhere_bindings,
+         |  CASE WHEN verdict='Ok' THEN
+         |    CASE WHEN oidc1_id IS NULL AND oidc2_id IS NULL THEN ''
+         |         WHEN oidc2_id IS NULL THEN oidc1_id
+         |         WHEN oidc1_id IS NULL THEN oidc2_id
+         |         WHEN oidc1_id <= oidc2_id THEN oidc1_id||','||oidc2_id
+         |         ELSE oidc2_id||','||oidc1_id END END AS providers_sorted,
+         |  CASE WHEN verdict='Ok' THEN CAST(15+n_oidc AS BIGINT) END
+         |    AS n_config_events,
+         |  CASE WHEN verdict='Ok' THEN CAST(16+n_oidc AS BIGINT) END
+         |    AS n_outbox
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "ct1_create_token" ->
+      s"""WITH req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k=0 THEN 'Local' WHEN k IN (1,2) THEN 'Management'
+         |         ELSE 'Server' END AS capability,
+         |    1700000000 + (o_orderkey%1000000) AS iat_s,
+         |    CASE WHEN k=1 THEN 1700000000 + (o_orderkey%1000000) +
+         |           (o_orderkey%50000) + 1
+         |         WHEN k=3 THEN 1700000000 + (o_orderkey%1000000)
+         |         WHEN k=4 THEN 1700000000 + (o_orderkey%1000000) - 10 END
+         |      AS expiry_s
+         |  FROM (SELECT *, (o_orderkey//73)%5 AS k FROM orders
+         |        WHERE o_orderkey%73=0)),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN capability='Local' THEN 'NotEnoughCapabilities'
+         |         WHEN expiry_s IS NOT NULL AND expiry_s<=iat_s
+         |           THEN 'InvalidTimestamp'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM req)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN CAST(COALESCE(expiry_s,
+         |    epoch(to_timestamp(iat_s) + INTERVAL 12 MONTH)) AS BIGINT) END
+         |    AS exp_out,
+         |  CASE WHEN verdict='Ok' THEN capability='Server' END
+         |    AS has_issuer_pubkey,
+         |  CASE WHEN verdict='Ok' THEN capability='Server' END
+         |    AS has_delegation
          |FROM v ORDER BY req_id""".stripMargin,
 
     "cmd1_create_document" ->
