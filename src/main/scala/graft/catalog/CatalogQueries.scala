@@ -508,6 +508,73 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // GetUser point read (get_user.rs:90-168): auth-first, id parse,
+    // then the point read.
+    "gu1_get_user" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 79).cast("long") % 4
+      val users = graft.Tables.customer(s, d).select(
+        concat(lit("U"), lpad(col("c_custkey").cast("string"), 8, "0"))
+          .as("user_id"),
+        col("c_name").as("name"),
+        (col("c_custkey") % 4).as("n_subjects"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 79 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("U"), lpad((o % 1600).cast("string"), 8, "0"))
+          .as("user_id"),
+        (k =!= 0).as("authorized"),
+        (k =!= 1).as("id_parses"))
+      Reads.getUsers(reqs, users).orderBy("req_id")
+    },
+
+    // GetGroup transactional pair read (get_group.rs:48-77,131-190):
+    // GroupNotFound vs the distinct AuthDocNotFound inconsistency.
+    "gg1_get_group" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val c = col("c_custkey")
+      val base = graft.Tables.customer(s, d).filter(c < 200)
+      val gid = concat(lit("G"), lpad(c.cast("string"), 4, "0"))
+      val groups = base.select(gid.as("group_id"),
+        concat(lit("grp "), c.cast("string")).as("name"))
+      val auth = base.filter(c % 5 =!= 0).select(gid.as("group_id"),
+        ((c % 6) + 1).as("n_roles"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 83 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("G"), lpad((o % 260).cast("string"), 4, "0"))
+          .as("group_id"))
+      Reads.getGroups(reqs, groups, auth).orderBy("req_id")
+    },
+
+    // GetRealmConfig point read (get_realm_config.rs:73-96).
+    "grc1_get_realm_config" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val configs = graft.Tables.nation(s, d).select(
+        concat(lit("realm-"), col("n_nationkey").cast("string"))
+          .as("realm_id"),
+        col("n_name").as("description"),
+        ((col("n_nationkey") % 5) + 1).as("n_nodes"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 89 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("realm-"), (o % 40).cast("string")).as("realm_id"))
+      Reads.getRealmConfigs(reqs, configs).orderBy("req_id")
+    },
+
+    // Dashboard invalidation predicate (dashboard.rs:23-39): a sync-outbox
+    // batch notifies iff ANY target kind is dashboard-relevant.
+    "dash1_dashboard_notify" -> { (s, d) =>
+      val l = graft.Tables.lineitem(s, d)
+      val kinds = Reads.DashboardKinds ++
+        Seq("WatchInterest", "WatchSubscription", "NodeInfo")
+      val kindCol = kinds.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (kind, i)) =>
+          when(col("l_partkey") % 13 === i, kind).otherwise(acc)
+      }
+      val events = l.filter(col("l_orderkey") % 17 === 0).select(
+        (col("l_orderkey") % 500).as("batch_id"),
+        kindCol.as("target_kind"))
+      Reads.dashboardNotify(events).orderBy("batch_id")
+    },
+
     // CreateRealm genesis plan (create_realm.rs:80-330; placement.rs;
     // realm.rs:121-138,423-465): location trim/cap, weight clamp, root
     // band pool + creator range + handle bindings, seeded strategies,
@@ -3673,6 +3740,95 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "gu1_get_user" ->
+      s"""WITH users AS (
+         |  SELECT 'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') AS user_id,
+         |         c_name AS name, c_custkey%4 AS n_subjects
+         |  FROM customer),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    'U'||lpad(CAST(o_orderkey%1600 AS VARCHAR),8,'0') AS user_id,
+         |    k<>0 AS authorized, k<>1 AS id_parses
+         |  FROM (SELECT *, (o_orderkey//79)%4 AS k FROM orders
+         |        WHERE o_orderkey%79=0)),
+         |v AS (
+         |  SELECT r.*, u.name, u.n_subjects,
+         |    CASE WHEN NOT authorized THEN 'Unauthorized'
+         |         WHEN NOT id_parses THEN 'InvalidUserId'
+         |         WHEN u.name IS NULL THEN 'UserNotFound'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM req r LEFT JOIN users u USING (user_id))
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN name END AS name,
+         |  CASE WHEN verdict='Ok' THEN CAST(n_subjects AS BIGINT) END
+         |    AS n_subjects
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "gg1_get_group" ->
+      s"""WITH base AS (SELECT c_custkey FROM customer WHERE c_custkey<200),
+         |grp AS (SELECT 'G'||lpad(CAST(c_custkey AS VARCHAR),4,'0')
+         |          AS group_id, 'grp '||c_custkey AS name FROM base),
+         |auth AS (SELECT 'G'||lpad(CAST(c_custkey AS VARCHAR),4,'0')
+         |           AS group_id, (c_custkey%6)+1 AS n_roles
+         |         FROM base WHERE c_custkey%5<>0),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    'G'||lpad(CAST(o_orderkey%260 AS VARCHAR),4,'0') AS group_id
+         |  FROM orders WHERE o_orderkey%83=0),
+         |v AS (
+         |  SELECT r.*, g.name, a.n_roles,
+         |    CASE WHEN g.name IS NULL THEN 'GroupNotFound'
+         |         WHEN a.n_roles IS NULL THEN 'AuthDocNotFound'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM req r
+         |  LEFT JOIN grp g USING (group_id)
+         |  LEFT JOIN auth a USING (group_id))
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN name END AS name,
+         |  CASE WHEN verdict='Ok' THEN CAST(n_roles AS BIGINT) END
+         |    AS n_roles
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "grc1_get_realm_config" ->
+      s"""WITH cfg AS (
+         |  SELECT 'realm-'||n_nationkey AS realm_id, n_name AS description,
+         |         (n_nationkey%5)+1 AS n_nodes
+         |  FROM nation),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    'realm-'||(o_orderkey%40) AS realm_id
+         |  FROM orders WHERE o_orderkey%89=0)
+         |SELECT req_id,
+         |  CASE WHEN c.description IS NOT NULL THEN 'Ok'
+         |       ELSE 'DocumentNotFound' END AS verdict,
+         |  CASE WHEN c.description IS NOT NULL THEN c.description END
+         |    AS description,
+         |  CASE WHEN c.description IS NOT NULL
+         |       THEN CAST(c.n_nodes AS BIGINT) END AS n_nodes
+         |FROM req r LEFT JOIN cfg c USING (realm_id)
+         |ORDER BY req_id""".stripMargin,
+
+    "dash1_dashboard_notify" ->
+      s"""WITH ev AS (
+         |  SELECT l_orderkey%500 AS batch_id,
+         |    CASE l_partkey%13
+         |      WHEN 0 THEN 'Group' WHEN 1 THEN 'GroupAuthorization'
+         |      WHEN 2 THEN 'RealmAuthorization' WHEN 3 THEN 'RealmConfig'
+         |      WHEN 4 THEN 'User' WHEN 5 THEN 'MetadataRegistry'
+         |      WHEN 6 THEN 'MetadataCreateEvent'
+         |      WHEN 7 THEN 'MetadataDocumentLifecycle'
+         |      WHEN 8 THEN 'MetadataGraphLifecycle' WHEN 9 THEN 'NodeUsage'
+         |      WHEN 10 THEN 'WatchInterest' WHEN 11 THEN 'WatchSubscription'
+         |      ELSE 'NodeInfo' END AS target_kind
+         |  FROM lineitem WHERE l_orderkey%17=0)
+         |SELECT batch_id,
+         |  bool_or(target_kind NOT IN ('WatchInterest','WatchSubscription',
+         |    'NodeInfo')) AS notify,
+         |  CAST(SUM(CASE WHEN target_kind NOT IN ('WatchInterest',
+         |    'WatchSubscription','NodeInfo') THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_relevant
+         |FROM ev GROUP BY batch_id ORDER BY batch_id""".stripMargin,
 
     "crr1_create_realm" ->
       s"""WITH req AS (
