@@ -508,6 +508,80 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Realm role admin (add_realm_role.rs, add_user_to_realm_role.rs):
+    // validate-before-auth add_role ladder (reserved trimmed name,
+    // foreign-nil assignee, public non-READ), nil-user-first assign ladder
+    // with sorted-list RoleNotFound, RealmAuthDocNotFound vs
+    // AuthDocNotFound naming, reducer TargetMismatch, upsert n_already.
+    "rr1_realm_role_admin" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val n = col("n_nationkey")
+      val m = (o / 97).cast("long") % 10
+      val nations = graft.Tables.nation(s, d).filter(n < 10)
+      val authDocs = nations.filter(n =!= 7)
+        .select(concat(lit("rm-"), n.cast("string")).as("realm_id"))
+      val reducers = nations.filter(n % 2 === 0).select(
+        concat(lit("rm-"), n.cast("string")).as("realm_id"),
+        when(n === 4, "group:rm-4")
+          .otherwise(concat(lit("realm:rm-"), n.cast("string")))
+          .as("stored_target"))
+      val authRoles = nations
+        .select(n, explode(sequence(lit(0L), (n % 3) + 1)).as("j"))
+        .select(concat(lit("rm-"), n.cast("string")).as("realm_id"),
+          concat(lit("ro-"), n.cast("string"), lit("-"),
+            col("j").cast("string")).as("role_id"))
+      val assignments = nations
+        .select(n, explode(sequence(lit(0L), (n % 3) + 1)).as("j"))
+        .select(n, col("j"), explode(sequence(lit(0L), lit(2L))).as("k"))
+        .filter((n + col("j") + col("k")) % 3 === 0)
+        .select(concat(lit("rm-"), n.cast("string")).as("realm_id"),
+          concat(lit("ro-"), n.cast("string"), lit("-"),
+            col("j").cast("string")).as("role_id"),
+          concat(lit("u"), col("k").cast("string")).as("user_id"))
+
+      val rlm = when(m === 5, lit(7L)).when(m === 6, lit(4L))
+        .otherwise(o % 10)
+      val base = graft.Tables.orders(s, d).filter(o % 97 === 0)
+      val reqs = base.select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(m <= 6, "add_role").otherwise("assign_user").as("op"),
+        concat(lit("rm-"), rlm.cast("string")).as("realm_id"),
+        when(m === 0, "  realm_admin  ")
+          .otherwise(concat(lit("role-"), o.cast("string")))
+          .as("role_name"),
+        when(m === 7, concat(lit("nil@rm-"), rlm.cast("string")))
+          .otherwise(concat(lit("u"), (o % 3).cast("string")))
+          .as("user_id"),
+        (m =!= 4).as("authorized"))
+      val reqUsers = base.filter(m <= 6).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        lit("u1").as("user_id"))
+        .union(base.filter(m === 1).select(
+          lpad(o.cast("string"), 12, "0").as("req_id"),
+          concat(lit("nil@rm-"), ((rlm + 1) % 10).cast("string"))
+            .as("user_id")))
+        .union(base.filter(m === 2 || m === 3).select(
+          lpad(o.cast("string"), 12, "0").as("req_id"),
+          concat(lit("nil@rm-"), rlm.cast("string")).as("user_id")))
+      val reqPerms = base.filter(m <= 6).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        lit("READ").as("permission"))
+        .union(base.filter(m === 2).select(
+          lpad(o.cast("string"), 12, "0").as("req_id"),
+          lit("WRITE").as("permission")))
+      val reqRoles = base.filter(m >= 7).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("ro-"), rlm.cast("string"), lit("-0")).as("role_id"))
+        .union(base.filter(m >= 7).select(
+          lpad(o.cast("string"), 12, "0").as("req_id"),
+          concat(lit("ro-"), rlm.cast("string"), lit("-1")).as("role_id")))
+        .union(base.filter(m === 8).select(
+          lpad(o.cast("string"), 12, "0").as("req_id"),
+          concat(lit("ro-"), rlm.cast("string"), lit("-9")).as("role_id")))
+      RealmRoles.decide(reqs, reqUsers, reqPerms, reqRoles, authDocs,
+        authRoles, assignments, reducers).orderBy("req_id")
+    },
+
     // GetUser point read (get_user.rs:90-168): auth-first, id parse,
     // then the point read.
     "gu1_get_user" -> { (s, d) =>
@@ -3739,6 +3813,108 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "rr1_realm_role_admin" ->
+      s"""WITH nat AS (SELECT n_nationkey AS n FROM nation
+         |            WHERE n_nationkey<10),
+         |auth_docs AS (SELECT 'rm-'||n AS realm_id FROM nat WHERE n<>7),
+         |reducers AS (SELECT 'rm-'||n AS realm_id,
+         |  CASE WHEN n=4 THEN 'group:rm-4' ELSE 'realm:rm-'||n END
+         |    AS stored_target
+         |  FROM nat WHERE n%2=0),
+         |ords AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+         |ks AS (SELECT * FROM (VALUES (0),(1),(2)) t(k)),
+         |auth_roles AS (SELECT 'rm-'||n AS realm_id,
+         |  'ro-'||n||'-'||j AS role_id
+         |  FROM nat CROSS JOIN ords WHERE j <= n%3+1),
+         |assignments AS (SELECT 'rm-'||n AS realm_id,
+         |  'ro-'||n||'-'||j AS role_id, 'u'||k AS user_id
+         |  FROM nat CROSS JOIN ords CROSS JOIN ks
+         |  WHERE j <= n%3+1 AND (n+j+k)%3=0),
+         |base AS (SELECT o_orderkey AS o, (o_orderkey//97)%10 AS m,
+         |  CASE WHEN (o_orderkey//97)%10=5 THEN 7
+         |       WHEN (o_orderkey//97)%10=6 THEN 4
+         |       ELSE o_orderkey%10 END AS rlm
+         |  FROM orders WHERE o_orderkey%97=0),
+         |req AS (SELECT lpad(CAST(o AS VARCHAR),12,'0') AS req_id,
+         |  CASE WHEN m<=6 THEN 'add_role' ELSE 'assign_user' END AS op,
+         |  'rm-'||rlm AS realm_id,
+         |  CASE WHEN m=0 THEN '  realm_admin  ' ELSE 'role-'||o END
+         |    AS role_name,
+         |  CASE WHEN m=7 THEN 'nil@rm-'||rlm ELSE 'u'||(o%3) END AS user_id,
+         |  m<>4 AS authorized, m, o, rlm FROM base),
+         |req_users AS (
+         |  SELECT req_id, 'u1' AS user_id FROM req WHERE m<=6
+         |  UNION ALL SELECT req_id, 'nil@rm-'||((rlm+1)%10) FROM req
+         |    WHERE m=1
+         |  UNION ALL SELECT req_id, 'nil@rm-'||rlm FROM req WHERE m IN (2,3)),
+         |req_perms AS (
+         |  SELECT req_id, 'READ' AS permission FROM req WHERE m<=6
+         |  UNION ALL SELECT req_id, 'WRITE' FROM req WHERE m=2),
+         |req_roles AS (
+         |  SELECT req_id, 'ro-'||rlm||'-0' AS role_id FROM req WHERE m>=7
+         |  UNION ALL SELECT req_id, 'ro-'||rlm||'-1' FROM req WHERE m>=7
+         |  UNION ALL SELECT req_id, 'ro-'||rlm||'-9' FROM req WHERE m=8),
+         |user_agg AS (SELECT u.req_id,
+         |  bool_or(u.user_id LIKE 'nil@%' AND
+         |    u.user_id <> 'nil@'||r.realm_id) AS bad_nil,
+         |  bool_or(u.user_id = 'nil@'||r.realm_id) AS is_public,
+         |  CAST(COUNT(*) AS BIGINT) AS n_assigned
+         |  FROM req_users u JOIN req r USING (req_id) GROUP BY 1),
+         |perm_agg AS (SELECT req_id, bool_or(permission<>'READ') AS non_read
+         |  FROM req_perms GROUP BY 1),
+         |list_agg AS (SELECT rr.req_id,
+         |  bool_or(ar.role_id IS NULL) AS list_miss,
+         |  CAST(COUNT(*) AS BIGINT) AS n_listed,
+         |  CAST(SUM(CASE WHEN asg.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_already
+         |  FROM req_roles rr JOIN req r USING (req_id)
+         |  LEFT JOIN auth_roles ar ON ar.realm_id=r.realm_id
+         |    AND ar.role_id=rr.role_id
+         |  LEFT JOIN assignments asg ON asg.realm_id=r.realm_id
+         |    AND asg.role_id=rr.role_id AND asg.user_id=r.user_id
+         |  GROUP BY 1),
+         |jj AS (SELECT r.*, ua.bad_nil, ua.is_public, ua.n_assigned,
+         |  pa.non_read, la.list_miss, la.n_listed, la.n_already,
+         |  ad.realm_id IS NOT NULL AS doc_ok, rd.stored_target
+         |  FROM req r
+         |  LEFT JOIN user_agg ua USING (req_id)
+         |  LEFT JOIN perm_agg pa USING (req_id)
+         |  LEFT JOIN list_agg la USING (req_id)
+         |  LEFT JOIN auth_docs ad ON ad.realm_id=r.realm_id
+         |  LEFT JOIN reducers rd ON rd.realm_id=r.realm_id),
+         |v AS (SELECT *,
+         |  CASE WHEN op='add_role' THEN
+         |    CASE WHEN trim(role_name) = 'realm_admin' THEN 'ReservedRoleName'
+         |         WHEN COALESCE(bad_nil,false) THEN 'InvalidAssignedUser'
+         |         WHEN COALESCE(is_public,false) AND COALESCE(non_read,false)
+         |           THEN 'InvalidPublicRole'
+         |         WHEN NOT authorized THEN 'Unauthorized'
+         |         WHEN NOT doc_ok THEN 'RealmAuthDocNotFound'
+         |         WHEN stored_target IS NOT NULL AND
+         |              stored_target<>'realm:'||realm_id
+         |           THEN 'TargetMismatch'
+         |         ELSE 'Ok' END
+         |  ELSE
+         |    CASE WHEN user_id LIKE 'nil%' THEN 'InvalidUserId'
+         |         WHEN NOT authorized THEN 'Unauthorized'
+         |         WHEN NOT doc_ok THEN 'AuthDocNotFound'
+         |         WHEN COALESCE(list_miss,false) THEN 'RoleNotFound'
+         |         WHEN stored_target IS NOT NULL AND
+         |              stored_target<>'realm:'||realm_id
+         |           THEN 'TargetMismatch'
+         |         ELSE 'Ok' END END AS verdict
+         |  FROM jj)
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op='add_role'
+         |       THEN COALESCE(is_public,false) END AS role_public,
+         |  CASE WHEN verdict='Ok' AND op='add_role'
+         |       THEN CAST(COALESCE(n_assigned,0) AS BIGINT) END AS n_assigned,
+         |  CASE WHEN verdict='Ok' AND op='assign_user'
+         |       THEN CAST(n_listed AS BIGINT) END AS n_roles,
+         |  CASE WHEN verdict='Ok' AND op='assign_user'
+         |       THEN CAST(COALESCE(n_already,0) AS BIGINT) END AS n_already
          |FROM v ORDER BY req_id""".stripMargin,
 
     "gu1_get_user" ->
