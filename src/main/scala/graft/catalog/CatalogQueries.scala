@@ -508,6 +508,74 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Onboarding-secret lifecycle around ob1 (create/inspect/delete/
+    // list_onboarding_secrets.rs): unconditional create overwrite,
+    // inspect's claimed-before-expiry ladder with the finalizing-self
+    // expiry escape, delete pair removal, unfiltered list.
+    "ob2_secret_lifecycle" -> { (s, d) =>
+      val now = 1700000000000L
+      val o = col("o")
+      val o7 = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(o % 7 === 3)
+      val eid = lpad(o.cast("string"), 12, "0")
+      val store = o7.select(eid.as("enrollment_id"),
+        concat(lit("h"), (o % 1000).cast("string")).as("secret_hash"),
+        when(o % 5 === 0, lit(now) - 10000L)
+          .otherwise(lit(now) + 600000L).cast("long").as("expires_at"),
+        element_at(array(lit("Available"), lit("Reserved"),
+          lit("Finalizing"), lit("Consumed")),
+          (o % 4 + 1).cast("int")).as("state"),
+        when(o % 4 =!= 0, concat(lit("n"), (o % 3).cast("string")))
+          .as("state_node"))
+      val k = (o / 7).cast("long") % 9
+      val reqs = o7.select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k <= 1, "create").when(k <= 5, "inspect")
+          .when(k <= 7, "delete").otherwise("list").as("op"),
+        when(k === 1 || k === 5 || k === 7,
+          lpad((o + 9000000).cast("string"), 12, "0"))
+          .otherwise(eid).as("enrollment_id"),
+        when(k === 4, lit("n9"))
+          .otherwise(concat(lit("n"), (o % 3).cast("string")))
+          .as("node_id"),
+        when(k === 3, lit("bad"))
+          .otherwise(concat(lit("h"), (o % 1000).cast("string")))
+          .as("secret_hash"),
+        lit(now).as("now_ms"))
+      Onboarding.lifecycle(reqs, store).orderBy("req_id")
+    },
+
+    // Placement-handle allocation (allocate_handle.rs;
+    // handle_allocation.rs:136-151): lowest-unused walk over the node's
+    // grants in (start, range_id) order, reserved-first-handle skip,
+    // exhaustion past the grants.
+    "ah1_allocate_handle" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val n = col("n_nationkey")
+      // grants: per (realm rm-0..4, node nd-0..2) up to 3 disjoint slices
+      // of width 4..10 (end exclusive); some empty
+      val ranges = graft.Tables.nation(s, d).filter(n < 15)
+        .select((n % 5).as("rl"), ((n / 5).cast("long") % 3).as("nd"),
+          n.as("n"))
+        .select(col("n"), col("rl"), col("nd"),
+          explode(sequence(lit(0L), col("n") % 3)).as("g"))
+        .select(
+          concat(lit("rm-"), col("rl").cast("string")).as("realm_id"),
+          concat(lit("nd-"), col("nd").cast("string")).as("node_id"),
+          concat(lit("rg-"), col("n").cast("string"), lit("-"),
+            col("g").cast("string")).as("range_id"),
+          (lit(100L) + col("n") * 40 + col("g") * 12).as("start"),
+          (lit(100L) + col("n") * 40 + col("g") * 12 +
+            when(col("g") === 2, 1L).otherwise((col("n") % 7) + 3))
+            .as("end"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 101 === 0).select(
+        o.as("seq"),
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        concat(lit("rm-"), (o % 5).cast("string")).as("realm_id"),
+        concat(lit("nd-"), (o % 3).cast("string")).as("node_id"))
+      Handles.allocate(reqs, ranges).orderBy("req_id")
+    },
+
     // Realm role admin (add_realm_role.rs, add_user_to_realm_role.rs):
     // validate-before-auth add_role ladder (reserved trimmed name,
     // foreign-nil assignee, public non-READ), nil-user-first assign ladder
@@ -3814,6 +3882,91 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "ob2_secret_lifecycle" ->
+      s"""WITH o7 AS (SELECT o_orderkey AS o FROM orders
+         |            WHERE o_orderkey%7=3),
+         |store AS (
+         |  SELECT lpad(CAST(o AS VARCHAR),12,'0') AS enrollment_id,
+         |    'h'||(o%1000) AS s_hash,
+         |    CASE WHEN o%5=0 THEN 1699999990000 ELSE 1700000600000 END
+         |      AS expires_at,
+         |    CASE o%4 WHEN 0 THEN 'Available' WHEN 1 THEN 'Reserved'
+         |             WHEN 2 THEN 'Finalizing' ELSE 'Consumed' END AS state,
+         |    CASE WHEN o%4<>0 THEN 'n'||(o%3) END AS state_node
+         |  FROM o7),
+         |req AS (
+         |  SELECT lpad(CAST(o AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k<=1 THEN 'create' WHEN k<=5 THEN 'inspect'
+         |         WHEN k<=7 THEN 'delete' ELSE 'list' END AS op,
+         |    CASE WHEN k IN (1,5,7)
+         |         THEN lpad(CAST(o+9000000 AS VARCHAR),12,'0')
+         |         ELSE lpad(CAST(o AS VARCHAR),12,'0') END AS enrollment_id,
+         |    CASE WHEN k=4 THEN 'n9' ELSE 'n'||(o%3) END AS node_id,
+         |    CASE WHEN k=3 THEN 'bad' ELSE 'h'||(o%1000) END AS secret_hash
+         |  FROM (SELECT o, (o//7)%9 AS k FROM o7)),
+         |jj AS (
+         |  SELECT r.*, s.s_hash, s.expires_at, s.state, s.state_node,
+         |    s.state='Finalizing' AND s.state_node=r.node_id AS fin_self
+         |  FROM req r LEFT JOIN store s USING (enrollment_id)),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN op IN ('create','list') THEN 'Ok'
+         |         WHEN s_hash IS NULL THEN 'NotFound'
+         |         WHEN op='delete' THEN 'Ok'
+         |         WHEN state='Finalizing' AND state_node<>node_id
+         |           THEN 'AlreadyClaimed'
+         |         WHEN expires_at < 1700000000000 AND NOT fin_self
+         |           THEN 'Expired'
+         |         WHEN s_hash<>secret_hash THEN 'InvalidSecret'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM jj)
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op='create' THEN 'Available' END
+         |    AS state_out,
+         |  CASE WHEN verdict='Ok' AND op='delete' THEN CAST(2 AS BIGINT) END
+         |    AS n_deleted,
+         |  CASE WHEN verdict='Ok' AND op='list'
+         |       THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM store) END
+         |    AS n_secrets,
+         |  CASE WHEN verdict='Ok' AND op='inspect' THEN expires_at END
+         |    AS expires_at_out
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "ah1_allocate_handle" ->
+      s"""WITH nat AS (SELECT n_nationkey AS n FROM nation
+         |            WHERE n_nationkey<15),
+         |gs AS (SELECT * FROM (VALUES (0),(1),(2)) t(g)),
+         |rngs AS (
+         |  SELECT 'rm-'||(n%5) AS realm_id, 'nd-'||((n//5)%3) AS node_id,
+         |    'rg-'||n||'-'||g AS range_id,
+         |    100+n*40+g*12 AS s0,
+         |    100+n*40+g*12 + CASE WHEN g=2 THEN 1 ELSE (n%7)+3 END AS e0
+         |  FROM nat CROSS JOIN gs WHERE g <= n%3),
+         |hs AS (
+         |  SELECT realm_id, node_id, range_id, s0,
+         |         unnest(range(s0+1, e0)) AS handle
+         |  FROM rngs WHERE e0 > s0+1),
+         |ranked AS (
+         |  SELECT realm_id, node_id, CAST(handle AS BIGINT) AS handle,
+         |    range_id AS allocator_range_id,
+         |    ROW_NUMBER() OVER (PARTITION BY realm_id, node_id
+         |      ORDER BY s0, range_id, handle) AS rnk
+         |  FROM hs),
+         |req AS (
+         |  SELECT o_orderkey AS seq,
+         |    lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    'rm-'||(o_orderkey%5) AS realm_id,
+         |    'nd-'||(o_orderkey%3) AS node_id
+         |  FROM orders WHERE o_orderkey%101=0),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY realm_id, node_id
+         |         ORDER BY seq) AS rnk FROM req)
+         |SELECT req_id,
+         |  CASE WHEN h.handle IS NULL THEN 'PlacementHandleExhausted'
+         |       ELSE 'Ok' END AS verdict,
+         |  h.handle, h.allocator_range_id
+         |FROM rr LEFT JOIN ranked h USING (realm_id, node_id, rnk)
+         |ORDER BY req_id""".stripMargin,
 
     "rr1_realm_role_admin" ->
       s"""WITH nat AS (SELECT n_nationkey AS n FROM nation

@@ -123,4 +123,56 @@ object Onboarding {
           "conflicted_path")
         .otherwise("claimed"))
     .select(col("realm_id"), col("verdict"))
+
+  /** The rest of the secret lifecycle around ob1's reserve/consume
+    * (reference `create_onboarding_secret.rs:96-122`,
+    * `inspect_onboarding_secret.rs:125-170`,
+    * `delete_onboarding_secret.rs:104-135`,
+    * `list_onboarding_secrets.rs:72-186`):
+    *
+    *  - **create**: an UNCONDITIONAL overwrite — no existence read; the
+    *    state row resets to Available alongside the record;
+    *  - **inspect**: NotFound; a Finalizing state held by ANOTHER node →
+    *    AlreadyClaimed (before the expiry check); expiry — EXCEPT that the
+    *    node mid-finalize may inspect past it (`:151-163`); then the hash
+    *    → InvalidSecret; Ok returns the record;
+    *  - **delete**: NotFound, else both the record and its state row go
+    *    (n_deleted 2);
+    *  - **list**: the full `secret:` prefix scan joined to its states —
+    *    NO expiry filter; callers see dead secrets and who claimed them.
+    *
+    * Same `store` shape as [[decide]]. `requests(req_id, op,
+    * enrollment_id, node_id, secret_hash, now_ms)`. */
+  def lifecycle(requests: DataFrame, store: DataFrame): DataFrame = {
+    val st = store.select(col("enrollment_id"),
+      col("secret_hash").as("s_hash"), col("expires_at"),
+      col("state"), col("state_node"))
+    // list answers the whole config-plane keyspace: one aggregate row,
+    // broadcast onto the batch (no driver-side count)
+    val totals = store.agg(count(lit(1)).as("n_secrets_all"))
+    val j = requests.join(broadcast(st), Seq("enrollment_id"), "left")
+      .crossJoin(broadcast(totals))
+    val finalizingSelf = col("state") === "Finalizing" &&
+      col("state_node") === col("node_id")
+    val verdict =
+      when(col("op") === "create", "Ok")
+        .when(col("op") === "list", "Ok")
+        .when(col("s_hash").isNull, "NotFound")
+        .when(col("op") === "delete", "Ok")
+        // inspect
+        .when(col("state") === "Finalizing" &&
+          col("state_node") =!= col("node_id"), "AlreadyClaimed")
+        .when(col("expires_at") < col("now_ms") && !finalizingSelf,
+          "Expired")
+        .when(col("s_hash") =!= col("secret_hash"), "InvalidSecret")
+        .otherwise("Ok")
+    val ok = col("verdict") === "Ok"
+    j.withColumn("verdict", verdict).select(
+      col("req_id"), col("op"), col("verdict"),
+      when(ok && col("op") === "create", "Available").as("state_out"),
+      when(ok && col("op") === "delete", 2L).as("n_deleted"),
+      when(ok && col("op") === "list", col("n_secrets_all")).as("n_secrets"),
+      when(ok && col("op") === "inspect", col("expires_at"))
+        .as("expires_at_out"))
+  }
 }
