@@ -508,6 +508,58 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Joiner placement admission (bootstrap_onboarding_finalize.rs:
+    // 268-288; node_info.rs:17-22): reserved-label rejection naming the
+    // lexicographically first offender, then location/weight normalize.
+    "onf1_joiner_admission" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 107).cast("long") % 6
+      val base = graft.Tables.orders(s, d).filter(o % 107 === 0)
+      val rid = lpad(o.cast("string"), 12, "0")
+      val reqs = base.select(rid.as("req_id"),
+        when(k === 4, concat(lit("L"), lpad(lit("z"), 70, "z")))
+          .when(k === 5, lit(null).cast("string"))
+          .otherwise(concat(lit(" dc-"), (o % 3).cast("string"), lit(" ")))
+          .as("node_location"),
+        when(k === 5, lit(50000L)).when(k === 3, lit(null).cast("long"))
+          .otherwise((o % 500) + 1).as("node_weight"))
+      val labels = base.select(rid.as("req_id"),
+        concat(lit("team/"), (o % 4).cast("string")).as("label_key"))
+        .union(base.filter(k === 1).select(rid.as("req_id"),
+          lit("aruna-engine.org/kind").as("label_key")))
+        .union(base.filter(k === 2).select(rid.as("req_id"),
+          concat(lit("aruna-engine.org/storage-class/tier"),
+            (o % 2).cast("string")).as("label_key")))
+      Onboarding.joinerAdmission(reqs, labels).orderBy("req_id")
+    },
+
+    // Onboarding sync tickets (issue_onboarding_sync_ticket.rs;
+    // onboarding.rs:160-215): 5 control targets + one per realm user,
+    // now+ttl expiry; verify's node/expiry/membership InvalidSecret arms.
+    "ot1_sync_ticket" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 103).cast("long") % 5
+      val users = graft.Tables.customer(s, d).select(
+        concat(lit("U"), lpad(col("c_custkey").cast("string"), 8, "0"))
+          .as("user_id"),
+        concat(lit("rm-"), (col("c_custkey") % 4).cast("string"))
+          .as("realm_id"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 103 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k === 0, "issue").otherwise("verify").as("op"),
+        concat(lit("rm-"), (o % 5).cast("string")).as("realm_id"),
+        concat(lit("nd-"), (o % 3).cast("string")).as("node_id"),
+        (lit(1700000000L) + (o % 1000)).as("now_s"),
+        lit(300L).as("ttl_s"),
+        when(k === 1, lit("nd-x"))
+          .otherwise(concat(lit("nd-"), (o % 3).cast("string")))
+          .as("t_node"),
+        when(k === 2, lit(1600000000L))
+          .otherwise(lit(1700000000L) + (o % 1000) + 60L).as("t_expires"),
+        (k =!= 3).as("has_document"))
+      Onboarding.syncTickets(reqs, users).orderBy("req_id")
+    },
+
     // Onboarding-secret lifecycle around ob1 (create/inspect/delete/
     // list_onboarding_secrets.rs): unconditional create overwrite,
     // inspect's claimed-before-expiry ladder with the finalizing-self
@@ -3881,6 +3933,83 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "onf1_joiner_admission" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS o, (o_orderkey//107)%6 AS k,
+         |    lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id
+         |  FROM orders WHERE o_orderkey%107=0),
+         |req AS (
+         |  SELECT req_id,
+         |    CASE WHEN k=4 THEN 'L'||repeat('z',70)
+         |         WHEN k=5 THEN NULL
+         |         ELSE ' dc-'||(o%3)||' ' END AS node_location,
+         |    CASE WHEN k=5 THEN 50000 WHEN k=3 THEN NULL
+         |         ELSE (o%500)+1 END AS node_weight,
+         |    k, o FROM base),
+         |labels AS (
+         |  SELECT req_id, 'team/'||(o%4) AS label_key FROM base
+         |  UNION ALL SELECT req_id, 'aruna-engine.org/kind' FROM base
+         |    WHERE k=1
+         |  UNION ALL SELECT req_id,
+         |    'aruna-engine.org/storage-class/tier'||(o%2) FROM base
+         |    WHERE k=2),
+         |res AS (
+         |  SELECT req_id, MIN(label_key) AS reserved_key FROM labels
+         |  WHERE label_key = 'aruna-engine.org/kind' OR
+         |        label_key LIKE 'aruna-engine.org/storage-class/%'
+         |  GROUP BY 1),
+         |v AS (
+         |  SELECT r.*, s.reserved_key,
+         |    CASE WHEN s.reserved_key IS NOT NULL
+         |           THEN 'ReservedNodeLabel:'||s.reserved_key
+         |         WHEN r.node_location IS NOT NULL AND
+         |              length(trim(r.node_location))>64
+         |           THEN 'NodeLocationTooLong'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM req r LEFT JOIN res s USING (req_id))
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Ok' THEN COALESCE(trim(node_location),'') END
+         |    AS location_out,
+         |  CASE WHEN verdict='Ok' THEN CAST(
+         |    CASE WHEN node_weight IS NULL THEN 100
+         |         ELSE least(greatest(node_weight,1),10000) END AS BIGINT)
+         |    END AS weight_out
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "ot1_sync_ticket" ->
+      s"""WITH users AS (
+         |  SELECT 'rm-'||(c_custkey%4) AS realm_id FROM customer),
+         |counts AS (SELECT realm_id, CAST(COUNT(*) AS BIGINT) AS n_users
+         |           FROM users GROUP BY 1),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k=0 THEN 'issue' ELSE 'verify' END AS op,
+         |    'rm-'||(o_orderkey%5) AS realm_id,
+         |    'nd-'||(o_orderkey%3) AS node_id,
+         |    1700000000 + (o_orderkey%1000) AS now_s,
+         |    300 AS ttl_s,
+         |    CASE WHEN k=1 THEN 'nd-x' ELSE 'nd-'||(o_orderkey%3) END
+         |      AS t_node,
+         |    CASE WHEN k=2 THEN 1600000000
+         |         ELSE 1700000000 + (o_orderkey%1000) + 60 END AS t_expires,
+         |    k<>3 AS has_document
+         |  FROM (SELECT *, (o_orderkey//103)%5 AS k FROM orders
+         |        WHERE o_orderkey%103=0)),
+         |v AS (
+         |  SELECT r.*, c.n_users,
+         |    CASE WHEN op='issue' THEN 'Ok'
+         |         WHEN t_node<>node_id THEN 'InvalidSecret'
+         |         WHEN t_expires < now_s THEN 'InvalidSecret'
+         |         WHEN NOT has_document THEN 'InvalidSecret'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM req r LEFT JOIN counts c USING (realm_id))
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op='issue'
+         |       THEN CAST(5+COALESCE(n_users,0) AS BIGINT) END AS n_documents,
+         |  CASE WHEN verdict='Ok' AND op='issue'
+         |       THEN CAST(now_s+ttl_s AS BIGINT) END AS expires_at
          |FROM v ORDER BY req_id""".stripMargin,
 
     "ob2_secret_lifecycle" ->

@@ -175,4 +175,86 @@ object Onboarding {
       when(ok && col("op") === "inspect", col("expires_at"))
         .as("expires_at_out"))
   }
+
+  /** Onboarding sync tickets (reference
+    * `operations/src/issue_onboarding_sync_ticket.rs` +
+    * `core/src/onboarding.rs:160-215`):
+    *
+    *  - **issue**: the ticket's document set is the FIVE realm-scoped
+    *    control targets (RealmAuthorization, RealmConfig, and the issuer
+    *    node's NodeUsage / NodeInfo / WatchInterest) plus one User target
+    *    per user of the realm — a paged prefix scan that SKIPS
+    *    foreign-realm keys (`:150-158`); `expires_at = now + ttl`
+    *    (saturating). The Ed25519 signature over the payload is
+    *    transport (the repo's signed-cursor machinery pins the
+    *    primitive);
+    *  - **verify** (`onboarding.rs:188-207`): the expected node, the
+    *    expiry (`expires_at < now`), and membership of the expected
+    *    document all collapse to InvalidSecret.
+    *
+    * `requests(req_id, op, realm_id, node_id, now_s, ttl_s, t_node,
+    * t_expires, has_document)`; `users(user_id, realm_id)`.
+    *
+    * Scale: the user keyspace is corpus-side — the requested realms probe
+    * it broadcast and only per-realm counts come back. */
+  def syncTickets(requests: DataFrame, users: DataFrame): DataFrame = {
+    val probeRealms = requests.filter(col("op") === "issue")
+      .select("realm_id").distinct()
+    val counts = users.join(broadcast(probeRealms), Seq("realm_id"))
+      .groupBy("realm_id").agg(count(lit(1)).as("n_users"))
+    val j = requests.join(broadcast(counts), Seq("realm_id"), "left")
+    val verdict =
+      when(col("op") === "issue", "Ok")
+        .when(col("t_node") =!= col("node_id"), "InvalidSecret")
+        .when(col("t_expires") < col("now_s"), "InvalidSecret")
+        .when(!col("has_document"), "InvalidSecret")
+        .otherwise("Ok")
+    val ok = col("verdict") === "Ok"
+    j.withColumn("verdict", verdict).select(
+      col("req_id"), col("op"), col("verdict"),
+      when(ok && col("op") === "issue",
+        lit(5L) + coalesce(col("n_users"), lit(0L))).as("n_documents"),
+      when(ok && col("op") === "issue", col("now_s") + col("ttl_s"))
+        .as("expires_at"))
+  }
+
+  val KindLabelKey = "aruna-engine.org/kind" // node_info.rs:8
+  val StorageClassLabelPrefix = "aruna-engine.org/storage-class/" // :13
+
+  /** The joiner-admission slice of bootstrap onboarding finalize
+    * (reference `bootstrap_onboarding_finalize.rs:268-288`
+    * `build_joiner_placement_entry` + `node_info.rs:17-22`
+    * `reserved_label`) — the only DECISIONS the 1145-LoC orchestration
+    * makes itself; everything else composes already-gated operations
+    * (reserve/consume = ob1, realm-config read = grc1, sync ticket =
+    * ot1, placement mutation = the mutate ladder).
+    *
+    * Payload-sourced labels are rejected when any key is the kind label
+    * or carries the storage-class prefix — the FIRST such key in BTreeMap
+    * (lexicographic) order names the error; then the crr1 location/weight
+    * normalization applies.
+    *
+    * `requests(req_id, node_location, node_weight)`;
+    * `reqLabels(req_id, label_key)`. */
+  def joinerAdmission(requests: DataFrame, reqLabels: DataFrame): DataFrame = {
+    val reservedAgg = reqLabels
+      .filter(col("label_key") === KindLabelKey ||
+        col("label_key").startsWith(StorageClassLabelPrefix))
+      .groupBy("req_id").agg(min(col("label_key")).as("reserved_key"))
+    val trimmed = trim(col("node_location"))
+    val j = requests.join(broadcast(reservedAgg), Seq("req_id"), "left")
+    val verdict =
+      when(col("reserved_key").isNotNull,
+        concat(lit("ReservedNodeLabel:"), col("reserved_key")))
+        .when(col("node_location").isNotNull &&
+          length(trimmed) > Realms.MaxNodeLocationLen, "NodeLocationTooLong")
+        .otherwise("Ok")
+    val ok = col("verdict") === "Ok"
+    j.withColumn("verdict", verdict).select(
+      col("req_id"), col("verdict"),
+      when(ok, coalesce(trimmed, lit(""))).as("location_out"),
+      when(ok, when(col("node_weight").isNull, Realms.DefaultNodeWeight)
+        .otherwise(least(greatest(col("node_weight"), lit(1L)),
+          lit(Realms.MaxNodeWeight)))).as("weight_out"))
+  }
 }

@@ -55,4 +55,56 @@ class OnboardingLifecycleSpec extends SparkSpec {
     assert(out("r6").getString(2) == "Ok")
     assert(out("r7").getString(2) == "NotFound")
   }
+
+  test("sync tickets: 5 control targets + one per realm user; verify's " +
+    "node/expiry/membership arms (issue_onboarding_sync_ticket.rs:66-158, " +
+    "onboarding.rs:188-207)") {
+    val users = Seq(("u1", "rA"), ("u2", "rA"), ("u3", "rB"))
+      .toDF("user_id", "realm_id")
+    def req(id: String, op: String, realm: String, tNode: String,
+        tExp: Long, hasDoc: Boolean) =
+      (id, op, realm, "n1", 100L, 300L, tNode, tExp, hasDoc)
+    val out = Onboarding.syncTickets(Seq(
+      req("r1", "issue", "rA", "x", 0L, true),
+      req("r2", "issue", "rC", "x", 0L, true),  // no users: 5 targets
+      req("r3", "verify", "rA", "n1", 200L, true),
+      req("r4", "verify", "rA", "n2", 200L, true),
+      req("r5", "verify", "rA", "n1", 99L, true),
+      req("r6", "verify", "rA", "n1", 200L, false))
+      .toDF("req_id", "op", "realm_id", "node_id", "now_s", "ttl_s",
+        "t_node", "t_expires", "has_document"), users)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("r1").getString(2) == "Ok" && out("r1").getLong(3) == 7L &&
+      out("r1").getLong(4) == 400L)
+    assert(out("r2").getLong(3) == 5L)
+    assert(out("r3").getString(2) == "Ok")
+    assert(out("r4").getString(2) == "InvalidSecret")
+    assert(out("r5").getString(2) == "InvalidSecret")
+    assert(out("r6").getString(2) == "InvalidSecret")
+  }
+
+  test("joiner admission: lexicographically-first reserved label named, " +
+    "then crr1's location/weight normalize " +
+    "(bootstrap_onboarding_finalize.rs:268-288, node_info.rs:17-22)") {
+    val reqs = Seq(
+      ("r1", Some(" eu "), Some(7L)),
+      ("r2", Some("x"), Some(0L)),          // both reserved labels below
+      ("r3", Some("y" * 65), None),
+      ("r4", None, None))
+      .toDF("req_id", "node_location", "node_weight")
+    val labels = Seq(
+      ("r1", "team/a"),
+      ("r2", "aruna-engine.org/storage-class/hot"),
+      ("r2", "aruna-engine.org/kind"),
+      ("r3", "team/b")).toDF("req_id", "label_key")
+    val out = Onboarding.joinerAdmission(reqs, labels)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("r1").getString(1) == "Ok" &&
+      out("r1").getString(2) == "eu" && out("r1").getLong(3) == 7L)
+    // BTreeMap order: "aruna-engine.org/kind" < ".../storage-class/hot"
+    assert(out("r2").getString(1) == "ReservedNodeLabel:aruna-engine.org/kind")
+    assert(out("r3").getString(1) == "NodeLocationTooLong")
+    assert(out("r4").getString(1) == "Ok" && out("r4").getString(2) == "" &&
+      out("r4").getLong(3) == 100L)
+  }
 }
