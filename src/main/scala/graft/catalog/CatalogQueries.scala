@@ -508,6 +508,53 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Bare document reads (read_realm_authorization.rs — absent is
+    // Ok(None), never an error; read_user_document.rs — absent IS
+    // NotFound).
+    "rd1_doc_reads" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val c = col("c_custkey")
+      val k = (o / 109).cast("long") % 2
+      val realmAuth = graft.Tables.nation(s, d).filter(col("n_nationkey") % 2 === 0)
+        .select(concat(lit("rm-"), col("n_nationkey").cast("string"))
+          .as("key"), ((col("n_nationkey") % 4) + 1).as("n_roles"))
+      val users = graft.Tables.customer(s, d).select(
+        concat(lit("U"), lpad(c.cast("string"), 8, "0")).as("key"),
+        col("c_name").as("name"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 109 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k === 0, "realm_auth").otherwise("user_doc").as("op"),
+        when(k === 0, concat(lit("rm-"), (o % 40).cast("string")))
+          .otherwise(concat(lit("U"), lpad((o % 1600).cast("string"), 8,
+            "0"))).as("key"))
+      Reads.docReads(reqs, realmAuth, users).orderBy("req_id")
+    },
+
+    // Blob permission-path resolution (resolve_blob_permission_paths.rs:
+    // 58-86): hash-prefix alias iteration sorted by
+    // (permission_path, version_id); empty result is a valid Ok.
+    "rbp1_blob_paths" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val l = graft.Tables.lineitem(s, d)
+      // the alias index is a maintained per-blob relation: aliases per
+      // hash are contract-bounded, so the fixture pins the index to the
+      // base-scale subset (replica keys are offset by +10M and fall out)
+      val index = l.filter(col("l_orderkey") % 11 === 0 &&
+          col("l_partkey") < 2000 && col("l_orderkey") < 10000000).select(
+        md5(concat(lit("b:"), (col("l_orderkey") % 700).cast("string")))
+          .as("blake3"),
+        concat(lit("/r1/g/g"), (col("l_partkey") % 7).cast("string"),
+          lit("/o/"), (col("l_suppkey") % 50).cast("string"))
+          .as("permission_path"),
+        lpad(((col("l_partkey") * 13 + col("l_linenumber")) % 100000)
+          .cast("string"), 8, "0").as("version_id"))
+        .distinct()
+      val reqs = graft.Tables.orders(s, d).filter(o % 113 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        md5(concat(lit("b:"), (o % 750).cast("string"))).as("blake3"))
+      Reads.blobPermissionPaths(reqs, index).orderBy("req_id", "pos")
+    },
+
     // Joiner placement admission (bootstrap_onboarding_finalize.rs:
     // 268-288; node_info.rs:17-22): reserved-label rejection naming the
     // lexicographically first offender, then location/weight normalize.
@@ -3934,6 +3981,57 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "rd1_doc_reads" ->
+      s"""WITH ra AS (
+         |  SELECT 'rm-'||n_nationkey AS key, (n_nationkey%4)+1 AS n_roles
+         |  FROM nation WHERE n_nationkey%2=0),
+         |users AS (
+         |  SELECT 'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') AS key,
+         |         c_name AS name FROM customer),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k=0 THEN 'realm_auth' ELSE 'user_doc' END AS op,
+         |    CASE WHEN k=0 THEN 'rm-'||(o_orderkey%40)
+         |         ELSE 'U'||lpad(CAST(o_orderkey%1600 AS VARCHAR),8,'0') END
+         |      AS key
+         |  FROM (SELECT *, (o_orderkey//109)%2 AS k FROM orders
+         |        WHERE o_orderkey%109=0))
+         |SELECT req_id, op,
+         |  CASE WHEN op='realm_auth' THEN 'Ok'
+         |       WHEN u.name IS NULL THEN 'NotFound'
+         |       ELSE 'Ok' END AS verdict,
+         |  CASE WHEN op='realm_auth' THEN a.n_roles IS NOT NULL END
+         |    AS present,
+         |  CASE WHEN op='realm_auth' THEN CAST(a.n_roles AS BIGINT) END
+         |    AS n_roles,
+         |  CASE WHEN op='user_doc' THEN u.name END AS name
+         |FROM req r
+         |LEFT JOIN ra a USING (key)
+         |LEFT JOIN users u USING (key)
+         |ORDER BY req_id""".stripMargin,
+
+    "rbp1_blob_paths" ->
+      s"""WITH idx AS (
+         |  SELECT DISTINCT md5('b:'||(l_orderkey%700)) AS blake3,
+         |    '/r1/g/g'||(l_partkey%7)||'/o/'||(l_suppkey%50)
+         |      AS permission_path,
+         |    lpad(CAST((l_partkey*13+l_linenumber)%100000 AS VARCHAR),8,'0')
+         |      AS version_id
+         |  FROM lineitem WHERE l_orderkey%11=0 AND l_partkey<2000
+         |    AND l_orderkey<10000000),
+         |ranked AS (
+         |  SELECT blake3, permission_path, version_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY blake3
+         |      ORDER BY permission_path, version_id) AS INT) AS pos
+         |  FROM idx),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    md5('b:'||(o_orderkey%750)) AS blake3
+         |  FROM orders WHERE o_orderkey%113=0)
+         |SELECT req_id, r2.pos, r2.permission_path, r2.version_id
+         |FROM req r LEFT JOIN ranked r2 USING (blake3)
+         |ORDER BY req_id, pos""".stripMargin,
 
     "onf1_joiner_admission" ->
       s"""WITH base AS (

@@ -98,4 +98,58 @@ object Reads {
         max(col("target_kind").isin(DashboardKinds: _*)).as("notify"),
         sum(when(col("target_kind").isin(DashboardKinds: _*), 1L)
           .otherwise(0L)).as("n_relevant"))
+
+  /** The two bare document reads (reference
+    * `operations/src/read_realm_authorization.rs:79-110` — returns
+    * `Option`, an absent doc is a plain None, NEVER an error — and
+    * `operations/src/read_user_document.rs:30,64` — absent IS NotFound).
+    * The asymmetry is the point: auth docs are optional realm state,
+    * user docs are required.
+    *
+    * `requests(req_id, op, key)` with op ∈ realm_auth | user_doc;
+    * `realmAuth(key, n_roles)`; `users(key, name)`. */
+  def docReads(requests: DataFrame, realmAuth: DataFrame,
+      users: DataFrame): DataFrame = {
+    val probe = requests.select("key").distinct()
+    val raHits = realmAuth.join(broadcast(probe), Seq("key"))
+      .select(col("key"), col("n_roles"))
+    val uHits = users.join(broadcast(probe), Seq("key"))
+      .select(col("key"), col("name"))
+    requests
+      .join(broadcast(raHits), Seq("key"), "left")
+      .join(broadcast(uHits), Seq("key"), "left")
+      .select(col("req_id"), col("op"),
+        when(col("op") === "realm_auth", "Ok") // absent is Ok(None)
+          .when(col("name").isNull, "NotFound")
+          .otherwise("Ok").as("verdict"),
+        when(col("op") === "realm_auth", col("n_roles").isNotNull)
+          .as("present"),
+        when(col("op") === "realm_auth", col("n_roles")).as("n_roles"),
+        when(col("op") === "user_doc", col("name")).as("name"))
+  }
+
+  /** Blob permission-path resolution (reference
+    * `operations/src/blob/resolve_blob_permission_paths.rs:58-86`): the
+    * hash→path alias index is iterated under the blake3 prefix and the
+    * candidates sort by `(permission_path, version_id)` — the
+    * deterministic order downstream permission checks rely on. An empty
+    * result is a valid Ok (the blob has no aliases).
+    *
+    * `requests(req_id, blake3)`; `index(blake3, permission_path,
+    * version_id)`. Output: one row per candidate with its 1-based `pos`;
+    * alias-less requests keep one row with NULL candidate columns.
+    *
+    * Scale: the alias index is corpus-side — request hashes broadcast
+    * into the prefix scan; per-request sorts are alias-count bounded. */
+  def blobPermissionPaths(requests: DataFrame, index: DataFrame): DataFrame = {
+    val probe = requests.select("blake3").distinct()
+    val hits = index.join(broadcast(probe), Seq("blake3"))
+      .select(col("blake3"), col("permission_path"), col("version_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("blake3")
+      .orderBy("permission_path", "version_id")
+    val ranked = hits.withColumn("pos", row_number().over(w))
+    requests.join(broadcast(ranked), Seq("blake3"), "left")
+      .select(col("req_id"), col("pos"), col("permission_path"),
+        col("version_id"))
+  }
 }

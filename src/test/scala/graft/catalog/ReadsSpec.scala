@@ -46,6 +46,39 @@ class ReadsSpec extends SparkSpec {
     assert(out("q2").getString(1) == "DocumentNotFound")
   }
 
+  test("docReads asymmetry: absent realm auth is Ok(None), absent user doc " +
+    "is NotFound (read_realm_authorization.rs vs read_user_document.rs)") {
+    val ra = Seq(("rm-1", 3L)).toDF("key", "n_roles")
+    val users = Seq(("u1", "alice")).toDF("key", "name")
+    val out = Reads.docReads(Seq(
+      ("r1", "realm_auth", "rm-1"), ("r2", "realm_auth", "rm-9"),
+      ("r3", "user_doc", "u1"), ("r4", "user_doc", "u9"))
+      .toDF("req_id", "op", "key"), ra, users)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("r1").getString(2) == "Ok" && out("r1").getBoolean(3) &&
+      out("r1").getLong(4) == 3L)
+    assert(out("r2").getString(2) == "Ok" && !out("r2").getBoolean(3))
+    assert(out("r3").getString(2) == "Ok" && out("r3").getString(5) == "alice")
+    assert(out("r4").getString(2) == "NotFound")
+  }
+
+  test("blobPermissionPaths: candidates sort by (permission_path, " +
+    "version_id); alias-less blobs keep an Ok empty row " +
+    "(resolve_blob_permission_paths.rs:70-79)") {
+    val idx = Seq(
+      ("b1", "/p/z", "002"), ("b1", "/p/a", "009"), ("b1", "/p/a", "001"))
+      .toDF("blake3", "permission_path", "version_id")
+    val out = Reads.blobPermissionPaths(
+      Seq(("r1", "b1"), ("r2", "bX")).toDF("req_id", "blake3"), idx)
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3))))
+    val r1 = out.filter(_._1 == "r1").sortBy(_._2.get.asInstanceOf[Int])
+    assert(r1.map(t => (t._3.get, t._4.get)) ===
+      Seq(("/p/a", "001"), ("/p/a", "009"), ("/p/z", "002")))
+    assert(out.filter(_._1 == "r2") ===
+      Seq(("r2", None, None, None)))
+  }
+
   test("dashboardNotify: exactly the ten relevant kinds notify; watch/node " +
     "traffic never does (dashboard.rs:23-39 target_filtering)") {
     assert(Reads.DashboardKinds.size == 10)
