@@ -508,6 +508,44 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Sync-relationship management (sync_relationship.rs:61-190,235-237;
+    // core sync_relationship.rs): ARN validation, Detached-doesn't-block
+    // duplicate identity, in-batch first-wins, detach-vs-delete removal.
+    "sy1_sync_relationship" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val n = col("n_nationkey")
+      val k = (o / 127).cast("long") % 6
+      val x = o % 20
+      val store = graft.Tables.nation(s, d).filter(n < 20).select(
+        concat(lit("sr-"), n.cast("string")).as("rel_id"),
+        concat(lit("s3-b"), (n % 6).cast("string"), lit("/src"))
+          .as("source"),
+        concat(lit("t-"), n.cast("string")).as("target"),
+        element_at(array(lit("Once"), lit("Reference"), lit("Continuous")),
+          (n % 3 + 1).cast("int")).as("mode"),
+        when(n % 5 === 0, "Detached").otherwise("Enabled").as("state"),
+        (n % 3 === 1 || n % 7 === 0).as("serving"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 127 === 0).select(
+        o.as("seq"),
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k <= 3, "create").otherwise("remove").as("op"),
+        when(k === 5, lit("sr-X"))
+          .otherwise(concat(lit("sr-"), x.cast("string"))).as("rel_id"),
+        lit("b").as("source_bucket"),
+        (k =!= 2).as("source_arn_ok"),
+        when(k === 1, concat(lit("s3-b"), (x % 6).cast("string"),
+          lit("/src")))
+          .when(k === 3, concat(lit("dup-"), (o % 50).cast("string")))
+          .otherwise(concat(lit("new-"), o.cast("string"))).as("source"),
+        when(k === 1, concat(lit("t-"), x.cast("string")))
+          .when(k === 3, lit("t-dup"))
+          .otherwise(concat(lit("tn-"), o.cast("string"))).as("target"),
+        when(k === 1, element_at(array(lit("Once"), lit("Reference"),
+          lit("Continuous")), (x % 3 + 1).cast("int")))
+          .otherwise(lit("Once")).as("mode"))
+      SyncRelationships.decide(reqs, store).orderBy("req_id")
+    },
+
     // Bare document reads (read_realm_authorization.rs — absent is
     // Ok(None), never an error; read_user_document.rs — absent IS
     // NotFound).
@@ -3980,6 +4018,67 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "sy1_sync_relationship" ->
+      s"""WITH store AS (
+         |  SELECT 'sr-'||n_nationkey AS rel_id,
+         |    's3-b'||(n_nationkey%6)||'/src' AS source,
+         |    't-'||n_nationkey AS target,
+         |    CASE n_nationkey%3 WHEN 0 THEN 'Once' WHEN 1 THEN 'Reference'
+         |         ELSE 'Continuous' END AS mode,
+         |    CASE WHEN n_nationkey%5=0 THEN 'Detached' ELSE 'Enabled' END
+         |      AS state,
+         |    n_nationkey%3=1 OR n_nationkey%7=0 AS serving
+         |  FROM nation WHERE n_nationkey<20),
+         |live AS (SELECT DISTINCT source, target, mode, true AS store_dup
+         |         FROM store WHERE state<>'Detached'),
+         |req AS (
+         |  SELECT o_orderkey AS seq,
+         |    lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k<=3 THEN 'create' ELSE 'remove' END AS op,
+         |    CASE WHEN k=5 THEN 'sr-X' ELSE 'sr-'||x END AS rel_id,
+         |    k<>2 AS source_arn_ok,
+         |    CASE WHEN k=1 THEN 's3-b'||(x%6)||'/src'
+         |         WHEN k=3 THEN 'dup-'||(o_orderkey%50)
+         |         ELSE 'new-'||o_orderkey END AS source,
+         |    CASE WHEN k=1 THEN 't-'||x
+         |         WHEN k=3 THEN 't-dup'
+         |         ELSE 'tn-'||o_orderkey END AS target,
+         |    CASE WHEN k=1 THEN
+         |      CASE x%3 WHEN 0 THEN 'Once' WHEN 1 THEN 'Reference'
+         |           ELSE 'Continuous' END
+         |      ELSE 'Once' END AS mode
+         |  FROM (SELECT *, (o_orderkey//127)%6 AS k, o_orderkey%20 AS x
+         |        FROM orders WHERE o_orderkey%127=0)),
+         |jj AS (
+         |  SELECT r.*, l.store_dup, s.serving,
+         |    s.rel_id IS NOT NULL AS id_known,
+         |    SUM(CASE WHEN r.op='create' AND r.source_arn_ok AND
+         |             l.store_dup IS NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY r.source, r.target, r.mode ORDER BY r.seq
+         |            ROWS UNBOUNDED PRECEDING) AS n_written_upto
+         |  FROM req r
+         |  LEFT JOIN live l ON l.source=r.source AND l.target=r.target
+         |    AND l.mode=r.mode
+         |  LEFT JOIN store s ON s.rel_id=r.rel_id),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN op='create' THEN
+         |      CASE WHEN NOT source_arn_ok THEN 'NotAnS3Arn'
+         |           WHEN store_dup IS NOT NULL THEN 'Duplicate'
+         |           WHEN n_written_upto > 1 THEN 'Duplicate'
+         |           ELSE 'Ok' END
+         |    ELSE CASE WHEN NOT id_known THEN 'NotFound' ELSE 'Ok' END END
+         |      AS verdict
+         |  FROM jj)
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op='create' THEN 'Enabled' END
+         |    AS state_out,
+         |  CASE WHEN verdict='Ok' AND op='remove' THEN
+         |    CASE WHEN serving THEN 'Detached' ELSE 'Deleted' END END
+         |    AS removal,
+         |  verdict='Ok' AND op='remove' AND serving AS stub_survives
          |FROM v ORDER BY req_id""".stripMargin,
 
     "rd1_doc_reads" ->
