@@ -508,6 +508,25 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Full SearchBuckets (search_buckets.rs:83-245): limit clamp to 50,
+    // per-bucket authorization skip, group-name enrichment with
+    // missing-group NULL, S3 ARNs, bucket-key order.
+    "sb1_search_buckets" -> { (s, d) =>
+      val c = col("c_custkey")
+      val buckets = ObjectTables.bucketsLarge(s, d)
+        .withColumn("created_at",
+          lit(1700000000000L) +
+            substring(col("bucket"), 4, 8).cast("long") * 1000)
+      val grants = graft.Tables.customer(s, d).filter(c % 3 =!= 1)
+        .select(concat(lit("cb-"), lpad(c.cast("string"), 8, "0"))
+          .as("bucket"))
+      val groups = s.range(0, 5).filter(col("id") =!= 3).select(
+        concat(lit("grp-"), col("id").cast("string")).as("group_id"),
+        concat(lit("Group "), col("id").cast("string")).as("display_name"))
+      Listing.searchBucketsAuthorized(buckets, grants, groups,
+        q = "05", limit = 999, realmId = "r1", nodeId = "nd-0")
+    },
+
     // Sync-relationship management (sync_relationship.rs:61-190,235-237;
     // core sync_relationship.rs): ARN validation, Detached-doesn't-block
     // duplicate identity, in-batch first-wins, detach-vs-delete removal.
@@ -4019,6 +4038,26 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "sb1_search_buckets" ->
+      s"""WITH ${ObjectTables.bucketsLargeCte},
+         |b AS (SELECT bucket, group_id,
+         |        1700000000000 + CAST(substring(bucket,4,8) AS BIGINT)*1000
+         |          AS created_at
+         |      FROM buckets_large),
+         |grants AS (
+         |  SELECT 'cb-'||lpad(CAST(c_custkey AS VARCHAR),8,'0') AS bucket
+         |  FROM customer WHERE c_custkey%3<>1),
+         |grp AS (SELECT 'grp-'||i AS group_id, 'Group '||i AS display_name
+         |        FROM (VALUES (0),(1),(2),(4)) t(i)),
+         |hits AS (
+         |  SELECT b.* FROM b JOIN grants USING (bucket)
+         |  WHERE lower(b.bucket) LIKE '%05%' AND b.bucket NOT LIKE 'ws-%'
+         |  ORDER BY b.bucket LIMIT 50)
+         |SELECT 'arn:aruna:r1:nd-0:s3/'||bucket AS arn, bucket, group_id,
+         |  g.display_name AS group_name, created_at
+         |FROM hits LEFT JOIN grp g USING (group_id)
+         |ORDER BY bucket""".stripMargin,
 
     "sy1_sync_relationship" ->
       s"""WITH store AS (

@@ -188,6 +188,42 @@ object Listing {
         !col("bucket").startsWith("ws-"))
       .orderBy(col("bucket"))
 
+  /** The FULL SearchBuckets operation (reference
+    * `operations/src/s3/search_buckets.rs:83-245`) around cat4's
+    * substring filter: the limit clamps into 1..=50 (`:83,87`),
+    * candidates walk in bucket-key order, every candidate passes a
+    * per-bucket READ permission check (denied buckets are skipped, the
+    * scan continues until the limit fills, `:155-199`), and hits enrich
+    * with the owning group's display name — a missing group document is
+    * a NULL name, not an error (`:213-224`) — plus the bucket's S3 ARN.
+    *
+    * `buckets(bucket, group_id, created_at)`; `grants(bucket)` — the
+    * caller's readable set; `groups(group_id, display_name)`.
+    *
+    * Scale: the candidate filter + authorization are one pushed scan over
+    * the bucket catalog; the limit is a bounded TakeOrdered, never a
+    * global sort at corpus scale. */
+  def searchBucketsAuthorized(buckets: DataFrame, grants: DataFrame,
+      groups: DataFrame, q: String, limit: Int, realmId: String,
+      nodeId: String): DataFrame = {
+    val clamped = math.max(1, math.min(limit, 50))
+    val hits = buckets
+      .filter(lower(col("bucket")).contains(q.toLowerCase) &&
+        !col("bucket").startsWith("ws-"))
+      .join(broadcast(grants.select(col("bucket")).distinct()),
+        Seq("bucket")) // denied candidates are skipped, scan continues
+      .orderBy("bucket").limit(clamped)
+    hits.join(broadcast(groups
+        .select(col("group_id"), col("display_name"))), Seq("group_id"),
+        "left")
+      .select(
+        concat(lit(s"arn:aruna:$realmId:$nodeId:s3/"), col("bucket"))
+          .as("arn"),
+        col("bucket"), col("group_id"),
+        col("display_name").as("group_name"), col("created_at"))
+      .orderBy("bucket")
+  }
+
   /** One ListParts page (reference `operations/src/s3/list_parts.rs`):
     * parts of one Open upload in ascending part_number order,
     * `part_number_marker` resume (strictly-after, `list_parts.rs:186-189`),

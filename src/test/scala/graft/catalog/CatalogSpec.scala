@@ -109,6 +109,30 @@ class CatalogSpec extends SparkSpec {
       == Seq("Prod-Data", "archive"))
   }
 
+  test("full bucket search: limit clamp to 50-cap/1-floor, authorization " +
+    "skip continues the scan, missing group name is NULL, ARN shape " +
+    "(search_buckets.rs:83-245)") {
+    val buckets = (1 to 60).map(i => (f"data-$i%03d", s"g${i % 3}", i.toLong))
+      .toDF("bucket", "group_id", "created_at")
+    val grants = (1 to 60).filter(_ % 2 == 0).map(i => f"data-$i%03d")
+      .toDF("bucket") // odd buckets unreadable: skipped, scan continues
+    val groups = Seq(("g0", "Zero"), ("g1", "One")) // g2 missing -> NULL
+      .toDF("group_id", "display_name")
+    val page = Listing.searchBucketsAuthorized(buckets, grants, groups,
+      "data", limit = 7, realmId = "r1", nodeId = "n1").collect()
+    assert(page.length == 7)
+    assert(page.map(_.getString(1)).toSeq ==
+      (2 to 14 by 2).map(i => f"data-$i%03d"))
+    assert(page.head.getString(0) == "arn:aruna:r1:n1:s3/data-002")
+    assert(page.exists(_.isNullAt(3)) && page.exists(r =>
+      !r.isNullAt(3) && Set("Zero", "One")(r.getString(3))))
+    // clamp: a 999 limit caps at 50, a 0 limit floors at 1
+    assert(Listing.searchBucketsAuthorized(buckets, grants, groups,
+      "data", 999, "r1", "n1").count() == 30)
+    assert(Listing.searchBucketsAuthorized(buckets, grants, groups,
+      "data", 0, "r1", "n1").count() == 1)
+  }
+
   test("user/group name search: min-chars guard, clamp, substring") {
     val users = Seq("Ada Lovelace", "Alan Turing", "Grace Hopper").toDF("name")
     // below min chars → empty, never a full scan result
