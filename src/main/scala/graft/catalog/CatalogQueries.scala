@@ -508,6 +508,36 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Source-connector CRUD (connectors/{get,list,replace,delete}_source_
+    // connector.rs): (group,connector)-keyed NotFound, the
+    // referenced-by-object-version guard on replace/delete, identity
+    // preservation, record+secret pair delete.
+    "cn1_connector_crud" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val c = col("c_custkey")
+      val k = (o / 131).cast("long") % 6
+      val x = o % 300
+      val connectors = graft.Tables.customer(s, d).filter(c < 300).select(
+        concat(lit("g"), (c % 5).cast("string")).as("group_id"),
+        concat(lit("cx-"), c.cast("string")).as("connector_id"),
+        concat(lit("conn "), c.cast("string")).as("name"),
+        element_at(array(lit("s3"), lit("http"), lit("azblob")),
+          (c % 3 + 1).cast("int")).as("kind"),
+        (c % 2 === 0).as("has_secret"))
+      val referencing = graft.Tables.customer(s, d)
+        .filter(c < 300 && c % 7 === 0)
+        .select(concat(lit("cx-"), c.cast("string")).as("connector_id"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 131 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k === 0, "get").when(k === 1, "list")
+          .when(k <= 3, "replace").otherwise("delete").as("op"),
+        when(k === 2, concat(lit("g"), ((x + 1) % 5).cast("string")))
+          .otherwise(concat(lit("g"), (x % 5).cast("string")))
+          .as("group_id"),
+        concat(lit("cx-"), x.cast("string")).as("connector_id"))
+      Connectors.crud(reqs, connectors, referencing).orderBy("req_id")
+    },
+
     // Full SearchBuckets (search_buckets.rs:83-245): limit clamp to 50,
     // per-bucket authorization skip, group-name enrichment with
     // missing-group NULL, S3 ARNs, bucket-key order.
@@ -4037,6 +4067,55 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "cn1_connector_crud" ->
+      s"""WITH conn AS (
+         |  SELECT 'g'||(c_custkey%5) AS group_id,
+         |    'cx-'||c_custkey AS connector_id,
+         |    'conn '||c_custkey AS name,
+         |    CASE c_custkey%3 WHEN 0 THEN 's3' WHEN 1 THEN 'http'
+         |         ELSE 'azblob' END AS kind,
+         |    c_custkey%2=0 AS has_secret
+         |  FROM customer WHERE c_custkey<300),
+         |refg AS (SELECT 'cx-'||c_custkey AS connector_id FROM customer
+         |         WHERE c_custkey<300 AND c_custkey%7=0),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k=0 THEN 'get' WHEN k=1 THEN 'list'
+         |         WHEN k<=3 THEN 'replace' ELSE 'delete' END AS op,
+         |    CASE WHEN k=2 THEN 'g'||((x+1)%5) ELSE 'g'||(x%5) END
+         |      AS group_id,
+         |    'cx-'||x AS connector_id
+         |  FROM (SELECT *, (o_orderkey//131)%6 AS k, o_orderkey%300 AS x
+         |        FROM orders WHERE o_orderkey%131=0)),
+         |pg AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_connectors
+         |       FROM conn GROUP BY 1),
+         |v AS (
+         |  SELECT r.*, c.name, c.kind, c.has_secret,
+         |    f.connector_id IS NOT NULL AS referenced, pg.n_connectors,
+         |    CASE WHEN r.op='list' THEN 'Ok'
+         |         WHEN c.name IS NULL THEN 'NotFound'
+         |         WHEN r.op IN ('replace','delete') AND
+         |              f.connector_id IS NOT NULL
+         |           THEN 'ReferencedByObjectVersion'
+         |         ELSE 'Ok' END AS verdict
+         |  FROM req r
+         |  LEFT JOIN conn c ON c.group_id=r.group_id
+         |    AND c.connector_id=r.connector_id
+         |  LEFT JOIN refg f ON f.connector_id=r.connector_id
+         |  LEFT JOIN pg ON pg.group_id=r.group_id)
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op='get' THEN name END AS name,
+         |  CASE WHEN verdict='Ok' AND op='get' THEN kind END AS kind,
+         |  CASE WHEN verdict='Ok' AND op='get' THEN has_secret END
+         |    AS has_secret,
+         |  CASE WHEN verdict='Ok' AND op='list'
+         |       THEN COALESCE(n_connectors,0) END AS n_connectors,
+         |  verdict='Ok' AND op='replace' AS identity_preserved,
+         |  CASE WHEN verdict='Ok' AND op='delete' THEN
+         |    CAST(CASE WHEN has_secret THEN 2 ELSE 1 END AS BIGINT) END
+         |    AS n_deleted
          |FROM v ORDER BY req_id""".stripMargin,
 
     "sb1_search_buckets" ->

@@ -149,4 +149,71 @@ object Connectors {
       verdict.getField("detail").as("detail"),
       (verdict.getField("error") === "ok").as("valid"))
   }
+
+  /** Source-connector CRUD around cv1's validation (reference
+    * `operations/src/connectors/{get,list,replace,delete}_source_
+    * connector.rs` + `repository.rs:16-24` — the store is
+    * (group, connector)-keyed, so a wrong group IS NotFound):
+    *
+    *  - **get** (`get_source_connector.rs:43,92`): point read;
+    *  - **list**: the group's prefix scan (count here);
+    *  - **replace** (`replace_source_connector.rs:148-250`): NotFound;
+    *    then the FULL reference-version scan — any
+    *    `BlobVersion::Reference` bound to this connector aborts as
+    *    ReferencedByObjectVersion (a referenced connector's config is
+    *    load-bearing for retained data); an admitted replace KEEPS
+    *    connector_id/group/created_at/created_by and takes the new
+    *    name/kind/config with a fresh updated_at (`:160-171`);
+    *  - **delete** (`delete_source_connector.rs:126,194`): same NotFound
+    *    + referenced guard; removes the record and its secret row.
+    *
+    * `requests(req_id, op, group_id, connector_id)`;
+    * `connectors(group_id, connector_id, name, kind, has_secret)`;
+    * `referencing(connector_id)` — connectors bound by reference blob
+    * versions.
+    *
+    * Scale: the connector store is group-config-sized; the reference
+    * guard probes the versions-derived referencing set with broadcast
+    * request keys, never scanning the corpus per request. */
+  def crud(requests: DataFrame, connectors: DataFrame,
+      referencing: DataFrame): DataFrame = {
+    val probe = requests.select("group_id", "connector_id").distinct()
+    val hits = connectors.join(broadcast(probe),
+        Seq("group_id", "connector_id"))
+      .select(col("group_id"), col("connector_id"), col("name"),
+        col("kind"), col("has_secret"))
+    val refHits = referencing
+      .join(broadcast(requests.select("connector_id").distinct()),
+        Seq("connector_id"))
+      .select(col("connector_id"), lit(true).as("referenced")).distinct()
+    val perGroup = connectors
+      .join(broadcast(requests.filter(col("op") === "list")
+        .select("group_id").distinct()), Seq("group_id"))
+      .groupBy("group_id").agg(count(lit(1)).as("n_connectors"))
+
+    val j = requests
+      .join(broadcast(hits), Seq("group_id", "connector_id"), "left")
+      .join(broadcast(refHits), Seq("connector_id"), "left")
+      .join(broadcast(perGroup), Seq("group_id"), "left")
+    val found = col("name").isNotNull
+    val isRef = coalesce(col("referenced"), lit(false))
+    val verdict =
+      when(col("op") === "list", "Ok")
+        .when(!found, "NotFound")
+        .when(col("op").isin("replace", "delete") && isRef,
+          "ReferencedByObjectVersion")
+        .otherwise("Ok")
+    val ok = col("verdict") === "Ok"
+    j.withColumn("verdict", verdict).select(
+      col("req_id"), col("op"), col("verdict"),
+      when(ok && col("op") === "get", col("name")).as("name"),
+      when(ok && col("op") === "get", col("kind")).as("kind"),
+      when(ok && col("op") === "get", col("has_secret")).as("has_secret"),
+      when(ok && col("op") === "list",
+        coalesce(col("n_connectors"), lit(0L))).as("n_connectors"),
+      // replace keeps identity/creation fields, delete removes the pair
+      (ok && col("op") === "replace").as("identity_preserved"),
+      when(ok && col("op") === "delete",
+        when(col("has_secret"), 2L).otherwise(1L)).as("n_deleted"))
+  }
 }
