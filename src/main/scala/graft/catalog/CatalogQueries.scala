@@ -508,6 +508,31 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Blob-cleanup queue drain (blob/cleanup.rs:111-307): undecodable and
+    // removed-backend drops, delete attempts, the owns_write reconcile
+    // ladder (unreadable waits, owned keeps, disowned deletes), DHT retry.
+    "bcl1_cleanup_drain" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 137).cast("long") % 10
+      val removed = s.range(0, 2).select(
+        concat(lit("be-gone-"), col("id").cast("string")).as("backend"))
+      val rows = graft.Tables.orders(s, d).filter(o % 137 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("row_id"),
+        when(k <= 2, "DeleteBlob").when(k <= 7, "ReconcileWrite")
+          .otherwise("RegisterDht").as("work_kind"),
+        (k =!= 0).as("decodable"),
+        when(k === 1, concat(lit("be-gone-"), (o % 2).cast("string")))
+          .when(k === 9, lit(null).cast("string")) // DHT rows carry none
+          .otherwise(concat(lit("be-"), (o % 3).cast("string")))
+          .as("backend"),
+        (o % 5 =!= 0).as("delete_ok"),
+        (o % 4 =!= 0).as("dht_ok"),
+        (k =!= 3).as("owner_readable"),
+        (k === 4 || k === 5).as("owner_present"),
+        (k === 4).as("owner_same"))
+      BlobCleanup.drain(rows, removed).orderBy("row_id")
+    },
+
     // Source-connector CRUD (connectors/{get,list,replace,delete}_source_
     // connector.rs): (group,connector)-keyed NotFound, the
     // referenced-by-object-version guard on replace/delete, identity
@@ -4068,6 +4093,47 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "bcl1_cleanup_drain" ->
+      s"""WITH rows_ AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS row_id,
+         |    CASE WHEN k<=2 THEN 'DeleteBlob'
+         |         WHEN k<=7 THEN 'ReconcileWrite'
+         |         ELSE 'RegisterDht' END AS work_kind,
+         |    k<>0 AS decodable,
+         |    CASE WHEN k=1 THEN 'be-gone-'||(o_orderkey%2)
+         |         WHEN k=9 THEN NULL
+         |         ELSE 'be-'||(o_orderkey%3) END AS backend,
+         |    o_orderkey%5<>0 AS delete_ok,
+         |    o_orderkey%4<>0 AS dht_ok,
+         |    k<>3 AS owner_readable,
+         |    k IN (4,5) AS owner_present,
+         |    k=4 AS owner_same, k
+         |  FROM (SELECT *, (o_orderkey//137)%10 AS k FROM orders
+         |        WHERE o_orderkey%137=0)),
+         |v AS (
+         |  SELECT *,
+         |    CASE WHEN NOT decodable THEN 'Dropped'
+         |         WHEN backend LIKE 'be-gone-%' THEN 'Dropped'
+         |         WHEN work_kind='DeleteBlob' THEN
+         |           CASE WHEN delete_ok THEN 'Processed' ELSE 'Failed' END
+         |         WHEN work_kind='ReconcileWrite' THEN
+         |           CASE WHEN NOT owner_readable THEN 'Failed'
+         |                WHEN owner_present AND owner_same THEN 'Processed'
+         |                WHEN delete_ok THEN 'Processed'
+         |                ELSE 'Failed' END
+         |         ELSE CASE WHEN dht_ok THEN 'Processed'
+         |                   ELSE 'Failed' END END AS verdict
+         |  FROM rows_)
+         |SELECT row_id, work_kind, verdict,
+         |  CASE WHEN verdict<>'Processed' THEN NULL
+         |       WHEN work_kind='DeleteBlob' THEN 'deleted'
+         |       WHEN work_kind='ReconcileWrite' THEN
+         |         CASE WHEN owner_present AND owner_same THEN 'kept'
+         |              ELSE 'deleted' END
+         |       ELSE 'dht_registered' END AS action,
+         |  verdict<>'Failed' AS row_removed
+         |FROM v ORDER BY row_id""".stripMargin,
 
     "cn1_connector_crud" ->
       s"""WITH conn AS (
