@@ -508,6 +508,97 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Group storage-backend admission (group_backends/validation.rs +
+    // replace.rs:67-87): the full validate_backend_input ladder across
+    // all five kinds' rule tables, plus check_identity immutability.
+    "gb1_backend_admission" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val k = (o / 139).cast("long") % 16
+      val kind = element_at(array(lit("S3"), lit("Gcs"), lit("Azblob"),
+        lit("Azdls"), lit("B2")), (o % 5 + 1).cast("int"))
+      val rid = lpad(o.cast("string"), 12, "0")
+      val base = graft.Tables.orders(s, d).filter(o % 139 === 0)
+        .select(rid.as("req_id"), o.as("o"), k.as("k"), kind.as("kind"))
+      val bo = col("o"); val bk = col("k"); val bkind = col("kind")
+
+      val reqs = base.select(col("req_id"),
+        when(bk >= 14, "replace").otherwise("validate").as("op"),
+        when(bk === 1, "   ").otherwise(concat(lit("backend "),
+          bo.cast("string"))).as("name"),
+        bkind.as("kind"),
+        when(bk === 14, when(bkind === "S3", "Gcs").otherwise("S3"))
+          .when(bk === 15, bkind).otherwise(lit(null).cast("string"))
+          .as("ex_kind"))
+
+      def pubRow(cond: org.apache.spark.sql.Column, seq: Long, key: String,
+          v: org.apache.spark.sql.Column) =
+        base.filter(cond).select(col("req_id"), lit(seq).as("seq"),
+          lit(key).as("k"), v.as("v"))
+      val hasBucket = bkind.isin("S3", "Gcs", "B2")
+      val endpointVal = when(bk === 9, "http://store.example.com")
+        .when(bk === 10, "https://127.1")
+        .otherwise("https://store.example.com")
+      val reqPub =
+        pubRow(bk =!= 6 && (bkind =!= "B2" || bk.isin(9, 10)), 1L,
+          "endpoint", endpointVal)
+        .union(pubRow(bk =!= 6 && (hasBucket || bk === 11), 2L, "bucket",
+          when(bk === 11, "da/ta").otherwise("data")))
+        .union(pubRow(bk =!= 6 && bkind === "Azblob", 3L, "container",
+          lit("data")))
+        .union(pubRow(bk =!= 6 && bkind === "Azdls", 3L, "filesystem",
+          lit("data")))
+        .union(pubRow(bk =!= 6 && bkind.isin("Azblob", "Azdls"), 4L,
+          "account_name", lit("acct")))
+        .union(pubRow(bk =!= 6 && bkind === "B2", 5L, "bucket_id",
+          lit("bid")))
+        .union(pubRow(bk =!= 6, 6L, "root",
+          when(bk === 3, "").when(bk === 12, "../up").otherwise("a/b")))
+        .union(pubRow(bk === 2, 99L, "zzz", lit("x")))
+        .union(base.filter(bk === 4).select(col("req_id"),
+          lit(99L).as("seq"), lit("Root").as("k"), lit("c/d").as("v")))
+        .union(pubRow(bk === 13, 98L, "force_path_style", lit("yes")))
+
+      val secOn = bk =!= 7 &&
+        !(bk === 8 && bkind.isin("Azblob", "Azdls"))
+      def secRow(cond: org.apache.spark.sql.Column, seq: Long,
+          key: org.apache.spark.sql.Column, v: String) =
+        base.filter(cond).select(col("req_id"), lit(seq).as("seq"),
+          key.as("k"), lit(v).as("v"))
+      val reqSec =
+        secRow(secOn && bkind === "S3", 1L, lit("access_key_id"), "id")
+        .union(secRow(secOn && bkind === "S3", 2L,
+          lit("secret_access_key"), "key"))
+        .union(secRow(secOn && bkind === "Gcs", 1L, lit("credential"),
+          "cred"))
+        .union(secRow(secOn && bkind === "Azblob", 1L, lit("account_key"),
+          "ak"))
+        .union(secRow(secOn && bkind === "Azdls", 1L, lit("sas_token"),
+          "st"))
+        .union(secRow(secOn && bkind === "B2", 1L,
+          lit("application_key_id"), "aki"))
+        .union(secRow(secOn && bkind === "B2", 2L, lit("application_key"),
+          "ak"))
+        .union(secRow(bk === 5, 99L, lit("bad"), "x"))
+
+      def exRow(cond: org.apache.spark.sql.Column, key: String,
+          v: org.apache.spark.sql.Column) =
+        base.filter(cond && bk >= 14).select(col("req_id"),
+          lit(key).as("key"), v.as("value"))
+      val existing =
+        exRow(bkind =!= "B2", "endpoint", lit("https://store.example.com"))
+        .union(exRow(hasBucket, "bucket", lit("data")))
+        .union(exRow(bkind === "Azblob", "container", lit("data")))
+        .union(exRow(bkind === "Azdls", "filesystem", lit("data")))
+        .union(exRow(bkind.isin("Azblob", "Azdls"), "account_name",
+          lit("acct")))
+        .union(exRow(bkind === "B2", "bucket_id", lit("bid")))
+        .union(exRow(lit(true), "root",
+          when(bk === 15, "other/root").otherwise("a/b")))
+
+      GroupBackends.decide(reqs, reqPub, reqSec, existing)
+        .orderBy("req_id")
+    },
+
     // Blob-cleanup queue drain (blob/cleanup.rs:111-307): undecodable and
     // removed-backend drops, delete attempts, the owns_write reconcile
     // ladder (unreadable waits, owned keeps, disowned deletes), DHT retry.
@@ -4093,6 +4184,50 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "gb1_backend_admission" ->
+      s"""WITH base AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    (o_orderkey//139)%16 AS k,
+         |    CASE o_orderkey%5 WHEN 0 THEN 'S3' WHEN 1 THEN 'Gcs'
+         |         WHEN 2 THEN 'Azblob' WHEN 3 THEN 'Azdls'
+         |         ELSE 'B2' END AS kind
+         |  FROM orders WHERE o_orderkey%139=0)
+         |SELECT req_id,
+         |  CASE WHEN k>=14 THEN 'replace' ELSE 'validate' END AS op,
+         |  CASE k
+         |    WHEN 0 THEN 'Ok'
+         |    WHEN 1 THEN 'EmptyName'
+         |    WHEN 2 THEN 'UnknownPublicKey:zzz'
+         |    WHEN 3 THEN 'EmptyValue:root'
+         |    WHEN 4 THEN 'DuplicateKey:root'
+         |    WHEN 5 THEN 'UnknownSecretKey:bad'
+         |    WHEN 6 THEN CASE kind
+         |      WHEN 'Gcs' THEN 'MissingPublicKey:bucket'
+         |      WHEN 'B2' THEN 'MissingPublicKey:bucket'
+         |      ELSE 'MissingPublicKey:endpoint' END
+         |    WHEN 7 THEN CASE kind
+         |      WHEN 'S3' THEN 'MissingSecret:access_key_id'
+         |      WHEN 'Gcs' THEN 'MissingSecret:credential'
+         |      WHEN 'B2' THEN 'MissingSecret:application_key_id'
+         |      ELSE 'MissingEitherSecret' END
+         |    WHEN 8 THEN CASE WHEN kind IN ('Azblob','Azdls')
+         |      THEN 'MissingEitherSecret' ELSE 'Ok' END
+         |    WHEN 9 THEN CASE WHEN kind='B2'
+         |      THEN 'UnknownPublicKey:endpoint' ELSE 'InsecureEndpoint' END
+         |    WHEN 10 THEN CASE WHEN kind='B2'
+         |      THEN 'UnknownPublicKey:endpoint' ELSE 'AmbiguousEndpoint' END
+         |    WHEN 11 THEN CASE WHEN kind IN ('Azblob','Azdls')
+         |      THEN 'UnknownPublicKey:bucket' ELSE 'UnsafeBucket' END
+         |    WHEN 12 THEN 'UnsafeRoot'
+         |    WHEN 13 THEN CASE WHEN kind='S3' THEN 'InvalidBool'
+         |      ELSE 'UnknownPublicKey:force_path_style' END
+         |    WHEN 14 THEN 'Immutable:type'
+         |    ELSE 'Immutable:root' END AS verdict,
+         |  CASE k WHEN 0 THEN true
+         |    WHEN 8 THEN kind NOT IN ('Azblob','Azdls')
+         |    ELSE false END AS admitted
+         |FROM base ORDER BY req_id""".stripMargin,
 
     "bcl1_cleanup_drain" ->
       s"""WITH rows_ AS (
