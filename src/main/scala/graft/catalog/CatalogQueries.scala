@@ -599,6 +599,37 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Backend disable/enable/remove lifecycle (group_backends/disable.rs,
+    // remove.rs): idempotent stamp, disabled-only removal, the
+    // holding-data guard over locations/cleanup/uploads.
+    "gb2_backend_lifecycle" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val n = col("n_nationkey")
+      val k = (o / 149).cast("long") % 6
+      val x = o % 20
+      val backends = graft.Tables.nation(s, d).filter(n < 20).select(
+        concat(lit("g"), (n % 4).cast("string")).as("group_id"),
+        concat(lit("bk-"), n.cast("string")).as("backend_id"),
+        (n % 3 === 0).as("disabled"),
+        concat(lit("be-"), n.cast("string")).as("backend"))
+      // holders: every backend named by a location row, a cleanup row, or
+      // an upload record (three unions, pre-distinct)
+      val holders = graft.Tables.nation(s, d)
+        .filter(n < 20 && n % 5 === 0)
+        .select(concat(lit("be-"), n.cast("string")).as("backend"))
+        .union(graft.Tables.nation(s, d).filter(n < 20 && n % 7 === 1)
+          .select(concat(lit("be-"), n.cast("string")).as("backend")))
+      val reqs = graft.Tables.orders(s, d).filter(o % 149 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k <= 3, "set_disabled").otherwise("remove").as("op"),
+        when(k === 1, "g9")
+          .otherwise(concat(lit("g"), (x % 4).cast("string")))
+          .as("group_id"),
+        concat(lit("bk-"), x.cast("string")).as("backend_id"),
+        (k === 2 || (x % 3 === 0)).as("target_disabled"))
+      GroupBackends.lifecycle(reqs, backends, holders).orderBy("req_id")
+    },
+
     // Blob-cleanup queue drain (blob/cleanup.rs:111-307): undecodable and
     // removed-backend drops, delete attempts, the owns_write reconcile
     // ladder (unreadable waits, owned keeps, disowned deletes), DHT retry.
@@ -4183,6 +4214,49 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "gb2_backend_lifecycle" ->
+      s"""WITH bk AS (
+         |  SELECT 'g'||(n_nationkey%4) AS group_id,
+         |    'bk-'||n_nationkey AS backend_id,
+         |    n_nationkey%3=0 AS disabled,
+         |    'be-'||n_nationkey AS backend
+         |  FROM nation WHERE n_nationkey<20),
+         |hold AS (
+         |  SELECT DISTINCT backend FROM (
+         |    SELECT 'be-'||n_nationkey AS backend FROM nation
+         |    WHERE n_nationkey<20 AND n_nationkey%5=0
+         |    UNION ALL
+         |    SELECT 'be-'||n_nationkey FROM nation
+         |    WHERE n_nationkey<20 AND n_nationkey%7=1)),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k<=3 THEN 'set_disabled' ELSE 'remove' END AS op,
+         |    CASE WHEN k=1 THEN 'g9' ELSE 'g'||(x%4) END AS group_id,
+         |    'bk-'||x AS backend_id,
+         |    k=2 OR x%3=0 AS target_disabled
+         |  FROM (SELECT *, (o_orderkey//149)%6 AS k, o_orderkey%20 AS x
+         |        FROM orders WHERE o_orderkey%149=0)),
+         |v AS (
+         |  SELECT r.*, b.disabled, b.backend,
+         |    h.backend IS NOT NULL AS holds,
+         |    CASE WHEN r.op='set_disabled' THEN
+         |      CASE WHEN b.disabled IS NULL THEN 'NotFound' ELSE 'Ok' END
+         |    ELSE
+         |      CASE WHEN b.disabled IS NULL OR NOT b.disabled OR
+         |                h.backend IS NOT NULL THEN 'NotRemovable'
+         |           ELSE 'Ok' END END AS verdict
+         |  FROM req r
+         |  LEFT JOIN bk b ON b.group_id=r.group_id
+         |    AND b.backend_id=r.backend_id
+         |  LEFT JOIN hold h ON h.backend=b.backend)
+         |SELECT req_id, op, verdict,
+         |  CASE WHEN verdict='Ok' AND op='set_disabled'
+         |       THEN disabled<>target_disabled END AS changed,
+         |  CASE WHEN verdict='Ok' AND op='set_disabled'
+         |       THEN target_disabled END AS disabled_out,
+         |  verdict='Ok' AND op='remove' AS removed
          |FROM v ORDER BY req_id""".stripMargin,
 
     "gb1_backend_admission" ->

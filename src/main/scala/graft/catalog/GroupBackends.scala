@@ -216,4 +216,56 @@ object GroupBackends {
       col("req_id"), col("op"), col("verdict"),
       (col("verdict") === "Ok").as("admitted"))
   }
+
+  /** The disable/enable/remove lifecycle (reference
+    * `group_backends/disable.rs:103-131`, `remove.rs:100-282`):
+    *
+    *  - **set_disabled**: (group, backend)-keyed read → NotFound; a record
+    *    ALREADY at the target state commits WITHOUT writing (idempotent,
+    *    `changed` false) — the stamp is what removal waits on, so a
+    *    writer that just resolved the backend keeps its credentials;
+    *  - **remove**: only a still-DISABLED record is removable (the
+    *    transactional re-read makes a concurrent enable lose one of the
+    *    two commits, `remove.rs:282`), and the backend must hold NO data:
+    *    any blob-location row, any DeleteBlob/ReconcileWrite cleanup row,
+    *    or any multipart-upload record naming it → NotRemovable
+    *    (`backends_holding_data` `:118-191` — parts have no location row;
+    *    the upload record covers them).
+    *
+    * `requests(req_id, op, group_id, backend_id, target_disabled)` with
+    * op ∈ set_disabled | remove; `backends(group_id, backend_id,
+    * disabled, backend)`; `holders(backend)` — the union of
+    * location/cleanup/upload backends.
+    *
+    * Scale: the three holder scans are corpus-side in the reference; here
+    * the holder set arrives pre-aggregated (a distinct-backend relation —
+    * backend cardinality is config-sized) and broadcasts. */
+  def lifecycle(requests: DataFrame, backends: DataFrame,
+      holders: DataFrame): DataFrame = {
+    val probe = requests.select("group_id", "backend_id").distinct()
+    val hits = backends.join(broadcast(probe), Seq("group_id", "backend_id"))
+      .select(col("group_id"), col("backend_id"), col("disabled"),
+        col("backend"))
+    val holding = holders.select(col("backend"),
+      lit(true).as("holds")).distinct()
+    val j = requests
+      .join(broadcast(hits), Seq("group_id", "backend_id"), "left")
+      .join(broadcast(holding), Seq("backend"), "left")
+    val found = col("disabled").isNotNull
+    val verdict =
+      when(col("op") === "set_disabled",
+        when(!found, "NotFound").otherwise("Ok"))
+        .otherwise( // remove
+          when(!found || !col("disabled") ||
+            coalesce(col("holds"), lit(false)), "NotRemovable")
+            .otherwise("Ok"))
+    val ok = col("verdict") === "Ok"
+    j.withColumn("verdict", verdict).select(
+      col("req_id"), col("op"), col("verdict"),
+      when(ok && col("op") === "set_disabled",
+        col("disabled") =!= col("target_disabled")).as("changed"),
+      when(ok && col("op") === "set_disabled", col("target_disabled"))
+        .as("disabled_out"),
+      (ok && col("op") === "remove").as("removed"))
+  }
 }

@@ -111,4 +111,32 @@ class GroupBackendsSpec extends SparkSpec {
     assert(out("r4") == "NotFound")
     assert(out("r5") == "InsecureEndpoint") // validation precedes identity
   }
+
+  test("lifecycle: idempotent disable stamp, disabled-only removal, the " +
+    "holding-data guard (disable.rs:103-131, remove.rs:100-282)") {
+    val backends = Seq(
+      ("g1", "bk1", false, "be1"), // enabled
+      ("g1", "bk2", true, "be2"),  // disabled, not holding
+      ("g1", "bk3", true, "be3")   // disabled, holding data
+    ).toDF("group_id", "backend_id", "disabled", "backend")
+    val holders = Seq("be3").toDF("backend")
+    val out = GroupBackends.lifecycle(Seq(
+      ("r1", "set_disabled", "g1", "bk1", true),
+      ("r2", "set_disabled", "g1", "bk2", true),  // already there: no write
+      ("r3", "set_disabled", "g2", "bk1", true),  // wrong group
+      ("r4", "remove", "g1", "bk1", false),       // still enabled
+      ("r5", "remove", "g1", "bk2", false),       // drained: removable
+      ("r6", "remove", "g1", "bk3", false),       // holds data
+      ("r7", "remove", "g1", "bkX", false))
+      .toDF("req_id", "op", "group_id", "backend_id", "target_disabled"),
+      backends, holders)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("r1").getString(2) == "Ok" && out("r1").getBoolean(3))
+    assert(out("r2").getString(2) == "Ok" && !out("r2").getBoolean(3))
+    assert(out("r3").getString(2) == "NotFound")
+    assert(out("r4").getString(2) == "NotRemovable")
+    assert(out("r5").getString(2) == "Ok" && out("r5").getBoolean(5))
+    assert(out("r6").getString(2) == "NotRemovable")
+    assert(out("r7").getString(2) == "NotRemovable")
+  }
 }
