@@ -599,6 +599,31 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Weighted rendezvous placement kernel (placement/selector.rs):
+    // the reference's own exact neg_log2 vectors + golden rank order,
+    // computed by the real integer implementation (KAT-style oracle).
+    "ps1_placement_rank" -> { (s, d) =>
+      import s.implicits._
+      val q48 = 1L << 48
+      val negRows = Seq(
+        ("neglog2", "h63", PlacementRank.negLog2Q48(1L << 63)),
+        ("neglog2", "h62", PlacementRank.negLog2Q48(1L << 62)),
+        ("neglog2", "h1", PlacementRank.negLog2Q48(1L)),
+        ("neglog2", "q48_one", q48))
+        .toDF("section", "key", "value")
+      val ids = (1 to 6).map(i => ("%02x".format(i)) * 32)
+      val weights = Seq(100L, 100L, 100L, 300L, 50L, 200L)
+      val cands = ids.zip(weights).map { case (id, w) =>
+        ("golden-subject", id, w) }.toDF("subject", "id_hex", "weight")
+      val ranked = PlacementRank.rank(s, cands, PlacementRank.RoleNode)
+        .select(lit("rank").as("section"),
+          col("pos").cast("string").as("key"),
+          // report the candidate's ORIGINAL index (its first byte)
+          substring(col("id_hex"), 1, 2).cast("int").cast("long")
+            .as("value"))
+      negRows.union(ranked).orderBy("section", "key")
+    },
+
     // Backend disable/enable/remove lifecycle (group_backends/disable.rs,
     // remove.rs): idempotent stamp, disabled-only removal, the
     // holding-data guard over locations/cleanup/uploads.
@@ -4215,6 +4240,16 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "ps1_placement_rank" ->
+      s"""SELECT section, key, CAST(value AS BIGINT) AS value FROM (VALUES
+         |  ('neglog2', 'h1', 18014398509481984),
+         |  ('neglog2', 'h62', 562949953421312),
+         |  ('neglog2', 'h63', 281474976710656),
+         |  ('neglog2', 'q48_one', 281474976710656),
+         |  ('rank', '1', 1), ('rank', '2', 6), ('rank', '3', 4),
+         |  ('rank', '4', 5), ('rank', '5', 3), ('rank', '6', 2)
+         |) t(section, key, value) ORDER BY section, key""".stripMargin,
 
     "gb2_backend_lifecycle" ->
       s"""WITH bk AS (

@@ -1,0 +1,115 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Integer-only weighted two-level rendezvous (reference
+  * `operations/src/placement/selector.rs` — "determinism is the whole
+  * contract": identical inputs must rank identically on every platform,
+  * so no floating point anywhere).
+  *
+  *  - `selector_hash` (`selector.rs:14-24`): blake3 over
+  *    domain || role || subject || id, first 8 bytes big-endian, forced
+  *    nonzero via `| 1`. The seed EXCLUDES the epoch — the selector is a
+  *    pure function of the bucket alone, so a rebalance never rewrites
+  *    it;
+  *  - `neg_log2_q48` (`:31-46`): exact UQ16.48 fixed-point
+  *    `-log2(h / 2^64)` — mantissa normalized by leading zeros, 48
+  *    fraction bits peeled by repeated squaring;
+  *  - `rank_weighted` (`:53-73`): candidate `i` precedes `j` iff
+  *    `L_i·w_j < L_j·w_i` (the cross-multiplied weighted score, no
+  *    division); ties break by `(L, id bytes)` ascending, so zero-weight
+  *    candidates sort after every positive one.
+  */
+object PlacementRank {
+
+  val Domain: Array[Byte] = "aruna-placement-rendezvous-v3".getBytes("UTF-8")
+  val RoleLocation: Byte = 'L'.toByte
+  val RoleNode: Byte = 'N'.toByte
+  val RoleShard: Byte = 'S'.toByte
+
+  def selectorHash(role: Byte, subject: Array[Byte],
+      id: Array[Byte]): Long = {
+    val input = Domain ++ Array(role) ++ subject ++ id
+    val digest = graft.functions.Blake3.hash(input, 32)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+    h | 1L
+  }
+
+  /** Exact UQ16.48 `-log2(h / 2^64)` for nonzero `h` (`selector.rs:31-46`). */
+  def negLog2Q48(h: Long): Long = {
+    require(h != 0L)
+    val z = java.lang.Long.numberOfLeadingZeros(h)
+    var x = h << z
+    var f = 0L
+    var i = 0
+    while (i < 48) {
+      // y = (x² >> 63) in unsigned 128-bit arithmetic
+      val xi = java.math.BigInteger.valueOf(x)
+        .and(java.math.BigInteger.ONE.shiftLeft(64)
+          .subtract(java.math.BigInteger.ONE))
+      var y = xi.multiply(xi).shiftRight(63)
+      if (y.bitLength() > 64) { // y >= 2^64
+        f = (f << 1) | 1L
+        y = y.shiftRight(1)
+      } else f = f << 1
+      x = y.longValue()
+      i += 1
+    }
+    (((z.toLong) + 1L) << 48) - f
+  }
+
+  /** Rank one candidate set best-first. `candidates` = (idBytes, weight). */
+  def rankWeighted(role: Byte, subject: Array[Byte],
+      candidates: Seq[(Array[Byte], Long)]): Seq[Int] = {
+    val scores = candidates.map { case (id, _) =>
+      negLog2Q48(selectorHash(role, subject, id))
+    }
+    def bigU(l: Long) = java.math.BigInteger.valueOf(l)
+      .and(java.math.BigInteger.ONE.shiftLeft(64)
+        .subtract(java.math.BigInteger.ONE))
+    candidates.indices.sortWith { (i, j) =>
+      val lhs = bigU(scores(i)).multiply(bigU(candidates(j)._2))
+      val rhs = bigU(scores(j)).multiply(bigU(candidates(i)._2))
+      val c = lhs.compareTo(rhs)
+      if (c != 0) c < 0
+      else if (scores(i) != scores(j)) scores(i) < scores(j)
+      else byteLt(candidates(i)._1, candidates(j)._1)
+    }
+  }
+
+  private def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** DataFrame face: rank each subject's candidate set.
+    * `candidates(subject, id_hex, weight)` → `(subject, pos, id_hex)`.
+    * Per-subject sets are shard-replica sized (a handful of nodes), so
+    * the per-group sort is constant work; subjects partition freely. */
+  def rank(spark: SparkSession, candidates: DataFrame,
+      role: Byte): DataFrame = {
+    import spark.implicits._
+    candidates.select(col("subject"), col("id_hex"), col("weight"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (subject, it) =>
+        val cs = it.toSeq.sortBy(_._2) // deterministic intake order
+          .map(t => (t._2, t._3))
+        val byteIds = cs.map { case (hex, w) =>
+          (hex.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray, w)
+        }
+        rankWeighted(role, subject.getBytes("UTF-8"), byteIds)
+          .zipWithIndex.map { case (ci, pos) =>
+            (subject, pos + 1, cs(ci)._1)
+          }.iterator
+      }.toDF("subject", "pos", "id_hex")
+  }
+}
