@@ -90,6 +90,96 @@ object PlacementRank {
     a.length < b.length
   }
 
+  /** A node as the resolver sees it (`resolver.rs:19-32`). */
+  case class RNode(idHex: String, kind: String, location: String,
+      weight: Long, full: Boolean, draining: Boolean,
+      labels: Map[String, String])
+
+  /** An affinity rule: effect ∈ filter | multiply (`resolver.rs:331-348`). */
+  case class Affinity(effect: String, permille: Long, key: String,
+      value: String)
+
+  case class Strategy(replicaCount: Option[Int], distinctLocations: Boolean,
+      affinity: Seq[Affinity])
+
+  private def labelMatches(n: RNode, a: Affinity) =
+    n.labels.get(a.key).contains(a.value)
+  private def passesFilters(n: RNode, s: Strategy) =
+    s.affinity.forall(a => a.effect != "filter" || labelMatches(n, a))
+  private def effectiveWeight(n: RNode, s: Strategy): Long =
+    s.affinity.foldLeft(n.weight) { (w, a) =>
+      if (a.effect == "multiply" && labelMatches(n, a))
+        // saturating u64 multiply then /1000; weights stay far below
+        (BigInt(w) * a.permille / 1000).min(BigInt("18446744073709551615"))
+          .toLong
+      else w
+    }
+  private def syncEligible(n: RNode) = n.kind != "User" // realm.rs:308-310
+  private def available(n: RNode, s: Strategy) =
+    !n.full && !n.draining && effectiveWeight(n, s) > 0
+  private def hexBytes(h: String) =
+    h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** The full holder resolution (`resolve_holders`, `resolver.rs:88-162`):
+    * available pinned nodes lead (BYPASSING affinity filters, but
+    * exclusion wins over a pin); then the weighted two-level walk —
+    * locations ranked by their aggregate eligible weight (availability
+    * and exclusions deliberately do NOT affect W_loc, preserving the
+    * location order when a candidate is rejected), zero-weight locations
+    * skipped, nodes ranked within each location — fills to
+    * `replica_count` (None takes every eligible node);
+    * `distinct_locations` takes at most one node per location, counting
+    * the locations pins already used. */
+  def resolveHolders(nodes: Seq[RNode], strategy: Strategy,
+      subject: Array[Byte], pinned: Seq[String] = Nil,
+      excluded: Set[String] = Set.empty): Seq[String] = {
+    val target = strategy.replicaCount
+    def reached(r: Seq[String]) = target.exists(r.length >= _)
+    var result = Vector.empty[String]
+    var used = Set.empty[String]
+    var seenLoc = Set.empty[String]
+    for (pin <- pinned if !reached(result) && !used(pin) && !excluded(pin)) {
+      nodes.find(_.idHex == pin).foreach { n =>
+        if (syncEligible(n) && available(n, strategy)) {
+          result :+= pin; used += pin; seenLoc += n.location
+        }
+      }
+    }
+    if (reached(result)) return result
+    // location groups in BTreeMap (sorted-name) intake order
+    val groups = nodes.zipWithIndex.groupBy(_._1.location).toSeq
+      .sortBy(_._1)
+    val wLocs = groups.map { case (_, members) =>
+      members.map(_._1)
+        .filter(n => syncEligible(n) && passesFilters(n, strategy))
+        .map(effectiveWeight(_, strategy)).sum
+    }
+    val locOrder = rankWeighted(RoleLocation, subject,
+      groups.map(_._1.getBytes("UTF-8")).zip(wLocs))
+    var done = false
+    for (li <- locOrder if !done) {
+      val (locName, members) = groups(li)
+      if (wLocs(li) != 0 &&
+          !(strategy.distinctLocations && seenLoc(locName))) {
+        val ranked = rankWeighted(RoleNode, subject,
+          members.map { case (n, _) =>
+            (hexBytes(n.idHex), effectiveWeight(n, strategy)) })
+        var tookFromLoc = false
+        for (mi <- ranked if !done && !tookFromLoc) {
+          val n = members(mi)._1
+          if (!used(n.idHex) && syncEligible(n) &&
+              available(n, strategy) && !excluded(n.idHex) &&
+              passesFilters(n, strategy)) {
+            result :+= n.idHex; used += n.idHex; seenLoc += n.location
+            if (reached(result)) done = true
+            else if (strategy.distinctLocations) tookFromLoc = true
+          }
+        }
+      }
+    }
+    result
+  }
+
   /** DataFrame face: rank each subject's candidate set.
     * `candidates(subject, id_hex, weight)` → `(subject, pos, id_hex)`.
     * Per-subject sets are shard-replica sized (a handful of nodes), so

@@ -60,4 +60,91 @@ class PlacementRankSpec extends SparkSpec {
       "golden-subject".getBytes, ids.zip(weights))
     assert(order == Seq(0, 5, 3, 4, 2, 1))
   }
+
+  // ---- resolve_holders: the reference's deterministic distribution gates
+  // (placement/distribution.rs), re-expressed over [seed; 32] ids — the
+  // statistical bands are id-set independent ----
+
+  import PlacementRank.{RNode, Affinity, Strategy}
+
+  private def nodeHex(seed: Int) = ("%02x".format(seed)) * 32
+  private def node(seed: Int, loc: String = "default", weight: Long = 100,
+      labels: Map[String, String] = Map.empty) =
+    RNode(nodeHex(seed), "Server", loc, weight, full = false,
+      draining = false, labels)
+  private def subject(counter: Long): Array[Byte] = {
+    val le = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(counter).array()
+    graft.functions.Blake3.hash(le, 32)
+  }
+  private val r1 = Strategy(Some(1), distinctLocations = false, Nil)
+  private val Subjects = 4000
+
+  private def shareOf(nodes: Seq[RNode], s: Strategy, seed: Int): Double =
+    (0L until Subjects).count(c =>
+      PlacementRank.resolveHolders(nodes, s, subject(c)).head ==
+        nodeHex(seed)).toDouble / Subjects
+
+  test("distribution: uniform balance, weighted shares, proportional-" +
+    "minimum movement (distribution.rs:88-142)") {
+    val uniform = (1 to 5).map(node(_))
+    for (seed <- 1 to 5)
+      assert(math.abs(shareOf(uniform, r1, seed) - 0.20) < 0.025)
+    val weighted = Seq(node(1, weight = 100), node(2, weight = 200),
+      node(3, weight = 300))
+    for ((seed, want) <- Seq((1, 1.0 / 6), (2, 2.0 / 6), (3, 3.0 / 6)))
+      assert(math.abs(shareOf(weighted, r1, seed) - want) < 0.025)
+    // bump node 1's weight: every moved subject moves ONTO it
+    val after = node(1, weight = 150) +: (2 to 5).map(node(_))
+    var changed = 0
+    for (c <- 0L until Subjects) {
+      val old = PlacementRank.resolveHolders(uniform, r1, subject(c)).head
+      val neu = PlacementRank.resolveHolders(after, r1, subject(c)).head
+      if (old != neu) { changed += 1; assert(neu == nodeHex(1)) }
+    }
+    val fraction = changed.toDouble / Subjects
+    assert(fraction > 0.04 && fraction < 0.12, s"movement $fraction")
+  }
+
+  test("multiply affinity shifts the cross-location share 0.50 -> 0.75 " +
+    "(distribution.rs:145-168)") {
+    val nodes = Seq(node(1, "a", 100, Map("tier" -> "boosted")),
+      node(2, "b", 100))
+    assert(math.abs(shareOf(nodes, r1, 1) - 0.50) < 0.025)
+    val boosted = r1.copy(affinity =
+      Seq(Affinity("multiply", 3000, "tier", "boosted")))
+    assert(math.abs(shareOf(nodes, boosted, 1) - 0.75) < 0.025)
+  }
+
+  test("resolve_holders ladder: pins lead and bypass filters, exclusion " +
+    "wins over a pin, distinct locations, full/draining/zero-weight and " +
+    "User nodes never selected (resolver.rs:88-162,316-336)") {
+    val nodes = Seq(
+      node(1, "a"), node(2, "a"), node(3, "b"), node(4, "c"),
+      node(5, "c").copy(full = true),
+      node(6, "c").copy(draining = true),
+      node(7, "d", weight = 0),
+      node(8, "d").copy(kind = "User"))
+    val all = Strategy(None, distinctLocations = false, Nil)
+    val got = PlacementRank.resolveHolders(nodes, all, subject(1))
+    assert(got.toSet == Set(1, 2, 3, 4).map(nodeHex))
+    // distinct locations: at most one holder per location
+    val d3 = Strategy(Some(3), distinctLocations = true, Nil)
+    val dist = PlacementRank.resolveHolders(nodes, d3, subject(2))
+    assert(dist.length == 3)
+    assert(dist.map(h => nodes.find(_.idHex == h).get.location)
+      .distinct.length == 3)
+    // pins lead even when an affinity filter would reject them
+    val filt = Strategy(Some(2), distinctLocations = false,
+      Seq(Affinity("filter", 0, "zone", "z1")))
+    val zoned = nodes.take(4).map(n =>
+      if (n.idHex == nodeHex(3)) n.copy(labels = Map("zone" -> "z1")) else n)
+    val pinned = PlacementRank.resolveHolders(zoned, filt, subject(3),
+      pinned = Seq(nodeHex(2)))
+    assert(pinned.head == nodeHex(2) && pinned(1) == nodeHex(3))
+    // exclusion wins over a pin
+    val exPin = PlacementRank.resolveHolders(zoned, filt, subject(3),
+      pinned = Seq(nodeHex(2)), excluded = Set(nodeHex(2)))
+    assert(exPin == Seq(nodeHex(3)))
+  }
 }
