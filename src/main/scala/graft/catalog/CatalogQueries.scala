@@ -599,6 +599,46 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Strategy resolution precedence (resolver.rs:166-186,374-463):
+    // override > longest path-prefix (last-wins ties) > group > class >
+    // realm > default > first; dangling refs fail closed.
+    "sfr1_strategy_resolution" -> { (s, d) =>
+      import s.implicits._
+      val o = col("o_orderkey")
+      val k = (o / 151).cast("long") % 10
+      val strategies = s.range(0, 10).select(
+        concat(lit("st-"), col("id").cast("string")).as("strategy_id"),
+        col("id").as("seq"))
+      val bindings = Seq(
+        (1L, "PathPrefix", "/data/raw", "st-1"),
+        (2L, "PathPrefix", "data", "st-2"),
+        (3L, "PathPrefix", "data/raw/deep", "st-3"),
+        (4L, "PathPrefix", "", "st-4"),
+        (5L, "Group", "g1", "st-5"),
+        (6L, "Group", "g2", "st-missing"),
+        (7L, "Class", "User", "st-6"),
+        (8L, "Realm", "", "st-7"),
+        (9L, "PathPrefix", "data/raw", "st-8")
+      ).toDF("seq", "scope_kind", "scope_val", "strategy_id")
+      val overrides = Seq(("sub-ovr", "st-9"), ("sub-ovrbad", "st-missing"))
+        .toDF("subject", "strategy_id")
+      val reqs = graft.Tables.orders(s, d).filter(o % 151 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k === 0, "sub-ovr").when(k === 1, "sub-ovrbad")
+          .otherwise(concat(lit("sub-"), o.cast("string"))).as("subject"),
+        when(k.between(2, 5), "Metadata")
+          .when(k === 6, "MetadataRegistry")
+          .when(k === 7, "User").when(k === 8, "Admin")
+          .otherwise("Blob").as("class"),
+        when(k === 6, "g1").when(k === 9, "g2")
+          .otherwise(lit(null).cast("string")).as("group_id"),
+        when(k === 2, "/data/raw/file").when(k === 3, "data/raw")
+          .when(k === 4, "dataxx/f").when(k === 5, "data/raw/deep/x")
+          .otherwise(lit(null).cast("string")).as("metadata_path"))
+      PlacementRank.strategyForTarget(reqs, strategies, bindings,
+        overrides, Some("st-0")).orderBy("req_id")
+    },
+
     // Weighted rendezvous placement kernel (placement/selector.rs):
     // the reference's own exact neg_log2 vectors + golden rank order,
     // computed by the real integer implementation (KAT-style oracle).
@@ -4240,6 +4280,22 @@ object CatalogQueries {
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
          |FROM v ORDER BY req_id""".stripMargin,
+
+    "sfr1_strategy_resolution" ->
+      s"""WITH req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    (o_orderkey//151)%10 AS k
+         |  FROM orders WHERE o_orderkey%151=0)
+         |SELECT req_id,
+         |  CASE WHEN k IN (1,9) THEN 'DanglingRef' ELSE 'Ok' END AS verdict,
+         |  CASE k WHEN 0 THEN 'st-9' WHEN 2 THEN 'st-8' WHEN 3 THEN 'st-8'
+         |    WHEN 4 THEN 'st-4' WHEN 5 THEN 'st-3' WHEN 6 THEN 'st-5'
+         |    WHEN 7 THEN 'st-6' WHEN 8 THEN 'st-7' END AS strategy_out,
+         |  CASE k WHEN 0 THEN 'override'
+         |    WHEN 2 THEN 'path' WHEN 3 THEN 'path' WHEN 4 THEN 'path'
+         |    WHEN 5 THEN 'path' WHEN 6 THEN 'group' WHEN 7 THEN 'class'
+         |    WHEN 8 THEN 'realm' END AS source
+         |FROM req ORDER BY req_id""".stripMargin,
 
     "ps1_placement_rank" ->
       s"""SELECT section, key, CAST(value AS BIGINT) AS value FROM (VALUES

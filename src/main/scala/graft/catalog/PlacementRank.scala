@@ -180,6 +180,108 @@ object PlacementRank {
     result
   }
 
+  /** Strategy resolution for a sync target (`strategy_for_target` +
+    * `resolve_strategy`, `resolver.rs:166-186,374-463`). Precedence:
+    * subject override strategy > LONGEST matching metadata-path-prefix
+    * binding (Metadata/MetadataRegistry classes only; prefix match is
+    * whole-segment — equal, or followed by '/'; an empty prefix matches
+    * everything; Rust's `max_by_key` keeps the LAST maximal element, so
+    * equal lengths resolve to the latest binding) > group binding >
+    * class binding > realm binding > `default_strategy_id`, falling back
+    * to the FIRST configured strategy; any configured ref naming no
+    * strategy fails the resolution (DanglingRef, fail-closed).
+    *
+    * `requests(req_id, subject, class, group_id, metadata_path)`;
+    * `strategies(strategy_id, seq)`; `bindings(seq, scope_kind,
+    * scope_val, strategy_id)`; `overrides(subject, strategy_id)`;
+    * `defaultStrategy` — the config's default id (None = unset).
+    *
+    * Scale: strategies/bindings/overrides are realm-config relations —
+    * all broadcast; the prefix match is a broadcast theta-join against
+    * config-sized bindings. */
+  def strategyForTarget(requests: DataFrame, strategies: DataFrame,
+      bindings: DataFrame, overrides: DataFrame,
+      defaultStrategy: Option[String]): DataFrame = {
+    val known = strategies.select(col("strategy_id"),
+      lit(true).as("known"))
+    def resolved(idCol: org.apache.spark.sql.Column) = idCol
+    val normPath = regexp_replace(trim(col("metadata_path")), "^/+|/+$", "")
+
+    // longest whole-segment prefix binding (Metadata classes only)
+    val pathBind = bindings.filter(col("scope_kind") === "PathPrefix")
+      .select(col("seq").as("b_seq"),
+        regexp_replace(trim(col("scope_val")), "^/+|/+$", "")
+          .as("b_prefix"),
+        col("strategy_id").as("path_sid"))
+    val pathMatches = requests
+      .filter(col("class").isin("Metadata", "MetadataRegistry") &&
+        col("metadata_path").isNotNull)
+      .withColumn("np", normPath)
+      .join(broadcast(pathBind),
+        col("b_prefix") === "" || col("np") === col("b_prefix") ||
+          col("np").startsWith(concat(col("b_prefix"), lit("/"))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("req_id")
+          .orderBy(length(col("b_prefix")).desc, col("b_seq").desc)))
+      .filter(col("rk") === 1)
+      .select(col("req_id"), col("path_sid"))
+
+    def firstBinding(kind: String, keyCol: String) = bindings
+      .filter(col("scope_kind") === kind)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("scope_val").orderBy("seq")))
+      .filter(col("rk") === 1)
+      .select(col("scope_val").as(keyCol),
+        col("strategy_id").as(kind.toLowerCase + "_sid"))
+    val groupBind = firstBinding("Group", "group_id")
+    val classBind = firstBinding("Class", "class")
+    val realmBind = bindings.filter(col("scope_kind") === "Realm")
+      .orderBy("seq").limit(1)
+      .select(col("strategy_id").as("realm_sid"))
+    val firstStrat = strategies.orderBy("seq").limit(1)
+      .select(col("strategy_id").as("first_sid"))
+
+    val j = requests
+      .join(broadcast(overrides.select(col("subject"),
+        col("strategy_id").as("ovr_sid"),
+        lit(true).as("has_ovr"))), Seq("subject"), "left")
+      .join(broadcast(pathMatches), Seq("req_id"), "left")
+      .join(broadcast(groupBind), Seq("group_id"), "left")
+      .join(broadcast(classBind), Seq("class"), "left")
+      .crossJoin(broadcast(realmBind.withColumn("one", lit(1)))
+        .join(broadcast(firstStrat.withColumn("one", lit(1))), Seq("one"),
+          "full_outer").drop("one"))
+
+    val chosen =
+      when(col("ovr_sid").isNotNull, struct(col("ovr_sid").as("sid"),
+        lit("override").as("source")))
+        .when(col("path_sid").isNotNull, struct(col("path_sid").as("sid"),
+          lit("path").as("source")))
+        .when(col("group_sid").isNotNull, struct(col("group_sid").as("sid"),
+          lit("group").as("source")))
+        .when(col("class_sid").isNotNull, struct(col("class_sid").as("sid"),
+          lit("class").as("source")))
+        .when(col("realm_sid").isNotNull, struct(col("realm_sid").as("sid"),
+          lit("realm").as("source")))
+        .when(defaultStrategy.map(s => lit(s).isNotNull)
+          .getOrElse(lit(false)),
+          struct(lit(defaultStrategy.orNull).as("sid"),
+            lit("default").as("source")))
+        .otherwise(struct(col("first_sid").as("sid"),
+          lit("first").as("source")))
+
+    j.withColumn("chosen", chosen)
+      .join(broadcast(known),
+        col("chosen.sid") === col("strategy_id"), "left")
+      .select(col("req_id"),
+        when(col("chosen.sid").isNull, "NoStrategy")
+          .when(col("known").isNull, "DanglingRef")
+          .otherwise("Ok").as("verdict"),
+        when(col("known").isNotNull, col("chosen.sid")).as("strategy_out"),
+        when(col("known").isNotNull, col("chosen.source")).as("source"))
+  }
+
   /** DataFrame face: rank each subject's candidate set.
     * `candidates(subject, id_hex, weight)` → `(subject, pos, id_hex)`.
     * Per-subject sets are shard-replica sized (a handful of nodes), so

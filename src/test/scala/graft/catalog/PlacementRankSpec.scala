@@ -61,6 +61,27 @@ class PlacementRankSpec extends SparkSpec {
     assert(order == Seq(0, 5, 3, 4, 2, 1))
   }
 
+  test("strategy resolution fallbacks: default when no binding applies, " +
+    "first configured when no default, dangling default fails closed " +
+    "(resolver.rs:418-421,166-186)") {
+    import spark.implicits._
+    val strategies = Seq(("st-a", 0L), ("st-b", 1L))
+      .toDF("strategy_id", "seq")
+    val noBind = Seq.empty[(Long, String, String, String)]
+      .toDF("seq", "scope_kind", "scope_val", "strategy_id")
+    val noOvr = Seq.empty[(String, String)].toDF("subject", "strategy_id")
+    val reqs = Seq(("r1", "s", "Blob", null: String, null: String))
+      .toDF("req_id", "subject", "class", "group_id", "metadata_path")
+    def res(default: Option[String]) =
+      PlacementRank.strategyForTarget(reqs, strategies, noBind, noOvr,
+        default).collect().head
+    assert(res(Some("st-b")).getString(2) == "st-b" &&
+      res(Some("st-b")).getString(3) == "default")
+    assert(res(None).getString(2) == "st-a" &&
+      res(None).getString(3) == "first")
+    assert(res(Some("st-gone")).getString(1) == "DanglingRef")
+  }
+
   // ---- resolve_holders: the reference's deterministic distribution gates
   // (placement/distribution.rs), re-expressed over [seed; 32] ids — the
   // statistical bands are id-set independent ----
