@@ -599,6 +599,37 @@ object CatalogQueries {
         .orderBy("req_id")
     },
 
+    // Job routing (jobs/route.rs:64-82; realm.rs:565-595): provably
+    // invalid vs unsynced 503, local/forward/unauthorized dispatch.
+    "jr1_job_route" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val n = col("n_nationkey")
+      val k = (o / 157).cast("long") % 7
+      val x = o % 25
+      val jobIds = graft.Tables.nation(s, d).select(
+        concat(lit("J"), n.cast("string")).as("job_id"),
+        (n % 11 =!= 3).as("routable"),
+        (n % 13 =!= 5).as("bucket_in_range"),
+        when(n % 7 === 6, "Metadata").otherwise("JobControl")
+          .as("doc_class"),
+        when(n % 9 === 7, "realm-x").otherwise("realm-1")
+          .as("scope_realm"),
+        (n % 6 + 3).cast("long").as("handle"))
+      val bindings = graft.Tables.nation(s, d).filter(n < 6).select(
+        (n + 3).cast("long").as("handle"),
+        lit("JobControl").as("doc_class"),
+        when(n % 5 === 4, lit(null).cast("string"))
+          .otherwise(concat(lit("nd-"), (n % 3).cast("string")))
+          .as("allocated_by"))
+      val reqs = graft.Tables.orders(s, d).filter(o % 157 === 0).select(
+        lpad(o.cast("string"), 12, "0").as("req_id"),
+        when(k === 0, "J999")
+          .otherwise(concat(lit("J"), x.cast("string"))).as("job_id"),
+        (k =!= 1).as("has_request"))
+      Handles.routeJobs(reqs, jobIds, bindings, "realm-1", "nd-0")
+        .orderBy("req_id")
+    },
+
     // Strategy resolution precedence (resolver.rs:166-186,374-463):
     // override > longest path-prefix (last-wins ties) > group > class >
     // realm > default > first; dangling refs fail closed.
@@ -4279,6 +4310,49 @@ object CatalogQueries {
          |       THEN old_size END AS replaced_size,
          |  CASE WHEN verdict='Ok' THEN size END AS part_size,
          |  CASE WHEN verdict='Ok' THEN u_backend END AS backend
+         |FROM v ORDER BY req_id""".stripMargin,
+
+    "jr1_job_route" ->
+      s"""WITH ids AS (
+         |  SELECT 'J'||n_nationkey AS job_id,
+         |    n_nationkey%11<>3 AS routable,
+         |    n_nationkey%13<>5 AS bucket_in_range,
+         |    CASE WHEN n_nationkey%7=6 THEN 'Metadata'
+         |         ELSE 'JobControl' END AS doc_class,
+         |    CASE WHEN n_nationkey%9=7 THEN 'realm-x'
+         |         ELSE 'realm-1' END AS scope_realm,
+         |    n_nationkey%6+3 AS handle
+         |  FROM nation),
+         |bnd AS (
+         |  SELECT n_nationkey+3 AS handle,
+         |    CASE WHEN n_nationkey%5=4 THEN NULL
+         |         ELSE 'nd-'||(n_nationkey%3) END AS allocated_by
+         |  FROM nation WHERE n_nationkey<6),
+         |req AS (
+         |  SELECT lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    CASE WHEN k=0 THEN 'J999' ELSE 'J'||(o_orderkey%25) END
+         |      AS job_id,
+         |    k<>1 AS has_request
+         |  FROM (SELECT *, (o_orderkey//157)%7 AS k FROM orders
+         |        WHERE o_orderkey%157=0)),
+         |v AS (
+         |  SELECT r.*, i.routable, i.bucket_in_range, i.doc_class,
+         |    i.scope_realm, b.allocated_by,
+         |    b.handle IS NOT NULL AS bound,
+         |    CASE WHEN i.routable IS NULL OR NOT i.routable OR
+         |              NOT i.bucket_in_range THEN 'NotFound'
+         |         WHEN i.doc_class<>'JobControl' OR i.scope_realm<>'realm-1'
+         |           THEN 'NotFound'
+         |         WHEN b.handle IS NULL OR b.allocated_by IS NULL
+         |           THEN 'Unavailable'
+         |         WHEN b.allocated_by='nd-0' THEN 'Local'
+         |         WHEN has_request THEN 'Forward'
+         |         ELSE 'Unauthorized' END AS verdict
+         |  FROM req r
+         |  LEFT JOIN ids i USING (job_id)
+         |  LEFT JOIN bnd b ON b.handle=i.handle)
+         |SELECT req_id, verdict,
+         |  CASE WHEN verdict='Forward' THEN allocated_by END AS owner
          |FROM v ORDER BY req_id""".stripMargin,
 
     "sfr1_strategy_resolution" ->

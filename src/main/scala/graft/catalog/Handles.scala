@@ -51,4 +51,47 @@ object Handles {
           .otherwise("Ok").as("verdict"),
         col("handle"), col("allocator_range_id"))
   }
+
+  /** Job routing (reference `operations/src/jobs/route.rs:64-82` +
+    * `core/src/structs/realm.rs:565-595` `job_owner`):
+    *
+    *  - only a PROVABLY invalid id is absence: non-routable ids and
+    *    buckets beyond the strategy's immutable capacity → NotFound;
+    *    every other resolution fault is Unavailable (503 — unsynced
+    *    state, never absence);
+    *  - a resolved id must be JobControl class in THIS realm, else
+    *    NotFound; the JobControl binding at the id's handle supplies the
+    *    owner via `allocated_by` — a binding without one is Unavailable;
+    *  - the owner == the local node → Local; a remote owner with a
+    *    request forwards; WITHOUT a request (a bare ownership probe from
+    *    an unauthorized path) → Unauthorized.
+    *
+    * `requests(req_id, job_id, has_request)`; `jobIds(job_id, routable,
+    * bucket_in_range, doc_class, scope_realm, handle)` — the structured
+    * id's decoded fields; `bindings(handle, doc_class, allocated_by)`. */
+  def routeJobs(requests: DataFrame, jobIds: DataFrame, bindings: DataFrame,
+      realmId: String, localNode: String): DataFrame = {
+    val ids = jobIds.select(col("job_id"), col("routable"),
+      col("bucket_in_range"), col("doc_class"), col("scope_realm"),
+      col("handle"))
+    val jcBind = bindings.filter(col("doc_class") === "JobControl")
+      .select(col("handle"), col("allocated_by"),
+        lit(true).as("bound"))
+    val j = requests
+      .join(broadcast(ids), Seq("job_id"), "left")
+      .join(broadcast(jcBind), Seq("handle"), "left")
+    val verdict =
+      when(col("routable").isNull || !col("routable") ||
+        !col("bucket_in_range"), "NotFound")
+        .when(col("doc_class") =!= "JobControl" ||
+          col("scope_realm") =!= realmId, "NotFound")
+        .when(col("bound").isNull || col("allocated_by").isNull,
+          "Unavailable")
+        .when(col("allocated_by") === localNode, "Local")
+        .when(col("has_request"), "Forward")
+        .otherwise("Unauthorized")
+    j.withColumn("verdict", verdict).select(
+      col("req_id"), col("verdict"),
+      when(col("verdict") === "Forward", col("allocated_by")).as("owner"))
+  }
 }

@@ -29,4 +29,46 @@ class HandlesSpec extends SparkSpec {
     assert(out("q6")._1 == "PlacementHandleExhausted")
     assert(out("q7") == (("Ok", Some(51L), Some("rg-z"))))
   }
+
+  test("job routing: provably-invalid is NotFound, unsynced is " +
+    "Unavailable, local/forward/unauthorized dispatch " +
+    "(route.rs:64-82, realm.rs:565-595)") {
+    val ids = Seq(
+      ("j-ok", true, true, "JobControl", "r1", 3L),
+      ("j-remote", true, true, "JobControl", "r1", 4L),
+      ("j-nonroute", false, true, "JobControl", "r1", 3L),
+      ("j-bucket", true, false, "JobControl", "r1", 3L),
+      ("j-class", true, true, "Metadata", "r1", 3L),
+      ("j-realm", true, true, "JobControl", "rX", 3L),
+      ("j-unbound", true, true, "JobControl", "r1", 9L),
+      ("j-noowner", true, true, "JobControl", "r1", 5L)
+    ).toDF("job_id", "routable", "bucket_in_range", "doc_class",
+      "scope_realm", "handle")
+    val bindings = Seq(
+      (3L, "JobControl", Some("n-local")),
+      (4L, "JobControl", Some("n-far")),
+      (5L, "JobControl", Option.empty[String])
+    ).toDF("handle", "doc_class", "allocated_by")
+    def req(id: String, job: String, hasReq: Boolean) = (id, job, hasReq)
+    val out = Handles.routeJobs(Seq(
+      req("r1", "j-ok", true), req("r2", "j-remote", true),
+      req("r3", "j-remote", false), req("r4", "j-nonroute", true),
+      req("r5", "j-bucket", true), req("r6", "j-class", true),
+      req("r7", "j-realm", true), req("r8", "j-unbound", true),
+      req("r9", "j-noowner", true), req("r10", "j-gone", true))
+      .toDF("req_id", "job_id", "has_request"), ids, bindings,
+      "r1", "n-local")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.get(2))))).toMap
+    assert(out("r1") == (("Local", None)))
+    assert(out("r2") == (("Forward", Some("n-far"))))
+    assert(out("r3") == (("Unauthorized", None)))
+    assert(out("r4") == (("NotFound", None)))
+    assert(out("r5") == (("NotFound", None))) // bucket out of range: proof
+    assert(out("r6") == (("NotFound", None)))
+    assert(out("r7") == (("NotFound", None)))
+    assert(out("r8") == (("Unavailable", None))) // unsynced, never absence
+    assert(out("r9") == (("Unavailable", None)))
+    assert(out("r10") == (("NotFound", None)))
+  }
 }
