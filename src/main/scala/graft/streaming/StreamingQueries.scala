@@ -438,7 +438,12 @@ object StreamingQueries {
     // 0/1 hold-back that manufactures concurrent, mutually-unobserved edits
     "adr1_admin_reducer" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val o = Tables.orders(s, d)
+      // the admin-document event log is CONTRACT-bounded per document
+      // (human-scale admin ops), so the fixture pins the log to the
+      // base-scale key range — replica keys (offset +10M per rep in the
+      // scale dirs) fall out, keeping per-doc logs scale-invariant
+      // instead of growing 10x per SF like a data-plane relation
+      val o = Tables.orders(s, d).filter(col("o_orderkey") < 10000000L)
       val base = o.select(
         col("o_orderkey").cast("long").as("pos"),
         (col("o_custkey") % 8).cast("long").as("doc"),
@@ -952,7 +957,7 @@ object StreamingQueries {
         |         CAST(o_orderkey % 3 AS INT) AS oidx,
         |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
         |              ELSE 'v' || CAST(o_orderkey % 2 AS VARCHAR) END AS value
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey < 10000000),
         |ev AS (
         |  SELECT *,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc, oidx ORDER BY pos)
