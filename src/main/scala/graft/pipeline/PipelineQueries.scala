@@ -393,6 +393,15 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rk"))
     },
 
+    // IVF-bucketed hard-negative mining — ann13's scale path (ann13 is
+    // the documented by-contract quadratic: anchors x corpus)
+    "ann14_hard_negatives_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Ann.hardNegativesIvf(e, e.filter(col("vec_id") % Ann4Every === 0),
+          k = 5, dupCeiling = 0.95, nCells = 16)
+        .orderBy(col("q_id"), col("rk"))
+    },
+
     // IVF-bucketed batch k-NN join — the knnJoin scale path: each query
     // ranks only its nprobe probed cells' members
     "ann8_knn_join_ivf" -> { (s, d) =>
@@ -1976,6 +1985,48 @@ object PipelineQueries {
          |       COALESCE(n_hit, 0) * 10000 // n_exact AS recall_bp
          |FROM exn LEFT JOIN hit ON exn.q_id = hit.q_id
          |ORDER BY exn.q_id""".stripMargin,
+
+    "ann14_hard_negatives_ivf" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, label, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
+         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, label, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.label, e.v, e.n2, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM nv e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, n2 AS qn2
+         |       FROM nv WHERE vec_id % $Ann4Every = 0 AND n2 > 0),
+         |qprobe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM qs q CROSS JOIN cents c) t
+         |  WHERE rn <= 4)
+         |SELECT q_id, vec_id, label, cosine, rk FROM (
+         |  SELECT q.q_id, a.vec_id, a.label,
+         |    CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, a.vec_id) AS BIGINT) AS rk
+         |  FROM assign a
+         |  JOIN qprobe p ON a.cell = p.cell
+         |  JOIN qs q ON q.q_id = p.q_id
+         |  WHERE a.vec_id <> q.q_id AND a.n2 > 0 AND a.label <> q.q_label
+         |    AND CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) < 0.95) t
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "ann8_knn_join_ivf" ->
       s"""WITH vecs AS (

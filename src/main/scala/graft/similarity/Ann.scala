@@ -136,6 +136,51 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("label"), col("cosine"), col("rk"))
   }
 
+  /** IVF-bucketed hard-negative mining — the scale path for
+    * [[hardNegatives]], which is Θ(|anchors| · |corpus|) by contract (the
+    * round-9 sf10 probe measured 132 s at 100×: anchors AND corpus both
+    * grow, so exact mining is quadratic exactly like [[knnJoin]]). Each
+    * anchor probes only its `nprobe` nearest cells, the label filter and
+    * dup ceiling run before ranking, and the candidate join shuffles on
+    * the cell key — at 100 TB it rides the same cell-partitioned index as
+    * [[knnJoinIvf]] with partition pruning on the probed cells. */
+  def hardNegativesIvf(embeddings: DataFrame, anchors: DataFrame, k: Int,
+      dupCeiling: Double, nCells: Int = 0, nprobe: Int = 4): DataFrame = {
+    val effCells =
+      if (nCells > 0) nCells
+      else adaptiveCells(math.max(1L, embeddings.count()))
+    require(k >= 1 && nprobe >= 1 && nprobe <= effCells,
+      s"bad hardNegativesIvf params: k=$k nprobe=$nprobe nCells=$effCells")
+    val cents = codebook(embeddings, effCells)
+    val cand = ivfAssignments(embeddings.select(col("vec_id"),
+        col("embedding")), cents)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("n2") > 0)
+    val dists = array_sort(array(cents.map { case (id, cv, cn2) =>
+      struct((lit(cn2) - lit(2L) * dotCol(col("v"), typedlit(cv))).as("score"),
+        lit(id).as("cell"))
+    }: _*))
+    val q = quantized(anchors.select(col("vec_id"), col("embedding")))
+      .join(anchors.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("n2") > 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("label").as("q_label"),
+        explode(slice(dists, 1, nprobe).getField("cell")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label"))
+      .withColumn("dot", dotCol(col("v"), col("qv")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n2").cast("double") * col("qn2").cast("double")))
+      .filter(col("cosine") < dupCeiling)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cosine"),
+        col("rk"))
+  }
+
   /** IVF-bucketed kNN JOIN — the scale path for [[knnJoin]]. Exact kNN
     * join is Θ(|queries| · |corpus|) dot products by contract (the
     * round-5 sf1 probe measured exactly that growth); here every query

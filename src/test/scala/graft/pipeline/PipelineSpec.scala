@@ -818,6 +818,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(_.getInt(2) != 0), "a same-label row leaked through")
   }
 
+  test("IVF hard negatives with an all-cells probe reproduce the exact " +
+    "miner bit-for-bit (the ann8 equivalence contract, applied to ann14)") {
+    val rnd = new scala.util.Random(5)
+    val e = (0L until 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = e.filter(col("vec_id") % 7 === 0)
+    val exact = Ann.hardNegatives(e, anchors, k = 5, dupCeiling = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val ivfAll = Ann.hardNegativesIvf(e, anchors, k = 5, dupCeiling = 0.95,
+        nCells = 4, nprobe = 4) // probe EVERY cell -> candidates = corpus
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(ivfAll == exact)
+  }
+
   test("C4 rules: punct/word-count/javascript line gates, policy markers drop the doc") {
     val good = "alpha beta gamma delta epsilon."
     val lines = (
