@@ -42,6 +42,132 @@ object CatalogQueries {
       |  FROM orders
       |)""".stripMargin
 
+  /** PutBucketRouting admission fixture (rt2/rt3): requests over five
+    * groups and seven buckets (bkt-6 unstored, grp-3's inputs load fails,
+    * bkt-1 owned by grp-3 so everyone else group-mismatches there), with
+    * 0..3 rules per request cycling through every admission arm. */
+  private def routingAdmissionFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      .filter(col("o") % 37 === 1)
+    val reqs = o.select(col("o").as("req_id"),
+      concat(lit("grp-"), (col("o") % 5).cast("string")).as("group_id"),
+      concat(lit("bkt-"), (col("o") % 7).cast("string")).as("bucket"))
+    val idx = Seq(0, 1, 2).toDF("rule_idx")
+    // o%3==0 requests draw the FULL arm vocabulary (incl. every invalid
+    // spelling); the rest draw valid-only targets so multi-rule vectors
+    // actually get admitted and rt3's store carries class AND group rules
+    // (gb-3 is grp-2-owned, so it still trips foreign_backend elsewhere)
+    val full = col("o") % 3 === 0
+    val ktF = ((col("o") * 3 + col("rule_idx")) % 11 + 1).cast("int")
+    val ktV = ((col("o") * 3 + col("rule_idx")) % 5 + 1).cast("int")
+    val rules = o.crossJoin(broadcast(idx))
+      .filter(col("rule_idx") < col("o") % 4)
+      .select(col("o").as("req_id"), col("rule_idx"),
+        element_at(array(lit("a/"), lit("b/"), lit("a/"), lit(""),
+          lit("deep/path/")),
+          ((col("o") + col("rule_idx")) % 5 + 1).cast("int"))
+          .as("key_prefix"),
+        ((col("o") + col("rule_idx")) % 7 < 2).as("exact"),
+        when(full, element_at(array(lit("class"), lit("class"),
+          lit("class"), lit("node"), lit("group"), lit("group"),
+          lit("group"), lit("class"), lit("class"), lit("class"),
+          lit("class")), ktF))
+          .otherwise(element_at(array(lit("class"), lit("class"),
+            lit("group"), lit("group"), lit("group")), ktV)).as("kind"),
+        when(full, element_at(array(lit("hot"), lit("cold-2"), lit("HOT"),
+          lit("ssd-a"), lit("gb-1"), lit("gb-2"), lit("gb-9"),
+          lit("co ld"), lit("hot"), lit(""), lit("x" * 33)), ktF))
+          .otherwise(element_at(array(lit("hot"), lit("cold-2"),
+            lit("gb-1"), lit("gb-2"), lit("gb-3")), ktV)).as("target"))
+    val groupBackends = Seq(("grp-0", "gb-1"), ("grp-1", "gb-1"),
+      ("grp-1", "gb-2"), ("grp-2", "gb-3"), ("grp-4", "gb-1"))
+      .toDF("group_id", "backend_id")
+    val buckets = Seq(("bkt-0", "grp-0"), ("bkt-1", "grp-3"),
+      ("bkt-2", "grp-2"), ("bkt-3", "grp-1"), ("bkt-4", "grp-4"),
+      ("bkt-5", "grp-0")).toDF("bucket", "owner_group")
+    val unavailable = Seq("grp-3").toDF("group_id")
+    (reqs, rules, groupBackends, buckets, unavailable)
+  }
+
+  /** Oracle twin of `routingAdmissionFixture` + the admission fold.
+    * Error structs are encoded as sortable strings (6-digit rule index,
+    * pass digit, `code:detail`) — none of the fixture details contain a
+    * colon. `radmit` ends with per-request (verdict, error, detail,
+    * n_rules). */
+  private val routingAdmissionCte: String =
+    """radm AS (
+      |  SELECT o_orderkey AS req_id,
+      |    'grp-'||(o_orderkey%5) AS group_id,
+      |    'bkt-'||(o_orderkey%7) AS bucket
+      |  FROM orders WHERE o_orderkey%37 = 1),
+      |rrules AS (
+      |  SELECT req_id, i AS rule_idx,
+      |    CASE (req_id+i)%5 WHEN 0 THEN 'a/' WHEN 1 THEN 'b/'
+      |      WHEN 2 THEN 'a/' WHEN 3 THEN '' ELSE 'deep/path/' END
+      |      AS key_prefix,
+      |    (req_id+i)%7 < 2 AS exact,
+      |    CASE WHEN req_id%3 = 0 THEN
+      |      CASE WHEN (req_id*3+i)%11 = 3 THEN 'node'
+      |           WHEN (req_id*3+i)%11 IN (4,5,6) THEN 'group'
+      |           ELSE 'class' END
+      |    ELSE CASE WHEN (req_id*3+i)%5 >= 2 THEN 'group'
+      |         ELSE 'class' END END AS kind,
+      |    CASE WHEN req_id%3 = 0 THEN
+      |      CASE (req_id*3+i)%11 WHEN 0 THEN 'hot' WHEN 1 THEN 'cold-2'
+      |        WHEN 2 THEN 'HOT' WHEN 3 THEN 'ssd-a' WHEN 4 THEN 'gb-1'
+      |        WHEN 5 THEN 'gb-2' WHEN 6 THEN 'gb-9' WHEN 7 THEN 'co ld'
+      |        WHEN 8 THEN 'hot' WHEN 9 THEN '' ELSE repeat('x', 33) END
+      |    ELSE CASE (req_id*3+i)%5 WHEN 0 THEN 'hot' WHEN 1 THEN 'cold-2'
+      |      WHEN 2 THEN 'gb-1' WHEN 3 THEN 'gb-2' ELSE 'gb-3' END END
+      |      AS target
+      |  FROM radm, (VALUES (0),(1),(2)) t(i) WHERE i < req_id%4),
+      |rgb AS (SELECT * FROM (VALUES ('grp-0','gb-1'),('grp-1','gb-1'),
+      |  ('grp-1','gb-2'),('grp-2','gb-3'),('grp-4','gb-1'))
+      |  t(group_id, backend_id)),
+      |rbkt AS (SELECT * FROM (VALUES ('bkt-0','grp-0'),('bkt-1','grp-3'),
+      |  ('bkt-2','grp-2'),('bkt-3','grp-1'),('bkt-4','grp-4'),
+      |  ('bkt-5','grp-0')) t(bucket, owner_group)),
+      |rjudged AS (
+      |  SELECT r.req_id, r.rule_idx, r.key_prefix, r.kind, r.target,
+      |    row_number() OVER (PARTITION BY r.req_id, r.exact, r.key_prefix
+      |      ORDER BY r.rule_idx) > 1 AS dup,
+      |    r.kind = 'class'
+      |      AND NOT regexp_matches(r.target, '^[a-z0-9-]{1,32}$')
+      |      AS class_bad,
+      |    g.backend_id IS NOT NULL AS owned
+      |  FROM rrules r
+      |  JOIN radm q ON q.req_id = r.req_id
+      |  LEFT JOIN rgb g ON g.group_id = q.group_id
+      |    AND g.backend_id = r.target),
+      |rfold AS (
+      |  SELECT req_id,
+      |    min(CASE WHEN dup THEN lpad(CAST(rule_idx AS VARCHAR),6,'0') ||
+      |          '0duplicate_rule:'||key_prefix
+      |        WHEN class_bad THEN lpad(CAST(rule_idx AS VARCHAR),6,'0') ||
+      |          '1invalid_class:'||target END) AS e1,
+      |    min(CASE WHEN kind = 'node'
+      |          THEN lpad(CAST(rule_idx AS VARCHAR),6,'0') ||
+      |            '0operator_backend_target:'
+      |        WHEN kind = 'group' AND NOT owned
+      |          THEN lpad(CAST(rule_idx AS VARCHAR),6,'0') ||
+      |            '0foreign_backend:'||target END) AS e2,
+      |    count(*) AS n_rules
+      |  FROM rjudged GROUP BY 1),
+      |radmit AS (
+      |  SELECT q.req_id, q.bucket, q.group_id,
+      |    CASE WHEN q.group_id = 'grp-3' THEN 'inputs_unavailable:'
+      |      WHEN f.e1 IS NOT NULL THEN substring(f.e1, 8)
+      |      WHEN f.e2 IS NOT NULL THEN substring(f.e2, 8)
+      |      WHEN b.owner_group IS NULL THEN 'no_such_bucket:'
+      |      WHEN b.owner_group <> q.group_id THEN 'group_mismatch:'
+      |    END AS err,
+      |    COALESCE(f.n_rules, 0) AS n_rules
+      |  FROM radm q
+      |  LEFT JOIN rfold f ON f.req_id = q.req_id
+      |  LEFT JOIN rbkt b ON b.bucket = q.bucket)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cat1_list_v2_prefixes" -> { (s, d) =>
       Listing.listObjectsV2(ObjectTables.objects(s, d), "bkt-1", "data/A/",
@@ -1324,6 +1450,34 @@ object CatalogQueries {
       Oidc.registerOrGet(reqs, idx).orderBy("req_id")
     },
 
+    // GetOidcUser point read (get_oidc_user.rs): subject-index hit ->
+    // user read -> Ok; index miss -> UserNotFound; DANGLING index row
+    // (user record deleted) -> UserNotFound on the second hop
+    "og2_get_oidc_user" -> { (s, d) =>
+      val o = col("o_orderkey")
+      val c = col("c_custkey")
+      val cust = graft.Tables.customer(s, d)
+      val idx = cust.filter(c % 3 === 0).select(
+        Oidc.subjectKey(
+          concat(lit("https://idp-"), (c % 5).cast("string"),
+            lit(".example")),
+          concat(lit("sub-"), c.cast("string"))).as("subject_key"),
+        when(c % 19 === 0, concat(lit("Z"), lpad(c.cast("string"), 8, "0")))
+          .otherwise(concat(lit("U"), lpad(c.cast("string"), 8, "0")))
+          .as("user_id"))
+      val users = cust.select(
+        concat(lit("U"), lpad(c.cast("string"), 8, "0")).as("user_id"),
+        concat(lit("Customer#"), c.cast("string")).as("display_name"),
+        (lit(1700000000000L) + c * 1000).as("created_at_ms"))
+      val x = o % 1500
+      val reqs = graft.Tables.orders(s, d).filter(o % 41 === 0).select(
+        concat(lit("og"), lpad(o.cast("string"), 12, "0")).as("req_id"),
+        concat(lit("https://idp-"), (x % 5).cast("string"),
+          lit(".example")).as("issuer"),
+        concat(lit("sub-"), x.cast("string")).as("sub"))
+      Oidc.getUsers(reqs, idx, users).orderBy("req_id")
+    },
+
     // Canonical-subject walk (ensure_canonical_user_token_subject.rs):
     // user read (absent/corrupt -> Unauthorized), empty claim list -> Ok
     // with zero reads, ordered index walk stopping at the first absent or
@@ -2387,6 +2541,53 @@ object CatalogQueries {
       Routing.resolve(reqs, bucketRules, groupDefaults, nodeRules,
         catalog, groupBackends, defaultName = "default")
         .orderBy("req_id")
+    },
+
+    // PutBucketRouting admission (bucket_routing.rs + validate_tenant_rules):
+    // inputs-unavailable group, duplicate-(exact,prefix) second occurrence,
+    // invalid class spellings (upper / space / empty-kind? no — 33-char),
+    // operator-backend target, foreign group backend, missing bucket,
+    // moved-owner mismatch, ok replaces (incl. the empty-vector clear)
+    "rt2_routing_admission" -> { (s, d) =>
+      val (reqs, rules, groupBackends, buckets, unavailable) =
+        routingAdmissionFixture(s, d)
+      Routing.admitTenantRules(reqs, rules, groupBackends, buckets,
+        unavailable).orderBy("req_id")
+    },
+
+    // Admitted rules feed resolution (the PutBucketRouting -> routing-
+    // snapshot chain): per bucket the highest admitted req_id's vector is
+    // the store, and a probe write batch resolves through the rt1 ladder
+    // against it (admission guarantees only group/class targets survive)
+    "rt3_admitted_resolve" -> { (s, d) =>
+      import s.implicits._
+      val (reqs, rules, groupBackends, buckets, unavailable) =
+        routingAdmissionFixture(s, d)
+      val admitted = Routing.admitTenantRules(reqs, rules, groupBackends,
+        buckets, unavailable)
+      val store = Routing.admittedBucketRules(admitted, rules)
+      val catalog = Seq(
+        ("default", Option.empty[String], true, false),
+        ("hot-1", Some("hot"), true, false),
+        ("cold-1", Some("cold-2"), true, false),
+        ("res-1", Some("deep"), false, false))
+        .toDF("name", "clazz", "allow_tenants", "full")
+      val groupDefaults = Seq(("grp-1", "class", "cold-2"),
+        ("grp-2", "group", "gb-3")).toDF("group_id", "kind", "target")
+      val nodeRules = Seq((0, Option.empty[String], Some("bkt-5"),
+        Some("deep/"), "class", "deep"))
+        .toDF("rule_idx", "group_id", "bucket", "key_prefix", "kind",
+          "target")
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 53 === 7)
+      val probes = o.select(col("o").as("req_id"),
+        element_at(array(lit("grp-0"), lit("grp-1"), lit("grp-2"),
+          lit("grp-4")), (col("o") % 4 + 1).cast("int")).as("group_id"),
+        concat(lit("bkt-"), (col("o") % 6).cast("string")).as("bucket"),
+        element_at(array(lit("a/x"), lit("b/y"), lit("deep/path/z"),
+          lit("q"), lit("")), (col("o") % 5 + 1).cast("int")).as("key"))
+      Routing.resolve(probes, store, groupDefaults, nodeRules, catalog,
+        groupBackends, defaultName = "default").orderBy("req_id")
     },
 
     // Onboarding-secret claim verdicts: reserve vs consume ladders over
@@ -5333,6 +5534,37 @@ object CatalogQueries {
          |  indexed_user IS NULL AND nth=1 AS announce
          |FROM j ORDER BY req_id""".stripMargin,
 
+    "og2_get_oidc_user" ->
+      s"""WITH idx AS (
+         |  SELECT '{"kind":"oidc","issuer":"https://idp-'||(c_custkey%5)||
+         |           '.example","sub":"sub-'||c_custkey||'"}' AS subject_key,
+         |    CASE WHEN c_custkey%19=0
+         |         THEN 'Z'||lpad(CAST(c_custkey AS VARCHAR),8,'0')
+         |         ELSE 'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') END
+         |      AS iuser
+         |  FROM customer WHERE c_custkey%3=0),
+         |users AS (
+         |  SELECT 'U'||lpad(CAST(c_custkey AS VARCHAR),8,'0') AS user_id,
+         |    'Customer#'||c_custkey AS display_name,
+         |    1700000000000 + c_custkey*1000 AS created_at_ms
+         |  FROM customer),
+         |req AS (
+         |  SELECT 'og'||lpad(CAST(o_orderkey AS VARCHAR),12,'0') AS req_id,
+         |    '{"kind":"oidc","issuer":"https://idp-'||((o_orderkey%1500)%5)||
+         |      '.example","sub":"sub-'||(o_orderkey%1500)||'"}'
+         |      AS subject_key
+         |  FROM orders WHERE o_orderkey%41=0)
+         |SELECT r.req_id,
+         |  CASE WHEN u.user_id IS NOT NULL THEN 'Ok'
+         |       ELSE 'UserNotFound' END AS verdict,
+         |  u.user_id,
+         |  u.display_name,
+         |  CAST(u.created_at_ms AS BIGINT) AS created_at_ms
+         |FROM req r
+         |LEFT JOIN idx i USING (subject_key)
+         |LEFT JOIN users u ON u.user_id = i.iuser
+         |ORDER BY req_id""".stripMargin,
+
     "ecs1_canonical_subject" ->
       s"""WITH ords AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(ord)),
          |users AS (
@@ -7805,6 +8037,121 @@ object CatalogQueries {
          |  FROM cands c
          |  LEFT JOIN cat n ON n.name = c.target AND c.kind = 'node'
          |  LEFT JOIN gb g ON g.backend_id = c.target
+         |    AND g.group_id = c.group_id AND c.kind = 'group'
+         |  LEFT JOIN ct t2 ON t2.clazz = c.target AND c.kind = 'class'
+         |  LEFT JOIN co o2 ON o2.clazz = c.target AND c.kind = 'class'),
+         |decided AS (
+         |  SELECT req_id, oc,
+         |    row_number() OVER (PARTITION BY req_id ORDER BY tier, a, b)
+         |      AS rn
+         |  FROM judged WHERE oc NOT LIKE 'miss%'),
+         |resolved AS (
+         |  SELECT q.req_id, q.group_id, q.bucket, q.key,
+         |    COALESCE(d.oc, 'ok::default') AS oc
+         |  FROM reqs q
+         |  LEFT JOIN decided d ON d.req_id = q.req_id AND d.rn = 1)
+         |SELECT r.req_id, r.group_id, r.bucket, r.key,
+         |  CASE WHEN r.oc LIKE 'ok%' THEN 'ok' ELSE 'error' END AS verdict,
+         |  CASE WHEN r.oc LIKE 'error%'
+         |    THEN string_split(r.oc, ':')[2] END AS error,
+         |  CASE WHEN r.oc LIKE 'ok%'
+         |    THEN substring(r.oc, 5) END AS backend,
+         |  c.clazz AS storage_class
+         |FROM resolved r
+         |LEFT JOIN cat c ON c.name = substring(r.oc, 5)
+         |  AND r.oc LIKE 'ok%'
+         |ORDER BY r.req_id""".stripMargin,
+
+    "rt2_routing_admission" ->
+      s"""WITH $routingAdmissionCte
+         |SELECT req_id, bucket, group_id,
+         |  CASE WHEN err IS NULL THEN 'ok' ELSE 'error' END AS verdict,
+         |  string_split(err, ':')[1] AS error,
+         |  CASE WHEN string_split(err, ':')[1] IN
+         |    ('duplicate_rule','invalid_class','foreign_backend')
+         |    THEN string_split(err, ':')[2] END AS error_detail,
+         |  CASE WHEN err IS NULL THEN n_rules END AS n_rules
+         |FROM radmit
+         |ORDER BY req_id""".stripMargin,
+
+    "rt3_admitted_resolve" ->
+      s"""WITH $routingAdmissionCte,
+         |rwin AS (SELECT bucket, max(req_id) AS req_id FROM radmit
+         |  WHERE err IS NULL GROUP BY 1),
+         |rstore AS (
+         |  SELECT w.bucket, r.rule_idx, r.key_prefix, r.exact, r.kind,
+         |    r.target
+         |  FROM rwin w JOIN rrules r ON r.req_id = w.req_id),
+         |cat AS (
+         |  SELECT * FROM (VALUES
+         |    ('default', NULL, true, false),
+         |    ('hot-1', 'hot', true, false),
+         |    ('cold-1', 'cold-2', true, false),
+         |    ('res-1', 'deep', false, false))
+         |   t(name, clazz, allow_tenants, isfull)),
+         |gd AS (SELECT * FROM (VALUES ('grp-1','class','cold-2'),
+         |  ('grp-2','group','gb-3')) t(group_id, kind, target)),
+         |nru AS (SELECT * FROM (VALUES
+         |  (0, NULL, 'bkt-5', 'deep/', 'class', 'deep'))
+         |  t(rule_idx, r_group, r_bucket, r_prefix, kind, target)),
+         |ct AS (SELECT clazz, MIN(name) AS c_backend FROM cat
+         |  WHERE NOT isfull AND clazz IS NOT NULL AND allow_tenants
+         |  GROUP BY 1),
+         |co AS (SELECT clazz, MIN(name) AS c_backend FROM cat
+         |  WHERE NOT isfull AND clazz IS NOT NULL GROUP BY 1),
+         |reqs AS (
+         |  SELECT o_orderkey AS req_id,
+         |    CASE o_orderkey%4 WHEN 0 THEN 'grp-0' WHEN 1 THEN 'grp-1'
+         |      WHEN 2 THEN 'grp-2' ELSE 'grp-4' END AS group_id,
+         |    'bkt-'||(o_orderkey%6) AS bucket,
+         |    CASE o_orderkey%5 WHEN 0 THEN 'a/x' WHEN 1 THEN 'b/y'
+         |      WHEN 2 THEN 'deep/path/z' WHEN 3 THEN 'q' ELSE '' END
+         |      AS key
+         |  FROM orders WHERE o_orderkey%53 = 7),
+         |cands AS (
+         |  SELECT q.req_id, q.group_id, r.kind, r.target,
+         |    0 AS tier, CAST(r.rule_idx AS BIGINT) AS a,
+         |    CAST(0 AS BIGINT) AS b, FALSE AS op
+         |  FROM reqs q JOIN rstore r ON r.bucket = q.bucket
+         |  WHERE r.exact AND r.key_prefix = q.key
+         |  UNION ALL
+         |  SELECT q.req_id, q.group_id, r.kind, r.target,
+         |    1, -len(r.key_prefix), r.rule_idx, FALSE
+         |  FROM reqs q JOIN rstore r ON r.bucket = q.bucket
+         |  WHERE NOT r.exact AND starts_with(q.key, r.key_prefix)
+         |  UNION ALL
+         |  SELECT q.req_id, q.group_id, g.kind, g.target, 2, 0, 0, FALSE
+         |  FROM reqs q JOIN gd g ON g.group_id = q.group_id
+         |  UNION ALL
+         |  SELECT q.req_id, q.group_id, r.kind, r.target, 3,
+         |    -((CASE WHEN r.r_group IS NOT NULL THEN 1 ELSE 0 END +
+         |       CASE WHEN r.r_bucket IS NOT NULL THEN 1 ELSE 0 END +
+         |       CASE WHEN r.r_prefix IS NOT NULL THEN 1 ELSE 0 END)
+         |       * 100000 + COALESCE(len(r.r_prefix), 0)),
+         |    r.rule_idx, TRUE
+         |  FROM reqs q JOIN nru r ON
+         |    (r.r_group IS NULL OR r.r_group = q.group_id)
+         |    AND (r.r_bucket IS NULL OR r.r_bucket = q.bucket)
+         |    AND (r.r_prefix IS NULL OR starts_with(q.key, r.r_prefix))),
+         |judged AS (
+         |  SELECT c.*,
+         |    CASE WHEN c.kind = 'node' THEN
+         |        CASE WHEN n.name IS NULL THEN 'error:unknown_backend:'
+         |          WHEN n.isfull THEN 'error:backend_full:'
+         |          ELSE 'ok::'||c.target END
+         |      WHEN c.kind = 'group' THEN
+         |        CASE WHEN g.backend_id IS NULL
+         |            THEN 'error:unknown_group_backend:'
+         |          ELSE 'ok::group:'||c.target END
+         |      ELSE CASE
+         |        WHEN c.op AND o2.c_backend IS NOT NULL
+         |          THEN 'ok::'||o2.c_backend
+         |        WHEN NOT c.op AND t2.c_backend IS NOT NULL
+         |          THEN 'ok::'||t2.c_backend
+         |        ELSE 'miss::' END END AS oc
+         |  FROM cands c
+         |  LEFT JOIN cat n ON n.name = c.target AND c.kind = 'node'
+         |  LEFT JOIN rgb g ON g.backend_id = c.target
          |    AND g.group_id = c.group_id AND c.kind = 'group'
          |  LEFT JOIN ct t2 ON t2.clazz = c.target AND c.kind = 'class'
          |  LEFT JOIN co o2 ON o2.clazz = c.target AND c.kind = 'class'),

@@ -27,6 +27,10 @@ object Oidc {
     concat(lit("""{"kind":"oidc","issuer":""""), issuer,
       lit("""","sub":""""), sub, lit("\"}"))
 
+  /** Literal twin of [[subjectKey]] for fixture construction. */
+  def subjectKeyStr(issuer: String, sub: String): String =
+    s"""{"kind":"oidc","issuer":"$issuer","sub":"$sub"}"""
+
   /** Register-or-get fold (`register_or_get_oidc_user.rs:154-345`).
     *
     *  - subject-index HIT → the existing user is read and returned
@@ -69,6 +73,44 @@ object Oidc {
           col("new_user_id")).as("user_id"),
         // only a create announces (schedules the admin outbox drain)
         (col("indexed_user").isNull && col("nth") === 1).as("announce"))
+  }
+
+  /** GetOidcUser point read (`operations/src/get_oidc_user.rs`): the bare
+    * two-hop ladder — subject key → subject index (absent → UserNotFound,
+    * `:137` `emit_read_existing_user`), indexed id → user record (absent →
+    * UserNotFound as well: a DANGLING index row reads as not-found,
+    * `:170` `emit_commit_txn`); both hits return the user document.
+    *
+    * `requests(req_id, issuer, sub)`; `subjectIndex(subject_key,
+    * user_id)`; `users(user_id, display_name, created_at_ms)`.
+    *
+    * Scale: both keyspaces are corpus-scale — the batch's subject keys
+    * broadcast INTO the index, then the indexed ids broadcast INTO users
+    * (the Reads-batch shape: two point-probe joins, neither store
+    * shuffles). */
+  def getUsers(requests: DataFrame, subjectIndex: DataFrame,
+      users: DataFrame): DataFrame = {
+    val keyed = requests.withColumn("subject_key",
+      subjectKey(col("issuer"), col("sub")))
+    val hits = subjectIndex
+      .join(broadcast(keyed.select("subject_key").distinct()),
+        Seq("subject_key"))
+      .select(col("subject_key"), col("user_id").as("indexed_user"))
+    val userHits = users
+      .join(broadcast(hits.select(col("indexed_user").as("user_id"))
+        .distinct()), Seq("user_id"))
+      .select(col("user_id").as("indexed_user"), col("display_name"),
+        col("created_at_ms"), lit(true).as("found"))
+    keyed
+      .join(broadcast(hits), Seq("subject_key"), "left_outer")
+      .join(broadcast(userHits), Seq("indexed_user"), "left_outer")
+      .select(col("req_id"),
+        when(coalesce(col("found"), lit(false)), "Ok")
+          .otherwise("UserNotFound").as("verdict"),
+        when(col("found"), col("indexed_user")).as("user_id"),
+        when(col("found"), col("display_name")).as("display_name"),
+        when(col("found"), col("created_at_ms")).cast("long")
+          .as("created_at_ms"))
   }
 
   /** Canonical-subject walk (`ensure_canonical_user_token_subject.rs`):

@@ -45,6 +45,120 @@ object Routing {
     * `catalog(name, clazz, allow_tenants, full)`; `groupBackends(group_id,
     * backend_id)` (ids registered by each group).
     */
+  /** PutBucketRouting admission (reference
+    * `operations/src/s3/bucket_routing.rs:96-180` PutBucketRoutingOperation +
+    * `core/src/structs/routing.rs:558-580` `validate_tenant_rules` /
+    * `validate_tenant_target`; arms pinned by the reference's own tests at
+    * `routing.rs:1049-1103` and `bucket_routing.rs:405-520`).
+    *
+    * Ladder, in the operation's order:
+    *   1. the group's routing inputs (its registered backend ids) failed to
+    *      load → `inputs_unavailable` (`bucket_routing.rs:113-118`);
+    *   2. `validate_rule_set` (`routing.rs:525-537`) — ONE pass over the
+    *      rules in order; per rule the duplicate-(exact,prefix) insert check
+    *      precedes the class-name check, and the SECOND occurrence is the
+    *      duplicate → `duplicate_rule(prefix)` | `invalid_class(class)`
+    *      (class = `[a-z0-9-]{1,32}`, `routing.rs:38-47`);
+    *   3. `validate_tenant_target` per rule in order — a SECOND pass that
+    *      only starts once pass 2 cleared the whole vector
+    *      (`routing.rs:572-580` try_for_each AFTER validate_rule_set):
+    *      a `node` target → `operator_backend_target`; a `group` target the
+    *      bucket's group did not register → `foreign_backend(id)`;
+    *   4. the bucket record is read only after validation: absent →
+    *      `no_such_bucket` (`bucket_routing.rs:152-155`);
+    *   5. the record moved to another group while the rules were authored →
+    *      `group_mismatch` (`bucket_routing.rs:160-163`);
+    *   6. ok → the rule vector REPLACES the bucket's routing
+    *      (`info.storage_routing = rules`), `n_rules` reports its size
+    *      (an empty vector is a valid clear).
+    *
+    * `requests(req_id, bucket, group_id)`;
+    * `rules(req_id, rule_idx, key_prefix, exact, kind, target)` (kind in
+    * node|group|class); `groupBackends(group_id, backend_id)`;
+    * `buckets(bucket, owner_group)` — the bucket store;
+    * `unavailableGroups(group_id)` — groups whose backend load failed.
+    *
+    * Scale: the bucket store is corpus-scale — the batch's bucket names
+    * broadcast INTO it (probe-keys shape); rules are batch-sized and fold
+    * with one (req_id, exact, prefix) window + one per-request min-struct
+    * aggregation; groupBackends/unavailableGroups are config-plane-sized
+    * broadcasts. */
+  def admitTenantRules(requests: DataFrame, rules: DataFrame,
+      groupBackends: DataFrame, buckets: DataFrame,
+      unavailableGroups: DataFrame): DataFrame = {
+    val reqKeys = requests.select(col("req_id"), col("group_id"))
+    val wDup = Window.partitionBy("req_id", "exact", "key_prefix")
+      .orderBy("rule_idx")
+    val judged = rules.join(reqKeys, Seq("req_id"))
+      .withColumn("dup", row_number().over(wDup) > 1)
+      .withColumn("class_bad", col("kind") === "class" &&
+        !col("target").rlike("^[a-z0-9-]{1,32}$"))
+      .join(broadcast(groupBackends.select(col("group_id"),
+        col("backend_id").as("target"), lit(true).as("owned"))),
+        Seq("group_id", "target"), "left_outer")
+    // pass 1 (validate_rule_set): per rule, dup beats class; first rule wins
+    val p1 = when(col("dup"),
+        struct(col("rule_idx"), lit(0).as("sub"),
+          lit("duplicate_rule").as("code"), col("key_prefix").as("detail")))
+      .when(col("class_bad"),
+        struct(col("rule_idx"), lit(1).as("sub"),
+          lit("invalid_class").as("code"), col("target").as("detail")))
+    // pass 2 (validate_tenant_target): only reached when pass 1 is clean
+    val p2 = when(col("kind") === "node",
+        struct(col("rule_idx"), lit(0).as("sub"),
+          lit("operator_backend_target").as("code"),
+          lit(null).cast("string").as("detail")))
+      .when(col("kind") === "group" && !coalesce(col("owned"), lit(false)),
+        struct(col("rule_idx"), lit(0).as("sub"),
+          lit("foreign_backend").as("code"), col("target").as("detail")))
+    val folded = judged.groupBy("req_id")
+      .agg(min(p1).as("e1"), min(p2).as("e2"),
+        count(lit(1)).as("n_rules"))
+
+    val probe = requests.select("bucket").distinct()
+    val owners = buckets.join(broadcast(probe), Seq("bucket"))
+      .select(col("bucket"), col("owner_group"))
+    val err = when(col("unavailable"), struct(
+        lit("inputs_unavailable").as("code"),
+        lit(null).cast("string").as("detail")))
+      .when(col("e1").isNotNull, struct(col("e1.code").as("code"),
+        col("e1.detail").as("detail")))
+      .when(col("e2").isNotNull, struct(col("e2.code").as("code"),
+        col("e2.detail").as("detail")))
+      .when(col("owner_group").isNull, struct(
+        lit("no_such_bucket").as("code"),
+        lit(null).cast("string").as("detail")))
+      .when(col("owner_group") =!= col("group_id"), struct(
+        lit("group_mismatch").as("code"),
+        lit(null).cast("string").as("detail")))
+    requests
+      .join(folded, Seq("req_id"), "left_outer")
+      .join(broadcast(unavailableGroups.select(col("group_id"),
+        lit(true).as("unavailable"))), Seq("group_id"), "left_outer")
+      .withColumn("unavailable", coalesce(col("unavailable"), lit(false)))
+      .join(broadcast(owners), Seq("bucket"), "left_outer")
+      .withColumn("err", err)
+      .select(col("req_id"), col("bucket"), col("group_id"),
+        when(col("err").isNull, "ok").otherwise("error").as("verdict"),
+        col("err").getField("code").as("error"),
+        col("err").getField("detail").as("error_detail"),
+        when(col("err").isNull, coalesce(col("n_rules"), lit(0L)))
+          .cast("long").as("n_rules"))
+  }
+
+  /** The post-admission rule store: transactionally-sequential PutBucket-
+    * Routing requests REPLACE the whole vector, so per bucket the highest
+    * admitted `req_id` wins and its rules become the bucket's routing —
+    * the shape `resolve`'s `bucketRules` input takes. Admission rejects
+    * `node` targets, so the admitted store only carries group/class rules. */
+  def admittedBucketRules(admission: DataFrame, rules: DataFrame): DataFrame = {
+    val winners = admission.filter(col("verdict") === "ok")
+      .groupBy("bucket").agg(max("req_id").as("req_id"))
+    rules.join(broadcast(winners), Seq("req_id"))
+      .select(col("bucket"), col("rule_idx"), col("key_prefix"),
+        col("exact"), col("kind"), col("target"))
+  }
+
   def resolve(requests: DataFrame, bucketRules: DataFrame,
       groupDefaults: DataFrame, nodeRules: DataFrame, catalog: DataFrame,
       groupBackends: DataFrame, defaultName: String,

@@ -69,6 +69,28 @@ class OidcSpec extends SparkSpec {
     assert(out("r5") == (("Unauthorized", None)))    // unknown user
   }
 
+  test("getUsers: two-hop point read — index hit reads the user; index " +
+    "miss AND dangling index row both finalize UserNotFound " +
+    "(get_oidc_user.rs:137,170)") {
+    val idx = Seq(
+      (Oidc.subjectKeyStr("https://i.example", "s1"), "u1"),
+      (Oidc.subjectKeyStr("https://i.example", "s2"), "u-gone"))
+      .toDF("subject_key", "user_id")
+    val users = Seq(("u1", "Alice", 1700000000001L))
+      .toDF("user_id", "display_name", "created_at_ms")
+    val reqs = Seq(
+      ("r1", "https://i.example", "s1"),  // both hops hit
+      ("r2", "https://i.example", "s2"),  // dangling index row
+      ("r3", "https://i.example", "s3"))  // index miss
+      .toDF("req_id", "issuer", "sub")
+    val out = Oidc.getUsers(reqs, idx, users).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3))))).toMap
+    assert(out("r1") == (("Ok", Some("u1"), Some("Alice"))))
+    assert(out("r2") == (("UserNotFound", None, None)))
+    assert(out("r3") == (("UserNotFound", None, None)))
+  }
+
   test("plan: subject index and user keyspaces probed, never broadcast " +
     "whole") {
     val idx = spark.range(100000).selectExpr(
