@@ -42,6 +42,71 @@ object CatalogQueries {
       |  FROM orders
       |)""".stripMargin
 
+  /** Shard-verification fixture (sv1): 2 strategies × 8 shards with 1-3
+    * holders each (rank by formula), manifest entries derived per doc from
+    * orders (doc → placement by (o div 2) % 8), a planted rank-2 generation
+    * divergence (o % 7600 == 0 → all land in shard 0 of sA), a rank-2 topic
+    * digest fork on shard 4, n1's topic missing on shard % 6 == 1 (covers
+    * the sole-holder-deferred AND the local-genesis-gate-with-co arms),
+    * rank-1 markers on shard 6, and node n4 unreachable (no-reachable-co
+    * arm at (sA,2) where n2's only peer is n4). */
+  private def shardVerifyFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val pl = Seq("sA", "sB").toDF("strategy_id")
+      .crossJoin(Seq.range(0, 8).toDF("shard"))
+      .withColumn("shard", col("shard").cast("long"))
+      .withColumn("base",
+        when(col("strategy_id") === "sA", 0L).otherwise(3L))
+    val holders = pl.select(col("strategy_id"), col("shard"),
+        posexplode(array(
+          concat(lit("n"), ((col("base") + col("shard")) % 6)
+            .cast("string")),
+          when(col("shard") % 4 =!= 1,
+            concat(lit("n"), ((col("base") + col("shard") + 2) % 6)
+              .cast("string"))),
+          when(col("shard") % 3 === 0,
+            concat(lit("n"), ((col("base") + col("shard") + 4) % 6)
+              .cast("string"))))))
+      .filter(col("col").isNotNull)
+      .select(col("strategy_id"), col("shard"), col("col").as("node_id"),
+        col("pos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("strategy_id", "shard").orderBy("pos")))
+      .drop("pos")
+    val docs = graft.Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o"))
+      .select(col("o"),
+        when(col("o") % 2 === 0, "sA").otherwise("sB").as("strategy_id"),
+        expr("CAST((o div 2) % 8 AS BIGINT)").as("shard"))
+    val entries = docs.join(holders, Seq("strategy_id", "shard"))
+      .select(col("node_id"), col("strategy_id"), col("shard"),
+        concat(lit("doc-"), col("o").cast("string")).cast("binary")
+          .as("target_key"),
+        (col("o") % 5 + 1 +
+          when(col("rank") === 2 && col("o") % 7600 === 0, 1L)
+            .otherwise(0L)).cast("long").as("generation"),
+        unhex(md5(concat(lit("ev"), col("o").cast("string"))))
+          .as("event_id"),
+        unhex(sha2(concat(lit("ac"), (col("o") % 7).cast("string")), 256))
+          .as("actor"),
+        (lit(1700000000000L) + col("o")).as("updated_at_ms"))
+    val topics = holders.select(col("node_id"), col("strategy_id"),
+      col("shard"),
+      not(col("node_id") === "n1" && col("shard") % 6 === 1)
+        .as("topic_exists"),
+      md5(concat(col("strategy_id"), col("shard").cast("string"),
+        when(col("shard") % 5 === 4 && col("rank") === 2, "x")
+          .otherwise(""))).as("topic_digest"))
+    val markers = holders.filter(col("rank") === 1 && col("shard") % 7 === 6)
+      .select(col("node_id"), col("strategy_id"), col("shard"))
+    val reachable = Seq.range(0, 6).toDF("i")
+      .select(concat(lit("n"), col("i").cast("string")).as("node_id"),
+        (col("i") =!= 4).as("is_reachable"))
+    (holders, entries, topics, markers, reachable)
+  }
+
   /** PutBucketRouting admission fixture (rt2/rt3): requests over five
     * groups and seven buckets (bkt-6 unstored, grp-3's inputs load fails,
     * bkt-1 owned by grp-3 so everyone else group-mismatches there), with
@@ -2588,6 +2653,18 @@ object CatalogQueries {
           lit("q"), lit("")), (col("o") % 5 + 1).cast("int")).as("key"))
       Routing.resolve(probes, store, groupDefaults, nodeRules, catalog,
         groupBackends, defaultName = "default").orderBy("req_id")
+    },
+
+    // Shard-manifest verification verdicts (shard/mod.rs digest fold +
+    // verify.rs ladder): already-verified marker short-circuit, sole-holder
+    // genesis gate, first-reachable-co-holder pick in rank order, BLAKE3
+    // order-independent entry digest + topic digest convergence, the
+    // local-genesis guard on the convergence arm
+    "sv1_shard_verify" -> { (s, d) =>
+      val (holders, entries, topics, markers, reachable) =
+        shardVerifyFixture(s, d)
+      ShardVerify.verify(holders, entries, topics, markers, reachable)
+        .orderBy("strategy_id", "shard", "node_id")
     },
 
     // Onboarding-secret claim verdicts: reserve vs consume ladders over
@@ -8176,6 +8253,98 @@ object CatalogQueries {
          |LEFT JOIN cat c ON c.name = substring(r.oc, 5)
          |  AND r.oc LIKE 'ok%'
          |ORDER BY r.req_id""".stripMargin,
+
+    // sv1: the Spark side compares BLAKE3 entry digests; digest equality is
+    // by construction multiset equality of the canonical entry tuples, and
+    // every non-key entry field is a function of o — so the oracle's
+    // fingerprint over (o, generation) is the same equivalence relation.
+    "sv1_shard_verify" ->
+      s"""WITH svpl AS (
+         |  SELECT s.strategy_id, sh.shard,
+         |    CASE s.strategy_id WHEN 'sA' THEN 0 ELSE 3 END AS base
+         |  FROM (VALUES ('sA'), ('sB')) s(strategy_id),
+         |       range(0, 8) sh(shard)),
+         |svh0 AS (
+         |  SELECT strategy_id, shard, 1 AS pos,
+         |    'n'||((base+shard)%6) AS node_id FROM svpl
+         |  UNION ALL
+         |  SELECT strategy_id, shard, 2, 'n'||((base+shard+2)%6)
+         |  FROM svpl WHERE shard%4 <> 1
+         |  UNION ALL
+         |  SELECT strategy_id, shard, 3, 'n'||((base+shard+4)%6)
+         |  FROM svpl WHERE shard%3 = 0),
+         |svh AS (
+         |  SELECT strategy_id, shard, node_id,
+         |    ROW_NUMBER() OVER (PARTITION BY strategy_id, shard
+         |      ORDER BY pos) AS rnk
+         |  FROM svh0),
+         |svdocs AS (
+         |  SELECT o_orderkey AS o,
+         |    CASE WHEN o_orderkey%2=0 THEN 'sA' ELSE 'sB' END AS strategy_id,
+         |    (o_orderkey//2)%8 AS shard
+         |  FROM orders),
+         |svfp AS (
+         |  SELECT h.node_id, d.strategy_id, d.shard,
+         |    COUNT(*) AS n_entries,
+         |    md5(string_agg(
+         |      d.o||':'||(d.o%5 + 1 + CASE WHEN h.rnk=2 AND d.o%7600=0
+         |                             THEN 1 ELSE 0 END),
+         |      '|' ORDER BY d.o)) AS fp
+         |  FROM svdocs d JOIN svh h USING (strategy_id, shard)
+         |  GROUP BY 1, 2, 3),
+         |svst AS (
+         |  SELECT h.strategy_id, h.shard, h.node_id, h.rnk,
+         |    NOT (h.node_id='n1' AND h.shard%6=1) AS topic_exists,
+         |    md5(h.strategy_id||h.shard||
+         |      CASE WHEN h.shard%5=4 AND h.rnk=2 THEN 'x' ELSE '' END)
+         |      AS topic_digest,
+         |    COALESCE(f.n_entries, 0) AS n_entries,
+         |    COALESCE(f.fp, 'EMPTY') AS fp
+         |  FROM svh h
+         |  LEFT JOIN svfp f ON f.node_id=h.node_id
+         |    AND f.strategy_id=h.strategy_id AND f.shard=h.shard),
+         |svrc AS (SELECT 'n'||i AS node_id, i<>4 AS is_reachable
+         |         FROM range(0, 6) t(i)),
+         |svco AS (
+         |  SELECT a.strategy_id, a.shard, a.node_id,
+         |    b.node_id AS co_node, b.rnk AS co_rank, b.fp AS co_fp,
+         |    b.topic_digest AS co_topic_digest, r.is_reachable
+         |  FROM svst a
+         |  JOIN svst b ON a.strategy_id=b.strategy_id AND a.shard=b.shard
+         |    AND a.node_id<>b.node_id
+         |  JOIN svrc r ON r.node_id=b.node_id),
+         |svnco AS (SELECT strategy_id, shard, node_id, COUNT(*) AS n_co
+         |          FROM svco GROUP BY 1, 2, 3),
+         |svfirst AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY strategy_id, shard,
+         |      node_id ORDER BY co_rank) AS rn
+         |    FROM svco WHERE is_reachable) t
+         |  WHERE rn=1),
+         |svmk AS (SELECT strategy_id, shard, node_id FROM svh
+         |         WHERE rnk=1 AND shard%7=6)
+         |SELECT s.strategy_id, s.shard, s.node_id,
+         |  CASE WHEN m.node_id IS NOT NULL THEN 'already_verified'
+         |       WHEN COALESCE(n.n_co,0)=0 AND s.topic_exists
+         |         THEN 'newly_verified'
+         |       WHEN COALESCE(n.n_co,0)=0 THEN 'unverified'
+         |       WHEN fc.co_node IS NULL THEN 'unverified'
+         |       WHEN s.topic_exists AND s.topic_digest=fc.co_topic_digest
+         |         AND s.fp=fc.co_fp THEN 'newly_verified'
+         |       ELSE 'unverified' END AS verdict,
+         |  CASE WHEN m.node_id IS NULL AND COALESCE(n.n_co,0)>0
+         |         AND s.topic_exists AND s.topic_digest=fc.co_topic_digest
+         |         AND s.fp=fc.co_fp
+         |       THEN fc.co_node END AS against,
+         |  COALESCE(n.n_co, 0) AS n_co, s.n_entries
+         |FROM svst s
+         |LEFT JOIN svmk m ON m.strategy_id=s.strategy_id
+         |  AND m.shard=s.shard AND m.node_id=s.node_id
+         |LEFT JOIN svnco n ON n.strategy_id=s.strategy_id
+         |  AND n.shard=s.shard AND n.node_id=s.node_id
+         |LEFT JOIN svfirst fc ON fc.strategy_id=s.strategy_id
+         |  AND fc.shard=s.shard AND fc.node_id=s.node_id
+         |ORDER BY s.strategy_id, s.shard, s.node_id""".stripMargin,
 
     "hb1_hidden_sweep" -> {
       val now = 1700000000000L
