@@ -107,6 +107,46 @@ object CatalogQueries {
     (holders, entries, topics, markers, reachable)
   }
 
+  /** Handle-range directory fixture (hd1/hd2): ~7 grants per scenario over
+    * 24 slots of 512 with widths 256..768 — interval overlaps from wide
+    * grants crossing slots, plus a planted same-id divergent second value
+    * (shifted start, rotated owner) for o % 13 == 5. */
+  private def handleRangesFixture(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o"))
+      .filter(col("o") % 11 === 5)
+    val main = base.select(
+      (col("o") % 199).as("sc_id"),
+      concat(lit("r"), expr("(o div 199) % 17").cast("string"))
+        .as("range_id"),
+      concat(lit("n"), (col("o") % 3).cast("string")).as("owner"),
+      (expr("(o div 3) % 24") * 512L + 3L).as("start"),
+      (expr("(o div 3) % 24") * 512L + 259L + (col("o") % 3) * 256L)
+        .as("end"))
+    val divergent = base.filter(col("o") % 13 === 5).select(
+      (col("o") % 199).as("sc_id"),
+      concat(lit("r"), expr("(o div 199) % 17").cast("string"))
+        .as("range_id"),
+      concat(lit("n"), ((col("o") + 1) % 3).cast("string")).as("owner"),
+      (expr("(o div 3) % 24") * 512L + 131L).as("start"),
+      (expr("(o div 3) % 24") * 512L + 387L).as("end"))
+    main.union(divergent)
+  }
+
+  /** Narrow-band variant for hd3 (slot spacing 4, widths 2..6) so the full
+    * cursor draw sequence stays output-sized. */
+  private def handleDrawsFixture(s: SparkSession, d: String): DataFrame =
+    graft.Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o"))
+      .filter(col("o") % 11 === 5)
+      .select(
+        (col("o") % 199).as("sc_id"),
+        concat(lit("r"), expr("(o div 199) % 17").cast("string"))
+          .as("range_id"),
+        concat(lit("n"), (col("o") % 3).cast("string")).as("owner"),
+        (expr("(o div 3) % 24") * 4L + 3L).as("start"),
+        (expr("(o div 3) % 24") * 4L + 5L + col("o") % 5).as("end"))
+
   /** PutBucketRouting admission fixture (rt2/rt3): requests over five
     * groups and seven buckets (bkt-6 unstored, grp-3's inputs load fails,
     * bkt-1 owned by grp-3 so everyone else group-mismatches there), with
@@ -2667,6 +2707,37 @@ object CatalogQueries {
         .orderBy("strategy_id", "shard", "node_id")
     },
 
+    // Handle-range directory fold (handle_allocation.rs:22-58): same-id
+    // divergence + pairwise-overlap fail-closed conflicts, granted_to
+    // positions for the survivors
+    "hd1_handle_directory" -> { (s, d) =>
+      HandleRanges.directory(handleRangesFixture(s, d))
+        .orderBy("sc_id", "range_id", "owner", "start", "end")
+    },
+
+    // free_band_in (handle_allocation.rs:87-107): lowest free 1024-band in
+    // SPAN ORDER (the upper span is listed first, pinning the iteration
+    // semantic), conflicted grants occupying conservatively
+    "hd2_free_band" -> { (s, d) =>
+      import s.implicits._
+      val ranges = handleRangesFixture(s, d)
+      val scs = ranges.select("sc_id").distinct()
+      // one high band listed first, one low band second: pins span-order
+      // iteration, and both-occupied scenarios pin the fully-consumed arm
+      val spans = scs.select(col("sc_id"), lit(0L).as("span_idx"),
+          lit(11267L).as("span_start"), lit(12291L).as("span_end"))
+        .union(scs.select(col("sc_id"), lit(1L), lit(2051L), lit(3075L)))
+      HandleRanges.freeBand(ranges, spans).orderBy("sc_id")
+    },
+
+    // allocation-cursor draw sequence (handle_allocation.rs:127-151): every
+    // handle of each non-conflicted grant except the reserved first, in
+    // (start, range_id) order
+    "hd3_cursor_draws" -> { (s, d) =>
+      HandleRanges.draws(handleDrawsFixture(s, d))
+        .orderBy("sc_id", "owner", "seq")
+    },
+
     // Onboarding-secret claim verdicts: reserve vs consume ladders over
     // the lifecycle store (steal-expired-reservation, mid-handshake
     // expiry escape, idempotent re-consume, wrong-hash/expired/foreign
@@ -3918,6 +3989,36 @@ object CatalogQueries {
       |  SELECT doc_id, (doc_id+1)%6 AS event_id, 2 AS parks
       |  FROM (SELECT DISTINCT doc_id FROM mqb) WHERE doc_id%16 = 5)"""
       .stripMargin
+
+  /** DuckDB mirror of handleRangesFixture + the directory fold (hd1/hd2). */
+  private val handleRangesCte =
+    """hro AS (SELECT CAST(o_orderkey AS BIGINT) AS o FROM orders
+      |        WHERE o_orderkey % 11 = 5),
+      |hr AS (
+      |  SELECT DISTINCT * FROM (
+      |    SELECT o % 199 AS sc_id,
+      |      'r'||((o//199) % 17) AS range_id,
+      |      'n'||(o % 3) AS owner,
+      |      (o//3) % 24 * 512 + 3 AS start,
+      |      (o//3) % 24 * 512 + 259 + (o % 3) * 256 AS "end"
+      |    FROM hro
+      |    UNION ALL
+      |    SELECT o % 199, 'r'||((o//199) % 17), 'n'||((o+1) % 3),
+      |      (o//3) % 24 * 512 + 131, (o//3) % 24 * 512 + 387
+      |    FROM hro WHERE o % 13 = 5) u),
+      |hdv AS (SELECT sc_id, range_id, COUNT(*) AS n_values
+      |        FROM hr GROUP BY 1, 2),
+      |hov AS (SELECT DISTINCT a.sc_id, a.range_id
+      |        FROM hr a JOIN hr b ON a.sc_id = b.sc_id
+      |          AND a.range_id <> b.range_id
+      |          AND a.start < b."end" AND b.start < a."end"),
+      |hm AS (
+      |  SELECT hr.*, hdv.n_values,
+      |    (hdv.n_values > 1 OR hov.range_id IS NOT NULL) AS conflicted
+      |  FROM hr
+      |  JOIN hdv ON hdv.sc_id = hr.sc_id AND hdv.range_id = hr.range_id
+      |  LEFT JOIN hov ON hov.sc_id = hr.sc_id
+      |    AND hov.range_id = hr.range_id)""".stripMargin
 
   private val ctes =
     s"${ObjectTables.objectsCte},\n${ObjectTables.blobsCte},\n${ObjectTables.bucketsCte},\n" +
@@ -8345,6 +8446,80 @@ object CatalogQueries {
          |LEFT JOIN svfirst fc ON fc.strategy_id=s.strategy_id
          |  AND fc.shard=s.shard AND fc.node_id=s.node_id
          |ORDER BY s.strategy_id, s.shard, s.node_id""".stripMargin,
+
+    "hd1_handle_directory" ->
+      s"""WITH $handleRangesCte
+         |SELECT sc_id, range_id, owner, start, "end", n_values, conflicted,
+         |  CASE WHEN NOT conflicted THEN CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY sc_id, owner
+         |    ORDER BY conflicted, start, range_id) AS BIGINT)
+         |  END AS grant_rank
+         |FROM hm
+         |ORDER BY sc_id, range_id, owner, start, "end"""".stripMargin,
+
+    "hd2_free_band" ->
+      s"""WITH $handleRangesCte,
+         |hs AS (SELECT DISTINCT sc_id FROM hr),
+         |hsp AS (
+         |  SELECT sc_id, 0 AS span_idx, 11267 AS span_start,
+         |         12291 AS span_end FROM hs
+         |  UNION ALL
+         |  SELECT sc_id, 1, 2051, 3075 FROM hs),
+         |hb0 AS (
+         |  SELECT sc_id, span_idx, span_start,
+         |    UNNEST(range(0, (span_end - span_start)//1024)) AS b
+         |  FROM hsp),
+         |hb AS (SELECT sc_id, span_idx, b, span_start + b*1024 AS fs
+         |       FROM hb0),
+         |hfree AS (
+         |  SELECT h.* FROM hb h
+         |  WHERE NOT EXISTS (SELECT 1 FROM hr r
+         |    WHERE r.sc_id = h.sc_id AND r.start < h.fs + 1024
+         |      AND h.fs < r."end")),
+         |hfirst AS (
+         |  SELECT sc_id, fs AS free_start, fs + 1024 AS free_end FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY sc_id
+         |      ORDER BY span_idx, b) AS rn
+         |    FROM hfree) t
+         |  WHERE rn = 1)
+         |SELECT hs.sc_id, f.free_start, f.free_end
+         |FROM hs LEFT JOIN hfirst f USING (sc_id)
+         |ORDER BY hs.sc_id""".stripMargin,
+
+    "hd3_cursor_draws" ->
+      s"""WITH hro AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS o FROM orders
+         |  WHERE o_orderkey % 11 = 5),
+         |hr AS (
+         |  SELECT DISTINCT o % 199 AS sc_id,
+         |    'r'||((o//199) % 17) AS range_id,
+         |    'n'||(o % 3) AS owner,
+         |    (o//3) % 24 * 4 + 3 AS start,
+         |    (o//3) % 24 * 4 + 5 + o % 5 AS "end"
+         |  FROM hro),
+         |hdv AS (SELECT sc_id, range_id, COUNT(*) AS n_values
+         |        FROM hr GROUP BY 1, 2),
+         |hov AS (SELECT DISTINCT a.sc_id, a.range_id
+         |        FROM hr a JOIN hr b ON a.sc_id = b.sc_id
+         |          AND a.range_id <> b.range_id
+         |          AND a.start < b."end" AND b.start < a."end"),
+         |hg AS (
+         |  SELECT hr.* FROM hr
+         |  JOIN hdv ON hdv.sc_id = hr.sc_id AND hdv.range_id = hr.range_id
+         |  LEFT JOIN hov ON hov.sc_id = hr.sc_id
+         |    AND hov.range_id = hr.range_id
+         |  WHERE hdv.n_values = 1 AND hov.range_id IS NULL
+         |    AND hr."end" > hr.start + 1),
+         |hdr AS (
+         |  SELECT sc_id, owner, range_id, start,
+         |    UNNEST(range(start + 1, "end")) AS handle
+         |  FROM hg)
+         |SELECT sc_id, owner,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY sc_id, owner
+         |    ORDER BY start, range_id, handle) AS BIGINT) AS seq,
+         |  handle, range_id
+         |FROM hdr
+         |ORDER BY sc_id, owner, seq""".stripMargin,
 
     "hb1_hidden_sweep" -> {
       val now = 1700000000000L
