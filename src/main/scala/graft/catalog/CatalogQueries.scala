@@ -147,6 +147,75 @@ object CatalogQueries {
         (expr("(o div 3) % 24") * 4L + 3L).as("start"),
         (expr("(o div 3) % 24") * 4L + 5L + col("o") % 5).as("end"))
 
+  /** Band-pool lineage fixture (bp1/bp2/bp3): each scenario draws up to 12
+    * structurally distinct pools — a full root, a depth-3 delegation chain,
+    * overlapping siblings, a forged issuer, an orphan child, a malformed
+    * root, a 2-cycle, a non-self-issued root, a span-escaping child, and a
+    * rival root overlapping the full root. Duplicate (sc, idx) draws plant
+    * the occurrence-duplicate arm; missing idx values plant collapsed
+    * subtree arms. */
+  private def bandPoolsFixture(s: SparkSession, d: String): DataFrame = {
+    val sOf = (xs: Seq[String]) => array(xs.map {
+      case null => lit(null).cast("string")
+      case v => lit(v)
+    }: _*)
+    val lOf = (xs: Seq[Long]) => array(xs.map(lit(_)): _*)
+    val base = graft.Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o"))
+      .filter(col("o") % 11 === 7)
+      .select((col("o") % 131).as("sc_id"),
+        expr("CAST((o div 131) % 12 AS INT)").as("idx"))
+      .distinct()
+    // planted occurrence-duplicate: a second identical p0 row invalidates
+    // the id (pool_by_id fails on 2 occurrences) and collapses the subtree
+    base.union(base.filter(col("sc_id") % 13 === 3 && col("idx") === 0))
+      .select(col("sc_id"),
+        concat(lit("p"), col("idx").cast("string")).as("pool_id"),
+        element_at(sOf(Seq(null, "p0", "p1", "p0", "p0", "p99", null,
+          "p8", "p7", null, "p1", null)), col("idx") + 1).as("parent"),
+        element_at(sOf(Seq("a", "a", "b", "a", "x", "a", "f", "g", "g",
+          "h", "b", "k")), col("idx") + 1).as("issuer"),
+        element_at(sOf(Seq("a", "b", "c", "d", "x", "e", "f", "g", "g",
+          "i", "j", "k")), col("idx") + 1).as("owner"),
+        when(col("idx") === 6, 0L).otherwise(
+          element_at(lOf(Seq(0L, 100L, 150L, 250L, 400L, 500L, 0L, 600L,
+            600L, 700L, 250L, 900L)), col("idx") + 1) * 1024L + 3L)
+          .as("start"),
+        (element_at(lOf(Seq(1023L, 300L, 200L, 350L, 450L, 550L, 1L, 650L,
+          650L, 750L, 350L, 950L)), col("idx") + 1) * 1024L + 3L)
+          .as("end"))
+  }
+
+  /** Admission probes (bp3): nine arms per scenario against its pool store
+    * — accept-child, missing-parent, forged-issuer, self-root, alien-root,
+    * malformed, origin-mismatch, span-escape, child-of-invalid-parent. */
+  private def bandPoolProbes(scs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{array => arr}
+    val sOf = (xs: Seq[String]) => arr(xs.map {
+      case null => lit(null).cast("string")
+      case v => lit(v)
+    }: _*)
+    val lOf = (xs: Seq[Long]) => arr(xs.map(lit(_)): _*)
+    val probes = scs.crossJoin(
+      scs.sparkSession.range(0, 9)
+        .select(col("id").cast("int").as("inc_idx")))
+    probes.select(col("sc_id"), col("inc_idx"),
+      concat(lit("q"), col("inc_idx").cast("string")).as("pool_id"),
+      element_at(sOf(Seq("p1", "p77", "p0", null, null, null, null, "p1",
+        "p4")), col("inc_idx") + 1).as("parent"),
+      element_at(sOf(Seq("b", "a", "x", "z2", "z3", "z5", "z2", "b",
+        "x")), col("inc_idx") + 1).as("issuer"),
+      element_at(sOf(Seq("z", "z", "z", "z2", "z4", "z5", "z2", "z6",
+        "z7")), col("inc_idx") + 1).as("owner"),
+      when(col("inc_idx") === 5, 1L).otherwise(
+        element_at(lOf(Seq(210L, 500L, 420L, 980L, 960L, 0L, 985L, 250L,
+          410L)), col("inc_idx") + 1) * 1024L + 3L).as("start"),
+      (element_at(lOf(Seq(240L, 510L, 440L, 990L, 970L, 1L, 995L, 350L,
+        440L)), col("inc_idx") + 1) * 1024L + 3L).as("end"),
+      element_at(sOf(Seq("b", "a", "x", "z2", "z3", "z5", "q", "b", "x")),
+        col("inc_idx") + 1).as("origin"))
+  }
+
   /** PutBucketRouting admission fixture (rt2/rt3): requests over five
     * groups and seven buckets (bkt-6 unstored, grp-3's inputs load fails,
     * bkt-1 owned by grp-3 so everyone else group-mismatches there), with
@@ -2738,6 +2807,31 @@ object CatalogQueries {
         .orderBy("sc_id", "owner", "seq")
     },
 
+    // Band-pool lineage validity (placement.rs:289-331): well-formedness,
+    // self-issued roots, occurrence-duplicate ids, forged issuers, orphan
+    // parents, cycles, span escapes — per-scenario document fold
+    "bp1_pool_validity" -> { (s, d) =>
+      BandPools.validity(bandPoolsFixture(s, d))
+        .orderBy("sc_id", "pool_id")
+    },
+
+    // coordinator_spans (placement.rs:350-397): per-band lineage-dominance
+    // owner resolution with incomparable coverage failing closed (sibling
+    // overlaps, rival roots), merged into per-owner grantable spans
+    "bp2_coordinator_spans" -> { (s, d) =>
+      BandPools.coordinatorSpans(bandPoolsFixture(s, d))
+        .orderBy("sc_id", "owner", "span_start")
+    },
+
+    // admit_band_pool (placement.rs:420-446): accept / reject /
+    // missing-parent admission of replicated pools against the local store
+    "bp3_pool_admission" -> { (s, d) =>
+      val pools = bandPoolsFixture(s, d)
+      BandPools.admitPools(pools, bandPoolProbes(
+        pools.select("sc_id").distinct()))
+        .orderBy("sc_id", "inc_idx")
+    },
+
     // Onboarding-secret claim verdicts: reserve vs consume ladders over
     // the lifecycle store (steal-expired-reservation, mid-handshake
     // expiry escape, idempotent re-consume, wrong-hash/expired/foreign
@@ -3989,6 +4083,48 @@ object CatalogQueries {
       |  SELECT doc_id, (doc_id+1)%6 AS event_id, 2 AS parks
       |  FROM (SELECT DISTINCT doc_id FROM mqb) WHERE doc_id%16 = 5)"""
       .stripMargin
+
+  /** DuckDB mirror of bandPoolsFixture + the recursive validity fold
+    * (bp1/bp2/bp3). Oracles using it must start WITH RECURSIVE. */
+  private val bandPoolsCte =
+    """bpdef(idx, parent, issuer, owner, sb, eb) AS (VALUES
+      |  (0, NULL, 'a','a', 0, 1023), (1, 'p0','a','b', 100, 300),
+      |  (2, 'p1','b','c', 150, 200), (3, 'p0','a','d', 250, 350),
+      |  (4, 'p0','x','x', 400, 450), (5, 'p99','a','e', 500, 550),
+      |  (6, NULL,'f','f', 0, 1), (7, 'p8','g','g', 600, 650),
+      |  (8, 'p7','g','g', 600, 650), (9, NULL,'h','i', 700, 750),
+      |  (10,'p1','b','j', 250, 350), (11,NULL,'k','k', 900, 950)),
+      |bpb AS (SELECT DISTINCT o % 131 AS sc_id,
+      |          CAST((o//131) % 12 AS INT) AS idx
+      |        FROM (SELECT CAST(o_orderkey AS BIGINT) AS o FROM orders
+      |              WHERE o_orderkey % 11 = 7)),
+      |bp0 AS (SELECT * FROM bpb
+      |        UNION ALL
+      |        SELECT * FROM bpb WHERE sc_id % 13 = 3 AND idx = 0),
+      |bp AS (SELECT sc_id, 'p'||idx AS pool_id, d.parent, d.issuer,
+      |         d.owner,
+      |         CASE WHEN idx=6 THEN 0 ELSE sb*1024+3 END AS start,
+      |         eb*1024+3 AS "end"
+      |       FROM bp0 JOIN bpdef d USING (idx)),
+      |bdup AS (SELECT sc_id, pool_id FROM bp
+      |         GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      |bwf AS (SELECT DISTINCT bp.*,
+      |          (start >= 3 AND start < "end" AND "end" <= 1048576) AS wf
+      |        FROM bp),
+      |bvalid(sc_id, pool_id) AS (
+      |  SELECT w.sc_id, w.pool_id FROM bwf w
+      |  LEFT JOIN bdup dd ON dd.sc_id=w.sc_id AND dd.pool_id=w.pool_id
+      |  WHERE w.wf AND w.parent IS NULL AND w.issuer = w.owner
+      |    AND dd.pool_id IS NULL
+      |  UNION
+      |  SELECT c.sc_id, c.pool_id
+      |  FROM bwf c
+      |  JOIN bwf p ON p.sc_id = c.sc_id AND p.pool_id = c.parent
+      |  JOIN bvalid v ON v.sc_id = p.sc_id AND v.pool_id = p.pool_id
+      |  LEFT JOIN bdup dc ON dc.sc_id=c.sc_id AND dc.pool_id=c.pool_id
+      |  WHERE c.wf AND p.owner = c.issuer
+      |    AND p.start <= c.start AND c."end" <= p."end"
+      |    AND dc.pool_id IS NULL)""".stripMargin
 
   /** DuckDB mirror of handleRangesFixture + the directory fold (hd1/hd2). */
   private val handleRangesCte =
@@ -8446,6 +8582,92 @@ object CatalogQueries {
          |LEFT JOIN svfirst fc ON fc.strategy_id=s.strategy_id
          |  AND fc.shard=s.shard AND fc.node_id=s.node_id
          |ORDER BY s.strategy_id, s.shard, s.node_id""".stripMargin,
+
+    "bp1_pool_validity" ->
+      s"""WITH RECURSIVE $bandPoolsCte
+         |SELECT w.sc_id, w.pool_id, w.parent, w.issuer, w.owner, w.start,
+         |  w."end", (v.pool_id IS NOT NULL) AS valid
+         |FROM bwf w
+         |LEFT JOIN bvalid v ON v.sc_id=w.sc_id AND v.pool_id=w.pool_id
+         |ORDER BY w.sc_id, w.pool_id""".stripMargin,
+
+    "bp2_coordinator_spans" ->
+      s"""WITH RECURSIVE $bandPoolsCte,
+         |vp AS (SELECT DISTINCT b.sc_id, b.pool_id, b.parent, b.owner,
+         |         b.start, b."end"
+         |       FROM bp b JOIN bvalid v ON v.sc_id=b.sc_id
+         |         AND v.pool_id=b.pool_id),
+         |banc(sc_id, pool_id, anc_id) AS (
+         |  SELECT sc_id, pool_id, parent FROM vp WHERE parent IS NOT NULL
+         |  UNION
+         |  SELECT a.sc_id, a.pool_id, p.parent
+         |  FROM banc a JOIN vp p ON p.sc_id=a.sc_id AND p.pool_id=a.anc_id
+         |  WHERE p.parent IS NOT NULL),
+         |bscs AS (SELECT DISTINCT sc_id FROM bp),
+         |bbands AS (SELECT sc_id, UNNEST(range(0, 1023)) AS b FROM bscs),
+         |bcov AS (SELECT bd.sc_id, bd.b, p.pool_id, p.owner
+         |         FROM bbands bd JOIN vp p ON p.sc_id = bd.sc_id
+         |           AND p.start <= bd.b*1024+3
+         |           AND bd.b*1024+1027 <= p."end"),
+         |bcand AS (SELECT c.* FROM bcov c WHERE NOT EXISTS (
+         |    SELECT 1 FROM bcov o
+         |    WHERE o.sc_id=c.sc_id AND o.b=c.b AND o.pool_id<>c.pool_id
+         |      AND NOT EXISTS (SELECT 1 FROM banc a
+         |        WHERE a.sc_id=c.sc_id AND a.pool_id=c.pool_id
+         |          AND a.anc_id=o.pool_id))),
+         |bwin AS (SELECT sc_id, b, MIN(owner) AS owner FROM bcand
+         |         GROUP BY 1, 2 HAVING COUNT(*)=1),
+         |bisl AS (SELECT sc_id, owner, b,
+         |           b - ROW_NUMBER() OVER (PARTITION BY sc_id, owner
+         |             ORDER BY b) AS g
+         |         FROM bwin)
+         |SELECT sc_id, owner, MIN(b)*1024+3 AS span_start,
+         |  (MAX(b)+1)*1024+3 AS span_end
+         |FROM bisl GROUP BY sc_id, owner, g
+         |ORDER BY sc_id, owner, span_start""".stripMargin,
+
+    "bp3_pool_admission" ->
+      s"""WITH RECURSIVE $bandPoolsCte,
+         |bprobe(inc_idx, parent, issuer, owner, sb, eb, origin) AS (VALUES
+         |  (0, 'p1', 'b','z', 210, 240, 'b'),
+         |  (1, 'p77','a','z', 500, 510, 'a'),
+         |  (2, 'p0', 'x','z', 420, 440, 'x'),
+         |  (3, NULL, 'z2','z2', 980, 990, 'z2'),
+         |  (4, NULL, 'z3','z4', 960, 970, 'z3'),
+         |  (5, NULL, 'z5','z5', 0, 1, 'z5'),
+         |  (6, NULL, 'z2','z2', 985, 995, 'q'),
+         |  (7, 'p1', 'b','z6', 250, 350, 'b'),
+         |  (8, 'p4', 'x','z7', 410, 440, 'x')),
+         |bscs AS (SELECT DISTINCT sc_id FROM bp),
+         |binc AS (SELECT s.sc_id, p.inc_idx, p.parent, p.issuer, p.owner,
+         |           CASE WHEN p.inc_idx=5 THEN 1 ELSE p.sb*1024+3 END
+         |             AS start,
+         |           p.eb*1024+3 AS "end", p.origin
+         |         FROM bscs s CROSS JOIN bprobe p),
+         |bpcnt AS (SELECT sc_id, pool_id, COUNT(*) AS n FROM bp
+         |          GROUP BY 1, 2),
+         |bpp AS (SELECT DISTINCT sc_id, pool_id, owner, start, "end"
+         |        FROM bp)
+         |SELECT i.sc_id, i.inc_idx,
+         |  CASE
+         |    WHEN NOT (i.start >= 3 AND i.start < i."end"
+         |        AND i."end" <= 1048576)
+         |      OR i.issuer <> i.origin THEN 'reject'
+         |    WHEN i.parent IS NULL THEN
+         |      CASE WHEN i.issuer = i.owner THEN 'accept'
+         |           ELSE 'reject' END
+         |    WHEN pc.n IS NULL OR pc.n <> 1 THEN 'missing_parent'
+         |    WHEN pv.pool_id IS NOT NULL AND pp.owner = i.issuer
+         |      AND pp.start <= i.start AND i."end" <= pp."end"
+         |      THEN 'accept'
+         |    ELSE 'reject'
+         |  END AS verdict
+         |FROM binc i
+         |LEFT JOIN bpcnt pc ON pc.sc_id=i.sc_id AND pc.pool_id=i.parent
+         |LEFT JOIN bpp pp ON pp.sc_id=i.sc_id AND pp.pool_id=i.parent
+         |  AND pc.n = 1
+         |LEFT JOIN bvalid pv ON pv.sc_id=i.sc_id AND pv.pool_id=i.parent
+         |ORDER BY i.sc_id, i.inc_idx""".stripMargin,
 
     "hd1_handle_directory" ->
       s"""WITH $handleRangesCte
