@@ -216,6 +216,64 @@ object CatalogQueries {
         col("inc_idx") + 1).as("origin"))
   }
 
+  /** EnsureRealmConfig fixture (erc1): 151 scenarios spanning every ladder
+    * arm — absent doc ± create, raw-doc kind mismatch, reducer target
+    * mismatch, node/range noops, reused vs minted grants (incl. a
+    * conflicted usable grant), coordinator-pool-missing, handle-space
+    * exhaustion, blocked bindings, missing strategy, transfer slices
+    * (success, too-short-run, target-already-pooled), and the one
+    * all-noop scenario (sc=66). */
+  private def ensureRealmFixture(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val scs = graft.Tables.orders(s, d)
+      .select((col("o_orderkey") % 151).cast("long").as("sc_id")).distinct()
+    val sc = col("sc_id")
+    val target = when(sc % 4 === 0, "A").otherwise("T")
+    val kind = when(sc % 3 === 0, "management").otherwise("storage")
+    val reqs = scs.select(sc, lit("A").as("actor"), target.as("target"),
+      kind.as("kind"),
+      (sc % 2 === 0).as("create_if_missing"),
+      (sc % 5 =!= 4).as("reject_kind_mismatch"),
+      (sc % 17 =!= 0).as("doc_exists"),
+      (sc % 4 =!= 1).as("reducer_exists"),
+      (sc % 23 === 11).as("target_mismatch"),
+      (sc % 37 =!= 13).as("has_strategy"))
+    val nodes = scs.filter(sc % 7 === 2)
+      .select(sc, target.as("node_id"),
+        when(sc % 3 === 0, "storage").otherwise("management").as("kind"))
+      .union(scs.filter(sc % 7 === 3)
+        .select(sc, target.as("node_id"), kind.as("kind")))
+    val pools = scs.filter(sc % 19 =!= 6)
+      .select(sc, lit("pA1").as("pool_id"),
+        lit(null).cast("string").as("parent"), lit("A").as("issuer"),
+        lit("A").as("owner"), lit(3L).as("start"), lit(6147L).as("end"))
+      .union(scs.filter(sc % 6 < 3).select(sc, lit("pA2"),
+        lit(null).cast("string"), lit("A"), lit("A"), lit(8195L),
+        lit(10243L)))
+      .union(scs.filter(sc % 9 === 3).select(sc, lit("pT"),
+        lit(null).cast("string"), lit("T"), lit("T"), lit(12291L),
+        lit(14339L)))
+    val grants = scs.filter(sc % 8 === 1 || sc % 8 === 2)
+      .select(sc, lit("g1").as("range_id"), lit("T").as("owner"),
+        lit(2051L).as("start"), lit(3075L).as("end"))
+      .union(scs.filter(sc % 8 === 1).select(sc, lit("g2"), lit("B"),
+        lit(2560L), lit(3100L)))
+      .union(scs.filter(sc % 3 > 0).select(sc, lit("g3"), lit("A"),
+        lit(3L), lit(3L) + (sc % 3) * 1024L))
+      .union(scs.filter(sc % 31 === 21).select(sc, lit("g4"), lit("B"),
+        lit(3L), lit(15363L)))
+    val bindings = scs.filter(sc % 13 === 1 || sc % 13 === 5)
+      .select(sc, lit(2051L).as("handle"))
+    val matNodes = scs.filter(sc % 6 === 0)
+      .select(sc, target.as("node_id"), kind.as("kind"))
+    val nodeConflicts = scs.filter(sc % 29 === 7)
+      .select(sc, target.as("node_id"))
+    val matRanges = scs.filter(sc % 16 < 8)
+      .select(sc, lit("g1").as("range_id"))
+    Seq(reqs, nodes, pools, grants, bindings, matNodes, nodeConflicts,
+      matRanges)
+  }
+
   /** PutBucketRouting admission fixture (rt2/rt3): requests over five
     * groups and seven buckets (bkt-6 unstored, grp-3's inputs load fails,
     * bkt-1 owned by grp-3 so everyone else group-mismatches there), with
@@ -2805,6 +2863,18 @@ object CatalogQueries {
     "hd3_cursor_draws" -> { (s, d) =>
       HandleRanges.draws(handleDrawsFixture(s, d))
         .orderBy("sc_id", "owner", "seq")
+    },
+
+    // EnsureRealmConfig decision ladder (ensure_realm_config.rs:155-409):
+    // error arms in reference order, node/range noop detection, grant
+    // reuse vs lowest-free-band minting, append-once JobControl binding,
+    // seed pool, management transfer slice — composed over the pool
+    // lineage (bp*), handle directory (hd*), and slice (hp1) primitives
+    "erc1_ensure_realm_config" -> { (s, d) =>
+      val Seq(reqs, nodes, pools, grants, bindings, matNodes,
+        nodeConflicts, matRanges) = ensureRealmFixture(s, d)
+      EnsureRealmConfig.decide(reqs, nodes, pools, grants, bindings,
+        matNodes, nodeConflicts, matRanges).orderBy("sc_id")
     },
 
     // Band-pool lineage validity (placement.rs:289-331): well-formedness,
@@ -8582,6 +8652,153 @@ object CatalogQueries {
          |LEFT JOIN svfirst fc ON fc.strategy_id=s.strategy_id
          |  AND fc.shard=s.shard AND fc.node_id=s.node_id
          |ORDER BY s.strategy_id, s.shard, s.node_id""".stripMargin,
+
+    "erc1_ensure_realm_config" ->
+      s"""WITH escs AS (
+         |  SELECT DISTINCT CAST(o_orderkey % 151 AS BIGINT) AS sc
+         |  FROM orders),
+         |ep AS (SELECT sc,
+         |  sc % 17 <> 0 AS doc_exists,
+         |  sc % 2 = 0 AS create_ok,
+         |  CASE WHEN sc % 4 = 0 THEN 'A' ELSE 'T' END AS target,
+         |  CASE WHEN sc % 3 = 0 THEN 'management' ELSE 'storage' END
+         |    AS kind,
+         |  sc % 5 <> 4 AS rkm,
+         |  sc % 4 <> 1 AS red_ex,
+         |  sc % 23 = 11 AS red_mis,
+         |  sc % 37 <> 13 AS has_strategy
+         | FROM escs),
+         |egr0 AS (
+         |  SELECT sc, 'g1' AS gid, 'T' AS gowner, 2051 AS gs, 3075 AS ge
+         |  FROM escs WHERE sc%8 IN (1,2)
+         |  UNION ALL SELECT sc, 'g2', 'B', 2560, 3100 FROM escs
+         |    WHERE sc%8 = 1
+         |  UNION ALL SELECT sc, 'g3', 'A', 3, 3 + (sc%3)*1024 FROM escs
+         |    WHERE sc%3 > 0
+         |  UNION ALL SELECT sc, 'g4', 'B', 3, 15363 FROM escs
+         |    WHERE sc%31 = 21),
+         |egr AS (SELECT g.* FROM egr0 g JOIN ep ON ep.sc = g.sc
+         |        WHERE ep.doc_exists),
+         |eus AS (SELECT sc, gid, gs, ge FROM (
+         |  SELECT g.sc, g.gid, g.gs, g.ge,
+         |    ROW_NUMBER() OVER (PARTITION BY g.sc ORDER BY g.gs, g.gid)
+         |      AS rn
+         |  FROM egr g JOIN ep ON ep.sc = g.sc
+         |  WHERE g.gowner = ep.target AND NOT EXISTS (
+         |    SELECT 1 FROM egr o WHERE o.sc=g.sc AND o.gid<>g.gid
+         |      AND o.gs < g.ge AND g.gs < o.ge)) t WHERE rn = 1),
+         |esp AS (
+         |  SELECT p.sc, 0 AS si, 3 AS ss, 6147 AS se FROM ep p
+         |  WHERE p.doc_exists AND p.sc%19 <> 6
+         |  UNION ALL SELECT p.sc, 1, 8195, 10243 FROM ep p
+         |  WHERE p.doc_exists AND p.sc%6 < 3
+         |  UNION ALL SELECT p.sc, 0, 3, 1047555 FROM ep p
+         |  WHERE NOT p.doc_exists AND p.create_ok),
+         |ets AS (
+         |  SELECT DISTINCT p.sc FROM ep p
+         |  WHERE p.target='T' AND p.doc_exists AND p.sc%9 = 3
+         |  UNION
+         |  SELECT s.sc FROM esp s JOIN ep p ON p.sc=s.sc
+         |  WHERE p.target='A'),
+         |ebn0 AS (SELECT sc, si, ss,
+         |           UNNEST(range(0, (se-ss)//1024)) AS b FROM esp),
+         |ebn AS (SELECT sc, si, b, ss + b*1024 AS fs FROM ebn0),
+         |emint AS (SELECT sc, fs FROM (
+         |  SELECT e.sc, e.fs,
+         |    ROW_NUMBER() OVER (PARTITION BY e.sc ORDER BY e.si, e.b)
+         |      AS rn
+         |  FROM ebn e WHERE NOT EXISTS (
+         |    SELECT 1 FROM egr g WHERE g.sc=e.sc
+         |      AND g.gs < e.fs + 1024 AND e.fs < g.ge)) t
+         |  WHERE rn = 1),
+         |eas AS (SELECT p.sc,
+         |   COALESCE(u.gid, 'new') AS rid,
+         |   COALESCE(u.gs, m.fs) AS rs,
+         |   COALESCE(u.ge, m.fs + 1024) AS re,
+         |   u.gid IS NOT NULL AS reused,
+         |   EXISTS (SELECT 1 FROM esp s WHERE s.sc = p.sc) AS has_spans,
+         |   m.fs IS NOT NULL AS has_free
+         | FROM ep p LEFT JOIN eus u ON u.sc = p.sc
+         | LEFT JOIN emint m ON m.sc = p.sc),
+         |econ AS (SELECT sc, gs AS cs, ge AS ce FROM egr
+         |         UNION ALL SELECT sc, rs, re FROM eas
+         |         WHERE rs IS NOT NULL),
+         |etb0 AS (SELECT sc, si, ss, (se-ss)//1024 AS nb,
+         |           UNNEST(range(0, (se-ss)//1024 + 1)) AS b FROM esp),
+         |etb AS (SELECT t.sc, t.si, t.b,
+         |          t.ss + t.b*1024 AS tbs,
+         |          t.b < t.nb AND NOT EXISTS (
+         |            SELECT 1 FROM econ c WHERE c.sc=t.sc
+         |              AND c.cs < t.ss + t.b*1024 + 1024
+         |              AND t.ss + t.b*1024 < c.ce) AS free
+         |        FROM etb0 t),
+         |ef1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc, si
+         |          ORDER BY b) AS rk FROM etb),
+         |ef2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc, si
+         |          ORDER BY b) AS rk2 FROM ef1 WHERE free),
+         |eruns AS (SELECT sc, si, rk - rk2 AS island,
+         |            MIN(tbs) AS run_start, COUNT(*) AS len
+         |          FROM ef2 GROUP BY 1, 2, 3),
+         |ebest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sc
+         |            ORDER BY len DESC, si, run_start) AS rn FROM eruns),
+         |etr AS (SELECT b.sc,
+         |          run_start + ((len + 1) // 2) * 1024 AS t_start,
+         |          run_start + len * 1024 AS t_end
+         |        FROM ebest b WHERE rn = 1 AND len >= 2),
+         |etrc AS (SELECT t.* FROM etr t WHERE EXISTS (
+         |          SELECT 1 FROM esp s WHERE s.sc=t.sc
+         |            AND s.ss <= t.t_start AND t.t_end <= s.se)),
+         |ev AS (SELECT p.*, a.rs, a.re, a.reused, a.has_spans, a.has_free,
+         |  NOT p.doc_exists AND p.create_ok AS fresh,
+         |  p.red_ex AND p.sc%29 <> 7 AND p.sc%6 = 0 AS node_noop,
+         |  COALESCE(p.doc_exists AND p.sc%13 IN (1,5) AND a.rs = 2051,
+         |    false) AS blocked,
+         |  a.reused AND a.rid = 'g1' AND p.red_ex AND p.sc%16 < 8
+         |    AS range_noop,
+         |  p.kind = 'management' AND p.target <> 'A'
+         |    AND p.sc NOT IN (SELECT sc FROM ets) AS tgate,
+         |  tr.t_start, tr.t_end,
+         |  CASE
+         |    WHEN NOT p.doc_exists AND NOT p.create_ok
+         |      THEN 'realm_config_not_found'
+         |    WHEN p.doc_exists AND p.rkm AND p.sc%7 = 2
+         |      THEN 'node_kind_mismatch'
+         |    WHEN p.red_ex AND p.red_mis THEN 'target_mismatch'
+         |    WHEN NOT a.reused AND NOT a.has_spans
+         |      THEN 'coordinator_pool_missing'
+         |    WHEN NOT a.reused AND NOT a.has_free
+         |      THEN 'handle_space_exhausted'
+         |    WHEN NOT COALESCE(p.doc_exists AND p.sc%13 IN (1,5)
+         |        AND a.rs = 2051, false)
+         |      AND p.doc_exists AND NOT p.has_strategy
+         |      THEN 'default_strategy_missing'
+         |  END AS err
+         | FROM ep p LEFT JOIN eas a ON a.sc = p.sc
+         | LEFT JOIN etrc tr ON tr.sc = p.sc)
+         |SELECT sc AS sc_id,
+         |  CASE WHEN err IS NOT NULL THEN 'error'
+         |       WHEN node_noop AND range_noop AND blocked AND NOT fresh
+         |            AND NOT (tgate AND t_start IS NOT NULL)
+         |         THEN 'ok_noop'
+         |       ELSE 'ok_write' END AS verdict,
+         |  err AS error,
+         |  CASE WHEN err IS NULL THEN fresh END AS fresh,
+         |  CASE WHEN err IS NULL THEN NOT node_noop END AS ev_node,
+         |  CASE WHEN err IS NULL THEN fresh END AS ev_seed,
+         |  CASE WHEN err IS NULL THEN NOT range_noop END AS ev_range,
+         |  CASE WHEN err IS NULL THEN NOT blocked END AS ev_binding,
+         |  CASE WHEN err IS NULL THEN tgate AND t_start IS NOT NULL END
+         |    AS ev_transfer,
+         |  CASE WHEN err IS NULL THEN rs END AS range_start,
+         |  CASE WHEN err IS NULL THEN re END AS range_end,
+         |  CASE WHEN err IS NULL THEN reused END AS range_reused,
+         |  CASE WHEN err IS NULL AND NOT blocked THEN rs END
+         |    AS binding_handle,
+         |  CASE WHEN err IS NULL AND tgate THEN t_start END
+         |    AS transfer_start,
+         |  CASE WHEN err IS NULL AND tgate THEN t_end END AS transfer_end
+         |FROM ev
+         |ORDER BY sc_id""".stripMargin,
 
     "bp1_pool_validity" ->
       s"""WITH RECURSIVE $bandPoolsCte
