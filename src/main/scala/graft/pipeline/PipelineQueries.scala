@@ -440,6 +440,35 @@ object PipelineQueries {
         .orderBy("q_id")
     },
 
+    // recall OPERATING CURVE: recall@k vs nprobe in {1,2,4,8,16} as one
+    // relation (the r9-verdict ask — ann12 shows only the nprobe=4 point).
+    // Exact ground truth computed ONCE; each sweep point reruns only the
+    // IVF chain. micro_bp is the exact-integer micro-average
+    // (sum hits / sum exact); min/max are the per-query extremes.
+    "ann15_recall_curve" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % Ann4Every === 0 &&
+        col("vec_id") < Ann12MaxId)
+      val exact = Ann.knnJoin(e, q, k = Ann4K)
+        .select(col("q_id"), col("vec_id")).persist()
+      val exn = exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      val perProbe = Seq(1, 2, 4, 8, 16).map { np =>
+        val ivf = Ann.knnJoinIvf(e, q, k = Ann4K, nCells = 16, nprobe = np)
+          .select(col("q_id"), col("vec_id"))
+        ivf.join(exact, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+          .join(exn, Seq("q_id"), "right_outer")
+          .select(lit(np).as("nprobe"), col("q_id"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"))
+      }.reduce(_ unionByName _)
+      perProbe.groupBy("nprobe")
+        .agg(count(lit(1)).as("n_q"),
+          expr("sum(n_hit) * 10000 div sum(n_exact)").as("micro_bp"),
+          min(expr("n_hit * 10000 div n_exact")).as("min_bp"),
+          max(expr("n_hit * 10000 div n_exact")).as("max_bp"))
+        .orderBy("nprobe")
+    },
+
     "ann2_topk_cosine_lsh" -> { (s, d) =>
       Ann.topKCosineLsh(Tables.embeddings(s, d), queryId = 0, k = 10)
     },
@@ -1985,6 +2014,69 @@ object PipelineQueries {
          |       COALESCE(n_hit, 0) * 10000 // n_exact AS recall_bp
          |FROM exn LEFT JOIN hit ON exn.q_id = hit.q_id
          |ORDER BY exn.q_id""".stripMargin,
+
+    // ann12's exact + IVF chains, swept over nprobe via a VALUES join;
+    // both knn chains recomputed per probe point as the verdict asked
+    "ann15_recall_curve" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM nv
+         |       WHERE vec_id % $Ann4Every = 0 AND vec_id < $Ann12MaxId
+         |         AND n2 > 0),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, c.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, c.vec_id) AS rk
+         |  FROM nv c, qs q
+         |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
+         |  WHERE rk <= $Ann4K),
+         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n2, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM nv e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |nps(np) AS (VALUES (1), (2), (4), (8), (16)),
+         |qprobe AS (
+         |  SELECT n.np, t.q_id, t.cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM qs q CROSS JOIN cents c) t
+         |  JOIN nps n ON t.rn <= n.np),
+         |ap AS (SELECT np, q_id, vec_id FROM (
+         |  SELECT p.np, q.q_id, a.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.np, q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(a.v, q.qv), pr -> pr[1]*pr[2])) AS DOUBLE)
+         |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, a.vec_id) AS rk
+         |  FROM assign a
+         |  JOIN qprobe p ON a.cell = p.cell
+         |  JOIN qs q ON q.q_id = p.q_id
+         |  WHERE a.vec_id <> q.q_id AND a.n2 > 0) t
+         |  WHERE rk <= $Ann4K),
+         |hit AS (SELECT np, ap.q_id, COUNT(*) AS n_hit
+         |        FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+         |        GROUP BY 1, 2),
+         |exn AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+         |per AS (SELECT n.np, e.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+         |          e.n_exact
+         |        FROM nps n CROSS JOIN exn e
+         |        LEFT JOIN hit h ON h.np = n.np AND h.q_id = e.q_id)
+         |SELECT np AS nprobe, COUNT(*) AS n_q,
+         |  CAST(SUM(n_hit) * 10000 // SUM(n_exact) AS BIGINT) AS micro_bp,
+         |  MIN(n_hit * 10000 // n_exact) AS min_bp,
+         |  MAX(n_hit * 10000 // n_exact) AS max_bp
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann14_hard_negatives_ivf" ->
       s"""WITH vecs AS (
