@@ -463,4 +463,59 @@ class PlanSpec extends SparkSpec {
     assert(!pI.contains("CartesianProduct") && !pI.contains("SortMergeJoin"),
       s"negotiation ladder must stay hash-joined:\n$pI")
   }
+
+  test("sv1: control-plane relations broadcast; the verify ladder stays equi-joined") {
+    // pin the ladder itself on crossJoin-free inputs (the sv1 fixture's
+    // 2x8 literal strategy-shard cross would otherwise dominate the plan)
+    import spark.implicits._
+    val holders = Seq(("s", 0L, 1, "n0"), ("s", 0L, 2, "n1"))
+      .toDF("strategy_id", "shard", "rank", "node_id")
+    val entries = Seq(("n0", "s", 0L)).toDF("node_id", "strategy_id", "shard")
+      .selectExpr("node_id", "strategy_id", "shard",
+        "CAST('k' AS BINARY) AS target_key", "CAST(1 AS BIGINT) AS generation",
+        "unhex(md5('e')) AS event_id", "unhex(sha2('a', 256)) AS actor",
+        "CAST(1 AS BIGINT) AS updated_at_ms")
+    val topics = holders.selectExpr("node_id", "strategy_id", "shard",
+      "true AS topic_exists", "'d' AS topic_digest")
+    val markers = holders.limit(0).select("strategy_id", "shard", "node_id")
+    val reachable = Seq(("n0", true), ("n1", true))
+      .toDF("node_id", "is_reachable")
+    val p = graft.catalog.ShardVerify
+      .verify(holders, entries, topics, markers, reachable)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"verify ladder degraded to a nested loop:\n$p")
+  }
+
+  test("hd1/hd3/erc1: directory and ladder folds stay equi-joined per scenario") {
+    for (name <- Seq("hd1_handle_directory", "hd3_cursor_draws",
+        "erc1_ensure_realm_config")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to a nested loop:\n$p")
+    }
+  }
+
+  test("bp1/bp2: the pool fold is one scenario-keyed hash aggregation") {
+    for (name <- Seq("bp1_pool_validity", "bp2_coordinator_spans")) {
+      val p = plan(name)
+      assert(p.contains("hashpartitioning(sc_id"),
+        s"$name must shuffle once by scenario:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("ann15: exact ground truth is computed once and reused across the sweep") {
+    val p = plan("ann15_recall_curve")
+    // the persisted exact side must appear as InMemoryTableScan in the
+    // per-nprobe branches — re-deriving it per point would quintuple the
+    // by-contract exact cost
+    assert(p.contains("InMemoryTableScan"),
+      s"exact knn side not reused from cache:\n$p")
+    assert(p.contains("BroadcastExchange"), p) // probe vectors broadcast
+  }
 }
