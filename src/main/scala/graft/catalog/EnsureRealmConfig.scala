@@ -30,6 +30,14 @@ import graft.catalog.BandPools.BPool
   *     slice sits inside one owned parent pool (`:289-321`);
   * 10. all-noop → commit-noop, else the admin-event write set (`:322-366`).
   *
+  * Modeling note: the node-noop check takes the overlay as given — the
+  * reducer's materialized nodes and conflict paths arrive as inputs, and
+  * document node ids are unique per document (ensure_node's update-first
+  * semantics make the reference's has_node_kind equivalent to
+  * "materialized kind matches" under that invariant; a divergent duplicate
+  * in a raw Vec would be order-dependent in the reference itself,
+  * `ensure_realm_config.rs:669-677`).
+  *
   * Execution shape: one request resolves against ONE config document —
   * document-sized state by contract — so the fold runs per scenario as a
   * collect_list + pure-fold UDF (the same shape the reference uses: a pure
