@@ -440,6 +440,40 @@ object PipelineQueries {
         .orderBy("q_id")
     },
 
+    // recall on CLUSTERABLE data — the ann12 harness over a synthesized
+    // clustered corpus (40 tight clusters: each vector = its cluster rep's
+    // integer-quantized embedding plus a per-vector constant shift, exact
+    // in float32). Demonstrates the complement of ann12's worst case: when
+    // the data clusters, a query's own cell is always probed and IVF
+    // recall is ~perfect at the same nprobe=4 that scores 42% on the
+    // unclustered vectors.
+    "ann16_recall_clustered" -> { (s, d) =>
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        .select("vec_id", "embedding")
+      val reps = base.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("rep_id"), col("embedding").as("rep_emb"))
+      val clustered = base
+        .select(col("vec_id"), (col("vec_id") % 40).as("rep_id"))
+        .join(broadcast(reps), Seq("rep_id"))
+        .select(col("vec_id"), expr(
+          "transform(rep_emb, x -> CAST(round(CAST(x AS DOUBLE) * 1000)" +
+            " + CAST(vec_id % 7 - 3 AS DOUBLE) AS FLOAT))").as("embedding"))
+      val q = clustered.filter(col("vec_id") % Ann4Every === 0 &&
+        col("vec_id") < Ann12MaxId)
+      val exact = Ann.knnJoin(clustered, q, k = Ann4K)
+        .select(col("q_id"), col("vec_id"))
+      val ivf = Ann.knnJoinIvf(clustered, q, k = Ann4K, nCells = 16)
+        .select(col("q_id"), col("vec_id"))
+      val hits = ivf.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("hits"), lit(0L)).as("n_hit"),
+          expr("coalesce(hits, 0) * 10000 div n_exact").as("recall_bp"))
+        .orderBy("q_id")
+    },
+
     // recall OPERATING CURVE: recall@k vs nprobe in {1,2,4,8,16} as one
     // relation (the r9-verdict ask — ann12 shows only the nprobe=4 point).
     // Exact ground truth computed ONCE; each sweep point reruns only the
@@ -1964,6 +1998,73 @@ object PipelineQueries {
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
          |  FROM embeddings),
+         |nv AS (
+         |  SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM nv
+         |       WHERE vec_id % $Ann4Every = 0 AND vec_id < $Ann12MaxId
+         |         AND n2 > 0),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, c.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, c.vec_id) AS rk
+         |  FROM nv c, qs q
+         |  WHERE c.vec_id <> q.q_id AND c.n2 > 0) t
+         |  WHERE rk <= $Ann4K),
+         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, n2, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n2, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM nv e CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1]*p[2])) AS BIGINT),
+         |             c.cell) AS rn
+         |    FROM qs q CROSS JOIN cents c) t
+         |  WHERE rn <= 4),
+         |ap AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, a.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |      CAST(list_sum(list_transform(list_zip(a.v, q.qv), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, a.vec_id) AS rk
+         |  FROM assign a
+         |  JOIN qprobe p ON a.cell = p.cell
+         |  JOIN qs q ON q.q_id = p.q_id
+         |  WHERE a.vec_id <> q.q_id AND a.n2 > 0) t
+         |  WHERE rk <= $Ann4K),
+         |hit AS (SELECT ap.q_id, COUNT(*) AS n_hit
+         |        FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+         |        GROUP BY 1),
+         |exn AS (SELECT q_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+         |SELECT exn.q_id, n_exact,
+         |       COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |       COALESCE(n_hit, 0) * 10000 // n_exact AS recall_bp
+         |FROM exn LEFT JOIN hit ON exn.q_id = hit.q_id
+         |ORDER BY exn.q_id""".stripMargin,
+
+    // the ann12 chains over the synthesized clustered corpus; the rep
+    // quantization is integer-exact so list arithmetic matches bit-for-bit
+    "ann16_recall_clustered" ->
+      s"""WITH cbase AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+         |creps AS (SELECT vec_id AS rep_id, embedding AS rep_emb
+         |          FROM cbase WHERE vec_id < 40),
+         |ccl AS (
+         |  SELECT b.vec_id,
+         |    list_transform(r.rep_emb, x ->
+         |      round(CAST(x AS DOUBLE)*1000) + (b.vec_id % 7 - 3)) AS vraw
+         |  FROM cbase b JOIN creps r ON r.rep_id = b.vec_id % 40),
+         |vecs AS (SELECT vec_id,
+         |           list_transform(vraw, x -> CAST(x * 1000 AS BIGINT))
+         |             AS v
+         |         FROM ccl),
          |nv AS (
          |  SELECT vec_id, v,
          |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
