@@ -323,6 +323,40 @@ object CatalogQueries {
     (reqs, rules, groupBackends, buckets, unavailable)
   }
 
+  /** PutGroupRouting fixture: a write batch over the o%11 target
+    * vocabulary (valid classes, a node target, owned / disabled / dangling
+    * / unregistered group backends, the clear, invalid class spellings)
+    * against a config-plane backend index with a disabled row (grp-1's
+    * gb-2) and a dangling row (gb-3 under grp-2's prefix, record moved to
+    * grp-5), plus one loader-failure group (grp-3). */
+  private def groupRoutingFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+      .filter(col("o") % 41 === 5)
+    val reqs = o.select(col("o").as("req_id"),
+      concat(lit("grp-"), (col("o") % 6).cast("string")).as("group_id"),
+      element_at(array(lit("class"), lit("class"), lit("class"),
+        lit("node"), lit("group"), lit("group"), lit(null).cast("string"),
+        lit("class"), lit("group"), lit("group"), lit("class")),
+        (col("o") % 11 + 1).cast("int")).as("kind"),
+      element_at(array(lit("hot"), lit("cold-2"), lit("archive"),
+        lit("ssd-a"), lit("gb-1"), lit("gb-2"), lit(null).cast("string"),
+        lit("Hot!"), lit("gb-9"), lit("gb-3"), lit("")),
+        (col("o") % 11 + 1).cast("int")).as("target"))
+    val backendIndex = Seq(
+      ("grp-0", "grp-0", "gb-1", false),
+      ("grp-1", "grp-1", "gb-1", false),
+      ("grp-1", "grp-1", "gb-2", true), // disabled: cannot be routed to
+      ("grp-2", "grp-2", "gb-2", false),
+      ("grp-2", "grp-5", "gb-3", false), // dangling: record moved away
+      ("grp-4", "grp-4", "gb-1", false),
+      ("grp-4", "grp-4", "gb-2", false))
+      .toDF("idx_group_id", "record_group_id", "backend_id", "disabled")
+    val unavailable = Seq("grp-3").toDF("group_id")
+    (reqs, backendIndex, unavailable)
+  }
+
   /** Oracle twin of `routingAdmissionFixture` + the admission fold.
     * Error structs are encoded as sortable strings (6-digit rule index,
     * pass digit, `code:detail`) — none of the fixture details contain a
@@ -399,6 +433,43 @@ object CatalogQueries {
       |  FROM radm q
       |  LEFT JOIN rfold f ON f.req_id = q.req_id
       |  LEFT JOIN rbkt b ON b.bucket = q.bucket)""".stripMargin
+
+  /** Oracle twin of `groupRoutingFixture` + the PutGroupRouting admission
+    * fold (`pgadm` ends with per-request err as `code:detail` — no fixture
+    * detail contains a colon) and the last-ok-write-wins store (`pgstore`). */
+  private val groupRoutingCte: String =
+    """pgreq AS (
+      |  SELECT o_orderkey AS req_id,
+      |    'grp-'||(o_orderkey%6) AS group_id,
+      |    CASE o_orderkey%11 WHEN 3 THEN 'node'
+      |      WHEN 4 THEN 'group' WHEN 5 THEN 'group' WHEN 6 THEN NULL
+      |      WHEN 8 THEN 'group' WHEN 9 THEN 'group' ELSE 'class' END
+      |      AS kind,
+      |    CASE o_orderkey%11 WHEN 0 THEN 'hot' WHEN 1 THEN 'cold-2'
+      |      WHEN 2 THEN 'archive' WHEN 3 THEN 'ssd-a' WHEN 4 THEN 'gb-1'
+      |      WHEN 5 THEN 'gb-2' WHEN 6 THEN NULL WHEN 7 THEN 'Hot!'
+      |      WHEN 8 THEN 'gb-9' WHEN 9 THEN 'gb-3' ELSE '' END AS target
+      |  FROM orders WHERE o_orderkey%41 = 5),
+      |pgown AS (SELECT * FROM (VALUES ('grp-0','gb-1'),('grp-1','gb-1'),
+      |  ('grp-2','gb-2'),('grp-4','gb-1'),('grp-4','gb-2'))
+      |  t(group_id, backend_id)),
+      |pgadm AS (
+      |  SELECT r.req_id, r.group_id, r.kind, r.target,
+      |    CASE WHEN r.group_id = 'grp-3' THEN 'inputs_unavailable:'
+      |      WHEN r.kind = 'node' THEN 'operator_backend_target:'
+      |      WHEN r.kind = 'group' AND ow.backend_id IS NULL
+      |        THEN 'foreign_backend:'||r.target
+      |      WHEN r.kind = 'class'
+      |        AND NOT regexp_matches(r.target, '^[a-z0-9-]{1,32}$')
+      |        THEN 'invalid_class:'||r.target
+      |    END AS err
+      |  FROM pgreq r LEFT JOIN pgown ow
+      |    ON ow.group_id = r.group_id AND ow.backend_id = r.target),
+      |pgwin AS (SELECT group_id, max(req_id) AS set_by FROM pgadm
+      |  WHERE err IS NULL GROUP BY 1),
+      |pgstore AS (
+      |  SELECT w.group_id, w.set_by, r.kind, r.target
+      |  FROM pgwin w JOIN pgreq r ON r.req_id = w.set_by)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cat1_list_v2_prefixes" -> { (s, d) =>
@@ -2820,6 +2891,72 @@ object CatalogQueries {
           lit("q"), lit("")), (col("o") % 5 + 1).cast("int")).as("key"))
       Routing.resolve(probes, store, groupDefaults, nodeRules, catalog,
         groupBackends, defaultName = "default").orderBy("req_id")
+    },
+
+    // PutGroupRouting admission (group_routing.rs:186-300 + the loader's
+    // owned-set construction :105-125): inputs-unavailable group, operator
+    // target, foreign / disabled / dangling-index group backends, invalid
+    // class spellings, the valid clear (no target), ok stores the default
+    "pg1_group_routing_admission" -> { (s, d) =>
+      val (reqs, backendIndex, unavailable) = groupRoutingFixture(s, d)
+      Routing.admitGroupDefault(reqs, backendIndex, unavailable)
+        .orderBy("req_id")
+    },
+
+    // GetGroupRouting point read over the admitted store
+    // (group_routing.rs:302-407): per group the last ok write stands —
+    // including the clear, which keeps a record with NO default — and an
+    // absent record (never-written or all-writes-rejected groups) reads
+    // as "no default", not an error
+    "pg2_group_routing_read" -> { (s, d) =>
+      val (reqs, backendIndex, unavailable) = groupRoutingFixture(s, d)
+      val store = Routing.groupRoutingStore(
+        Routing.admitGroupDefault(reqs, backendIndex, unavailable))
+      val probes = graft.Tables.orders(s, d)
+        .select(concat(lit("grp-"),
+          (col("o_orderkey") % 8).cast("string")).as("group_id"))
+        .distinct()
+      Routing.getGroupRouting(probes, store).orderBy("group_id")
+    },
+
+    // Admitted group defaults feed resolution (the PutGroupRouting ->
+    // routing-snapshot chain, closing rt1's groupDefaults input the way
+    // rt3 closed bucketRules): tier-2 candidates come from the admitted
+    // store's non-cleared defaults; a tenant-reserved class default
+    // (archive) MISSES and falls through to operator rules / the node
+    // default
+    "pg3_group_default_resolve" -> { (s, d) =>
+      import s.implicits._
+      val (reqs, backendIndex, unavailable) = groupRoutingFixture(s, d)
+      val store = Routing.groupRoutingStore(
+        Routing.admitGroupDefault(reqs, backendIndex, unavailable))
+      val groupDefaults = store.filter(col("kind").isNotNull)
+        .select(col("group_id"), col("kind"), col("target"))
+      val catalog = Seq(
+        ("default", Option.empty[String], true, false),
+        ("hot-1", Some("hot"), true, false),
+        ("cold-1", Some("cold-2"), true, false),
+        ("arch-1", Some("archive"), false, false))
+        .toDF("name", "clazz", "allow_tenants", "full")
+      val bucketRules = Seq
+        .empty[(String, Int, String, Boolean, String, String)]
+        .toDF("bucket", "rule_idx", "key_prefix", "exact", "kind", "target")
+      val nodeRules = Seq((0, Option.empty[String], Option.empty[String],
+        Some("ops/"), "class", "archive"))
+        .toDF("rule_idx", "group_id", "bucket", "key_prefix", "kind",
+          "target")
+      val groupBackends = Seq(("grp-0", "gb-1"), ("grp-1", "gb-1"),
+        ("grp-2", "gb-2"), ("grp-4", "gb-1"), ("grp-4", "gb-2"))
+        .toDF("group_id", "backend_id")
+      val o = graft.Tables.orders(s, d).select(col("o_orderkey").as("o"))
+        .filter(col("o") % 43 === 2)
+      val probes = o.select(col("o").as("req_id"),
+        concat(lit("grp-"), (col("o") % 6).cast("string")).as("group_id"),
+        concat(lit("bkt-"), (col("o") % 2).cast("string")).as("bucket"),
+        element_at(array(lit("a/x"), lit("ops/r"), lit("q")),
+          (col("o") % 3 + 1).cast("int")).as("key"))
+      Routing.resolve(probes, bucketRules, groupDefaults, nodeRules,
+        catalog, groupBackends, defaultName = "default").orderBy("req_id")
     },
 
     // Shard-manifest verification verdicts (shard/mod.rs digest fold +
@@ -8558,6 +8695,98 @@ object CatalogQueries {
          |  c.clazz AS storage_class
          |FROM resolved r
          |LEFT JOIN cat c ON c.name = substring(r.oc, 5)
+         |  AND r.oc LIKE 'ok%'
+         |ORDER BY r.req_id""".stripMargin,
+
+    "pg1_group_routing_admission" ->
+      s"""WITH $groupRoutingCte
+         |SELECT req_id, group_id,
+         |  CASE WHEN err IS NULL THEN 'ok' ELSE 'error' END AS verdict,
+         |  string_split(err, ':')[1] AS error,
+         |  CASE WHEN string_split(err, ':')[1] IN
+         |    ('foreign_backend','invalid_class')
+         |    THEN string_split(err, ':')[2] END AS error_detail,
+         |  CASE WHEN err IS NULL THEN kind END AS kind,
+         |  CASE WHEN err IS NULL THEN target END AS target
+         |FROM pgadm
+         |ORDER BY req_id""".stripMargin,
+
+    "pg2_group_routing_read" ->
+      s"""WITH $groupRoutingCte,
+         |pgprobe AS (SELECT DISTINCT 'grp-'||(o_orderkey%8) AS group_id
+         |  FROM orders)
+         |SELECT p.group_id, s.group_id IS NOT NULL AS has_record,
+         |  s.kind, s.target, s.set_by
+         |FROM pgprobe p LEFT JOIN pgstore s USING (group_id)
+         |ORDER BY p.group_id""".stripMargin,
+
+    "pg3_group_default_resolve" ->
+      s"""WITH $groupRoutingCte,
+         |p3cat AS (
+         |  SELECT * FROM (VALUES
+         |    ('default', NULL, true, false),
+         |    ('hot-1', 'hot', true, false),
+         |    ('cold-1', 'cold-2', true, false),
+         |    ('arch-1', 'archive', false, false))
+         |   t(name, clazz, allow_tenants, isfull)),
+         |p3ct AS (SELECT clazz, MIN(name) AS c_backend FROM p3cat
+         |  WHERE NOT isfull AND clazz IS NOT NULL AND allow_tenants
+         |  GROUP BY 1),
+         |p3co AS (SELECT clazz, MIN(name) AS c_backend FROM p3cat
+         |  WHERE NOT isfull AND clazz IS NOT NULL GROUP BY 1),
+         |p3req AS (
+         |  SELECT o_orderkey AS req_id,
+         |    'grp-'||(o_orderkey%6) AS group_id,
+         |    'bkt-'||(o_orderkey%2) AS bucket,
+         |    CASE o_orderkey%3 WHEN 0 THEN 'a/x' WHEN 1 THEN 'ops/r'
+         |      ELSE 'q' END AS key
+         |  FROM orders WHERE o_orderkey%43 = 2),
+         |p3cand AS (
+         |  SELECT q.req_id, q.group_id, s.kind, s.target,
+         |    2 AS tier, CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+         |    FALSE AS op
+         |  FROM p3req q JOIN pgstore s ON s.group_id = q.group_id
+         |    AND s.kind IS NOT NULL
+         |  UNION ALL
+         |  SELECT q.req_id, q.group_id, 'class', 'archive', 3,
+         |    -(1*100000 + 4), 0, TRUE
+         |  FROM p3req q WHERE starts_with(q.key, 'ops/')),
+         |p3judged AS (
+         |  SELECT c.*,
+         |    CASE WHEN c.kind = 'group' THEN
+         |        CASE WHEN g.backend_id IS NULL
+         |            THEN 'error:unknown_group_backend:'
+         |          ELSE 'ok::group:'||c.target END
+         |      ELSE CASE
+         |        WHEN c.op AND o2.c_backend IS NOT NULL
+         |          THEN 'ok::'||o2.c_backend
+         |        WHEN NOT c.op AND t2.c_backend IS NOT NULL
+         |          THEN 'ok::'||t2.c_backend
+         |        ELSE 'miss::' END END AS oc
+         |  FROM p3cand c
+         |  LEFT JOIN pgown g ON g.backend_id = c.target
+         |    AND g.group_id = c.group_id AND c.kind = 'group'
+         |  LEFT JOIN p3ct t2 ON t2.clazz = c.target AND c.kind = 'class'
+         |  LEFT JOIN p3co o2 ON o2.clazz = c.target AND c.kind = 'class'),
+         |p3dec AS (
+         |  SELECT req_id, oc,
+         |    row_number() OVER (PARTITION BY req_id ORDER BY tier, a, b)
+         |      AS rn
+         |  FROM p3judged WHERE oc NOT LIKE 'miss%'),
+         |p3res AS (
+         |  SELECT q.req_id, q.group_id, q.bucket, q.key,
+         |    COALESCE(d.oc, 'ok::default') AS oc
+         |  FROM p3req q
+         |  LEFT JOIN p3dec d ON d.req_id = q.req_id AND d.rn = 1)
+         |SELECT r.req_id, r.group_id, r.bucket, r.key,
+         |  CASE WHEN r.oc LIKE 'ok%' THEN 'ok' ELSE 'error' END AS verdict,
+         |  CASE WHEN r.oc LIKE 'error%'
+         |    THEN string_split(r.oc, ':')[2] END AS error,
+         |  CASE WHEN r.oc LIKE 'ok%'
+         |    THEN substring(r.oc, 5) END AS backend,
+         |  c.clazz AS storage_class
+         |FROM p3res r
+         |LEFT JOIN p3cat c ON c.name = substring(r.oc, 5)
          |  AND r.oc LIKE 'ok%'
          |ORDER BY r.req_id""".stripMargin,
 

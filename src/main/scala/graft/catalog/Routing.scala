@@ -159,6 +159,100 @@ object Routing {
         col("exact"), col("kind"), col("target"))
   }
 
+  /** PutGroupRouting admission (reference
+    * `operations/src/group_routing.rs:186-300` PutGroupRoutingOperation,
+    * loader `GroupRoutingInputsOperation` `:44-142`; `validate_tenant_target`
+    * `core/src/structs/routing.rs:558-571`; arms pinned by the reference's
+    * own tests at `group_routing.rs:470-648`).
+    *
+    * The write stores ONE optional default target per group (clearing is a
+    * write with no target, so the record always records who decided last,
+    * `group_routing.rs:184-189`). Ladder:
+    *   1. the group's routing inputs failed to load → `inputs_unavailable`
+    *      (`group_routing.rs:260-263`);
+    *   2. a `node` target → `operator_backend_target` (node topology never
+    *      binds into replicated records);
+    *   3. a `group` target the group did not register → `foreign_backend`
+    *      (a foreign id would reach another tenant's credentials); the
+    *      owned set is the loader's prefix scan filtered to rows whose
+    *      RECORD still belongs to this group (dangling index rows are
+    *      skipped) and that are not disabled (`group_routing.rs:110-114`);
+    *   4. a `class` target must spell `[a-z0-9-]{1,32}` → `invalid_class`;
+    *   5. a missing target (the clear) validates trivially
+    *      (`group_routing.rs:218-221` checks only `Some`);
+    *   6. ok → the record replaces the group's routing row.
+    *
+    * `requests(req_id, group_id, kind, target)` — kind NULL = clear;
+    * `backendIndex(idx_group_id, record_group_id, backend_id, disabled)` —
+    * the GROUP_STORAGE_BACKEND_INDEX keyspace rows the per-group prefix
+    * scan sees; `unavailableGroups(group_id)` — groups whose loader failed.
+    *
+    * Scale: the request batch is the only corpus-sized relation; the
+    * backend index and unavailable set are config-plane and broadcast, so
+    * the admission is one scan with two broadcast probes — no shuffle. */
+  def admitGroupDefault(requests: DataFrame, backendIndex: DataFrame,
+      unavailableGroups: DataFrame): DataFrame = {
+    val owned = backendIndex
+      .filter(col("idx_group_id") === col("record_group_id") &&
+        !col("disabled"))
+      .select(col("idx_group_id").as("group_id"),
+        col("backend_id").as("target"), lit(true).as("owned"))
+    val err = when(col("unavailable"), struct(
+        lit("inputs_unavailable").as("code"),
+        lit(null).cast("string").as("detail")))
+      .when(col("kind") === "node", struct(
+        lit("operator_backend_target").as("code"),
+        lit(null).cast("string").as("detail")))
+      .when(col("kind") === "group" && !coalesce(col("owned"), lit(false)),
+        struct(lit("foreign_backend").as("code"),
+          col("target").as("detail")))
+      .when(col("kind") === "class" &&
+          !col("target").rlike("^[a-z0-9-]{1,32}$"),
+        struct(lit("invalid_class").as("code"), col("target").as("detail")))
+    requests
+      .join(broadcast(unavailableGroups.select(col("group_id"),
+        lit(true).as("unavailable"))), Seq("group_id"), "left_outer")
+      .withColumn("unavailable", coalesce(col("unavailable"), lit(false)))
+      .join(broadcast(owned), Seq("group_id", "target"), "left_outer")
+      .withColumn("err", err)
+      .select(col("req_id"), col("group_id"),
+        when(col("err").isNull, "ok").otherwise("error").as("verdict"),
+        col("err").getField("code").as("error"),
+        col("err").getField("detail").as("error_detail"),
+        when(col("err").isNull, col("kind")).as("kind"),
+        when(col("err").isNull, col("target")).as("target"))
+  }
+
+  /** The post-admission group-routing store: PutGroupRouting writes are
+    * transactionally sequential, so per group the highest admitted
+    * `req_id`'s record stands — INCLUDING a clear (kind NULL), which keeps
+    * the record with no default (`group_routing.rs:184-189`). */
+  def groupRoutingStore(admission: DataFrame): DataFrame = {
+    val w = Window.partitionBy("group_id").orderBy(col("req_id").desc)
+    admission.filter(col("verdict") === "ok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("group_id"), col("req_id").as("set_by"), col("kind"),
+        col("target"))
+  }
+
+  /** GetGroupRouting point read (`group_routing.rs:302-407`): an absent
+    * record is "no default", NOT an error (`:324-326` — most groups never
+    * set one); a present record may itself carry no default (a clear).
+    *
+    * Scale: the routing keyspace is one row per group — the probe batch's
+    * group ids broadcast INTO it (probe-keys shape), the store never
+    * shuffles. */
+  def getGroupRouting(probes: DataFrame, store: DataFrame): DataFrame = {
+    val hits = store
+      .join(broadcast(probes.select("group_id").distinct()), Seq("group_id"))
+      .withColumn("has_record", lit(true))
+    probes.join(broadcast(hits), Seq("group_id"), "left_outer")
+      .select(col("group_id"),
+        coalesce(col("has_record"), lit(false)).as("has_record"),
+        col("kind"), col("target"), col("set_by"))
+  }
+
   def resolve(requests: DataFrame, bucketRules: DataFrame,
       groupDefaults: DataFrame, nodeRules: DataFrame, catalog: DataFrame,
       groupBackends: DataFrame, defaultName: String,

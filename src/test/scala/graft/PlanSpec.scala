@@ -509,6 +509,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pg1: group-default admission is broadcast probes on the request " +
+    "scan — no hash shuffle below the output sort, no nested loop") {
+    val p = plan("pg1_group_routing_admission")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"admission must not hash-shuffle the request batch:\n$p")
+  }
+
+  test("pg3: admitted group defaults broadcast into the resolve ladder") {
+    val p = plan("pg3_group_default_resolve")
+    // the one nested loop allowed is the node-rules theta match (null =
+    // match-all), whose build side is the config-sized rule table — rt1
+    // carries the same shape; everything else must stay equi-joined
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r
+      .findAllIn(p).size
+    assert(bnlj <= 1, s"more than one nested loop in the resolve chain:\n$p")
+  }
+
   test("ann15: exact ground truth is computed once and reused across the sweep") {
     val p = plan("ann15_recall_curve")
     // the persisted exact side must appear as InMemoryTableScan in the
