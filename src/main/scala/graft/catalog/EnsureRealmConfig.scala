@@ -129,7 +129,11 @@ object EnsureRealmConfig {
 
   // scalar request fields: (actor, target, kind, create_if_missing,
   // reject_kind_mismatch, doc_exists, reducer_exists, target_mismatch,
-  // has_strategy)
+  // has_strategy). `matPools` is the reducer overlay's materialized pool
+  // set (`admin_document_reducer.rs:272-283` replace-by-id into the
+  // document BEFORE the seed check, `ensure_realm_config.rs:212` — so a
+  // FRESH document with reducer-materialized pools does NOT seed,
+  // `:224` `fresh && document.band_pools.is_empty()`).
   def decideOne(actor: String, target: String, kind: String,
       createIfMissing: Boolean, rejectKindMismatch: Boolean,
       docExists: Boolean, reducerExists: Boolean, targetMismatch: Boolean,
@@ -137,7 +141,7 @@ object EnsureRealmConfig {
       docNodes: Seq[(String, String)], docPools: Seq[BPool],
       docGrants: Seq[HRange], docBindings: Seq[Long],
       matNodes: Seq[(String, String)], nodeConflicts: Seq[String],
-      matRanges: Seq[String]): Decision = {
+      matRanges: Seq[String], matPools: Seq[BPool] = Seq.empty): Decision = {
     if (!docExists && !createIfMissing) return err("realm_config_not_found")
     val fresh = !docExists
     val nodes = if (docExists) docNodes else Seq.empty
@@ -148,8 +152,12 @@ object EnsureRealmConfig {
 
     val nodeNoop = reducerExists && !nodeConflicts.contains(target) &&
       matNodes.exists(m => m._1 == target && m._2 == kind)
-    val seed = fresh // a fresh document always has an empty pool set
-    val poolsEff = (if (docExists) docPools else Seq.empty) ++
+    // the reducer overlay materializes into the document first (replace by
+    // pool id); the seed fires only when the OVERLAID pool set is empty
+    val overlaid = (if (docExists) docPools else Seq.empty)
+      .filterNot(p => matPools.exists(_.id == p.id)) ++ matPools
+    val seed = fresh && overlaid.isEmpty
+    val poolsEff = overlaid ++
       (if (seed) Seq(BPool("seed", None, actor, actor, 3L, SeedPoolEnd))
        else Seq.empty)
     val grantsEff = if (docExists) docGrants else Seq.empty
@@ -170,6 +178,13 @@ object EnsureRealmConfig {
         }
     }
     val rangeNoop = reused && reducerExists && matRanges.contains(assigned.id)
+
+    // PlacementHandle::new on the band's first handle
+    // (ensure_realm_config.rs:266-267): 0 is the reserved handle and the
+    // space is 20-bit — a malformed stored grant outside it aborts. A
+    // minted band can never trip this (spans derive from validated pools).
+    if (assigned.start == 0L || assigned.start >= BandPools.HandleSpaceEnd)
+      return err("invalid_band_start")
 
     val jobHandle = assigned.start
     val binding =
@@ -199,21 +214,24 @@ object EnsureRealmConfig {
 
   private val decideUdf = udf((req: Row, nodes: Seq[Row], pools: Seq[Row],
       grants: Seq[Row], bindings: Seq[Long], matNodes: Seq[Row],
-      nodeConflicts: Seq[String], matRanges: Seq[String]) => {
+      nodeConflicts: Seq[String], matRanges: Seq[String],
+      matPools: Seq[Row]) => {
     val opt = (xs: Seq[Row]) => Option(xs).getOrElse(Seq.empty)
+    val toPool = (r: Row) => BPool(r.getString(0), Option(r.getString(1)),
+      r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))
     decideOne(
       req.getString(0), req.getString(1), req.getString(2),
       req.getBoolean(3), req.getBoolean(4), req.getBoolean(5),
       req.getBoolean(6), req.getBoolean(7), req.getBoolean(8),
       opt(nodes).map(r => (r.getString(0), r.getString(1))),
-      opt(pools).map(r => BPool(r.getString(0), Option(r.getString(1)),
-        r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))),
+      opt(pools).map(toPool),
       opt(grants).map(r => HRange(r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3))),
       Option(bindings).getOrElse(Seq.empty),
       opt(matNodes).map(r => (r.getString(0), r.getString(1))),
       Option(nodeConflicts).getOrElse(Seq.empty),
-      Option(matRanges).getOrElse(Seq.empty))
+      Option(matRanges).getOrElse(Seq.empty),
+      opt(matPools).map(toPool))
   })
 
   /** Per-scenario decision relation. `reqs` carries the scalar request +
@@ -221,15 +239,16 @@ object EnsureRealmConfig {
     * collections keyed by `sc_id`. */
   def decide(reqs: DataFrame, nodes: DataFrame, pools: DataFrame,
       grants: DataFrame, bindings: DataFrame, matNodes: DataFrame,
-      nodeConflicts: DataFrame, matRanges: DataFrame): DataFrame = {
+      nodeConflicts: DataFrame, matRanges: DataFrame,
+      matPools: Option[DataFrame] = None): DataFrame = {
     def agg(df: DataFrame, c: org.apache.spark.sql.Column, name: String) =
       df.groupBy("sc_id").agg(collect_list(c).as(name))
-    val out = reqs
+    val poolStruct = struct(col("pool_id"), col("parent"), col("issuer"),
+      col("owner"), col("start"), col("end"))
+    val base = reqs
       .join(agg(nodes, struct(col("node_id"), col("kind")), "ns"),
         Seq("sc_id"), "left_outer")
-      .join(agg(pools, struct(col("pool_id"), col("parent"), col("issuer"),
-        col("owner"), col("start"), col("end")), "ps"),
-        Seq("sc_id"), "left_outer")
+      .join(agg(pools, poolStruct, "ps"), Seq("sc_id"), "left_outer")
       .join(agg(grants, struct(col("range_id"), col("owner"), col("start"),
         col("end")), "gs"), Seq("sc_id"), "left_outer")
       .join(agg(bindings, col("handle"), "bs"), Seq("sc_id"), "left_outer")
@@ -239,13 +258,21 @@ object EnsureRealmConfig {
         "left_outer")
       .join(agg(matRanges, col("range_id"), "mr"), Seq("sc_id"),
         "left_outer")
+    val withMp = matPools match {
+      case Some(mp) => base.join(agg(mp, poolStruct, "mp"), Seq("sc_id"),
+        "left_outer")
+      case None => base.withColumn("mp", lit(null).cast(
+        "array<struct<pool_id:string,parent:string,issuer:string," +
+          "owner:string,start:bigint,end:bigint>>"))
+    }
+    val out = withMp
       .withColumn("d", decideUdf(
         struct(col("actor"), col("target"), col("kind"),
           col("create_if_missing"), col("reject_kind_mismatch"),
           col("doc_exists"), col("reducer_exists"), col("target_mismatch"),
           col("has_strategy")),
         col("ns"), col("ps"), col("gs"), col("bs"), col("mn"), col("nc"),
-        col("mr")))
+        col("mr"), col("mp")))
     out.select(col("sc_id"),
       col("d.verdict").as("verdict"), col("d.error").as("error"),
       col("d.fresh").as("fresh"), col("d.evNode").as("ev_node"),

@@ -98,15 +98,22 @@ object HandleRanges {
 
   /** The cursor's complete draw sequence over the owner's granted (non-
     * conflicted) ranges: `(sc_id, owner, seq, handle, range_id)`; each
-    * range's first handle is reserved and never drawn (`:135`). */
+    * range's first handle is reserved and never drawn (`:135`), and the
+    * cursor never draws outside the 20-bit handle space — `PlacementHandle
+    * ::new` (`handle_allocation.rs:145`) rejects candidates past
+    * `MAX_HANDLE`, so a malformed stored grant straddling the boundary
+    * yields only its in-space handles and one entirely above it yields
+    * none. */
   def draws(ranges: DataFrame): DataFrame = {
     val granted = directory(ranges).filter(!col("conflicted"))
       .filter(col("end") > col("start") + 1)
+      .filter(col("start") + 1 < BandPools.HandleSpaceEnd)
     val w = Window.partitionBy("sc_id", "owner")
       .orderBy(col("start"), col("range_id"), col("handle"))
     granted
       .withColumn("handle",
-        explode(sequence(col("start") + 1, col("end") - 1)))
+        explode(sequence(col("start") + 1,
+          least(col("end") - 1, lit(BandPools.HandleSpaceEnd - 1)))))
       .withColumn("seq", row_number().over(w).cast("long"))
       .select(col("sc_id"), col("owner"), col("seq"), col("handle"),
         col("range_id"))

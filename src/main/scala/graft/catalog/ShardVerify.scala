@@ -90,11 +90,11 @@ object ShardVerify {
         r.getAs[Array[Byte]](0), r.getLong(1),
         r.getAs[Array[Byte]](2), r.getAs[Array[Byte]](3), r.getLong(4))
     }
-    Blake3.hex(entrySetDigest(encoded)).take(64)
+    Blake3.toHex(entrySetDigest(encoded))
   })
 
   /** Digest of the empty manifest — a holder with no entries still has one. */
-  def emptyDigestHex: String = Blake3.hex(entrySetDigest(Nil))
+  def emptyDigestHex: String = Blake3.toHex(entrySetDigest(Nil))
 
   /** Per-(holder, placement) manifest fold:
     * `entries(node_id, strategy_id, shard, target_key binary, generation

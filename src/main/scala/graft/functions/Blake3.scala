@@ -187,4 +187,9 @@ object Blake3 {
 
   def hex(input: Array[Byte]): String =
     hash(input).map("%02x".format(_)).mkString
+
+  /** Pure hex encoder — does NOT hash. For values that are already
+    * digests (e.g. [[graft.catalog.ShardVerify.entrySetDigest]]). */
+  def toHex(digest: Array[Byte]): String =
+    digest.map("%02x".format(_)).mkString
 }

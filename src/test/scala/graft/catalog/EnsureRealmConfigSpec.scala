@@ -22,10 +22,11 @@ class EnsureRealmConfigSpec extends SparkSpec {
       pools: Seq[BPool] = Seq(rootA),
       grants: Seq[HRange] = Nil, bindings: Seq[Long] = Nil,
       matNodes: Seq[(String, String)] = Nil,
-      conflicts: Seq[String] = Nil, matRanges: Seq[String] = Nil) =
+      conflicts: Seq[String] = Nil, matRanges: Seq[String] = Nil,
+      matPools: Seq[BPool] = Nil) =
     decideOne("A", target, kind, create, rkm, docExists, reducer,
       mismatch, strategy, nodes, pools, grants, bindings, matNodes,
-      conflicts, matRanges)
+      conflicts, matRanges, matPools)
 
   test("error arms in reference order") {
     assert(run(docExists = false, create = false).error
@@ -50,6 +51,38 @@ class EnsureRealmConfigSpec extends SparkSpec {
       d.evSeed.contains(true))
     assert(d.rangeStart.contains(3L) && d.rangeEnd.contains(1027L))
     assert(d.bindingHandle.contains(3L))
+  }
+
+  test("fresh document with reducer-materialized pools does NOT seed " +
+    "(rs:224 fresh && band_pools.is_empty after the overlay at rs:212)") {
+    // the materialized pool belongs to B, not the actor -> with no seed
+    // the actor has no pool and the ladder errors
+    val d = run(docExists = false, create = true, pools = Nil,
+      strategy = false, matPools = Seq(BPool("pB", None, "B", "B", 3L,
+        6147L)))
+    assert(d.error.contains("coordinator_pool_missing"))
+    // a materialized pool the ACTOR owns: still no seed, mint from it
+    val d2 = run(docExists = false, create = true, pools = Nil,
+      strategy = false, matPools = Seq(rootA))
+    assert(d2.verdict == "ok_write" && d2.evSeed.contains(false))
+    assert(d2.rangeStart.contains(3L) && d2.rangeEnd.contains(1027L))
+    // the overlay replaces by pool id: a materialized twin of a document
+    // pool must not double-count (existing doc arm)
+    val d3 = run(matPools = Seq(rootA.copy(start = 8195L, end = 10243L)))
+    assert(d3.rangeStart.contains(8195L)) // materialized value wins
+  }
+
+  test("invalid_band_start: a reused grant outside the 20-bit handle " +
+    "space aborts (rs:266-267 PlacementHandle::new)") {
+    val above = HRange("gx", "T", BandPools.HandleSpaceEnd, // = 2^20
+      BandPools.HandleSpaceEnd + 1024L)
+    assert(run(grants = Seq(above)).error.contains("invalid_band_start"))
+    val zero = HRange("gz", "T", 0L, 1024L)
+    assert(run(grants = Seq(zero)).error.contains("invalid_band_start"))
+    // the last in-space band is fine
+    val edge = HRange("ge", "T", BandPools.HandleSpaceEnd - 1024L,
+      BandPools.HandleSpaceEnd)
+    assert(run(grants = Seq(edge)).error.isEmpty)
   }
 
   test("grant reuse wins over minting; conflicted grants fall through") {

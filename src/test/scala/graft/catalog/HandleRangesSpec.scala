@@ -53,6 +53,17 @@ class HandleRangesSpec extends SparkSpec {
     assert(drawn.toSeq == Seq((1L, 4L), (2L, 5L), (3L, 2050L), (4L, 2051L)))
   }
 
+  test("cursor never draws outside the 20-bit handle space " +
+    "(handle_allocation.rs:145 PlacementHandle::new rejection)") {
+    val top = BandPools.HandleSpaceEnd // 1048576
+    val drawn = HandleRanges.draws(Seq(
+        (1L, "straddle", "a", top - 3L, top + 5L), // 2 in-space handles
+        (1L, "above", "a", top + 100L, top + 200L)) // none
+      .toDF("sc_id", "range_id", "owner", "start", "end"))
+      .orderBy("seq").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(drawn.toSeq == Seq((1L, top - 2L), (2L, top - 1L)))
+  }
+
   test("free band honors span listing order") {
     val ranges = Seq((1L, "r1", "a", 3L, 1027L))
       .toDF("sc_id", "range_id", "owner", "start", "end")

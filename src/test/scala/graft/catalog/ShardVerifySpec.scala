@@ -29,6 +29,16 @@ class ShardVerifySpec extends SparkSpec {
       .sameElements(ShardVerify.entrySetDigest(Seq(a, a))))
   }
 
+  test("exported digest is the hex of the canonical fold, not a rehash " +
+    "(shard/mod.rs:49-60: manifest_entry_digest IS the final BLAKE3)") {
+    assert(ShardVerify.emptyDigestHex ==
+      graft.functions.Blake3.toHex(ShardVerify.entrySetDigest(Nil)))
+    // the empty fold is blake3(u64be(0)) — pin it against a direct hash
+    assert(ShardVerify.emptyDigestHex ==
+      graft.functions.Blake3.hex(Array.fill[Byte](8)(0)))
+    assert(ShardVerify.emptyDigestHex.length == 64)
+  }
+
   test("canonical encoding rejects malformed id widths") {
     intercept[IllegalArgumentException] {
       ShardVerify.canonicalEntryBytes(Array[Byte](1), 1L,
