@@ -5,12 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): one JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
-  * One untimed warm-up pass first (JIT + codegen + parquet footer caches),
-  * then each query is timed as the MINIMUM of three passes — a shared box
-  * under external load can distort any single sample several-fold, and the
-  * minimum is the standard robust estimator for "what the code costs when
-  * the machine cooperates" (the steady-state number the reference's gates
-  * also measure).
+  * One untimed warm-up sweep first (JIT + codegen + parquet footer caches),
+  * then the whole suite is swept `TimedPasses` times and each query is
+  * timed as the MINIMUM across sweeps — a shared box under external load
+  * can distort any single sample several-fold, and the minimum is the
+  * standard robust estimator for "what the code costs when the machine
+  * cooperates" (the steady-state number the reference's gates also
+  * measure). Sweeping the SUITE (rather than taking N consecutive samples
+  * per gate) decorrelates the samples: a 100 ms scheduler stall poisons
+  * one gate in one sweep, not all three samples of that gate — the
+  * round-10 protocol study (BENCH_NOTES) showed consecutive sampling
+  * produced ±35% phantom swings on sub-second gates across rounds.
   */
 object Bench {
 
@@ -64,8 +69,10 @@ object Bench {
       // construction, and a released block recomputes from lineage.
       graft.Caches.release()
     }
-    val results = names.map { name =>
-      val samples = (1 to passes).map { _ =>
+    // timed sweeps: every gate once per sweep, min across sweeps
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    (1 to passes).foreach { _ =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count(); () }
         catch { case e: Throwable =>
@@ -74,10 +81,10 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.Caches.release() // untimed: see warm-up note
-        dt
+        best.updateWith(name)(p => Some(p.fold(dt)(math.min(_, dt))))
       }
-      name -> samples.min
     }
+    val results = names.map(n => n -> best(n))
     failed.foreach { case (n, msg) =>
       System.err.println(s"BENCH QUERY FAILED: $n — $msg")
     }

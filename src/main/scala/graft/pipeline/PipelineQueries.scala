@@ -315,6 +315,22 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // the occupancy-adaptive twin of dd7 (nBits = 0 sizes the band width
+    // from the corpus: ~32-64 vectors/bucket at any scale, so candidate
+    // generation stays bounded where dd7's PINNED r = 6 bands go
+    // superlinear past ~100k vectors — the round-10 verdict's one weak
+    // gate without a gated scale twin). Same exact-pair oracle: every
+    // qualifying pair in this fixture is an identical-vector plant, and
+    // identical vectors collide at any band width.
+    "dd18_embed_lsh_adaptive" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingCosinePairsLsh(planted, threshold = 0.99) // adaptive bands
+        .select(col("a"), col("b"), col("dot"))
+        .orderBy(col("a"), col("b"))
+    },
+
     "dd4_simhash" -> { (s, d) =>
       Dedup.simhashPairs(corpus(s, d), maxDist = 3).orderBy(col("a"), col("b"))
     },
@@ -1726,6 +1742,28 @@ object PipelineQueries {
     // identical vectors always share all signature bands — so the LSH path
     // deterministically equals the exact oracle here.
     "dd7_embed_cosine_lsh" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id%20=0),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM planted),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS BIGINT) AS dot
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(a.n2*b.n2 AS DOUBLE)) >= 0.99
+        |ORDER BY a, b""".stripMargin,
+
+    // identical oracle to dd7: the adaptive band sizing changes candidate
+    // generation cost, never the verified output (exact re-rank ⊆ exact)
+    "dd18_embed_lsh_adaptive" ->
       """WITH planted AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
