@@ -883,9 +883,13 @@ object Dedup {
     val effCells =
       if (nCells > 0) nCells
       else graft.similarity.Ann.adaptiveCells(math.max(1L, embeddings.count()))
+    // the cell self-join evaluates its input twice — cache the assignment
+    // pass (argmin over the whole codebook per vector) so it runs once
     val asg = graft.similarity.Ann.ivfAssignments(embeddings, effCells)
       .filter(col("n2") > 0)
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+      .persist()
+    graft.Caches.track(asg)
     val l = asg.as("l")
     val r = asg.as("r")
     l.join(r, col("l.cell") === col("r.cell") &&

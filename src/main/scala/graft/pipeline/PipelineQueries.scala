@@ -355,6 +355,21 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // the adaptive-codebook twin of dd12 (nCells = 0 -> √n-sized, pow2-
+    // clamped [16,1024] codebook of the lowest vec_ids): with cells FIXED
+    // the within-cell pair volume grows quadratically (the dd12 pinned-16
+    // probe measured 189 s at sf10); adaptive cells balance assignment
+    // (n·cells) against candidates (n²/cells). The codebook rule and cell
+    // count are deterministic functions of the corpus, so the DuckDB
+    // oracle replays the identical algebra at any scale.
+    "dd19_semdedup_adaptive" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.semanticDupPairs(planted, threshold = 0.99) // adaptive codebook
+        .orderBy(col("a"), col("b"))
+    },
+
     // cross-doc repeated-passage detection (paragraph-dedup analog over
     // fixed W-token chunks, sub-W/2 tails dropped) on the planted corpus
     "dd9_passage_dedup" -> { (s, d) =>
@@ -1818,6 +1833,44 @@ object PipelineQueries {
         |  SELECT vec_id, v,
         |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
         |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, v, n2, cell FROM (
+        |    SELECT e.vec_id, e.v, e.n2, c.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             c.cn2 - 2*CAST(list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1]*p[2])) AS BIGINT),
+        |             c.cell) AS rn
+        |    FROM nv e CROSS JOIN cents c) t
+        |  WHERE rn = 1 AND n2 > 0)
+        |SELECT a, b, cosine FROM (
+        |  SELECT l.vec_id AS a, r.vec_id AS b,
+        |    CAST(list_sum(list_transform(list_zip(l.v, r.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(l.n2 AS DOUBLE) * CAST(r.n2 AS DOUBLE)) AS cosine
+        |  FROM assign l JOIN assign r
+        |    ON l.cell = r.cell AND l.vec_id < r.vec_id) t
+        |WHERE cosine >= 0.99
+        |ORDER BY a, b""".stripMargin,
+
+    // dd19: dd12's algebra with the adaptive cell count — K is a pure
+    // function of the corpus count (1 << bitlen(floor(sqrt(n))), clamped
+    // [16,1024]), identical to Ann.adaptiveCells
+    "dd19_semdedup_adaptive" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id%20=0),
+        |kk AS (
+        |  SELECT GREATEST(16, LEAST(1024, 1 << LENGTH(bin(
+        |    CAST(FLOOR(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))))) AS k
+        |  FROM planted),
+        |vecs AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+        |  FROM planted),
+        |nv AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM vecs),
+        |cents AS (SELECT vec_id AS cell, v AS cv, n2 AS cn2 FROM nv
+        |  WHERE vec_id < (SELECT k FROM kk)),
         |assign AS (
         |  SELECT vec_id, v, n2, cell FROM (
         |    SELECT e.vec_id, e.v, e.n2, c.cell,
