@@ -2893,6 +2893,51 @@ object CatalogQueries {
         groupBackends, defaultName = "default").orderBy("req_id")
     },
 
+    // EnsureRealmConfig overlay + handle-space guard arms (the round-11
+    // model extensions): a FRESH document with reducer-materialized pools
+    // does not seed (rs:212 overlay before rs:224's emptiness check) and
+    // mints from the materialized pool — or errors coordinator_pool_missing
+    // when the materialized pool belongs to someone else; a reused grant
+    // whose start is the reserved handle or past the 20-bit space aborts
+    // invalid_band_start (rs:266-267 PlacementHandle::new)
+    "erc2_overlay_band_guard" -> { (s, d) =>
+      import s.implicits._
+      val scs = graft.Tables.orders(s, d)
+        .select((col("o_orderkey") % 151).cast("long").as("sc_id"))
+        .distinct()
+      val sc = col("sc_id")
+      val reqs = scs.select(sc, lit("A").as("actor"), lit("T").as("target"),
+        lit("storage").as("kind"), lit(true).as("create_if_missing"),
+        lit(false).as("reject_kind_mismatch"),
+        (sc % 5 =!= 0).as("doc_exists"), lit(false).as("reducer_exists"),
+        lit(false).as("target_mismatch"), lit(true).as("has_strategy"))
+      val pools = scs.filter(sc % 5 =!= 0)
+        .select(sc, lit("pA").as("pool_id"),
+          lit(null).cast("string").as("parent"), lit("A").as("issuer"),
+          lit("A").as("owner"), lit(3L).as("start"), lit(6147L).as("end"))
+      val grants = scs.filter(sc % 7 === 1)
+        .select(sc, lit("g1").as("range_id"), lit("T").as("owner"),
+          lit(2051L).as("start"), lit(3075L).as("end"))
+        .union(scs.filter(sc % 11 === 2).select(sc, lit("gbad"), lit("T"),
+          lit(1048576L), lit(1049600L))) // starts past the 20-bit space
+        .union(scs.filter(sc % 13 === 3).select(sc, lit("gz"), lit("T"),
+          lit(0L), lit(1024L))) // starts at the reserved handle
+      val matPools = scs.filter(sc % 3 === 0)
+        .select(sc, lit("pM").as("pool_id"),
+          lit(null).cast("string").as("parent"),
+          when(sc % 2 === 0, "A").otherwise("B").as("issuer"),
+          when(sc % 2 === 0, "A").otherwise("B").as("owner"),
+          lit(8195L).as("start"), lit(10243L).as("end"))
+      val noNodes = Seq.empty[(Long, String, String)]
+        .toDF("sc_id", "node_id", "kind")
+      val noHandles = Seq.empty[(Long, Long)].toDF("sc_id", "handle")
+      val noIds = Seq.empty[(Long, String)].toDF("sc_id", "node_id")
+      val noRanges = Seq.empty[(Long, String)].toDF("sc_id", "range_id")
+      EnsureRealmConfig.decide(reqs, noNodes, pools, grants, noHandles,
+        noNodes, noIds, noRanges, matPools = Some(matPools))
+        .orderBy("sc_id")
+    },
+
     // PutGroupRouting admission (group_routing.rs:186-300 + the loader's
     // owned-set construction :105-125): inputs-unavailable group, operator
     // target, foreign / disabled / dangling-index group backends, invalid
@@ -8697,6 +8742,61 @@ object CatalogQueries {
          |LEFT JOIN cat c ON c.name = substring(r.oc, 5)
          |  AND r.oc LIKE 'ok%'
          |ORDER BY r.req_id""".stripMargin,
+
+    // erc2: the ladder restricted to the overlay/guard arms — reducer off,
+    // strategy present, storage kind — so every outcome is a closed form:
+    // gz sorts first (start 0) then g1 (2051) then gbad (2^20); fresh
+    // scenarios ignore stored grants and mint from the seed ([3,1027)) or
+    // the materialized actor pool ([8195,9219))
+    "erc2_overlay_band_guard" ->
+      s"""WITH e2s AS (
+         |  SELECT DISTINCT CAST(o_orderkey % 151 AS BIGINT) AS sc
+         |  FROM orders),
+         |e2 AS (SELECT sc,
+         |  sc % 5 <> 0 AS doc,
+         |  sc % 3 = 0 AS has_mat,
+         |  sc % 2 = 0 AS mat_mine,
+         |  sc % 7 = 1 AS g1, sc % 11 = 2 AS gbad, sc % 13 = 3 AS gz
+         |  FROM e2s),
+         |e2v AS (SELECT sc, doc,
+         |  NOT doc AS fresh,
+         |  NOT doc AND NOT has_mat AS seed,
+         |  CASE
+         |    WHEN doc AND (gz OR (gbad AND NOT g1))
+         |      THEN 'invalid_band_start'
+         |    WHEN NOT doc AND has_mat AND NOT mat_mine
+         |      THEN 'coordinator_pool_missing'
+         |  END AS err,
+         |  CASE
+         |    WHEN doc AND g1 AND NOT gz THEN 2051
+         |    WHEN NOT doc AND has_mat AND mat_mine THEN 8195
+         |    ELSE 3 END AS rs,
+         |  CASE
+         |    WHEN doc AND g1 AND NOT gz THEN 3075
+         |    WHEN NOT doc AND has_mat AND mat_mine THEN 9219
+         |    ELSE 1027 END AS re,
+         |  doc AND g1 AND NOT gz AS reused
+         |  FROM e2)
+         |SELECT sc AS sc_id,
+         |  CASE WHEN err IS NOT NULL THEN 'error' ELSE 'ok_write' END
+         |    AS verdict,
+         |  err AS error,
+         |  CASE WHEN err IS NULL THEN fresh END AS fresh,
+         |  CASE WHEN err IS NULL THEN true END AS ev_node,
+         |  CASE WHEN err IS NULL THEN seed END AS ev_seed,
+         |  CASE WHEN err IS NULL THEN true END AS ev_range,
+         |  CASE WHEN err IS NULL THEN true END AS ev_binding,
+         |  CASE WHEN err IS NULL THEN false END AS ev_transfer,
+         |  CAST(CASE WHEN err IS NULL THEN rs END AS BIGINT)
+         |    AS range_start,
+         |  CAST(CASE WHEN err IS NULL THEN re END AS BIGINT) AS range_end,
+         |  CASE WHEN err IS NULL THEN reused END AS range_reused,
+         |  CAST(CASE WHEN err IS NULL THEN rs END AS BIGINT)
+         |    AS binding_handle,
+         |  CAST(NULL AS BIGINT) AS transfer_start,
+         |  CAST(NULL AS BIGINT) AS transfer_end
+         |FROM e2v
+         |ORDER BY sc_id""".stripMargin,
 
     "pg1_group_routing_admission" ->
       s"""WITH $groupRoutingCte

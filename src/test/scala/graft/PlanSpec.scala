@@ -137,6 +137,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"signature pass not cached:\n$p")
   }
 
+  test("dd18: adaptive-band twin keeps dd7's skinny band join + cached sigs") {
+    val p = plan("dd18_embed_lsh_adaptive")
+    val gens = """\(\d+\) Generate[^\n]*\nInput \[(\d+)\]""".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(gens.nonEmpty && gens.forall(_ == 2),
+      s"vectors riding the band explode (inputs $gens):\n$p")
+    assert(p.contains("InMemoryTableScan"), s"signature pass not cached:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dd19: adaptive-cell SemDeDup is a cell equi-join over the cached " +
+    "assignment — no all-pairs") {
+    val p = plan("dd19_semdedup_adaptive")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"), s"assignment pass not cached:\n$p")
+  }
+
   test("cat7: one rank-pruned window pass + one grouping-sets expand") {
     val p = plan("cat7_usage_rebuild")
     val windows = """\(\d+\) Window\n""".r.findAllIn(p).size
