@@ -6,16 +6,21 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * One untimed warm-up sweep first (JIT + codegen + parquet footer caches),
-  * then the whole suite is swept `TimedPasses` times and each query is
-  * timed as the MINIMUM across sweeps — a shared box under external load
-  * can distort any single sample several-fold, and the minimum is the
+  * then per gate the MINIMUM over `passes` timed samples taken in TWO
+  * decorrelated windows: one "scatter" sweep over the whole suite (one
+  * sample per gate) followed by one consecutive "floor" visit per gate
+  * (the remaining passes-1 samples back-to-back). The minimum is the
   * standard robust estimator for "what the code costs when the machine
   * cooperates" (the steady-state number the reference's gates also
-  * measure). Sweeping the SUITE (rather than taking N consecutive samples
-  * per gate) decorrelates the samples: a 100 ms scheduler stall poisons
-  * one gate in one sweep, not all three samples of that gate — the
-  * round-10 protocol study (BENCH_NOTES) showed consecutive sampling
-  * produced ±35% phantom swings on sub-second gates across rounds.
+  * measure). Why two windows: purely CONSECUTIVE samples share one noisy
+  * scheduling window, so a 100 ms stall poisons every sample of a
+  * sub-second gate at once — the mechanism behind round 10's 23 phantom
+  * >25% "regressions"; purely SWEPT samples lose the consecutive-visit
+  * warmth (page cache / JIT locality) and shifted sub-second gates +40%
+  * while ≥5 s gates stayed flat (round-11 A/B, BENCH_NOTES) — a harness
+  * artifact, not operator cost. The scatter sample protects against a
+  * stalled floor window; the floor pair preserves the warm steady-state
+  * metric ten rounds of artifacts are calibrated on.
   */
 object Bench {
 
@@ -69,21 +74,22 @@ object Bench {
       // construction, and a released block recomputes from lineage.
       graft.Caches.release()
     }
-    // timed sweeps: every gate once per sweep, min across sweeps
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    (1 to passes).foreach { _ =>
-      names.foreach { name =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count(); () }
-        catch { case e: Throwable =>
-          failed.getOrElseUpdate(name,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Caches.release() // untimed: see warm-up note
-        best.updateWith(name)(p => Some(p.fold(dt)(math.min(_, dt))))
+    def sample(name: String): Unit = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        failed.getOrElseUpdate(name,
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.Caches.release() // untimed: see warm-up note
+      best.updateWith(name)(p => Some(p.fold(dt)(math.min(_, dt))))
     }
+    // scatter sweep: one decorrelated sample per gate
+    names.foreach(sample)
+    // floor visit: the remaining passes-1 samples back-to-back per gate
+    names.foreach { name => (2 to passes).foreach(_ => sample(name)) }
     val results = names.map(n => n -> best(n))
     failed.foreach { case (n, msg) =>
       System.err.println(s"BENCH QUERY FAILED: $n — $msg")
