@@ -3954,6 +3954,50 @@ object CatalogQueries {
         .orderBy("ent_id")
     },
 
+    // RO-Crate export entity recognition with @context keyword aliases
+    // (export.rs recognize_entities + rocrate_jsonld.rs JsonLdKeywords):
+    // three context flavors — no context, string aliases for
+    // @id/@graph + IRI-mapped localPath/contentUrl terms, and object-def
+    // aliases including an aliased @type key — over crates synthesized
+    // from the documents table; quad-confirmed vs quad-only ({"@value"})
+    // localPath resolution and the File/MediaObject vocabulary expansion
+    "ex2_context_alias_recognition" -> { (s, d) =>
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      def crate(ctxJson: String, graphKey: String, idK: String,
+          typeK: String, typeVal: String, cuK: String, pathK: String) =
+        concat(
+          lit(s"""{$ctxJson"$graphKey": [{"$idK": "ro-crate-metadata.json", "$typeK": "CreativeWork", "about": {"$idK": "./"}}, {"$idK": "./", "$typeK": "Dataset", "name": "crate-"""),
+          id,
+          lit(s""""}, {"$idK": "data/"""), id,
+          lit(s""".txt", "$typeK": "$typeVal""""),
+          when(col("doc_id") % 5 =!= 0,
+            concat(lit(s""", "$cuK": "https://example.org/c/"""), id,
+              lit("\""))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(s""", "$pathK": "data/"""), id, lit(".txt\"")))
+            .otherwise(concat(lit(s""", "$pathK": {"@value": "alt/"""), id,
+              lit(""".bin"}"""))),
+          lit("}"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(s""", {"$idK": "data/extra-"""), id,
+              lit(s""".png", "$typeK": "$typeVal"}"""))).otherwise(lit("")),
+          lit("]}"))
+      val v0 = crate("", "@graph", "@id", "@type", "File",
+        "contentUrl", "localPath")
+      val v1 = crate(
+        """"@context": {"identifier": "@id", "entries": "@graph", "location": "https://w3id.org/ro/terms#localPath", "download": "http://schema.org/contentUrl"}, """,
+        "entries", "identifier", "@type", "File", "download", "location")
+      val v2 = crate(
+        """"@context": {"ident": {"@id": "@id"}, "items": {"@id": "@graph"}, "typ": {"@id": "@type"}, "cu": {"@id": "https://schema.org/contentUrl"}}, """,
+        "items", "ident", "typ", "MediaObject", "cu", "localPath")
+      val crates = docs.select(col("doc_id").as("crate_id"),
+        when(col("doc_id") % 3 === 0, v0)
+          .when(col("doc_id") % 3 === 1, v1)
+          .otherwise(v2).as("jsonld"))
+      ExportRecognize.recognize(crates).orderBy("crate_id", "subject")
+    },
+
     // Handle-pool transfer slice: upper-ceil-half of the largest free
     // band run, earliest run wins ties, sub-two-band runs transfer nothing
     "hp1_pool_slice" -> { (s, d) =>
@@ -10534,6 +10578,30 @@ object CatalogQueries {
         |  CASE WHEN verdict = 'planned' THEN explicit IS NULL END
         |    AS path_synthesized
         |FROM a7 ORDER BY ent_id""".stripMargin,
+
+    // replay of the ex2 fixture's recognition outcome: the main File
+    // entity per crate (path confirmed for even ids, quad-only
+    // {"@value"} path for odd ids, contentUrl absent when id%5=0) plus
+    // the path-less extra File for id%7=0; root/metadata entities are
+    // never Files and never appear
+    "ex2_context_alias_recognition" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |main AS (SELECT doc_id AS crate_id,
+        |  'https://craqle.invalid/data/'||doc_id||'.txt' AS subject,
+        |  'data/'||doc_id||'.txt' AS entity_id,
+        |  CASE WHEN doc_id%2 = 0 THEN 'data/'||doc_id||'.txt'
+        |       ELSE 'alt/'||doc_id||'.bin' END AS local_path,
+        |  CASE WHEN doc_id%5 <> 0
+        |       THEN 'https://example.org/c/'||doc_id END AS content_url
+        |  FROM d),
+        |extra AS (SELECT doc_id AS crate_id,
+        |  'https://craqle.invalid/data/extra-'||doc_id||'.png' AS subject,
+        |  'data/extra-'||doc_id||'.png' AS entity_id,
+        |  CAST(NULL AS VARCHAR) AS local_path,
+        |  CAST(NULL AS VARCHAR) AS content_url
+        |  FROM d WHERE doc_id%7 = 0)
+        |SELECT * FROM (SELECT * FROM main UNION ALL SELECT * FROM extra)
+        |ORDER BY crate_id, subject""".stripMargin,
 
     "hp1_pool_slice" ->
       """WITH scs AS (SELECT DISTINCT CAST(o_orderkey % 20 AS BIGINT) AS sc

@@ -235,57 +235,21 @@ object Ann {
   }
 
   /** Vector width the precomputed hyperplanes cover. Vectors may be
-    * narrower (the sign array is sliced per row); wider ones would zip
-    * against nulls, so the builder rejects them via [[lshSignatures]]'s
-    * documented bound. */
-  val MaxLshDims = 1024
-
-  /** Deterministic hyperplane signs for plane p: sign of dim i = parity of
-    * the 60-bit md5 prefix of "p|i" — the derivation the DuckDB oracle
-    * replays in SQL. Computed ONCE on the driver and embedded as a literal
-    * array: per-row signature work is pure integer arithmetic (the per-row
-    * md5 formulation cost dd7/ann2 several seconds at sf0.1). */
-  private def planeSigns(p: Int): Array[Long] = {
-    val mdf = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(MaxLshDims) { i =>
-      val hex = mdf.digest(s"$p|$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
-    }
-  }
+    * narrower (each plane dot runs over the row's own length); wider ones
+    * raise a per-row error inside [[graft.functions.SigBitsKernel]]. */
+  val MaxLshDims = graft.functions.SigBitsKernel.MaxDims
 
   /** nBits-bit random-hyperplane signature of each embedding
     * (dims ≤ [[MaxLshDims]] — wider vectors raise a per-row error rather
     * than silently zip_with-ing against nulls, which would collapse every
-    * wide vector into signature 0 and degenerate the band join to n²). */
-  def lshSignatures(embeddings: DataFrame, nBits: Int): DataFrame = {
-    // one primitive loop over the closed-over sign matrix: the previous
-    // one-column-per-plane spelling (DotI64(v, slice(typedlit)) summed
-    // across nBits `when` terms) built an expression tree whose per-plane
-    // literal-slice allocations dominated the whole gate — the round-11
-    // profile measured the signature pass at 10.8 s of dd18's 12.6 s at
-    // sf1; this loop computes identical bits in well under a second
-    val signs: Array[Array[Long]] = Array.tabulate(nBits)(planeSigns)
-    val sigUdf = udf((v: Seq[Long]) => {
-      if (v.length > MaxLshDims)
-        throw new IllegalArgumentException(
-          s"embedding wider than $MaxLshDims dims (got ${v.length}) " +
-            "unsupported by the precomputed LSH planes")
-      val arr = v.toArray
-      var sig = 0L
-      var p = 0
-      while (p < signs.length) {
-        val s = signs(p)
-        var acc = 0L
-        var i = 0
-        while (i < arr.length) { acc += arr(i) * s(i); i += 1 }
-        if (acc > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    })
-    quantized(embeddings).withColumn("sig", sigUdf(col("v")))
-  }
+    * wide vector into signature 0 and degenerate the band join to n²).
+    * The bit derivation (md5-parity hyperplanes, one primitive dot loop
+    * per plane) lives in the codegen'd [[graft.functions.SigBits]]
+    * expression — see its Scaladoc for the spelling history
+    * (per-plane expression tree → boxed UDF → native kernel). */
+  def lshSignatures(embeddings: DataFrame, nBits: Int): DataFrame =
+    quantized(embeddings)
+      .withColumn("sig", graft.functions.SigBits(col("v"), nBits))
 
   /** Materialize a sig-partitioned ANN index: one parquet directory per
     * signature bucket, so a probe's partition filter touches only its

@@ -121,6 +121,52 @@ class NativeKernelsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("sig_bits ≡ the boxed-UDF loop it replaced, over fuzzed widths/signs") {
+    // the round-11 UDF re-expressed verbatim as the reference: same
+    // closed-over md5-parity sign matrix, same >0 bit rule
+    val nBits = 12
+    def planeSigns(p: Int): Array[Long] = {
+      val mdf = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(1024) { i =>
+        val hex = mdf.digest(s"$p|$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L
+        else -1L
+      }
+    }
+    val signs = Array.tabulate(nBits)(planeSigns)
+    val refUdf = udf((v: Seq[Long]) => {
+      var sig = 0L
+      var p = 0
+      while (p < signs.length) {
+        val s = signs(p)
+        var acc = 0L
+        var i = 0
+        while (i < v.length) { acc += v(i) * s(i); i += 1 }
+        if (acc > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    })
+    val rnd = new scala.util.Random(29)
+    // varied widths (incl. 0 and the 1024 cap), small magnitudes so the
+    // acc==0 tie branch (sign bit NOT set) is actually exercised
+    val rows = (Seq(Seq.empty[Long], Seq.fill(1024)(1L)) ++
+      Seq.fill(200)(Seq.fill(1 + rnd.nextInt(64))(
+        (rnd.nextInt(5) - 2).toLong))).map(Tuple1(_))
+    val df = rows.toDF("v")
+      .select(SigBits(col("v"), nBits).as("native"), refUdf(col("v")).as("ref"))
+    assert(df.filter(not(col("native") === col("ref"))).count() == 0)
+    // wide vectors must error, not silently truncate
+    val wide = Seq(Tuple1(Seq.fill(1025)(1L))).toDF("v")
+      .select(SigBits(col("v"), nBits))
+    val e = intercept[Exception] { wide.collect() }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("wider than 1024"))
+  }
+
   test("gear_chunks: boundaries match a direct windowed-sum reference") {
     // independent reference: h_i as the explicit 62-term windowed sum mod
     // 2^62 (the closed form the DuckDB oracle uses), not the kernel's
