@@ -494,6 +494,73 @@ object StreamingQueries {
       IncrementalIndex.foldIriIndex(Tables.documents(s, d), log,
           initial = Some(graft.Store.iriIndex(s, d)))
         .orderBy(col("predicate_iri"), col("object_iri"), col("graph_iri"))
+    },
+
+    // production-path convergence probe (metadata_throughput.rs:190-237):
+    // every admitted event is a distinct document CREATE driven through
+    // the full projection chain — clock-skew admission → idempotent dedup
+    // → registry projection → one materialization job per create drained
+    // through the real queue ladder → FTS-postings materialization of the
+    // created documents. Converged = every create registered +
+    // materialized and ZERO jobs remain (n_remaining). The gate's wall
+    // time / n_creates is the pipeline's docs/s — the analog of the
+    // baseline's >=1000 ops/s create throughput and <=15 s drain gates
+    // (BENCH_NOTES carries the measured table).
+    "pp2_production_path" -> { (s, d) =>
+      val events = ev(s, d)
+      val (applicable, deferredDf) =
+        Projector.partition(events, "occurred_at_ms", NowMs)
+      val creates = Projector.dedupEvents(applicable)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("occurred_at_ms"))
+        .withColumn("doc", col("event_id"))
+      val registry = Projector.projectRegistry(creates, "doc")
+      val jobs = creates.select(col("event_id").as("doc_id"),
+        col("event_id"), lit(0L).as("due_at_ms"), lit(0L).as("attempts"),
+        lit(0L).as("failures"), lit(0L).as("parks"))
+      val evRel = creates.select(col("event_id").as("doc_id"),
+        col("event_id"),
+        concat(lit("graph:"), col("event_id").cast("string")).as("graph_iri"),
+        lit("").as("peers"), lit("ok").as("apply_outcome"))
+      val noStatus = jobs.limit(0).select(col("doc_id"), col("event_id"),
+        col("attempts"), lit("pending").as("state"))
+      val noLifecycle = evRel.limit(0).select(col("graph_iri"),
+        lit(false).as("deleted"))
+      val noDl = jobs.limit(0).select(col("doc_id"), col("event_id"),
+        col("parks"))
+      val drained = graft.catalog.MaterializationQueue.drain(
+        jobs, noStatus, evRel, noLifecycle, noDl, NowMs)
+        .join(creates.select(col("event_id"), col("event_type")), "event_id")
+      // the created documents, materialized into the FTS postings index
+      // through the SAME derivation the batch build uses
+      val docsShaped = creates.select(col("doc").as("doc_id"),
+        col("event_type").as("source"),
+        concat(col("event_type"), lit(" payload "),
+          (col("user_id") % 97).cast("string")).as("text"),
+        lit("en").as("lang"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val postings = graft.fts.Fts.postings(
+        graft.sparql.RdfTables.quadsOfDocs(docsShaped))
+      val src = col("event_type").as("source")
+      val nc = creates.groupBy(src).agg(count(lit(1)).as("n_creates"))
+      val nd = deferredDf.groupBy(src).agg(count(lit(1)).as("n_deferred"))
+      val nr = registry.groupBy(src).agg(count(lit(1)).as("n_registry"))
+      val nm = drained.groupBy(src).agg(
+        sum(when(col("verdict") === "materialized", 1L).otherwise(0L))
+          .as("n_materialized"),
+        sum(when(!col("job_deleted"), 1L).otherwise(0L)).as("n_remaining"))
+      val np = postings
+        .withColumn("doc_id", expr("CAST(substring(graph_iri, 7) AS BIGINT)"))
+        .join(docsShaped.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_postings"))
+      nc.join(nd, Seq("source"), "left_outer")
+        .join(nr, Seq("source")).join(nm, Seq("source"))
+        .join(np, Seq("source"))
+        .select(col("source"), col("n_creates"),
+          coalesce(col("n_deferred"), lit(0L)).as("n_deferred"),
+          col("n_registry"), col("n_materialized"), col("n_remaining"),
+          col("n_postings"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1015,6 +1082,34 @@ object StreamingQueries {
          |       string_agg(DISTINCT subject, ',') AS subjects
          |FROM quads WHERE obj_kind = 0
          |GROUP BY 1, 2, 3
-         |ORDER BY predicate_iri, object_iri, graph_iri""".stripMargin
+         |ORDER BY predicate_iri, object_iri, graph_iri""".stripMargin,
+
+    // every admitted event is its own document and every apply is ok, so
+    // registry = materialized = creates and zero jobs remain — the
+    // convergence invariant; the postings count is a genuine replay of
+    // the per-create index materialization
+    "pp2_production_path" ->
+      s"""WITH $evCte,
+         |adm AS (SELECT event_id, event_type, user_id FROM ev
+         |        WHERE occurred_at_ms <= $NowMs + 300000),
+         |def AS (SELECT event_type AS source, count(*) AS n_deferred
+         |        FROM ev WHERE occurred_at_ms > $NowMs + 300000 GROUP BY 1),
+         |docs2 AS (SELECT event_id AS doc_id, event_type AS source,
+         |  event_type||' payload '||(user_id%97) AS text, 'en' AS lang,
+         |  length(event_type||' payload '||(user_id%97)) AS n_chars
+         |  FROM adm),
+         |${graft.fts.Fts.postingsCteFrom("docs2")},
+         |np AS (SELECT d.source, count(*) AS n_postings FROM postings p
+         |       JOIN docs2 d ON p.graph_iri = 'graph:'||d.doc_id GROUP BY 1),
+         |nc AS (SELECT event_type AS source, count(*) AS n_creates
+         |       FROM adm GROUP BY 1)
+         |SELECT nc.source, nc.n_creates,
+         |  COALESCE(def.n_deferred, 0) AS n_deferred,
+         |  nc.n_creates AS n_registry,
+         |  nc.n_creates AS n_materialized,
+         |  CAST(0 AS BIGINT) AS n_remaining,
+         |  np.n_postings
+         |FROM nc LEFT JOIN def USING (source) JOIN np USING (source)
+         |ORDER BY source""".stripMargin
   )
 }
