@@ -103,14 +103,20 @@ object Bench {
     // 0.5 s floor): a silent multi-x regression — like round 4's unexplained
     // sp23/24/25 slowdown, which turned out not to reproduce off the shared
     // box — now fails loudly in the bench output instead of surfacing a
-    // round later in the judge's diff. Budgets only apply at the driver's
-    // official sf0.1 scale; other SF dirs (dev sf0.01 runs, sf1 scale
-    // probes) have no calibrated numbers.
+    // round later in the judge's diff. Budgets apply at the driver's
+    // official sf0.1 scale AND (round 12) at the sf10 100x-scale probe via
+    // the sibling budget file — the design-for-scale artifact gets the same
+    // ratchet; other SF dirs (dev sf0.01 runs, sf1 probes) have no
+    // calibrated numbers.
+    val budgetPath =
+      if (sfDir.endsWith("sf0.1")) Some("tools/bench_budget.json")
+      else if (sfDir.endsWith("sf10")) Some("tools/bench_budget_sf10.json")
+      else None
     val suspected: Seq[(String, Double, Double)] =
-      if (!sfDir.endsWith("sf0.1")) Nil
+      if (budgetPath.isEmpty) Nil
       else scala.util.Try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("tools/bench_budget.json")), "UTF-8")
+          java.nio.file.Paths.get(budgetPath.get)), "UTF-8")
         val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
         entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.toOption.map { budgets =>
