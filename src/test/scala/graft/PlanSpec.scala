@@ -549,6 +549,21 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"more than one nested loop in the resolve chain:\n$p")
   }
 
+  test("pp2: production-path chain is all equi-joins — no cartesian, no nested loop") {
+    val p = plan("pp2_production_path")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ex2: recognition reads only doc_id from the documents scan") {
+    val p = plan("ex2_context_alias_recognition")
+    // the crate fixture is synthesized from doc_id alone; a scan that
+    // drags text/embedding columns through the flatMap would read ~all
+    // of the table's bytes for a 1-column derivation
+    val read = "ReadSchema: struct<doc_id:bigint>"
+    assert(p.contains(read), s"documents scan not pruned to doc_id:\n$p")
+  }
+
   test("ann15: exact ground truth is computed once and reused across the sweep") {
     val p = plan("ann15_recall_curve")
     // the persisted exact side must appear as InMemoryTableScan in the
