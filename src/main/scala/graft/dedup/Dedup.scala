@@ -573,7 +573,8 @@ object Dedup {
     cand
       .join(shArr.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
       .join(shArr.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.IntersectCount(col("sha"), col("shb")))
       .withColumn("un", (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("un").cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -612,7 +613,8 @@ object Dedup {
     cand
       .join(shArr.select(col("doc_id").as("a"), col("shs").as("sha")), Seq("a"))
       .join(shArr.select(col("doc_id").as("b"), col("shs").as("shb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.IntersectCount(col("sha"), col("shb")))
       .withColumn("cont_a_bp", expr("inter * 10000 div size(sha)"))
       .withColumn("cont_b_bp", expr("inter * 10000 div size(shb)"))
       .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= tauBp)

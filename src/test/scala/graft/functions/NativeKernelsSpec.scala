@@ -167,6 +167,19 @@ class NativeKernelsSpec extends SparkSpec {
     assert(rootMsg(e).contains("wider than 1024"))
   }
 
+  test("intersect_count ≡ size(array_intersect), incl. dups, nulls, empties") {
+    val rnd = new scala.util.Random(31)
+    val words = Vector("a", "b", "c", "dd", "ee", "ff", "über", "😀", null)
+    val rows = Seq((Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "a", "b"), Seq("b", "b", "a"))) ++
+      Seq.fill(300)((Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))),
+        Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))))
+    val df = rows.toDF("x", "y").select(
+      IntersectCount(col("x"), col("y")).as("native"),
+      size(array_intersect(col("x"), col("y"))).cast("long").as("hof"))
+    assert(df.filter(not(col("native") === col("hof"))).count() == 0)
+  }
+
   test("gear_chunks: boundaries match a direct windowed-sum reference") {
     // independent reference: h_i as the explicit 62-term windowed sum mod
     // 2^62 (the closed form the DuckDB oracle uses), not the kernel's
