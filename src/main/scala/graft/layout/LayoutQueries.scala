@@ -725,16 +725,25 @@ object LayoutQueries {
         .select(col("out_day"), explode(col("sk")).as("h"))
         .groupBy("out_day").agg(kmv(col("h")).as("sk"))
         .select(col("out_day"), element_at(col("sk.values"), -1).as("hk"))
+      // the 7x fan-out is consumed four times (the sampled and exact
+      // median passes each read their input twice through the rank +
+      // count pair) — persist it once instead of re-exploding per branch
       val fanned = ev.withColumn("out_day", fan)
         .join(days.select(col("day").as("out_day")), Seq("out_day"))
         .withColumn("h", Kmv.hash(col("event_id")))
+        .persist()
+      graft.Caches.track(fanned)
       val sample = fanned.join(broadcast(thr), Seq("out_day"))
         .filter(col("h") <= col("hk"))
       def medianOf(df: DataFrame,
           ord: Seq[org.apache.spark.sql.Column], out: String) = {
+        // rank and group count as two windows over the SAME partitioning
+        // (one exchange, one pass) — the groupBy+self-join spelling this
+        // replaces re-executed `df`'s whole lineage for the count side
         val w = Window.partitionBy(col("out_day")).orderBy(ord: _*)
         df.withColumn("rn", row_number().over(w))
-          .join(df.groupBy("out_day").agg(count(lit(1)).as("cnt")), "out_day")
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("out_day"))))
           .filter(col("rn") === expr("(cnt - 1) div 2 + 1"))
           .select(col("out_day"), col("value").as(out))
       }
