@@ -471,6 +471,95 @@ object CatalogQueries {
       |  SELECT w.group_id, w.set_by, r.kind, r.target
       |  FROM pgwin w JOIN pgreq r ON r.req_id = w.set_by)""".stripMargin
 
+  /** Crate fixture for the im1/im2 import-rewrite gates: per document one
+    * RO-Crate JSON in one of three `@context` flavors (plain 1.2; 1.1 with
+    * `@graph`/`@id` keyword aliases; 1.2 with object-def id alias, an
+    * aliased `@type` key and `contentUrl`/`localPath` terms mapped AWAY so
+    * the rewrite must fall back to absolute-IRI keys), with arms for raw
+    * ids that need percent-encoding referenced by their encoded spelling
+    * (mixed-spelling matching), an unsupported crate version, a duplicate
+    * File definition, a plain-string reference (warning), a pre-existing
+    * localPath (prepend merge), and a second File entity. */
+  private def importCrates(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+    val n = col("doc_id").cast("string")
+    val mainRaw = when(col("doc_id") % 4 === 1,
+        concat(lit("./f "), n, lit(" b.txt")))
+      .otherwise(concat(lit("data/"), n, lit(".txt")))
+    val mainEnc = when(col("doc_id") % 4 === 1,
+        concat(lit("./f%20"), n, lit("%20b.txt")))
+      .otherwise(concat(lit("data/"), n, lit(".txt")))
+    val ver = when(col("doc_id") % 9 === 4, lit("9.9"))
+      .when(col("doc_id") % 3 === 1, lit("1.1")).otherwise(lit("1.2"))
+    def crate(ctx: String, graphK: String, idK: String, typeK: String,
+        typeVal: String) =
+      concat(
+        lit(s"""{$ctx"$graphK": [{"$idK": "ro-crate-metadata.json", "$typeK": "CreativeWork", "about": {"$idK": "./"}, "conformsTo": {"$idK": "https://w3id.org/ro/crate/"""),
+        ver,
+        lit(s""""}}, {"$idK": "./", "$typeK": "Dataset", "name": "crate-"""),
+        n,
+        lit(s"""", "datePublished": "2026-07-23", "hasPart": [{"$idK": """"),
+        mainEnc, lit("\"}"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(s""", {"$idK": "data/x"""), n, lit(""".png"}""")))
+          .otherwise(lit("")),
+        lit("]"),
+        when(col("doc_id") % 6 === 2,
+          concat(lit(""", "seeAlso": """"), mainEnc, lit("\"")))
+          .otherwise(lit("")),
+        lit(s"""}, {"$idK": """"), mainRaw,
+        lit(s"""", "$typeK": "$typeVal", "name": "f""""),
+        when(col("doc_id") % 8 === 3,
+          concat(lit(""", "localPath": "old/p"""), n, lit(".txt\"")))
+          .otherwise(lit("")),
+        lit("}"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(s""", {"$idK": "data/x"""), n,
+            lit(s""".png", "$typeK": "$typeVal", "name": "x"}""")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 5,
+          concat(lit(s""", {"$idK": """"), mainRaw,
+            lit(s"""", "$typeK": "$typeVal", "name": "dup"}""")))
+          .otherwise(lit("")),
+        lit("]}"))
+    val f0 = crate(""""@context": "https://w3id.org/ro/crate/1.2/context", """,
+      "@graph", "@id", "@type", "File")
+    val f1 = crate(
+      """"@context": ["https://w3id.org/ro/crate/1.1/context", {"graphItems": "@graph", "idAlias": "@id"}], """,
+      "graphItems", "idAlias", "@type", "File")
+    val f2 = crate(
+      """"@context": ["https://w3id.org/ro/crate/1.2/context", {"ident": {"@id": "@id"}, "typ": "@type", "contentUrl": "http://example.org/notacontent", "localPath": "http://example.org/notapath"}], """,
+      "@graph", "ident", "typ", "MediaObject")
+    docs.select(col("doc_id").as("crate_id"),
+      when(col("doc_id") % 3 === 0, f0)
+        .when(col("doc_id") % 3 === 1, f1)
+        .otherwise(f2).as("jsonld"))
+  }
+
+  /** Staged rewrite targets for [[importCrates]]: one per File entity,
+    * keyed by the NORMALIZED (percent-encoded) raw id. */
+  private def importTargets(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+    val n = col("doc_id").cast("string")
+    val mainEnc = when(col("doc_id") % 4 === 1,
+        concat(lit("./f%20"), n, lit("%20b.txt")))
+      .otherwise(concat(lit("data/"), n, lit(".txt")))
+    val main = docs.select(col("doc_id").as("crate_id"),
+      mainEnc.as("file_id"),
+      concat(lit("https://w3id.org/aruna/data/arn:c"), n).as("w3id"),
+      concat(lit("https://w3id.org/aruna/data/"),
+        md5(concat(lit("h"), n)), md5(concat(lit("g"), n))).as("hash_w3id"),
+      concat(lit("files/"), n, lit(".txt")).as("local_path"))
+    val extra = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("crate_id"),
+        concat(lit("data/x"), n, lit(".png")).as("file_id"),
+        concat(lit("https://w3id.org/aruna/data/arn:x"), n).as("w3id"),
+        concat(lit("https://w3id.org/aruna/data/"),
+          md5(concat(lit("i"), n)), md5(concat(lit("j"), n))).as("hash_w3id"),
+        concat(lit("files/x"), n, lit(".png")).as("local_path"))
+    main.unionByName(extra)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cat1_list_v2_prefixes" -> { (s, d) =>
       Listing.listObjectsV2(ObjectTables.objects(s, d), "bkt-1", "data/A/",
@@ -3996,6 +4085,25 @@ object CatalogQueries {
           .when(col("doc_id") % 3 === 1, v1)
           .otherwise(v2).as("jsonld"))
       ExportRecognize.recognize(crates).orderBy("crate_id", "subject")
+    },
+
+    // RO-Crate import validation (jobs/import/rewrite.rs validate_document):
+    // in-place id percent-encoding, the unsupported-crate-version gate,
+    // File-subject typing through the @context ladder, duplicate-definition
+    // failures, File ids in traversal order
+    "im1_import_validate" -> { (s, d) =>
+      ImportRewrite.validate(importCrates(s, d)).orderBy("crate_id")
+    },
+
+    // RO-Crate import rewrite (jobs/import/rewrite.rs rewrite_document):
+    // staged-target id replacement under keyword aliases, mixed
+    // raw/encoded spelling matching via expanded_targets, localPath +
+    // contentUrl prepends (compact vs absolute-IRI keys per term_matches,
+    // scalar→array merge), the v1.1 ensure_local_context arm, and
+    // plain-string reference warnings
+    "im2_import_rewrite" -> { (s, d) =>
+      ImportRewrite.rewriteSummary(importCrates(s, d), importTargets(s, d))
+        .orderBy("crate_id")
     },
 
     // Handle-pool transfer slice: upper-ceil-half of the largest free
@@ -10602,6 +10710,64 @@ object CatalogQueries {
         |  FROM d WHERE doc_id%7 = 0)
         |SELECT * FROM (SELECT * FROM main UNION ALL SELECT * FROM extra)
         |ORDER BY crate_id, subject""".stripMargin,
+
+    // replay of the im1 fixture's validation outcome: version gate beats
+    // the duplicate-definition gate (validateCrate runs first), ok crates
+    // list their normalized File ids in graph order (main, then the
+    // %7==0 extra)
+    "im1_import_validate" ->
+      """WITH d AS (SELECT doc_id AS n FROM documents),
+        |x AS (SELECT n,
+        |  CASE WHEN n%9=4 THEN 'unsupported_crate_version'
+        |       WHEN n%11=5 THEN 'duplicate_file'
+        |       ELSE 'ok' END AS verdict,
+        |  CASE WHEN n%4=1 THEN './f%20'||n||'%20b.txt'
+        |       ELSE 'data/'||n||'.txt' END AS main_id,
+        |  n%7=0 AS extra FROM d)
+        |SELECT n AS crate_id, verdict,
+        |  CAST(CASE WHEN verdict='ok'
+        |       THEN 1 + CASE WHEN extra THEN 1 ELSE 0 END END AS BIGINT)
+        |    AS n_files,
+        |  CASE WHEN verdict='ok' THEN main_id ||
+        |       CASE WHEN extra THEN ',data/x'||n||'.png' ELSE '' END END
+        |    AS file_ids
+        |FROM x ORDER BY crate_id""".stripMargin,
+
+    // replay of the im2 fixture's rewrite outcome: every ok crate's
+    // hasPart head and File id become the staged w3id, localPath /
+    // contentUrl prepends land under compact keys for flavors 0/1 and
+    // absolute-IRI keys for flavor 2 (whose context maps both terms
+    // away), the %8==3 pre-existing localPath merges into a 2-array only
+    // when the prepend used the same compact key, only the 1.1-context
+    // flavor gains the localPath context mapping, and the %6==2
+    // plain-string reference is warned, never rewritten
+    "im2_import_rewrite" ->
+      """WITH d AS (SELECT doc_id AS n FROM documents),
+        |x AS (SELECT n, n%3 AS fl,
+        |  CASE WHEN n%9=4 THEN 'unsupported_crate_version'
+        |       WHEN n%11=5 THEN 'duplicate_file'
+        |       ELSE 'ok' END AS verdict,
+        |  CASE WHEN n%4=1 THEN './f%20'||n||'%20b.txt'
+        |       ELSE 'data/'||n||'.txt' END AS main_id,
+        |  n%6=2 AS warn, n%8=3 AS oldlp FROM d)
+        |SELECT n AS crate_id, verdict,
+        |  CASE WHEN verdict='ok'
+        |       THEN 'https://w3id.org/aruna/data/arn:c'||n END AS ref_id,
+        |  CASE WHEN verdict='ok'
+        |       THEN 'https://w3id.org/aruna/data/arn:c'||n END AS file_id_out,
+        |  CASE WHEN verdict='ok' THEN 'files/'||n||'.txt' END
+        |    AS local_path_out,
+        |  CASE WHEN verdict='ok' THEN 'https://w3id.org/aruna/data/'||
+        |       md5('h'||n)||md5('g'||n) END AS content_url_out,
+        |  CAST(CASE WHEN verdict='ok'
+        |       THEN CASE WHEN oldlp AND fl IN (0,1) THEN 2 ELSE 1 END END
+        |       AS BIGINT) AS n_local_paths,
+        |  CASE WHEN verdict='ok' THEN fl=1 END AS ctx_local,
+        |  CAST(CASE WHEN verdict='ok'
+        |       THEN CASE WHEN warn THEN 1 ELSE 0 END END AS BIGINT)
+        |    AS n_warnings,
+        |  CASE WHEN verdict='ok' AND warn THEN main_id END AS first_warning
+        |FROM x ORDER BY crate_id""".stripMargin,
 
     "hp1_pool_slice" ->
       """WITH scs AS (SELECT DISTINCT CAST(o_orderkey % 20 AS BIGINT) AS sc

@@ -24,16 +24,20 @@ import scala.jdk.CollectionConverters._
   *
   *  1. the RAW walk ([[rawEntityIds]]): every JSON object with more than
   *     one key and an id key (a key that IS `@id` or is context-aliased to
-  *     it, first such key in document order whose value is a string) is an
-  *     entity → `(expanded_id, raw_id, raw_localPath)`. The same expanded
-  *     id appearing under two different raw spellings is an "ambiguous
-  *     identifiers" error. Ids expand against the fixed JSON-LD base
-  *     (`export.rs:57`) when not already absolute.
+  *     it, first such key in sorted-key order whose value is a string —
+  *     the reference's serde_json `Map` is a BTreeMap, so its "first" is
+  *     alphabetical) is an entity → `(expanded_id, raw_id, raw_localPath)`.
+  *     The same expanded id appearing under two different raw spellings is
+  *     an "ambiguous identifiers" error. Ids expand against the fixed
+  *     JSON-LD base (`export.rs:57`) when not already absolute, and
+  *     absolute ids are URL-normalized the way `Url::parse → to_string`
+  *     round-trips them (see [[expandedId]]).
   *  2. the EXPANDED walk: the reference types entities from the crate's
   *     canonicalized N-Quads; this analog replays the expansion rules the
   *     processor applies — a term's IRI is its context definition when one
-  *     exists (a `None`-valued definition DROPS the term), otherwise the
-  *     RO-Crate vocabulary default (`File`/`MediaObject` →
+  *     exists (a `None`-valued definition DROPS the term — the same ladder
+  *     for predicates AND `@type` values, [[Keywords.typeIri]]), otherwise
+  *     the RO-Crate vocabulary default (`File`/`MediaObject` →
   *     `schema:MediaObject`, `localPath` → the w3id ro-terms IRI, any other
   *     bare term → `schema.org/<term>` per [[JsonLd.propertyToIri]]).
   *     Subjects with an rdf:type expanding to `schema:MediaObject`
@@ -67,13 +71,6 @@ object ExportRecognize {
   private val ContentIris = Set(SchemaContent, SchemaContentHttps)
   private val LocalPathIris = Set(LocalPathIri, LocalPathHttpIri)
 
-  /** RO-Crate vocabulary defaults for @type terms the context leaves bare
-    * (the published context maps `File` to `schema:MediaObject`). */
-  private def expandTypeTerm(t: String): String = t match {
-    case "File" | "MediaObject" => MediaIri
-    case other => JsonLd.propertyToIri(other)
-  }
-
   /** `JsonLdKeywords` (rocrate_jsonld.rs:13-103): term → Some(iri) for
     * string defs and `{"@id": iri}` object defs, None for anything else;
     * contexts recurse through arrays. */
@@ -96,13 +93,48 @@ object ExportRecognize {
       case None =>
         Some(if (key == "localPath") LocalPathIri else JsonLd.propertyToIri(key))
     }
-    /** First id-key's string value in document order (object_id,
-      * rocrate_jsonld.rs:59-68). */
+    /** @type-value expansion — the same context ladder as [[predicateIri]]
+      * (the reference types entities from context-expanded N-Quads, so a
+      * `{"File": "http://example.org/Other"}` term definition overrides the
+      * vocabulary default and a `None`-valued definition drops the type);
+      * the RO-Crate vocabulary default maps `File`/`MediaObject` to
+      * `schema:MediaObject` (rocrate_jsonld.rs:6-11). */
+    def typeIri(t: String): Option[String] = terms.get(t) match {
+      case Some(Some(iri)) => Some(iri)
+      case Some(None) => None
+      case None =>
+        Some(if (t == "File" || t == "MediaObject") MediaIri
+             else JsonLd.propertyToIri(t))
+    }
+    /** term_matches (rocrate_jsonld.rs:51-57) — like [[expandsTo]] but an
+      * UNDEFINED term matches (the compact spelling is assumed usable when
+      * the context says nothing about it). */
+    def termMatches(term: String, values: Set[String]): Boolean =
+      terms.get(term) match {
+        case Some(Some(iri)) => values.contains(iri)
+        case Some(None) => false
+        case None => true
+      }
+    /** First id-key's string value in sorted-key order (object_id,
+      * rocrate_jsonld.rs:59-68 — serde_json without preserve_order makes
+      * `Map` a BTreeMap, so the reference's "first" is alphabetical). */
     def objectId(o: ObjectNode): Option[String] =
-      o.properties.asScala.iterator.collectFirst {
-        case e if isId(e.getKey) && e.getValue.isTextual => e.getValue.asText
+      objectIdEntry(o).map(_._2)
+    /** Same, but with the matching key — the import-side rewrite replaces
+      * the id in place under whatever alias carried it (rewrite.rs:246). */
+    def objectIdEntry(o: ObjectNode): Option[(String, String)] =
+      sortedProps(o).collectFirst {
+        case e if isId(e.getKey) && e.getValue.isTextual =>
+          (e.getKey, e.getValue.asText)
       }
   }
+
+  /** Object entries in sorted-key order — the iteration order of the
+    * reference's serde_json `Map` (BTreeMap; Cargo.toml enables only
+    * `raw_value`, not `preserve_order`). Sorting is by UTF-16 code unit,
+    * which agrees with the reference's UTF-8 byte order for all BMP keys. */
+  private[catalog] def sortedProps(o: ObjectNode): Seq[java.util.Map.Entry[String, JsonNode]] =
+    o.properties.asScala.toSeq.sortBy(_.getKey)
 
   def keywordsOf(root: JsonNode): Keywords = {
     val terms = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -124,21 +156,78 @@ object ExportRecognize {
     new Keywords(terms.toMap)
   }
 
-  /** expanded_id (export.rs:1249-1258): absolute ids kept, relative ids
-    * joined against [[JsonLdBase]]. */
+  /** The ASCII set `url::Url` percent-encodes that a raw identifier may
+    * carry literally (rewrite.rs:19-30 ID_ENCODE_SET — C0 controls, DEL,
+    * space and `"<>\^`{|}`; `%` excluded so already-encoded ids normalize
+    * to themselves). Shared by [[expandedId]] and the import-side
+    * [[ImportRewrite.canonicalId]]. */
+  def percentEncodeIdSet(id: String): String = {
+    val sb = new java.lang.StringBuilder(id.length)
+    // percent_encoding always encodes non-ASCII bytes regardless of set
+    for (b <- id.getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
+      val c = b & 0xff
+      if (c < 0x20 || c >= 0x7f || " \"<>\\^`{|}".indexOf(c) >= 0)
+        sb.append(f"%%$c%02X")
+      else sb.append(c.toChar)
+    }
+    sb.toString
+  }
+
+  private val DefaultPorts =
+    Map("http" -> 80, "https" -> 443, "ws" -> 80, "wss" -> 443, "ftp" -> 21)
+
+  /** expanded_id (export.rs:1249-1258): absolute ids round-trip through the
+    * URL parser (`Url::parse(id).to_string()` — lowercased scheme/host,
+    * default port dropped, dot-segments removed, forbidden ASCII
+    * percent-encoded, empty path → `/` for special schemes); relative ids
+    * join against [[JsonLdBase]] (itself already normal, so `resolve` +
+    * the same encoding reproduces `Url::join`). Known divergences from
+    * `url::Url`, none reachable from crate-shaped ids: IDN hosts are not
+    * punycoded, `\` is encoded rather than treated as `/` in special
+    * schemes, and above-root `..` segments are kept rather than popped. */
   def expandedId(id: String): String = {
+    val encoded = percentEncodeIdSet(id)
     val abs =
-      try { val u = new java.net.URI(id); u.isAbsolute }
+      try { new java.net.URI(encoded).isAbsolute }
       catch { case _: Exception => false }
-    if (abs) id
-    else
-      try java.net.URI.create(JsonLdBase).resolve(id).toString
-      catch { case e: Exception => throw new RecognizeError(e.getMessage) }
+    try {
+      if (abs) normalizeAbsolute(new java.net.URI(encoded))
+      else java.net.URI.create(JsonLdBase).resolve(encoded).normalize().toString
+    } catch { case e: Exception => throw new RecognizeError(e.getMessage) }
+  }
+
+  /** `Url::to_string` normalization of one absolute URI (see [[expandedId]]). */
+  private def normalizeAbsolute(u0: java.net.URI): String = {
+    val scheme = u0.getScheme.toLowerCase(java.util.Locale.ROOT)
+    if (u0.isOpaque)
+      return scheme + ":" + u0.getRawSchemeSpecificPart +
+        Option(u0.getRawFragment).map("#" + _).getOrElse("")
+    val u = u0.normalize()
+    val sb = new java.lang.StringBuilder(scheme).append(":")
+    if (u.getRawAuthority != null) {
+      sb.append("//")
+      Option(u.getRawUserInfo).foreach(ui => sb.append(ui).append('@'))
+      Option(u.getHost) match {
+        case Some(h) => sb.append(h.toLowerCase(java.util.Locale.ROOT))
+        case None => sb.append(Option(u.getRawAuthority).getOrElse(""))
+      }
+      if (u.getPort >= 0 && !DefaultPorts.get(scheme).contains(u.getPort))
+        sb.append(':').append(u.getPort)
+    }
+    val path = Option(u.getRawPath).getOrElse("")
+    if (path.isEmpty && u.getRawAuthority != null && DefaultPorts.contains(scheme))
+      sb.append('/')
+    else sb.append(path)
+    Option(u.getRawQuery).foreach(q => sb.append('?').append(q))
+    Option(u.getRawFragment).foreach(f => sb.append('#').append(f))
+    sb.toString
   }
 
   /** raw_entity_ids (export.rs:1183-1228): recursive raw-JSON walk →
-    * (expanded, raw_id, raw_localPath) in document order, deduped on the
-    * expanded id, erroring on ambiguous raw spellings. */
+    * (expanded, raw_id, raw_localPath) in traversal order (arrays in
+    * element order, object children in sorted-key order — the reference's
+    * serde_json `Map` is a BTreeMap), deduped on the expanded id, erroring
+    * on ambiguous raw spellings. */
   def rawEntityIds(root: JsonNode, kw: Keywords): Seq[(String, String, Option[String])] = {
     val out = mutable.ArrayBuffer.empty[(String, String, Option[String])]
     def walk(v: JsonNode): Unit = v match {
@@ -154,17 +243,18 @@ object ExportRecognize {
             case None => out += ((expanded, id, rawLocalPath(o, kw)))
           }
         }
-        o.properties.asScala.foreach(e => walk(e.getValue))
+        sortedProps(o).foreach(e => walk(e.getValue))
       case _ => ()
     }
     walk(root)
     out.toSeq
   }
 
-  /** raw_local_path (export.rs:1230-1247): first key expanding to
-    * localPath whose value is a string (or an array's first string). */
+  /** raw_local_path (export.rs:1230-1247): first key (sorted-key order)
+    * expanding to localPath whose value is a string (or an array's first
+    * string). */
   private def rawLocalPath(o: ObjectNode, kw: Keywords): Option[String] =
-    o.properties.asScala.iterator.flatMap { e =>
+    sortedProps(o).iterator.flatMap { e =>
       if (!kw.expandsTo(e.getKey, LocalPathIris + "localPath")) None
       else e.getValue match {
         case s if s.isTextual => Some(s.asText)
@@ -209,7 +299,7 @@ object ExportRecognize {
       case o: ObjectNode =>
         kw.objectId(o).foreach { id =>
           val subject = expandedId(id)
-          o.properties.asScala.foreach { e =>
+          sortedProps(o).foreach { e =>
             val key = e.getKey
             if (kw.isType(key)) {
               val terms = e.getValue match {
@@ -218,7 +308,7 @@ object ExportRecognize {
                   arr.elements.asScala.toSeq.filter(_.isTextual).map(_.asText)
                 case _ => Nil
               }
-              if (terms.map(expandTypeTerm)
+              if (terms.flatMap(kw.typeIri)
                   .exists(t => t == MediaIri || t == MediaHttpsIri))
                 files += subject
             } else if (key != "@context" && !kw.isId(key) && !kw.isGraph(key) &&
@@ -234,7 +324,7 @@ object ExportRecognize {
             }
           }
         }
-        o.properties.asScala.foreach(e => walk(e.getValue))
+        sortedProps(o).foreach(e => walk(e.getValue))
       case _ => ()
     }
     walk(root)

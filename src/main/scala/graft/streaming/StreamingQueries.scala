@@ -1090,8 +1090,12 @@ object StreamingQueries {
     // the per-create index materialization
     "pp2_production_path" ->
       s"""WITH $evCte,
+         |-- one row per admitted event_id, mirroring Projector.dedupEvents
+         |-- (keeps the gate valid if the generator ever replays event ids)
          |adm AS (SELECT event_id, event_type, user_id FROM ev
-         |        WHERE occurred_at_ms <= $NowMs + 300000),
+         |        WHERE occurred_at_ms <= $NowMs + 300000
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
+         |                                   ORDER BY occurred_at_ms) = 1),
          |def AS (SELECT event_type AS source, count(*) AS n_deferred
          |        FROM ev WHERE occurred_at_ms > $NowMs + 300000 GROUP BY 1),
          |docs2 AS (SELECT event_id AS doc_id, event_type AS source,

@@ -82,6 +82,53 @@ class ExportRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("ambiguous identifiers"))
   }
 
+  test("@type values expand through the context ladder before the vocabulary default") {
+    // a context that maps `File` elsewhere un-types the entity; a custom
+    // term mapped to schema:MediaObject types it (Keywords.typeIri — the
+    // same Some(Some)/Some(None)/None ladder as predicate expansion)
+    val overridden =
+      """{"@context": {"File": "http://example.org/Other"},
+        | "@graph": [{"@id": "data/a.txt", "@type": "File", "name": "a"}]}""".stripMargin
+    assert(ExportRecognize.recognizeDocument(overridden).isEmpty,
+      "context-overridden File must not be recognized")
+    val custom =
+      """{"@context": {"Blob": "https://schema.org/MediaObject"},
+        | "@graph": [{"@id": "data/b.txt", "@type": "Blob", "name": "b"}]}""".stripMargin
+    assert(ExportRecognize.recognizeDocument(custom).size == 1,
+      "a custom term mapped to schema:MediaObject IS a File")
+    val dropped =
+      """{"@context": {"File": {"unrelated": true}},
+        | "@graph": [{"@id": "data/c.txt", "@type": "File", "name": "c"}]}""".stripMargin
+    assert(ExportRecognize.recognizeDocument(dropped).isEmpty,
+      "a None-valued term definition drops the type")
+  }
+
+  test("two id-aliased keys resolve in sorted-key order (serde_json BTreeMap)") {
+    // reference Maps are BTreeMaps: "first matching key" is alphabetical,
+    // not document order — `aId` wins over `zId` regardless of position
+    val doc =
+      """{"@context": {"zId": "@id", "aId": "@id"},
+        | "@graph": [{"zId": "data/z.txt", "aId": "data/a.txt", "@type": "File"}]}""".stripMargin
+    val ents = ExportRecognize.recognizeDocument(doc)
+    assert(ents.map(_.entity_id) == Seq("data/a.txt"))
+  }
+
+  test("expandedId normalizes absolute ids like Url::parse → to_string") {
+    assert(ExportRecognize.expandedId("HTTP://Ex.COM:80") == "http://ex.com/")
+    assert(ExportRecognize.expandedId("https://ex.com:8443/a/./b/../c") ==
+      "https://ex.com:8443/a/c")
+    assert(ExportRecognize.expandedId("https://ex.com/a b.txt") ==
+      "https://ex.com/a%20b.txt")
+    // opaque (non-hierarchical) ids keep their body verbatim
+    assert(ExportRecognize.expandedId("arn:Example:X") == "arn:Example:X")
+    // relative ids join the fixed base, percent-encoding like Url::join
+    assert(ExportRecognize.expandedId("data/a b.txt") ==
+      "https://craqle.invalid/data/a%20b.txt")
+    // already-encoded ids normalize to themselves (% not in the set)
+    assert(ExportRecognize.expandedId("data/a%20b.txt") ==
+      "https://craqle.invalid/data/a%20b.txt")
+  }
+
   test("entity ids appearing only as {'@id'} references are not entities") {
     val doc =
       """{"@graph": [
