@@ -104,13 +104,14 @@ object Bench {
     // sp23/24/25 slowdown, which turned out not to reproduce off the shared
     // box — now fails loudly in the bench output instead of surfacing a
     // round later in the judge's diff. Budgets apply at the driver's
-    // official sf0.1 scale AND (round 12) at the sf10 100x-scale probe via
-    // the sibling budget file — the design-for-scale artifact gets the same
-    // ratchet; other SF dirs (dev sf0.01 runs, sf1 probes) have no
-    // calibrated numbers.
+    // official sf0.1 scale AND (round 12) at the sf10 100x-scale probe AND
+    // (round 13) at the sf1 10x probe via sibling budget files — every
+    // scale artifact gets the same ratchet; other SF dirs (dev sf0.01
+    // runs) have no calibrated numbers.
     val budgetPath =
       if (sfDir.endsWith("sf0.1")) Some("tools/bench_budget.json")
       else if (sfDir.endsWith("sf10")) Some("tools/bench_budget_sf10.json")
+      else if (sfDir.endsWith("sf1")) Some("tools/bench_budget_sf1.json")
       else None
     val suspected: Seq[(String, Double, Double)] =
       if (budgetPath.isEmpty) Nil

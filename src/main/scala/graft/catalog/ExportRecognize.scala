@@ -133,8 +133,20 @@ object ExportRecognize {
     * reference's serde_json `Map` (BTreeMap; Cargo.toml enables only
     * `raw_value`, not `preserve_order`). Sorting is by UTF-16 code unit,
     * which agrees with the reference's UTF-8 byte order for all BMP keys. */
-  private[catalog] def sortedProps(o: ObjectNode): Seq[java.util.Map.Entry[String, JsonNode]] =
-    o.properties.asScala.toSeq.sortBy(_.getKey)
+  private[catalog] def sortedProps(o: ObjectNode): Seq[java.util.Map.Entry[String, JsonNode]] = {
+    val props = o.properties.asScala.toSeq
+    if (props.sizeIs <= 1) props else props.sortBy(_.getKey)
+  }
+
+  /** Per-document memo for [[expandedId]] — ids recur across the raw and
+    * expanded walks (subject, refs, target probes), and the URL
+    * normalization is the fold's hottest allocation site (sf1 profile,
+    * round 13). Failures are not cached (they rethrow per call, matching
+    * the uncached behavior). */
+  final class IdCache extends Serializable {
+    private val m = mutable.HashMap.empty[String, String]
+    def apply(id: String): String = m.getOrElseUpdate(id, expandedId(id))
+  }
 
   def keywordsOf(root: JsonNode): Keywords = {
     val terms = mutable.LinkedHashMap.empty[String, Option[String]]
@@ -228,13 +240,14 @@ object ExportRecognize {
     * element order, object children in sorted-key order — the reference's
     * serde_json `Map` is a BTreeMap), deduped on the expanded id, erroring
     * on ambiguous raw spellings. */
-  def rawEntityIds(root: JsonNode, kw: Keywords): Seq[(String, String, Option[String])] = {
+  def rawEntityIds(root: JsonNode, kw: Keywords,
+      ids: IdCache = new IdCache): Seq[(String, String, Option[String])] = {
     val out = mutable.ArrayBuffer.empty[(String, String, Option[String])]
     def walk(v: JsonNode): Unit = v match {
       case a: ArrayNode => a.elements.asScala.foreach(walk)
       case o: ObjectNode =>
         if (o.size > 1) kw.objectId(o).foreach { id =>
-          val expanded = expandedId(id)
+          val expanded = ids(id)
           out.find(_._1 == expanded) match {
             case Some((_, existing, _)) if existing != id =>
               throw new RecognizeError(
@@ -287,7 +300,8 @@ object ExportRecognize {
     if (root == null || !root.isObject)
       throw new RecognizeError("payload must be a JSON object")
     val kw = keywordsOf(root)
-    val rawIds = rawEntityIds(root, kw)
+    val ids = new IdCache
+    val rawIds = rawEntityIds(root, kw, ids)
 
     // expanded-walk analog of the N-Quads pass: type / contentUrl /
     // localPath triples per named subject
@@ -298,7 +312,7 @@ object ExportRecognize {
       case a: ArrayNode => a.elements.asScala.foreach(walk)
       case o: ObjectNode =>
         kw.objectId(o).foreach { id =>
-          val subject = expandedId(id)
+          val subject = ids(id)
           sortedProps(o).foreach { e =>
             val key = e.getKey
             if (kw.isType(key)) {

@@ -2,8 +2,8 @@ package graft.catalog
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
-import graft.catalog.ExportRecognize.{Keywords, RecognizeError, expandedId,
-  keywordsOf, percentEncodeIdSet, sortedProps}
+import graft.catalog.ExportRecognize.{IdCache, Keywords, RecognizeError,
+  expandedId, keywordsOf, percentEncodeIdSet, sortedProps}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -123,8 +123,9 @@ object ImportRewrite {
     val kw = keywordsOf(root)
     normalizeIds(root, kw)
     validateCrate(root, kw)
-    val subjects = fileSubjects(root, kw)
-    Validated(root, collectFileIds(root, subjects, kw))
+    val ids = new IdCache // one resolution memo across both walks
+    val subjects = fileSubjects(root, kw, ids)
+    Validated(root, collectFileIds(root, subjects, kw, ids))
   }
 
   /** The version gate of `craqle::validate_rocrate_jsonld` (pinned by
@@ -159,7 +160,8 @@ object ImportRewrite {
   /** file_subjects (rewrite.rs:109) via the expanded-walk analog: resolved
     * ids of subjects whose `@type` context-expands to `schema:MediaObject`
     * (http or https — `rocrate_jsonld.rs:9` `is_file_type`). */
-  private def fileSubjects(root: JsonNode, kw: Keywords): Set[String] = {
+  private def fileSubjects(root: JsonNode, kw: Keywords,
+      ids: IdCache): Set[String] = {
     val subjects = mutable.LinkedHashSet.empty[String]
     def walk(v: JsonNode): Unit = v match {
       case a: ArrayNode => a.elements.asScala.foreach(walk)
@@ -173,7 +175,7 @@ object ImportRewrite {
               case _ => Nil
             }).flatMap(kw.typeIri).exists(t => t == MediaIri || t == MediaHttpsIri)
           }
-          if (typed) subjects += expandedId(id)
+          if (typed) subjects += ids(id)
         }
         sortedProps(o).foreach(e => walk(e.getValue))
       case _ => ()
@@ -187,13 +189,13 @@ object ImportRewrite {
     * of the same raw id (bare `{"@id"}` refs don't count — single key) is a
     * permanent failure. */
   private def collectFileIds(root: JsonNode, subjects: Set[String],
-      kw: Keywords): Seq[String] = {
+      kw: Keywords, ids: IdCache): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     def walk(v: JsonNode): Unit = v match {
       case a: ArrayNode => a.elements.asScala.foreach(walk)
       case o: ObjectNode =>
         if (o.size > 1) kw.objectId(o).foreach { id =>
-          if (subjects.contains(expandedId(id))) {
+          if (subjects.contains(ids(id))) {
             if (out.contains(id))
               throw new CrateError("duplicate_file",
                 s"File entity `$id` is defined more than once")
@@ -213,12 +215,14 @@ object ImportRewrite {
     val value = value0.deepCopy[JsonNode]()
     val kw = keywordsOf(value)
     // expanded_targets (rewrite.rs:190): key by resolved IRI
-    val expanded = targets.map { case (id, t) => expandedId(id) -> t }
+    val ids = new IdCache
+    val expanded = targets.map { case (id, t) => ids(id) -> t }
     val compactContent = kw.termMatches("contentUrl",
       Set(SchemaContent, SchemaContentHttps, "schema:contentUrl"))
     val compactPath = kw.termMatches("localPath", Set(LocalPathIri))
     val warnings = mutable.HashSet.empty[String]
-    rewriteValue(value, expanded, kw, compactContent, compactPath, warnings)
+    rewriteValue(value, expanded, kw, compactContent, compactPath, warnings,
+      ids)
     if (usesV11(value) && compactPath && targets.nonEmpty)
       ensureLocalContext(value)
     val jsonld = sortedJson(value)
@@ -229,22 +233,23 @@ object ImportRewrite {
   /** matching_target (rewrite.rs:203): resolve-then-probe, unparseable ids
     * simply don't match. */
   private def matchingTarget(targets: Map[String, RewriteTarget],
-      id: String): Option[RewriteTarget] =
-    (try Some(expandedId(id)) catch { case _: RecognizeError => None })
+      id: String, ids: IdCache): Option[RewriteTarget] =
+    (try Some(ids(id)) catch { case _: RecognizeError => None })
       .flatMap(targets.get)
 
   private def rewriteValue(v: JsonNode, targets: Map[String, RewriteTarget],
       kw: Keywords, compactContent: Boolean, compactPath: Boolean,
-      warnings: mutable.Set[String]): Unit = v match {
+      warnings: mutable.Set[String], ids: IdCache): Unit = v match {
     case a: ArrayNode =>
       a.elements.asScala.foreach { el =>
-        if (el.isTextual && matchingTarget(targets, el.asText).isDefined)
+        if (el.isTextual && matchingTarget(targets, el.asText, ids).isDefined)
           warnings += el.asText
-        rewriteValue(el, targets, kw, compactContent, compactPath, warnings)
+        rewriteValue(el, targets, kw, compactContent, compactPath, warnings,
+          ids)
       }
     case o: ObjectNode =>
       kw.objectIdEntry(o)
-        .flatMap { case (k, id) => matchingTarget(targets, id).map((k, _)) }
+        .flatMap { case (k, id) => matchingTarget(targets, id, ids).map((k, _)) }
         .foreach { case (idKey, t) =>
           o.set[JsonNode](idKey, TextNode.valueOf(t.w3id)): Unit
           if (o.size > 1) {
@@ -258,10 +263,10 @@ object ImportRewrite {
         val key = e.getKey
         if (!kw.expandsTo(key, Set("localPath", LocalPathIri))) {
           if (!kw.isId(key) && e.getValue.isTextual &&
-              matchingTarget(targets, e.getValue.asText).isDefined)
+              matchingTarget(targets, e.getValue.asText, ids).isDefined)
             warnings += e.getValue.asText
           rewriteValue(e.getValue, targets, kw, compactContent, compactPath,
-            warnings)
+            warnings, ids)
         }
       }
     case _ => ()

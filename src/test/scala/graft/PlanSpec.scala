@@ -564,6 +564,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains(read), s"documents scan not pruned to doc_id:\n$p")
   }
 
+  test("im1/im2: import folds read only doc_id; targets co-group without a cartesian") {
+    val p1 = plan("im1_import_validate")
+    val read = "ReadSchema: struct<doc_id:bigint>"
+    assert(p1.contains(read), s"documents scan not pruned to doc_id:\n$p1")
+    val p2 = plan("im2_import_rewrite")
+    assert(p2.contains(read), s"documents scan not pruned to doc_id:\n$p2")
+    // per-crate targets meet their crate on the crate_id equi-join only
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(!p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
   test("ann15: exact ground truth is computed once and reused across the sweep") {
     val p = plan("ann15_recall_curve")
     // the persisted exact side must appear as InMemoryTableScan in the
