@@ -205,6 +205,48 @@ class ImportRewriteSpec extends SparkSpec {
     assert(fAr.get("localPath").size == 3)
   }
 
+  test("fuzz: normalization is a fixed point and rewrite round-trips over the arm space") {
+    // deterministic sweep over the im1/im2 fixture arm space: for every
+    // combination, (a) validate(serialize(validate(doc))) returns the SAME
+    // file ids (normalize_ids is idempotent — the reference relies on this
+    // when rewrite_document re-validates its own output), (b) the rewritten
+    // bytes validate unaided and no raw file id survives under an id key
+    for (n <- 0 until 48) {
+      val idK = if (n % 3 == 1) "idAlias" else "@id"
+      val typeK = "@type"
+      val ctx =
+        if (n % 3 == 1)
+          """"@context": ["https://w3id.org/ro/crate/1.1/context", {"idAlias": "@id"}], """
+        else """"@context": "https://w3id.org/ro/crate/1.2/context", """
+      val ver = if (n % 3 == 1) "1.1" else "1.2"
+      val raw = if (n % 4 == 1) s"./f $n b.txt" else s"data/$n.txt"
+      val enc = if (n % 4 == 1) s"./f%20$n%20b.txt" else s"data/$n.txt"
+      val extraLp =
+        if (n % 8 == 3) s""", "localPath": "old/p$n.txt"""" else ""
+      val seeAlso = if (n % 6 == 2) s""", "seeAlso": "$enc"""" else ""
+      val doc =
+        s"""{$ctx"@graph": [
+           | {"$idK": "ro-crate-metadata.json", "$typeK": "CreativeWork",
+           |  "about": {"$idK": "./"},
+           |  "conformsTo": {"$idK": "https://w3id.org/ro/crate/$ver"}},
+           | {"$idK": "./", "$typeK": "Dataset", "name": "c$n",
+           |  "hasPart": [{"$idK": "$enc"}]$seeAlso},
+           | {"$idK": "$raw", "$typeK": "File", "name": "f"$extraLp}
+           |]}""".stripMargin
+      val v1 = validateDocument(doc)
+      assert(v1.fileIds == Seq(enc), s"arm $n: ${v1.fileIds}")
+      val v2 = validateDocument(sortedJson(v1.value))
+      assert(v2.fileIds == v1.fileIds, s"arm $n: normalization not a fixed point")
+      val out = rewriteDocument(v1.value, Map(enc -> target(s"t$n")))
+      val re = validateDocument(out.jsonld)
+      assert(re.fileIds == Seq(s"https://w3id.org/aruna/data/arn:t$n"),
+        s"arm $n: rewritten File id not the staged target: ${re.fileIds}")
+      assert(!out.jsonld.contains(s""""$idK": "$enc""""),
+        s"arm $n: a raw file id survived under an id key")
+      assert(out.warnings == (if (n % 6 == 2) Seq(enc) else Nil), s"arm $n")
+    }
+  }
+
   test("plain string occurrences of a target id warn but are not rewritten") {
     val doc = validateDocument(crateJson("1.2")).value.asInstanceOf[ObjectNode]
     doc.get("@graph").get(1).asInstanceOf[ObjectNode]
