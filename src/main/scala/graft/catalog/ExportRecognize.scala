@@ -192,20 +192,64 @@ object ExportRecognize {
     * URL parser (`Url::parse(id).to_string()` — lowercased scheme/host,
     * default port dropped, dot-segments removed, forbidden ASCII
     * percent-encoded, empty path → `/` for special schemes); relative ids
-    * join against [[JsonLdBase]] (itself already normal, so `resolve` +
-    * the same encoding reproduces `Url::join`). Known divergences from
-    * `url::Url`, none reachable from crate-shaped ids: IDN hosts are not
-    * punycoded, `\` is encoded rather than treated as `/` in special
-    * schemes, and above-root `..` segments are kept rather than popped. */
+    * join against [[JsonLdBase]] with the RFC 3986 merge +
+    * remove-dot-segments fold `Url::join` applies (above-root `..` pops to
+    * the root, chars `java.net.URI` rejects — `[`, `]`, stray `%` — are
+    * kept verbatim the way the url crate keeps them). An ABSOLUTE id the
+    * JDK parser rejects is returned encoded-but-unnormalized rather than
+    * erroring (the url crate accepts it; only case normalization is lost).
+    * Remaining divergences from `url::Url`, none reachable from
+    * crate-shaped ids: IDN hosts are not punycoded and `\` is encoded
+    * rather than treated as `/` in special schemes. */
   def expandedId(id: String): String = {
     val encoded = percentEncodeIdSet(id)
-    val abs =
-      try { new java.net.URI(encoded).isAbsolute }
-      catch { case _: Exception => false }
-    try {
-      if (abs) normalizeAbsolute(new java.net.URI(encoded))
-      else java.net.URI.create(JsonLdBase).resolve(encoded).normalize().toString
-    } catch { case e: Exception => throw new RecognizeError(e.getMessage) }
+    if (hasScheme(encoded)) {
+      try normalizeAbsolute(new java.net.URI(encoded))
+      catch { case _: Exception => encoded }
+    } else if (encoded.startsWith("//")) {
+      // protocol-relative: adopt the base's scheme (Url::join)
+      val abs = "https:" + encoded
+      try normalizeAbsolute(new java.net.URI(abs))
+      catch { case _: Exception => abs }
+    } else {
+      val (path0, trailer) = {
+        val hash = encoded.indexOf('#')
+        val qm = encoded.indexOf('?')
+        val cut = Seq(hash, qm).filter(_ >= 0).minOption.getOrElse(encoded.length)
+        (encoded.substring(0, cut), encoded.substring(cut))
+      }
+      val merged = if (path0.startsWith("/")) path0 else "/" + path0
+      JsonLdBase.stripSuffix("/") + removeDotSegments(merged) + trailer
+    }
+  }
+
+  /** RFC 3986 scheme detection — `data/a:b` is NOT a scheme (the url crate
+    * agrees: `/` may not appear before the first `:`). */
+  private def hasScheme(s: String): Boolean = {
+    val i = s.indexOf(':')
+    i > 0 && s.charAt(0).isLetter && (1 until i).forall { j =>
+      val c = s.charAt(j)
+      c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+    }
+  }
+
+  /** RFC 3986 §5.2.4 over an absolute path; above-root `..` is dropped
+    * (Url::join's "cannot escape the root" behavior), trailing slashes on
+    * directory ids survive. */
+  private def removeDotSegments(path: String): String = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val segs = path.split("/", -1).drop(1) // leading "" of the absolute path
+    val dir = segs.nonEmpty &&
+      (segs.last == "" || segs.last == "." || segs.last == "..")
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      seg match {
+        case "." => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1): Unit
+        case "" if i == segs.length - 1 => () // trailing slash
+        case s => out += s // interior empty segments survive (a//b)
+      }
+    }
+    "/" + out.mkString("/") + (if (dir && out.nonEmpty) "/" else "")
   }
 
   /** `Url::to_string` normalization of one absolute URI (see [[expandedId]]). */

@@ -151,7 +151,10 @@ object ImportRewrite {
             case _ => ()
           }
         }
-        sortedProps(o).foreach(e => walk(e.getValue))
+        // @context term DEFINITIONS are not data — a context term named
+        // `conformsTo` must not trigger the version gate
+        sortedProps(o).foreach(e =>
+          if (e.getKey != "@context") walk(e.getValue))
       case _ => ()
     }
     walk(root)
@@ -211,7 +214,13 @@ object ImportRewrite {
 
   /** rewrite_document (rewrite.rs:77). `value` is not mutated. */
   def rewriteDocument(value0: JsonNode,
-      targets: Map[String, RewriteTarget]): RewriteOutcome = {
+      targets: Map[String, RewriteTarget]): RewriteOutcome =
+    rewriteDocumentChecked(value0, targets)._1
+
+  /** [[rewriteDocument]] plus the mandatory re-validation's parsed result
+    * (outcome, re-validated document) — spares the caller a re-parse. */
+  private[catalog] def rewriteDocumentChecked(value0: JsonNode,
+      targets: Map[String, RewriteTarget]): (RewriteOutcome, Validated) = {
     val value = value0.deepCopy[JsonNode]()
     val kw = keywordsOf(value)
     // expanded_targets (rewrite.rs:190): key by resolved IRI
@@ -226,8 +235,10 @@ object ImportRewrite {
     if (usesV11(value) && compactPath && targets.nonEmpty)
       ensureLocalContext(value)
     val jsonld = sortedJson(value)
-    validateDocument(jsonld) // the emitted bytes must validate unaided
-    RewriteOutcome(jsonld, warnings.toSeq.sorted)
+    // the emitted bytes must validate unaided; the parsed tree is kept so
+    // callers (rewriteSummary) need not parse the same bytes a third time
+    val revalidated = validateDocument(jsonld)
+    (RewriteOutcome(jsonld, warnings.toSeq.sorted), revalidated)
   }
 
   /** matching_target (rewrite.rs:203): resolve-then-probe, unparseable ids
@@ -361,6 +372,10 @@ object ImportRewrite {
           (id, "ok", v.fileIds.size.toLong, v.fileIds.mkString(","))
         } catch {
           case e: CrateError => (id, e.code, -1L, null: String)
+          // defense in depth: an id-resolution error (the reference folds
+          // these into Invalid) must stay a per-crate verdict, never abort
+          // the job
+          case _: RecognizeError => (id, "invalid", -1L, null: String)
         }
       }
       .toDF("crate_id", "verdict", "n_files", "file_ids")
@@ -394,13 +409,19 @@ object ImportRewrite {
           }.toMap
         try {
           val validated = validateDocument(json)
-          val out = rewriteDocument(validated.value, targetMap)
-          val s = summarize(out, validated.fileIds.headOption.map(targetMap.get))
+          val (out, revalidated) =
+            rewriteDocumentChecked(validated.value, targetMap)
+          val s = summarize(out, revalidated.value,
+            validated.fileIds.headOption.map(targetMap.get))
           (id, "ok", s._1, s._2, s._3, s._4, s._5, s._6,
             out.warnings.size.toLong, out.warnings.headOption.orNull)
         } catch {
           case e: CrateError =>
             (id, e.code, null: String, null: String, null: String,
+              null: String, null: java.lang.Long, null: java.lang.Boolean,
+              -1L, null: String)
+          case _: RecognizeError => // see validate(): per-crate, never fatal
+            (id, "invalid", null: String, null: String, null: String,
               null: String, null: java.lang.Long, null: java.lang.Boolean,
               -1L, null: String)
         }
@@ -413,12 +434,11 @@ object ImportRewrite {
   }
 
   /** Gate support: pull the asserted fields back out of the rewritten
-    * bytes (fixture shape: one root `./` Dataset whose `hasPart` head
-    * references the main File). */
-  private def summarize(out: RewriteOutcome,
+    * document (the re-validation's parsed tree — fixture shape: one root
+    * `./` Dataset whose `hasPart` head references the main File). */
+  private def summarize(out: RewriteOutcome, root: JsonNode,
       mainTarget: Option[Option[RewriteTarget]]): (String, String, String,
       String, java.lang.Long, java.lang.Boolean) = {
-    val root = new ObjectMapper().readTree(out.jsonld)
     val kw = keywordsOf(root)
     val graph = root match {
       case o: ObjectNode =>

@@ -1090,8 +1090,11 @@ object StreamingQueries {
     // the per-create index materialization
     "pp2_production_path" ->
       s"""WITH $evCte,
-         |-- one row per admitted event_id, mirroring Projector.dedupEvents
-         |-- (keeps the gate valid if the generator ever replays event ids)
+         |-- one row per admitted event_id, mirroring Projector.dedupEvents.
+         |-- Scope: valid for IDENTICAL replayed rows (the replay shape the
+         |-- event log produces); dropDuplicates keeps an arbitrary row, so
+         |-- replays that DIFFER in event_type/user_id are undecidable for
+         |-- any deterministic oracle
          |adm AS (SELECT event_id, event_type, user_id FROM ev
          |        WHERE occurred_at_ms <= $NowMs + 300000
          |        QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id

@@ -129,6 +129,29 @@ class ExportRecognizeSpec extends SparkSpec {
       "https://craqle.invalid/data/a%20b.txt")
   }
 
+  test("expandedId is lenient where the url crate is: brackets, stray %, above-root ..") {
+    // chars java.net.URI rejects are kept verbatim (Url::join behavior) —
+    // real filenames carry brackets; a resolution must not error
+    assert(ExportRecognize.expandedId("data/a[1].txt") ==
+      "https://craqle.invalid/data/a[1].txt")
+    assert(ExportRecognize.expandedId("data/100%.txt") ==
+      "https://craqle.invalid/data/100%.txt")
+    // above-root .. pops to the root, never escapes (Url::join)
+    assert(ExportRecognize.expandedId("../x") == "https://craqle.invalid/x")
+    assert(ExportRecognize.expandedId("a/../../x") ==
+      "https://craqle.invalid/x")
+    // directory ids keep their trailing slash through dot-segment removal
+    assert(ExportRecognize.expandedId("./dir name/") ==
+      "https://craqle.invalid/dir%20name/")
+    // an absolute id the JDK parser rejects is kept (encoded) rather than
+    // failing the crate
+    assert(ExportRecognize.expandedId("https://ex.com/a[1].txt") ==
+      "https://ex.com/a[1].txt")
+    // `data/a:b` is not a scheme — '/' before the first ':'
+    assert(ExportRecognize.expandedId("data/a:b.txt") ==
+      "https://craqle.invalid/data/a:b.txt")
+  }
+
   test("entity ids appearing only as {'@id'} references are not entities") {
     val doc =
       """{"@graph": [

@@ -165,6 +165,32 @@ class ImportRewriteSpec extends SparkSpec {
       "@context must stay the bare 1.2 string")
   }
 
+  test("a context term named conformsTo never triggers the version gate") {
+    // @context term definitions are not data: {"conformsTo": {"@id": ...}}
+    // in the context is an alias table entry, not a conformance claim
+    val doc = mapper.readTree(crateJson("1.2")).asInstanceOf[ObjectNode]
+    doc.set("@context", mapper.readTree(
+      """["https://w3id.org/ro/crate/1.2/context",
+        | {"conformsTo": {"@id": "https://w3id.org/ro/crate/0.9"}}]""".stripMargin))
+    validateDocument(doc.toString) // must not throw
+  }
+
+  test("ids the JDK URI parser rejects stay per-crate data, not failures") {
+    // brackets / stray % resolve leniently (Url::join keeps them verbatim)
+    val doc = mapper.readTree(crateJson("1.2")).asInstanceOf[ObjectNode]
+    doc.get("@graph").get(2).asInstanceOf[ObjectNode]
+      .put("@id", "data/a[1] 100%.txt")
+    doc.get("@graph").get(1).asInstanceOf[ObjectNode]
+      .set("hasPart", mapper.readTree("""{"@id": "data/a[1]%20100%.txt"}"""))
+    val v = validateDocument(doc.toString)
+    assert(v.fileIds == Seq("data/a[1]%20100%.txt"))
+    val out = rewriteDocument(v.value,
+      Map("data/a[1]%20100%.txt" -> target("br")))
+    val value = mapper.readTree(out.jsonld)
+    assert(value.get("@graph").get(1).get("hasPart").get("@id").asText ==
+      "https://w3id.org/aruna/data/arn:br")
+  }
+
   test("duplicate File definitions are a permanent failure") {
     val doc = mapper.readTree(crateJson("1.2")).asInstanceOf[ObjectNode]
     doc.get("@graph").asInstanceOf[ArrayNode].add(mapper.readTree(
