@@ -38,6 +38,32 @@ object Ann {
   private def dotCol(a: Column, b: Column): Column =
     graft.functions.DotI64(a, b)
 
+  /** Salt width for the IVF candidate join. A pinned small codebook (the
+    * oracle gates run nCells = 16) makes `cell` a 16-value join key that
+    * hashes to at most 16 of the shuffle partitions — half a 32-way stage
+    * idles and colliding cells double the critical path (sf10 profile,
+    * round 13). Salting fans the key to cells×S ≈ 2× the configured
+    * shuffle partitions: the corpus side keeps ONE deterministic salt
+    * (vec_id mod S) while the query side replicates across all S, so every
+    * (corpus, query) pair still meets exactly once and results are
+    * unchanged. Collapses to 1 — identical plan — once the codebook alone
+    * is wide enough (the adaptive √n path at scale). */
+  private def cellSalt(df: DataFrame, effCells: Int): Int = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(1, math.min(32, (2 * parts + effCells - 1) / effCells))
+  }
+
+  /** The salted candidate join (see [[cellSalt]]); `cand` must carry
+    * `vec_id`, `q` is the exploded (cell, query) side. */
+  private def saltedCellJoin(cand: DataFrame, q: DataFrame,
+      saltN: Int): DataFrame =
+    if (saltN == 1) cand.join(q, Seq("cell"))
+    else cand.withColumn("s", pmod(col("vec_id"), lit(saltN)).cast("int"))
+      .join(q.withColumn("s",
+        explode(array((0 until saltN).map(lit): _*))), Seq("cell", "s"))
+      .drop("s")
+
   /** Exact top-k by dot product against the embedding of `queryId`
     * (excluding itself): (vec_id, label, dot) ordered desc, vec_id asc. */
   def topKDot(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
@@ -168,7 +194,7 @@ object Ann {
         explode(slice(dists, 1, nprobe).getField("cell")).as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    cand.join(q, Seq("cell"))
+    saltedCellJoin(cand, q, cellSalt(embeddings, effCells))
       .filter(col("vec_id") =!= col("q_id") &&
         col("label") =!= col("q_label"))
       .withColumn("dot", dotCol(col("v"), col("qv")))
@@ -224,7 +250,7 @@ object Ann {
         explode(slice(dists, 1, nprobe).getField("cell")).as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    cand.join(q, Seq("cell"))
+    saltedCellJoin(cand, q, cellSalt(embeddings, effCells))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", dotCol(col("v"), col("qv")))
       .withColumn("cosine",
