@@ -56,13 +56,21 @@ object Caches {
   /** Lineage barrier for iterative operators: a fresh LogicalRDD with no
     * inherited constraints. `localCheckpoint` CANNOT be used here — it
     * carries origin constraints that break Union's constraint rewrite in
-    * Spark 4.1 (`NoSuchElementException` in `Union.rewriteConstraints`);
-    * `createDataFrame(df.rdd.cache(), schema)` is the working form. Returns
-    * the barriered frame and its cached RDD so the caller can unpersist
-    * superseded rounds; track the FINAL round here instead (the consumer
-    * has not run its action yet). */
+    * Spark 4.1 (`NoSuchElementException` in `Union.rewriteConstraints`).
+    * The rows are cached as INTERNAL rows (`queryExecution.toRdd`, copied —
+    * toRdd reuses its row buffers — then wrapped via
+    * [[org.apache.spark.sql.graftnative.Native.internalOfRows]]): the
+    * previous `df.rdd.cache()` form decoded every row to an external
+    * GenericRow on materialization and re-encoded it through a RowEncoder on
+    * EVERY consumer pass — pure per-row overhead multiplied by fixpoint
+    * rounds (r13 optimization; see OPTIMIZATION_r13.md for the gate-level
+    * before/after of the closure-heavy sp/or/dd gates).
+    * Returns the barriered frame and its cached RDD so the caller can
+    * unpersist superseded rounds; track the FINAL round here instead (the
+    * consumer has not run its action yet). */
   def barrier(df: DataFrame): (DataFrame, RDD[_]) = {
-    val rdd = df.rdd.cache()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    val rdd = df.queryExecution.toRdd.map(_.copy()).cache()
+    (org.apache.spark.sql.graftnative.Native.internalOfRows(
+      df.sparkSession, rdd, df.schema), rdd)
   }
 }

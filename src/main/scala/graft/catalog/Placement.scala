@@ -156,10 +156,12 @@ object Placement {
   /** md5-backed `selector_hash` as a column (u64 bit pattern in a Long):
     * first 8 big-endian bytes of `md5(domain|role|subject|id)`, `| 1`. */
   def selectorHashCol(role: String, subject: Column, id: Column): Column = {
-    val hex = md5(concat(lit(Domain), lit("|"), lit(role), lit("|"),
-      subject, lit("|"), id).cast("binary"))
-    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    // one native digest-slice kernel (≡ the hex/conv composition over
+    // md5(...cast binary) — same UTF-8 bytes, fuzz-pinned in Md5SlicesSpec)
+    val hs = graft.functions.Md5HexLongs(concat(lit(Domain), lit("|"),
+      lit(role), lit("|"), subject, lit("|"), id), Seq((1, 8), (9, 8)))
+    val hi = hs.getItem(0)
+    val lo = hs.getItem(1)
     shiftleft(hi, 32).bitwiseOR(lo).bitwiseOR(lit(1L))
   }
 

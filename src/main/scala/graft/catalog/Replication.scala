@@ -123,8 +123,7 @@ object Replication {
     * for "this node has a location record / holder entry", the same
     * closed-form-fixture device the blobs/objects tables use. */
   def residue(m: Int, cols: Column*): Column =
-    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
-      .cast("long") % m
+    graft.functions.Md5HexLong(concat_ws("|", cols: _*), 1, 15) % m
 
   /** The `/blobs/locations` merge (`api/src/routes/blobs.rs:358-626`) for a
     * probe batch: one relation of classified copies.

@@ -640,6 +640,86 @@ object Dedup {
     * duplicate survivors. */
   val ComponentMaxRounds = 256
 
+  /** Edge sets at or below this row count run connected components as a
+    * driver-local union–find instead of the distributed fixpoint — the
+    * [[graft.sparql.PathCompiler.LocalClosureMaxEdges]] device: a
+    * d-diameter cluster graph costs ~d·4 Spark jobs of pure scheduling
+    * overhead distributed, versus milliseconds of union–find on ≤ a few
+    * hundred MB of collected keys. Unlike the path closure the OUTPUT here
+    * is bounded by the input (one row per node ≤ 2·edges), so the input cap
+    * alone is safe. Larger sets (and non-long/string/int keys, and any null
+    * endpoint) keep the distributed min-label loop. */
+  val LocalComponentsMaxEdges = 2000000L
+
+  /** Driver-local connected components of a symmetric edge list: union–find
+    * with path halving, canonical = component minimum under the SAME
+    * ordering Spark's `min()` uses (UTF8String binary order for strings —
+    * not Java's UTF-16 order). Returns None when a key type or a null
+    * endpoint needs the distributed fixpoint. */
+  private def localComponents(edges: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val spark = edges.sparkSession
+    val dt = edges.schema("x").dataType
+    if (dt != LongType && dt != StringType && dt != IntegerType) return None
+    val rows = edges.collect()
+    val ids = new java.util.HashMap[Any, Integer]()
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]()
+    val xs = new Array[Int](rows.length)
+    val ys = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      def intern(v: Any): Int = {
+        val got = ids.get(v)
+        if (got != null) got.intValue()
+        else { val id = vals.length; ids.put(v, id); vals += v; id }
+      }
+      xs(i) = intern(r.get(0))
+      ys(i) = intern(r.get(1))
+      i += 1
+    }
+    val n = vals.length
+    val parent = Array.tabulate(n)(identity)
+    def find(a0: Int): Int = {
+      var a = a0
+      while (parent(a) != a) { parent(a) = parent(parent(a)); a = parent(a) }
+      a
+    }
+    i = 0
+    while (i < rows.length) {
+      val ra = find(xs(i)); val rb = find(ys(i))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      i += 1
+    }
+    // component minimum under Spark's min() ordering (binary UTF-8 for strings)
+    val lt: (Any, Any) => Boolean = dt match {
+      case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(
+            b.asInstanceOf[String])) < 0
+    }
+    val minOf = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (minOf(r) == null || lt(vals(i), minOf(r))) minOf(r) = vals(i)
+      i += 1
+    }
+    val out = new Array[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.Row(vals(i), minOf(find(i)))
+      i += 1
+    }
+    val schema = StructType(Seq(StructField("doc_id", dt, nullable = false),
+      StructField("canonical_id", dt, nullable = false)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq), schema))
+  }
+
   def dedupComponents(pairs: DataFrame): DataFrame = {
     // ONE pass over the (expensive) pair lineage: both edge directions
     // explode from the same scan — a self-union would re-execute the
@@ -650,6 +730,15 @@ object Dedup {
       .select(col("e.x").as("x"), col("e.y").as("y"))
     val (edges, edgesRdd) = graft.Caches.barrier(sym)
     graft.Caches.track(edgesRdd)
+    // the count below materializes the barrier either way (the fixpoint's
+    // round-1 join would otherwise do it); small graphs then skip the
+    // whole distributed loop
+    if (edges.count() <= LocalComponentsMaxEdges) {
+      localComponents(edges) match {
+        case Some(local) => return local
+        case None => // unsupported shape — run the distributed fixpoint
+      }
+    }
     var (labels, labelsRdd) = graft.Caches.barrier(
       edges.select(col("x").as("node")).distinct().withColumn("lbl", col("node")))
     var changed = 1L

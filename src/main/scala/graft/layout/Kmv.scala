@@ -37,9 +37,12 @@ object Kmv {
   /** 60-bit hash domain size. */
   val Dom: BigInt = BigInt(1) << 60
 
-  /** 60-bit md5-prefix hash of a key, as a non-negative BIGINT. */
+  /** 60-bit md5-prefix hash of a key, as a non-negative BIGINT. Native
+    * digest-slice kernel ([[graft.functions.Md5HexLong]] ≡ the composed
+    * `conv(substring(md5(k), 1, 15), 16, 10)` the oracle replicates,
+    * fuzz-pinned in Md5SlicesSpec). */
   def hash(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5HexLong(key.cast("string"), 1, 15)
 
   /** DuckDB text of [[hash]]. */
   def hashSql(keyExpr: String): String =

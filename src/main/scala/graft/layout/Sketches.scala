@@ -124,12 +124,20 @@ object Sketches {
   def cmsIdxSql(dCol: String, kCol: String): String =
     s"CAST(('0x' || substr(md5($kCol), 1 + $dCol * 8, 8)) AS BIGINT) % $CmsW"
 
+  /** The d chunk values of one md5, via the native digest-slice kernel
+    * ([[graft.functions.Md5HexLongs]] ≡ [[cmsChunkExpr]]'s composed
+    * `conv(substring(md5(k), 1+d*8, 8), 16, 10)` before the `% w`,
+    * fuzz-pinned in Md5SlicesSpec — no hex string, no d conv parses). */
+  private def cmsChunks(key: Column): Column =
+    graft.functions.Md5HexLongs(key.cast("string"),
+      (0 until CmsD).map(d => (1 + d * 8, 8)))
+
   /** The sketch: (row_d, idx) → count over a key column. One md5 + map-side
     * integer chunking per key, one shuffle on ≤ d·w counter cells. */
   def cmsCounters(df: DataFrame, key: Column): DataFrame =
-    df.select(md5(key.cast("string")).as("h"))
+    df.select(cmsChunks(key).as("hs"))
       .select(posexplode(array((0 until CmsD).map(d =>
-        expr(cmsChunkExpr(d, "h"))): _*)).as(Seq("row_d", "idx")))
+        col("hs").getItem(d) % CmsW): _*)).as(Seq("row_d", "idx")))
       .groupBy("row_d", "idx").agg(count(lit(1)).as("cnt"))
 
   /** Point estimates for probe keys: min over the d counters each key maps
@@ -138,10 +146,10 @@ object Sketches {
   def cmsEstimate(probes: DataFrame, counters: DataFrame,
       carry: Seq[String]): DataFrame =
     probes
-      .withColumn("h", md5(col("k").cast("string")))
+      .withColumn("hs", cmsChunks(col("k")))
       .select((probes.columns.map(col) :+
         posexplode(array((0 until CmsD).map(d =>
-          expr(cmsChunkExpr(d, "h"))): _*)).as(Seq("row_d", "idx"))): _*)
+          col("hs").getItem(d) % CmsW): _*)).as(Seq("row_d", "idx"))): _*)
       .join(broadcast(counters), Seq("row_d", "idx"))
       .groupBy(("k" +: carry).map(col): _*)
       .agg(min("cnt").as("est_n"))
@@ -161,14 +169,19 @@ object Sketches {
     * an unbiased estimator of F2 = Σ_k cnt(k)² — the self-join size, the
     * quantity a planner needs before it risks a skewed shuffle join. */
   def amsZ(df: DataFrame, key: Column): DataFrame =
-    df.select(md5(key.cast("string")).as("h"))
-      // one pass, d running sums as d agg columns — NO d× row blowup; the
-      // (row_d, z) shape unpivots after the agg for the merge API
+    // one pass, d running sums as d agg columns — NO d× row blowup; the
+    // (row_d, z) shape unpivots after the agg for the merge API. The d
+    // signs come from ONE native parity-mask kernel per row
+    // ([[graft.functions.Md5ParityMask]], ≡ the composed
+    // `1 - 2 * (conv(substring(md5(k), d+1, 1), 16, 10) % 2)` the oracle
+    // replicates, fuzz-pinned in Md5SlicesSpec) — the hex-string encode +
+    // 16 substring/conv parses per row were am1's dominant CPU (r13
+    // optimization, guide §1.2 step 2).
+    df.select(graft.functions.Md5ParityMask(key.cast("string")).as("m"))
       .agg(
-        sum(expr(s"CAST(1 - 2 * (conv(substring(h, 1, 1), 16, 10) % 2) AS BIGINT)")).as("z0"),
+        sum(expr(s"CAST(1 - 2 * ((m >> 0) & 1) AS BIGINT)")).as("z0"),
         (1 until AmsD).map(d =>
-          sum(expr(s"CAST(1 - 2 * (conv(substring(h, ${d + 1}, 1), 16, 10) % 2) AS BIGINT)")
-            ).as(s"z$d")): _*)
+          sum(expr(s"CAST(1 - 2 * ((m >> $d) & 1) AS BIGINT)")).as(s"z$d")): _*)
       .select(expr(s"stack($AmsD, ${(0 until AmsD).map(d =>
         s"$d, z$d").mkString(", ")}) AS (row_d, z)"))
 
@@ -253,12 +266,15 @@ object Sketches {
   def bloomPosSql(iCol: String, kCol: String): String =
     s"CAST(('0x' || substr(md5(CAST($kCol AS VARCHAR)), 1 + $iCol * 8, 8)) AS BIGINT) % $BloomM"
 
-  /** Per-key probe positions (k rows per input row); `carry` passes through. */
+  /** Per-key probe positions (k rows per input row); `carry` passes through.
+    * One native digest-slice kernel per key ([[graft.functions.Md5HexLongs]]
+    * ≡ [[bloomPosExpr]]'s composed form, fuzz-pinned in Md5SlicesSpec). */
   def bloomPositions(df: DataFrame, key: Column,
       carry: Seq[String] = Nil): DataFrame =
-    df.select(carry.map(col) :+ md5(key.cast("string")).as("h"): _*)
+    df.select(carry.map(col) :+ graft.functions.Md5HexLongs(key.cast("string"),
+        (0 until BloomK).map(i => (1 + i * 8, 8))).as("hs"): _*)
       .select(carry.map(col) :+ explode(array((0 until BloomK).map(i =>
-        expr(bloomPosExpr(i, "h"))): _*)).as("pos"): _*)
+        col("hs").getItem(i) % BloomM): _*)).as("pos"): _*)
 
   /** The sketch: packed (word_i, bits) words — ≤ m/32 rows, one map-side
     * md5+chunk pass, one ≤ m/32-key shuffle with map-side partial bit_or. */

@@ -674,7 +674,9 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .withColumn("b",
-          expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $Qf3B"))
+          // native md5-slice kernel ≡ conv(substring(md5(tok),1,8),16,10)
+          // (the per-token hex/conv machinery was qf3's dominant CPU)
+          graft.functions.Md5HexLong(col("tok"), 1, 8) % Qf3B)
       val w = tok.groupBy("b").agg(
           count(lit(1)).as("r_cnt"),
           sum(when(col("lang") === Qf3Lang, 1L).otherwise(0L)).as("t_cnt"))
@@ -1190,8 +1192,8 @@ object PipelineQueries {
           explode(sequence(lit(0), size(col("ts")) - 1, lit(7))))
         .withColumn("chunk", slice(col("ts"), col("i") + 1, lit(7)))
         .withColumn("slot",
-          conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
-            col("i").cast("string"))), 1, 15), 16, 10).cast("long"))
+          graft.functions.Md5HexLong(concat(col("doc_id").cast("string"),
+            lit("#"), col("i").cast("string")), 1, 15))
         .select(col("doc_id"), concat(
           when(col("slot") % 17 === 0, "javascript ").otherwise(""),
           array_join(col("chunk"), " "),

@@ -74,7 +74,9 @@ object Orphans {
   def filterOrphaned(quads: DataFrame, roots: DataFrame): DataFrame = {
     graft.Caches.release()
     val orphDf = orphanedEntities(quads, roots)
-    val orphRdd = orphDf.rdd.cache()
+    // internal-row lineage barrier (see graft.Caches.barrier — avoids the
+    // external-Row decode/re-encode of the old df.rdd.cache() form)
+    val (barriered, orphRdd) = graft.Caches.barrier(orphDf)
     graft.Caches.track(orphRdd)
     // broadcast WHEN SMALL: the orphan set is usually bounded by the
     // export's graph scope (per-realm snapshot exports), and without the
@@ -83,7 +85,6 @@ object Orphans {
     // the just-cached barrier (which must materialize anyway); a
     // pathological dirty store with millions of orphans keeps the
     // shuffle anti-join instead of hard-failing an 8GB broadcast.
-    val barriered = quads.sparkSession.createDataFrame(orphRdd, orphDf.schema)
     val orph =
       if (orphRdd.count() <= BroadcastMaxOrphans) broadcast(barriered) else barriered
     val bySubject = quads.as("q").join(orph.as("os"),

@@ -510,10 +510,17 @@ object StreamingQueries {
       val events = ev(s, d)
       val (applicable, deferredDf) =
         Projector.partition(events, "occurred_at_ms", NowMs)
+      // `creates` fans out into SEVEN consumers (registry, jobs, evRel, the
+      // drain join, docsShaped→postings, nc, np) — without a persist each
+      // one re-runs the events scan + the dedup shuffle (guide §5 "reused
+      // AND recomputing is more expensive"; released by the entry-point
+      // drain like every gate-local cache)
       val creates = Projector.dedupEvents(applicable)
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("occurred_at_ms"))
         .withColumn("doc", col("event_id"))
+        .persist()
+      graft.Caches.track(creates)
       val registry = Projector.projectRegistry(creates, "doc")
       val jobs = creates.select(col("event_id").as("doc_id"),
         col("event_id"), lit(0L).as("due_at_ms"), lit(0L).as("attempts"),

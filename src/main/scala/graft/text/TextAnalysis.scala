@@ -632,8 +632,8 @@ object TextAnalysis {
     (ratesPermille.values.toSeq :+ defaultPermille).foreach { r =>
       require(r >= 0 && r <= 1000, s"permille rate out of [0,1000]: $r")
     }
-    val slot = conv(substring(md5(concat(lit(salt + "|"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    val slot = graft.functions.Md5HexLong(concat(lit(salt + "|"),
+      col(idCol).cast("string")), 1, 15) % 1000
     // deterministic CASE order (sorted keys) so the compiled plan is stable
     val rate = ratesPermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
@@ -691,8 +691,8 @@ object TextAnalysis {
       weights: Map[String, Int], salt: String): DataFrame = {
     val rates = mixtureRates(docs, sourceCol, weights)
       .select(col(sourceCol), col("rate_permille"))
-    val slot = conv(substring(md5(concat(lit(salt + "|"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    val slot = graft.functions.Md5HexLong(concat(lit(salt + "|"),
+      col(idCol).cast("string")), 1, 15) % 1000
     docs.join(broadcast(rates), Seq(sourceCol))
       .filter(slot < col("rate_permille"))
       .drop("rate_permille")
@@ -734,8 +734,8 @@ object TextAnalysis {
       salt: String): DataFrame = {
     val rates = temperatureRates(docs, sourceCol)
       .select(col(sourceCol), col("rate_permille"))
-    val slot = conv(substring(md5(concat(lit(salt + "|"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    val slot = graft.functions.Md5HexLong(concat(lit(salt + "|"),
+      col(idCol).cast("string")), 1, 15) % 1000
     docs.join(broadcast(rates), Seq(sourceCol))
       .filter(slot < col("rate_permille"))
       .drop("rate_permille")
@@ -898,8 +898,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"),
         explode(sequence(lit(0L), col("n_cand") - 1)).as("i"))
       .withColumn("start",
-        conv(substring(md5(concat(lit(salt + "|"), col("doc_id"), lit("#"),
-          col("i"))), 1, 15), 16, 10).cast("long") %
+        graft.functions.Md5HexLong(concat(lit(salt + "|"), col("doc_id"),
+          lit("#"), col("i")), 1, 15) %
           (col("n_tok") - spanLen + 1))
       .withColumn("end", col("start") + spanLen)
     val merged = graft.relational.Intervals.merge(
@@ -944,8 +944,8 @@ object TextAnalysis {
     require(valPermille >= 0 && testPermille >= 0 &&
       valPermille + testPermille <= 1000,
       s"split permilles must be non-negative and sum <= 1000")
-    val slot = conv(substring(md5(concat(lit(salt + "|"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    val slot = graft.functions.Md5HexLong(concat(lit(salt + "|"),
+      col(idCol).cast("string")), 1, 15) % 1000
     docs.withColumn("split",
       when(slot < valPermille, lit("val"))
         .when(slot < valPermille + testPermille, lit("test"))

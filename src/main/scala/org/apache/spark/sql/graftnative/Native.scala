@@ -25,4 +25,16 @@ object Native {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an RDD of InternalRows (classic
+    * `internalCreateDataFrame` is `private[sql]`) — the lineage-barrier
+    * entry point for [[graft.Caches.barrier]]: wraps the rows in a fresh
+    * constraint-free `LogicalRDD` WITHOUT the external-Row round trip that
+    * `createDataFrame(df.rdd, schema)` pays (decode every row to a GenericRow
+    * on materialization, re-encode through a RowEncoder on every consumer). */
+  def internalOfRows(spark: org.apache.spark.sql.SparkSession,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema)
 }
