@@ -46,9 +46,14 @@ object Identity {
     val labels = Dedup.dedupComponents(edges)
       .select(col("doc_id").as("user_id"), col("canonical_id"))
     val allUsers = subjects.select(col("user_id"), col("realm")).distinct()
+    // `lab` feeds four consumers (members, the subject roll-up, both alias
+    // arms) — persist the small (user, realm, canonical) relation so the
+    // distinct + label join run once (released at the next entry drain)
     val lab = allUsers.join(labels, Seq("user_id"), "left_outer")
       .withColumn("canonical_id",
         coalesce(col("canonical_id"), col("user_id")))
+      .persist()
+    graft.Caches.track(lab)
 
     val members = lab.groupBy(col("realm"), col("canonical_id"))
       .agg(count(lit(1)).as("n_members"),

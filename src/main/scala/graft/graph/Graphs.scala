@@ -107,8 +107,111 @@ object Graphs {
     * real scale `localCheckpoint` every few rounds cuts the growing
     * anti-join lineage, and edges live bucketed by `src` so every round's
     * join is shuffle-free on the edge side (same note as [[pageRank]]). */
+  /** Edge sets at or below this row count run [[bfsHops]]/[[shortestPaths]]
+    * on the driver (interned-index BFS / Bellman–Ford) instead of the
+    * d-round dataflow — the [[graft.dedup.Dedup.LocalComponentsMaxEdges]] /
+    * PathCompiler.localClosure device: each distributed round costs 2-4
+    * Spark jobs of pure scheduling overhead, versus microseconds of array
+    * walking. Output is bounded by the node count ≤ 2·edges. Larger sets
+    * (and non-long/int/string keys or null endpoints) keep the dataflow
+    * rounds, which is the shape that scales to 100 TB. */
+  val LocalGraphMaxEdges = 2000000L
+
+  /** Collected (src, dst[, w]) edge array + interned node ids, or None when
+    * a type/null needs the distributed path. */
+  private def collectEdges(edges: DataFrame, seeds: DataFrame,
+      withW: Boolean): Option[(Array[Int], Array[Int], Array[Long],
+      Array[Int], scala.collection.mutable.ArrayBuffer[Any],
+      java.util.HashMap[Any, Integer])] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val dt = edges.schema("src").dataType
+    if (dt != LongType && dt != StringType && dt != IntegerType) return None
+    if (seeds.schema("node").dataType != dt) return None
+    // size probe and collection in ONE pass: limit(cap+1) bounds driver
+    // memory, and cap+1 surviving rows means "too big — use the dataflow"
+    val eRows = edges.limit(LocalGraphMaxEdges.toInt + 1).collect()
+    if (eRows.length > LocalGraphMaxEdges) return None
+    val sRows = seeds.collect()
+    val ids = new java.util.HashMap[Any, Integer]()
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]()
+    def intern(v: Any): Int = {
+      val got = ids.get(v)
+      if (got != null) got.intValue()
+      else { val id = vals.length; ids.put(v, id); vals += v; id }
+    }
+    val xs = new Array[Int](eRows.length)
+    val ys = new Array[Int](eRows.length)
+    val ws = if (withW) new Array[Long](eRows.length) else null
+    var i = 0
+    while (i < eRows.length) {
+      val r = eRows(i)
+      if (r.isNullAt(0) || r.isNullAt(1) || (withW && r.isNullAt(2))) return None
+      xs(i) = intern(r.get(0))
+      ys(i) = intern(r.get(1))
+      if (withW) ws(i) = r.get(2) match {
+        case l: java.lang.Long => l.longValue()
+        case n: java.lang.Integer => n.longValue()
+        case _ => return None
+      }
+      i += 1
+    }
+    // seeds outside the edge node domain still seed (they emit d=0 rows)
+    val ss = new Array[Int](sRows.length)
+    i = 0
+    while (i < sRows.length) {
+      if (sRows(i).isNullAt(0)) return None
+      ss(i) = intern(sRows(i).get(0))
+      i += 1
+    }
+    Some((xs, ys, ws, ss, vals, ids))
+  }
+
+  private def localResult(spark: org.apache.spark.sql.SparkSession,
+      rows: IndexedSeq[org.apache.spark.sql.Row],
+      nodeType: org.apache.spark.sql.types.DataType,
+      dType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("node", nodeType, nullable = false),
+        StructField("d", dType, nullable = false))))
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    locally {
+      collectEdges(edges, seeds, withW = false) match {
+        case Some((xs, ys, _, ss, vals, _)) =>
+          // interned adjacency BFS — same rounds as the dataflow form
+          val n = vals.length
+          val heads = Array.fill(n)(-1)
+          val nexts = new Array[Int](xs.length)
+          var i = 0
+          while (i < xs.length) { nexts(i) = heads(xs(i)); heads(xs(i)) = i; i += 1 }
+          val dist = Array.fill(n)(-1)
+          var frontier = ss.distinct.toArray
+          frontier.foreach(s => dist(s) = 0)
+          var depth = 0
+          while (depth < maxDepth && frontier.nonEmpty) {
+            depth += 1
+            val next = scala.collection.mutable.ArrayBuffer[Int]()
+            frontier.foreach { u =>
+              var e = heads(u)
+              while (e >= 0) {
+                val v = ys(e)
+                if (dist(v) < 0) { dist(v) = depth; next += v }
+                e = nexts(e)
+              }
+            }
+            frontier = next.toArray
+          }
+          val out = (0 until n).iterator.filter(dist(_) >= 0)
+            .map(i => org.apache.spark.sql.Row(vals(i), dist(i))).toIndexedSeq
+          return localResult(edges.sparkSession, out,
+            edges.schema("src").dataType,
+            org.apache.spark.sql.types.IntegerType)
+        case None => // unsupported shape — dataflow rounds below
+      }
+    }
     var visited = seeds.select(col("node")).distinct()
       .withColumn("d", lit(0)).cache()
     graft.Caches.track(visited)
@@ -139,6 +242,41 @@ object Graphs {
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    locally {
+      collectEdges(edges.select(col("src"), col("dst"), col("w")), seeds,
+          withW = true) match {
+        case Some((xs, ys, ws, ss, vals, _)) =>
+          // Bellman–Ford with the SAME snapshot-per-round relaxation as the
+          // dataflow form (relax reads the previous round's dist only), so
+          // d(v) after k rounds = min weight over ≤ k-edge paths — identical
+          // rows, including negative weights under the hop bound
+          val n = vals.length
+          val NoDist = Long.MinValue
+          var dist = Array.fill(n)(NoDist)
+          ss.foreach(s => dist(s) = 0L)
+          var r = 0
+          while (r < rounds) {
+            val next = dist.clone()
+            var e = 0
+            while (e < xs.length) {
+              val ds = dist(xs(e))
+              if (ds != NoDist) {
+                val cand = ds + ws(e)
+                if (next(ys(e)) == NoDist || cand < next(ys(e))) next(ys(e)) = cand
+              }
+              e += 1
+            }
+            dist = next
+            r += 1
+          }
+          val out = (0 until n).iterator.filter(dist(_) != NoDist)
+            .map(i => org.apache.spark.sql.Row(vals(i), dist(i))).toIndexedSeq
+          return localResult(edges.sparkSession, out,
+            edges.schema("src").dataType,
+            org.apache.spark.sql.types.LongType)
+        case None => // unsupported shape — dataflow rounds below
+      }
+    }
     var dist = seeds.select(col("node")).distinct()
       .withColumn("d", lit(0L)).cache()
     graft.Caches.track(dist)
