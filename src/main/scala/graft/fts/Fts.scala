@@ -27,8 +27,11 @@ object Fts {
     RdfTables.SchemaNs + "keywords" -> "keywords",
     RdfTables.SchemaNs + "identifier" -> "identifier")
 
-  def tokensOf(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+  /** Native tokenizer kernel — ≡ the composed
+    * `filter(split(lower(c), "[^a-z0-9]+"), len > 0)` every oracle
+    * replicates (fuzz-pinned in AsciiTokensSpec); one lowercase + one byte
+    * walk instead of a regex engine pass per row. */
+  def tokensOf(c: Column): Column = graft.functions.AsciiTokens(c)
 
   /** postings(token, graph_iri, subject_iri, field, tf) */
   def postings(quads: DataFrame): DataFrame = {

@@ -56,18 +56,14 @@ object Sketches {
     * columns (e.g. a group key for per-group sketches) pass through. */
   def rhoPairs(df: DataFrame, key: Column, carry: Seq[String] = Nil,
       p: Int = P): DataFrame =
-    df.select(carry.map(col) :+ md5(key.cast("string")).as("h"): _*)
-      .select(carry.map(col) ++ Seq(substring(col("h"), 1, p).as("bucket"),
-        substring(col("h"), p + 1, 32 - p).as("tail")): _*)
-      .withColumn("lead0", length(regexp_extract(col("tail"), "^(0*)", 1)))
-      .withColumn("dv",
-        expr("instr('123456789abcdef', substring(tail, lead0 + 1, 1))"))
-      .withColumn("rho",
-        when(col("dv") === 0, lit(RMax)).otherwise(
-          least(lit(4) * col("lead0") +
-            when(col("dv") >= 8, 0).when(col("dv") >= 4, 1)
-              .when(col("dv") >= 2, 2).otherwise(3) + 1, lit(RMax))))
-      .select(carry.map(col) ++ Seq(col("bucket"), col("rho")): _*)
+    // native digest kernel ≡ the old substring/regexp_extract/instr/CASE
+    // ladder over the md5 hex string (a regex pass per KEY — the hot cost
+    // of every register build; fuzz-pinned in Md5SlicesSpec). The DuckDB
+    // oracle side ([[rhoPairsSql]]) keeps the hex derivation.
+    df.select(carry.map(col) :+
+        graft.functions.Md5Rho(key.cast("string"), p, RMax).as("br"): _*)
+      .select(carry.map(col) ++ Seq(col("br.bucket").as("bucket"),
+        col("br.rho").as("rho")): _*)
 
   /** The sketch itself: ≤ m rows of (bucket, max ρ) per carry group. One
     * shuffle on ≤ m×groups keys with map-side partial max. */

@@ -52,6 +52,32 @@ class Md5SlicesSpec extends SparkSpec {
     }
   }
 
+  test("md5_rho ≡ the hex substring/regexp/instr ladder for every precision in use") {
+    val df = fuzzStrings.toDF("x")
+    for (p <- Seq(2, 3, 4)) {
+      val rMax = 40
+      val sql = df.withColumn("h", md5(col("x")))
+        .withColumn("bucket", substring(col("h"), 1, p))
+        .withColumn("tail", substring(col("h"), p + 1, 32 - p))
+        .withColumn("lead0", length(regexp_extract(col("tail"), "^(0*)", 1)))
+        .withColumn("dv",
+          expr("instr('123456789abcdef', substring(tail, lead0 + 1, 1))"))
+        .withColumn("rho",
+          when(col("dv") === 0, lit(rMax)).otherwise(
+            least(lit(4) * col("lead0") +
+              when(col("dv") >= 8, 0).when(col("dv") >= 4, 1)
+                .when(col("dv") >= 2, 2).otherwise(3) + 1, lit(rMax))))
+        .select(col("x"), col("bucket"), col("rho"))
+      val native = df.select(col("x"),
+        Md5Rho(col("x"), p, rMax).as("br"))
+        .select(col("x"), col("br.bucket").as("nb"), col("br.rho").as("nr"))
+      val joined = sql.join(native, "x")
+      val bad = joined.filter(col("bucket") =!= col("nb") ||
+        col("rho") =!= col("nr")).count()
+      assert(bad == 0, s"p=$p diverged on $bad rows")
+    }
+  }
+
   test("null propagates like the composed form") {
     val df = Seq(Some("k"), None).toDF("x")
     val r = df.select(
