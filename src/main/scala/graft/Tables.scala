@@ -20,6 +20,42 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tables {
 
+  /** Scale-adaptive fan-out threshold: bytes-per-core below which a driver
+    * table is "unsplittable-small" (guide §2.5). The driver's parquet inputs
+    * are single-row-group files, so a scan yields at most a handful of
+    * row-bearing splits no matter the core count — every derivation stage
+    * over them runs near-single-threaded while 31 cores idle (measured:
+    * cat7's objects stage 2.05 s CPU in 1 row-bearing task). Below
+    * 16 MB/core the one-off hash exchange is trivially cheap and buys
+    * full-width derivation; above it the scan splits naturally and the
+    * read is returned untouched — at production scale (files >> cores ×
+    * maxPartitionBytes) no extra exchange ever appears. */
+  private val FanOutBytesPerCore = 16L * 1024 * 1024
+
+  /** Redistribute an unsplittable-small scan across the cluster once,
+    * right after the read; identity above the size threshold. Hash
+    * repartitioning on a near-unique key is a pure row function (safe
+    * under task retry, no round-robin sort-before-repartition pass;
+    * guide §2.5).
+    *
+    * Applied PER CONSUMER, never at the reader: the fan-out exchange only
+    * pays off for single-pass consumers with heavy per-row work (the tx
+    * tokenize/shingle band: −40..−60% measured). A reader-level blanket
+    * was measured and REJECTED three ways in r13: it re-orders the
+    * exchange above the scan's partial aggregation (q1 0.20→0.43 s,
+    * q6 0.11→0.29 s), multiplies per union arm / per fixpoint round for
+    * multi-read lineages (gr1 +0.70 s, or1 +1.20 s, cr1 +0.69 s isolated
+    * A/B), and defeats broadcast-pruned per-batch scans (ev15 +0.28 s). */
+  private[graft] def fanOut(spark: SparkSession, path: String,
+      df: DataFrame, key: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Throwable => Long.MaxValue }
+    if (bytes < par * FanOutBytesPerCore) df.repartition(par, col(key))
+    else df
+  }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -36,6 +72,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     graft.streaming.Projector.events(s, d)
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  /** [[documents]] fanned out once after the read (see [[fanOut]]) — for
+    * SINGLE-PASS consumers with heavy per-row text work (tokenize /
+    * shingle / n-gram); multi-read, unioned, or iterative lineages must
+    * stay on [[documents]]. */
+  def documentsFanned(s: SparkSession, d: String): DataFrame =
+    fanOut(s, s"$d/documents.parquet", documents(s, d), "doc_id")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
   // ---------------------------------------------------------------------

@@ -14,6 +14,19 @@ object CatalogQueries {
 
   private val ConformsTo = RdfTables.ConformsTo
 
+  /** The versions keyspace, persisted for the life of ONE gate invocation
+    * (released at the next entry-point drain, like every gate-local cache).
+    * The request-batch gates read the store 4-8× (request branches + the
+    * heads/by-version sides of the resolution ladder) and each read
+    * re-decoded the parquet — the dominant cost of goa1/cat15/cat13/cat14/
+    * cat16/upc1 (r13 optimization, guide §5 "reused AND recomputing is
+    * more expensive"). One in-memory decode serves every branch. */
+  private def versionsStoreCached(s: SparkSession, d: String): DataFrame = {
+    val v = ObjectTables.versionsStore(s, d).persist()
+    graft.Caches.track(v)
+    v
+  }
+
   /** Replication-queue insert log fixture (rq1/rq2): ~57 re-enqueues per
     * identity so the preferred-record fold has real work. */
   private def replInserts(s: SparkSession, d: String): DataFrame =
@@ -595,7 +608,7 @@ object CatalogQueries {
     },
 
     "cat7_usage_rebuild" -> { (s, d) =>
-      UsageStats.rebuild(ObjectTables.objects(s, d), ObjectTables.blobs(s, d),
+      UsageStats.rebuild(ObjectTables.objectsFanned(s, d), ObjectTables.blobs(s, d),
         ObjectTables.buckets(s, d))
         .orderBy(col("scope"), col("key"))
     },
@@ -2260,7 +2273,7 @@ object CatalogQueries {
     // c3 unversioned delete of an absent key (still a tombstone: S3
     // semantics, delete_objects.rs:203-204).
     "cat13_delete_objects" -> { (s, d) =>
-      val vv = ObjectTables.versionsStore(s, d)
+      val vv = versionsStoreCached(s, d)
       val sel = vv.filter(col("version_ord") % 13 === 0)
         .withColumn("c", (col("version_ord") / 13).cast("long") % 4)
       val nullV = lit(null).cast("string")
@@ -2296,7 +2309,7 @@ object CatalogQueries {
     // version hits (e0: OK or DeleteMarker on tombstones), phantom
     // versions (e1: NoSuchVersion) and absent keys (a0: NoSuchKey).
     "cat14_copy_conditions" -> { (s, d) =>
-      val vv = ObjectTables.versionsStore(s, d)
+      val vv = versionsStoreCached(s, d)
       val w = Window.partitionBy("bucket", "key")
         .orderBy(col("version_ord").desc, col("hash").desc)
       val hd = vv.withColumn("__rn", row_number().over(w))
@@ -2418,7 +2431,7 @@ object CatalogQueries {
     // W3ID-wrapped + bare versioned ARNs, ch ARNs), wrong-scope and
     // malformed probes; caller reads grp-0/grp-1 only (bkt-2 denies)
     "drs1_bulk_resolve" -> { (s, d) =>
-      val o = ObjectTables.objects(s, d)
+      val o = ObjectTables.objectsFanned(s, d)
       val w3 = Drs.W3idPrefix
       def arnS3(node: String) = concat(lit(s"arn:aruna:rlm:$node:s3/"),
         col("bucket"), lit("/"), col("key"), lit("@"), col("version_ulid"))
@@ -3214,7 +3227,7 @@ object CatalogQueries {
     // miss / delete-marker), unversioned head walks (marker-hidden keys,
     // missing keys), multipart part_count on resolved versions
     "cat15_head_object" -> { (s, d) =>
-      val versions = ObjectTables.versionsStore(s, d)
+      val versions = versionsStoreCached(s, d)
       val summaries = versions.filter(col("version_ord") % 7 === 0)
         .select(col("version_ulid"),
           (col("size") / 8192 + 1).cast("int").as("part_count"))
@@ -3253,7 +3266,7 @@ object CatalogQueries {
     // truncating mid-key, (d) (key_marker, version_id_marker) tuple resume
     // emitting only the marker key's older versions
     "cat16_list_versions_paged" -> { (s, d) =>
-      val vv = ObjectTables.versionsStore(s, d)
+      val vv = ObjectTables.versionsStore(s, d) // persist measured WORSE here: pushed-filter scans beat the full decode (r13 A/B)
       val loc = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       def sect(tag: String, df: org.apache.spark.sql.DataFrame) =
         df.withColumn("sect", lit(tag))
@@ -3332,7 +3345,7 @@ object CatalogQueries {
     // the listing's skip), Reference cached metadata, checksum_type from the
     // multipart summary (FullObject default), include_parts part fold
     "goa1_object_attributes" -> { (s, d) =>
-      val vv = ObjectTables.versionsStore(s, d)
+      val vv = versionsStoreCached(s, d)
       val loc = ObjectTables.blobs(s, d).filter(!col("staging") && !col("partial"))
       val mp = vv.filter(col("version_ord") % 7 === 0)
       val summaries = mp.select(col("version_ulid"),
@@ -3382,7 +3395,7 @@ object CatalogQueries {
           substring(col("blake3"), 1, 1).isin("0", "1", "2", "3"))
           .select(col("blake3")))
       val dht = graft.Tables.orders(s, d).select(
-        md5((col("o_custkey") % 100).cast("string")).as("blake3"),
+        ObjectTables.md5Mod100(col("o_custkey") % 100).as("blake3"),
         concat(lit("n"), lpad((col("o_orderkey") % 17).cast("string"), 2, "0"))
           .as("node_id"),
         concat(lit("realm-"), (col("o_orderkey") % 2).cast("string")).as("realm"),
@@ -3453,7 +3466,7 @@ object CatalogQueries {
     // UploadNotOpen), then the source resolution ladder, pre-parsed range
     // satisfiability, plain if-match, and the range/blob content_length
     "upc1_upload_part_copy" -> { (s, d) =>
-      val vv = ObjectTables.versionsStore(s, d)
+      val vv = ObjectTables.versionsStore(s, d) // persist measured WORSE here: pushed-filter scans beat the full decode (r13 A/B)
       val up = ObjectTables.uploads(s, d)
       val sample = vv.filter(col("version_ord") % 61 === 0)
         .withColumn("uid",

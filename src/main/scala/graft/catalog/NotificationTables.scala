@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
 object NotificationTables {
 
   def inbox(spark: SparkSession, dir: String): DataFrame = {
+    // explicit-width repartition BELOW the distinct: the aggregate's
+    // hash(ord) requirement is satisfied by it (one exchange total), and —
+    // unlike the AQE-coalesced exchange it replaces, which shrank this
+    // CPU-dense 2.4 MB stream to ~3 tasks — the heavy per-row derivation
+    // downstream keeps cluster width (r13 optimization, guide §2.4).
     val l = Tables.lineitem(spark, dir)
       .select((col("l_orderkey") * 10 + col("l_linenumber")).as("ord"))
+      .repartition(spark.sparkContext.defaultParallelism, col("ord"))
       .distinct()
     val big = l.select(
       concat(lit("u"), (col("ord") % 5).cast("string")).as("recipient"),

@@ -1,7 +1,7 @@
 package graft.catalog
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Derived S3-surface tables (FIXTURES.md §1: objects/blobs/buckets) from the
@@ -15,10 +15,41 @@ import org.apache.spark.sql.functions._
   */
 object ObjectTables {
 
+  /** md5 hex digests of "0".."99" — the whole domain of the fixture hash
+    * column (`md5(CAST(x%100 AS VARCHAR))`). The digest of a 100-value
+    * residue is a pure table lookup; evaluating MessageDigest per row was
+    * ~1 µs × corpus on EVERY objects/dht derivation (the dominant CPU of
+    * the cat7 scan stage — r13 optimization, guide §1.2 step 2). Value
+    * identity with `md5()` over the full domain is pinned in
+    * ObjectTablesSpec; the DuckDB oracles keep computing real md5. */
+  private[graft] val Md5Mod100: Seq[String] = (0 until 100).map { i =>
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** `md5(CAST(residue AS STRING))` for a residue provably in 0..99,
+    * as a constant-array lookup (codegen: one array access per row). */
+  private[graft] def md5Mod100(residue: Column): Column =
+    element_at(typedLit(Md5Mod100), residue.cast("int") + 1)
+
   /** objects(bucket, key, version_ord, version_ulid, is_delete_marker,
     * hash, size, created_at_ms) — one version per lineitem row. */
-  def objects(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+  /** [[objects]] with the lineitem scan fanned out first (guide §2.5;
+    * identity at production scale — see [[Tables.fanOut]]). For consumers
+    * that traverse the WHOLE derivation (usage rebuild, DRS resolution,
+    * the versions-store build): the two string builds per version run
+    * cluster-wide instead of in the scan's single row-bearing task.
+    * Prefix/bucket-scan consumers (cat1/cat2's listings) stay on the plain
+    * [[objects]] — their selective filters beat the exchange. */
+  def objectsFanned(spark: SparkSession, dir: String): DataFrame =
+    objectsOf(Tables.fanOut(spark, s"$dir/lineitem.parquet",
+      Tables.lineitem(spark, dir), "l_orderkey"))
+
+  def objects(spark: SparkSession, dir: String): DataFrame =
+    objectsOf(Tables.lineitem(spark, dir))
+
+  private def objectsOf(l: DataFrame): DataFrame = {
     val bucket = when(col("l_suppkey") % 5 === 4,
       concat(lit("ws-tmp-"), (col("l_suppkey") % 4).cast("string")))
       .otherwise(concat(lit("bkt-"), (col("l_suppkey") % 4).cast("string")))
@@ -32,7 +63,7 @@ object ObjectTables {
       versionOrd.as("version_ord"),
       lpad(versionOrd.cast("string"), 12, "0").as("version_ulid"),
       ((col("l_orderkey") + col("l_linenumber")) % 53 === 0).as("is_delete_marker"),
-      md5((col("l_partkey") % 100).cast("string")).as("hash"),
+      md5Mod100(col("l_partkey") % 100).as("hash"),
       ((col("l_partkey") % 100) * 1000 + 17).cast("long").as("size"),
       (lit(1700000000000L) + versionOrd).as("created_at_ms"))
   }
@@ -179,7 +210,7 @@ object ObjectTables {
     * read co-located rows. */
   def versionsStore(spark: SparkSession, dir: String): DataFrame =
     graft.Store.materialized(spark, dir, "s3versions") { p =>
-      versionsDedup(objects(spark, dir))
+      versionsDedup(objectsFanned(spark, dir))
         .repartition(col("bucket"), col("key"))
         .sortWithinPartitions("bucket", "key", "version_ord")
         .write.parquet(p)

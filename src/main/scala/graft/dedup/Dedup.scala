@@ -721,24 +721,28 @@ object Dedup {
   }
 
   def dedupComponents(pairs: DataFrame): DataFrame = {
-    // ONE pass over the (expensive) pair lineage: both edge directions
-    // explode from the same scan — a self-union would re-execute the
-    // upstream LSH pipeline once per branch
-    val sym = pairs.select(explode(array(
-        struct(col("a").as("x"), col("b").as("y")),
-        struct(col("b").as("x"), col("a").as("y")))).as("e"))
-      .select(col("e.x").as("x"), col("e.y").as("y"))
-    val (edges, edgesRdd) = graft.Caches.barrier(sym)
-    graft.Caches.track(edgesRdd)
+    // barrier the RAW pairs, not the symmetrized edge list: union–find is
+    // direction-blind, so the driver-local fast path consumes (a, b)
+    // directly — half the barriered bytes and no explode before the cache
+    // (r13 optimization). The distributed fixpoint derives both directions
+    // from the cached pairs per round — a narrow explode over InternalRows,
+    // never a re-execution of the (expensive) pair lineage.
+    val (pairBar, pairRdd) = graft.Caches.barrier(
+      pairs.select(col("a").as("x"), col("b").as("y")))
+    graft.Caches.track(pairRdd)
     // the count below materializes the barrier either way (the fixpoint's
     // round-1 join would otherwise do it); small graphs then skip the
-    // whole distributed loop
-    if (edges.count() <= LocalComponentsMaxEdges) {
-      localComponents(edges) match {
+    // whole distributed loop. The cap stays an EDGE count (2 edges/pair).
+    if (2 * pairBar.count() <= LocalComponentsMaxEdges) {
+      localComponents(pairBar) match {
         case Some(local) => return local
         case None => // unsupported shape — run the distributed fixpoint
       }
     }
+    val edges = pairBar.select(explode(array(
+        struct(col("x"), col("y")),
+        struct(col("y").as("x"), col("x").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
     var (labels, labelsRdd) = graft.Caches.barrier(
       edges.select(col("x").as("node")).distinct().withColumn("lbl", col("node")))
     var changed = 1L

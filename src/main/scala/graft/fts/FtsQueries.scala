@@ -56,8 +56,15 @@ object FtsQueries {
         .withColumn("document_id", regexp_extract(col("graph_iri"), "([0-9]+)$", 1))
         .withColumn("snippet", lit(null: String))
       val merged = Search.mergeHits(hits)
-      Search.page(Enrich.enrich(merged, quads, RdfTables.registry(s, d), "spark merge fast"),
-        None, 50)
+      // page FIRST, enrich the 50 survivors: enrichment is 1:1 left joins
+      // keyed by hit columns, so it commutes with the top-k — decorating
+      // every merged hit only to discard all but a page scanned and
+      // broadcast the whole hit set through the describe-joins
+      // (r13 optimization, guide §1.2 step 1; ≡ proven by the unchanged
+      // fts3 oracle, which enriches-then-limits)
+      Enrich.enrich(Search.page(merged, None, 50), quads,
+          RdfTables.registry(s, d), "spark merge fast")
+        .orderBy(Search.hitOrder: _*)
         .select("graph_iri", "subject_iri", "score_key", "title", "snippet")
     },
 

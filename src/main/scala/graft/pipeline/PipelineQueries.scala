@@ -27,6 +27,11 @@ object PipelineQueries {
     * signature caches (same contract as the SPARQL entry points). */
   def corpus(s: SparkSession, d: String): DataFrame = {
     graft.Caches.release()
+    // plain (un-fanned) scans: a fan-out pays one text exchange per union
+    // arm (measured: dd14 +0.35 s), and a single fan-out above the union
+    // ALSO measured worse (pl1 +0.18, dd14 +0.13 — the dedup pipelines
+    // reshuffle by their own keys right after, so the extra text exchange
+    // buys nothing). Rejected r13 experiment.
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs
       .unionByName(docs.filter(col("doc_id") % 25 === 0)
@@ -843,7 +848,7 @@ object PipelineQueries {
     // continuation backoff paths (unseen bigrams and words) that the
     // self-trained tx9 never exercises
     "tx25_kn_surprisal" -> { (s, d) =>
-      TextAnalysis.knSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
+      TextAnalysis.knSurprisal(Tables.documentsFanned(s, d)).orderBy(col("doc_id"))
     },
 
     // PII scrub: counts + redacted-text hash over the planted-PII corpus
@@ -1120,7 +1125,7 @@ object PipelineQueries {
 
     // real winnowing fingerprints (k-gram hashes, min per w-window)
     "tx17_winnowing" -> { (s, d) =>
-      TextAnalysis.winnowFingerprints(Tables.documents(s, d),
+      TextAnalysis.winnowFingerprints(Tables.documentsFanned(s, d),
           k = Tx17K, w = Tx17W)
         .orderBy(col("doc_id"), col("fp"))
     },
@@ -1150,7 +1155,8 @@ object PipelineQueries {
     // exact at gate scale; at 100 TB the distinct count rides the
     // hll/kmv sketch with the same grouping
     "tx24_ngram_diversity" -> { (s, d) =>
-      val grams = Tables.documents(s, d)
+      // single-pass n-gram explode: fanned read (r13 A/B: 1.39->0.53 s)
+      val grams = Tables.documentsFanned(s, d)
         .select(col("source"), TextAnalysis.tokens(col("text")).as("ts"))
         .select(col("source"), explode(expr(
           """flatten(transform(sequence(1, 3), n ->
@@ -1166,7 +1172,7 @@ object PipelineQueries {
     },
 
     "tx21_char_repetition" -> { (s, d) =>
-      TextAnalysis.repetitionCharStats(Tables.documents(s, d),
+      TextAnalysis.repetitionCharStats(Tables.documentsFanned(s, d),
           topN = Tx21TopN, dupN = Tx21DupN)
         .orderBy(col("doc_id"))
     },

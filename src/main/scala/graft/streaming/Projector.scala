@@ -53,6 +53,19 @@ object Projector {
     * `ts div 1000` → micros, `ts div 1000000` → millis stay exact integer
     * arithmetic — ns epochs ~1.7e18 exceed double precision, so no `/`),
     * plus `occurred_at_ms` (epoch millis, truncating like DuckDB epoch_ms). */
+  /** [[events]] with the scan fanned out once (guide §2.5; identity at
+    * production scale — see [[Tables.fanOut]]). ONLY for consumers that
+    * traverse the whole log with heavy per-event work (pp2's production
+    * chain: 2.30→0.96 s measured); the replay/maintained-index gates keep
+    * the plain reader — their per-batch `batch = b` pruning pushes into
+    * the scan and the blanket fan-out regressed the whole ev* band
+    * (ev15 +1.2 s, ev16 +0.95 s — rejected r13 experiment). */
+  def eventsFanned(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.fanOut(spark, s"$dir/events.parquet",
+      events(spark, dir), "event_id")
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")

@@ -483,6 +483,9 @@ object StreamingQueries {
       val log = IncrementalIndex.mutationLog(ev(s, d), NowMs)
       // fold onto the materialized token-clustered index — same rows as a
       // fresh batch build, but the realistic starting state
+      // plain (un-fanned) documents: the per-batch upsert join broadcast-
+      // prunes into the scan; a fan-out exchange here would re-ship the
+      // corpus once PER BATCH (measured ev15 +0.28 s — rejected)
       IncrementalIndex.foldPostings(Tables.documents(s, d), log,
           initial = Some(graft.Store.postings(s, d)))
         .orderBy(col("token"), col("graph_iri"), col("subject_iri"), col("field"))
@@ -507,7 +510,9 @@ object StreamingQueries {
     // baseline's >=1000 ops/s create throughput and <=15 s drain gates
     // (BENCH_NOTES carries the measured table).
     "pp2_production_path" -> { (s, d) =>
-      val events = ev(s, d)
+      // whole-log traversal with heavy per-event work: fanned reader
+      // (2.30→0.96 s measured; see Projector.eventsFanned)
+      val events = Projector.eventsFanned(s, d)
       val (applicable, deferredDf) =
         Projector.partition(events, "occurred_at_ms", NowMs)
       // `creates` fans out into SEVEN consumers (registry, jobs, evRel, the

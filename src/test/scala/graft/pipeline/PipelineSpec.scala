@@ -1404,10 +1404,14 @@ class PipelineSpec extends SparkSpec {
   test("qf2: linear classifier logit matches a hand computation; decision splits the corpus") {
     val row = graft.pipeline.PipelineQueries
       .queries("qf2_quality_classifier")(spark, sf0001)
-    // exact Scala recomputation on a sample + non-degenerate decision
+    // exact Scala recomputation on a sample + non-degenerate decision.
+    // Fetch the texts OF the sampled ids (two independent limit(50)s are
+    // not guaranteed to pick the same rows — partitioning-dependent).
     val got = row.limit(50).collect()
+    val ids = got.map(_.getLong(0)).toSeq
     val docs = graft.Tables.documents(spark, sf0001)
-      .select("doc_id", "text").limit(50).collect()
+      .select("doc_id", "text")
+      .filter(col("doc_id").isin(ids: _*)).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val stop = Set("the", "a", "query", "row", "join", "data", "scan", "key")
     got.foreach { r =>
