@@ -657,8 +657,7 @@ object LayoutQueries {
       val arr = (0 until Sketches.bloomNWords)
         .map(i => w.getOrElse(i, 0L)).mkString("array(", "L, ", "L)")
       li(s, d)
-        .withColumn("h", md5(col("l_suppkey").cast("string")))
-        .filter(expr(Sketches.bloomFilterExpr("h", arr)))
+        .filter(Sketches.bloomFilterCol(col("l_suppkey"), expr(arr)))
         .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"), Tables.dsum(col("l_quantity")).as("sum_qty"))

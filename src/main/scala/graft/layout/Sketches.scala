@@ -365,4 +365,27 @@ object Sketches {
       s"""(element_at($wordsArrSql, CAST($pos div $BloomLane AS INT) + 1) &
          | shiftleft(CAST(1 AS BIGINT), CAST($pos % $BloomLane AS INT))) <> 0""".stripMargin
     }.mkString("(", " AND ", ")")
+
+  /** [[bloomFilterExpr]] on the native digest-slice kernel: ONE
+    * [[graft.functions.Md5HexLongs]] per key (no hex string, no generic
+    * base-16 conv parse ×k) — ≡ the composed form via the Md5SlicesSpec
+    * pin, measured bf2 1.57→? (r13). `words` is the packed-word literal
+    * array column. */
+  def bloomFilterCol(key: org.apache.spark.sql.Column,
+      words: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, shiftleft}
+    val hs = graft.functions.Md5HexLongs(key.cast("string"),
+      (0 until BloomK).map(i => (1 + i * 8, 8)))
+    (0 until BloomK).map { i =>
+      val pos = hs.getItem(i) % BloomM
+      // pos ∈ [0, BloomM): the double division is exact enough that the
+      // int cast floors to `pos div BloomLane`
+      val wordIdx = (pos / BloomLane).cast("int") + 1
+      import org.apache.spark.sql.graftnative.Native
+      val bit = Native.column(org.apache.spark.sql.catalyst.expressions
+        .ShiftLeft(Native.expression(lit(1L)),
+          Native.expression((pos % BloomLane).cast("int"))))
+      (element_at(words, wordIdx).bitwiseAND(bit) =!= 0L)
+    }.reduce(_ && _)
+  }
 }

@@ -369,8 +369,12 @@ object PipelineQueries {
     // oracle replays the identical algebra at any scale.
     "dd19_semdedup_adaptive" -> { (s, d) =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      // one fan-out above the union: the per-vector cell assignment (64-dim
+      // dot products × cells) ran in the scan's 2 row-bearing tasks
+      val planted = Tables.fanOut(s, s"$d/embeddings.parquet",
+        e.unionByName(e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))),
+        "vec_id")
       Dedup.semanticDupPairs(planted, threshold = 0.99) // adaptive codebook
         .orderBy(col("a"), col("b"))
     },
