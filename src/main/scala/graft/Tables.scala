@@ -49,9 +49,23 @@ object Tables {
   private[graft] def fanOut(spark: SparkSession, path: String,
       df: DataFrame, key: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
+    // Sum REGULAR file sizes (recursively): a directory-layout parquet
+    // table (standard Spark write output) must measure its data files, not
+    // the directory inode (~4 KB), or every large table would classify as
+    // "unsplittable-small" and eat a cluster-wide repartition — the exact
+    // opposite of the documented identity-at-scale guarantee (r14 ADVICE
+    // fix). Unknown/missing paths default to "large" (no fan-out), and only
+    // non-fatal errors are swallowed.
     val bytes =
-      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
-      catch { case _: Throwable => Long.MaxValue }
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        } else java.nio.file.Files.size(p)
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     if (bytes < par * FanOutBytesPerCore) df.repartition(par, col(key))
     else df
   }

@@ -2970,7 +2970,17 @@ object CatalogQueries {
         routingAdmissionFixture(s, d)
       val admitted = Routing.admitTenantRules(reqs, rules, groupBackends,
         buckets, unavailable)
-      val store = Routing.admittedBucketRules(admitted, rules)
+      // barrier the admitted store (r14, guide §5 + §7.3 plan size): resolve
+      // references its bucketRules twice (exact + prefix tiers), and without
+      // the barrier each reference re-plans and re-executes the whole
+      // admission chain (fixture scan → window → fold → winners join) —
+      // ProfileGate showed the gate's wall is dozens of 1-task stages plus
+      // driver planning over the duplicated subtree. The barrier caches the
+      // config-sized store rows once and replaces the subtree with a leaf;
+      // row set unchanged (it is the same relation, materialized).
+      val (store, storeRdd) = graft.Caches.barrier(
+        Routing.admittedBucketRules(admitted, rules))
+      graft.Caches.track(storeRdd)
       val catalog = Seq(
         ("default", Option.empty[String], true, false),
         ("hot-1", Some("hot"), true, false),
@@ -3231,30 +3241,37 @@ object CatalogQueries {
       val summaries = versions.filter(col("version_ord") % 7 === 0)
         .select(col("version_ulid"),
           (col("size") / 8192 + 1).cast("int").as("part_count"))
-      val vSel = versions.filter(col("version_ord") % 57 === 0)
-        .select(concat(lit("v0:"), col("bucket"), lit("/"), col("key"),
-          lit("@"), col("version_ulid")).as("req_id"),
-          col("bucket"), col("key"), col("version_ulid").as("version_id"))
-      val vMiss = versions.filter(col("version_ord") % 59 === 0)
-        .select(concat(lit("v1:"), col("bucket"), lit("/"), col("key"),
-          lit("@"), col("version_ulid")).as("req_id"),
-          col("bucket"), col("key"),
-          lpad((col("version_ord") - col("version_ord") % 10 + 9)
-            .cast("string"), 12, "0").as("version_id"))
-      val hSel = versions.filter(col("version_ord") % 51 === 0)
-        .select(concat(lit("h0:"), col("bucket"), lit("/"), col("key"))
-          .as("req_id"), col("bucket"), col("key"),
-          lit(null).cast("string").as("version_id"))
-        .distinct()
-      val hMiss = versions.filter(col("version_ord") % 101 === 0)
-        .select(concat(lit("h1:"), col("bucket"), lit("/"), col("key"))
-          .as("req_id"), col("bucket"),
-          concat(col("key"), lit(".nope")).as("key"),
-          lit(null).cast("string").as("version_id"))
-        .distinct()
-      ObjectOps.headObjects(versions,
-        vSel.unionByName(vMiss).unionByName(hSel).unionByName(hMiss),
-        summaries).orderBy("req_id")
+      // one pass over the persisted store for all four request families
+      // (r14, guide §2.4 — same device and equality argument as goa1:
+      // disjoint family prefixes, v-branch rows unique per store key, the
+      // global dropDuplicates ≡ the per-branch h distincts)
+      val ord = col("version_ord")
+      def rq(req: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+          vid: org.apache.spark.sql.Column) =
+        struct(req.as("req_id"), col("bucket").as("bucket"), key.as("key"),
+          vid.as("version_id"))
+      val reqs = versions.select(explode(array(
+          when(ord % 57 === 0, rq(
+            concat(lit("v0:"), col("bucket"), lit("/"), col("key"), lit("@"),
+              col("version_ulid")),
+            col("key"), col("version_ulid"))),
+          when(ord % 59 === 0, rq(
+            concat(lit("v1:"), col("bucket"), lit("/"), col("key"), lit("@"),
+              col("version_ulid")),
+            col("key"),
+            lpad((ord - ord % 10 + 9).cast("string"), 12, "0"))),
+          when(ord % 51 === 0, rq(
+            concat(lit("h0:"), col("bucket"), lit("/"), col("key")),
+            col("key"), lit(null).cast("string"))),
+          when(ord % 101 === 0, rq(
+            concat(lit("h1:"), col("bucket"), lit("/"), col("key")),
+            concat(col("key"), lit(".nope")),
+            lit(null).cast("string"))))).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("r.req_id").as("req_id"), col("r.bucket").as("bucket"),
+          col("r.key").as("key"), col("r.version_id").as("version_id"))
+        .dropDuplicates()
+      ObjectOps.headObjects(versions, reqs, summaries).orderBy("req_id")
     },
 
     // Fully-paged ListObjectVersions (list_object_versions.rs): four
@@ -3360,28 +3377,41 @@ object CatalogQueries {
             .otherwise(col("size") - lit(8192L) * (col("pc") - 1))
             .as("part_size"))
       val nullV = lit(null).cast("string")
-      val e0 = vv.filter(col("version_ord") % 57 === 0).select(
-        concat(lit("e0:"), col("bucket"), lit("/"), col("key"), lit("@"),
-          col("version_ulid")).as("req_id"),
-        col("bucket"), col("key"), col("version_ulid").as("version_id"),
-        (col("version_ord") % 2 === 0).as("include_parts"))
-      val e1 = vv.filter(col("version_ord") % 59 === 0).select(
-        concat(lit("e1:"), col("bucket"), lit("/"), col("key"), lit("@"),
-          col("version_ulid")).as("req_id"),
-        col("bucket"), col("key"),
-        lpad((col("version_ord") - col("version_ord") % 10 + 9)
-          .cast("string"), 12, "0").as("version_id"),
-        lit(true).as("include_parts"))
-      val h0 = vv.filter(col("version_ord") % 51 === 0).select(
-        concat(lit("h0:"), col("bucket"), lit("/"), col("key")).as("req_id"),
-        col("bucket"), col("key"), nullV.as("version_id"),
-        lit(true).as("include_parts")).distinct()
-      val h1 = vv.filter(col("version_ord") % 101 === 0).select(
-        concat(lit("h1:"), col("bucket"), lit("/"), col("key")).as("req_id"),
-        col("bucket"), concat(col("key"), lit(".nope")).as("key"),
-        nullV.as("version_id"), lit(false).as("include_parts")).distinct()
-      ObjectOps.getObjectAttributes(vv, loc, summaries, parts,
-        e0.unionByName(e1).unionByName(h0).unionByName(h1))
+      // the four request families (e0/e1/h0/h1) derive from ONE pass over
+      // the persisted store (r14, guide §2.4): each row conditionally emits
+      // its family structs through a single explode instead of four
+      // concurrent store scans (ProfileGate: run >> cpu task-slot
+      // contention across the branch scans). Row set is unchanged — the
+      // family prefixes keep branches disjoint, e0/e1 rows are unique per
+      // (bucket, key, version_ord) by the store's key, and the one global
+      // dropDuplicates reproduces exactly the h0/h1 per-branch distincts.
+      val ord = col("version_ord")
+      def rq(req: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+          vid: org.apache.spark.sql.Column, ip: org.apache.spark.sql.Column) =
+        struct(req.as("req_id"), col("bucket").as("bucket"), key.as("key"),
+          vid.as("version_id"), ip.as("include_parts"))
+      val reqs = vv.select(explode(array(
+          when(ord % 57 === 0, rq(
+            concat(lit("e0:"), col("bucket"), lit("/"), col("key"), lit("@"),
+              col("version_ulid")),
+            col("key"), col("version_ulid"), ord % 2 === 0)),
+          when(ord % 59 === 0, rq(
+            concat(lit("e1:"), col("bucket"), lit("/"), col("key"), lit("@"),
+              col("version_ulid")),
+            col("key"),
+            lpad((ord - ord % 10 + 9).cast("string"), 12, "0"), lit(true))),
+          when(ord % 51 === 0, rq(
+            concat(lit("h0:"), col("bucket"), lit("/"), col("key")),
+            col("key"), nullV, lit(true))),
+          when(ord % 101 === 0, rq(
+            concat(lit("h1:"), col("bucket"), lit("/"), col("key")),
+            concat(col("key"), lit(".nope")), nullV, lit(false))))).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("r.req_id").as("req_id"), col("r.bucket").as("bucket"),
+          col("r.key").as("key"), col("r.version_id").as("version_id"),
+          col("r.include_parts").as("include_parts"))
+        .dropDuplicates()
+      ObjectOps.getObjectAttributes(vv, loc, summaries, parts, reqs)
         .orderBy("req_id")
     },
 

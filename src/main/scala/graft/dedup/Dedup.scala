@@ -325,14 +325,22 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
     val l = banded.as("l")
     val r = banded.as("r")
+    // the candidate dedup exchange carries only (a, b) — the signatures
+    // re-attach from the persisted sigs relation afterwards, so sim is
+    // computed ONCE per distinct pair and the dedup never ships the two
+    // k-long arrays (r14, guide §2.3). The carried-sigs form (dedup on
+    // (a, b) with both arrays in tow) and the sim-in-the-join-projection
+    // form (zip_with per duplicate band collision) were both A/B'd —
+    // see OPTIMIZATION_r14.md for the numbers.
     val cands = l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .dropDuplicates("a", "b")
     cands
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .withColumn("sim",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k)

@@ -47,6 +47,14 @@ object Enrich {
       .select(col("graph_iri"), col("subject").as("subject_iri")).distinct()
     subjects
       .join(names, Seq("graph_iri", "subject_iri"), "left_outer")
+      // 1:1 PER (graph_iri, subject_iri) is load-bearing (r14 ADVICE): the
+      // fts3 page-then-enrich commute (FtsQueries) only holds because these
+      // enrich joins never inflate the hit count. `names` is grouped above;
+      // `registry` carries ONE row per graph_iri by fixture contract
+      // (RdfTables.registry derives it 1:1 from documents) — a future
+      // registry with duplicate graph_iri rows would inflate a paged hit
+      // past its LIMIT, so that contract must hold (deduping here would add
+      // an exchange to every enrich for a case that cannot occur).
       .join(registry.select(col("graph_iri"), col("document_path")), Seq("graph_iri"), "left_outer")
       .withColumn("title", coalesce(
         col("name"),

@@ -127,10 +127,17 @@ object Graphs {
     val dt = edges.schema("src").dataType
     if (dt != LongType && dt != StringType && dt != IntegerType) return None
     if (seeds.schema("node").dataType != dt) return None
-    // size probe and collection in ONE pass: limit(cap+1) bounds driver
-    // memory, and cap+1 surviving rows means "too big — use the dataflow"
-    val eRows = edges.limit(LocalGraphMaxEdges.toInt + 1).collect()
-    if (eRows.length > LocalGraphMaxEdges) return None
+    // two-stage probe (r14): first a column-pruned limit(cap+1).count() —
+    // LocalLimit short-circuits every scan task at cap+1 rows and only a
+    // count crosses to the driver, so deciding "too big — use the dataflow"
+    // never ships the ~2M-row edge prefix to the driver (the r13 form
+    // collected it at any scale just to discard it). Only when the graph is
+    // actually small does the second pass collect the rows the local
+    // algorithm needs; the ≤2M-row double computation that costs is bench-
+    // scale cheap, while the fallback probe is now bounded executor work.
+    if (edges.limit(LocalGraphMaxEdges.toInt + 1).count() > LocalGraphMaxEdges)
+      return None
+    val eRows = edges.collect()
     val sRows = seeds.collect()
     val ids = new java.util.HashMap[Any, Integer]()
     val vals = new scala.collection.mutable.ArrayBuffer[Any]()
